@@ -1,13 +1,89 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §2.3 for the inventory.
+  *
+  * Every key in [[queries]] is one operator from the reference (or a
+  * north-star training-data-pipeline operator), expressed as a pure batch
+  * query over the fixture tables; [[oracleSql]] carries the equivalent
+  * ANSI SQL the driver runs in DuckDB on the same parquet for the
+  * hash-compare. Column names and values are aligned on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: sliding-window top-N (the reference's whole job as one
+    * query) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ReferenceOps.q06SlidingTopN(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_filter"      -> (ReferenceOps.q01ScanFilter _),
+    "q02_track_filter"     -> (ReferenceOps.q02TrackFilter _),
+    "q03_tokenize_project" -> (ReferenceOps.q03TokenizeProject _),
+    "q04_explode_count"    -> (ReferenceOps.q04ExplodeCount _),
+    "q05_window_count"     -> (ReferenceOps.q05WindowCount _),
+    "q06_sliding_topn"     -> ((s, d) => ReferenceOps.q06SlidingTopN(s, d)),
+    "q07_semi_join"        -> (ReferenceOps.q07SemiJoin _),
+    "q08_kv_format"        -> (ReferenceOps.q08KvFormat _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_filter" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE lang IN ('en','de') ORDER BY doc_id""".stripMargin,
+
+    "q02_track_filter" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE text LIKE '%spark%' OR text LIKE '%stream%' OR text LIKE '%window%'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q03_tokenize_project" ->
+      """SELECT doc_id,
+        |       len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q04_explode_count" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |WHERE len(token) > 0
+        |GROUP BY token ORDER BY token""".stripMargin,
+
+    "q05_window_count" ->
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS ws,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "q06_sliding_topn" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS f, event_type
+        |  FROM events
+        |), w AS (
+        |  SELECT unnest(generate_series(f - 240, f, 60)) AS ws, event_type FROM e
+        |), c AS (
+        |  SELECT ws, event_type, count(*) AS n FROM w GROUP BY 1, 2
+        |), r AS (
+        |  SELECT ws, event_type, n,
+        |         row_number() OVER (PARTITION BY ws ORDER BY n DESC, event_type) AS rank
+        |  FROM c
+        |)
+        |SELECT ws, event_type, n, rank FROM r WHERE rank <= 3
+        |ORDER BY ws, rank""".stripMargin,
+
+    "q07_semi_join" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE event_type IN (
+        |  SELECT event_type FROM events GROUP BY event_type
+        |  ORDER BY count(*) DESC, event_type LIMIT 3)
+        |ORDER BY event_id""".stripMargin,
+
+    "q08_kv_format" ->
+      """WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |r AS (SELECT event_type, n,
+        |             row_number() OVER (ORDER BY n DESC, event_type) AS rank
+        |      FROM c)
+        |SELECT 'Top10-' || rank AS key, event_type || ', ' || n AS value
+        |FROM r WHERE rank <= 10 ORDER BY key""".stripMargin,
+  )
 }
