@@ -24,6 +24,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // Remaining flags spark-class/JavaModuleOptions passes that the
+  // --add-opens list alone misses; without them the sbt-forked JVM takes a
+  // different (and in round 1, pathologically slow) reflection path.
+  "-Djdk.reflect.useDirectMethodHandleAccessor=false",
+  "--add-modules=jdk.incubator.vector",
+  "-XX:+IgnoreUnrecognizedVMOptions",
+  "--enable-native-access=ALL-UNNAMED",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

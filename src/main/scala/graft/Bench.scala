@@ -1,24 +1,65 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main — runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
+  * emits ONE JSON line on stdout, additionally written to
+  * `target/bench.json` so the signal survives sbt's `[info]` log prefixes.
+  *
+  * Signal-integrity rules (VERDICT r1 "What's wrong" #2):
+  *   - a query that throws is recorded with an `err` string and its
+  *     time-to-crash is EXCLUDED from the total;
+  *   - each query gets one untimed warmup execution (JIT/codegen/filesystem
+  *     cache) and the reported number is the second run.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    case class Res(name: String, sec: Double, err: Option[String])
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): Unit = fn(spark, sfDir).count()
+      try {
+        once() // warmup — not timed
+        val t0 = System.nanoTime()
+        once()
+        Res(name, (System.nanoTime() - t0) / 1e9, None)
+      } catch {
+        case e: Throwable =>
+          Res(name, 0.0, Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def esc(s: String): String =
+      s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c    => c.toString
+      }
+    val qs = results.map { r =>
+      r.err match {
+        case None    => s""""${r.name}":${f"${r.sec}%.3f"}"""
+        case Some(e) => s""""${r.name}":{"err":"${esc(e)}"}"""
+      }
+    }.mkString("{", ",", "}")
+    val ok = results.filter(_.err.isEmpty)
+    val total = ok.map(_.sec).sum
+    val line =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","n_ok":${ok.size},"n_err":${results.size - ok.size}}"""
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/bench.json"), line + "\n")
+    println(line)
     spark.stop()
   }
 }

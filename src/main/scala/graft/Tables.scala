@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Loaders for the driver-generated parquet fixture tables (TESTDATA.md).
   *
@@ -15,6 +16,21 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The fixture writes `events.ts` as parquet `INT64 TIMESTAMP(NANOS)`
+    * (FIXTURES.md §B), which Spark 4.x rejects outright
+    * (`PARQUET_TYPE_ILLEGAL`) unless the legacy nanos-as-long read path is
+    * enabled. We read the column as raw nanos and convert to a proper
+    * `TimestampType` (microsecond precision) with integer arithmetic —
+    * `ts div 1000` avoids the double-precision loss a float division of an
+    * ~1.7e18 nanos value would introduce. Runtime-settable conf, so every
+    * entry point (Verify/Bench/entry/tests) gets it on first access.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
@@ -22,7 +38,6 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
