@@ -27,6 +27,10 @@ object SparkEntry {
     "q06_sliding_topn"     -> ((s, d) => ReferenceOps.q06SlidingTopN(s, d)),
     "q07_semi_join"        -> (ReferenceOps.q07SemiJoin _),
     "q08_kv_format"        -> (ReferenceOps.q08KvFormat _),
+    "q09_dedup_exact"      -> (PipelineOps.q09DedupExact _),
+    "q10_text_stats"       -> (PipelineOps.q10TextStats _),
+    "q11_join_enrich"      -> (PipelineOps.q11JoinEnrich _),
+    "q12_sim_topk"         -> ((s, d) => PipelineOps.q12SimTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -85,5 +89,36 @@ object SparkEntry {
         |      FROM c)
         |SELECT 'Top10-' || rank AS key, event_type || ', ' || n AS value
         |FROM r WHERE rank <= 10 ORDER BY key""".stripMargin,
+
+    "q09_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q10_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |       count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q11_join_enrich" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
+        |       count(DISTINCT c_custkey) AS n_custs
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q12_sim_topk" ->
+      """WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id, label,
+        |             round(list_dot_product(embedding::DOUBLE[], pe) /
+        |                   (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+        |                    sqrt(list_dot_product(pe, pe))), 6) AS sim
+        |      FROM embeddings, p)
+        |SELECT vec_id, label, sim FROM s
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
   )
 }

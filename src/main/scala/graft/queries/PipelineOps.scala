@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** North-star LLM-training-data-pipeline operators (SURVEY.md §2.3
+  * q09–q12): dedup, text statistics, multi-table enrichment join, and
+  * similarity search. These generalize the reference's single-stream
+  * semantics (a Flink job that only ever filtered/counted tweets —
+  * /root/reference/src/main/java/TopNHashtags.java) to the operations a
+  * 100 TB training-data pipeline actually runs.
+  *
+  * Each query is a pure `(SparkSession, sfDir) => DataFrame` paired with a
+  * DuckDB oracle in [[graft.SparkEntry.oracleSql]].
+  */
+object PipelineOps {
+
+  /** q09 — exact deduplication with deterministic canonicalization.
+    *
+    * `dropDuplicates("text")` keeps an arbitrary row per key; a pipeline
+    * needs a deterministic keep-rule, so we aggregate to
+    * `min(doc_id)` per distinct `text` (plus the duplicate count, which a
+    * real pipeline logs). One hash-aggregate shuffle on `text`; map-side
+    * partial agg means the shuffle carries one row per (partition,
+    * distinct text). At 100 TB, dedup on a long text key should hash the
+    * key first (see [[DedupOps]] for the near-dup path) — exact-dedup on a
+    * 64-bit content hash shuffles 8-byte keys instead of full documents.
+    */
+  def q09DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"text")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+      .select($"doc_id", $"text", $"n_dups")
+      .orderBy($"doc_id")
+  }
+
+  /** q10 — per-language corpus statistics (north-star text analysis).
+    *
+    * Single hash aggregate on `lang` (5 distinct values): count, exact
+    * integer char sum, mean chars, distinct sources. `avg` is computed as
+    * exact-long-sum / exact-long-count in double so the oracle comparison
+    * is bit-deterministic (no float-accumulation-order hazard).
+    * `countDistinct` expands to a two-phase aggregate; at 100 TB with a
+    * high-cardinality distinct column, swap for `approx_count_distinct`
+    * (HLL) — noted, not needed for 20 sources.
+    */
+  def q10TextStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        (sum($"n_chars").cast("double") / count(lit(1))).as("avg_chars"),
+        countDistinct($"source").as("n_sources"))
+      .orderBy($"lang")
+  }
+
+  /** q11 — multi-table enrichment join + aggregate (reference co-flatmap
+    * join #11 generalized to a star-schema equi-join,
+    * TopNHashtags.java:298-335).
+    *
+    * orders ⋈ customer ⋈ nation ⋈ region, aggregated per nation. All three
+    * dimension sides carry an explicit `broadcast()` hint, so the plan is
+    * three `BroadcastHashJoin`s and the fact table (`orders`) streams
+    * through with ZERO shuffles before the final small aggregate — the
+    * scan of `orders` is the only big-data pass. At 100 TB the customer
+    * dimension may exceed the broadcast threshold; dropping that one hint
+    * degrades gracefully to a shuffle join on `o_custkey` chosen by AQE,
+    * with nation/region still broadcast.
+    *
+    * `o_totalprice` is cast to DECIMAL(12,2) BEFORE summing: decimal
+    * addition is exact and associative, so the sum is independent of
+    * partitioning/order — a double sum would be nondeterministic at scale.
+    */
+  def q11JoinEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders   = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val nation   = Tables.nation(spark, dir)
+    val region   = Tables.region(spark, dir)
+    orders
+      .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(12,2)")).cast("decimal(18,2)")
+          .as("sum_price"),
+        countDistinct($"c_custkey").as("n_custs"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Dot product of two float vectors, computed in double precision as a
+    * strict left-to-right fold — matches DuckDB `list_dot_product` on
+    * `DOUBLE[]` casts bit-for-bit, keeping the oracle hash-stable. Pure
+    * codegen'd higher-order functions; no UDF.
+    */
+  private[queries] def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  private[queries] def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** q12 — similarity search: brute-force cosine top-k of `embeddings`
+    * against a probe vector (the north-star ANN baseline; the bucketed
+    * scale path is [[SimilarityOps]]).
+    *
+    * The probe (one row) is broadcast; every partition scores its vectors
+    * locally and `orderBy+limit` compiles to `TakeOrderedAndProject` —
+    * each partition keeps only its local top-k and the driver merges k
+    * rows per partition, NOT a global sort. That shape is exactly what a
+    * 1000-executor brute-force scorer should do. Similarity is rounded to
+    * 6 dp so rank order and the oracle hash are stable across engines'
+    * last-ulp differences.
+    */
+  def q12SimTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val probe = emb.filter($"vec_id" === 0).select($"embedding".as("probe"))
+    emb.crossJoin(broadcast(probe))
+      .withColumn("sim", round(cosine($"embedding", $"probe"), 6))
+      .select($"vec_id", $"label", $"sim")
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(k)
+  }
+}
