@@ -5,18 +5,32 @@ import java.nio.file.{Files, Paths}
 
 /** Benchmark main — runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * emits ONE JSON line on stdout, additionally written to
-  * `target/bench.json` so the signal survives sbt's `[info]` log prefixes.
+  * `target/bench.json` so the signal survives sbt's `[info]` log prefixes
+  * (build.sbt also sets `outputStrategy := StdoutOutput` so the forked
+  * process's line reaches the caller unprefixed).
   *
-  * Signal-integrity rules (VERDICT r1 "What's wrong" #2):
-  *   - a query that throws is recorded with an `err` string and its
-  *     time-to-crash is EXCLUDED from the total;
-  *   - each query gets one untimed warmup execution (JIT/codegen/filesystem
-  *     cache) and the reported number is the second run.
+  * Signal-integrity rules:
+  *   - a query that throws is recorded with an `err` string and excluded
+  *     from the total;
+  *   - the whole suite gets one untimed warmup pass (JIT/codegen/
+  *     filesystem cache), then ITERS timed passes run ROUND-ROBIN over
+  *     the queries; the reported number is the per-query MEDIAN and all
+  *     samples are emitted. Measured on this host, a single execution of
+  *     a 0.8 s query has recorded 17-27 s during multi-second
+  *     environmental stall bursts (observed while external CPU steal was
+  *     <1% — host-level, not plan-level). Round-robin interleaving
+  *     spreads one query's samples across the run so a contiguous burst
+  *     can inflate at most one sample per query; the median then
+  *     discards it. Back-to-back per-query iterations (the previous
+  *     design) put all of a query's samples inside one burst — observed
+  *     as q06=[23.1,27.2,27.4] in a run where the same query's median
+  *     was 1.3 s minutes later.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -25,19 +39,42 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    case class Res(name: String, sec: Double, err: Option[String])
+    case class Res(name: String, samples: Seq[Double], err: Option[String]) {
+      def median: Double = {
+        val s = samples.sorted
+        if (s.isEmpty) 0.0
+        else if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+    }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Unit = fn(spark, sfDir).count()
+    // Optional comma-separated allowlist of query keys (debug/bisect aid).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    val samplesByName =
+      scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val errByName = scala.collection.mutable.Map.empty[String, String]
+    // pass 0 = untimed warmup; passes 1..iters timed, interleaved so one
+    // environmental stall burst cannot cover all samples of one query.
+    for (pass <- 0 to iters; (name, fn) <- selected if !errByName.contains(name)) {
       try {
-        once() // warmup — not timed
         val t0 = System.nanoTime()
-        once()
-        Res(name, (System.nanoTime() - t0) / 1e9, None)
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (pass > 0)
+          samplesByName(name) = samplesByName.getOrElse(name, Vector.empty) :+ dt
       } catch {
         case e: Throwable =>
-          Res(name, 0.0, Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
+          errByName(name) =
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
+    }
+    val results = selected.map { case (name, _) =>
+      Res(name, samplesByName.getOrElse(name, Vector.empty),
+        errByName.get(name))
     }
 
     def esc(s: String): String =
@@ -47,16 +84,20 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c    => c.toString
       }
+    def f3(d: Double): String = f"$d%.3f"
     val qs = results.map { r =>
       r.err match {
-        case None    => s""""${r.name}":${f"${r.sec}%.3f"}"""
+        case None    => s""""${r.name}":${f3(r.median)}"""
         case Some(e) => s""""${r.name}":{"err":"${esc(e)}"}"""
       }
     }.mkString("{", ",", "}")
+    val samples = results.collect { case r if r.err.isEmpty =>
+      s""""${r.name}":[${r.samples.map(f3).mkString(",")}]"""
+    }.mkString("{", ",", "}")
     val ok = results.filter(_.err.isEmpty)
-    val total = ok.map(_.sec).sum
+    val total = ok.map(_.median).sum
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","n_ok":${ok.size},"n_err":${results.size - ok.size}}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"samples":$samples,"iters":$iters,"stat":"median","sf":"$sfDir","n_ok":${ok.size},"n_err":${results.size - ok.size}}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), line + "\n")
     println(line)

@@ -104,9 +104,13 @@ object ReferenceOps {
     *   - the first-element double-count bug (TopNHashtags.java:262,271-272)
     *     is not replicated.
     *
-    * Plan shape at scale: sliding `window()` explodes each row into
-    * size/slide (=5) buckets *after* partial aggregation is applied per
-    * (window, key); `row_number` then re-partitions by window only. Both
+    * Plan shape at scale: sliding `window()` compiles to an `Expand` that
+    * replicates each row into its size/slide (=5) window buckets *before*
+    * the partial aggregation — but both run fused in the same stage, so
+    * the shuffle still carries only the partially-aggregated
+    * (window, key) rows, not x5 events. `row_number` then re-partitions by
+    * window only, and Spark's rank-limit pushdown (`WindowGroupLimit`)
+    * keeps a partial top-k on the map side before that exchange. Both
     * exchanges are on low-cardinality keys; with AQE the second one
     * coalesces to a handful of partitions.
     */

@@ -1,0 +1,68 @@
+package graft
+
+import graft.queries.PipelineOps
+import org.apache.spark.sql.Row
+
+/** Specs for the LLM-pipeline operators q09–q12 at sf0.001; expected
+  * values computed independently in DuckDB.
+  */
+class PipelineOpsSpec extends SparkSuite {
+
+  test("q09 exact dedup: unique texts keep min doc_id") {
+    val rows = PipelineOps.q09DedupExact(spark, sf).collect()
+    assert(rows.length == 500) // sf0.001 documents have no exact dups
+    assert(rows.forall(_.getLong(2) >= 1L))
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("q09 dedup collapses injected duplicates deterministically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // inject: same text under three doc_ids — survivor must be min id
+    val dup = Seq((7L, "dup text"), (3L, "dup text"), (9L, "dup text"),
+      (1L, "solo")).toDF("doc_id", "text")
+    val out = dup.groupBy($"text")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("dup text", 3L, 3L), ("solo", 1L, 1L)))
+  }
+
+  test("q10 text stats: per-lang aggregates") {
+    val rows = PipelineOps.q10TextStats(spark, sf).collect()
+    assert(rows.length == 5)
+    val de = rows.head
+    assert(de.getString(0) == "de")
+    assert(de.getLong(1) == 71L)
+    assert(de.getLong(2) == 22200L)
+    assert(math.abs(de.getDouble(3) - 312.67605633802816) < 1e-12)
+    assert(de.getLong(4) == 20L)
+  }
+
+  test("q11 join enrich: 25 nations, exact decimal sums, broadcast plan") {
+    val df = PipelineOps.q11JoinEnrich(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 25)
+    val first = rows.head
+    assert(first.getString(0) == "AFRICA" && first.getString(1) == "NATION_0")
+    assert(first.getLong(2) == 34L)
+    assert(first.getDecimal(3) == new java.math.BigDecimal("8633536.94"))
+    assert(first.getLong(4) == 4L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    // the fact table must not be exchanged before the joins: the only
+    // shuffle is the final aggregate on (r_name, n_name)
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
+  test("q12 cosine top-k: probe ranks itself first, spot similarity") {
+    val rows = PipelineOps.q12SimTopK(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.head.getLong(0) == 0L)          // probe vs itself
+    assert(rows.head.getDouble(2) == 1.0)
+    assert(rows(1).getLong(0) == 17L)
+    assert(math.abs(rows(1).getDouble(2) - 0.334456) < 1e-9)
+    // descending similarity
+    val sims = rows.map(_.getDouble(2)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style invariants of the tokenize pipeline used by
+  * q03/q04 (`explode(split(lower(text), " ")) … filter(length > 0)`),
+  * mirroring the reference's tokenizer guarantees: every emitted token is
+  * non-empty and lowercase, and empty splits are dropped
+  * (/root/reference/src/main/java/TopNHashtags.java:202,236-238).
+  *
+  * scalacheck generates the corpus; the invariants are asserted on the
+  * Spark expressions themselves in ONE job (per-case Spark jobs would be
+  * seconds each), with a fixed seed for reproducibility.
+  */
+class TokenizerPropsSpec extends SparkSuite {
+
+  private val wordChar = Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf('#', '@', '!', 'Ä', 'ß', 'λ'))
+  private val rawText: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    words <- Gen.listOfN(n, Gen.stringOfN(4, wordChar))
+    extraSpaces <- Gen.choose(1, 3)
+  } yield words.mkString(" " * extraSpaces)
+
+  private def corpus(n: Int): Seq[String] =
+    (0 until n).flatMap(i => rawText.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("every emitted token is non-empty, lowercase, and space-free") {
+    import spark.implicits._
+    val tokens = corpus(200).toDF("text")
+      .select(explode(split(lower($"text"), " ")).as("token"))
+      .filter(length($"token") > 0)
+      .as[String].collect()
+    assert(tokens.nonEmpty)
+    assert(tokens.forall(_.nonEmpty))
+    assert(tokens.forall(t => t == t.toLowerCase))
+    assert(tokens.forall(!_.contains(" ")))
+  }
+
+  test("token multiset is preserved: n_tokens equals exploded count per doc") {
+    import spark.implicits._
+    val df = corpus(200).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val viaSize = df.select($"doc_id",
+      size(filter(split(lower($"text"), " "), t => length(t) > 0)).as("n"))
+    val viaExplode = df
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"doc_id").count()
+    val joined = viaSize.join(viaExplode, Seq("doc_id"), "left")
+      .select($"doc_id", $"n", coalesce($"count", lit(0L)).as("c"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getInt(1).toLong == r.getLong(2),
+      s"doc ${r.getLong(0)}: size=${r.getInt(1)} explode=${r.getLong(2)}"))
+  }
+}
