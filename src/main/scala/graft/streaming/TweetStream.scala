@@ -1,0 +1,226 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** The reference's actual modality, rebuilt on Structured Streaming: an
+  * unbounded stream of tweet-JSON strings → parse/drop-malformed →
+  * hashtag explode → sliding event-time window count → per-window top-N →
+  * KV sink, plus the dynamic top-N tweet filter
+  * (/root/reference/src/main/java/TopNHashtags.java:94-180).
+  *
+  * Design differences from the reference, by intent:
+  *   - The window aggregation stays PARALLEL (hash-partitioned on
+  *     (window, tag)); the reference forced the window onto one task
+  *     (`forceNonParallel`, TopNHashtags.java:129) — its structural
+  *     throughput ceiling. At cluster scale our shuffle carries partial
+  *     counts, not raw tag tuples (map-side combine is automatic).
+  *   - Top-N emission is watermark-correct: windows are ranked when they
+  *     FINALIZE (append mode), where the reference re-emitted the
+  *     incomplete window every slide. The reference's behavior is
+  *     processing-time-dependent and unreproducible; finalized-window
+  *     emission is the deterministic generalization.
+  *   - `row_number` is not available inside a streaming aggregation, so
+  *     ranking runs in `foreachBatch` over the handful of finalized
+  *     (window, tag) rows per micro-batch — tiny, driver-adjacent work,
+  *     same shape as the reference's per-fire `CalcTopNTags`
+  *     (TopNHashtags.java:253-291).
+  */
+object TweetStream {
+
+  /** Exactly the fields the reference reads from each status JSON
+    * (TopNHashtags.java:192-196); everything else is ignored. */
+  val tweetSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("text", StringType),
+    StructField("entities", StructType(Seq(
+      StructField("hashtags", ArrayType(
+        StructType(Seq(StructField("text", StringType))))))))))
+
+  /** JSON line stream/batch (one column `json`) → `(id, text, tags, ts)`.
+    *
+    * PERMISSIVE `from_json` + id-null filter reproduces the reference's
+    * catch-and-skip on malformed records (TopNHashtags.java:207); `tags`
+    * is the space-joined lowercased hashtag list (TopNHashtags.java:
+    * 197-203). `tsCol` defaults to ingestion time like the reference's
+    * `AttachCurrentTime` (TopNHashtags.java:216-227); tests inject a
+    * deterministic event-time column instead.
+    */
+  def parseTweets(raw: DataFrame, tsCol: Column = current_timestamp()): DataFrame = {
+    val parsed = raw
+      .withColumn("ts", tsCol)
+      .withColumn("p", from_json(col("json"), tweetSchema))
+      .filter(col("p.id").isNotNull)
+    parsed.select(
+      col("p.id").as("id"),
+      col("p.text").as("text"),
+      concat_ws(" ",
+        transform(col("p.entities.hashtags"), h => lower(h("text"))))
+        .as("tags"),
+      col("ts"))
+  }
+
+  /** `(…, tags, ts)` → one `(tag, ts)` row per non-empty tag — the
+    * reference's `FlatMapTags` (TopNHashtags.java:232-242) as a
+    * codegen'd Generate. */
+  def explodeTags(parsed: DataFrame): DataFrame =
+    parsed
+      .select(explode(split(col("tags"), " ")).as("tag"), col("ts"))
+      .filter(length(col("tag")) > 0)
+
+  /** Sliding event-time window count with watermark — reference operators
+    * #4+#6+#7 (watermark TopNHashtags.java:216-227, window :126, count
+    * :258-280). Works on both streaming and batch frames; on a stream the
+    * state store keeps per-(window, tag) partial counts incrementally
+    * where the reference re-scanned the whole window buffer every slide.
+    */
+  def slidingTagCounts(
+      tags: DataFrame,
+      windowSize: String = "300 seconds",
+      windowSlide: String = "60 seconds",
+      watermarkDelay: String = "1 second"): DataFrame =
+    tags
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowSize, windowSlide), col("tag"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Batch ranking of `(window, tag, cnt)` rows → top-N per window with a
+    * deterministic tag tie-break (the reference's tie order was
+    * first-seen and nondeterministic, TopNHashtags.java:282). Used inside
+    * `foreachBatch` and directly by batch callers.
+    */
+  def topNPerWindow(counts: DataFrame, n: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byWindow = Window.partitionBy(col("window"))
+      .orderBy(col("cnt").desc, col("tag"))
+    counts
+      .withColumn("rank", row_number().over(byWindow))
+      .filter(col("rank") <= n)
+  }
+
+  /** KV formatting of one ranked entry — the Redis mapper's
+    * `SET Top10-<rank> = "<tag>, <count>"` (key TopNHashtags.java:162,
+    * value :167, including the hardcoded "Top10-" prefix regardless of
+    * N — documented reference quirk we keep for parity). */
+  def kvPair(rank: Int, tag: String, cnt: Long): (String, String) =
+    (s"Top10-$rank", s"$tag, $cnt")
+
+  /** DataFrame form of [[kvPair]] for batch/SQL callers (q08 shape). */
+  def kvRows(topN: DataFrame): DataFrame =
+    topN.select(
+      concat(lit("Top10-"), col("rank")).as("key"),
+      concat(col("tag"), lit(", "), col("cnt")).as("value"))
+
+  /** Key-value sink boundary (the reference's Redis connector,
+    * TopNHashtags.java:149-171, pom.xml:95-109). Implementations must be
+    * serializable if used inside executor-side foreach; with
+    * `foreachBatch` + `collect` of the tiny ranked rows the puts run on
+    * the driver, matching the reference's per-fire sink cadence. */
+  trait KvSink extends Serializable {
+    def put(key: String, value: String): Unit
+  }
+
+  /** In-memory KV store with last-write-wins SET semantics — the test
+    * stand-in for Redis. */
+  class InMemoryKvStore extends KvSink {
+    private val map = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def put(key: String, value: String): Unit = map.put(key, value)
+    def snapshot: Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      map.asScala.toMap
+    }
+  }
+
+  /** Shared mutable top-N state for the dynamic tweet filter — the
+    * co-flatmap's `String[] topN` operator state
+    * (TopNHashtags.java:303,329-334). Volatile publication: the ranking
+    * query's foreachBatch writes it, the filter query's foreachBatch
+    * reads it. Before the first window finalizes the set is empty and
+    * the filter matches nothing — the reference's
+    * tweets-before-first-window behavior (TopNHashtags.java:313-320). */
+  class TopNState extends Serializable {
+    @volatile private var tags: Set[String] = Set.empty
+    def update(newTags: Set[String]): Unit = tags = newTags
+    def current: Set[String] = tags
+  }
+
+  /** Start the full top-N pipeline on a streaming frame of `json` lines:
+    * parse → explode → sliding count → (per finalized window) rank →
+    * KV-format → sink, updating `state` for the dynamic filter.
+    * Append output mode: `foreachBatch` only ever sees windows the
+    * watermark has closed, so each KV write is final. */
+  def startTopN(
+      raw: DataFrame,
+      sink: KvSink,
+      state: TopNState = new TopNState,
+      n: Int = 10,
+      windowSize: String = "300 seconds",
+      windowSlide: String = "60 seconds",
+      watermarkDelay: String = "1 second",
+      tsCol: Column = current_timestamp(),
+      checkpoint: String = defaultCheckpoint()): StreamingQuery = {
+    val counts =
+      slidingTagCounts(explodeTags(parseTweets(raw, tsCol)),
+        windowSize, windowSlide, watermarkDelay)
+    counts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // tiny relation: (windows finalized this batch) × n rows — one
+        // collect, then driver-side KV puts + state update, matching the
+        // reference's per-fire sink cadence.
+        val rows = topNPerWindow(batch, n)
+          .select(col("window.start").cast("long").as("ws"),
+            col("tag"), col("cnt"), col("rank"))
+          .collect()
+        rows.foreach { r =>
+          val (k, v) = kvPair(r.getInt(3), r.getString(1), r.getLong(2))
+          sink.put(k, v)
+        }
+        if (rows.nonEmpty) {
+          val latestWs = rows.map(_.getLong(0)).max
+          state.update(
+            rows.filter(_.getLong(0) == latestWs).map(_.getString(1)).toSet)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The dynamic-filter side of the co-flatmap (TopNHashtags.java:
+    * 313-320): pass tweets whose tag list intersects the CURRENT top-N.
+    * Runs as its own streaming query in foreachBatch so each micro-batch
+    * reads the freshest state — the streaming analog of the reference's
+    * broadcast channel (TopNHashtags.java:131,135-137). Matched `(id,
+    * text)` rows go to `out` (the reference printed them, :145).
+    */
+  def startDynamicFilter(
+      raw: DataFrame,
+      state: TopNState,
+      out: KvSink,
+      tsCol: Column = current_timestamp(),
+      checkpoint: String = defaultCheckpoint()): StreamingQuery =
+    parseTweets(raw, tsCol).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val current = state.current
+        if (current.nonEmpty) {
+          val matched = batch
+            .select(col("id"), col("text"),
+              explode(split(col("tags"), " ")).as("tag"))
+            .filter(col("tag").isInCollection(current))
+            .select(col("id"), col("text")).distinct()
+          matched.collect()
+            .foreach(r => out.put(r.getLong(0).toString, r.getString(1)))
+        }
+        ()
+      }
+      .start()
+
+  private def defaultCheckpoint(): String =
+    java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt").toString
+}

@@ -1,0 +1,135 @@
+package graft
+
+import graft.streaming.TweetStream
+import graft.streaming.TweetStream.{InMemoryKvStore, TopNState}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming-semantics tests with MemoryStream fixtures: the tweet-JSON
+  * parse, sliding-window top-N with watermark finalization, the KV sink,
+  * and the dynamic top-N tweet filter — including the reference's
+  * tweets-before-first-window-emit-nothing behavior
+  * (/root/reference/src/main/java/TopNHashtags.java:313-320).
+  */
+/** Raw record: one JSON line + an injected deterministic event time
+  * (production uses ingestion time like the reference). Top-level so
+  * Spark can derive its encoder. */
+case class Raw(json: String, ts: Timestamp)
+
+class TweetStreamSpec extends SparkSuite {
+
+  private def tweet(id: Long, text: String, tags: Seq[String]): String = {
+    val hs = tags.map(t => s"""{"text":"$t"}""").mkString(",")
+    s"""{"id":$id,"text":"$text","entities":{"hashtags":[$hs]}}"""
+  }
+  private def at(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("parseTweets drops malformed records and lowercases tags (batch)") {
+    import spark.implicits._
+    val rows = Seq(
+      Raw(tweet(1, "hello #Spark", Seq("Spark", "BIG")), at(10)),
+      Raw("{not json at all", at(11)),
+      Raw("""{"text":"no id field"}""", at(12)),
+      Raw(tweet(2, "plain", Seq.empty), at(13))
+    ).toDF()
+    val parsed = TweetStream.parseTweets(rows, col("ts")).collect()
+    assert(parsed.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(parsed.head.getString(2) == "spark big")
+    assert(parsed(1).getString(2) == "")
+  }
+
+  test("sliding top-N: watermark finalizes windows, KV store gets ranked entries, state updates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Raw]
+    val sink = new InMemoryKvStore
+    val state = new TopNState
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-topn").toString
+    val query = TweetStream.startTopN(
+      source.toDF(), sink, state, n = 10,
+      windowSize = "300 seconds", windowSlide = "60 seconds",
+      watermarkDelay = "1 second", tsCol = col("ts"), checkpoint = ckpt)
+    try {
+      // three #spark tweets and one #flink tweet, all in early windows
+      source.addData(
+        Raw(tweet(1, "a", Seq("Spark")), at(10)),
+        Raw(tweet(2, "b", Seq("spark")), at(15)),
+        Raw(tweet(3, "c", Seq("SPARK", "flink")), at(20)))
+      query.processAllAvailable()
+      // watermark has not passed any window end yet → nothing emitted
+      assert(sink.snapshot.isEmpty, s"early emit: ${sink.snapshot}")
+      assert(state.current.isEmpty)
+
+      // advance event time far past the early windows
+      source.addData(Raw(tweet(9, "late", Seq("late")), at(10000)))
+      query.processAllAvailable()
+
+      // every finalized early window ranks spark(3) > flink(1); the
+      // last-write-wins store therefore holds exactly these two keys
+      assert(sink.snapshot == Map(
+        "Top10-1" -> "spark, 3",
+        "Top10-2" -> "flink, 1"), s"got: ${sink.snapshot}")
+      // the advancer's own windows are still open → "late" not ranked
+      assert(!sink.snapshot.values.exists(_.startsWith("late")))
+      // co-flatmap state now carries the latest finalized window's tags
+      assert(state.current == Set("spark", "flink"))
+    } finally query.stop()
+  }
+
+  test("dynamic filter: tweets match nothing before the first window finalizes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tagSource = MemoryStream[Raw]
+    val tweetSource = MemoryStream[Raw]
+    val sink = new InMemoryKvStore
+    val matched = new InMemoryKvStore
+    val state = new TopNState
+    val q1 = TweetStream.startTopN(
+      tagSource.toDF(), sink, state, n = 10,
+      watermarkDelay = "1 second", tsCol = col("ts"),
+      checkpoint = java.nio.file.Files.createTempDirectory("ckpt-t").toString)
+    val q2 = TweetStream.startDynamicFilter(
+      tweetSource.toDF(), state, matched, tsCol = col("ts"),
+      checkpoint = java.nio.file.Files.createTempDirectory("ckpt-f").toString)
+    try {
+      // trending data not yet finalized → state empty → no matches
+      tagSource.addData(
+        Raw(tweet(1, "x", Seq("spark")), at(10)),
+        Raw(tweet(2, "y", Seq("spark")), at(11)))
+      q1.processAllAvailable()
+      tweetSource.addData(Raw(tweet(100, "I love #spark", Seq("spark")), at(20)))
+      q2.processAllAvailable()
+      assert(matched.snapshot.isEmpty,
+        s"matched before first window closed: ${matched.snapshot}")
+
+      // finalize the early windows → state = {spark}
+      tagSource.addData(Raw(tweet(3, "adv", Seq("adv")), at(10000)))
+      q1.processAllAvailable()
+      assert(state.current == Set("spark"))
+
+      // now the same tweet content matches
+      tweetSource.addData(
+        Raw(tweet(101, "more #Spark love", Seq("Spark")), at(30)),
+        Raw(tweet(102, "unrelated #other", Seq("other")), at(31)))
+      q2.processAllAvailable()
+      assert(matched.snapshot == Map("101" -> "more #Spark love"),
+        s"got: ${matched.snapshot}")
+    } finally { q1.stop(); q2.stop() }
+  }
+
+  test("topNPerWindow + kvRows batch shape matches the Redis mapper format") {
+    import spark.implicits._
+    val counts = Seq(
+      (at(0), at(300), "spark", 5L),
+      (at(0), at(300), "flink", 3L),
+      (at(0), at(300), "beam", 3L))
+      .toDF("start", "end", "tag", "cnt")
+      .select(struct(col("start"), col("end")).as("window"), col("tag"), col("cnt"))
+    val kv = TweetStream.kvRows(TweetStream.topNPerWindow(counts, n = 2))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // beam ties flink at 3 but loses the deterministic tie-break; n=2 cuts it
+    assert(kv == Seq(("Top10-1", "spark, 5"), ("Top10-2", "beam, 3")))
+    assert(TweetStream.kvPair(1, "spark", 5L) == ("Top10-1", "spark, 5"))
+  }
+}
