@@ -31,6 +31,7 @@ object SparkEntry {
     "q10_text_stats"       -> (PipelineOps.q10TextStats _),
     "q11_join_enrich"      -> (PipelineOps.q11JoinEnrich _),
     "q12_sim_topk"         -> ((s, d) => PipelineOps.q12SimTopK(s, d)),
+    "q13_neardup_pairs"    -> ((s, d) => DedupOps.q13NeardupPairs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -103,7 +104,7 @@ object SparkEntry {
 
     "q11_join_enrich" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_price_cents,
         |       count(DISTINCT c_custkey) AS n_custs
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -120,5 +121,28 @@ object SparkEntry {
         |      FROM embeddings, p)
         |SELECT vec_id, label, sim FROM s
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Exact all-pairs Jaccard — the oracle-scale ground truth for the
+    // LSH-bucketed Spark implementation (recall 1 at the fixture's
+    // similarity margin; output all-integer for hash stability).
+    "q13_neardup_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           generate_series(1, greatest(len(toks) - 2, 0)),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+        |        FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.sh, b.sh)) AS n_common,
+        |         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |)
+        |SELECT doc_a, doc_b, n_common, n_union FROM p
+        |WHERE n_common >= n_union * 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

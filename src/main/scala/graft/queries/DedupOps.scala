@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate deduplication via MinHash + banded LSH — the scale path
+  * the exact dedup of [[PipelineOps.q09DedupExact]] cannot cover (it
+  * catches byte-identical texts only; training corpora are full of docs
+  * that differ by a few tokens). Generalizes the reference's
+  * group-by-key merge loop (TopNHashtags.java:258-280) from exact keys to
+  * similarity buckets.
+  *
+  * Pipeline (flat codegen'd projections + hash-partitioned joins — no
+  * UDF, no all-pairs product anywhere):
+  *
+  *   1. tokenize → distinct k-word shingles (k=3), each immediately
+  *      replaced by its 64-bit hash;
+  *   2. MinHash signature: `numHashes` independent hash functions,
+  *      `h_i(s) = xxhash64(i, hs)`, signature[i] = min over shingles —
+  *      computed as flat columns through ONE hash aggregate (map-side
+  *      partial minima);
+  *   3. banded LSH: signature split into `bands` bands of `rows` values;
+  *      band hash = xxhash64(band columns). Two docs land in the same
+  *      bucket iff one whole band matches — P(candidate) =
+  *      1-(1-j^rows)^bands, steep around j≈0.6 for 16×4;
+  *   4. candidate pairs = self-join on (band_pos, band_hash), `a < b`,
+  *      distinct — the shuffle key is the bucket, so work is bounded by
+  *      bucket sizes, never |docs|²;
+  *   5. exact verify: count matching shingle hashes per candidate pair
+  *      (two joins on the exploded rows), keep pairs with true Jaccard
+  *      ≥ threshold.
+  *
+  * At 100 TB: step 1-2 is a narrow map + one shuffle of `numHashes`
+  * longs per doc; step 4 shuffles (band, hash, doc_id, n) tuples — 16
+  * rows of ~32 bytes per doc, NOT the text; step 5 shuffles only the
+  * candidate pairs' shingle-hash rows. Skewed buckets (e.g.
+  * boilerplate-heavy corpora) are the known hazard — cap bucket size or
+  * salt the verify join; AQE's skew handling covers the rest.
+  */
+object DedupOps {
+
+  /** Distinct k-word shingles of a text column; empty array (never null)
+    * for docs shorter than k tokens. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = filter(split(lower(text), " "), t => length(t) > 0)
+    when(size(toks) >= k,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** One row per (doc, distinct shingle), shingle replaced by its 64-bit
+    * xxhash64 — the working representation for the whole pipeline. The
+    * shingle lambda is the only interpreted (non-codegen) step and runs
+    * as a NARROW map: at cluster scale that beats any codegen'd
+    * alternative that would need a shuffle (e.g. posexplode + window
+    * lead) to build shingles. Everything downstream handles 16 bytes per
+    * shingle, never the strings.
+    *
+    * Shape note: a nested higher-order
+    * `transform(seeds, i -> array_min(transform(sh, s -> hash(i, s))))`
+    * computes the same signatures but runs INTERPRETED per lambda node —
+    * measured 104 s for 500 docs vs sub-second for the flat-column plan
+    * built on this frame.
+    */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("hs"))
+
+  /** `(doc_id, h0..h{n-1}, n)` — minhash signature columns plus the
+    * doc's distinct-shingle count, from a single hash aggregate. */
+  private def signatures(docs: DataFrame, numHashes: Int): DataFrame = {
+    val ex = shingleHashes(docs)
+    val hashCols = (0 until numHashes).map(i => xxhash64(lit(i), col("hs")).as(s"h$i"))
+    ex.select(col("doc_id") +: hashCols: _*)
+      .groupBy(col("doc_id"))
+      .agg(min(col("h0")).as("h0"),
+        (1 until numHashes).map(i => min(col(s"h$i")).as(s"h$i"))
+          :+ count(lit(1)).as("n"): _*)
+  }
+
+  /** Candidate pairs with both docs' shingle counts:
+    * `(doc_a, doc_b, n_a, n_b)`, `doc_a < doc_b`, sharing ≥1 LSH band.
+    * Counts ride along from the signature aggregate, so the verify stage
+    * needs no extra per-doc join. */
+  private def candidatesWithCounts(
+      docs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val sig = signatures(docs, bands * rows)
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
+    }
+    val banded = sig
+      .select(col("doc_id"), col("n"), posexplode(array(bandHashes: _*)))
+      .select(col("doc_id"), col("n"), col("pos"), col("col").as("bh"))
+    val a = banded.select(col("pos"), col("bh"),
+      col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val b = banded.select(col("pos"), col("bh"),
+      col("doc_id").as("doc_b"), col("n").as("n_b"))
+    a.join(b, Seq("pos", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .distinct()
+  }
+
+  /** Candidate pairs (doc_a < doc_b) sharing at least one LSH band. */
+  def candidatePairs(docs: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame =
+    candidatesWithCounts(docs, bands, rows).select(col("doc_a"), col("doc_b"))
+
+  /** q13 — near-dup pairs: LSH candidates exact-verified at
+    * `threshold` Jaccard over 3-word shingles. Output is all-integer
+    * (ids + intersection/union sizes) so the oracle hash is
+    * representation-proof. The DuckDB oracle computes exact all-pairs
+    * Jaccard (feasible at oracle scale); equality holds because the LSH
+    * recall at the fixture's similarity margin (near-dup pairs ≥ 0.83,
+    * background ≤ 0.07 — measured) is 1 with 16 bands of 4, and the
+    * whole pipeline is deterministic.
+    */
+  def q13NeardupPairs(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = 0.6,
+      bands: Int = 16,
+      rows: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ex = shingleHashes(docs)
+    val cand = candidatesWithCounts(docs, bands, rows)
+    // Exact verify on hashed shingles: |A ∩ B| = matching hs rows between
+    // the pair's docs (64-bit hashes make cross-shingle collisions
+    // negligible, and deterministically so). Work is bounded by
+    // |candidates| × shingles-per-doc — never all-pairs.
+    cand
+      .join(ex.select(col("doc_id").as("doc_a"), col("hs")), "doc_a")
+      .join(ex.select(col("doc_id").as("doc_b"), col("hs")), Seq("doc_b", "hs"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
+      .filter(col("n_common") >= col("n_union") * threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -74,6 +74,11 @@ object PipelineOps {
     * `o_totalprice` is cast to DECIMAL(12,2) BEFORE summing: decimal
     * addition is exact and associative, so the sum is independent of
     * partitioning/order — a double sum would be nondeterministic at scale.
+    * The sum is emitted as exact integer CENTS (BIGINT): a DECIMAL(18,2)
+    * result renders trailing zero cents differently across engines
+    * (`…351.10` vs `…351.1`), which broke the driver's stringifying hash
+    * compare in round 3 even though every value matched; BIGINT has one
+    * canonical rendering everywhere.
     */
   def q11JoinEnrich(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -88,8 +93,8 @@ object PipelineOps {
       .groupBy($"r_name", $"n_name")
       .agg(
         count(lit(1)).as("n_orders"),
-        sum($"o_totalprice".cast("decimal(12,2)")).cast("decimal(18,2)")
-          .as("sum_price"),
+        (sum($"o_totalprice".cast("decimal(12,2)")) * 100).cast("long")
+          .as("sum_price_cents"),
         countDistinct($"c_custkey").as("n_custs"))
       .orderBy($"r_name", $"n_name")
   }

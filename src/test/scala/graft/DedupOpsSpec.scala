@@ -1,0 +1,60 @@
+package graft
+
+import graft.queries.DedupOps
+import org.apache.spark.sql.functions._
+
+/** MinHash-LSH near-dup specs. Expected pair counts computed
+  * independently in DuckDB (exact all-pairs Jaccard over 3-word shingles
+  * on sf0.001: 28 pairs ≥ 0.6, background pairs max 0.069).
+  */
+class DedupOpsSpec extends SparkSuite {
+
+  test("shingles: distinct k-grams, lowercased; short docs -> empty") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A b c d"),        // 2 shingles
+      (2L, "x y"),            // too short -> empty
+      (3L, "t t t t t")       // all shingles identical -> 1 distinct
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id", DedupOps.shingles($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L) == Seq.empty)
+    assert(out(3L) == Seq("t t t"))
+  }
+
+  test("candidatePairs finds injected near-dups, skips unrelated docs") {
+    import spark.implicits._
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (0 until 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 until 140).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.candidatePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("q13 on sf0.001 matches exact all-pairs ground truth") {
+    val rows = DedupOps.q13NeardupPairs(spark, sf).collect()
+    assert(rows.length == 28) // DuckDB exact all-pairs count at >= 0.6
+    rows.foreach { r =>
+      val (a, b, common, union) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(a < b)
+      assert(common.toDouble / union >= 0.6)
+      assert(union >= common && common > 0)
+    }
+    // sorted output contract
+    val keys = rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("q13 plan has no cartesian/all-pairs join") {
+    val plan = DedupOps.q13NeardupPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+  }
+}

@@ -45,7 +45,7 @@ class PipelineOpsSpec extends SparkSuite {
     val first = rows.head
     assert(first.getString(0) == "AFRICA" && first.getString(1) == "NATION_0")
     assert(first.getLong(2) == 34L)
-    assert(first.getDecimal(3) == new java.math.BigDecimal("8633536.94"))
+    assert(first.getLong(3) == 863353694L) // 8633536.94 in exact cents
     assert(first.getLong(4) == 4L)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
