@@ -32,6 +32,7 @@ object SparkEntry {
     "q11_join_enrich"      -> (PipelineOps.q11JoinEnrich _),
     "q12_sim_topk"         -> ((s, d) => PipelineOps.q12SimTopK(s, d)),
     "q13_neardup_pairs"    -> ((s, d) => DedupOps.q13NeardupPairs(s, d)),
+    "q14_ann_topk"         -> ((s, d) => SimilarityOps.q14AnnTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -144,5 +145,10 @@ object SparkEntry {
         |SELECT doc_a, doc_b, n_common, n_union FROM p
         |WHERE n_common >= n_union * 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same deterministic sign-LSH buckets (identical hyperplane
+    // constants), scoring, and ranking as the Spark side — verifies the
+    // bucketed implementation itself, not just recall.
+    "q14_ann_topk" -> SimilarityOps.q14OracleSql(),
   )
 }

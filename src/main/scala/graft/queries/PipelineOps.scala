@@ -104,13 +104,13 @@ object PipelineOps {
     * `DOUBLE[]` casts bit-for-bit, keeping the oracle hash-stable. Pure
     * codegen'd higher-order functions; no UDF.
     */
-  private[queries] def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, v) => acc + v)
 
-  private[queries] def cosine(a: Column, b: Column): Column =
+  private[graft] def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** q12 — similarity search: brute-force cosine top-k of `embeddings`

@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bucketed approximate-nearest-neighbor search — the multi-probe scale
+  * path over the brute-force baseline of [[PipelineOps.q12SimTopK]].
+  * q12's linear scan is the right plan for ONE probe; for a probe SET
+  * (batch retrieval, repeated queries) each probe must touch a bounded
+  * candidate set, not the whole table.
+  *
+  * Random-hyperplane (sign) LSH: `numPlanes` fixed hyperplanes; a
+  * vector's bucket is the bit-pattern of `sign(v · r_j)`. Cosine-close
+  * vectors agree on most signs, so probes search only their own bucket.
+  *
+  * Determinism contract: the hyperplane components are derived from a
+  * double-round LCG over the (plane, dim) index — exact 64-bit integer
+  * arithmetic, then an exact division by 2^31 (both steps representable
+  * exactly in IEEE double). The DuckDB oracle embeds the identical
+  * constants (shortest round-trip decimal rendering), so both engines
+  * compute bit-identical dot products and therefore identical buckets:
+  * the oracle verifies the LSH implementation itself, not just its
+  * recall on a lucky fixture.
+  *
+  * At 100 TB / 1e9 vectors: `numPlanes` grows with log(N) to keep
+  * buckets bounded (16-24 planes → 2^16-2^24 buckets); the probe side is
+  * broadcast; each partition scores only its bucket-colliding vectors.
+  * Recall is tuned by multi-probing neighbor buckets (flip the lowest-
+  * margin signs) — the spec measures recall vs the brute-force oracle on
+  * the fixture.
+  */
+object SimilarityOps {
+
+  /** Embedding dimensionality of the fixture table. */
+  val Dim = 64
+
+  private val A = 1103515245L
+  private val C = 12345L
+  private val M = 2147483648L // 2^31
+
+  /** Hyperplane component r(j, i) in [-0.5, 0.5): double-round LCG over
+    * the flat index, exactly representable in IEEE double on every
+    * engine (integer < 2^31 divided by 2^31). */
+  def planeComponent(j: Int, i: Int): Double = {
+    val idx = j.toLong * Dim + i
+    val v1 = (A * idx + C) % M
+    val v2 = (A * v1 + C) % M
+    v2.toDouble / M - 0.5
+  }
+
+  /** Plane j as a literal array<double> column. */
+  private def planeLit(j: Int): Column =
+    typedlit((0 until Dim).map(planeComponent(j, _)))
+
+  /** Plane j rendered for the DuckDB oracle — shortest round-trip decimal
+    * (Double.toString), which DuckDB parses back to the identical bits. */
+  private def planeSql(j: Int): String =
+    (0 until Dim).map(i => planeComponent(j, i).toString).mkString("[", ", ", "]")
+
+  /** Bucket id = bit-pattern of sign(v · r_j), j = 0..numPlanes-1. */
+  def bucket(embedding: Column, numPlanes: Int): Column =
+    (0 until numPlanes)
+      .map(j => when(PipelineOps.dot(embedding, planeLit(j)) > 0, 1 << j).otherwise(0))
+      .reduce(_ + _)
+
+  /** q14 — per-probe top-k cosine within LSH buckets, multi-probed at
+    * Hamming distance ≤ 1: each probe searches its own bucket plus the
+    * `numPlanes` buckets with one sign flipped (the classic multi-probe
+    * recall lever — one flipped sign is the likeliest LSH error). The
+    * probe side explodes to `numPlanes + 1` (probe, bucket) rows and the
+    * candidate match stays a broadcast EQUI-join on `bucket`; each
+    * candidate matches a probe through at most one bucket, so no dedup
+    * is needed. `row_number` partitions by probe — tiny after the
+    * bucket-bounded join.
+    */
+  def q14AnnTopK(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 10,
+      numPlanes: Int = 4,
+      numProbes: Int = 10): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", bucket($"embedding", numPlanes))
+    val probeBuckets = (b: Column) =>
+      array(b +: (0 until numPlanes).map(j => b.bitwiseXOR(lit(1 << j))): _*)
+    val probes = emb
+      .filter($"vec_id" < numProbes)
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"),
+        explode(probeBuckets($"bucket")).as("bucket"))
+    val scored = emb
+      .join(broadcast(probes), "bucket")
+      .withColumn("sim", round(PipelineOps.cosine($"embedding", $"p_emb"), 6))
+    val byProbe = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")
+    scored
+      .withColumn("rank", row_number().over(byProbe))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"vec_id", $"label", $"sim", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** DuckDB oracle for [[q14AnnTopK]] — the same buckets (identical
+    * hyperplane constants), join, scoring, and ranking in ANSI SQL. */
+  def q14OracleSql(k: Int = 10, numPlanes: Int = 4, numProbes: Int = 10): String = {
+    val bucketExpr = (0 until numPlanes).map { j =>
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeSql(j)}) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("\n         + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+       |         $bucketExpr AS bucket
+       |  FROM embeddings
+       |), p AS (
+       |  SELECT vec_id AS probe_id, e AS pe,
+       |         unnest([bucket${(0 until numPlanes).map(j => s", xor(bucket, ${1 << j})").mkString}]) AS bucket
+       |  FROM b WHERE vec_id < $numProbes
+       |), s AS (
+       |  SELECT p.probe_id, b.vec_id, b.label,
+       |         round(list_dot_product(b.e, p.pe) /
+       |               (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(p.pe, p.pe))), 6) AS sim
+       |  FROM b JOIN p USING (bucket)
+       |), r AS (
+       |  SELECT probe_id, vec_id, label, sim,
+       |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM s
+       |)
+       |SELECT probe_id, vec_id, label, sim, rank FROM r WHERE rank <= $k
+       |ORDER BY probe_id, rank""".stripMargin
+  }
+}
