@@ -30,7 +30,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
+    val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS") match {
+      case None => 5
+      case Some(s) =>
+        val n = try s.trim.toInt catch {
+          case _: NumberFormatException =>
+            sys.error(s"SPARK_GRAFT_BENCH_ITERS must be an integer >= 1, got '$s'")
+        }
+        require(n >= 1, s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $n " +
+          "(0 iterations would emit a bogus all-zero benchmark)")
+        n
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -114,23 +114,40 @@ object TweetStream {
       concat(col("tag"), lit(", "), col("cnt")).as("value"))
 
   /** Key-value sink boundary (the reference's Redis connector,
-    * TopNHashtags.java:149-171, pom.xml:95-109). Implementations must be
-    * serializable if used inside executor-side foreach; with
-    * `foreachBatch` + `collect` of the tiny ranked rows the puts run on
-    * the driver, matching the reference's per-fire sink cadence. */
+    * TopNHashtags.java:149-171, pom.xml:95-109). Implementations are
+    * Serializable so they can run EXECUTOR-side (foreachPartition /
+    * ForeachWriter) — each task deserializes its own handle to the same
+    * external store, exactly how a Redis/Jedis client pool works. The
+    * tiny ranked top-N relation may still be put from the driver
+    * (bounded: finalized-windows × n rows), matching the reference's
+    * per-fire sink cadence. */
   trait KvSink extends Serializable {
     def put(key: String, value: String): Unit
   }
 
   /** In-memory KV store with last-write-wins SET semantics — the test
-    * stand-in for Redis. */
+    * stand-in for Redis. The data lives in a JVM-static registry keyed
+    * by store id, so deserialized executor-side copies (local mode:
+    * same JVM) write to the same table the driver-side handle reads —
+    * the same topology as every real KV sink, where the "static table"
+    * is the external server. */
   class InMemoryKvStore extends KvSink {
-    private val map = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    def put(key: String, value: String): Unit = map.put(key, value)
+    private val id = java.util.UUID.randomUUID().toString
+    def put(key: String, value: String): Unit =
+      InMemoryKvStore.table(id).put(key, value)
     def snapshot: Map[String, String] = {
       import scala.jdk.CollectionConverters._
-      map.asScala.toMap
+      InMemoryKvStore.table(id).asScala.toMap
     }
+  }
+
+  object InMemoryKvStore {
+    private val tables =
+      new java.util.concurrent.ConcurrentHashMap[
+        String, java.util.concurrent.ConcurrentHashMap[String, String]]()
+    private def table(id: String) =
+      tables.computeIfAbsent(id,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
   }
 
   /** Shared mutable top-N state for the dynamic tweet filter — the
@@ -170,11 +187,17 @@ object TweetStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // tiny relation: (windows finalized this batch) × n rows — one
         // collect, then driver-side KV puts + state update, matching the
-        // reference's per-fire sink cadence.
+        // reference's per-fire sink cadence. Puts run in ascending
+        // window order: when several windows finalize in one micro-batch
+        // the LATEST window's ranking deterministically wins the
+        // last-write-wins store, mirroring the reference's
+        // latest-fire-wins Redis semantics (an unordered iteration could
+        // leave an older window's — or a mixed — Top10-k state behind).
         val rows = topNPerWindow(batch, n)
           .select(col("window.start").cast("long").as("ws"),
             col("tag"), col("cnt"), col("rank"))
           .collect()
+          .sortBy(r => (r.getLong(0), r.getInt(3)))
         rows.foreach { r =>
           val (k, v) = kvPair(r.getInt(3), r.getString(1), r.getLong(2))
           sink.put(k, v)
@@ -195,6 +218,14 @@ object TweetStream {
     * reads the freshest state — the streaming analog of the reference's
     * broadcast channel (TopNHashtags.java:131,135-137). Matched `(id,
     * text)` rows go to `out` (the reference printed them, :145).
+    *
+    * The matched relation is UNBOUNDED (every tweet mentioning a
+    * trending tag), so the puts run EXECUTOR-side via `foreachPartition`
+    * — the serialized `KvSink` writes from each task, like the
+    * reference's per-task `.print()` (TopNHashtags.java:145). Only the
+    * tiny top-N tag set crosses the driver→executor boundary (captured
+    * in the closure, the moral equivalent of a broadcast variable);
+    * nothing unbounded is ever collected to the driver.
     */
   def startDynamicFilter(
       raw: DataFrame,
@@ -208,18 +239,43 @@ object TweetStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val current = state.current
         if (current.nonEmpty) {
-          val matched = batch
+          val sink = out
+          batch
             .select(col("id"), col("text"),
               explode(split(col("tags"), " ")).as("tag"))
             .filter(col("tag").isInCollection(current))
             .select(col("id"), col("text")).distinct()
-          matched.collect()
-            .foreach(r => out.put(r.getLong(0).toString, r.getString(1)))
+            .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+              rows.foreach(r => sink.put(r.getLong(0).toString, r.getString(1)))
+            }
         }
         ()
       }
       .start()
 
+  /** File-stream source over a directory of json-line files — the
+    * offline stand-in for the reference's external source boundary
+    * (its Twitter HTTP client, TopNHashtags.java:94-95,116-117; Kafka
+    * in a modern deployment). Emits the same one-column `json` frame
+    * the MemoryStream tests and `parseTweets` consume, so the whole
+    * pipeline runs unchanged over a real `readStream` source:
+    * `startTopN(fileJsonSource(spark, dir), sink)`.
+    */
+  def fileJsonSource(
+      spark: SparkSession,
+      dir: String,
+      maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .format("text")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(dir)
+      .select(col("value").as("json"))
+
+  /** Fresh temp dir per call — EPHEMERAL: no restart/recovery story, and
+    * the dirs accumulate under /tmp for the process lifetime. The right
+    * default for tests and ad-hoc runs; production callers must pass an
+    * explicit durable `checkpoint` location to get exactly-once resume
+    * (standard Structured Streaming practice). */
   private def defaultCheckpoint(): String =
     java.nio.file.Files
       .createTempDirectory("graft-stream-ckpt").toString

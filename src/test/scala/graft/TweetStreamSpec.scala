@@ -118,6 +118,74 @@ class TweetStreamSpec extends SparkSuite {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("multi-window finalization: latest window's ranking wins the KV store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Raw]
+    val sink = new InMemoryKvStore
+    val state = new TopNState
+    val query = TweetStream.startTopN(
+      source.toDF(), sink, state, n = 10,
+      watermarkDelay = "1 second", tsCol = col("ts"),
+      checkpoint = java.nio.file.Files.createTempDirectory("ckpt-mw").toString)
+    try {
+      // aaa dominates early windows, bbb dominates later ones; all the
+      // windows finalize in ONE micro-batch when the advancer arrives
+      source.addData(
+        Raw(tweet(1, "a", Seq("aaa")), at(10)),
+        Raw(tweet(2, "b", Seq("aaa")), at(15)),
+        Raw(tweet(3, "c", Seq("bbb")), at(70)),
+        Raw(tweet(4, "d", Seq("bbb")), at(75)),
+        Raw(tweet(5, "e", Seq("bbb")), at(80)))
+      query.processAllAvailable()
+      source.addData(Raw(tweet(9, "adv", Seq("adv")), at(10000)))
+      query.processAllAvailable()
+      // latest finalized window is [60, 360) — bbb only; ascending-order
+      // puts guarantee its ranking lands last. Top10-2 carries the last
+      // window that ranked two tags ([0, 300): bbb > aaa).
+      assert(sink.snapshot == Map(
+        "Top10-1" -> "bbb, 3",
+        "Top10-2" -> "aaa, 2"), s"got: ${sink.snapshot}")
+      assert(state.current == Set("bbb"))
+    } finally query.stop()
+  }
+
+  test("fileJsonSource: end-to-end top-N over a real readStream file source") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("tweets-in").toString
+    def writeLines(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(dir, name),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+    val sink = new InMemoryKvStore
+    val state = new TopNState
+    // event time carried in-band: a top-level ts_sec field of the json
+    // (parseTweets ignores unknown fields), extracted before the parse
+    val tsCol = timestamp_seconds(
+      get_json_object(col("json"), "$.ts_sec").cast("long"))
+    def tweetT(id: Long, sec: Long, tags: Seq[String]): String = {
+      val hs = tags.map(t => s"""{"text":"$t"}""").mkString(",")
+      s"""{"id":$id,"ts_sec":$sec,"text":"t$id","entities":{"hashtags":[$hs]}}"""
+    }
+    writeLines("batch1.json", Seq(
+      tweetT(1, 10, Seq("Spark")),
+      tweetT(2, 15, Seq("spark")),
+      tweetT(3, 20, Seq("flink"))))
+    val query = TweetStream.startTopN(
+      TweetStream.fileJsonSource(spark, dir), sink, state, n = 10,
+      watermarkDelay = "1 second", tsCol = tsCol,
+      checkpoint = Files.createTempDirectory("ckpt-fs").toString)
+    try {
+      query.processAllAvailable()
+      assert(sink.snapshot.isEmpty) // no window finalized yet
+      writeLines("batch2.json", Seq(tweetT(9, 10000, Seq("late"))))
+      query.processAllAvailable()
+      assert(sink.snapshot == Map(
+        "Top10-1" -> "spark, 2",
+        "Top10-2" -> "flink, 1"), s"got: ${sink.snapshot}")
+      assert(state.current == Set("spark", "flink"))
+    } finally query.stop()
+  }
+
   test("topNPerWindow + kvRows batch shape matches the Redis mapper format") {
     import spark.implicits._
     val counts = Seq(
