@@ -33,6 +33,10 @@ object SparkEntry {
     "q12_sim_topk"         -> ((s, d) => PipelineOps.q12SimTopK(s, d)),
     "q13_neardup_pairs"    -> ((s, d) => DedupOps.q13NeardupPairs(s, d)),
     "q14_ann_topk"         -> ((s, d) => SimilarityOps.q14AnnTopK(s, d)),
+    "q15_simhash"          -> (TextOps.q15Simhash _),
+    "q16_lang_id"          -> (TextOps.q16LangId _),
+    "q17_text_quality"     -> (TextOps.q17TextQuality _),
+    "q18_fingerprint"      -> (TextOps.q18Fingerprint _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -150,5 +154,13 @@ object SparkEntry {
     // constants), scoring, and ranking as the Spark side — verifies the
     // bucketed implementation itself, not just recall.
     "q14_ann_topk" -> SimilarityOps.q14OracleSql(),
+
+    // q15-q18 oracles are generated from the same Scala constants as the
+    // Spark plans (hash derivation, profiles, regexes, window sizes) so
+    // the two sides cannot drift.
+    "q15_simhash"      -> TextOps.q15OracleSql,
+    "q16_lang_id"      -> TextOps.q16OracleSql,
+    "q17_text_quality" -> TextOps.q17OracleSql,
+    "q18_fingerprint"  -> TextOps.q18OracleSql,
   )
 }

@@ -1,0 +1,248 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: SimHash
+  * fingerprints (q15), heuristic language identification (q16), quality
+  * scoring / token counting (q17), and winnowing document fingerprints
+  * (q18). All four generalize the reference's only text op — lowercase
+  * tokenize (TopNHashtags.java:188-209,232-242) — to the analyses a
+  * 100 TB corpus actually needs before training.
+  *
+  * Cross-engine determinism: every hash is md5-derived (md5 is identical
+  * everywhere; the first 8 hex chars parse to the same 32-bit integer in
+  * Spark via `conv` and DuckDB via `('0x'||…)::BIGINT`), and every
+  * oracle is GENERATED from the same Scala constants as the Spark plan,
+  * so the two sides cannot drift.
+  *
+  * Scale shape: everything here is a narrow per-document map followed by
+  * (at most) one hash aggregate — no joins, no windows over the corpus,
+  * nothing driver-side. The SimHash aggregate uses flat per-bit columns
+  * (codegen'd, map-side partial) rather than nested higher-order
+  * lambdas, the lesson measured in [[DedupOps]].
+  */
+object TextOps {
+
+  /** Non-empty whitespace tokens of the lowercased text. */
+  private def toks(text: Column): Column =
+    filter(split(lower(text), " "), t => length(t) > 0)
+
+  /** 32-bit md5-derived token hash, Spark side (codegen'd). */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** 32-bit md5-derived hash, oracle side — same bits as [[h32]]. */
+  private def h32Sql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  // ---------------------------------------------------------------- q15
+
+  val SimhashBits = 32
+
+  /** q15 — SimHash document fingerprints: for each of 32 bits, sum +1/-1
+    * over every token occurrence (term-frequency weighting) according to
+    * the token hash's bit; the fingerprint sets bits with positive sums.
+    * Near-identical docs differ in a few bits (hamming distance), which
+    * a banded self-join can exploit exactly like [[DedupOps]]'s LSH —
+    * with 4 bands of 8 bits, any pair within hamming distance 3 shares a
+    * whole band by pigeonhole (exact recall, no probability involved).
+    *
+    * Plan: explode tokens (narrow) → 32 codegen'd bit columns → one
+    * map-side-partial aggregate per doc → fingerprint composition.
+    */
+  def q15Simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = Tables.documents(spark, dir)
+      .select($"doc_id", explode(toks($"text")).as("t"))
+      .select($"doc_id", h32($"t").as("h"))
+    val bitSums = (0 until SimhashBits).map { b =>
+      sum(when(shiftright($"h", b) % 2 === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val fingerprint = (0 until SimhashBits)
+      .map(b => when(col(s"s$b") > 0, 1L << b).otherwise(0L))
+      .reduce(_ + _)
+    ex.groupBy($"doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", fingerprint.as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  def q15OracleSql: String = {
+    val bitSums = (0 until SimhashBits)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n         ")
+    val fp = (0 until SimhashBits)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT doc_id, ${h32Sql("t")} AS h
+       |  FROM (SELECT doc_id,
+       |               unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS t
+       |        FROM documents)
+       |), s AS (
+       |  SELECT doc_id,
+       |         $bitSums
+       |  FROM e GROUP BY doc_id
+       |)
+       |SELECT doc_id, $fp AS simhash
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q16
+
+  /** Demonstrative per-language token profiles over the fixture
+    * vocabulary (a real deployment plugs in per-language stopword lists;
+    * the operator shape — profile scoring + deterministic argmax — is
+    * the product). Keys sorted ascending = the tie-break order. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "data", "group", "window"),
+    "en" -> Seq("the", "a", "value", "row", "fast"),
+    "fr" -> Seq("query", "line", "sort", "merge"))
+
+  /** q16 — heuristic language identification: count profile-token hits
+    * per language (term frequency), predict the argmax with an
+    * alphabetical tie-break. One narrow explode + one aggregate.
+    */
+  def q16LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = Tables.documents(spark, dir)
+      .select($"doc_id", explode(toks($"text")).as("t"))
+    val scores = LangProfiles.map { case (lang, words) =>
+      sum(when($"t".isin(words: _*), 1).otherwise(0)).as(s"score_$lang")
+    }
+    val best = greatest(LangProfiles.map(p => col(s"score_${p._1}")): _*)
+    val pred = LangProfiles.init.foldRight(lit(LangProfiles.last._1)) {
+      case ((lang, _), elseCol) =>
+        when(col(s"score_$lang") === best, lang).otherwise(elseCol)
+    }
+    ex.groupBy($"doc_id")
+      .agg(scores.head, scores.tail: _*)
+      .select($"doc_id" +: pred.as("pred_lang") +:
+        LangProfiles.map(p => col(s"score_${p._1}")): _*)
+      .orderBy($"doc_id")
+  }
+
+  def q16OracleSql: String = {
+    val scores = LangProfiles.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"sum(CASE WHEN t IN ($list) THEN 1 ELSE 0 END) AS score_$lang"
+    }.mkString(",\n         ")
+    val best = LangProfiles.map(p => s"score_${p._1}").mkString("greatest(", ", ", ")")
+    val pred = LangProfiles.init
+      .map { case (lang, _) => s"WHEN score_$lang = $best THEN '$lang'" }
+      .mkString("CASE ", " ", s" ELSE '${LangProfiles.last._1}' END")
+    val cols = LangProfiles.map(p => s"score_${p._1}").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS t
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id,
+       |         $scores
+       |  FROM e GROUP BY doc_id
+       |)
+       |SELECT doc_id, $pred AS pred_lang, $cols
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q17
+
+  /** BPE-ish tokenizer regex: letter runs, digit runs, single
+    * non-alphanumeric marks (space excluded). Valid and identical in
+    * Java regex and RE2. */
+  val BpeTokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Stopword list for the quality ratio. */
+  val Stopwords = Seq("a", "the")
+
+  /** q17 — per-document quality metrics: whitespace token count, BPE-ish
+    * regex token count, punctuation count, stopword hits, and a scaled
+    * stopword-ratio score. All counters are exact integers; the score is
+    * one IEEE division, written identically on both sides. Narrow map,
+    * no shuffle at all.
+    */
+  def q17TextQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lowered = lower($"text")
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        size(toks($"text")).cast("long").as("n_tokens"),
+        size(regexp_extract_all(lowered, lit(BpeTokenRe), lit(0)))
+          .cast("long").as("n_bpe"),
+        length(regexp_replace(lowered, "[a-z0-9 ]", "")).cast("long").as("n_punct"),
+        size(filter(toks($"text"), t => t.isInCollection(Stopwords)))
+          .cast("long").as("n_stop"))
+      .withColumn("stop_ratio_ppm",
+        round($"n_stop" * 1000000.0 / $"n_tokens", 6))
+      .orderBy($"doc_id")
+  }
+
+  def q17OracleSql: String = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, n_tokens, n_bpe, n_punct, n_stop,
+       |       round(n_stop * 1000000.0 / n_tokens, 6) AS stop_ratio_ppm
+       |FROM (
+       |  SELECT doc_id,
+       |         len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0))::BIGINT AS n_tokens,
+       |         len(regexp_extract_all(lower(text), '$BpeTokenRe'))::BIGINT AS n_bpe,
+       |         len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::BIGINT AS n_punct,
+       |         len(list_filter(string_split(lower(text), ' '), x -> x IN ($stopList)))::BIGINT AS n_stop
+       |  FROM documents
+       |) ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q18
+
+  val GramLen = 5
+  val WinnowWindow = 8
+
+  /** q18 — winnowing document fingerprints (the rolling-hash scheme of
+    * MOSS-style fingerprinting): hash every 5-char gram, slide a window
+    * of 8 gram-hashes, keep each window's minimum, and fingerprint the
+    * doc with the distinct minima. Emits per-doc summary integers
+    * (gram count, fingerprint count, smallest fingerprint).
+    *
+    * Shape: a purely NARROW per-doc computation — the per-element work
+    * is interpreted higher-order lambdas, the deliberate trade against a
+    * corpus-wide shuffle (posexplode + range window) that would move
+    * every gram hash across the cluster; see [[DedupOps]] scale notes.
+    */
+  def q18Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nGrams = length($"text") - (GramLen - 1)
+    val grams = transform(sequence(lit(1), nGrams),
+      i => h32($"text".substr(i, lit(GramLen))))
+    val wins = transform(
+      sequence(lit(1), $"n_grams".cast("int") - (WinnowWindow - 1)),
+      j => array_min(slice(col("grams"), j, lit(WinnowWindow))))
+    Tables.documents(spark, dir)
+      .filter(length($"text") >= GramLen + WinnowWindow - 1)
+      .select($"doc_id", nGrams.cast("long").as("n_grams"), grams.as("grams"))
+      .select($"doc_id", $"n_grams", array_distinct(wins).as("fps"))
+      .select($"doc_id", $"n_grams",
+        size($"fps").cast("long").as("n_fp"),
+        array_min($"fps").as("fp_min"))
+      .orderBy($"doc_id")
+  }
+
+  def q18OracleSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, len(text) - ${GramLen - 1} AS n_grams,
+       |         list_transform(generate_series(1, len(text) - ${GramLen - 1}),
+       |                        i -> ${h32Sql(s"substr(text, i, $GramLen)")}) AS grams
+       |  FROM documents
+       |  WHERE len(text) >= ${GramLen + WinnowWindow - 1}
+       |), w AS (
+       |  SELECT doc_id, n_grams,
+       |         list_distinct(list_transform(
+       |           generate_series(1, n_grams - ${WinnowWindow - 1}),
+       |           j -> list_min(grams[j : j + ${WinnowWindow - 1}]))) AS fps
+       |  FROM g
+       |)
+       |SELECT doc_id, n_grams::BIGINT AS n_grams, len(fps)::BIGINT AS n_fp,
+       |       list_min(fps) AS fp_min
+       |FROM w ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.queries.TextOps
+
+/** Text-analysis operator specs: structural invariants on the sf0.001
+  * fixture plus determinism/equality properties (exact expected values
+  * live in the DuckDB oracle compare, which these queries pass at
+  * sf0.01).
+  */
+class TextOpsSpec extends SparkSuite {
+
+  test("q15 simhash: 32-bit fingerprints, identical docs hash identically") {
+    val rows = TextOps.q15Simhash(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val fp = r.getLong(1)
+      assert(fp >= 0L && fp < (1L << 32), s"fingerprint out of range: $fp")
+    }
+    // determinism across runs
+    val again = TextOps.q15Simhash(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).toSeq == again.map(_.getLong(1)).toSeq)
+  }
+
+  test("q15 simhash: near-dup fixture pairs are closer than random pairs") {
+    val fp = TextOps.q15Simhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // near-dup pairs straight from the verified q13 output
+    val nearPairs = graft.queries.DedupOps.q13NeardupPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nearPairs.nonEmpty)
+    val nearAvg = nearPairs.map(p => hamming(fp(p._1), fp(p._2))).sum.toDouble / nearPairs.length
+    val ids = fp.keys.toSeq.sorted
+    val randomPairs = ids.take(40).zip(ids.reverse.take(40)).filter(p => p._1 != p._2)
+    val randAvg = randomPairs.map(p => hamming(fp(p._1), fp(p._2))).sum.toDouble / randomPairs.length
+    info(f"avg hamming: near-dup $nearAvg%.2f vs random $randAvg%.2f")
+    assert(nearAvg < randAvg, s"simhash does not separate near-dups: $nearAvg vs $randAvg")
+  }
+
+  test("q16 lang id: prediction is the argmax with alphabetical tie-break") {
+    val rows = TextOps.q16LangId(spark, sf).collect()
+    assert(rows.length == 500)
+    val langs = TextOps.LangProfiles.map(_._1)
+    rows.foreach { r =>
+      val scores = langs.indices.map(i => r.getLong(2 + i))
+      val best = scores.max
+      val expected = langs(scores.indexOf(best)) // first max = alphabetical
+      assert(r.getString(1) == expected,
+        s"doc ${r.getLong(0)}: pred ${r.getString(1)} != $expected ($scores)")
+    }
+  }
+
+  test("q17 quality: counter invariants and exact ratio") {
+    val rows = TextOps.q17TextQuality(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (n, bpe, stop, ratio) =
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5))
+      assert(n > 0 && bpe >= n, s"BPE-ish split must be >= whitespace split: $r")
+      assert(stop <= n)
+      assert(math.abs(ratio - math.rint(stop * 1000000.0 / n * 1e6) / 1e6) < 1e-6)
+    }
+  }
+
+  test("q18 winnowing: fingerprint bounds and determinism") {
+    val rows = TextOps.q18Fingerprint(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (nGrams, nFp, fpMin) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nGrams >= TextOps.WinnowWindow)
+      assert(nFp >= 1 && nFp <= nGrams - (TextOps.WinnowWindow - 1))
+      assert(fpMin >= 0L && fpMin < (1L << 32))
+    }
+    val again = TextOps.q18Fingerprint(spark, sf).collect()
+    assert(rows.map(_.getLong(3)).toSeq == again.map(_.getLong(3)).toSeq)
+  }
+}
