@@ -37,6 +37,8 @@ object SparkEntry {
     "q16_lang_id"          -> (TextOps.q16LangId _),
     "q17_text_quality"     -> (TextOps.q17TextQuality _),
     "q18_fingerprint"      -> (TextOps.q18Fingerprint _),
+    "q19_media_meta"       -> (MultimodalOps.q19MediaMeta _),
+    "q20_media_embed"      -> (MultimodalOps.q20MediaEmbed _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -162,5 +164,11 @@ object SparkEntry {
     "q16_lang_id"      -> TextOps.q16OracleSql,
     "q17_text_quality" -> TextOps.q17OracleSql,
     "q18_fingerprint"  -> TextOps.q18OracleSql,
+
+    // Multimodal plumbing: metadata/resize arithmetic and the batched
+    // mapPartitions encoder both reproduce exactly in SQL over the
+    // ASCII fixture payload (ord() byte arithmetic).
+    "q19_media_meta"  -> MultimodalOps.q19OracleSql,
+    "q20_media_embed" -> MultimodalOps.q20OracleSql,
   )
 }

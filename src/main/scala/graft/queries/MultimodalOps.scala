@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: images/audio/video ride through the
+  * engine as opaque `binary` columns with typed metadata, and the
+  * compute-heavy steps (decode, model inference) run as BATCHED
+  * per-partition operators — the Scala/Dataset analog of a vectorized
+  * Python `mapInPandas` stage. The fixture has no real media, so the
+  * media table derives deterministic fake payloads from `documents`
+  * (text bytes as the "pixel buffer", metadata from `n_chars`): the
+  * codec behind [[decodeByte]] is a stub, but the schema, partitioning,
+  * operator signature, and batch shape are the real product.
+  *
+  * Scale shape: everything is a narrow per-row or per-partition map —
+  * media bytes NEVER shuffle; only ids, metadata, and fixed-size
+  * feature vectors leave the scan stage. Batching inside
+  * [[q20MediaEmbed]]'s `mapPartitions` is what lets a real deployment
+  * amortize model-inference calls (GPU/ONNX batch) exactly like a
+  * pandas-batch UDF.
+  */
+object MultimodalOps {
+
+  /** Rows per inference batch inside a partition — the knob a real
+    * vectorized decoder/model would tune (pandas-UDF batch-size
+    * equivalent). */
+  val BatchSize = 32
+
+  /** Feature positions: first [[EmbedSpan]] bytes folded into
+    * [[EmbedDim]] strided sums. */
+  val EmbedDim = 8
+  val EmbedSpan = 64
+
+  /** Fake media table: payload = utf-8 text bytes, metadata derived
+    * deterministically from `n_chars`. Schema is the product: an
+    * opaque binary column plus typed metadata the planner can prune
+    * and filter WITHOUT touching the payload. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(
+      $"doc_id".as("media_id"),
+      $"text".cast("binary").as("bytes"),
+      $"source".as("format"),
+      (($"n_chars" % 512) + 32).cast("int").as("width"),
+      ((($"n_chars" * 7) % 512) + 32).cast("int").as("height"),
+      // size comes from STORED metadata (n_chars == payload bytes for
+      // the ASCII fixture), never from the payload — deriving it via
+      // length(bytes) would drag the binary column into every scan
+      // and defeat payload pruning (caught by the q19 pruning spec)
+      $"n_chars".as("n_bytes"))
+  }
+
+  /** q19 — media metadata + resize planning: fit each media into a
+    * 224×224 box preserving aspect ratio, in EXACT integer arithmetic
+    * (`div`), plus the payload size. Pure codegen'd projection; the
+    * binary column is pruned away by Catalyst — the parquet scan reads
+    * only the metadata columns.
+    */
+  def q19MediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .withColumn("longest", greatest($"width", $"height"))
+      .select(
+        $"media_id", $"format", $"width", $"height", $"n_bytes",
+        expr("CAST((width * 224) div longest AS INT)").as("out_w"),
+        expr("CAST((height * 224) div longest AS INT)").as("out_h"))
+      .orderBy($"media_id")
+  }
+
+  def q19OracleSql: String =
+    """SELECT media_id, format, width, height, n_bytes,
+      |       ((width * 224) // greatest(width, height))::INT AS out_w,
+      |       ((height * 224) // greatest(width, height))::INT AS out_h
+      |FROM (
+      |  SELECT doc_id AS media_id, source AS format,
+      |         ((n_chars % 512) + 32)::INT AS width,
+      |         (((n_chars * 7) % 512) + 32)::INT AS height,
+      |         len(text)::BIGINT AS n_bytes
+      |  FROM documents
+      |) ORDER BY media_id""".stripMargin
+
+  /** The "decode" stub: one byte of the payload as an unsigned int.
+    * A real codec (JPEG/PCM/video frame) plugs in here; the fixture
+    * payload is ASCII text so the oracle can reproduce the value with
+    * `ord()`. */
+  @inline private def decodeByte(bytes: Array[Byte], i: Int): Long =
+    (bytes(i) & 0xffL)
+
+  /** Deterministic fake encoder: EmbedDim strided byte-sums over the
+    * first EmbedSpan payload bytes — stands in for a model forward
+    * pass; the signature (batch of rows in, fixed-dim vectors out) is
+    * the real contract. */
+  private[graft] def encodeOne(bytes: Array[Byte]): Seq[Long] = {
+    val span = math.min(bytes.length, EmbedSpan)
+    (0 until EmbedDim).map { k =>
+      var s = 0L; var i = k
+      while (i < span) { s += decodeByte(bytes, i); i += EmbedDim }
+      s
+    }
+  }
+
+  /** Batch a partition's rows and run the encoder batch-at-a-time —
+    * the mapInPandas-shaped loop a vectorized model call slots into. */
+  private[graft] def encodeBatched(
+      it: Iterator[(Long, Array[Byte])]): Iterator[(Long, Seq[Long], Long)] =
+    it.grouped(BatchSize).flatMap { batch =>
+      // a real deployment hands `batch` to one vectorized decode +
+      // model-forward call; the stub encodes row-wise
+      batch.iterator.map { case (id, bytes) =>
+        (id, encodeOne(bytes), bytes.length.toLong)
+      }
+    }
+
+  /** q20 — batched media embedding over the binary payload via
+    * `mapPartitions` (Dataset-typed, executor-side, batch-shaped).
+    * Output is (media_id, fixed-dim integer embedding, payload size);
+    * the DuckDB oracle reproduces the strided sums with `ord()`
+    * arithmetic over the ASCII fixture payload, so even the imperative
+    * path is hash-verified.
+    */
+  def q20MediaEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select($"media_id", $"bytes")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(encodeBatched)
+      .toDF("media_id", "embedding", "n_bytes")
+      .orderBy($"media_id")
+  }
+
+  def q20OracleSql: String = {
+    val dims = (0 until EmbedDim).map { k =>
+      s"coalesce(list_sum(list_transform(generate_series(${k + 1}, least(len(text), $EmbedSpan), $EmbedDim), i -> ord(substr(text, i, 1)))), 0)::BIGINT"
+    }.mkString(",\n         ")
+    s"""SELECT doc_id AS media_id,
+       |       [$dims] AS embedding,
+       |       len(text)::BIGINT AS n_bytes
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.queries.MultimodalOps
+
+/** Multimodal plumbing specs: typed media schema, payload pruning,
+  * batch shape of the partition encoder, and embedding determinism.
+  */
+class MultimodalOpsSpec extends SparkSuite {
+
+  test("media table: opaque binary payload + typed metadata schema") {
+    val df = MultimodalOps.mediaTable(spark, sf)
+    val fields = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(fields("bytes") == "binary")
+    assert(fields("media_id") == "long" && fields("n_bytes") == "long")
+    assert(fields("width") == "integer" && fields("height") == "integer")
+    assert(df.count() == 500)
+  }
+
+  test("q19 prunes the binary payload: scan reads metadata only") {
+    val df = MultimodalOps.q19MediaMeta(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scan.contains("text"), s"payload column not pruned:\n$scan")
+    val rows = df.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(2), r.getInt(3), r.getInt(5), r.getInt(6))
+      assert(ow <= 224 && oh <= 224 && (ow == 224 || oh == 224),
+        s"resize must pin the longest side to 224: $r")
+      // exact integer arithmetic, aspect preserved within rounding
+      assert(ow == w * 224 / math.max(w, h) && oh == h * 224 / math.max(w, h))
+    }
+  }
+
+  test("encodeBatched consumes partitions in batches of BatchSize") {
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val rows = (1L to 100L).map(i => (i, Array.fill(16)(i.toByte)))
+    // instrument via a wrapping iterator that records pull boundaries
+    val it = new Iterator[(Long, Array[Byte])] {
+      val inner = rows.iterator
+      var pulled = 0
+      def hasNext = inner.hasNext
+      def next() = { pulled += 1; inner.next() }
+    }
+    val out = MultimodalOps.encodeBatched(it).toVector
+    assert(out.length == 100)
+    assert(out.map(_._1) == (1L to 100L).toVector)
+    // grouped(BatchSize) pulls exactly BatchSize rows before emitting:
+    // after forcing the stream, everything was consumed
+    assert(it.pulled == 100)
+    out.foreach { case (_, emb, n) =>
+      assert(emb.length == MultimodalOps.EmbedDim)
+      assert(n == 16L)
+    }
+  }
+
+  test("encodeOne: strided unsigned byte sums over the first 64 bytes") {
+    val bytes = (0 until 80).map(_.toByte).toArray
+    val emb = MultimodalOps.encodeOne(bytes)
+    // dim k sums bytes k, k+8, ..., k+56 (span caps at 64)
+    val expected = (0 until 8).map(k => (k until 64 by 8).map(_.toLong).sum)
+    assert(emb == expected)
+    // unsigned interpretation: byte 0x80.toByte = 128, not -128
+    val neg = MultimodalOps.encodeOne(Array(0x80.toByte))
+    assert(neg.head == 128L && neg.tail.forall(_ == 0L))
+  }
+
+  test("q20 embedding is deterministic and batch-independent") {
+    import org.apache.spark.sql.functions._
+    val a = MultimodalOps.q20MediaEmbed(spark, sf).collect()
+    assert(a.length == 500)
+    // repartitioning must not change results (partition/batch shape
+    // independence — the core mapInPandas-equivalence property)
+    val b = MultimodalOps.mediaTable(spark, sf)
+      .repartition(7, col("media_id"))
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions(MultimodalOps.encodeBatched)(
+        org.apache.spark.sql.Encoders.product[(Long, Seq[Long], Long)])
+      .toDF("media_id", "embedding", "n_bytes")
+      .orderBy("media_id").collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    assert(a.map(_.getSeq[Long](1)).toSeq == b.map(_.getSeq[Long](1)).toSeq)
+  }
+}
