@@ -39,6 +39,7 @@ object SparkEntry {
     "q18_fingerprint"      -> (TextOps.q18Fingerprint _),
     "q19_media_meta"       -> (MultimodalOps.q19MediaMeta _),
     "q20_media_embed"      -> (MultimodalOps.q20MediaEmbed _),
+    "q21_simhash_pairs"    -> (TextOps.q21SimhashPairs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -170,5 +171,10 @@ object SparkEntry {
     // ASCII fixture payload (ord() byte arithmetic).
     "q19_media_meta"  -> MultimodalOps.q19OracleSql,
     "q20_media_embed" -> MultimodalOps.q20OracleSql,
+
+    // Exact all-pairs hamming ground truth: the banded Spark side
+    // matches it exactly because 4x8-bit bands catch hamming <= 3 by
+    // pigeonhole (recall 1, deterministic).
+    "q21_simhash_pairs" -> TextOps.q21OracleSql,
   )
 }

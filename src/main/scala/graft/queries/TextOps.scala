@@ -69,7 +69,9 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  def q15OracleSql: String = {
+  /** The q15 computation as an un-ordered SQL body, reusable as a CTE
+    * subquery (q21 nests it). */
+  private def q15BodySql: String = {
     val bitSums = (0 until SimhashBits)
       .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
       .mkString(",\n         ")
@@ -87,8 +89,64 @@ object TextOps {
        |  FROM e GROUP BY doc_id
        |)
        |SELECT doc_id, $fp AS simhash
-       |FROM s ORDER BY doc_id""".stripMargin
+       |FROM s""".stripMargin
   }
+
+  def q15OracleSql: String = q15BodySql + "\nORDER BY doc_id"
+
+  /** Bands for [[q21SimhashPairs]]: 32 bits split into 4 bands of 8.
+    * Pigeonhole guarantee: a pair within hamming distance 3 differs in
+    * ≤ 3 bands, so at least one band is IDENTICAL — banded recall at
+    * the ≤ 3 threshold is exactly 1, no probability involved (unlike
+    * MinHash-LSH, whose recall is probabilistic). */
+  val SimhashBands = 4
+  val HammingMax = 3
+
+  /** q21 — SimHash near-dup pairs at banded scale: band the 32-bit
+    * fingerprints, self-join on (band_pos, band_value) for candidates,
+    * verify with exact `bit_count(xor)` hamming distance ≤ 3. The
+    * DuckDB oracle is exact ALL-PAIRS hamming — a true ground truth,
+    * matched exactly thanks to the pigeonhole recall guarantee.
+    *
+    * At 100 TB this is the cheapest near-dup screen there is: the
+    * banded join shuffles 4 rows of (pos, byte, id, fp) per doc —
+    * fingerprints, never text — and the verify is one integer xor per
+    * candidate pair. Complements [[DedupOps]] (token-level Jaccard):
+    * SimHash catches reorder/light-edit dups; MinHash measures actual
+    * set overlap.
+    */
+  def q21SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bandWidth = SimhashBits / SimhashBands
+    val fp = q15Simhash(spark, dir)
+    val banded = fp.select($"doc_id", $"simhash", posexplode(array(
+      (0 until SimhashBands).map(b =>
+        shiftright($"simhash", b * bandWidth) % (1 << bandWidth)): _*)))
+      .select($"doc_id", $"simhash", $"pos", $"col".as("bv"))
+    val a = banded.select($"pos", $"bv",
+      $"doc_id".as("doc_a"), $"simhash".as("fp_a"))
+    val b = banded.select($"pos", $"bv",
+      $"doc_id".as("doc_b"), $"simhash".as("fp_b"))
+    a.join(b, Seq("pos", "bv"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"fp_a", $"fp_b")
+      .distinct()
+      .withColumn("hamming",
+        bit_count($"fp_a".bitwiseXOR($"fp_b")).cast("long"))
+      .filter($"hamming" <= HammingMax)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def q21OracleSql: String =
+    s"""WITH f AS (
+       |${q15BodySql.linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |FROM f a JOIN f b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q16
 

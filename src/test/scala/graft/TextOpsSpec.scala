@@ -62,6 +62,23 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("q21 banded simhash pairs == exact all-pairs hamming (pigeonhole recall 1)") {
+    val fp = TextOps.q15Simhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // exact all-pairs ground truth, computed directly
+    val expected = (for {
+      (ida, fa) <- fp; (idb, fb) <- fp if ida < idb
+      h = java.lang.Long.bitCount(fa ^ fb)
+      if h <= TextOps.HammingMax
+    } yield (ida, idb, h.toLong)).toSet
+    val banded = TextOps.q21SimhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == expected,
+      s"banded(${banded.size}) != exact(${expected.size}); " +
+        s"missed=${(expected -- banded).take(5)} extra=${(banded -- expected).take(5)}")
+    assert(expected.nonEmpty) // the fixture has near-dups; test is not vacuous
+  }
+
   test("q18 winnowing: fingerprint bounds and determinism") {
     val rows = TextOps.q18Fingerprint(spark, sf).collect()
     assert(rows.length == 500)
