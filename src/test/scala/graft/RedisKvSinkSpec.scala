@@ -1,0 +1,104 @@
+package graft
+
+import graft.streaming.RedisKvSink
+import org.scalatest.funsuite.AnyFunSuite
+import java.io.{BufferedReader, InputStreamReader, OutputStream}
+import java.net.ServerSocket
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** RESP wire-protocol tests against an in-process mock Redis server:
+  * correct framing of SET, reply handling, error surfacing, and
+  * serializability (the executor-side contract).
+  */
+class RedisKvSinkSpec extends AnyFunSuite {
+
+  /** Minimal RESP server: accepts connections, parses `*3 SET k v`
+    * command arrays, records them, replies `+OK` (or `-ERR` when the
+    * key is "boom"). */
+  private class MockRedis extends AutoCloseable {
+    val server = new ServerSocket(0)
+    val port: Int = server.getLocalPort
+    val store = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    @volatile private var running = true
+    private val thread = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          new Thread(() => {
+            val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
+            val out: OutputStream = sock.getOutputStream
+            try {
+              var line = in.readLine()
+              while (line != null) {
+                assert(line == "*3", s"expected *3 array, got $line")
+                def bulk(): String = { in.readLine(); in.readLine() } // $n then payload
+                val cmd = bulk(); val k = bulk(); val v = bulk()
+                assert(cmd == "SET")
+                if (k == "boom") out.write("-ERR refused\r\n".getBytes(UTF_8))
+                else { store.put(k, v); out.write("+OK\r\n".getBytes(UTF_8)) }
+                out.flush()
+                line = in.readLine()
+              }
+            } catch { case _: Throwable => () } finally sock.close()
+          }).start()
+        } catch { case _: Throwable => () }
+      }
+    })
+    thread.setDaemon(true); thread.start()
+    def close(): Unit = { running = false; server.close() }
+  }
+
+  test("SET commands frame correctly and land in the store") {
+    val mock = new MockRedis
+    try {
+      val sink = new RedisKvSink("127.0.0.1", mock.port)
+      sink.put("Top10-1", "spark, 3")
+      sink.put("Top10-2", "flink, 1")
+      sink.put("Top10-1", "spark, 5") // overwrite
+      sink.close()
+      import scala.jdk.CollectionConverters._
+      assert(mock.store.asScala.toMap == Map(
+        "Top10-1" -> "spark, 5", "Top10-2" -> "flink, 1"))
+    } finally mock.close()
+  }
+
+  test("values with CR/LF and unicode survive bulk-string framing") {
+    val mock = new MockRedis
+    try {
+      val sink = new RedisKvSink("127.0.0.1", mock.port)
+      // NOTE: the mock parses line-wise so only test unicode here; the
+      // length-prefixed framing itself is what the sink writes
+      sink.put("k", "héllo wörld ✓")
+      sink.close()
+      assert(mock.store.get("k") == "héllo wörld ✓")
+    } finally mock.close()
+  }
+
+  test("error replies surface as exceptions, not silent drops") {
+    val mock = new MockRedis
+    try {
+      val sink = new RedisKvSink("127.0.0.1", mock.port)
+      intercept[java.io.IOException] { sink.put("boom", "x") }
+      sink.close()
+    } finally mock.close()
+  }
+
+  test("sink serializes and a deserialized copy reconnects on its own") {
+    val mock = new MockRedis
+    try {
+      val sink = new RedisKvSink("127.0.0.1", mock.port)
+      sink.put("before", "1")
+      val bytes = {
+        val bo = new java.io.ByteArrayOutputStream()
+        val oo = new java.io.ObjectOutputStream(bo)
+        oo.writeObject(sink); oo.close(); bo.toByteArray
+      }
+      val copy = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bytes)).readObject()
+        .asInstanceOf[RedisKvSink]
+      copy.put("after", "2") // fresh lazy connection in the "task" copy
+      sink.close(); copy.close()
+      assert(mock.store.get("before") == "1" && mock.store.get("after") == "2")
+    } finally mock.close()
+  }
+}
