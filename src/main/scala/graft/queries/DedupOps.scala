@@ -52,23 +52,24 @@ object DedupOps {
   }
 
   /** One row per (doc, distinct shingle), shingle replaced by its 64-bit
-    * xxhash64 — the working representation for the whole pipeline. The
-    * shingle lambda is the only interpreted (non-codegen) step and runs
-    * as a NARROW map: at cluster scale that beats any codegen'd
-    * alternative that would need a shuffle (e.g. posexplode + window
-    * lead) to build shingles. Everything downstream handles 16 bytes per
-    * shingle, never the strings.
+    * xxhash64 — the working representation for the whole pipeline,
+    * emitted by the custom [[graft.functions.HashedShingles]] Generator
+    * in a single pass over the text (one narrow `Generate`, no shuffle;
+    * everything downstream handles 8 bytes per shingle, never strings).
     *
-    * Shape note: a nested higher-order
-    * `transform(seeds, i -> array_min(transform(sh, s -> hash(i, s))))`
-    * computes the same signatures but runs INTERPRETED per lambda node —
-    * measured 104 s for 500 docs vs sub-second for the flat-column plan
-    * built on this frame.
+    * The generator is row-for-row identical (spec-verified) to the
+    * built-in composition `explode(shingles(text))` + `xxhash64`, but
+    * that chain evaluates an interpreted lambda tree per shingle and
+    * materializes every intermediate array/string; two earlier
+    * formulations of this frame measured 104 s (nested per-seed
+    * lambdas) and ~5 s/pass (lambda shingles + flat hash columns) where
+    * the generator takes well under a second — see the scale note on
+    * the object for why a narrow map beats any shuffle-based
+    * alternative regardless.
     */
   private def shingleHashes(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("hs"))
+    docs.select(col("doc_id"),
+      graft.functions.HashedShingles.hashedShingles(col("text"), 3).as("hs"))
 
   /** `(doc_id, h0..h{n-1}, n)` — minhash signature columns plus the
     * doc's distinct-shingle count, from a single hash aggregate. */

@@ -1,0 +1,18 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge for library-defined Catalyst expressions (the standard
+  * pattern Spark extension libraries use): `Column ⇄ Expression`
+  * conversion lives behind `private[sql]` in Spark 4
+  * (`classic.ExpressionUtils`), so this one-file shim inside the
+  * `org.apache.spark.sql` package exposes exactly the two calls graft
+  * needs. Deliberately session-independent — unlike
+  * `SparkSessionExtensions.injectFunction`, it works no matter who
+  * built the `SparkSession` (the test harness, `Verify`/`Bench`, or an
+  * external driver that knows nothing about graft's extensions).
+  */
+object graftShims {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -51,6 +51,35 @@ class DedupOpsSpec extends SparkSuite {
     assert(keys == keys.sorted)
   }
 
+  test("HashedShingles generator == built-in lambda chain + xxhash64, row for row") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val viaGenerator = docs.select(col("doc_id"),
+      graft.functions.HashedShingles.hashedShingles(col("text"), 3).as("hs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val viaLambdas = docs
+      .select(col("doc_id"), explode(DedupOps.shingles(col("text"))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("hs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(viaGenerator == viaLambdas)
+    assert(viaGenerator.size == 500)
+  }
+
+  test("HashedShingles handles null, short, and multi-space text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "A b  c d"), (2L, "x y"), (3L, null))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      graft.functions.HashedShingles.hashedShingles($"text", 3).as("hs"))
+      .groupBy($"doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: tokens a,b,c,d -> 2 shingles; docs 2 and 3 emit nothing
+    assert(out == Map(1L -> 2L))
+  }
+
   test("q13 plan has no cartesian/all-pairs join") {
     val plan = DedupOps.q13NeardupPairs(spark, sf)
       .queryExecution.executedPlan.toString
