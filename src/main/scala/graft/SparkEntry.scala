@@ -40,6 +40,9 @@ object SparkEntry {
     "q19_media_meta"       -> (MultimodalOps.q19MediaMeta _),
     "q20_media_embed"      -> (MultimodalOps.q20MediaEmbed _),
     "q21_simhash_pairs"    -> (TextOps.q21SimhashPairs _),
+    "q22_session_count"    -> (AnalyticsOps.q22SessionCount _),
+    "q23_rollup"           -> (AnalyticsOps.q23Rollup _),
+    "q24_asof_join"        -> (AnalyticsOps.q24AsofJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -176,5 +179,12 @@ object SparkEntry {
     // matches it exactly because 4x8-bit bands catch hamming <= 3 by
     // pigeonhole (recall 1, deterministic).
     "q21_simhash_pairs" -> TextOps.q21OracleSql,
+
+    // Session windows via gaps-and-islands, rollup via GROUP BY ROLLUP,
+    // as-of via explicit row_number with the same deterministic
+    // tie-break as the Spark max_by struct.
+    "q22_session_count" -> AnalyticsOps.q22OracleSql,
+    "q23_rollup"        -> AnalyticsOps.q23OracleSql,
+    "q24_asof_join"     -> AnalyticsOps.q24OracleSql,
   )
 }

@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Beyond-reference analytics operators rounding out the engine's query
+  * surface: session windows (q22), rollup aggregates (q23), and an
+  * as-of join (q24). The reference has none of these (SURVEY §2.2 lists
+  * them as absent); a user migrating real workloads expects them, and
+  * each one demonstrates a composition rule from the build plan —
+  * built-ins first, deterministic semantics always.
+  */
+object AnalyticsOps {
+
+  /** q22 — session windows: per-user event sessions that close after a
+    * 300 s silence gap (`session_window`, the dynamic-length sibling of
+    * the reference's fixed sliding window, TopNHashtags.java:126).
+    * Output bounds are exact epoch MICROSECONDS (BIGINT): session start
+    * = first event, session end = last event + gap — DuckDB reproduces
+    * them with a classic gaps-and-islands window (lag + running sum).
+    *
+    * Plan shape: one shuffle on user_id for the session aggregation
+    * (Spark merges adjacent sessions in the agg) — the same shape the
+    * streaming variant uses with a state store. Determinism: session
+    * membership depends only on event times, never on arrival order.
+    */
+  def q22SessionCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(session_window($"ts", "300 seconds"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        $"user_id",
+        unix_micros($"session_window.start").as("start_us"),
+        unix_micros($"session_window.end").as("end_us"),
+        $"n_events")
+      .orderBy($"user_id", $"start_us")
+  }
+
+  def q22OracleSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w > INTERVAL 300 SECOND
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), s AS (
+      |  SELECT user_id, ts,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |                                ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o
+      |)
+      |SELECT user_id,
+      |       epoch_us(min(ts)) AS start_us,
+      |       epoch_us(max(ts)) + 300000000 AS end_us,
+      |       count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
+  /** q23 — rollup aggregate: event counts and an exact integer checksum
+    * over (event_type, user_bucket) with subtotal and grand-total rows
+    * (`ROLLUP` — the multi-level aggregate the reference's single
+    * hard-coded count could never express). All measures are integers
+    * (count + id-sum), so the rollup levels hash exactly; NULL ordering
+    * is pinned explicitly on both sides.
+    */
+  def q23Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("user_bucket", ($"user_id" % 10).cast("int"))
+      .rollup($"event_type", $"user_bucket")
+      .agg(count(lit(1)).as("n"), sum($"event_id").as("id_sum"))
+      .orderBy($"event_type".asc_nulls_first, $"user_bucket".asc_nulls_first)
+  }
+
+  def q23OracleSql: String =
+    """SELECT event_type, (user_id % 10)::INT AS user_bucket,
+      |       count(*) AS n, sum(event_id) AS id_sum
+      |FROM events
+      |GROUP BY ROLLUP(event_type, (user_id % 10)::INT)
+      |ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST""".stripMargin
+
+  /** q24 — as-of join: for every event, the latest order at-or-before
+    * the event time for that user. Spark has no native ASOF JOIN;
+    * composed per the build plan's preference (a) — existing operators:
+    * a range-conditioned equi-join on the key, then ONE aggregation
+    * with `max_by` over the lexicographic (o_orderdate, o_orderkey)
+    * struct. The struct tie-break makes the picked order deterministic
+    * when a customer has several orders on the same date (DuckDB's
+    * native ASOF leaves ties unspecified, so the oracle uses an
+    * explicit row_number with the same tie-break).
+    *
+    * Scale: the join shuffles on the equi key (user/customer) — the
+    * standard distributed as-of shape; per-key order lists are the
+    * bounded dimension side. `max_by` folds map-side, so the aggregate
+    * never materializes the per-event candidate lists. Skewed keys
+    * (one user, millions of events) are AQE-skew-join territory.
+    */
+  def q24AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts")
+    val orders = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        ($"o_totalprice".cast("decimal(12,2)") * 100).cast("long").as("price_cents"))
+    events
+      .join(orders, $"user_id" === $"o_custkey" && $"o_orderdate" <= $"ts")
+      .groupBy($"event_id", $"user_id", $"ts")
+      .agg(
+        max_by(struct($"o_orderkey", $"price_cents"),
+          struct($"o_orderdate", $"o_orderkey")).as("best"))
+      .select(
+        $"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        $"best.o_orderkey".as("o_orderkey"),
+        $"best.price_cents".as("price_cents"))
+      .orderBy($"event_id")
+  }
+
+  def q24OracleSql: String =
+    """WITH ranked AS (
+      |  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+      |         o.o_orderkey,
+      |         CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents,
+      |         row_number() OVER (PARTITION BY e.event_id
+      |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e
+      |  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |)
+      |SELECT event_id, user_id, ts_us, o_orderkey, price_cents
+      |FROM ranked WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.queries.AnalyticsOps
+import org.apache.spark.sql.functions._
+
+/** Session/rollup/as-of specs: exact driver-side recomputation of each
+  * semantic on the sf0.001 fixture.
+  */
+class AnalyticsOpsSpec extends SparkSuite {
+
+  test("q22 sessions == driver-side gaps-and-islands recomputation") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val gapUs = 300L * 1000000
+    val expected = events.groupBy(_._1).flatMap { case (uid, rows) =>
+      val ts = rows.map(_._2).sorted
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var start = ts.head; var last = ts.head; var n = 1L
+      ts.tail.foreach { t =>
+        if (t - last > gapUs) { sessions += ((start, last + gapUs, n)); start = t; n = 0 }
+        last = t; n += 1
+      }
+      sessions += ((start, last + gapUs, n))
+      sessions.map(s => (uid, s._1, s._2, s._3))
+    }.toSet
+    val got = AnalyticsOps.q22SessionCount(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"sessions diverge; missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // some sessions must be multi-event or the gap choice is vacuous
+    assert(got.exists(_._4 > 1))
+  }
+
+  test("q23 rollup: subtotals and grand total are consistent") {
+    val rows = AnalyticsOps.q23Rollup(spark, sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val leaves = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    val subtotals = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.head.getLong(2) == leaves.map(_.getLong(2)).sum)
+    assert(grand.head.getLong(3) == leaves.map(_.getLong(3)).sum)
+    subtotals.foreach { st =>
+      val mine = leaves.filter(_.getString(0) == st.getString(0))
+      assert(st.getLong(2) == mine.map(_.getLong(2)).sum)
+      assert(st.getLong(3) == mine.map(_.getLong(3)).sum)
+    }
+    assert(grand.head.getLong(2) == 1000L) // sf0.001 events row count
+  }
+
+  test("q24 as-of picks the latest at-or-before order with deterministic ties") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byCust = orders.groupBy(_._1)
+    val got = AnalyticsOps.q24AsofJoin(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (uid, tsUs, pickedKey, pickedCents) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val eligible = byCust(uid).filter(_._3 <= tsUs)
+      // max over (orderdate, orderkey) — the documented tie-break
+      val best = eligible.maxBy(o => (o._3, o._2))
+      assert(pickedKey == best._2 && pickedCents == best._4,
+        s"event ${r.getLong(0)}: picked $pickedKey, expected ${best._2}")
+    }
+    // every event with an eligible order appears exactly once
+    val nEligible = Tables.events(spark, sf).select(col("event_id")).count()
+    assert(got.length == nEligible)
+  }
+}
