@@ -253,6 +253,21 @@ object TweetStream {
       }
       .start()
 
+  /** Streaming exact dedup of parsed tweets by id — the ingest-side
+    * sibling of the batch dedup family (q09/q13): at-least-once sources
+    * redeliver records, and `dropDuplicatesWithinWatermark` drops the
+    * re-deliveries with state BOUNDED by the watermark delay (plain
+    * streaming `dropDuplicates` would grow per-key state forever —
+    * exactly the unbounded-state failure a 100 TB ingest cannot
+    * afford). Duplicates separated by more than the watermark delay
+    * pass through; downstream batch dedup (q09) catches them. */
+  def dedupedTweets(
+      parsed: DataFrame,
+      watermarkDelay: String = "10 seconds"): DataFrame =
+    parsed
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("id")
+
   /** File-stream source over a directory of json-line files — the
     * offline stand-in for the reference's external source boundary
     * (its Twitter HTTP client, TopNHashtags.java:94-95,116-117; Kafka

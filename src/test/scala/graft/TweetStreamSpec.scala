@@ -186,6 +186,67 @@ class TweetStreamSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("dedupedTweets drops redelivered ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Raw]
+    val deduped = TweetStream.dedupedTweets(
+      TweetStream.parseTweets(source.toDF(), col("ts")), "10 seconds")
+    val query = deduped.writeStream
+      .outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-dd").toString)
+      .start()
+    try {
+      source.addData(
+        Raw(tweet(1, "first", Seq("a")), at(10)),
+        Raw(tweet(1, "first again", Seq("a")), at(12)), // redelivery
+        Raw(tweet(2, "second", Seq("b")), at(13)))
+      query.processAllAvailable()
+      // watermark advances only BETWEEN micro-batches: this batch still
+      // sees id 1's live state (watermark 3 s < expiry 20 s) and drops it,
+      // but it pushes the watermark to ~9990 s for the next batch
+      source.addData(Raw(tweet(1, "still dup", Seq("a")), at(10000)))
+      query.processAllAvailable()
+      // now id 1's state is evicted -> a fresh id 1 passes again
+      source.addData(Raw(tweet(1, "new epoch", Seq("a")), at(10001)))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 1L, 2L), s"got: $ids")
+    } finally query.stop()
+  }
+
+  test("end-to-end reference pipeline: file source -> top-N -> Redis-protocol sink") {
+    import java.nio.file.{Files, Paths}
+    val mock = new MockRedis
+    val dir = Files.createTempDirectory("tweets-redis").toString
+    def tweetT(id: Long, sec: Long, tags: Seq[String]): String = {
+      val hs = tags.map(t => s"""{"text":"$t"}""").mkString(",")
+      s"""{"id":$id,"ts_sec":$sec,"text":"t$id","entities":{"hashtags":[$hs]}}"""
+    }
+    Files.write(Paths.get(dir, "b1.json"), String.join("\n",
+      tweetT(1, 10, Seq("Spark")), tweetT(2, 15, Seq("spark")),
+      tweetT(3, 20, Seq("flink"))).getBytes("UTF-8"))
+    val sink = new graft.streaming.RedisKvSink("127.0.0.1", mock.port)
+    val tsCol = timestamp_seconds(
+      get_json_object(col("json"), "$.ts_sec").cast("long"))
+    val query = TweetStream.startTopN(
+      TweetStream.fileJsonSource(spark, dir), sink, new TopNState, n = 10,
+      watermarkDelay = "1 second", tsCol = tsCol,
+      checkpoint = Files.createTempDirectory("ckpt-rs").toString)
+    try {
+      query.processAllAvailable()
+      Files.write(Paths.get(dir, "b2.json"),
+        tweetT(9, 10000, Seq("late")).getBytes("UTF-8"))
+      query.processAllAvailable()
+      // the reference's observable end state: Redis holds SET Top10-k
+      assert(mock.snapshot == Map(
+        "Top10-1" -> "spark, 2",
+        "Top10-2" -> "flink, 1"), s"got: ${mock.snapshot}")
+    } finally { query.stop(); sink.close(); mock.close() }
+  }
+
   test("topNPerWindow + kvRows batch shape matches the Redis mapper format") {
     import spark.implicits._
     val counts = Seq(
