@@ -1,0 +1,52 @@
+package graft
+
+import graft.queries._
+
+/** Physical-plan shape assertions — the 100 TB contract, pinned so a
+  * refactor that silently degrades a plan (broadcast → sort-merge,
+  * bucket join → cartesian, pruning lost) fails CI, not the cluster.
+  */
+class PlanShapeSpec extends SparkSuite {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q06 flagship: rank-limit pushes a partial WindowGroupLimit below the exchange") {
+    val p = plan(ReferenceOps.q06SlidingTopN(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"no rank-limit pushdown:\n$p")
+  }
+
+  test("q07/q14: small sides broadcast, never sort-merge") {
+    Seq(
+      plan(ReferenceOps.q07SemiJoin(spark, sf)),
+      plan(SimilarityOps.q14AnnTopK(spark, sf))
+    ).foreach { p =>
+      assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+    }
+  }
+
+  test("q13/q21/q24: no all-pairs products anywhere") {
+    Seq(
+      plan(DedupOps.q13NeardupPairs(spark, sf)),
+      plan(TextOps.q21SimhashPairs(spark, sf)),
+      plan(AnalyticsOps.q24AsofJoin(spark, sf))
+    ).foreach { p =>
+      assert(!p.contains("CartesianProduct"), s"all-pairs join:\n$p")
+    }
+  }
+
+  test("q01: filter and projection reach the parquet scan") {
+    val p = plan(ReferenceOps.q01ScanFilter(spark, sf))
+    assert(p.contains("PushedFilters: [In(lang"), s"filter not pushed:\n$p")
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scanLine.contains("text"), s"projection not pruned:\n$p")
+  }
+
+  test("q20: embedding stage is a narrow map — no exchange before MapPartitions") {
+    val p = plan(MultimodalOps.q20MediaEmbed(spark, sf))
+    val beforeMap = p.substring(p.indexOf("MapPartitions"))
+    assert(!beforeMap.contains("Exchange"),
+      s"payload shuffled before the encoder:\n$p")
+  }
+}
