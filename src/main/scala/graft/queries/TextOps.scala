@@ -52,7 +52,12 @@ object TextOps {
     * Plan: explode tokens (narrow) → 32 codegen'd bit columns → one
     * map-side-partial aggregate per doc → fingerprint composition.
     */
-  def q15Simhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Unordered (doc_id, simhash) frame — the reusable computation; the
+    * q15 query contract adds the output sort. Pipelines composing on
+    * fingerprints (q21) use this directly: inheriting q15's global
+    * `orderBy` would plant a useless range-partition exchange inside
+    * the join (observed in the executed-plan audit). */
+  private[graft] def simhashFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ex = Tables.documents(spark, dir)
       .select($"doc_id", explode(toks($"text")).as("t"))
@@ -66,8 +71,10 @@ object TextOps {
     ex.groupBy($"doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select($"doc_id", fingerprint.as("simhash"))
-      .orderBy($"doc_id")
   }
+
+  def q15Simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashFrame(spark, dir).orderBy(col("doc_id"))
 
   /** The q15 computation as an un-ordered SQL body, reusable as a CTE
     * subquery (q21 nests it). */
@@ -118,7 +125,7 @@ object TextOps {
   def q21SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bandWidth = SimhashBits / SimhashBands
-    val fp = q15Simhash(spark, dir)
+    val fp = simhashFrame(spark, dir)
     val banded = fp.select($"doc_id", $"simhash", posexplode(array(
       (0 until SimhashBands).map(b =>
         shiftright($"simhash", b * bandWidth) % (1 << bandWidth)): _*)))

@@ -18,9 +18,14 @@ object PlanAudit {
       .map(_.split(",").map(_.trim).toSeq)
       .getOrElse(Seq("q13_neardup_pairs", "q14_ann_topk", "q20_media_embed",
         "q21_simhash_pairs"))
+    val exec = sys.env.contains("PLAN_EXEC")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, dir)
+      if (exec) {
+        df.count() // materialize so AQE finalizes the adaptive plan
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }
