@@ -43,6 +43,8 @@ object SparkEntry {
     "q22_session_count"    -> (AnalyticsOps.q22SessionCount _),
     "q23_rollup"           -> (AnalyticsOps.q23Rollup _),
     "q24_asof_join"        -> (AnalyticsOps.q24AsofJoin _),
+    "q25_moving_sum"       -> (AnalyticsOps.q25MovingSum _),
+    "q26_pivot"            -> (AnalyticsOps.q26Pivot _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -186,5 +188,7 @@ object SparkEntry {
     "q22_session_count" -> AnalyticsOps.q22OracleSql,
     "q23_rollup"        -> AnalyticsOps.q23OracleSql,
     "q24_asof_join"     -> AnalyticsOps.q24OracleSql,
+    "q25_moving_sum"    -> AnalyticsOps.q25OracleSql,
+    "q26_pivot"         -> AnalyticsOps.q26OracleSql,
   )
 }

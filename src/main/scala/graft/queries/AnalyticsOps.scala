@@ -118,6 +118,68 @@ object AnalyticsOps {
       .orderBy($"event_id")
   }
 
+  /** q25 — moving window frame: per-user running 3-row sum and count
+    * over event time (`ROWS BETWEEN 2 PRECEDING AND CURRENT ROW`) —
+    * the frame-clause surface none of the rank-based queries touch.
+    * Measures are integer-only (event_id checksum) so every row hashes
+    * exactly; (ts, event_id) ordering makes the frame deterministic
+    * even under timestamp ties.
+    *
+    * Plan: one shuffle on user_id, one sort per partition — the
+    * standard distributed window; 150 users × bounded events keeps
+    * partitions tiny here, and at 100 TB the partition key is the
+    * natural entity key.
+    */
+  def q25MovingSum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"event_id")
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        sum($"event_id").over(w).as("moving_id_sum"),
+        count(lit(1)).over(w).as("n_in_frame"))
+      .orderBy($"event_id")
+  }
+
+  def q25OracleSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |       sum(event_id) OVER w AS moving_id_sum,
+      |       count(*) OVER w AS n_in_frame
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** q26 — pivot: events long→wide, one integer count column per event
+    * type per user bucket. Spark's `pivot` with an EXPLICIT value list
+    * — the open-ended form needs a driver-side distinct pass to
+    * discover columns, which is the wrong default at 100 TB; pinning
+    * the list keeps the plan a single aggregate. The oracle builds the
+    * same wide shape with FILTER counts.
+    */
+  val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q26Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("user_bucket", ($"user_id" % 10).cast("int"))
+      .groupBy($"user_bucket")
+      .pivot($"event_type", PivotTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotTypes)
+      .orderBy($"user_bucket")
+  }
+
+  def q26OracleSql: String = {
+    val cols = PivotTypes.map(t =>
+      s"""count(*) FILTER (event_type = '$t') AS "$t"""").mkString(",\n       ")
+    s"""SELECT (user_id % 10)::INT AS user_bucket,
+       |       $cols
+       |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin
+  }
+
   def q24OracleSql: String =
     """WITH ranked AS (
       |  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,

@@ -48,6 +48,39 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(grand.head.getLong(2) == 1000L) // sf0.001 events row count
   }
 
+  test("q25 moving frame == driver-side 3-row window recomputation") {
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = events.groupBy(_._2).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      sorted.indices.map { i =>
+        val frame = sorted.slice(math.max(0, i - 2), i + 1)
+        (sorted(i)._1, frame.map(_._1).sum, frame.length.toLong)
+      }
+    }.map { case (id, s, n) => id -> ((s, n)) }.toMap
+    val got = AnalyticsOps.q25MovingSum(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 == 3L)) // frames do fill up
+  }
+
+  test("q26 pivot: wide counts match long counts") {
+    val long = Tables.events(spark, sf)
+      .groupBy((col("user_id") % 10).cast("int").as("b"), col("event_type"))
+      .count().collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rows = AnalyticsOps.q26Pivot(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      AnalyticsOps.PivotTypes.zipWithIndex.foreach { case (t, i) =>
+        assert(r.getLong(1 + i) == long.getOrElse((b, t), 0L),
+          s"bucket $b type $t")
+      }
+    }
+  }
+
   test("q24 as-of picks the latest at-or-before order with deterministic ties") {
     val orders = Tables.orders(spark, sf)
       .select(col("o_custkey"), col("o_orderkey"),
