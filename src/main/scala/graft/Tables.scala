@@ -13,8 +13,23 @@ import org.apache.spark.sql.functions.{expr, timestamp_micros}
   * code would change.
   */
 object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every fixture table as a temp view (events through its
+    * timestamp-normalizing loader) so the whole engine surface is
+    * reachable from plain `spark.sql(...)` — the SQL layer the
+    * reference never had. Views are lazy: no data moves until a query
+    * runs, and Catalyst sees straight through them (pushdown/pruning
+    * behave exactly as with the DataFrame API). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 
   /** The fixture writes `events.ts` as parquet `INT64 TIMESTAMP(NANOS)`
     * (FIXTURES.md §B), which Spark 4.x rejects outright

@@ -88,14 +88,30 @@ object DedupOps {
     * Counts ride along from the signature aggregate, so the verify stage
     * needs no extra per-doc join. */
   private def candidatesWithCounts(
-      docs: DataFrame, bands: Int, rows: Int): DataFrame = {
+      docs: DataFrame, bands: Int, rows: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val sig = signatures(docs, bands * rows)
     val bandHashes = (0 until bands).map { b =>
       xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
     }
-    val banded = sig
+    val banded0 = sig
       .select(col("doc_id"), col("n"), posexplode(array(bandHashes: _*)))
       .select(col("doc_id"), col("n"), col("pos"), col("col").as("bh"))
+    // Optional skew guard: a bucket of size s yields s² candidate rows,
+    // so ONE boilerplate-heavy bucket (same header on a million docs)
+    // can dominate the whole job. The guard anti-joins the (tiny)
+    // relation of oversized buckets before pair generation — quadratic
+    // work becomes bounded; the dropped docs still pair through their
+    // other bands. Off by default so the oracle-exact semantics hold.
+    val banded =
+      if (maxBucketSize == Int.MaxValue) banded0
+      else {
+        val oversized = banded0.groupBy(col("pos"), col("bh"))
+          .agg(count(lit(1)).as("sz"))
+          .filter(col("sz") > maxBucketSize)
+          .select(col("pos"), col("bh"))
+        banded0.join(broadcast(oversized), Seq("pos", "bh"), "left_anti")
+      }
     val a = banded.select(col("pos"), col("bh"),
       col("doc_id").as("doc_a"), col("n").as("n_a"))
     val b = banded.select(col("pos"), col("bh"),
@@ -106,9 +122,14 @@ object DedupOps {
       .distinct()
   }
 
-  /** Candidate pairs (doc_a < doc_b) sharing at least one LSH band. */
-  def candidatePairs(docs: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame =
-    candidatesWithCounts(docs, bands, rows).select(col("doc_a"), col("doc_b"))
+  /** Candidate pairs (doc_a < doc_b) sharing at least one LSH band.
+    * `maxBucketSize` caps degenerate buckets (skew guard) — see
+    * [[candidatesWithCounts]]. */
+  def candidatePairs(
+      docs: DataFrame, bands: Int = 16, rows: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
+    candidatesWithCounts(docs, bands, rows, maxBucketSize)
+      .select(col("doc_a"), col("doc_b"))
 
   /** q13 — near-dup pairs: LSH candidates exact-verified at
     * `threshold` Jaccard over 3-word shingles. Output is all-integer

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The spark.sql surface: registered views behave identically to the
+  * DataFrame API (same results, same pushdown), plus the DedupOps skew
+  * guard.
+  */
+class SqlFacadeSpec extends SparkSuite {
+
+  test("registered views: SQL == DataFrame API, pushdown intact") {
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE lang IN ('en','de') ORDER BY doc_id""".stripMargin)
+    val viaDf = graft.queries.ReferenceOps.q01ScanFilter(spark, sf)
+    assert(viaSql.collect().toSeq == viaDf.collect().toSeq)
+    // Catalyst sees through the view: the filter still reaches the scan
+    val plan = viaSql.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(lang"), s"pushdown lost:\n$plan")
+    // the events view carries the normalized timestamp type
+    val tsType = spark.sql("SELECT ts FROM events").schema.head.dataType
+    assert(tsType == org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("SQL window query over views matches q08 formatting") {
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |r AS (SELECT event_type, n,
+        |             row_number() OVER (ORDER BY n DESC, event_type) AS rank
+        |      FROM c)
+        |SELECT concat('Top10-', rank) AS key,
+        |       concat(event_type, ', ', n) AS value
+        |FROM r WHERE rank <= 10 ORDER BY key""".stripMargin)
+    val viaDf = graft.queries.ReferenceOps.q08KvFormat(spark, sf)
+    assert(viaSql.collect().toSeq == viaDf.collect().toSeq)
+  }
+
+  test("dedup skew guard drops degenerate buckets, bounded candidates") {
+    import spark.implicits._
+    val boiler = (0 until 40).map(i => s"same$i").mkString(" ")
+    // 20 identical docs: every band bucket has size 20 -> 190 pairs
+    val docs = (1L to 20L).map(id => (id, boiler)).toDF("doc_id", "text")
+    val uncapped = graft.queries.DedupOps.candidatePairs(docs).count()
+    assert(uncapped == 190L) // 20 choose 2
+    val capped = graft.queries.DedupOps
+      .candidatePairs(docs, maxBucketSize = 10).count()
+    assert(capped == 0L, "oversized buckets must be skipped entirely")
+    // guard leaves normal-size buckets alone
+    val mixed = ((1L to 3L).map(id => (id, boiler)) :+
+      (99L, (100 until 140).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cappedMixed = graft.queries.DedupOps
+      .candidatePairs(mixed, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedMixed == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+}
