@@ -40,6 +40,27 @@ class TokenizerPropsSpec extends SparkSuite {
     assert(tokens.forall(!_.contains(" ")))
   }
 
+  test("HashedShingles == built-in chain on random unicode corpora") {
+    import spark.implicits._
+    // the custom Generator must match the declarative chain on inputs
+    // far outside the ASCII fixture: unicode letters, multi-space runs,
+    // empty and sub-k-token strings
+    val df = corpus(300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val viaGen = df.select($"doc_id",
+      graft.functions.HashedShingles.hashedShingles($"text", 3).as("hs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val viaChain = df
+      .select($"doc_id",
+        explode(graft.queries.DedupOps.shingles($"text", 3)).as("s"))
+      .select($"doc_id", xxhash64($"s").as("hs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(viaGen == viaChain)
+    assert(viaGen.nonEmpty)
+  }
+
   test("token multiset is preserved: n_tokens equals exploded count per doc") {
     import spark.implicits._
     val df = corpus(200).zipWithIndex
