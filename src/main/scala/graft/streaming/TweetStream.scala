@@ -253,6 +253,22 @@ object TweetStream {
       }
       .start()
 
+  /** Per-tag session-window counts — the dynamic-length sibling of
+    * [[slidingTagCounts]] (and the streaming side of the batch q22):
+    * a tag's session stays open while mentions keep arriving within
+    * `gap`, closes after silence, and the state store holds one
+    * in-flight session per active tag (merged as they touch). Append
+    * mode emits sessions only after the watermark closes them —
+    * deterministic, like the top-N path. */
+  def sessionTagCounts(
+      tags: DataFrame,
+      gap: String = "300 seconds",
+      watermarkDelay: String = "1 second"): DataFrame =
+    tags
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("tag"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Streaming exact dedup of parsed tweets by id — the ingest-side
     * sibling of the batch dedup family (q09/q13): at-least-once sources
     * redeliver records, and `dropDuplicatesWithinWatermark` drops the

@@ -186,6 +186,42 @@ class TweetStreamSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("sessionTagCounts: sessions merge within the gap and close after silence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Raw]
+    val sessions = TweetStream.sessionTagCounts(
+      TweetStream.explodeTags(
+        TweetStream.parseTweets(source.toDF(), col("ts"))),
+      gap = "300 seconds", watermarkDelay = "1 second")
+    val query = sessions
+      .select($"session_window.start".cast("long").as("ws"),
+        $"session_window.end".cast("long").as("we"), $"tag", $"cnt")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("session_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-sess").toString)
+      .start()
+    try {
+      // spark at t=10 and t=200 chain one session (gap 300); flink at
+      // t=10 only; a spark mention at t=1000 starts a SECOND session
+      source.addData(
+        Raw(tweet(1, "a", Seq("spark")), at(10)),
+        Raw(tweet(2, "b", Seq("spark")), at(200)),
+        Raw(tweet(3, "c", Seq("flink")), at(10)),
+        Raw(tweet(4, "d", Seq("spark")), at(1000)))
+      query.processAllAvailable()
+      source.addData(Raw(tweet(9, "adv", Seq("adv")), at(10000)))
+      query.processAllAvailable()
+      val rows = spark.table("session_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      assert(rows == Set(
+        (10L, 500L, "spark", 2L),    // merged: 10..200, closes 200+300
+        (10L, 310L, "flink", 1L),
+        (1000L, 1300L, "spark", 1L)), s"got: $rows")
+    } finally query.stop()
+  }
+
   test("dedupedTweets drops redelivered ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
