@@ -74,6 +74,10 @@ object Bench {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
+        // Queries that persist() intermediates (q13) would otherwise hand
+        // later samples a warm cache — every sample must pay the same
+        // cost for the medians to mean anything.
+        spark.catalog.clearCache()
         if (pass > 0)
           samplesByName(name) = samplesByName.getOrElse(name, Vector.empty) :+ dt
       } catch {
@@ -106,10 +110,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val ok = results.filter(_.err.isEmpty)
     val total = ok.map(_.median).sum
+    val tail =
+      s""""iters":$iters,"stat":"median","sf":"$sfDir","n_ok":${ok.size},"n_err":${results.size - ok.size}}"""
+    // stdout gets the COMPACT line (medians only): the full 26-query ×
+    // iters samples blob outgrew the caller's output-tail capture in
+    // round 4 ("parsed: null"), silencing the whole bench signal. Full
+    // samples go to target/bench.json only.
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"samples":$samples,"iters":$iters,"stat":"median","sf":"$sfDir","n_ok":${ok.size},"n_err":${results.size - ok.size}}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,$tail"""
+    val fullLine =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"samples":$samples,$tail"""
     Files.createDirectories(Paths.get("target"))
-    Files.writeString(Paths.get("target/bench.json"), line + "\n")
+    Files.writeString(Paths.get("target/bench.json"), fullLine + "\n")
     println(line)
     spark.stop()
   }

@@ -77,7 +77,7 @@ object AnalyticsOps {
 
   def q23OracleSql: String =
     """SELECT event_type, (user_id % 10)::INT AS user_bucket,
-      |       count(*) AS n, sum(event_id) AS id_sum
+      |       count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
       |FROM events
       |GROUP BY ROLLUP(event_type, (user_id % 10)::INT)
       |ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST""".stripMargin
@@ -145,7 +145,7 @@ object AnalyticsOps {
 
   def q25OracleSql: String =
     """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-      |       sum(event_id) OVER w AS moving_id_sum,
+      |       CAST(sum(event_id) OVER w AS BIGINT) AS moving_id_sum,
       |       count(*) OVER w AS n_in_frame
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id

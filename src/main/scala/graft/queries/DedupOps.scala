@@ -72,9 +72,9 @@ object DedupOps {
       graft.functions.HashedShingles.hashedShingles(col("text"), 3).as("hs"))
 
   /** `(doc_id, h0..h{n-1}, n)` — minhash signature columns plus the
-    * doc's distinct-shingle count, from a single hash aggregate. */
-  private def signatures(docs: DataFrame, numHashes: Int): DataFrame = {
-    val ex = shingleHashes(docs)
+    * doc's distinct-shingle count, from a single hash aggregate over the
+    * exploded `(doc_id, hs)` frame. */
+  private def signatures(ex: DataFrame, numHashes: Int): DataFrame = {
     val hashCols = (0 until numHashes).map(i => xxhash64(lit(i), col("hs")).as(s"h$i"))
     ex.select(col("doc_id") +: hashCols: _*)
       .groupBy(col("doc_id"))
@@ -88,9 +88,9 @@ object DedupOps {
     * Counts ride along from the signature aggregate, so the verify stage
     * needs no extra per-doc join. */
   private def candidatesWithCounts(
-      docs: DataFrame, bands: Int, rows: Int,
+      ex: DataFrame, bands: Int, rows: Int,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val sig = signatures(docs, bands * rows)
+    val sig = signatures(ex, bands * rows)
     val bandHashes = (0 until bands).map { b =>
       xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
     }
@@ -128,7 +128,7 @@ object DedupOps {
   def candidatePairs(
       docs: DataFrame, bands: Int = 16, rows: Int = 4,
       maxBucketSize: Int = Int.MaxValue): DataFrame =
-    candidatesWithCounts(docs, bands, rows, maxBucketSize)
+    candidatesWithCounts(shingleHashes(docs), bands, rows, maxBucketSize)
       .select(col("doc_a"), col("doc_b"))
 
   /** q13 — near-dup pairs: LSH candidates exact-verified at
@@ -147,8 +147,15 @@ object DedupOps {
       bands: Int = 16,
       rows: Int = 4): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // The exploded (doc_id, hs) frame feeds the signature aggregate AND
+    // both verify-join sides. Without a persist, the diamond-shaped DAG
+    // re-runs the shingle-hash pass over the corpus once per consumer
+    // (~3× the text scans — measured as q13's dominant cost in round 4).
+    // The frame is 16 bytes/shingle — exactly the thing you'd persist
+    // once at 100 TB too.
     val ex = shingleHashes(docs)
-    val cand = candidatesWithCounts(docs, bands, rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatesWithCounts(ex, bands, rows)
     // Exact verify on hashed shingles: |A ∩ B| = matching hs rows between
     // the pair's docs (64-bit hashes make cross-shingle collisions
     // negligible, and deterministically so). Work is bounded by

@@ -115,27 +115,32 @@ object MultimodalOps {
 
   /** q20 — batched media embedding over the binary payload via
     * `mapPartitions` (Dataset-typed, executor-side, batch-shaped).
-    * Output is (media_id, fixed-dim integer embedding, payload size);
-    * the DuckDB oracle reproduces the strided sums with `ord()`
-    * arithmetic over the ASCII fixture payload, so even the imperative
-    * path is hash-verified.
+    * Output is (media_id, embedding dims e0..e7 as FLAT BIGINT columns,
+    * payload size) — the honest columnar shape for a fixed-dim feature
+    * vector, and one generic comparison harnesses can sort on (an
+    * `array` column here broke the driver's lexsort in round 4). The
+    * DuckDB oracle reproduces the strided sums with `ord()` arithmetic
+    * over the ASCII fixture payload, so even the imperative path is
+    * hash-verified.
     */
   def q20MediaEmbed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val dims = (0 until EmbedDim).map(k => $"embedding" (k).as(s"e$k"))
     mediaTable(spark, dir)
       .select($"media_id", $"bytes")
       .as[(Long, Array[Byte])]
       .mapPartitions(encodeBatched)
       .toDF("media_id", "embedding", "n_bytes")
+      .select(($"media_id" +: dims :+ $"n_bytes"): _*)
       .orderBy($"media_id")
   }
 
   def q20OracleSql: String = {
     val dims = (0 until EmbedDim).map { k =>
-      s"coalesce(list_sum(list_transform(generate_series(${k + 1}, least(len(text), $EmbedSpan), $EmbedDim), i -> ord(substr(text, i, 1)))), 0)::BIGINT"
-    }.mkString(",\n         ")
+      s"coalesce(list_sum(list_transform(generate_series(${k + 1}, least(len(text), $EmbedSpan), $EmbedDim), i -> ord(substr(text, i, 1)))), 0)::BIGINT AS e$k"
+    }.mkString(",\n       ")
     s"""SELECT doc_id AS media_id,
-       |       [$dims] AS embedding,
+       |       $dims,
        |       len(text)::BIGINT AS n_bytes
        |FROM documents ORDER BY media_id""".stripMargin
   }

@@ -192,7 +192,8 @@ object TextOps {
   def q16OracleSql: String = {
     val scores = LangProfiles.map { case (lang, words) =>
       val list = words.map(w => s"'$w'").mkString(", ")
-      s"sum(CASE WHEN t IN ($list) THEN 1 ELSE 0 END) AS score_$lang"
+      // CAST: DuckDB sum() over integers yields HUGEINT; Spark emits BIGINT.
+      s"CAST(sum(CASE WHEN t IN ($list) THEN 1 ELSE 0 END) AS BIGINT) AS score_$lang"
     }.mkString(",\n         ")
     val best = LangProfiles.map(p => s"score_${p._1}").mkString("greatest(", ", ", ")")
     val pred = LangProfiles.init

@@ -42,17 +42,24 @@ class RedisKvSink(host: String, port: Int) extends KvSink {
 
   /** Issue `SET key value`, blocking for the single-line reply.
     * Throws on an error reply (`-ERR …`) — sink failures must surface,
-    * not vanish. */
+    * not vanish. ANY failure (IOException, error reply, partial write)
+    * also drops the connection: the stream may be desynced mid-frame,
+    * and reusing it would poison every subsequent put on a long-lived
+    * handle — the next put reconnects cleanly instead. */
   def put(key: String, value: String): Unit = synchronized {
     ensureConnected()
-    out.write("*3\r\n".getBytes(UTF_8))
-    out.write(bulk("SET".getBytes(UTF_8)))
-    out.write(bulk(key.getBytes(UTF_8)))
-    out.write(bulk(value.getBytes(UTF_8)))
-    out.flush()
-    val reply = readLine()
-    if (reply.isEmpty || reply.charAt(0) != '+')
-      throw new java.io.IOException(s"redis SET failed: $reply")
+    try {
+      out.write("*3\r\n".getBytes(UTF_8))
+      out.write(bulk("SET".getBytes(UTF_8)))
+      out.write(bulk(key.getBytes(UTF_8)))
+      out.write(bulk(value.getBytes(UTF_8)))
+      out.flush()
+      val reply = readLine()
+      if (reply.isEmpty || reply.charAt(0) != '+')
+        throw new java.io.IOException(s"redis SET failed: $reply")
+    } catch {
+      case e: Throwable => teardown(); throw e
+    }
   }
 
   private def readLine(): String = {
@@ -63,7 +70,12 @@ class RedisKvSink(host: String, port: Int) extends KvSink {
     sb.toString
   }
 
-  def close(): Unit = synchronized {
-    if (socket != null && !socket.isClosed) socket.close()
+  private def teardown(): Unit = {
+    if (socket != null) {
+      try socket.close() catch { case _: java.io.IOException => () }
+      socket = null; out = null; in = null
+    }
   }
+
+  override def close(): Unit = synchronized { teardown() }
 }

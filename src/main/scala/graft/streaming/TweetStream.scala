@@ -123,14 +123,29 @@ object TweetStream {
     * per-fire sink cadence. */
   trait KvSink extends Serializable {
     def put(key: String, value: String): Unit
+
+    /** Release any resources this HANDLE holds (connections, buffers) —
+      * never the remote store's data. Executor-side users must call it
+      * per task (see [[startDynamicFilter]]); otherwise each
+      * deserialized copy leaks its connection until GC. No-op default
+      * for stateless sinks. */
+    def close(): Unit = ()
   }
 
-  /** In-memory KV store with last-write-wins SET semantics — the test
-    * stand-in for Redis. The data lives in a JVM-static registry keyed
-    * by store id, so deserialized executor-side copies (local mode:
-    * same JVM) write to the same table the driver-side handle reads —
-    * the same topology as every real KV sink, where the "static table"
-    * is the external server. */
+  /** In-memory KV store with last-write-wins SET semantics — the
+    * TEST-ONLY, LOCAL-MODE-ONLY stand-in for Redis. The data lives in a
+    * JVM-static registry keyed by store id, so deserialized
+    * executor-side copies (local mode: same JVM) write to the same
+    * table the driver-side handle reads — the same topology as every
+    * real KV sink, where the "static table" is the external server. On
+    * a REAL cluster a remote executor's copy would write to ITS JVM's
+    * registry, invisible to the driver: production code wires
+    * [[RedisKvSink]] (or any external store) instead.
+    *
+    * `close()` stays a no-op on purpose — the registry entry IS the
+    * "server", and tasks closing their handles must not drop the data
+    * the test later reads. Call [[dispose]] when done with the store,
+    * or the entry lives for the process lifetime. */
   class InMemoryKvStore extends KvSink {
     private val id = java.util.UUID.randomUUID().toString
     def put(key: String, value: String): Unit =
@@ -139,6 +154,11 @@ object TweetStream {
       import scala.jdk.CollectionConverters._
       InMemoryKvStore.table(id).asScala.toMap
     }
+
+    /** Drop the backing table from the JVM-static registry ("shut down
+      * the server") — the eviction hook the static registry otherwise
+      * lacks. */
+    def dispose(): Unit = InMemoryKvStore.tables.remove(id)
   }
 
   object InMemoryKvStore {
@@ -189,10 +209,11 @@ object TweetStream {
         // collect, then driver-side KV puts + state update, matching the
         // reference's per-fire sink cadence. Puts run in ascending
         // window order: when several windows finalize in one micro-batch
-        // the LATEST window's ranking deterministically wins the
-        // last-write-wins store, mirroring the reference's
-        // latest-fire-wins Redis semantics (an unordered iteration could
-        // leave an older window's — or a mixed — Top10-k state behind).
+        // the latest window's ranking wins every rank IT emits. Ranks
+        // the latest window does NOT fill (fewer than n distinct tags)
+        // keep an older window's — or no — entry: reference-faithful,
+        // since the Flink job's Redis sink also only ever overwrites and
+        // never deletes (TopNHashtags.java:149-171).
         val rows = topNPerWindow(batch, n)
           .select(col("window.start").cast("long").as("ws"),
             col("tag"), col("cnt"), col("rank"))
@@ -246,7 +267,13 @@ object TweetStream {
             .filter(col("tag").isInCollection(current))
             .select(col("id"), col("text")).distinct()
             .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-              rows.foreach(r => sink.put(r.getLong(0).toString, r.getString(1)))
+              // each task deserializes its own sink copy; close it when
+              // the partition is drained (or fails) — otherwise a
+              // long-running stream leaks one connection per partition
+              // per micro-batch until GC
+              try rows.foreach(r =>
+                sink.put(r.getLong(0).toString, r.getString(1)))
+              finally sink.close()
             }
         }
         ()
@@ -301,6 +328,36 @@ object TweetStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .load(dir)
       .select(col("value").as("json"))
+
+  /** Kafka source → the same one-column `json` frame [[parseTweets]]
+    * consumes — the modern deployment of the reference's external
+    * source boundary (its Twitter HTTP client pushed statuses into the
+    * job the way a Kafka topic feeds a consumer group;
+    * TopNHashtags.java:94-95,116-117). One record = one tweet-status
+    * JSON string in the Kafka `value`.
+    *
+    * The whole pipeline runs unchanged over it:
+    * `startTopN(kafkaJsonSource(spark, servers, topic), sink)`.
+    *
+    * Requires the `spark-sql-kafka` connector on the classpath (it
+    * ships separately from Spark core); absent the connector, `.load()`
+    * fails fast with "Failed to find data source: kafka" — the guarded
+    * test pins both outcomes. Offsets default to `latest` like every
+    * fresh consumer; production restarts recover exactly-once from the
+    * checkpoint, not from Kafka offsets.
+    */
+  def kafkaJsonSource(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "latest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(col("value").cast("string").as("json"))
 
   /** Fresh temp dir per call — EPHEMERAL: no restart/recovery story, and
     * the dirs accumulate under /tmp for the process lifetime. The right

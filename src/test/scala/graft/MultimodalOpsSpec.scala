@@ -69,6 +69,10 @@ class MultimodalOpsSpec extends SparkSuite {
     import org.apache.spark.sql.functions._
     val a = MultimodalOps.q20MediaEmbed(spark, sf).collect()
     assert(a.length == 500)
+    // flat scalar dim columns, not an array (generic comparison
+    // harnesses can sort scalars; an array column cannot be lexsorted)
+    assert(MultimodalOps.q20MediaEmbed(spark, sf).columns.toSeq ==
+      "media_id" +: (0 until MultimodalOps.EmbedDim).map(k => s"e$k") :+ "n_bytes")
     // repartitioning must not change results (partition/batch shape
     // independence — the core mapInPandas-equivalence property)
     val b = MultimodalOps.mediaTable(spark, sf)
@@ -82,6 +86,8 @@ class MultimodalOpsSpec extends SparkSuite {
       .toDF("media_id", "embedding", "n_bytes")
       .orderBy("media_id").collect()
     assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
-    assert(a.map(_.getSeq[Long](1)).toSeq == b.map(_.getSeq[Long](1)).toSeq)
+    // q20's flat e0..e7 columns == the raw encoder's array dims
+    assert(a.map(r => (1 to MultimodalOps.EmbedDim).map(r.getLong).toVector).toSeq ==
+      b.map(_.getSeq[Long](1).toVector).toSeq)
   }
 }

@@ -46,6 +46,23 @@ class RedisKvSinkSpec extends AnyFunSuite {
     } finally mock.close()
   }
 
+  test("a failed put drops the connection; the next put reconnects cleanly") {
+    val mock = new MockRedis
+    try {
+      val sink = new RedisKvSink("127.0.0.1", mock.port)
+      sink.put("ok-1", "a")
+      // failure mid-stream must NOT poison the long-lived handle: the
+      // possibly-desynced connection is torn down and the next put opens
+      // a fresh one (the driver-side startTopN sink lives for the whole
+      // stream)
+      intercept[java.io.IOException] { sink.put("boom", "x") }
+      sink.put("ok-2", "b")
+      sink.close()
+      assert(mock.store.get("ok-1") == "a" && mock.store.get("ok-2") == "b")
+      assert(!mock.snapshot.contains("boom"))
+    } finally mock.close()
+  }
+
   test("sink serializes and a deserialized copy reconnects on its own") {
     val mock = new MockRedis
     try {

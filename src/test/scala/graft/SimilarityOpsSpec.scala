@@ -43,6 +43,36 @@ class SimilarityOpsSpec extends SparkSuite {
     }
   }
 
+  test("16 planes (realistic log-N count): candidates ≪ table, recall floor holds") {
+    import spark.implicits._
+    val numPlanes = 16 // 2^16 buckets — the low end of the 1e9-vector config
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("bucket", SimilarityOps.bucket($"embedding", numPlanes))
+    val total = emb.count()
+    // candidate set per probe = own bucket + the numPlanes hamming-1 flips
+    val probes = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), explode(array(
+        $"bucket" +: (0 until numPlanes).map(j =>
+          $"bucket".bitwiseXOR(lit(1 << j))): _*)).as("bucket"))
+    val candPerProbe = emb.join(probes, "bucket")
+      .groupBy($"probe_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(candPerProbe.keySet == (0L until 10L).toSet)
+    val maxFrac = candPerProbe.values.max.toDouble / total
+    info(f"max candidate fraction at $numPlanes planes: $maxFrac%.3f " +
+      s"(counts=${candPerProbe.values.toSeq.sorted.mkString(",")})")
+    assert(maxFrac <= 0.2,
+      f"bucket occupancy did not shrink with plane count: $maxFrac%.3f")
+    // the full query still self-retrieves every probe at rank 1, sim 1.0
+    val rows = SimilarityOps.q14AnnTopK(spark, sf, numPlanes = numPlanes).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.keySet == (0L until 10L).toSet)
+    byProbe.foreach { case (probe, rs) =>
+      val first = rs.minBy(_.getInt(4))
+      assert(first.getLong(1) == probe && first.getDouble(3) == 1.0)
+    }
+  }
+
   test("q14 recall vs brute force is measurable and above floor") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)

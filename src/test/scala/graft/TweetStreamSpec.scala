@@ -283,6 +283,25 @@ class TweetStreamSpec extends SparkSuite {
     } finally { query.stop(); sink.close(); mock.close() }
   }
 
+  test("kafkaJsonSource: builds the standard json frame (guarded offline)") {
+    // The kafka connector jar ships separately from Spark core and is
+    // absent in this offline sandbox. Either outcome is pinned: with the
+    // connector the builder yields the one-column `json` frame every
+    // other source feeds parseTweets; without it, load() must fail fast
+    // naming the missing data source — not return a broken frame.
+    try {
+      val df = TweetStream.kafkaJsonSource(spark, "localhost:9092", "tweets")
+      assert(df.isStreaming)
+      assert(df.columns.toSeq == Seq("json"))
+      assert(df.schema.head.dataType.typeName == "string")
+    } catch {
+      case e: Exception =>
+        val msg = (e.getMessage + Option(e.getCause).map(_.getMessage).mkString)
+          .toLowerCase
+        assert(msg.contains("kafka"), s"unexpected failure: $e")
+    }
+  }
+
   test("topNPerWindow + kvRows batch shape matches the Redis mapper format") {
     import spark.implicits._
     val counts = Seq(
