@@ -45,6 +45,12 @@ object SparkEntry {
     "q24_asof_join"        -> (AnalyticsOps.q24AsofJoin _),
     "q25_moving_sum"       -> (AnalyticsOps.q25MovingSum _),
     "q26_pivot"            -> (AnalyticsOps.q26Pivot _),
+    "q27_ngram_jaccard"    -> (DedupOps.q27NgramJaccard _),
+    "q28_ivf_topk"         -> ((s, d) => SimilarityOps.q28IvfTopK(s, d)),
+    "q29_top_revenue"      -> (RelationalOps.q29TopRevenue _),
+    "q30_set_ops"          -> (RelationalOps.q30SetOps _),
+    "q31_sample_hash"      -> (RelationalOps.q31SampleHash _),
+    "q32_cube"             -> (RelationalOps.q32Cube _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -190,5 +196,22 @@ object SparkEntry {
     "q24_asof_join"     -> AnalyticsOps.q24OracleSql,
     "q25_moving_sum"    -> AnalyticsOps.q25OracleSql,
     "q26_pivot"         -> AnalyticsOps.q26OracleSql,
+
+    // Exact all-pairs n-gram Jaccard: matched unconditionally — prefix
+    // filtering has recall 1 by construction, no fixture-margin argument.
+    "q27_ngram_jaccard" -> DedupOps.q27OracleSql,
+
+    // IVF ANN with the identical centroid constants — like q14, the
+    // oracle verifies the implementation (assignment, probing, ranking),
+    // not just recall on a lucky fixture.
+    "q28_ivf_topk" -> SimilarityOps.q28OracleSql(),
+
+    // TPC-H Q3-shaped join aggregate, exact integer revenue units.
+    "q29_top_revenue" -> RelationalOps.q29OracleSql,
+
+    // Set ops, deterministic hash sampling, cube.
+    "q30_set_ops"     -> RelationalOps.q30OracleSql,
+    "q31_sample_hash" -> RelationalOps.q31OracleSql,
+    "q32_cube"        -> RelationalOps.q32OracleSql,
   )
 }

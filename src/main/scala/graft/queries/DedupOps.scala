@@ -170,4 +170,92 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Character n-gram length for [[q27NgramJaccard]]. */
+  val NgramLen = 4
+
+  /** q27 — EXACT n-gram Jaccard similarity join via prefix filtering
+    * (the AllPairs/PPJoin family) — the deterministic sibling of q13's
+    * probabilistic MinHash-LSH, completing the dedup flavors: exact
+    * (q09), MinHash-LSH (q13), SimHash (q21), n-gram Jaccard (here).
+    *
+    * Prefix-filter principle: order every doc's distinct 4-char-gram
+    * set by GLOBAL gram frequency (rarest first, hash tie-break); for
+    * Jaccard ≥ 1/2 a pair must share at least one gram within the first
+    * `|A| - ⌈|A|/2⌉ + 1` grams of BOTH docs — if all common grams sat
+    * in both suffixes, `|A∩B| ≤ ⌈|A|/2⌉ - 1 < ⌈|A|/2⌉ ≤ |A∩B|` (the
+    * Jaccard overlap bound), a contradiction. So joining PREFIXES is a
+    * complete candidate generator: recall is exactly 1 BY CONSTRUCTION,
+    * with no banding probability at all — the DuckDB all-pairs oracle
+    * matches unconditionally, on any corpus.
+    *
+    * Scale shape: grams ride as 64-bit hashes from the first
+    * projection; the frequency pass is one map-side-combined aggregate
+    * over gram hashes; ordering is one window shuffle on doc_id; the
+    * candidate join shuffles PREFIX rows only (rare grams → tiny
+    * buckets — rarest-first ordering is what makes prefix buckets
+    * small); verify is the same candidate-bounded count as q13. No
+    * all-pairs product anywhere, and unlike LSH there is no missed-pair
+    * risk to tune against.
+    */
+  def q27NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    // distinct char-4-grams, hashed — one narrow projection, text never
+    // leaves the scan stage
+    val ex = docs
+      .filter(length(col("text")) >= NgramLen)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col("text")) - (NgramLen - 1)),
+          i => xxhash64(col("text").substr(i, lit(NgramLen)))))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("g"))
+    val perDoc = Window.partitionBy(col("doc_id"))
+    val ranked = ex.join(freq, "g")
+      .select(col("doc_id"), col("g"),
+        row_number().over(byRarity).as("rk"),
+        count(lit(1)).over(perDoc).as("n"))
+    // threshold t = 1/2 in exact integer arithmetic:
+    // prefix length p = n - ceil(n/2) + 1 = n/2 + 1 (integer division)
+    val prefix = ranked.filter(col("rk") <= col("n") / 2 + 1)
+    val a = prefix.select(col("g"),
+      col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val b = prefix.select(col("g"),
+      col("doc_id").as("doc_b"), col("n").as("n_b"))
+    val cand = a.join(b, "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .distinct()
+    cand
+      .join(ex.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(ex.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
+      .filter(col("n_common") * 2 >= col("n_union"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact all-pairs ground truth for [[q27NgramJaccard]] — matched
+    * unconditionally because prefix filtering has recall 1 by
+    * construction (unlike q13, no fixture-margin argument needed). */
+  def q27OracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(
+       |           generate_series(1, len(text) - ${NgramLen - 1}),
+       |           i -> substr(text, i, $NgramLen))) AS gs
+       |  FROM documents WHERE len(text) >= $NgramLen
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       len(list_intersect(a.gs, b.gs)) AS n_common,
+       |       len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS n_union
+       |FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |WHERE 2 * len(list_intersect(a.gs, b.gs)) >=
+       |      len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational surface beyond the reference and beyond [[AnalyticsOps]]:
+  * a fact-to-fact TPC-H-style join aggregate (q29), set operations
+  * (q30), deterministic hash sampling (q31), and cube aggregates (q32).
+  * SURVEY §2.2 lists set ops as absent from the reference and its only
+  * join as a broadcast semi-join; these queries complete the relational
+  * algebra a migrating user expects, each with the deterministic-output
+  * discipline the oracle gate demands.
+  */
+object RelationalOps {
+
+  /** Date splitting "old orders" from "still-shipping lineitems" —
+    * mid-range of the fixture's 1995-2001 span (TPC-H Q3's shape). */
+  val RevenueCutoff = "1998-01-01"
+
+  /** q29 — shipping-priority revenue top-10 (the classic TPC-H Q3
+    * shape): lineitem ⋈ orders ⋈ customer with selective filters on all
+    * three inputs, revenue aggregate per order, top 10 by revenue.
+    *
+    * This is the engine's one genuinely BIG join — fact-to-fact
+    * (lineitem ⋈ orders), both sides filtered BEFORE the join (the
+    * filters push to the parquet scans), shuffled on the join key with
+    * map-side partial aggregation after; the filtered customer
+    * dimension is explicitly broadcast so the fact stream never
+    * shuffles for it. At 100 TB this plan survives as-is: AQE sizes the
+    * post-filter shuffle, and the top-10 is `TakeOrderedAndProject`
+    * (per-partition top-k, k rows to the driver — never a global sort).
+    *
+    * Revenue is EXACT integer "cent-percent" units:
+    * `price_cents × (100 − discount_pct)` — double arithmetic would
+    * make the sum partitioning-order-dependent; integers commute.
+    */
+  def q29TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit(RevenueCutoff).cast("timestamp")
+    val cust = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < cutoff)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" > cutoff)
+      .select($"l_orderkey",
+        (round($"l_extendedprice" * 100).cast("long") *
+          (lit(100L) - round($"l_discount" * 100).cast("long"))).as("rev_cp"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum($"rev_cp").as("revenue_cp"), count(lit(1)).as("n_items"))
+      // parquet timestamps load as TIMESTAMP_NTZ; session tz is UTC, so
+      // the cast is a pure type change and epoch_us matches DuckDB
+      .select($"o_orderkey",
+        unix_micros($"o_orderdate".cast("timestamp")).as("odate_us"),
+        $"o_orderpriority", $"revenue_cp", $"n_items")
+      .orderBy($"revenue_cp".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  def q29OracleSql: String =
+    s"""SELECT o_orderkey, epoch_us(o_orderdate) AS odate_us, o_orderpriority,
+       |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+       |                (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cp,
+       |       count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '$RevenueCutoff'
+       |  AND l_shipdate  > TIMESTAMP '$RevenueCutoff'
+       |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue_cp DESC, o_orderkey
+       |LIMIT 10""".stripMargin
+
+  /** The q30 operand sets: A = long documents, B = low-numbered
+    * sources. Chosen to overlap partially so all three ops have
+    * non-trivial results. */
+  val LongDocChars = 300
+  val SetOpSources: Seq[String] = (0 until 5).map(i => s"src$i")
+
+  /** q30 — set operations: INTERSECT / UNION / EXCEPT of two id sets,
+    * tagged and stacked into one deterministic relation. Spark compiles
+    * each to an aggregate or left-anti join over the shared shuffle key
+    * — no sort, no driver involvement; at scale each op is one shuffle
+    * on `doc_id` (and AQE merges the reused exchange of the shared
+    * scan). The reference has NO set operations (SURVEY §2.2). */
+  def q30SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val a = docs.filter($"n_chars" >= LongDocChars).select($"doc_id")
+    val b = docs.filter($"source".isin(SetOpSources: _*)).select($"doc_id")
+    a.intersect(b).select(lit("intersect").as("op"), $"doc_id")
+      .unionAll(a.union(b).distinct()
+        .select(lit("union").as("op"), $"doc_id"))
+      .unionAll(a.except(b).select(lit("except").as("op"), $"doc_id"))
+      .orderBy($"op", $"doc_id")
+  }
+
+  def q30OracleSql: String = {
+    val srcs = SetOpSources.map(s => s"'$s'").mkString(", ")
+    val a = s"SELECT doc_id FROM documents WHERE n_chars >= $LongDocChars"
+    val b = s"SELECT doc_id FROM documents WHERE source IN ($srcs)"
+    s"""SELECT 'intersect' AS op, doc_id FROM ($a INTERSECT $b)
+       |UNION ALL
+       |SELECT 'union' AS op, doc_id FROM ($a UNION $b)
+       |UNION ALL
+       |SELECT 'except' AS op, doc_id FROM ($a EXCEPT $b)
+       |ORDER BY op, doc_id""".stripMargin
+  }
+
+  /** Modulus for the 1-in-16 content-hash sample. */
+  val SampleMod = 16
+
+  /** q31 — deterministic content-hash sampling: keep documents whose
+    * md5(text) ≡ 0 (mod 16). The sampling primitive a training
+    * pipeline needs is NOT `rand()`-based `sample()` — a rerun, a
+    * retry, or another engine must select the SAME rows (reproducible
+    * experiments, resumable jobs), and content-keyed hashing also
+    * samples consistently across duplicated/re-crawled rows. A narrow
+    * codegen'd filter; pushes nothing to the scan but reads only the
+    * needed columns, and composes with any downstream op. */
+  def q31SampleHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(
+        conv(substring(md5($"text"), 1, 4), 16, 10).cast("long")
+          % SampleMod === 0)
+      .select($"doc_id", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  def q31OracleSql: String =
+    s"""SELECT doc_id, source, n_chars
+       |FROM documents
+       |WHERE ('0x' || substr(md5(text), 1, 4))::BIGINT % $SampleMod = 0
+       |ORDER BY doc_id""".stripMargin
+
+  /** q32 — cube aggregate: counts and an exact integer checksum over
+    * ALL grouping combinations of (event_type, user_bucket) — the
+    * 2^d-combination sibling of q23's rollup (which emits only the d+1
+    * hierarchical levels). One Expand + one hash aggregate: each input
+    * row fans out to 4 grouping-set rows BEFORE the shuffle and
+    * partial aggregation compacts them map-side, so the shuffle
+    * carries at most 4× the distinct-group count, not 4× the data. */
+  def q32Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("user_bucket", ($"user_id" % 10).cast("int"))
+      .cube($"event_type", $"user_bucket")
+      .agg(count(lit(1)).as("n"), sum($"event_id").as("id_sum"))
+      .orderBy($"event_type".asc_nulls_first, $"user_bucket".asc_nulls_first)
+  }
+
+  def q32OracleSql: String =
+    """SELECT event_type, (user_id % 10)::INT AS user_bucket,
+      |       count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
+      |FROM events
+      |GROUP BY CUBE(event_type, (user_id % 10)::INT)
+      |ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST""".stripMargin
+}

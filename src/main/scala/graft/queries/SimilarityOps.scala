@@ -101,6 +101,127 @@ object SimilarityOps {
       .orderBy($"probe_id", $"rank")
   }
 
+  // ---------------------------------------------------------------- q28
+
+  /** IVF cell count (the "nlist" of a FAISS-style inverted-file index)
+    * and probed-cell count ("nprobe"). */
+  val NumCells = 16
+  val NumProbedCells = 4
+
+  /** Offset keeping centroid LCG indices disjoint from the hyperplane
+    * indices of [[planeComponent]] (those span j*Dim+i < 16*64). */
+  private val CentroidSeed = 10000L
+
+  /** Centroid component c(cell, i) in [-0.5, 0.5) — same double-round
+    * LCG construction as [[planeComponent]], disjoint index space.
+    * (A production IVF trains centroids with k-means; deterministic
+    * pseudo-random centroids keep the FIXTURE oracle exact while the
+    * operator shape — assign, invert, probe — is the real product.) */
+  def centroidComponent(cell: Int, i: Int): Double = {
+    val idx = CentroidSeed + cell.toLong * Dim + i
+    val v1 = (A * idx + C) % M
+    val v2 = (A * v1 + C) % M
+    v2.toDouble / M - 0.5
+  }
+
+  private def centroidLit(c: Int): Column =
+    typedlit((0 until Dim).map(centroidComponent(c, _)))
+
+  private def centroidSql(c: Int): String =
+    (0 until Dim).map(i => centroidComponent(c, i).toString).mkString("[", ", ", "]")
+
+  /** q28 — IVF (inverted-file) ANN: every vector is assigned to its
+    * nearest centroid's cell (argmax inner product, first-max
+    * tie-break); a probe searches only its `NumProbedCells` best cells.
+    * The coarse-quantizer sibling of q14's sign-LSH: LSH buckets come
+    * from random projections, IVF cells adapt to where the vectors
+    * actually are (with trained centroids), which is why it is the
+    * production default (FAISS IVF*) at the 1e9-vector scale.
+    *
+    * Plan shape: cell assignment is a narrow projection (16 codegen'd
+    * dot products); the probe side is `numProbes × NumProbedCells` rows
+    * BROADCAST against the table; candidates = equi-join on `cell`, so
+    * each probe scores ~nprobe/nlist of the table. At scale the table
+    * side would be WRITTEN bucketed by cell (DISK layout = the inverted
+    * file), turning the probe join into a partition-pruned scan of 4 of
+    * 16384 cells — the plan here is that same join minus the storage
+    * layout. Each vector lives in exactly ONE cell, so probe×candidate
+    * pairs are unique without dedup.
+    */
+  def q28IvfTopK(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 10,
+      numProbes: Int = 10): DataFrame = {
+    import spark.implicits._
+    val dots = array((0 until NumCells).map(c =>
+      PipelineOps.dot($"embedding", centroidLit(c))): _*)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("dots", dots)
+      .withColumn("cell",
+        (array_position($"dots", array_max($"dots")) - 1).cast("int"))
+    // probe's best cells: sort (dot desc, cell asc) via negated-dot
+    // struct sort (exact: IEEE negation flips order bit-for-bit)
+    val byBest = sort_array(array((0 until NumCells).map(c =>
+      struct((-$"dots" (c)).as("nd"), lit(c).as("cell"))): _*))
+    val probes = emb
+      .filter($"vec_id" < numProbes)
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"),
+        explode(transform(slice(byBest, 1, NumProbedCells), s => s("cell")))
+          .as("cell"))
+    val scored = emb
+      .join(broadcast(probes), "cell")
+      .withColumn("sim", round(PipelineOps.cosine($"embedding", $"p_emb"), 6))
+    val byProbe = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")
+    scored
+      .withColumn("rank", row_number().over(byProbe))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"vec_id", $"label", $"sim", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** DuckDB oracle for [[q28IvfTopK]] — identical centroid constants,
+    * assignment, probing, and ranking; like q14's oracle it verifies
+    * the IVF implementation itself, not just recall. */
+  def q28OracleSql(k: Int = 10, numProbes: Int = 10): String = {
+    val dotsList = (0 until NumCells)
+      .map(c => s"list_dot_product(e, ${centroidSql(c)})")
+      .mkString("[\n           ", ",\n           ", "]")
+    s"""WITH b0 AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+       |), d0 AS (
+       |  SELECT vec_id, label, e,
+       |         $dotsList AS dots
+       |  FROM b0
+       |), a AS (
+       |  SELECT vec_id, label, e,
+       |         list_position(dots, list_aggregate(dots, 'max')) - 1 AS cell
+       |  FROM d0
+       |), pc AS (
+       |  SELECT vec_id AS probe_id, e AS pe, dots,
+       |         unnest(generate_series(0, ${NumCells - 1})) AS cell
+       |  FROM d0 WHERE vec_id < $numProbes
+       |), p AS (
+       |  SELECT probe_id, pe, cell FROM (
+       |    SELECT probe_id, pe, cell,
+       |           row_number() OVER (PARTITION BY probe_id
+       |                              ORDER BY dots[cell + 1] DESC, cell) AS rn
+       |    FROM pc)
+       |  WHERE rn <= $NumProbedCells
+       |), s AS (
+       |  SELECT p.probe_id, a.vec_id, a.label,
+       |         round(list_dot_product(a.e, p.pe) /
+       |               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(p.pe, p.pe))), 6) AS sim
+       |  FROM a JOIN p USING (cell)
+       |), r AS (
+       |  SELECT probe_id, vec_id, label, sim,
+       |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM s
+       |)
+       |SELECT probe_id, vec_id, label, sim, rank FROM r WHERE rank <= $k
+       |ORDER BY probe_id, rank""".stripMargin
+  }
+
   /** DuckDB oracle for [[q14AnnTopK]] — the same buckets (identical
     * hyperplane constants), join, scoring, and ranking in ANSI SQL. */
   def q14OracleSql(k: Int = 10, numPlanes: Int = 4, numProbes: Int = 10): String = {

@@ -296,6 +296,43 @@ object TweetStream {
       .groupBy(session_window(col("ts"), gap), col("tag"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Per-tag milestone alerts via EXPLICIT keyed state
+    * (`flatMapGroupsWithState`) — the arbitrary-stateful-operator
+    * primitive, which none of the built-in aggregations can express:
+    * emit `(tag, milestone)` exactly once when a tag's all-time mention
+    * total first reaches each power of two (1, 2, 4, 8, …). The closest
+    * reference shape is the co-flatmap's hand-rolled operator state
+    * (TopNHashtags.java:303,329-334); this is the disciplined Spark
+    * version — state is typed `(total, nextMilestone)`, partitioned by
+    * key, checkpointed, and bounded (two longs per distinct tag).
+    *
+    * Emission is BATCH-BOUNDARY INDEPENDENT: whether 5 mentions arrive
+    * in one micro-batch or five, the same milestone set comes out
+    * (spec-pinned) — data-dependent emission with exactly-once-per-
+    * milestone semantics is precisely what the flatMap (0..n rows out
+    * per group per batch) contract exists for. The log-spaced schedule
+    * is how a 100 TB firehose monitor avoids emitting per-event.
+    */
+  def tagMilestones(tags: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = tags.sparkSession
+    import spark.implicits._
+    tags.select(col("tag")).as[String]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[(Long, Long), (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tag: String, rows: Iterator[String], state: GroupState[(Long, Long)]) =>
+          val (prevTotal, firstMilestone) = state.getOption.getOrElse((0L, 1L))
+          val total = prevTotal + rows.size
+          var m = firstMilestone
+          val out = Seq.newBuilder[(String, Long)]
+          while (total >= m) { out += ((tag, m)); m *= 2 }
+          state.update((total, m))
+          out.result().iterator
+      }
+      .toDF("tag", "milestone")
+  }
+
   /** Streaming exact dedup of parsed tweets by id — the ingest-side
     * sibling of the batch dedup family (q09/q13): at-least-once sources
     * redeliver records, and `dropDuplicatesWithinWatermark` drops the

@@ -80,6 +80,36 @@ class DedupOpsSpec extends SparkSuite {
     assert(out == Map(1L -> 2L))
   }
 
+  test("q27: prefix-filter ssjoin == exact all-pairs ground truth") {
+    import spark.implicits._
+    val q = DedupOps.q27NgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // independent exact ground truth on STRING grams (no hashing): the
+    // prefix filter guarantees recall 1 by construction, so equality
+    // must hold on any corpus — not just a lucky fixture margin
+    val grams = Tables.documents(spark, sf)
+      .filter(length($"text") >= DedupOps.NgramLen)
+      .select($"doc_id", array_distinct(transform(
+        sequence(lit(1), length($"text") - (DedupOps.NgramLen - 1)),
+        i => $"text".substr(i, lit(DedupOps.NgramLen)))).as("gs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val exact = (for {
+      (a, ga) <- grams; (b, gb) <- grams if a < b
+      common = (ga & gb).size
+      union = ga.size + gb.size - common
+      if 2 * common >= union
+    } yield (a, b, common.toLong, union.toLong)).toSet
+    assert(q == exact)
+    assert(q.nonEmpty) // fixture plants near-dups; vacuous pass is a bug
+  }
+
+  test("q27 plan has no cartesian/all-pairs join") {
+    val plan = DedupOps.q27NgramJaccard(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+  }
+
   test("q13 plan has no cartesian/all-pairs join") {
     val plan = DedupOps.q13NeardupPairs(spark, sf)
       .queryExecution.executedPlan.toString

@@ -1,0 +1,87 @@
+package graft
+
+import graft.queries.RelationalOps
+import org.apache.spark.sql.functions._
+
+/** Relational-surface specs: TPC-H-style join aggregate (q29), set-op
+  * algebra invariants (q30), hash-sample determinism (q31), and cube
+  * grouping-set structure vs the rollup (q32).
+  */
+class RelationalOpsSpec extends SparkSuite {
+
+  test("q29: top-10 by exact integer revenue, recomputed independently") {
+    import spark.implicits._
+    val rows = RelationalOps.q29TopRevenue(spark, sf).collect()
+    assert(rows.length == 10)
+    val revs = rows.map(_.getLong(3)).toSeq
+    assert(revs == revs.sorted.reverse) // ordered desc
+    assert(revs.forall(_ > 0))
+    // recompute the winner's revenue from the base tables directly
+    val top = rows.head
+    val cutoff = lit(RelationalOps.RevenueCutoff).cast("timestamp")
+    val expected = Tables.lineitem(spark, sf)
+      .filter($"l_orderkey" === top.getLong(0) && $"l_shipdate" > cutoff)
+      .select((round($"l_extendedprice" * 100).cast("long") *
+        (lit(100L) - round($"l_discount" * 100).cast("long"))).as("rc"))
+      .agg(sum($"rc")).collect().head.getLong(0)
+    assert(top.getLong(3) == expected)
+    // the customer dimension must come in as a broadcast, not a shuffle
+    val plan = RelationalOps.q29TopRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("q30: set-operation algebra holds (|A∩B|+|A∖B|=|A|, inclusion-exclusion)") {
+    import spark.implicits._
+    val byOp = RelationalOps.q30SetOps(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val docs = Tables.documents(spark, sf)
+    val a = docs.filter($"n_chars" >= RelationalOps.LongDocChars)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val b = docs.filter($"source".isin(RelationalOps.SetOpSources: _*))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(byOp("intersect") == (a & b))
+    assert(byOp("union") == (a | b))
+    assert(byOp("except") == (a -- b))
+    assert(byOp("intersect").size + byOp("except").size == a.size)
+    assert(byOp("union").size == a.size + b.size - byOp("intersect").size)
+    assert(byOp("intersect").nonEmpty && byOp("except").nonEmpty) // non-vacuous
+  }
+
+  test("q31: hash sample is deterministic, plausible rate, true subset") {
+    val s1 = RelationalOps.q31SampleHash(spark, sf).collect()
+      .map(_.getLong(0)).toSeq
+    val s2 = RelationalOps.q31SampleHash(spark, sf).collect()
+      .map(_.getLong(0)).toSeq
+    assert(s1 == s2) // rerun selects the same rows — the whole point
+    val total = Tables.documents(spark, sf).count()
+    val rate = s1.size.toDouble / total
+    assert(rate > 1.0 / 64 && rate < 1.0 / 4,
+      f"1-in-${RelationalOps.SampleMod} sample rate implausible: $rate%.4f")
+    val all = Tables.documents(spark, sf).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.forall(all.contains))
+  }
+
+  test("q32: cube ⊇ rollup, plus the per-bucket slice rollup lacks") {
+    val cube = RelationalOps.q32Cube(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        r.getLong(2), r.getLong(3))).toSet
+    val rollup = graft.queries.AnalyticsOps.q23Rollup(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(rollup.subsetOf(cube))
+    // the extra grouping set: (NULL, bucket) — per-bucket across types
+    val bucketOnly = cube.filter(t => t._1.isEmpty && t._2.isDefined)
+    assert(bucketOnly.nonEmpty)
+    assert((cube -- rollup) == bucketOnly)
+    // grand total row counts every event
+    val total = Tables.events(spark, sf).count()
+    val grand = cube.find(t => t._1.isEmpty && t._2.isEmpty).get
+    assert(grand._3 == total)
+    // every grouping set sums to the same total
+    val fullGroups = cube.filter(t => t._1.isDefined && t._2.isDefined)
+    assert(fullGroups.toSeq.map(_._3).sum == total)
+  }
+}

@@ -73,6 +73,33 @@ class SimilarityOpsSpec extends SparkSuite {
     }
   }
 
+  test("q28 IVF: cells partition the table, probes self-retrieve, recall floor") {
+    import spark.implicits._
+    val dots = array((0 until SimilarityOps.NumCells).map(c =>
+      graft.queries.PipelineOps.dot($"embedding",
+        typedlit((0 until SimilarityOps.Dim)
+          .map(SimilarityOps.centroidComponent(c, _))))): _*)
+    val cells = Tables.embeddings(spark, sf)
+      .withColumn("cell",
+        (array_position(dots, array_max(dots)) - 1).cast("int"))
+      .groupBy($"cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // every vector in exactly one valid cell; no cell degenerates to all
+    assert(cells.keys.forall(c => c >= 0 && c < SimilarityOps.NumCells))
+    assert(cells.values.sum == 500)
+    assert(cells.values.max < 500)
+    val rows = SimilarityOps.q28IvfTopK(spark, sf).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.keySet == (0L until 10L).toSet)
+    byProbe.foreach { case (probe, rs) =>
+      val first = rs.minBy(_.getInt(4))
+      // the probe's own cell is always its best cell -> self at rank 1
+      assert(first.getLong(1) == probe && first.getDouble(3) == 1.0)
+      val sims = rs.sortBy(_.getInt(4)).map(_.getDouble(3)).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+
   test("q14 recall vs brute force is measurable and above floor") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)

@@ -283,6 +283,34 @@ class TweetStreamSpec extends SparkSuite {
     } finally { query.stop(); sink.close(); mock.close() }
   }
 
+  test("tagMilestones: power-of-two alerts fire once, independent of batching") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def run(batches: Seq[Seq[String]], name: String): Seq[(String, Long)] = {
+      val source = MemoryStream[String]
+      val q = TweetStream.tagMilestones(source.toDF().select($"value".as("tag")))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"ckpt-$name").toString)
+        .start()
+      try {
+        batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      } finally q.stop()
+    }
+
+    // a×5, b×2 split across three batches...
+    val split = run(Seq(Seq("a", "a", "a"), Seq("a", "b"), Seq("a", "b")), "ms1")
+    // ...and the same multiset in one batch
+    val oneShot = run(Seq(Seq("a", "a", "a", "a", "a", "b", "b")), "ms2")
+    val expected = Seq(("a", 1L), ("a", 2L), ("a", 4L), ("b", 1L), ("b", 2L))
+    assert(split == expected, s"split-batch run: $split")
+    // batch boundaries must not change WHAT is emitted — only when
+    assert(oneShot == expected, s"one-shot run: $oneShot")
+  }
+
   test("kafkaJsonSource: builds the standard json frame (guarded offline)") {
     // The kafka connector jar ships separately from Spark core and is
     // absent in this offline sandbox. Either outcome is pinned: with the
