@@ -51,6 +51,10 @@ object SparkEntry {
     "q30_set_ops"          -> (RelationalOps.q30SetOps _),
     "q31_sample_hash"      -> (RelationalOps.q31SampleHash _),
     "q32_cube"             -> (RelationalOps.q32Cube _),
+    // q33 has NO oracle entry by design: HLL++ estimates are
+    // engine-specific (driver records the weaker rows-only check; the
+    // spec pins relative error vs the exact count).
+    "q33_approx_distinct"  -> (RelationalOps.q33ApproxDistinct _),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -219,8 +219,12 @@ object DedupOps {
         row_number().over(byRarity).as("rk"),
         count(lit(1)).over(perDoc).as("n"))
     // threshold t = 1/2 in exact integer arithmetic:
-    // prefix length p = n - ceil(n/2) + 1 = n/2 + 1 (integer division)
+    // prefix length p = n - ceil(n/2) + 1 = n/2 + 1 (integer division).
+    // Persisted: both self-join sides consume it, and without the cache
+    // the whole freq-join + window pipeline executes twice (observed in
+    // the executed plan — same diamond-reuse rule as `ex` above).
     val prefix = ranked.filter(col("rk") <= col("n") / 2 + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = prefix.select(col("g"),
       col("doc_id").as("doc_a"), col("n").as("n_a"))
     val b = prefix.select(col("g"),

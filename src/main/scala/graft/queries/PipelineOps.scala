@@ -99,12 +99,22 @@ object PipelineOps {
       .orderBy($"r_name", $"n_name")
   }
 
-  /** Dot product of two float vectors, computed in double precision as a
-    * strict left-to-right fold — matches DuckDB `list_dot_product` on
-    * `DOUBLE[]` casts bit-for-bit, keeping the oracle hash-stable. Pure
-    * codegen'd higher-order functions; no UDF.
+  /** Dot product of two float/double vectors, computed in double
+    * precision as a strict left-to-right fold — matches DuckDB
+    * `list_dot_product` on `DOUBLE[]` casts bit-for-bit, keeping the
+    * oracle hash-stable. Backed by the codegen'd
+    * [[graft.functions.DotProduct]] expression; [[dotViaLambdas]] is
+    * the built-in higher-order formulation it replaced (identical
+    * semantics, spec-verified bit-for-bit; interpreted per-element, so
+    * measurably slower on the 64-dim kernel that q12/q14/q28 evaluate
+    * up to 17× per row).
     */
   private[graft] def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dotProduct(a, b)
+
+  /** Reference formulation of [[dot]] via built-in higher-order
+    * functions — kept as the differential-test baseline. */
+  private[graft] def dotViaLambdas(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -162,4 +162,56 @@ object RelationalOps {
       |FROM events
       |GROUP BY CUBE(event_type, (user_id % 10)::INT)
       |ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST""".stripMargin
+
+  /** Salted equi-join for SKEWED keys: the fact side gets a uniform
+    * salt derived from its row identity; the dim side is replicated
+    * once per salt value; the join key becomes `(key, salt)`, so one
+    * hot key's rows spread over `saltFactor` shuffle partitions instead
+    * of melting a single task. Result is EXACTLY the plain
+    * `fact ⋈ dim on key` (spec-asserted) — salting is a plan-shape
+    * technique, not a semantic change.
+    *
+    * When to reach for it at 100 TB: the dim is too big to broadcast
+    * AND the fact key is Zipf-skewed (the web-corpus norm). AQE's
+    * skew-join split handles sort-merge cases automatically; explicit
+    * salting remains the tool when AQE can't help — aggregation-
+    * before-join shapes, or storage-partitioned joins where the
+    * runtime can't re-split a partition.
+    *
+    * @param saltFactor dim replication count = per-key spread; size it
+    *        to ~(hot-key rows / target partition rows), typically 8-64.
+    */
+  def saltedEquiJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      factId: String,
+      saltFactor: Int = 8): DataFrame = {
+    val salted = fact.withColumn("salt",
+      pmod(xxhash64(col(factId)), lit(saltFactor)).cast("int"))
+    val replicated = dim.withColumn("salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "salt")).drop("salt")
+  }
+
+  /** q33 — approximate distinct counting (HyperLogLog++): per
+    * event_type, the approximate and exact distinct user counts side
+    * by side. At 100 TB, exact `count(DISTINCT …)` on a high-
+    * cardinality key is a full shuffle of every distinct value;
+    * the HLL sketch is a few KB per group, merges map-side, and is the
+    * only sane default for cardinality monitoring. Spark's HLL++ is
+    * deterministic for a given dataset (hash-based, merge-commutative)
+    * but its exact estimate is engine-specific — so NO DuckDB oracle
+    * (the driver records the weaker rows-only check); the spec pins
+    * the relative error against the exact count instead. */
+  def q33ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id").as("approx_users"),
+        countDistinct($"user_id").as("exact_users"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
 }

@@ -65,4 +65,41 @@ class PipelineOpsSpec extends SparkSuite {
     val sims = rows.map(_.getDouble(2)).toSeq
     assert(sims == sims.sorted.reverse)
   }
+
+  test("DotProduct expression == zip_with/aggregate chain, bit for bit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // float × float over every fixture pair against the vec-0 probe
+    val emb = Tables.embeddings(spark, sf)
+    val probe = emb.filter($"vec_id" === 0).select($"embedding".as("p"))
+    val both = emb.crossJoin(broadcast(probe))
+      .select($"vec_id",
+        PipelineOps.dot($"embedding", $"p").as("fast"),
+        PipelineOps.dotViaLambdas($"embedding", $"p").as("ref"))
+      .collect()
+    assert(both.length == 500)
+    both.foreach { r =>
+      // bit equality, not epsilon: same fold order, same widening
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)), s"row $r")
+    }
+    // float × double-literal (the hyperplane/centroid shape)
+    val plane = typedlit((0 until 64).map(i =>
+      graft.queries.SimilarityOps.planeComponent(0, i)))
+    val mixed = emb.select(
+      PipelineOps.dot($"embedding", plane).as("fast"),
+      PipelineOps.dotViaLambdas($"embedding", plane).as("ref")).collect()
+    mixed.foreach(r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
+    // nulls and length mismatch: null out, like the padded zip_with sum
+    val edge = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0, 4.0))),
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0))), // length mismatch
+      (None, Some(Seq(1.0)))                   // null array
+    ).toDF("a", "b")
+      .select(PipelineOps.dot($"a", $"b").as("d")).collect()
+    assert(edge(0).getDouble(0) == 11.0)
+    assert(edge(1).isNullAt(0) && edge(2).isNullAt(0))
+  }
 }

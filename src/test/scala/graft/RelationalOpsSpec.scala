@@ -64,6 +64,43 @@ class RelationalOpsSpec extends SparkSuite {
     assert(s1.forall(all.contains))
   }
 
+  test("saltedEquiJoin == plain join, and the join key carries the salt") {
+    import spark.implicits._
+    val fact = Tables.events(spark, sf)
+      .select($"event_id", $"event_type", $"user_id")
+    val dim = Tables.events(spark, sf)
+      .groupBy($"event_type").agg(count(lit(1)).as("type_total"))
+    val salted = RelationalOps
+      .saltedEquiJoin(fact, dim, "event_type", "event_id")
+    val plain = fact.join(dim, "event_type")
+    // exact semantic equivalence (multiset equality via sorted rows)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id", $"event_type", $"user_id", $"type_total")
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(canon(salted) == canon(plain))
+    assert(salted.count() == fact.count()) // inner join loses nothing
+    // plan: the shuffle key must include the salt (both sides), which
+    // is the whole point — one hot event_type spreads over saltFactor
+    // partitions instead of one task
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("salt"), s"salt not in the physical join keys:\n$plan")
+  }
+
+  test("q33: HLL approx distinct within 10% of exact per group") {
+    val rows = RelationalOps.q33ApproxDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(exact > 0)
+      val relErr = math.abs(approx - exact).toDouble / exact
+      assert(relErr <= 0.10,
+        s"${r.getString(0)}: approx=$approx exact=$exact relErr=$relErr")
+    }
+    // deterministic: HLL++ is hash-based and merge-commutative
+    val again = RelationalOps.q33ApproxDistinct(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("q32: cube ⊇ rollup, plus the per-bucket slice rollup lacks") {
     val cube = RelationalOps.q32Cube(spark, sf).collect()
       .map(r => (Option(r.getString(0)), if (r.isNullAt(1)) None else Some(r.getInt(1)),

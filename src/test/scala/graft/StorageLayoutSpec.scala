@@ -38,6 +38,42 @@ class StorageLayoutSpec extends SparkSuite {
     assert(read.count() == expected && expected > 0)
   }
 
+  test("bucketed tables: co-located equi-join plans with no shuffle exchange") {
+    import spark.implicits._
+    val p1 = java.nio.file.Files.createTempDirectory("ev-bucketed").toString
+    val p2 = java.nio.file.Files.createTempDirectory("usr-bucketed").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // both sides bucketed (and sorted) on the join key with the SAME
+      // bucket count — the disk layout IS the partitioning, so the join
+      // needs no exchange at all. At 100 TB this is the difference
+      // between re-shuffling the fact table on every join and never
+      // shuffling it again after ingest.
+      Tables.events(spark, sf)
+        .select($"event_id", $"user_id", $"event_type")
+        .write.mode("overwrite").option("path", p1)
+        .bucketBy(8, "user_id").sortBy("user_id").saveAsTable("ev_bucketed")
+      Tables.events(spark, sf)
+        .groupBy($"user_id").agg(count(lit(1)).as("n_total"))
+        .write.mode("overwrite").option("path", p2)
+        .bucketBy(8, "user_id").sortBy("user_id").saveAsTable("usr_bucketed")
+      // forbid broadcast so the co-location is what's being tested
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("ev_bucketed")
+        .join(spark.table("usr_bucketed"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and it computes the same thing as the shuffling equivalent
+      val expected = Tables.events(spark, sf).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+      spark.sql("DROP TABLE IF EXISTS usr_bucketed")
+    }
+  }
+
   test("json-lines round trip with explicit schema drops malformed records") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("docs-json").toString
