@@ -171,15 +171,24 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Character n-gram length for [[q27NgramJaccard]]. */
-  val NgramLen = 4
+  /** Token n-gram size for [[q27NgramJaccard]]. Word grams, not char
+    * grams, on purpose: gram document-frequency must be SPARSE for
+    * prefix filtering to prune. This fixture's vocabulary is ~31
+    * distinct tokens, so char-4-grams repeat across most of the corpus
+    * — a char-gram formulation measured 369 s at sf0.1 (candidate
+    * blowup: every high-df gram in a prefix joins quadratically) where
+    * token 4-grams measure max df = 6 on the same corpus. The general
+    * lesson holds beyond this fixture: prefix-filter joins need a gram
+    * unit whose frequency distribution is Zipf-sparse, and n
+    * consecutive TOKENS get exponentially sparser as n grows. */
+  val NgramTokens = 4
 
   /** q27 — EXACT n-gram Jaccard similarity join via prefix filtering
     * (the AllPairs/PPJoin family) — the deterministic sibling of q13's
     * probabilistic MinHash-LSH, completing the dedup flavors: exact
     * (q09), MinHash-LSH (q13), SimHash (q21), n-gram Jaccard (here).
     *
-    * Prefix-filter principle: order every doc's distinct 4-char-gram
+    * Prefix-filter principle: order every doc's distinct token-4-gram
     * set by GLOBAL gram frequency (rarest first, hash tie-break); for
     * Jaccard ≥ 1/2 a pair must share at least one gram within the first
     * `|A| - ⌈|A|/2⌉ + 1` grams of BOTH docs — if all common grams sat
@@ -187,28 +196,29 @@ object DedupOps {
     * Jaccard overlap bound), a contradiction. So joining PREFIXES is a
     * complete candidate generator: recall is exactly 1 BY CONSTRUCTION,
     * with no banding probability at all — the DuckDB all-pairs oracle
-    * matches unconditionally, on any corpus.
+    * matches unconditionally, on any corpus. A second exact prune
+    * rides in the join condition: J ≥ 1/2 forces the smaller gram set
+    * to be at least half the larger (`min/max ≥ t`), so size-mismatched
+    * pairs drop before the shuffle-heavy distinct.
     *
-    * Scale shape: grams ride as 64-bit hashes from the first
-    * projection; the frequency pass is one map-side-combined aggregate
-    * over gram hashes; ordering is one window shuffle on doc_id; the
-    * candidate join shuffles PREFIX rows only (rare grams → tiny
-    * buckets — rarest-first ordering is what makes prefix buckets
-    * small); verify is the same candidate-bounded count as q13. No
-    * all-pairs product anywhere, and unlike LSH there is no missed-pair
-    * risk to tune against.
+    * Scale shape: grams ride as 64-bit hashes from the single-pass
+    * [[graft.functions.HashedShingles]] Generator; the frequency pass
+    * is one map-side-combined aggregate over gram hashes; ordering is
+    * one window shuffle on doc_id; the candidate join shuffles PREFIX
+    * rows only (rare grams → tiny buckets — rarest-first ordering is
+    * what makes prefix buckets small); verify is the same
+    * candidate-bounded count as q13. No all-pairs product anywhere,
+    * and unlike LSH there is no missed-pair risk to tune against.
     */
   def q27NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    // distinct char-4-grams, hashed — one narrow projection, text never
-    // leaves the scan stage
+    // distinct token-4-grams, hashed in one narrow Generate pass —
+    // text never leaves the scan stage
     val ex = docs
-      .filter(length(col("text")) >= NgramLen)
       .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), length(col("text")) - (NgramLen - 1)),
-          i => xxhash64(col("text").substr(i, lit(NgramLen)))))).as("g"))
+        graft.functions.HashedShingles
+          .hashedShingles(col("text"), NgramTokens).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id"))
@@ -229,8 +239,10 @@ object DedupOps {
       col("doc_id").as("doc_a"), col("n").as("n_a"))
     val b = prefix.select(col("g"),
       col("doc_id").as("doc_b"), col("n").as("n_b"))
+    // length filter: J >= 1/2 implies min(|A|,|B|)/max(|A|,|B|) >= 1/2
     val cand = a.join(b, "g")
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("n_a") <= col("n_b") * 2 && col("n_b") <= col("n_a") * 2)
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .distinct()
     cand
@@ -247,19 +259,26 @@ object DedupOps {
   /** Exact all-pairs ground truth for [[q27NgramJaccard]] — matched
     * unconditionally because prefix filtering has recall 1 by
     * construction (unlike q13, no fixture-margin argument needed). */
-  def q27OracleSql: String =
+  def q27OracleSql: String = {
+    val gram = (1 to NgramTokens)
+      .map(j => s"toks[i${if (j == 1) "" else s" + ${j - 1}"}]")
+      .mkString(" || ' ' || ")
     s"""WITH t AS (
        |  SELECT doc_id,
        |         list_distinct(list_transform(
-       |           generate_series(1, len(text) - ${NgramLen - 1}),
-       |           i -> substr(text, i, $NgramLen))) AS gs
-       |  FROM documents WHERE len(text) >= $NgramLen
+       |           generate_series(1, greatest(len(toks) - ${NgramTokens - 1}, 0)),
+       |           i -> $gram)) AS gs
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+       |        FROM documents)
        |)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       len(list_intersect(a.gs, b.gs)) AS n_common,
        |       len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS n_union
        |FROM t a JOIN t b ON a.doc_id < b.doc_id
-       |WHERE 2 * len(list_intersect(a.gs, b.gs)) >=
+       |WHERE len(a.gs) > 0 AND len(b.gs) > 0
+       |  AND 2 * len(list_intersect(a.gs, b.gs)) >=
        |      len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

@@ -84,17 +84,17 @@ class DedupOpsSpec extends SparkSuite {
     import spark.implicits._
     val q = DedupOps.q27NgramJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    // independent exact ground truth on STRING grams (no hashing): the
-    // prefix filter guarantees recall 1 by construction, so equality
-    // must hold on any corpus — not just a lucky fixture margin
+    // independent exact ground truth on STRING grams (no hashing, no
+    // prefix filter — the shingles() lambda chain): prefix filtering
+    // guarantees recall 1 by construction, so equality must hold on
+    // any corpus — not just a lucky fixture margin
     val grams = Tables.documents(spark, sf)
-      .filter(length($"text") >= DedupOps.NgramLen)
-      .select($"doc_id", array_distinct(transform(
-        sequence(lit(1), length($"text") - (DedupOps.NgramLen - 1)),
-        i => $"text".substr(i, lit(DedupOps.NgramLen)))).as("gs"))
+      .select($"doc_id",
+        DedupOps.shingles($"text", DedupOps.NgramTokens).as("gs"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
     val exact = (for {
-      (a, ga) <- grams; (b, gb) <- grams if a < b
+      (a, ga) <- grams; (b, gb) <- grams
+      if a < b && ga.nonEmpty && gb.nonEmpty
       common = (ga & gb).size
       union = ga.size + gb.size - common
       if 2 * common >= union
