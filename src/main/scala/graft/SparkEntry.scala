@@ -55,6 +55,7 @@ object SparkEntry {
     // engine-specific (driver records the weaker rows-only check; the
     // spec pins relative error vs the exact count).
     "q33_approx_distinct"  -> (RelationalOps.q33ApproxDistinct _),
+    "q34_frame_sample"     -> (MultimodalOps.q34FrameSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -217,5 +218,9 @@ object SparkEntry {
     "q30_set_ops"     -> RelationalOps.q30OracleSql,
     "q31_sample_hash" -> RelationalOps.q31OracleSql,
     "q32_cube"        -> RelationalOps.q32OracleSql,
+
+    // Frame sampling: the batched imperative path hash-verified via
+    // ord() byte arithmetic, like q20.
+    "q34_frame_sample" -> MultimodalOps.q34OracleSql,
   )
 }

@@ -135,6 +135,67 @@ object MultimodalOps {
       .orderBy($"media_id")
   }
 
+  /** Frame geometry for [[q34FrameSample]]: the payload is treated as
+    * `n_bytes / FrameSize` fixed-size frames; every `FrameStride`-th
+    * frame is sampled (a real video pipeline samples keyframes/every
+    * k-th frame before the expensive decode+embed). */
+  val FrameSize = 16
+  val FrameStride = 4
+
+  /** Per-payload frame sampling: (n_frames, n_sampled, checksum of each
+    * sampled frame's first byte). The "read the frame" step is the same
+    * [[decodeByte]] stub q20 uses; the geometry arithmetic and batching
+    * are the product. */
+  private[graft] def sampleOne(bytes: Array[Byte]): (Long, Long, Long) = {
+    val nFrames = bytes.length / FrameSize
+    var i = 0; var n = 0L; var sum = 0L
+    while (i < nFrames) {
+      sum += decodeByte(bytes, i * FrameSize)
+      n += 1
+      i += FrameStride
+    }
+    (nFrames.toLong, n, sum)
+  }
+
+  /** q34 — frame sampling over the binary payload, batched like q20
+    * (`mapPartitions`, [[BatchSize]] rows per inference batch): emit
+    * per-media frame counts and an integer checksum over the sampled
+    * frames, all reproduced by the oracle's `ord()` arithmetic over the
+    * ASCII fixture payload. Completes the multimodal set: metadata/
+    * resize planning (q19), decode+embed (q20), frame-sample (here) —
+    * and like the others, payload bytes never shuffle; only ids and
+    * fixed-size summaries leave the scan stage.
+    */
+  def q34FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select($"media_id", $"bytes")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes) =>
+          val (nf, ns, cs) = sampleOne(bytes)
+          (id, nf, ns, cs)
+        }
+      })
+      .toDF("media_id", "n_frames", "n_sampled", "checksum")
+      .orderBy($"media_id")
+  }
+
+  def q34OracleSql: String = {
+    // sampled byte positions (1-based): 1, 1+FrameSize*Stride, … up to
+    // frame (n_frames-1); empty series when the payload has no frames
+    val step = FrameSize * FrameStride
+    s"""SELECT doc_id AS media_id,
+       |       (len(text) // $FrameSize)::BIGINT AS n_frames,
+       |       len(ps)::BIGINT AS n_sampled,
+       |       coalesce(list_sum(list_transform(ps, p -> ord(substr(text, p, 1)))), 0)::BIGINT AS checksum
+       |FROM (
+       |  SELECT doc_id, text,
+       |         generate_series(1, (len(text) // $FrameSize) * $FrameSize - ${FrameSize - 1}, $step) AS ps
+       |  FROM documents
+       |) ORDER BY media_id""".stripMargin
+  }
+
   def q20OracleSql: String = {
     val dims = (0 until EmbedDim).map { k =>
       s"coalesce(list_sum(list_transform(generate_series(${k + 1}, least(len(text), $EmbedSpan), $EmbedDim), i -> ord(substr(text, i, 1)))), 0)::BIGINT AS e$k"

@@ -65,6 +65,25 @@ class MultimodalOpsSpec extends SparkSuite {
     assert(neg.head == 128L && neg.tail.forall(_ == 0L))
   }
 
+  test("q34 frame sampling: geometry exact, stride honored, short payloads empty") {
+    // unit geometry: 80 bytes -> 5 frames of 16; stride 4 samples frames 0 and 4
+    val bytes = (0 until 80).map(_.toByte).toArray
+    val (nf, ns, cs) = MultimodalOps.sampleOne(bytes)
+    assert(nf == 5L && ns == 2L)
+    assert(cs == (bytes(0) & 0xffL) + (bytes(64) & 0xffL))
+    // payload shorter than one frame -> zero frames, zero checksum
+    assert(MultimodalOps.sampleOne(Array[Byte](1, 2, 3)) == (0L, 0L, 0L))
+    // full query: one row per media, n_sampled = ceil(n_frames/stride)
+    val rows = MultimodalOps.q34FrameSample(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (nFrames, nSampled) = (r.getLong(1), r.getLong(2))
+      val expected = (nFrames + MultimodalOps.FrameStride - 1) / MultimodalOps.FrameStride
+      assert(nSampled == expected, s"row $r")
+      assert(r.getLong(3) >= 0)
+    }
+  }
+
   test("q20 embedding is deterministic and batch-independent") {
     import org.apache.spark.sql.functions._
     val a = MultimodalOps.q20MediaEmbed(spark, sf).collect()
