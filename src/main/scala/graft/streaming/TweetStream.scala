@@ -296,6 +296,47 @@ object TweetStream {
       .groupBy(session_window(col("ts"), gap), col("tag"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** The dynamic tweet filter as a TRUE watermarked stream-stream
+    * join — the declarative alternative to [[startDynamicFilter]]'s
+    * foreachBatch-lookup (SURVEY §2.1 #11 lists both). The reference's
+    * co-flatmap connected a data channel (tweets) with a control
+    * channel (current top-N) and held the control state in a mutable
+    * array (TopNHashtags.java:298-335); here the control channel is a
+    * stream of `(tag, valid_from, valid_to)` validity intervals and the
+    * join is declared, letting Spark manage the two-sided state store.
+    *
+    * Both sides carry watermarks and the join condition bounds the
+    * tweet's event time inside the interval, so state cleanup is
+    * automatic: a trending row can be dropped once the tweet-side
+    * watermark passes `valid_to`, and tweets age out symmetrically —
+    * the state-boundedness a 100 TB firehose needs, with none of the
+    * manual state plumbing. Emission differs from the co-flatmap by
+    * design: matches are event-time-correct (a tweet matches the
+    * top-N VALID AT ITS EVENT TIME, even across micro-batch
+    * boundaries), where the reference matched against whatever control
+    * state happened to have arrived — processing-time-dependent and
+    * unreproducible.
+    *
+    * @param trending control stream with columns `tag: string,
+    *        valid_from: timestamp, valid_to: timestamp`
+    */
+  def streamStreamTagFilter(
+      rawTweets: DataFrame,
+      trending: DataFrame,
+      tsCol: Column = current_timestamp(),
+      watermarkDelay: String = "1 second"): DataFrame = {
+    val tweets = parseTweets(rawTweets, tsCol)
+      .select(col("id"), col("text"),
+        explode(split(col("tags"), " ")).as("tw_tag"), col("ts"))
+      .filter(length(col("tw_tag")) > 0)
+      .withWatermark("ts", watermarkDelay)
+    val control = trending.withWatermark("valid_from", watermarkDelay)
+    tweets.join(control,
+      col("tw_tag") === col("tag") &&
+        col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
+      .select(col("id"), col("text"), col("tag"), col("valid_from"))
+  }
+
   /** Per-tag milestone alerts via EXPLICIT keyed state
     * (`flatMapGroupsWithState`) — the arbitrary-stateful-operator
     * primitive, which none of the built-in aggregations can express:

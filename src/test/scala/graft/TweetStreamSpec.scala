@@ -283,6 +283,37 @@ class TweetStreamSpec extends SparkSuite {
     } finally { query.stop(); sink.close(); mock.close() }
   }
 
+  test("streamStreamTagFilter: tweets join the top-N valid at their event time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tweets = MemoryStream[Raw]
+    val control = MemoryStream[(String, Timestamp, Timestamp)]
+    val out = TweetStream.streamStreamTagFilter(
+      tweets.toDF(), control.toDF().toDF("tag", "valid_from", "valid_to"),
+      tsCol = col("ts"))
+      .writeStream.format("memory").queryName("ssj").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-ssj").toString)
+      .start()
+    try {
+      // "spark" trends during [100, 400); "flink" during [200, 500)
+      control.addData(("spark", at(100), at(400)), ("flink", at(200), at(500)))
+      tweets.addData(
+        Raw(tweet(1, "in-window spark", Seq("Spark")), at(150)),
+        Raw(tweet(2, "before flink trends", Seq("flink")), at(150)),
+        Raw(tweet(3, "after spark expired", Seq("spark")), at(450)),
+        Raw(tweet(4, "both tags in window", Seq("spark", "flink")), at(250)),
+        Raw(tweet(5, "never trending", Seq("beam")), at(250)))
+      out.processAllAvailable()
+      val got = spark.table("ssj").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet
+      // tweet 1: spark valid at 150 ✓; tweet 2: flink not yet valid ✗;
+      // tweet 3: spark expired ✗; tweet 4: BOTH valid at 250 (two rows);
+      // tweet 5: never trending ✗
+      assert(got == Set((1L, "spark"), (4L, "spark"), (4L, "flink")), s"got $got")
+    } finally out.stop()
+  }
+
   test("tagMilestones: power-of-two alerts fire once, independent of batching") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
