@@ -56,6 +56,8 @@ object SparkEntry {
     // spec pins relative error vs the exact count).
     "q33_approx_distinct"  -> (RelationalOps.q33ApproxDistinct _),
     "q34_frame_sample"     -> (MultimodalOps.q34FrameSample _),
+    "q35_percentiles"      -> (RelationalOps.q35Percentiles _),
+    "q36_json_extract"     -> (RelationalOps.q36JsonExtract _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -222,5 +224,10 @@ object SparkEntry {
     // Frame sampling: the batched imperative path hash-verified via
     // ord() byte arithmetic, like q20.
     "q34_frame_sample" -> MultimodalOps.q34OracleSql,
+
+    // Percentiles over integer cents (identical interpolation inputs on
+    // both engines); JSON extraction via schema'd from_json.
+    "q35_percentiles"  -> RelationalOps.q35OracleSql,
+    "q36_json_extract" -> RelationalOps.q36OracleSql,
   )
 }

@@ -194,6 +194,79 @@ object RelationalOps {
     salted.join(replicated, Seq(key, "salt")).drop("salt")
   }
 
+  /** Percentile points for [[q35Percentiles]]. */
+  val Percentiles = Seq(0.5, 0.9, 0.99)
+
+  /** q35 — exact percentiles (p50/p90/p99) of the event value per
+    * event_type — the length/score distribution summaries every corpus
+    * report leads with. The value is first fixed to integer CENTS so
+    * both engines interpolate over identical integers (the 2-dp fixture
+    * values would otherwise enter as doubles that already differ in
+    * representation); the interpolation `lo + (hi-lo)·frac` is then the
+    * same IEEE arithmetic on both sides, rounded to 6 dp.
+    *
+    * Scale note: exact percentiles need the full sorted distribution
+    * per group (Spark buffers per-partition and merges). At 100 TB the
+    * drop-in is `percentile_approx` (t-digest sketch, mergeable,
+    * bounded memory) — same call shape, documented trade; kept exact
+    * here because exactness is what the oracle can verify.
+    */
+  def q35Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = round($"value" * 100).cast("long")
+    val aggs = Percentiles.map(p =>
+      round(percentile($"cents", lit(p)), 6).as(s"p${(p * 100).toInt}_cents"))
+    Tables.events(spark, dir)
+      .select($"event_type", cents.as("cents"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .orderBy($"event_type")
+  }
+
+  def q35OracleSql: String = {
+    val cols = Percentiles.map(p =>
+      s"round(quantile_cont(cents, $p), 6) AS p${(p * 100).toInt}_cents")
+      .mkString(",\n       ")
+    s"""SELECT event_type, count(*) AS n,
+       |       $cols
+       |FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+       |      FROM events)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  /** q36 — JSON column extraction + aggregate: `events.props` carries a
+    * JSON object per row (the universal semi-structured attachment);
+    * `from_json` with an explicit schema parses it ONCE into a typed
+    * struct (codegen'd, vectorizable) and the integer field aggregates
+    * per event_type. The explicit-schema parse is the 100 TB discipline:
+    * `get_json_object` per field re-parses the document per extraction,
+    * and schema inference needs a driver-side pre-pass — both wrong at
+    * scale. PERMISSIVE nulls on malformed documents keep the
+    * drop-bad-records semantics of the tweet parser (#3).
+    */
+  def q36JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type",
+        from_json($"props",
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .filter($"k".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"k").cast("long").as("k_sum"),
+        min($"k").as("k_min"), max($"k").as("k_max"))
+      .orderBy($"event_type")
+  }
+
+  def q36OracleSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(k) AS BIGINT) AS k_sum,
+      |       min(k) AS k_min, max(k) AS k_max
+      |FROM (SELECT event_type, CAST(props->>'$.k' AS INT) AS k FROM events)
+      |WHERE k IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q33 — approximate distinct counting (HyperLogLog++): per
     * event_type, the approximate and exact distinct user counts side
     * by side. At 100 TB, exact `count(DISTINCT …)` on a high-

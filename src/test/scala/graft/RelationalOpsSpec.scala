@@ -101,6 +101,43 @@ class RelationalOpsSpec extends SparkSuite {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("q35: percentiles ordered, exact p50 matches a hand-sorted group") {
+    import spark.implicits._
+    val rows = RelationalOps.q35Percentiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p50 <= p90 && p90 <= p99, s"percentiles out of order: $r")
+    }
+    assert(rows.map(_.getLong(1)).sum == Tables.events(spark, sf).count())
+    // independent p50 for one group: sort the cents, interpolate by hand
+    val etype = rows.head.getString(0)
+    val cents = Tables.events(spark, sf)
+      .filter($"event_type" === etype)
+      .select(round($"value" * 100).cast("long")).collect()
+      .map(_.getLong(0)).sorted
+    val idx = (cents.length - 1) * 0.5
+    val (lo, hi) = (cents(idx.toInt), cents(math.ceil(idx).toInt))
+    val expected = math.rint((lo + (hi - lo) * (idx - idx.toInt)) * 1e6) / 1e6
+    assert(rows.head.getDouble(2) == expected)
+  }
+
+  test("q36: schema'd JSON parse agrees with per-field extraction") {
+    import spark.implicits._
+    val rows = RelationalOps.q36JsonExtract(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == Tables.events(spark, sf).count())
+    // independent extraction path: get_json_object string-walks each doc
+    val indep = Tables.events(spark, sf)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("int").as("k"))
+      .filter($"k".isNotNull)
+      .groupBy($"event_type")
+      .agg(sum($"k").cast("long").as("k_sum"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(2) == indep(r.getString(0)), s"row $r"))
+  }
+
   test("q32: cube ⊇ rollup, plus the per-bucket slice rollup lacks") {
     val cube = RelationalOps.q32Cube(spark, sf).collect()
       .map(r => (Option(r.getString(0)), if (r.isNullAt(1)) None else Some(r.getInt(1)),
