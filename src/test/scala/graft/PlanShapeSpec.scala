@@ -16,14 +16,35 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), s"no rank-limit pushdown:\n$p")
   }
 
-  test("q07/q14: small sides broadcast, never sort-merge") {
+  test("q07/q14/q28: small sides broadcast, never sort-merge") {
     Seq(
       plan(ReferenceOps.q07SemiJoin(spark, sf)),
-      plan(SimilarityOps.q14AnnTopK(spark, sf))
+      plan(SimilarityOps.q14AnnTopK(spark, sf)),
+      plan(SimilarityOps.q28IvfTopK(spark, sf))
     ).foreach { p =>
       assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
       assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
     }
+  }
+
+  test("q12/q14/q28: the similarity kernel is the codegen'd dot_product") {
+    Seq(
+      plan(PipelineOps.q12SimTopK(spark, sf)),
+      plan(SimilarityOps.q14AnnTopK(spark, sf)),
+      plan(SimilarityOps.q28IvfTopK(spark, sf))
+    ).foreach { p =>
+      assert(p.contains("dot_product"), s"kernel not the custom expression:\n$p")
+      // the interpreted higher-order fold would show as aggregate(zip_with
+      assert(!p.contains("zip_with"), s"interpreted lambda kernel:\n$p")
+    }
+  }
+
+  test("q27: prefix-filter join — no all-pairs product, cached gram frame reused") {
+    val p = plan(DedupOps.q27NgramJaccard(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"all-pairs join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"gram/prefix frames not reused via cache:\n$p")
   }
 
   test("q13/q21/q24: no all-pairs products anywhere") {
