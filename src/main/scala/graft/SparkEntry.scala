@@ -58,6 +58,7 @@ object SparkEntry {
     "q34_frame_sample"     -> (MultimodalOps.q34FrameSample _),
     "q35_percentiles"      -> (RelationalOps.q35Percentiles _),
     "q36_json_extract"     -> (RelationalOps.q36JsonExtract _),
+    "q37_cosine_neardup"   -> ((s, d) => SimilarityOps.q37CosineNeardup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -229,5 +230,10 @@ object SparkEntry {
     // both engines); JSON extraction via schema'd from_json.
     "q35_percentiles"  -> RelationalOps.q35OracleSql,
     "q36_json_extract" -> RelationalOps.q36OracleSql,
+
+    // Embedding-cosine near-dup screen: bucket-blocked pairs + exact
+    // cosine, identical hyperplane constants on both sides (q14's
+    // implementation-verified pattern).
+    "q37_cosine_neardup" -> SimilarityOps.q37OracleSql(),
   )
 }

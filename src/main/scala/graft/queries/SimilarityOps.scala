@@ -222,6 +222,69 @@ object SimilarityOps {
        |ORDER BY probe_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q37
+
+  /** Cosine threshold for [[q37CosineNeardup]] — chosen against the
+    * fixture's similarity distribution (max pairwise cosine ≈ 0.51;
+    * 47 same-bucket pairs ≥ 0.35 at sf0.01) so the result set is
+    * non-vacuous. Round 4 documented why a NEAR-DUP threshold (≥ 0.8)
+    * would be: the fixture plants no cosine-near pairs. */
+  val NeardupCosine = 0.35
+
+  /** q37 — embedding-cosine near-dup screen (the last dedup flavor):
+    * pairs of vectors sharing a sign-LSH bucket whose EXACT cosine
+    * clears the threshold. Blocking on the bucket bounds the candidate
+    * set exactly like q13/q21 do for text — same-bucket pairs only,
+    * never |V|² — and the verify is the codegen'd
+    * [[graft.functions.DotProduct]] kernel. Recall is governed by the
+    * LSH collision probability at the threshold (1−θ/π per plane);
+    * like q14, the oracle shares the hyperplane constants, so the gate
+    * verifies the implementation — bucketing, blocking, scoring —
+    * rather than a lucky recall.
+    *
+    * At 1e9 vectors the blocking join is the plan: vectors shuffle
+    * once on bucket id (embeddings travel only to their own bucket's
+    * partition), planes grow with log N to keep buckets bounded, and
+    * the exact verify touches only intra-bucket pairs.
+    */
+  def q37CosineNeardup(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = NeardupCosine,
+      numPlanes: Int = 4): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", bucket($"embedding", numPlanes))
+    val a = emb.select($"bucket", $"vec_id".as("vec_a"), $"embedding".as("e_a"))
+    val b = emb.select($"bucket", $"vec_id".as("vec_b"), $"embedding".as("e_b"))
+    a.join(b, "bucket")
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("sim", round(PipelineOps.cosine($"e_a", $"e_b"), 6))
+      .filter($"sim" >= threshold)
+      .select($"vec_a", $"vec_b", $"sim")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** DuckDB oracle for [[q37CosineNeardup]] — identical hyperplane
+    * constants, blocking, and scoring. */
+  def q37OracleSql(threshold: Double = NeardupCosine, numPlanes: Int = 4): String = {
+    val bucketExpr = (0 until numPlanes).map { j =>
+      s"(CASE WHEN list_dot_product(e, ${planeSql(j)}) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("\n         + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e,
+       |         $bucketExpr AS bucket
+       |  FROM embeddings
+       |)
+       |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       |       round(list_dot_product(a.e, b2.e) /
+       |             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))), 6) AS sim
+       |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |WHERE round(list_dot_product(a.e, b2.e) /
+       |            (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))), 6) >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   /** DuckDB oracle for [[q14AnnTopK]] — the same buckets (identical
     * hyperplane constants), join, scoring, and ranking in ANSI SQL. */
   def q14OracleSql(k: Int = 10, numPlanes: Int = 4, numProbes: Int = 10): String = {

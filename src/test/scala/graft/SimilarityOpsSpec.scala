@@ -100,6 +100,28 @@ class SimilarityOpsSpec extends SparkSuite {
     }
   }
 
+  test("q37: same-bucket cosine pairs == brute-force ground truth on the blocks") {
+    import spark.implicits._
+    val got = SimilarityOps.q37CosineNeardup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty) // threshold chosen so the fixture yields pairs
+    got.foreach { case (a, b, s) =>
+      assert(a < b && s >= SimilarityOps.NeardupCosine)
+    }
+    // independent ground truth: brute-force all pairs, keep same-bucket
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("bucket", SimilarityOps.bucket($"embedding", 4))
+    val a = emb.select($"vec_id".as("va"), $"embedding".as("ea"), $"bucket".as("ba"))
+    val b = emb.select($"vec_id".as("vb"), $"embedding".as("eb"), $"bucket".as("bb"))
+    val exact = a.crossJoin(b)
+      .filter($"va" < $"vb" && $"ba" === $"bb")
+      .withColumn("sim", round(PipelineOps.cosine($"ea", $"eb"), 6))
+      .filter($"sim" >= SimilarityOps.NeardupCosine)
+      .select($"va", $"vb", $"sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == exact.toSet)
+  }
+
   test("q14 recall vs brute force is measurable and above floor") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
