@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.{DotProduct, HashedShingles}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for graft's custom Catalyst expressions, so
+  * `spark.sql(...)` users reach them without the Scala API:
+  *
+  *   - `hashed_shingles(text, k)` — the single-pass shingle-hash
+  *     Generator ([[graft.functions.HashedShingles]]); `k` must be an
+  *     integer literal (it parameterizes the operator, it is not data).
+  *   - `dot_product(a, b)` — the codegen'd similarity kernel
+  *     ([[graft.functions.DotProduct]]).
+  *
+  * Two registration paths, same builders:
+  *
+  *   - Config (cluster/production):
+  *     `--conf spark.sql.extensions=graft.GraftExtensions` — the
+  *     standard `SparkSessionExtensions` injection every Spark
+  *     extension library uses; applies to every session of the
+  *     context.
+  *   - Runtime (sessions already built, e.g. a test harness or an
+  *     external driver): `GraftFunctions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}
+
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, usage, builder) for every SQL-exposed function. */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("hashed_shingles",
+      "hashed_shingles(text, k) - one row per distinct k-word shingle, hashed",
+      args => {
+        require(args.length == 2, "hashed_shingles(text, k) takes 2 arguments")
+        HashedShingles(args.head, intLit(args(1), "hashed_shingles k"))
+      }),
+    ("dot_product",
+      "dot_product(a, b) - double dot product of two float/double arrays",
+      args => {
+        require(args.length == 2, "dot_product(a, b) takes 2 arguments")
+        DotProduct(args.head, args(1))
+      }))
+
+  /** Config-path injection (see [[GraftExtensions]]). */
+  def inject(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, null, name, usage, ""),
+        builder))
+    }
+
+  /** Runtime-path registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      org.apache.spark.sql.graftShims.registerTempFunction(spark, name, builder)
+    }
+}

@@ -15,4 +15,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object graftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a temp SQL function on an EXISTING session (the runtime
+    * path for sessions built without `spark.sql.extensions=…`; the
+    * config path is [[graft.GraftExtensions]]). */
+  def registerTempFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

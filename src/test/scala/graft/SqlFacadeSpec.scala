@@ -37,6 +37,37 @@ class SqlFacadeSpec extends SparkSuite {
     assert(viaSql.collect().toSeq == viaDf.collect().toSeq)
   }
 
+  test("custom expressions reachable from SQL via GraftFunctions/Extensions") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Tables.registerViews(spark, sf)
+    // hashed_shingles generator from SQL == the Scala API path
+    val viaSql = spark.sql(
+      "SELECT doc_id, hashed_shingles(text, 3) AS hs FROM documents")
+      .groupBy($"doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaApi = Tables.documents(spark, sf)
+      .select($"doc_id",
+        graft.functions.HashedShingles.hashedShingles($"text", 3).as("hs"))
+      .groupBy($"doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+    // dot_product kernel from SQL: self dot == squared norm > 0
+    val norms = spark.sql(
+      "SELECT vec_id, dot_product(embedding, embedding) AS n2 FROM embeddings")
+      .collect()
+    assert(norms.length == 500)
+    norms.foreach(r => assert(r.getDouble(1) > 0))
+    // non-literal k is a usage error, not silent misbehavior
+    val e = intercept[Exception] {
+      spark.sql("SELECT hashed_shingles(text, doc_id) FROM documents").collect()
+    }
+    assert(e.getMessage != null)
+    // the config-path injector registers the same function set
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; builders shared
+  }
+
   test("dedup skew guard drops degenerate buckets, bounded candidates") {
     import spark.implicits._
     val boiler = (0 until 40).map(i => s"same$i").mkString(" ")
