@@ -125,6 +125,15 @@ object TextOps {
   def q21SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bandWidth = SimhashBits / SimhashBands
+    // The two banded self-join sides each recompute this frame (no
+    // exchange reuse across the renamed sides — same diamond rule as
+    // q13/q27). Persisting it was MEASURED SLOWER here (2.4 s vs 1.5 s
+    // at sf0.1, local[32], median of 5): the duplicate subtree runs on
+    // otherwise-idle cores while the cache inserts a materialization
+    // barrier — unlike q13, where the 3× recompute sat on the critical
+    // path and persisting won 3×. On a saturated cluster the calculus
+    // shifts with total work, not wall-clock; a deployment that pays
+    // for cluster-seconds would persist the 16-byte/doc frame.
     val fp = simhashFrame(spark, dir)
     val banded = fp.select($"doc_id", $"simhash", posexplode(array(
       (0 until SimhashBands).map(b =>
