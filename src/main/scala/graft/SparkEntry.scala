@@ -59,6 +59,8 @@ object SparkEntry {
     "q35_percentiles"      -> (RelationalOps.q35Percentiles _),
     "q36_json_extract"     -> (RelationalOps.q36JsonExtract _),
     "q37_cosine_neardup"   -> ((s, d) => SimilarityOps.q37CosineNeardup(s, d)),
+    "q38_outer_join"       -> (RelationalOps.q38OuterJoin _),
+    "q39_window_funcs"     -> (RelationalOps.q39WindowFuncs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -235,5 +237,9 @@ object SparkEntry {
     // cosine, identical hyperplane constants on both sides (q14's
     // implementation-verified pattern).
     "q37_cosine_neardup" -> SimilarityOps.q37OracleSql(),
+
+    // Full-outer reconciliation and the analytic-function family.
+    "q38_outer_join"   -> RelationalOps.q38OracleSql,
+    "q39_window_funcs" -> RelationalOps.q39OracleSql,
   )
 }

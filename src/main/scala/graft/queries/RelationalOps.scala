@@ -267,6 +267,84 @@ object RelationalOps {
       |WHERE k IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q38 — full-outer reconciliation join: per-user event activity
+    * FULL OUTER JOIN per-customer order activity on the shared id,
+    * `coalesce`d to zero — the join type the inventory lacked (inner,
+    * semi, anti, as-of, and interval all exist). The outer sides are
+    * aggregates BEFORE the join, so the join input is one row per key
+    * on each side — the shape that keeps a full-outer join cheap at
+    * 100 TB (aggregating after a full-outer would carry every fact row
+    * through null-padding instead). AQE picks the join strategy; both
+    * sides shuffle on the id.
+    */
+  def q38OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+    val ord = Tables.orders(spark, dir)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+    ev.join(ord, $"user_id" === $"o_custkey", "full_outer")
+      .select(
+        coalesce($"user_id", $"o_custkey").as("id"),
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"n_orders", lit(0L)).as("n_orders"))
+      .orderBy($"id")
+  }
+
+  def q38OracleSql: String =
+    """SELECT coalesce(e.user_id, o.o_custkey) AS id,
+      |       coalesce(e.n_events, 0) AS n_events,
+      |       coalesce(o.n_orders, 0) AS n_orders
+      |FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1) e
+      |FULL OUTER JOIN
+      |     (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
+      |ON e.user_id = o.o_custkey
+      |ORDER BY id""".stripMargin
+
+  /** q39 — the analytic-function family beyond `row_number`: per-user
+    * event sequences with `lag` deltas, gapped `rank`, `dense_rank`,
+    * and `ntile` quartiles, all over one (partition, sort) pair so the
+    * physical plan is a SINGLE window operator after one shuffle —
+    * check `.explain`: stacking functions over the same WINDOW spec is
+    * free; a second spec would mean a second sort. Tie-breaks pin
+    * every ordering ((ts, event_id) for sequence order; (cents,
+    * event_id) for rank order), keeping ranks deterministic under
+    * equal timestamps/values.
+    */
+  def q39WindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bySeq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val byVal = Window.partitionBy($"user_id")
+      .orderBy($"cents".desc, $"event_id")
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts",
+        round($"value" * 100).cast("long").as("cents"))
+      .select(
+        $"event_id", $"user_id",
+        unix_micros($"ts").as("ts_us"),
+        // exact integer microseconds — a seconds cast would floor on
+        // one engine and round on the other for fractional timestamps
+        (unix_micros($"ts") - unix_micros(lag($"ts", 1).over(bySeq)))
+          .as("gap_us"),
+        rank().over(byVal).as("val_rank"),
+        dense_rank().over(byVal).as("val_dense_rank"),
+        ntile(4).over(bySeq).as("seq_quartile"))
+      .orderBy($"event_id")
+  }
+
+  def q39OracleSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |       epoch_us(ts) - epoch_us(lag(ts, 1) OVER seq) AS gap_us,
+      |       rank() OVER val AS val_rank,
+      |       dense_rank() OVER val AS val_dense_rank,
+      |       ntile(4) OVER seq AS seq_quartile
+      |FROM (SELECT event_id, user_id, ts,
+      |             CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+      |WINDOW seq AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |       val AS (PARTITION BY user_id ORDER BY cents DESC, event_id)
+      |ORDER BY event_id""".stripMargin
+
   /** q33 — approximate distinct counting (HyperLogLog++): per
     * event_type, the approximate and exact distinct user counts side
     * by side. At 100 TB, exact `count(DISTINCT …)` on a high-

@@ -138,6 +138,51 @@ class RelationalOpsSpec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(2) == indep(r.getString(0)), s"row $r"))
   }
 
+  test("q38: full outer covers both key sets, zero-fills the missing side") {
+    import spark.implicits._
+    val rows = RelationalOps.q38OuterJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val users = Tables.events(spark, sf).select($"user_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    val custs = Tables.orders(spark, sf).select($"o_custkey")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == (users | custs))
+    rows.foreach { case (id, ne, no) =>
+      assert(ne > 0 || no > 0)
+      if (!users.contains(id)) assert(ne == 0)
+      if (!custs.contains(id)) assert(no == 0)
+    }
+    // the fixture's event users are a subset of customers, so the
+    // customer-only side is the live outer branch — it must be
+    // non-empty or the outer join degenerates to inner
+    assert((custs -- users).nonEmpty)
+  }
+
+  test("q39: analytic functions consistent; one shuffle feeds both window specs") {
+    val df = RelationalOps.q39WindowFuncs(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == Tables.events(spark, sf).count())
+    val byUser = rows.groupBy(_.getLong(1))
+    byUser.foreach { case (_, rs) =>
+      val seq = rs.sortBy(_.getLong(2))
+      assert(seq.head.isNullAt(3)) // first event has no lag gap
+      seq.tail.foreach(r => assert(!r.isNullAt(3) && r.getLong(3) >= 0))
+      val ranks = rs.map(_.getInt(4)).sorted
+      val dense = rs.map(_.getInt(5)).toSet
+      assert(ranks.head == 1 && ranks.last <= rs.length)
+      assert(dense == (1 to dense.size).toSet) // dense_rank has no gaps
+      assert(rs.map(_.getInt(6)).forall(q => q >= 1 && q <= 4))
+    }
+    // both specs share the user_id partitioning: one exchange, two
+    // sorts (AQE's toString repeats the initial plan — count only the
+    // final-plan section)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected one window shuffle, got $exchanges:\n$plan")
+  }
+
   test("q32: cube ⊇ rollup, plus the per-bucket slice rollup lacks") {
     val cube = RelationalOps.q32Cube(spark, sf).collect()
       .map(r => (Option(r.getString(0)), if (r.isNullAt(1)) None else Some(r.getInt(1)),
