@@ -77,4 +77,8 @@ class ReferenceOpsSpec extends SparkSuite {
     assert(rows(1) == Row("Top10-2", "purchase, 202"))
     assert(rows.forall(_.getString(0).startsWith("Top10-")))
   }
+
+  test("entry flagship: the driver's rows>0 smoke holds") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
 }
