@@ -342,6 +342,43 @@ class TweetStreamSpec extends SparkSuite {
     assert(oneShot == expected, s"one-shot run: $oneShot")
   }
 
+  test("checkpoint recovery: window state survives a stop/restart cycle") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("tweets-recover").toString
+    val ckpt = Files.createTempDirectory("ckpt-recover").toString
+    def tweetT(id: Long, sec: Long, tags: Seq[String]): String = {
+      val hs = tags.map(t => s"""{"text":"$t"}""").mkString(",")
+      s"""{"id":$id,"ts_sec":$sec,"text":"t$id","entities":{"hashtags":[$hs]}}"""
+    }
+    val tsCol = timestamp_seconds(
+      get_json_object(col("json"), "$.ts_sec").cast("long"))
+    val sink = new InMemoryKvStore
+    // run 1: counts arrive but NO window finalizes (watermark never
+    // passes a window end) — they exist only in checkpointed state
+    Files.write(Paths.get(dir, "b1.json"), String.join("\n",
+      tweetT(1, 10, Seq("spark")), tweetT(2, 15, Seq("spark")),
+      tweetT(3, 20, Seq("flink"))).getBytes("UTF-8"))
+    val q1 = TweetStream.startTopN(
+      TweetStream.fileJsonSource(spark, dir), sink, new TopNState,
+      tsCol = tsCol, checkpoint = ckpt)
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(sink.snapshot.isEmpty, "no window should have finalized yet")
+    // run 2: SAME checkpoint, new query instance — a late event pushes
+    // the watermark past the early windows; the finalized top-N must
+    // include the counts from BEFORE the restart (recovered state),
+    // and the already-processed b1 file must not double-count
+    Files.write(Paths.get(dir, "b2.json"),
+      tweetT(9, 10000, Seq("late")).getBytes("UTF-8"))
+    val q2 = TweetStream.startTopN(
+      TweetStream.fileJsonSource(spark, dir), sink, new TopNState,
+      tsCol = tsCol, checkpoint = ckpt)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(sink.snapshot == Map(
+      "Top10-1" -> "spark, 2", "Top10-2" -> "flink, 1"),
+      s"state not recovered exactly once: ${sink.snapshot}")
+    sink.dispose()
+  }
+
   test("kafkaJsonSource: builds the standard json frame (guarded offline)") {
     // The kafka connector jar ships separately from Spark core and is
     // absent in this offline sandbox. Either outcome is pinned: with the
