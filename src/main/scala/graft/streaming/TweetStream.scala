@@ -296,6 +296,28 @@ object TweetStream {
       .groupBy(session_window(col("ts"), gap), col("tag"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Stream-to-static enrichment: attach a topic to every hashtag
+    * mention by joining the unbounded tweet stream against a STATIC
+    * dimension `(tag, topic)` — the third join modality next to the
+    * foreachBatch lookup and the stream-stream join. The static side
+    * needs no watermark and holds no streaming state: Spark broadcasts
+    * it into every micro-batch (the dimension is read once per batch
+    * at most, and a broadcast hint keeps the stream side shuffle-free).
+    * Unmatched tags keep their row with topic "other" (left join +
+    * coalesce) — an enrichment stream must not drop events because the
+    * dimension lags.
+    */
+  def tagTopicEnrich(
+      raw: DataFrame,
+      topics: DataFrame,
+      tsCol: Column = current_timestamp()): DataFrame =
+    parseTweets(raw, tsCol)
+      .select(col("id"), explode(split(col("tags"), " ")).as("tag"), col("ts"))
+      .filter(length(col("tag")) > 0)
+      .join(broadcast(topics), Seq("tag"), "left_outer")
+      .select(col("id"), col("tag"),
+        coalesce(col("topic"), lit("other")).as("topic"), col("ts"))
+
   /** The dynamic tweet filter as a TRUE watermarked stream-stream
     * join — the declarative alternative to [[startDynamicFilter]]'s
     * foreachBatch-lookup (SURVEY §2.1 #11 lists both). The reference's

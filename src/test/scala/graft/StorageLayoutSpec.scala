@@ -74,6 +74,34 @@ class StorageLayoutSpec extends SparkSuite {
     }
   }
 
+  test("schema evolution: mergeSchema unions columns, old files null-fill") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs-evolve").toString
+    // generation 1: (doc_id, text); generation 2 adds a quality column
+    Tables.documents(spark, sf).select($"doc_id", $"text")
+      .filter($"doc_id" < 100)
+      .write.parquet(s"$dir/gen=1")
+    Tables.documents(spark, sf)
+      .select($"doc_id", $"text", ($"n_chars" % 100).cast("int").as("quality"))
+      .filter($"doc_id" >= 100)
+      .write.parquet(s"$dir/gen=2")
+    // a 100 TB corpus is written over months by evolving pipelines —
+    // readers must union schemas and null-fill the files that predate
+    // a column, without rewriting anything
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "text", "quality", "gen"))
+    assert(merged.count() == 500)
+    val old = merged.filter($"gen" === 1)
+    assert(old.filter($"quality".isNull).count() == old.count())
+    val newer = merged.filter($"gen" === 2)
+    assert(newer.filter($"quality".isNotNull).count() == newer.count())
+    // filters on the evolved column still push down to the scan
+    val q = merged.filter($"quality" > 50)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(quality), GreaterThan(quality,50)"),
+      s"evolved-column filter not pushed:\n$plan")
+  }
+
   test("json-lines round trip with explicit schema drops malformed records") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("docs-json").toString

@@ -342,6 +342,30 @@ class TweetStreamSpec extends SparkSuite {
     assert(oneShot == expected, s"one-shot run: $oneShot")
   }
 
+  test("tagTopicEnrich: stream-to-static join attaches topics, keeps unmatched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Raw]
+    val topics = Seq(("spark", "engines"), ("flink", "engines"),
+      ("cooking", "lifestyle")).toDF("tag", "topic")
+    val q = TweetStream.tagTopicEnrich(source.toDF(), topics, tsCol = col("ts"))
+      .writeStream.format("memory").queryName("enrich").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-enrich").toString)
+      .start()
+    try {
+      source.addData(
+        Raw(tweet(1, "a", Seq("Spark", "beam")), at(10)),
+        Raw(tweet(2, "b", Seq("cooking")), at(11)))
+      q.processAllAvailable()
+      val got = spark.table("enrich").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == Set(
+        (1L, "spark", "engines"), (1L, "beam", "other"),
+        (2L, "cooking", "lifestyle")), s"got $got")
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: window state survives a stop/restart cycle") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("tweets-recover").toString
