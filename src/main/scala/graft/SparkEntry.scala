@@ -61,6 +61,7 @@ object SparkEntry {
     "q37_cosine_neardup"   -> ((s, d) => SimilarityOps.q37CosineNeardup(s, d)),
     "q38_outer_join"       -> (RelationalOps.q38OuterJoin _),
     "q39_window_funcs"     -> (RelationalOps.q39WindowFuncs _),
+    "q40_resample_fill"    -> (RelationalOps.q40ResampleFill _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -241,5 +242,8 @@ object SparkEntry {
     // Full-outer reconciliation and the analytic-function family.
     "q38_outer_join"   -> RelationalOps.q38OracleSql,
     "q39_window_funcs" -> RelationalOps.q39OracleSql,
+
+    // Time-series resample + forward fill over an hourly grid.
+    "q40_resample_fill" -> RelationalOps.q40OracleSql,
   )
 }

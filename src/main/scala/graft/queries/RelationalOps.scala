@@ -345,6 +345,73 @@ object RelationalOps {
       |       val AS (PARTITION BY user_id ORDER BY cents DESC, event_id)
       |ORDER BY event_id""".stripMargin
 
+  /** Resample bucket width for [[q40ResampleFill]] (seconds). */
+  val ResampleBucket = 3600
+
+  /** q40 — time-series resample + forward fill (gap filling): per user,
+    * bucket events to an hourly grid, keep the LAST observation per
+    * bucket (deterministic (ts, event_id) tie-break), densify the grid
+    * between the user's first and last active hour (`sequence` +
+    * `explode` — generated distributed, per user, never on the driver),
+    * and forward-fill empty hours with `last(..., ignoreNulls)` over
+    * the ordered window. The standard shape for turning an event log
+    * into an aligned series a model can consume.
+    *
+    * All bucket arithmetic is exact integer micros→seconds floor
+    * division on BOTH engines (a timestamp→seconds cast floors in
+    * Spark and rounds in DuckDB — the q39 lesson). One shuffle on
+    * user_id serves the grid generation, the join, and the fill
+    * window.
+    */
+  def q40ResampleFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val obs = Tables.events(spark, dir)
+      .withColumn("b",
+        expr(s"((unix_micros(ts) div 1000000) div $ResampleBucket) * $ResampleBucket"))
+      .withColumn("cents", round($"value" * 100).cast("long"))
+      .groupBy($"user_id", $"b")
+      .agg(count(lit(1)).as("n_obs"),
+        max_by($"cents", struct($"ts", $"event_id")).as("last_cents"))
+    val grid = obs.groupBy($"user_id")
+      .agg(min($"b").as("b0"), max($"b").as("b1"))
+      .select($"user_id",
+        explode(sequence($"b0", $"b1", lit(ResampleBucket.toLong))).as("b"))
+    val fill = Window.partitionBy($"user_id").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "b"), "left_outer")
+      .select($"user_id", $"b".as("bucket_ts"),
+        coalesce($"n_obs", lit(0L)).as("n_obs"),
+        last($"last_cents", ignoreNulls = true).over(fill).as("filled_cents"))
+      .orderBy($"user_id", $"bucket_ts")
+  }
+
+  def q40OracleSql: String =
+    s"""WITH base AS (
+       |  SELECT user_id,
+       |         ((epoch_us(ts) // 1000000) // $ResampleBucket) * $ResampleBucket AS b,
+       |         CAST(round(value * 100) AS BIGINT) AS cents, ts, event_id
+       |  FROM events
+       |), obs AS (
+       |  SELECT user_id, b, n_obs, cents AS last_cents FROM (
+       |    SELECT user_id, b, cents,
+       |           row_number() OVER (PARTITION BY user_id, b
+       |                              ORDER BY ts DESC, event_id DESC) AS rn,
+       |           count(*) OVER (PARTITION BY user_id, b) AS n_obs
+       |    FROM base)
+       |  WHERE rn = 1
+       |), grid AS (
+       |  SELECT user_id, unnest(generate_series(min(b), max(b), $ResampleBucket)) AS b
+       |  FROM obs GROUP BY user_id
+       |)
+       |SELECT g.user_id, g.b AS bucket_ts,
+       |       coalesce(o.n_obs, 0) AS n_obs,
+       |       last_value(o.last_cents IGNORE NULLS)
+       |         OVER (PARTITION BY g.user_id ORDER BY g.b
+       |               ROWS UNBOUNDED PRECEDING) AS filled_cents
+       |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
+       |ORDER BY g.user_id, bucket_ts""".stripMargin
+
   /** q33 — approximate distinct counting (HyperLogLog++): per
     * event_type, the approximate and exact distinct user counts side
     * by side. At 100 TB, exact `count(DISTINCT …)` on a high-

@@ -183,6 +183,33 @@ class RelationalOpsSpec extends SparkSuite {
     assert(exchanges == 1, s"expected one window shuffle, got $exchanges:\n$plan")
   }
 
+  test("q40: dense hourly grid, forward-filled gaps, observed hours exact") {
+    import spark.implicits._
+    val rows = RelationalOps.q40ResampleFill(spark, sf).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rs) =>
+      val seq = rs.sortBy(_.getLong(1))
+      // dense grid: consecutive buckets differ by exactly one step
+      seq.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(1) - a.getLong(1) == RelationalOps.ResampleBucket)
+        case _ =>
+      }
+      // first bucket is always observed; fill is never null after it
+      assert(seq.head.getLong(2) > 0)
+      seq.foreach(r => assert(!r.isNullAt(3)))
+      // empty hours exist (the data is sparse) and carry the last value
+      val gaps = seq.zipWithIndex.filter(_._1.getLong(2) == 0)
+      assert(gaps.nonEmpty)
+      gaps.foreach { case (r, i) =>
+        assert(r.getLong(3) == seq(i - 1).getLong(3),
+          s"gap not forward-filled at ${r.getLong(1)}")
+      }
+    }
+    // total observations preserved
+    assert(rows.map(_.getLong(2)).sum == Tables.events(spark, sf).count())
+  }
+
   test("q32: cube ⊇ rollup, plus the per-bucket slice rollup lacks") {
     val cube = RelationalOps.q32Cube(spark, sf).collect()
       .map(r => (Option(r.getString(0)), if (r.isNullAt(1)) None else Some(r.getInt(1)),
