@@ -152,7 +152,11 @@ object DedupOps {
     // re-runs the shingle-hash pass over the corpus once per consumer
     // (~3× the text scans — measured as q13's dominant cost in round 4).
     // The frame is 16 bytes/shingle — exactly the thing you'd persist
-    // once at 100 TB too.
+    // once at 100 TB too. Cache lifecycle is CALLER-owned (a lazily
+    // returned DataFrame cannot unpersist itself): Bench clears the
+    // cache per sample, Verify's entries die with its session, and a
+    // long-lived embedding service should clearCache()/unpersist on
+    // its own cadence.
     val ex = shingleHashes(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatesWithCounts(ex, bands, rows)

@@ -348,8 +348,11 @@ object TweetStream {
       tsCol: Column = current_timestamp(),
       watermarkDelay: String = "1 second"): DataFrame = {
     val tweets = parseTweets(rawTweets, tsCol)
+      // distinct WITHIN the tweet: a tweet repeating a hashtag must
+      // match once, like the foreachBatch form's distinct() — a narrow
+      // array op, no dedup state needed
       .select(col("id"), col("text"),
-        explode(split(col("tags"), " ")).as("tw_tag"), col("ts"))
+        explode(array_distinct(split(col("tags"), " "))).as("tw_tag"), col("ts"))
       .filter(length(col("tw_tag")) > 0)
       .withWatermark("ts", watermarkDelay)
     val control = trending.withWatermark("valid_from", watermarkDelay)

@@ -164,7 +164,9 @@ class RelationalOpsSpec extends SparkSuite {
     assert(rows.length == Tables.events(spark, sf).count())
     val byUser = rows.groupBy(_.getLong(1))
     byUser.foreach { case (_, rs) =>
-      val seq = rs.sortBy(_.getLong(2))
+      // q39's own sequence order: (ts, event_id) — sorting by ts alone
+      // would make the head-row assertions flaky under timestamp ties
+      val seq = rs.sortBy(r => (r.getLong(2), r.getLong(0)))
       assert(seq.head.isNullAt(3)) // first event has no lag gap
       seq.tail.foreach(r => assert(!r.isNullAt(3) && r.getLong(3) >= 0))
       val ranks = rs.map(_.getInt(4)).sorted

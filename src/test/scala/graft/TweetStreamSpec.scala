@@ -303,14 +303,18 @@ class TweetStreamSpec extends SparkSuite {
         Raw(tweet(2, "before flink trends", Seq("flink")), at(150)),
         Raw(tweet(3, "after spark expired", Seq("spark")), at(450)),
         Raw(tweet(4, "both tags in window", Seq("spark", "flink")), at(250)),
-        Raw(tweet(5, "never trending", Seq("beam")), at(250)))
+        Raw(tweet(5, "never trending", Seq("beam")), at(250)),
+        Raw(tweet(6, "repeated tag", Seq("Spark", "spark", "SPARK")), at(260)))
       out.processAllAvailable()
-      val got = spark.table("ssj").collect()
-        .map(r => (r.getLong(0), r.getString(2))).toSet
+      val rows = spark.table("ssj").collect()
+        .map(r => (r.getLong(0), r.getString(2)))
+      val got = rows.toSet
       // tweet 1: spark valid at 150 ✓; tweet 2: flink not yet valid ✗;
       // tweet 3: spark expired ✗; tweet 4: BOTH valid at 250 (two rows);
-      // tweet 5: never trending ✗
-      assert(got == Set((1L, "spark"), (4L, "spark"), (4L, "flink")), s"got $got")
+      // tweet 5: never trending ✗; tweet 6: repeated tag matches ONCE
+      assert(got == Set((1L, "spark"), (4L, "spark"), (4L, "flink"),
+        (6L, "spark")), s"got $got")
+      assert(rows.length == got.size, s"duplicate emissions: ${rows.toSeq}")
     } finally out.stop()
   }
 
