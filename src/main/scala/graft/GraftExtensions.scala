@@ -32,11 +32,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
-  private def intLit(e: Expression, what: String): Int = e match {
-    case Literal(v: Int, IntegerType) => v
-    case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
-  }
+  /** Constant-fold `e` down to an Int. Any FOLDABLE integer expression
+    * qualifies (`3`, `1 + 2`, `CAST(3 AS INT)`) — rejecting everything
+    * but a bare `Literal` would refuse constants the analyzer itself
+    * considers constant. Non-foldable or non-integer arguments raise an
+    * `AnalysisException` (the error surface SQL function resolution
+    * reports to the user), not a bare runtime exception. */
+  private def intLit(e: Expression, what: String): Int =
+    if (e.foldable && e.dataType == IntegerType) {
+      e.eval() match {
+        case v: Int => v
+        case null => throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3055",
+          messageParameters = Map("routineName" -> s"$what must be a non-null integer constant"))
+      }
+    } else {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3055",
+        messageParameters = Map("routineName" ->
+          s"$what must be a foldable INT expression, got ${e.sql}"))
+    }
 
   /** (name, usage, builder) for every SQL-exposed function. */
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
