@@ -35,22 +35,30 @@ object GraftFunctions {
   /** Constant-fold `e` down to an Int. Any FOLDABLE integer expression
     * qualifies (`3`, `1 + 2`, `CAST(3 AS INT)`) — rejecting everything
     * but a bare `Literal` would refuse constants the analyzer itself
-    * considers constant. Non-foldable or non-integer arguments raise an
-    * `AnalysisException` (the error surface SQL function resolution
-    * reports to the user), not a bare runtime exception. */
-  private def intLit(e: Expression, what: String): Int =
+    * considers constant. Non-foldable, non-integer, or null arguments
+    * raise an `AnalysisException` (the error surface SQL function
+    * resolution reports to the user) under error conditions that EXIST
+    * in this Spark version — the (errorClass, messageParameters)
+    * constructor resolves the message template eagerly, so a
+    * nonexistent class would turn every usage error into
+    * `SparkException [INTERNAL_ERROR]` and hide the diagnostic. */
+  private def intLit(e: Expression, funcName: String, paramName: String): Int =
     if (e.foldable && e.dataType == IntegerType) {
       e.eval() match {
         case v: Int => v
         case null => throw new org.apache.spark.sql.AnalysisException(
-          errorClass = "_LEGACY_ERROR_TEMP_3055",
-          messageParameters = Map("routineName" -> s"$what must be a non-null integer constant"))
+          errorClass = "DATATYPE_MISMATCH.UNEXPECTED_NULL",
+          messageParameters = Map(
+            "sqlExpr" -> s"\"$funcName\"",
+            "exprName" -> s"$funcName $paramName"))
       }
     } else {
       throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "_LEGACY_ERROR_TEMP_3055",
-        messageParameters = Map("routineName" ->
-          s"$what must be a foldable INT expression, got ${e.sql}"))
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> s"`$funcName`",
+          "paramName" -> s"`$paramName`",
+          "paramType" -> "\"INT\""))
     }
 
   /** (name, usage, builder) for every SQL-exposed function. */
@@ -59,7 +67,7 @@ object GraftFunctions {
       "hashed_shingles(text, k) - one row per distinct k-word shingle, hashed",
       args => {
         require(args.length == 2, "hashed_shingles(text, k) takes 2 arguments")
-        HashedShingles(args.head, intLit(args(1), "hashed_shingles k"))
+        HashedShingles(args.head, intLit(args(1), "hashed_shingles", "k"))
       }),
     ("dot_product",
       "dot_product(a, b) - double dot product of two float/double arrays",

@@ -145,18 +145,43 @@ object DedupOps {
       dir: String,
       threshold: Double = 0.6,
       bands: Int = 16,
-      rows: Int = 4): DataFrame = {
+      rows: Int = 4): DataFrame =
+    q13Build(spark, dir, threshold, bands, rows)._1
+
+  /** Loan form of [[q13NeardupPairs]]: run `f` over the result, then
+    * unpersist the query's cached frame — the cache-release path a
+    * LONG-LIVED session needs. The plain form's lazily returned
+    * DataFrame cannot unpersist itself (the cache must outlive every
+    * action the caller will run), so there its lifecycle is
+    * caller-owned: Bench clears the cache per sample, Verify's entries
+    * die with its session. Everyone else should prefer this form —
+    * after `f` returns (or throws) the session's cache registry is as
+    * it was. */
+  def withQ13NeardupPairs[T](
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = 0.6,
+      bands: Int = 16,
+      rows: Int = 4)(f: DataFrame => T): T = {
+    val (result, handles) = q13Build(spark, dir, threshold, bands, rows)
+    try f(result) finally handles.foreach(_.unpersist())
+  }
+
+  /** Shared builder: the q13 result plus the persisted handles backing
+    * it (for the loan form to release). */
+  private def q13Build(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double,
+      bands: Int,
+      rows: Int): (DataFrame, Seq[DataFrame]) = {
     val docs = Tables.documents(spark, dir)
     // The exploded (doc_id, hs) frame feeds the signature aggregate AND
     // both verify-join sides. Without a persist, the diamond-shaped DAG
     // re-runs the shingle-hash pass over the corpus once per consumer
     // (~3× the text scans — measured as q13's dominant cost in round 4).
     // The frame is 16 bytes/shingle — exactly the thing you'd persist
-    // once at 100 TB too. Cache lifecycle is CALLER-owned (a lazily
-    // returned DataFrame cannot unpersist itself): Bench clears the
-    // cache per sample, Verify's entries die with its session, and a
-    // long-lived embedding service should clearCache()/unpersist on
-    // its own cadence.
+    // once at 100 TB too.
     val ex = shingleHashes(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatesWithCounts(ex, bands, rows)
@@ -164,7 +189,7 @@ object DedupOps {
     // the pair's docs (64-bit hashes make cross-shingle collisions
     // negligible, and deterministically so). Work is bounded by
     // |candidates| × shingles-per-doc — never all-pairs.
-    cand
+    val result = cand
       .join(ex.select(col("doc_id").as("doc_a"), col("hs")), "doc_a")
       .join(ex.select(col("doc_id").as("doc_b"), col("hs")), Seq("doc_b", "hs"))
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
@@ -173,6 +198,7 @@ object DedupOps {
       .filter(col("n_common") >= col("n_union") * threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"))
       .orderBy(col("doc_a"), col("doc_b"))
+    (result, Seq(ex))
   }
 
   /** Token n-gram size for [[q27NgramJaccard]]. Word grams, not char
@@ -214,7 +240,20 @@ object DedupOps {
     * candidate-bounded count as q13. No all-pairs product anywhere,
     * and unlike LSH there is no missed-pair risk to tune against.
     */
-  def q27NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def q27NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    q27Build(spark, dir)._1
+
+  /** Loan form of [[q27NgramJaccard]] — same contract as
+    * [[withQ13NeardupPairs]]: `f` runs with the two persisted frames
+    * live, and both are unpersisted before this returns. */
+  def withQ27NgramJaccard[T](
+      spark: SparkSession, dir: String)(f: DataFrame => T): T = {
+    val (result, handles) = q27Build(spark, dir)
+    try f(result) finally handles.foreach(_.unpersist())
+  }
+
+  private def q27Build(
+      spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     // distinct token-4-grams, hashed in one narrow Generate pass —
@@ -249,7 +288,7 @@ object DedupOps {
         col("n_a") <= col("n_b") * 2 && col("n_b") <= col("n_a") * 2)
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .distinct()
-    cand
+    val result = cand
       .join(ex.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
       .join(ex.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
@@ -258,6 +297,7 @@ object DedupOps {
       .filter(col("n_common") * 2 >= col("n_union"))
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"))
       .orderBy(col("doc_a"), col("doc_b"))
+    (result, Seq(ex, prefix))
   }
 
   /** Exact all-pairs ground truth for [[q27NgramJaccard]] — matched

@@ -259,18 +259,20 @@ object RelationalOps {
       .orderBy($"event_type")
   }
 
-  /** The `json_valid` guard mirrors the Spark side's PERMISSIVE
-    * null-on-malformed semantics: DuckDB's `->>` RAISES on malformed
-    * JSON where `from_json` yields null, so without the guard the
-    * oracle would error (not mismatch) the moment a malformed props row
-    * enters the fixture — the two engines must share the
-    * drop-bad-records behavior, not merely agree on clean data. */
+  /** The `json_valid` guard + `TRY_CAST` mirror the Spark side's
+    * PERMISSIVE null-on-malformed semantics at BOTH levels: DuckDB's
+    * `->>` RAISES on malformed JSON where `from_json` yields null
+    * (document level), and a strict CAST raises on a valid-JSON field
+    * whose value isn't an INT (`{"k":"abc"}`, `{"k":1.5}`, overflow)
+    * where `from_json('k INT')` yields null (field level). The two
+    * engines must share the drop-bad-records behavior, not merely
+    * agree on clean data. */
   def q36OracleSql: String =
     """SELECT event_type, count(*) AS n,
       |       CAST(sum(k) AS BIGINT) AS k_sum,
       |       min(k) AS k_min, max(k) AS k_max
       |FROM (SELECT event_type,
-      |             CAST(CASE WHEN json_valid(props) THEN props->>'$.k' END AS INT) AS k
+      |             TRY_CAST(CASE WHEN json_valid(props) THEN props->>'$.k' END AS INT) AS k
       |      FROM events)
       |WHERE k IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -327,12 +329,23 @@ object TweetStream {
     * stream of `(tag, valid_from, valid_to)` validity intervals and the
     * join is declared, letting Spark manage the two-sided state store.
     *
-    * Both sides carry watermarks and the join condition bounds the
-    * tweet's event time inside the interval, so state cleanup is
-    * automatic: a trending row can be dropped once the tweet-side
-    * watermark passes `valid_to`, and tweets age out symmetrically —
-    * the state-boundedness a 100 TB firehose needs, with none of the
-    * manual state plumbing. Emission differs from the co-flatmap by
+    * Both sides carry watermarks and the join condition is a bounded
+    * INTERVAL RANGE between the two watermarked columns
+    * (`valid_from <= ts < valid_from + maxValidity` — the canonical
+    * stream-stream range-join form), so state cleanup is automatic ON
+    * BOTH SIDES: a trending row is dropped once the tweet-side
+    * watermark passes `valid_from + maxValidity`, and tweets age out
+    * once the control-side watermark passes their `ts` — the
+    * state-boundedness a 100 TB firehose needs, with none of the
+    * manual state plumbing. `ts < valid_to` alone could NOT bound the
+    * control side: `valid_to` is not the watermarked column, so Spark
+    * can derive no control-state watermark from it and every trending
+    * row would live in the state store forever (the round-6 leak).
+    * `maxValidity` therefore also CAPS each validity interval — a
+    * control row whose `valid_to` exceeds `valid_from + maxValidity`
+    * stops matching at the cap (the reference's trending windows are
+    * 300 s, so the 1 h default is a pure upper bound, never a
+    * semantic change). Emission differs from the co-flatmap by
     * design: matches are event-time-correct (a tweet matches the
     * top-N VALID AT ITS EVENT TIME, even across micro-batch
     * boundaries), where the reference matched against whatever control
@@ -341,12 +354,15 @@ object TweetStream {
     *
     * @param trending control stream with columns `tag: string,
     *        valid_from: timestamp, valid_to: timestamp`
+    * @param maxValidity hard upper bound on `valid_to - valid_from`;
+    *        what makes control-side state eviction derivable
     */
   def streamStreamTagFilter(
       rawTweets: DataFrame,
       trending: DataFrame,
       tsCol: Column = current_timestamp(),
-      watermarkDelay: String = "1 second"): DataFrame = {
+      watermarkDelay: String = "1 second",
+      maxValidity: String = "1 hour"): DataFrame = {
     val tweets = parseTweets(rawTweets, tsCol)
       // distinct WITHIN the tweet: a tweet repeating a hashtag must
       // match once, like the foreachBatch form's distinct() — a narrow
@@ -358,7 +374,9 @@ object TweetStream {
     val control = trending.withWatermark("valid_from", watermarkDelay)
     tweets.join(control,
       col("tw_tag") === col("tag") &&
-        col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
+        col("ts") >= col("valid_from") &&
+        col("ts") < col("valid_from") + expr(s"INTERVAL $maxValidity") &&
+        col("ts") < col("valid_to"))
       .select(col("id"), col("text"), col("tag"), col("valid_from"))
   }
 
@@ -378,25 +396,85 @@ object TweetStream {
     * milestone semantics is precisely what the flatMap (0..n rows out
     * per group per batch) contract exists for. The log-spaced schedule
     * is how a 100 TB firehose monitor avoids emitting per-event.
+    *
+    * State is two longs per distinct tag. Without a TTL that is fine
+    * for a tag VOCABULARY but unbounded on an adversarial key space
+    * (every tweet inventing a fresh tag), so `idleTtl` ages out tags
+    * via an EVENT-TIME timeout: a tag whose state saw no mention for
+    * `idleTtl` of WATERMARK progress is dropped. Event time, not
+    * processing time, on purpose — the timeout fires only when a
+    * micro-batch runs anyway (watermark movement), where a
+    * processing-time TTL makes the engine self-trigger batches at the
+    * TTL cadence just to expire idle keys (measured: a 100 ms TTL
+    * spun ~1700 empty micro-batches in minutes, flooding the
+    * checkpoint dir), and it is deterministic under replay. TTL mode
+    * therefore requires `tags` to carry a WATERMARKED `ts` column
+    * (the [[explodeTags]] output does). The trade, by design: a tag
+    * revived after expiry restarts from (0, 1) and RE-EMITS its early
+    * milestones — "first N mentions since the tag was last live",
+    * which is what a monitor wants, vs. the all-time-exact totals of
+    * the default unbounded mode. Pick per deployment: `None` when the
+    * tag space is a bounded vocabulary, a TTL when it is the open
+    * firehose.
     */
-  def tagMilestones(tags: DataFrame): DataFrame = {
+  def tagMilestones(
+      tags: DataFrame,
+      idleTtl: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = tags.sparkSession
     import spark.implicits._
-    tags.select(col("tag")).as[String]
-      .groupByKey(identity)
-      .flatMapGroupsWithState[(Long, Long), (String, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (tag: String, rows: Iterator[String], state: GroupState[(Long, Long)]) =>
-          val (prevTotal, firstMilestone) = state.getOption.getOrElse((0L, 1L))
-          val total = prevTotal + rows.size
-          var m = firstMilestone
-          val out = Seq.newBuilder[(String, Long)]
-          while (total >= m) { out += ((tag, m)); m *= 2 }
-          state.update((total, m))
-          out.result().iterator
-      }
-      .toDF("tag", "milestone")
+
+    def advance(tag: String, newRows: Long,
+        state: GroupState[(Long, Long)]): Iterator[(String, Long)] = {
+      val (prevTotal, firstMilestone) = state.getOption.getOrElse((0L, 1L))
+      val total = prevTotal + newRows
+      var m = firstMilestone
+      val out = Seq.newBuilder[(String, Long)]
+      while (total >= m) { out += ((tag, m)); m *= 2 }
+      state.update((total, m))
+      out.result().iterator
+    }
+
+    idleTtl match {
+      case None =>
+        tags.select(col("tag")).as[String]
+          .groupByKey(identity)
+          .flatMapGroupsWithState[(Long, Long), (String, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (tag: String, rows: Iterator[String], state: GroupState[(Long, Long)]) =>
+              advance(tag, rows.size.toLong, state)
+          }
+          .toDF("tag", "milestone")
+      case Some(ttl) =>
+        tags.select(col("tag"), col("ts")).as[(String, Timestamp)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Long), (String, Long)](
+            OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+            (tag: String, rows: Iterator[(String, Timestamp)],
+                state: GroupState[(Long, Long)]) =>
+              if (state.hasTimedOut) {
+                // idle past the TTL: drop the two-long state entry; a
+                // timed-out invocation carries no rows, nothing to emit
+                state.remove()
+                Iterator.empty
+              } else {
+                // deadline = the tag's LATEST mention + ttl — not
+                // watermark + ttl, which lags the data by a batch: a
+                // burst that itself advances the watermark past the
+                // stale deadline would evict the tag in the very next
+                // no-data batch. Late rows are watermark-filtered
+                // before reaching this operator, so maxTs is never
+                // behind the watermark the deadline is checked against.
+                var n = 0L
+                var maxTs = Long.MinValue
+                rows.foreach { r => n += 1; maxTs = math.max(maxTs, r._2.getTime) }
+                val out = advance(tag, n, state)
+                state.setTimeoutTimestamp(maxTs, ttl)
+                out
+              }
+          }
+          .toDF("tag", "milestone")
+    }
   }
 
   /** Streaming exact dedup of parsed tweets by id — the ingest-side

@@ -16,6 +16,14 @@ object graftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** True iff the session's cache registry holds no cached relations —
+    * the observable contract of the DedupOps loan forms ("after f, the
+    * cache is as it was"). `CacheManager` is `private[sql]`, hence the
+    * shim; the check is registry-level (what `clearCache()` would
+    * drop), not block-level. */
+  def cacheIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
   /** Register a temp SQL function on an EXISTING session (the runtime
     * path for sessions built without `spark.sql.extensions=…`; the
     * config path is [[graft.GraftExtensions]]). */

@@ -106,6 +106,26 @@ class DedupOpsSpec extends SparkSuite {
   // q27's plan shape (no cartesian, cached frames reused) is pinned in
   // PlanShapeSpec alongside the other queries' plan assertions.
 
+  test("loan forms release every cached frame, on success and on failure") {
+    import org.apache.spark.sql.graftShims
+    // suites share the session; start from a known-empty cache registry
+    spark.catalog.clearCache()
+    assert(graftShims.cacheIsEmpty(spark))
+    val n13 = DedupOps.withQ13NeardupPairs(spark, sf)(_.collect().length)
+    assert(n13 == 28)
+    assert(graftShims.cacheIsEmpty(spark), "q13 loan left cached frames")
+    val n27 = DedupOps.withQ27NgramJaccard(spark, sf)(_.count())
+    assert(n27 > 0)
+    assert(graftShims.cacheIsEmpty(spark), "q27 loan left cached frames")
+    // release must happen even when the borrowed action throws
+    intercept[RuntimeException] {
+      DedupOps.withQ13NeardupPairs(spark, sf) { _ =>
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(graftShims.cacheIsEmpty(spark), "q13 loan leaked on failure")
+  }
+
   test("q13 plan has no cartesian/all-pairs join") {
     val plan = DedupOps.q13NeardupPairs(spark, sf)
       .queryExecution.executedPlan.toString

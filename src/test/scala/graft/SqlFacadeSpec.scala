@@ -58,11 +58,22 @@ class SqlFacadeSpec extends SparkSuite {
       .collect()
     assert(norms.length == 500)
     norms.foreach(r => assert(r.getDouble(1) > 0))
-    // non-literal k is a usage error, not silent misbehavior
-    val e = intercept[Exception] {
+    // non-literal k is a usage error surfaced as an AnalysisException
+    // whose message names the function — NOT a Spark INTERNAL_ERROR
+    // (the round-6 regression: a nonexistent error class made the
+    // exception constructor itself throw, and intercept[Exception]
+    // couldn't tell the difference)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT hashed_shingles(text, doc_id) FROM documents").collect()
     }
-    assert(e.getMessage != null)
+    assert(e.getMessage.contains("hashed_shingles"), s"got: ${e.getMessage}")
+    assert(e.getCondition == "NON_FOLDABLE_ARGUMENT", e.getCondition)
+    // a foldable-but-null k is equally an AnalysisException, not an NPE
+    val eNull = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hashed_shingles(text, CAST(NULL AS INT)) FROM documents")
+        .collect()
+    }
+    assert(eNull.getMessage.contains("hashed_shingles"), s"got: ${eNull.getMessage}")
     // the config-path injector registers the same function set
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders shared
