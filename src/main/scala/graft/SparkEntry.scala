@@ -62,6 +62,8 @@ object SparkEntry {
     "q38_outer_join"       -> (RelationalOps.q38OuterJoin _),
     "q39_window_funcs"     -> (RelationalOps.q39WindowFuncs _),
     "q40_resample_fill"    -> (RelationalOps.q40ResampleFill _),
+    "q41_strat_sample"     -> (RelationalOps.q41StratifiedSample _),
+    "q42_tfidf_topterms"   -> ((s, d) => TextOps.q42TfidfTopTerms(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -245,5 +247,11 @@ object SparkEntry {
 
     // Time-series resample + forward fill over an hourly grid.
     "q40_resample_fill" -> RelationalOps.q40OracleSql,
+
+    // Stratified per-language sampling (rates shared with the Spark
+    // when-chain) and TF-IDF keyword extraction (scores rounded BEFORE
+    // ranking on both sides).
+    "q41_strat_sample"   -> RelationalOps.q41OracleSql,
+    "q42_tfidf_topterms" -> TextOps.q42OracleSql,
   )
 }

@@ -140,6 +140,48 @@ object RelationalOps {
        |WHERE ('0x' || substr(md5(text), 1, 4))::BIGINT % $SampleMod = 0
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-language sampling rates in PER MILLE for [[q41StratifiedSample]]
+    * — integers so the Spark filter and the DuckDB oracle are generated
+    * from the very same constants with no float representation in
+    * between. The shape models corpus REBALANCING: the dominant language
+    * is downsampled hard, mid-size ones moderately, scarce ones kept
+    * whole. Languages not listed keep everything (`DefaultKeepPerMille`). */
+  val StratRates: Seq[(String, Int)] =
+    Seq("en" -> 250, "es" -> 500, "zh" -> 750)
+  val DefaultKeepPerMille = 1000
+
+  /** q41 — deterministic STRATIFIED sampling: per-language keep rates
+    * applied via the same content-keyed md5 filter as [[q31SampleHash]]
+    * (`hash(text) mod 1000 < rate(lang)`), the corpus-rebalancing
+    * primitive a training pipeline runs before mixing languages.
+    * `sampleBy`/`rand()` cannot do this job: a rerun, a retry, or a
+    * second engine must select the SAME rows, and content-keyed hashing
+    * also samples duplicated/re-crawled rows consistently. The rate
+    * lookup is a constant `when`-chain — the whole operator is ONE
+    * narrow codegen'd filter, no join, no shuffle, no driver round-trip;
+    * at 100 TB it runs at scan speed on any partitioning. */
+  def q41StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rate = StratRates.foldLeft(lit(DefaultKeepPerMille)) {
+      case (acc, (lang, r)) => when($"lang" === lang, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .filter(
+        conv(substring(md5($"text"), 1, 4), 16, 10).cast("long") % 1000 < rate)
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
+  def q41OracleSql: String = {
+    val cases = StratRates
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+    s"""SELECT doc_id, lang, source
+       |FROM documents
+       |WHERE ('0x' || substr(md5(text), 1, 4))::BIGINT % 1000 <
+       |      (CASE $cases ELSE $DefaultKeepPerMille END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q32 — cube aggregate: counts and an exact integer checksum over
     * ALL grouping combinations of (event_type, user_bucket) — the
     * 2^d-combination sibling of q23's rollup (which emits only the d+1

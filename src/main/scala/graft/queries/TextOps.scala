@@ -320,4 +320,81 @@ object TextOps {
        |SELECT doc_id, n_grams::BIGINT AS n_grams, len(fps)::BIGINT AS n_fp,
        |       list_min(fps) AS fp_min
        |FROM w ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+
+  /** Top terms per document for [[q42TfidfTopTerms]]. */
+  val TfidfTopK = 3
+
+  /** q42 — per-document keyword extraction: the top-k terms by TF-IDF
+    * (`tf × ln(N / df)`), the classic relevance weighting a corpus
+    * pipeline uses for topic tagging, index keys, and near-dup triage.
+    *
+    * Plan shape, scale-first: term frequencies are ONE hash aggregate
+    * over the exploded tokens (map-side partial); document frequencies
+    * are a second aggregate over that already-distinct (doc, token)
+    * frame — vocabulary-sized, so it BROADCASTS into the scoring join
+    * (Zipf: vocab ≪ corpus; were the vocabulary web-scale, the same
+    * plan degrades gracefully to a shuffle join on the token key — both
+    * sides are pre-aggregated, never raw text). The corpus size N rides
+    * a broadcast single row. Ranking is `row_number` partitioned BY DOC
+    * — embarrassingly parallel, no global window anywhere.
+    *
+    * Cross-engine determinism: scores are rounded to 6 decimals BEFORE
+    * ranking — both engines rank the same rounded values with the same
+    * `(score desc, token asc)` tie-break, so sub-rounding float noise
+    * cannot flip ranks between Spark and the oracle (`ln` is the
+    * natural log in both). */
+  def q42TfidfTopTerms(
+      spark: SparkSession, dir: String, k: Int = TfidfTopK): DataFrame =
+    tfidfTopTerms(Tables.documents(spark, dir), k)
+
+  /** Frame-level core of [[q42TfidfTopTerms]] over any `(doc_id, text)`
+    * frame — the reusable pipeline stage (and the unit-test surface). */
+  def tfidfTopTerms(docs: DataFrame, k: Int = TfidfTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "token")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("tfidf"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored
+      .withColumn("rank", row_number().over(byDoc))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  def q42OracleSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, token, count(*) AS tf
+       |  FROM (SELECT doc_id,
+       |               unnest(list_filter(string_split(lower(text), ' '),
+       |                                  x -> len(x) > 0)) AS token
+       |        FROM documents)
+       |  GROUP BY doc_id, token
+       |), df AS (
+       |  SELECT token, count(*) AS df FROM tf GROUP BY token
+       |), n AS (
+       |  SELECT count(DISTINCT doc_id) AS n_docs FROM tf
+       |), s AS (
+       |  SELECT tf.doc_id, tf.token,
+       |         round(tf.tf * ln(n_docs::DOUBLE / df.df), 6) AS tfidf
+       |  FROM tf JOIN df USING (token), n
+       |), r AS (
+       |  SELECT doc_id, token, tfidf,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY tfidf DESC, token) AS rank
+       |  FROM s
+       |)
+       |SELECT doc_id, rank, token, tfidf FROM r WHERE rank <= $TfidfTopK
+       |ORDER BY doc_id, rank""".stripMargin
 }

@@ -232,4 +232,36 @@ class RelationalOpsSpec extends SparkSuite {
     val fullGroups = cube.filter(t => t._1.isDefined && t._2.isDefined)
     assert(fullGroups.toSeq.map(_._3).sum == total)
   }
+
+  test("q41: stratified rates downsample listed languages, keep the rest whole, deterministically") {
+    import spark.implicits._
+    val full = Tables.documents(spark, sf)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = RelationalOps.q41StratifiedSample(spark, sf)
+    val byLang = sampled.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unlisted languages keep 1000 per mille — every row survives
+    val listed = RelationalOps.StratRates.map(_._1).toSet
+    full.keys.filterNot(listed).foreach { l =>
+      assert(byLang.getOrElse(l, 0L) == full(l), s"$l must be kept whole")
+    }
+    // listed languages are strictly downsampled but not emptied, and
+    // the realized fraction sits near the configured per-mille rate
+    RelationalOps.StratRates.foreach { case (l, r) =>
+      val (n, f) = (byLang.getOrElse(l, 0L), full(l))
+      assert(n > 0 && n < f, s"$l: got $n of $f at $r per mille")
+      assert(math.abs(n.toDouble / f - r / 1000.0) < 0.2,
+        s"$l fraction ${n.toDouble / f} far from ${r / 1000.0}")
+    }
+    // content-keyed: a rerun selects the SAME rows, not a fresh draw
+    val ids = sampled.collect().map(_.getLong(0)).toSeq
+    val again = RelationalOps.q41StratifiedSample(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == again)
+    // one narrow filter: no join, no aggregate anywhere in the plan
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"),
+      s"q41 must stay a pure filter:\n$plan")
+  }
 }

@@ -91,4 +91,48 @@ class TextOpsSpec extends SparkSuite {
     val again = TextOps.q18Fingerprint(spark, sf).collect()
     assert(rows.map(_.getLong(3)).toSeq == again.map(_.getLong(3)).toSeq)
   }
+
+  test("q42: tf-idf top terms match hand-computed scores on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple")
+    ).toDF("doc_id", "text")
+    // N=3; df: apple 2, banana 2, cherry 1
+    // doc1: apple 2·ln(1.5)=0.810930, banana 1·ln(1.5)=0.405465
+    // doc2: cherry ln(3)=1.098612 > banana 0.405465
+    // doc3: apple 0.405465
+    val got = TextOps.tfidfTopTerms(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 1, "apple", 0.81093),
+      (1L, 2, "banana", 0.405465),
+      (2L, 1, "cherry", 1.098612),
+      (2L, 2, "banana", 0.405465),
+      (3L, 1, "apple", 0.405465)), s"got: $got")
+  }
+
+  test("q42 on the fixture: ranked per doc, deterministic, broadcast df join") {
+    val out = TextOps.q42TfidfTopTerms(spark, sf)
+    val rows = out.collect()
+    // every doc with tokens contributes, ranks are 1..k without gaps
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.size == 500)
+    byDoc.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+      assert(rs.length <= TextOps.TfidfTopK)
+    }
+    // scores are non-negative (df <= N) and descending within a doc
+    byDoc.values.foreach { rs =>
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse)
+      scores.foreach(s => assert(s >= 0.0))
+    }
+    // vocabulary-sized df side broadcasts; no sort-merge join on corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"df join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
 }
