@@ -1,0 +1,124 @@
+package graft
+
+import graft.streaming.TweetStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Streaming throughput probe — the reference's ACTUAL modality, end to
+  * end: tweet-JSON file stream → parse/drop-malformed → hashtag explode
+  * → watermarked sliding window counts → finalized-window top-N → KV
+  * sink ([[graft.streaming.TweetStream.startTopN]], the whole Flink job
+  * of TopNHashtags.java:94-180 as one pipeline). `Bench` times the
+  * batch inventory; this main answers the remaining question — how many
+  * tweets/second the streaming layer moves on one node.
+  *
+  * Protocol: generate `SPARK_GRAFT_STREAM_N` synthetic tweets (fixed
+  * RNG seed — identical corpus every run) as json-line files, then time
+  * ONLY the streaming run (source → all micro-batches →
+  * `processAllAvailable`), multiple files per trigger so the state
+  * store is exercised INCREMENTALLY across many micro-batches rather
+  * than in one big batch. Event time is in-band (`ts_sec`), one second
+  * per `EventsPerSecond` tweets, so hundreds of sliding windows open,
+  * finalize, and rank during the run — the steady-state shape, not a
+  * single-window toy. A final far-future advancer closes all windows;
+  * the KV store must end non-empty (sanity) or the probe exits 1.
+  *
+  * Emits ONE JSON line like `Bench` (also written to
+  * `target/stream_bench.json`).
+  */
+object StreamBench {
+
+  /** Event-time compression: how many tweets share one simulated second.
+    * 500 tweets/s over the default 400k tweets spans ~800 s of event
+    * time → ~13 finalized 60 s slides of 300 s windows. */
+  val EventsPerSecond = 500
+
+  def main(args: Array[String]): Unit = {
+    val nTweets =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "400000").trim.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Streaming-specific shuffle width: the stateful aggregation runs
+    // one state store (with per-batch commit I/O) PER shuffle partition,
+    // so the batch inventory's 32 wastes per-batch overhead on a state
+    // that fits in a handful of stores. 8 is the measured sweet spot at
+    // this state size (see bench/NOTES.md); a real firehose deployment
+    // sizes it to state volume, not core count.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    val filesPerTrigger =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "5").trim.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // -- corpus generation (untimed): Zipf-ish tag draw over a 64-tag
+    // vocabulary, 1-3 tags per tweet, ~8% tagless, 1% malformed lines
+    // (the drop-bad-records path must be exercised, not just clean data)
+    val dir = Files.createTempDirectory("graft-streambench")
+    val rnd = new scala.util.Random(42)
+    val vocab = Array.tabulate(64)(i => s"tag$i")
+    def zipfTag(): String = vocab(
+      math.min(63, math.floor(math.pow(64.0, rnd.nextDouble()) - 1).toInt))
+    val perFile = 20000
+    var id = 0L
+    var written = 0
+    while (written < nTweets) {
+      val count = math.min(perFile, nTweets - written)
+      val sb = new StringBuilder(count * 130)
+      var i = 0
+      while (i < count) {
+        id += 1
+        val sec = id / EventsPerSecond
+        if (rnd.nextInt(100) == 0) {
+          sb.append("{malformed line no json\n")
+        } else {
+          val nTags = if (rnd.nextInt(100) < 8) 0 else 1 + rnd.nextInt(3)
+          val tags = Seq.fill(nTags)(s"""{"text":"${zipfTag()}"}""")
+            .mkString(",")
+          sb.append(s"""{"id":$id,"ts_sec":$sec,"text":"t$id","entities":{"hashtags":[$tags]}}""")
+            .append('\n')
+        }
+        i += 1
+      }
+      Files.writeString(dir.resolve(f"part-$written%09d.json"), sb.result())
+      written += count
+    }
+    // far-future advancer: closes every window so all top-Ns finalize
+    Files.writeString(dir.resolve("part-zzz-advancer.json"),
+      s"""{"id":${id + 1},"ts_sec":${id / EventsPerSecond + 100000},"text":"adv","entities":{"hashtags":[{"text":"adv"}]}}\n""")
+
+    // -- timed streaming run
+    val sink = new TweetStream.InMemoryKvStore
+    val tsCol = timestamp_seconds(
+      get_json_object(col("json"), "$.ts_sec").cast("long"))
+    val t0 = System.nanoTime()
+    val query = TweetStream.startTopN(
+      TweetStream.fileJsonSource(spark, dir.toString,
+        maxFilesPerTrigger = filesPerTrigger),
+      sink, n = 10,
+      watermarkDelay = "1 second", tsCol = tsCol,
+      checkpoint = Files.createTempDirectory("graft-streambench-ckpt").toString)
+    query.processAllAvailable()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val batches = query.recentProgress.count(_.numInputRows > 0)
+    query.stop()
+
+    val kv = sink.snapshot
+    sink.dispose()
+    def f1(d: Double): String = f"$d%.1f"
+    val line =
+      s"""{"metric":"stream_topn_tweets_per_sec","value":${f1(nTweets / wall)},"unit":"rows/sec","n_tweets":$nTweets,"wall_sec":${f1(wall)},"micro_batches":$batches,"kv_entries":${kv.size}}"""
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/stream_bench.json"), line + "\n")
+    println(line)
+    spark.stop()
+    if (kv.isEmpty) {
+      System.err.println("SANITY FAIL: no finalized top-N reached the KV sink")
+      sys.exit(1)
+    }
+  }
+}
