@@ -54,6 +54,11 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_STREAM_ROCKSDB=1 → run on the production (beyond-heap)
+    // state backend instead of the default heap-backed provider, so the
+    // probe also prices the RocksDB commit path
+    val rocksDb = sys.env.get("SPARK_GRAFT_STREAM_ROCKSDB").contains("1")
+    if (rocksDb) graft.streaming.StateBackends.useRocksDb(spark)
 
     // -- corpus generation (untimed): Zipf-ish tag draw over a 64-tag
     // vocabulary, 1-3 tags per tweet, ~8% tagless, 1% malformed lines
@@ -111,7 +116,7 @@ object StreamBench {
     sink.dispose()
     def f1(d: Double): String = f"$d%.1f"
     val line =
-      s"""{"metric":"stream_topn_tweets_per_sec","value":${f1(nTweets / wall)},"unit":"rows/sec","n_tweets":$nTweets,"wall_sec":${f1(wall)},"micro_batches":$batches,"kv_entries":${kv.size}}"""
+      s"""{"metric":"stream_topn_tweets_per_sec","value":${f1(nTweets / wall)},"unit":"rows/sec","n_tweets":$nTweets,"wall_sec":${f1(wall)},"micro_batches":$batches,"kv_entries":${kv.size},"state_backend":"${if (rocksDb) "rocksdb" else "hdfs-heap"}"}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/stream_bench.json"), line + "\n")
     println(line)
