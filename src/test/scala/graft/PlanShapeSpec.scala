@@ -64,6 +64,21 @@ class PlanShapeSpec extends SparkSuite {
     assert(!scanLine.contains("text"), s"projection not pruned:\n$p")
   }
 
+  test("q41/q42: column pruning reaches the scan (q42 reads only doc_id, text)") {
+    // q41 needs doc_id/lang/source (output) + text (the hash key) — but
+    // never n_chars or the rest of the row
+    val p41 = plan(RelationalOps.q41StratifiedSample(spark, sf))
+    val scan41 = p41.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan41.contains("text") && !scan41.contains("n_chars"),
+      s"q41 scan not pruned:\n$p41")
+    // q42's whole pipeline derives from (doc_id, text)
+    val p42 = plan(TextOps.q42TfidfTopTerms(spark, sf))
+    p42.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("lang") && !l.contains("source") &&
+        !l.contains("n_chars"), s"q42 scan not pruned:\n$p42")
+    }
+  }
+
   test("q20: embedding stage is a narrow map — no exchange before MapPartitions") {
     val p = plan(MultimodalOps.q20MediaEmbed(spark, sf))
     val beforeMap = p.substring(p.indexOf("MapPartitions"))
