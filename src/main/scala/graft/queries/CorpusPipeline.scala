@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The operators composed into the thing they exist for: one
+  * training-data preparation pipeline over a raw `(doc_id, lang,
+  * source, text)` corpus. Each stage is the verified machinery of an
+  * inventory query, chained in the order a real corpus run uses:
+  *
+  *   1. EXACT dedup (q09 rule) — keep the lowest doc_id per identical
+  *      text; cheapest filter first, and near-dup must not waste work
+  *      on byte-identical copies.
+  *   2. Language gate (q16's downstream contract) + minimum-length
+  *      quality gate (q17's n_tokens) — narrow filters, run before
+  *      anything that shuffles.
+  *   3. NEAR-dup removal (q13 machinery) — MinHash-LSH candidates,
+  *      exact Jaccard verify, then drop the HIGHER doc_id of every
+  *      verified pair. Greedy-by-id, deterministic; a doc that
+  *      near-dups several others is dropped once. (Transitive
+  *      clustering is deliberately NOT done: A~B and B~C do not imply
+  *      A~C at the threshold, and dropping by pair keeps the rule
+  *      local and auditable.)
+  *   4. Stratified rebalance (q41 rates) — content-keyed per-language
+  *      sampling, reproducible across reruns and engines.
+  *   5. Keyword tagging (q42 core) — each surviving doc gets its
+  *      TF-IDF top terms (computed over the FINAL corpus, so the df
+  *      statistics describe what ships), as a rank-ordered array.
+  *
+  * Scale shape is inherited stage by stage: 1/2/4 are narrow filters
+  * (one window shuffle for the dedup keep-rule), 3 shuffles fixed-width
+  * hashes in LSH buckets, 5 is two hash aggregates + a broadcast join.
+  * Nothing here re-reads the corpus more than the stages need, and the
+  * one internal persist (the shingle frame) is released by the loan
+  * form.
+  */
+object CorpusPipeline {
+
+  /** Pipeline knobs, defaulting to the inventory queries' constants. */
+  case class Config(
+      keepLangs: Set[String] = Set("en", "de", "es", "fr", "zh"),
+      minTokens: Int = 5,
+      neardupThreshold: Double = 0.6,
+      stratRates: Seq[(String, Int)] = RelationalOps.StratRates,
+      defaultPerMille: Int = RelationalOps.DefaultKeepPerMille,
+      topKeywords: Int = TextOps.TfidfTopK)
+
+  /** Run `f` over the prepared corpus, then release the pipeline's
+    * internal cache — the composition-safe entry point. */
+  def withPrepared[T](docs: DataFrame, cfg: Config = Config())(
+      f: DataFrame => T): T = {
+    val (result, handles) = build(docs, cfg)
+    try f(result) finally handles.foreach(_.unpersist())
+  }
+
+  /** Plain form: prepared corpus `(doc_id, lang, source, text,
+    * keywords)`, one row per surviving doc, ordered by doc_id. Cache
+    * lifecycle is caller-owned (see [[withPrepared]]). */
+  def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    build(docs, cfg)._1
+
+  private def build(
+      docs: DataFrame, cfg: Config): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
+
+    // 1. exact dedup: lowest doc_id wins per identical text
+    val byText = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    val exact = docs
+      .withColumn("rn", row_number().over(byText))
+      .filter(col("rn") === 1).drop("rn")
+
+    // 2. language + minimum-quality gates (narrow)
+    val gated = exact
+      .filter(col("lang").isInCollection(cfg.keepLangs))
+      .filter(size(TextOps.toks(col("text"))) >= cfg.minTokens)
+
+    // 3. near-dup removal: drop the higher id of every verified pair
+    val (pairs, handles) =
+      DedupOps.neardupBuild(gated, cfg.neardupThreshold, 16, 4)
+    val losers = pairs.select(col("doc_b").as("doc_id")).distinct()
+    val neardupFree = gated.join(losers, Seq("doc_id"), "left_anti")
+
+    // 4. stratified rebalance (content-keyed, reproducible)
+    val balanced = neardupFree
+      .filter(RelationalOps.stratifiedKeep(cfg.stratRates, cfg.defaultPerMille))
+
+    // 5. keyword tagging over the FINAL corpus; rank order preserved in
+    // the array via sort_array over (rank, token) structs
+    val keywords = TextOps
+      .tfidfTopTerms(balanced, cfg.topKeywords)
+      .groupBy(col("doc_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("rank"), col("token")))),
+        s => s("token")).as("keywords"))
+
+    val result = balanced
+      .join(keywords, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        coalesce(col("keywords"), array().cast("array<string>"))
+          .as("keywords"))
+      .orderBy(col("doc_id"))
+    (result, handles)
+  }
+}

@@ -174,8 +174,26 @@ object DedupOps {
       dir: String,
       threshold: Double,
       bands: Int,
+      rows: Int): (DataFrame, Seq[DataFrame]) =
+    neardupBuild(Tables.documents(spark, dir), threshold, bands, rows)
+
+  /** Verified near-dup pairs over ANY `(doc_id, text)` frame — the
+    * frame-level core of q13 (and [[CorpusPipeline]]'s dedup stage).
+    * Persists the shingle-hash frame internally; lifecycle is
+    * caller-owned exactly like [[q13NeardupPairs]] — compose under a
+    * loan or clear the cache when done. */
+  def neardupPairs(
+      docs: DataFrame,
+      threshold: Double = 0.6,
+      bands: Int = 16,
+      rows: Int = 4): DataFrame =
+    neardupBuild(docs, threshold, bands, rows)._1
+
+  private[queries] def neardupBuild(
+      docs: DataFrame,
+      threshold: Double,
+      bands: Int,
       rows: Int): (DataFrame, Seq[DataFrame]) = {
-    val docs = Tables.documents(spark, dir)
     // The exploded (doc_id, hs) frame feeds the signature aggregate AND
     // both verify-join sides. Without a persist, the diamond-shaped DAG
     // re-runs the shingle-hash pass over the corpus once per consumer

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Relational surface beyond the reference and beyond [[AnalyticsOps]]:
@@ -162,14 +162,21 @@ object RelationalOps {
     * at 100 TB it runs at scan speed on any partitioning. */
   def q41StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rate = StratRates.foldLeft(lit(DefaultKeepPerMille)) {
-      case (acc, (lang, r)) => when($"lang" === lang, lit(r)).otherwise(acc)
-    }
     Tables.documents(spark, dir)
-      .filter(
-        conv(substring(md5($"text"), 1, 4), 16, 10).cast("long") % 1000 < rate)
+      .filter(stratifiedKeep(StratRates, DefaultKeepPerMille))
       .select($"doc_id", $"lang", $"source")
       .orderBy($"doc_id")
+  }
+
+  /** The q41 keep-predicate as a reusable Column over `(lang, text)` —
+    * [[CorpusPipeline]]'s rebalance stage uses it directly. */
+  def stratifiedKeep(
+      rates: Seq[(String, Int)],
+      defaultPerMille: Int = DefaultKeepPerMille): Column = {
+    val rate = rates.foldLeft(lit(defaultPerMille)) {
+      case (acc, (lang, r)) => when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 1000 < rate
   }
 
   def q41OracleSql: String = {

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Non-empty whitespace tokens of the lowercased text. */
-  private def toks(text: Column): Column =
+  private[queries] def toks(text: Column): Column =
     filter(split(lower(text), " "), t => length(t) > 0)
 
   /** 32-bit md5-derived token hash, Spark side (codegen'd). */

@@ -1,0 +1,102 @@
+package graft
+
+import graft.queries.{CorpusPipeline, DedupOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Integration spec for the composed training-data pipeline: every
+  * stage's contract must HOLD ON THE OUTPUT (closure properties), not
+  * just inside its own unit test — re-running the dedup machinery on
+  * the prepared corpus must find nothing left to do.
+  */
+class CorpusPipelineSpec extends SparkSuite {
+
+  test("prepared corpus satisfies every stage's closure property") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf)
+    val cfg = CorpusPipeline.Config()
+    val out = CorpusPipeline.withPrepared(docs, cfg)(_.collect())
+
+    // shrank, non-empty, unique ids drawn from the input
+    val inIds = docs.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val ids = out.map(_.getLong(0))
+    assert(out.nonEmpty && out.length < inIds.size)
+    assert(ids.distinct.length == ids.length)
+    assert(ids.forall(inIds))
+
+    // closure 1: no identical texts survive
+    val texts = out.map(_.getString(3))
+    assert(texts.distinct.length == texts.length, "exact dups left")
+
+    // closure 2: gates hold row by row
+    out.foreach { r =>
+      assert(cfg.keepLangs(r.getString(1)))
+      val nToks = r.getString(3).toLowerCase.split(" ").count(_.nonEmpty)
+      assert(nToks >= cfg.minTokens)
+    }
+
+    // closure 3: re-running near-dup detection on the OUTPUT finds
+    // nothing — the defining property of a deduplicated corpus
+    val outDf = out.map(r => (r.getLong(0), r.getString(3)))
+      .toSeq.toDF("doc_id", "text")
+    assert(DedupOps.neardupPairs(outDf, cfg.neardupThreshold).count() == 0L,
+      "near-dup pairs survived the pipeline")
+    spark.catalog.clearCache() // neardupPairs persist above: test-owned
+
+    // closure 4: keyword arrays are rank-ordered tf-idf top terms of
+    // the doc — non-empty (every doc has >= minTokens tokens), bounded,
+    // and drawn from the doc's own token set
+    out.foreach { r =>
+      val kws = r.getSeq[String](4)
+      assert(kws.nonEmpty && kws.length <= cfg.topKeywords)
+      val toks = r.getString(3).toLowerCase.split(" ").filter(_.nonEmpty).toSet
+      kws.foreach(k => assert(toks(k), s"keyword $k not in doc"))
+    }
+
+    // determinism: a rerun prepares the identical corpus
+    val again = CorpusPipeline.withPrepared(docs, cfg)(_.collect())
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+
+    // loan released the pipeline's internal cache
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
+
+  test("stratified stage downsamples inside the pipeline like q41 standalone") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // rates that keep nothing for en: the pipeline must emit no en docs
+    val cfg = CorpusPipeline.Config(stratRates = Seq("en" -> 0))
+    CorpusPipeline.withPrepared(docs, cfg) { df =>
+      val langs = df.select($"lang").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(!langs("en"), "en docs survived a 0-per-mille rate")
+      assert(langs.nonEmpty)
+    }
+  }
+
+  test("keyword tagging reflects the FINAL corpus statistics, not the raw input") {
+    import spark.implicits._
+    // two near-identical docs + one distinct: the near-dup loser must
+    // not contribute to document frequencies, or idf would be skewed
+    val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok7", "CHANGED")
+    val docs = Seq(
+      (1L, "en", "s", base),
+      (2L, "en", "s", nearDup),
+      (3L, "en", "s", "totally different words here now friend")
+    ).toDF("doc_id", "lang", "source", "text")
+    // sampling off (keep-all rates): this test isolates the df statistics
+    val cfg = CorpusPipeline.Config(stratRates = Seq.empty)
+    CorpusPipeline.withPrepared(docs, cfg) { df =>
+      val got = df.collect()
+      // doc 2 is the higher id of the verified near-dup pair -> dropped
+      assert(got.map(_.getLong(0)).toSet == Set(1L, 3L))
+      // with doc 2 gone, every term of doc 1 has df=1 over N=2 docs:
+      // all tf-idf scores tie, so keywords are the alphabetically first
+      // TopK tokens (the deterministic tie-break, post-rounding)
+      val kw1 = got.find(_.getLong(0) == 1L).get.getSeq[String](4)
+      val expected = base.split(" ").sorted.take(TextOps.TfidfTopK).toSeq
+      assert(kw1 == expected, s"got $kw1, expected $expected")
+    }
+  }
+}
