@@ -61,6 +61,49 @@ class TokenizerPropsSpec extends SparkSuite {
     assert(viaGen.nonEmpty)
   }
 
+  test("tfidfTopTerms == naive in-memory reference on random unicode corpora") {
+    import spark.implicits._
+    // small vocabulary forces real df collisions and score ties, so the
+    // deterministic (rounded-score desc, token asc) tie-break is
+    // genuinely exercised — not just distinct-score happy paths
+    val smallVocab = Gen.oneOf("aa", "bb", "cc", "dd", "Ää", "λλ", "e!", "#f")
+    val doc: Gen[String] = for {
+      n <- Gen.choose(0, 10)
+      words <- Gen.listOfN(n, smallVocab)
+    } yield words.mkString(" ")
+    val docs = (0 until 120)
+      .flatMap(i => doc.apply(Gen.Parameters.default, Seed(1000L + i)))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+
+    val got = graft.queries.TextOps.tfidfTopTerms(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+
+    // naive reference: plain Scala maps, same rounding-before-ranking
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    val tf = docs.flatMap { case (id, t) => toks(t).map(id -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dfCount = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nDocs = tf.keys.map(_._1).toSet.size
+    def round6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = tf.keys.groupBy(_._1).toSeq.flatMap { case (id, keys) =>
+      keys.toSeq
+        .map { case (_, tok) =>
+          (tok, round6(tf((id, tok)) * math.log(nDocs.toDouble / dfCount(tok))))
+        }
+        .sortBy { case (tok, s) => (-s, tok) }
+        .take(graft.queries.TextOps.TfidfTopK)
+        .zipWithIndex
+        .map { case ((tok, s), i) => (id, i + 1, tok, s) }
+    }.sortBy(t => (t._1, t._2))
+
+    assert(got.nonEmpty)
+    assert(got == expected)
+  }
+
   test("token multiset is preserved: n_tokens equals exploded count per doc") {
     import spark.implicits._
     val df = corpus(200).zipWithIndex
