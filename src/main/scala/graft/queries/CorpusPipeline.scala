@@ -59,6 +59,28 @@ object CorpusPipeline {
   def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame =
     build(docs, cfg)._1
 
+  /** Pipeline terminal: persist the prepared corpus as
+    * LANG-PARTITIONED parquet — the layout downstream training reads
+    * want (a per-language consumer prunes to its own partition
+    * directories; the partition filter never touches file contents).
+    * Rows are repartitioned by `lang` so each partition value is
+    * written by few tasks (not `shuffle.partitions` fragments), sorted
+    * by doc_id within files for run-length-friendly encoding and
+    * reproducible file bytes, and capped at `maxRecordsPerFile` so one
+    * giant language still yields object-store-sized files. */
+  def write(
+      prepared: DataFrame,
+      path: String,
+      maxRecordsPerFile: Long = 1000000L): Unit =
+    prepared
+      .repartition(col("lang"))
+      .sortWithinPartitions(col("lang"), col("doc_id"))
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("lang")
+      .mode("overwrite")
+      .parquet(path)
+
   private def build(
       docs: DataFrame, cfg: Config): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window

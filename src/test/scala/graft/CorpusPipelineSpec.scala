@@ -61,6 +61,32 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
   }
 
+  test("write terminal: lang-partitioned parquet round-trips and prunes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("corpus-out").toString
+    val docs = Tables.documents(spark, sf)
+    CorpusPipeline.withPrepared(docs) { prepared =>
+      val expected = prepared.collect()
+      CorpusPipeline.write(prepared, dir)
+      // partition directories per surviving language
+      val langs = expected.map(_.getString(1)).distinct.sorted
+      langs.foreach { l =>
+        assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"lang=$l")),
+          s"missing partition dir for $l")
+      }
+      // round trip: same rows (partition column survives read-back)
+      val back = spark.read.parquet(dir)
+        .select($"doc_id", $"lang", $"source", $"text", $"keywords")
+        .orderBy($"doc_id").collect()
+      assert(back.map(_.toString).toSeq == expected.map(_.toString).toSeq)
+      // a per-language read is PARTITION-pruned, not a filter over all files
+      val pruned = spark.read.parquet(dir).filter($"lang" === langs.head)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") &&
+        plan.contains("lang"), s"no partition pruning:\n$plan")
+    }
+  }
+
   test("stratified stage downsamples inside the pipeline like q41 standalone") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
