@@ -60,6 +60,34 @@ class StreamingStateSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream maxValidity caps over-long control intervals (documented trade)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tweets = MemoryStream[Raw]
+    val control = MemoryStream[(String, Timestamp, Timestamp)]
+    val q = TweetStream.streamStreamTagFilter(
+      tweets.toDF(), control.toDF().toDF("tag", "valid_from", "valid_to"),
+      tsCol = col("ts"), maxValidity = "100 seconds")
+      .writeStream.format("memory").queryName("sss_cap").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-sss-cap").toString)
+      .start()
+    try {
+      // the interval CLAIMS validity for 1000 s, far past the 100 s cap
+      control.addData(("hot", at(1000), at(2000)))
+      tweets.addData(
+        Raw(tweet(1, "inside cap", Seq("hot")), at(1050)),
+        Raw(tweet(2, "beyond cap, inside claimed interval", Seq("hot")), at(1500)),
+        Raw(tweet(3, "watermark advancer", Seq("cold")), at(50000)))
+      q.processAllAvailable()
+      val got = spark.table("sss_cap").collect().map(_.getLong(0)).toSet
+      // tweet 1 matches; tweet 2 is PAST valid_from + maxValidity, so
+      // the cap drops it even though ts < valid_to — the documented
+      // price of derivable control-side state eviction
+      assert(got == Set(1L), s"got: $got")
+    } finally q.stop()
+  }
+
   test("sliding window counts: expired windows leave the state store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
