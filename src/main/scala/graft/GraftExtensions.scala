@@ -53,12 +53,18 @@ object GraftFunctions {
             "exprName" -> s"$funcName $paramName"))
       }
     } else {
+      // covers BOTH failure modes (non-foldable, or foldable of the
+      // wrong type) and prints the offending expression: "the input
+      // `k` should be a foldable INT expression; however, got <sql>" —
+      // NON_FOLDABLE_ARGUMENT would misdiagnose a foldable BIGINT/
+      // STRING literal as "non-foldable"
       throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "NON_FOLDABLE_ARGUMENT",
+        errorClass = "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
         messageParameters = Map(
-          "funcName" -> s"`$funcName`",
-          "paramName" -> s"`$paramName`",
-          "paramType" -> "\"INT\""))
+          "sqlExpr" -> s"\"$funcName\"",
+          "inputName" -> s"`$paramName`",
+          "inputType" -> "\"INT\"",
+          "inputExpr" -> s"\"${e.sql}\""))
     }
 
   /** (name, usage, builder) for every SQL-exposed function. */

@@ -36,14 +36,33 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
-  /** Pipeline knobs, defaulting to the inventory queries' constants. */
+  /** Pipeline knobs, defaulting to the inventory queries' constants.
+    *
+    * `neardupThreshold` and the LSH banding (`lshBands` × `lshRows`)
+    * must be chosen TOGETHER: candidate recall at Jaccard j is
+    * `1-(1-j^rows)^bands`, so the 16×4 default is steep around j≈0.6
+    * and collapses for low thresholds (at j=0.35 it finds only ~21% of
+    * true pairs — silently, since a rerun misses the same pairs the
+    * first run missed). The constructor therefore REJECTS a threshold
+    * below 0.5 under the default banding; lower thresholds need more
+    * rows-per-band-adjusted banding supplied explicitly (e.g. 32×2 for
+    * j≈0.3). */
   case class Config(
       keepLangs: Set[String] = Set("en", "de", "es", "fr", "zh"),
       minTokens: Int = 5,
       neardupThreshold: Double = 0.6,
+      lshBands: Int = 16,
+      lshRows: Int = 4,
       stratRates: Seq[(String, Int)] = RelationalOps.StratRates,
       defaultPerMille: Int = RelationalOps.DefaultKeepPerMille,
-      topKeywords: Int = TextOps.TfidfTopK)
+      topKeywords: Int = TextOps.TfidfTopK) {
+    require(neardupThreshold > 0 && neardupThreshold <= 1,
+      s"neardupThreshold must be in (0, 1], got $neardupThreshold")
+    require(neardupThreshold >= 0.5 || (lshBands, lshRows) != (16, 4),
+      s"neardupThreshold=$neardupThreshold is below the recall knee of " +
+        "the default 16x4 LSH banding (candidate P = 1-(1-j^rows)^bands); " +
+        "supply lshBands/lshRows tuned for the lower threshold")
+  }
 
   /** Run `f` over the prepared corpus, then release the pipeline's
     * internal cache — the composition-safe entry point. */
@@ -97,14 +116,21 @@ object CorpusPipeline {
       .filter(size(TextOps.toks(col("text"))) >= cfg.minTokens)
 
     // 3. near-dup removal: drop the higher id of every verified pair
-    val (pairs, handles) =
-      DedupOps.neardupBuild(gated, cfg.neardupThreshold, 16, 4)
+    val (pairs, dedupHandles) =
+      DedupOps.neardupBuild(gated, cfg.neardupThreshold, cfg.lshBands, cfg.lshRows)
     val losers = pairs.select(col("doc_b").as("doc_id")).distinct()
     val neardupFree = gated.join(losers, Seq("doc_id"), "left_anti")
 
-    // 4. stratified rebalance (content-keyed, reproducible)
+    // 4. stratified rebalance (content-keyed, reproducible). Persisted:
+    // the frame is a diamond with FOUR consumers (the final join's left
+    // side plus tf/df/nDocs inside the keyword stage), and without the
+    // cache the whole stage-1..4 chain re-executes per consumer — the
+    // same diamond rule the shingle frame's persist encodes in
+    // DedupOps. Released with the other handles by the loan form.
     val balanced = neardupFree
       .filter(RelationalOps.stratifiedKeep(cfg.stratRates, cfg.defaultPerMille))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val handles = dedupHandles :+ balanced
 
     // 5. keyword tagging over the FINAL corpus; rank order preserved in
     // the array via sort_array over (rank, token) structs

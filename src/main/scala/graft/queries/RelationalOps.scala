@@ -127,9 +127,7 @@ object RelationalOps {
   def q31SampleHash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .filter(
-        conv(substring(md5($"text"), 1, 4), 16, 10).cast("long")
-          % SampleMod === 0)
+      .filter(contentHashMod(SampleMod) === 0)
       .select($"doc_id", $"source", $"n_chars")
       .orderBy($"doc_id")
   }
@@ -137,7 +135,7 @@ object RelationalOps {
   def q31OracleSql: String =
     s"""SELECT doc_id, source, n_chars
        |FROM documents
-       |WHERE ('0x' || substr(md5(text), 1, 4))::BIGINT % $SampleMod = 0
+       |WHERE ${contentHashModSql(SampleMod)} = 0
        |ORDER BY doc_id""".stripMargin
 
   /** Per-language sampling rates in PER MILLE for [[q41StratifiedSample]]
@@ -168,15 +166,32 @@ object RelationalOps {
       .orderBy($"doc_id")
   }
 
+  /** The content-keyed sampling hash shared by q31 and q41 — ONE
+    * definition per engine, so a future change to the key (prefix
+    * width, digest) cannot silently split the two queries or drift
+    * from the oracle. Value in `[0, mod)`. */
+  def contentHashMod(mod: Int): Column =
+    conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % mod
+
+  /** Oracle-side twin of [[contentHashMod]] — same bits in DuckDB. */
+  def contentHashModSql(mod: Int): String =
+    s"('0x' || substr(md5(text), 1, 4))::BIGINT % $mod"
+
+  /** Per-mille denominator of the stratified rates. */
+  val PerMille = 1000
+
   /** The q41 keep-predicate as a reusable Column over `(lang, text)` —
-    * [[CorpusPipeline]]'s rebalance stage uses it directly. */
+    * [[CorpusPipeline]]'s rebalance stage uses it directly. FIRST
+    * matching entry wins for a duplicated language, matching the
+    * generated oracle CASE's evaluation order (the reversed fold puts
+    * earlier entries OUTERMOST in the when-chain). */
   def stratifiedKeep(
       rates: Seq[(String, Int)],
       defaultPerMille: Int = DefaultKeepPerMille): Column = {
-    val rate = rates.foldLeft(lit(defaultPerMille)) {
+    val rate = rates.reverse.foldLeft(lit(defaultPerMille)) {
       case (acc, (lang, r)) => when(col("lang") === lang, lit(r)).otherwise(acc)
     }
-    conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 1000 < rate
+    contentHashMod(PerMille) < rate
   }
 
   def q41OracleSql: String = {
@@ -184,7 +199,7 @@ object RelationalOps {
       .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
     s"""SELECT doc_id, lang, source
        |FROM documents
-       |WHERE ('0x' || substr(md5(text), 1, 4))::BIGINT % 1000 <
+       |WHERE ${contentHashModSql(PerMille)} <
        |      (CASE $cases ELSE $DefaultKeepPerMille END)
        |ORDER BY doc_id""".stripMargin
   }

@@ -67,7 +67,15 @@ class SqlFacadeSpec extends SparkSuite {
       spark.sql("SELECT hashed_shingles(text, doc_id) FROM documents").collect()
     }
     assert(e.getMessage.contains("hashed_shingles"), s"got: ${e.getMessage}")
-    assert(e.getCondition == "NON_FOLDABLE_ARGUMENT", e.getCondition)
+    assert(e.getCondition == "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT", e.getCondition)
+    // a foldable argument of the WRONG TYPE gets the same both-modes
+    // diagnostic naming the offending expression, not a false
+    // "non-foldable" claim
+    val eType = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hashed_shingles(text, 3L) FROM documents").collect()
+    }
+    assert(eType.getMessage.contains("foldable") &&
+      eType.getMessage.contains("3"), s"got: ${eType.getMessage}")
     // a foldable-but-null k is equally an AnalysisException, not an NPE
     val eNull = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT hashed_shingles(text, CAST(NULL AS INT)) FROM documents")
