@@ -222,6 +222,64 @@ object SimilarityOps {
        |ORDER BY probe_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------- k-means trainer
+
+  /** One distributed Lloyd (k-means) iteration — the IVF centroid
+    * TRAINER the q28 docstring defers to ("a production IVF trains
+    * centroids with k-means"). Standard L2 Lloyd: each vector joins
+    * its nearest centroid by squared euclidean distance (computed as
+    * `‖c‖² − 2·v·c`, the per-row-constant `‖v‖²` dropped from the
+    * argmin; first-minimum tie-break), then each cell's centroid moves
+    * to the mean of its vectors. Cells that attract no vectors keep
+    * their previous centroid (standard practice; no respawn
+    * heuristics).
+    *
+    * Scale shape — why this is how 1e9-vector IVF indexes are built:
+    * the centroids ride INTO the plan as literals (k×Dim doubles, the
+    * moral equivalent of a broadcast), assignment is a narrow
+    * codegen'd projection (k [[graft.functions.DotProduct]] kernels),
+    * and the update is ONE map-side-combined hash aggregate producing
+    * k×Dim means; only that k×Dim result ever reaches the driver.
+    * Vectors never shuffle — per iteration the corpus is read once.
+    */
+  def kmeansIteration(
+      emb: DataFrame, centroids: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    val k = centroids.length
+    // ‖c‖² − 2 v·c per cell; argmin via first position of the array min
+    val scores = array(centroids.map { c =>
+      val norm2 = c.map(x => x * x).sum
+      lit(norm2) - lit(2.0) * PipelineOps.dot(col("embedding"), typedlit(c))
+    }: _*)
+    val assigned = emb
+      .withColumn("scores", scores)
+      .withColumn("cell",
+        (array_position(col("scores"), array_min(col("scores"))) - 1).cast("int"))
+    val dim = centroids.head.length
+    val aggs = (0 until dim).map(i =>
+      avg(element_at(col("embedding"), i + 1).cast("double")).as(s"m$i"))
+    val rows = assigned.groupBy(col("cell"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val updated = centroids.toArray
+    rows.foreach { r =>
+      updated(r.getInt(0)) = (0 until dim).map(i => r.getDouble(i + 1))
+    }
+    updated.toSeq
+  }
+
+  /** Train IVF centroids: `iters` Lloyd iterations from the
+    * deterministic LCG centroids q28 uses as its fixed quantizer —
+    * i.e. q28's constants are exactly this trainer's INIT state. */
+  def trainCentroids(
+      emb: DataFrame,
+      k: Int = NumCells,
+      iters: Int = 5): Seq[Seq[Double]] = {
+    val init = (0 until k).map(c => (0 until Dim).map(centroidComponent(c, _)))
+    (0 until iters).foldLeft(init: Seq[Seq[Double]]) {
+      (cs, _) => kmeansIteration(emb, cs)
+    }
+  }
+
   // ---------------------------------------------------------------- q37
 
   /** Cosine threshold for [[q37CosineNeardup]] — chosen against the

@@ -144,4 +144,52 @@ class SimilarityOpsSpec extends SparkSuite {
     // 4-plane config on this fixture measures well above it
     assert(recall >= 0.2, f"recall collapsed: $recall%.3f")
   }
+
+  test("kmeans: iterations recover planted cluster means; empty cells keep their centroid") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    // three well-separated planted clusters along distinct axes, with
+    // deterministic per-point jitter; the true mean of each cluster is
+    // computable exactly in Scala for comparison
+    def jitter(p: Int, i: Int): Float = (((p * 31 + i * 7) % 11) - 5) / 100.0f
+    def point(axis: Int, p: Int): Array[Float] =
+      Array.tabulate(dim)(i => (if (i == axis) 10.0f else 0.0f) + jitter(p, i))
+    val pts = for (axis <- 0 until 3; p <- 0 until 50) yield (axis, point(axis, p))
+    val emb = pts.zipWithIndex
+      .map { case ((_, v), id) => (id.toLong, v) }.toDF("vec_id", "embedding")
+
+    // init NEAR the planted centers (Lloyd refines locally; global
+    // seeding strategy is out of scope), plus one FAR centroid that
+    // must attract nothing and stay exactly where it was
+    val far = Seq.fill(dim)(100.0)
+    val init: Seq[Seq[Double]] = (0 until 3).map { a =>
+      Seq.tabulate(dim)(i => if (i == a) 8.0 else 0.5)
+    } :+ far
+
+    val trained = (0 until 3).foldLeft(init) {
+      (cs, _) => SimilarityOps.kmeansIteration(emb, cs)
+    }
+    // empty cell: untouched
+    assert(trained(3) == far, "empty cell must keep its previous centroid")
+    // each planted cluster's learned centroid equals the exact mean of
+    // its 50 points (within distributed-summation float tolerance)
+    (0 until 3).foreach { axis =>
+      val exact = (0 until dim).map(i =>
+        (0 until 50).map(p => point(axis, p)(i).toDouble).sum / 50)
+      val got = trained(axis)
+      (0 until dim).foreach(i => assert(math.abs(got(i) - exact(i)) < 1e-6,
+        s"centroid $axis dim $i: ${got(i)} vs ${exact(i)}"))
+    }
+    // and a further iteration is a fixed point (assignment unchanged)
+    val again = SimilarityOps.kmeansIteration(emb, trained)
+    (0 until 3).foreach { a =>
+      (0 until dim).foreach(i =>
+        assert(math.abs(again(a)(i) - trained(a)(i)) < 1e-9))
+    }
+    // trainCentroids: deterministic end-to-end from the q28 LCG init
+    val t1 = SimilarityOps.trainCentroids(emb, k = 4, iters = 2)
+    val t2 = SimilarityOps.trainCentroids(emb, k = 4, iters = 2)
+    assert(t1.length == 4 && t1.forall(_.length == dim))
+    assert(t1 == t2, "training must be deterministic")
+  }
 }
