@@ -64,6 +64,8 @@ object SparkEntry {
     "q40_resample_fill"    -> (RelationalOps.q40ResampleFill _),
     "q41_strat_sample"     -> (RelationalOps.q41StratifiedSample _),
     "q42_tfidf_topterms"   -> ((s, d) => TextOps.q42TfidfTopTerms(s, d)),
+    "q43_dup_clusters"     -> ((s, d) => DedupOps.q43DupClusters(s, d)),
+    "q44_bigram_rep"       -> (TextOps.q44BigramRep _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -253,5 +255,14 @@ object SparkEntry {
     // ranking on both sides).
     "q41_strat_sample"   -> RelationalOps.q41OracleSql,
     "q42_tfidf_topterms" -> TextOps.q42OracleSql,
+
+    // Near-dup cluster assignment: q13's pair relation closed
+    // transitively — large-star/small-star on the Spark side, a
+    // recursive CTE on the oracle side.
+    "q43_dup_clusters" -> DedupOps.q43OracleSql,
+
+    // Bigram repetition profile (Gopher-style quality rule),
+    // all-integer output.
+    "q44_bigram_rep" -> TextOps.q44OracleSql,
   )
 }

@@ -318,6 +318,199 @@ object DedupOps {
     (result, Seq(ex, prefix))
   }
 
+  // ---------------------------------------------------------------- q43
+
+  /** One alternating round of the LARGE-STAR / SMALL-STAR connected-
+    * components algorithm (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — the shape that converges in
+    * O(log² n) shuffle rounds on ANY graph, where naive min-label
+    * propagation needs O(diameter) rounds (a 100 TB near-dup graph's
+    * boilerplate chains can have long paths).
+    *
+    * Large-star, per node u: point every LARGER neighbor at
+    * `m = min(N(u) ∪ {u})`. Small-star (edges oriented big→small), per
+    * node u: point u and every neighbor at the smallest neighbor.
+    * Each phase is one shuffle on node id (`groupBy` for the neighborhood
+    * minimum + an equi-join back) over fixed-width long pairs — the text
+    * never rides along. Both phases emit edges oriented (larger, smaller),
+    * so round outputs are canonical and set-comparable.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val dir = edges
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+    val m = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+    dir.join(m, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(m.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Connected components of an undirected pair relation `(doc_a,
+    * doc_b)`: one row per participating node, labeled with the SMALLEST
+    * id reachable from it — the canonical cluster representative a
+    * dedup pipeline keeps (every other member is the "drop" set).
+    *
+    * Driver-side iteration with a DISTRIBUTED round body: the driver
+    * only compares a 16-byte signature `(edge count, bit_xor of edge
+    * hashes)` per round to detect the fixpoint — no edge ever reaches
+    * the driver (bit_xor, not sum: Spark 4's ANSI mode would throw on
+    * sum overflow, and xor is order- and overflow-free; a false
+    * fixpoint needs a 2⁻⁶⁴ hash coincidence). Each round persists its
+    * edge set and unpersists the previous one, so peak storage is two
+    * edge frames of 16 bytes/edge.
+    *
+    * At convergence the edge set IS the answer: each component is a
+    * star centered at its minimum (the algorithm's fixpoint theorem),
+    * so labels fall out as `(u → root)` plus `(root → root)` with no
+    * further joins.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // Per-round LINEAGE BREAK: a round's output references its input
+    // ~6× (union + join + aggregate in both star phases), so chained
+    // plans multiply Catalyst's tree size per round — an un-truncated
+    // variant OOM'd on plan stringification around round 8. Caching the
+    // round as an RDD[Row] and re-wrapping it as a flat `LogicalRDD`
+    // scan keeps every round's plan constant-size — the single-node
+    // analog of the reliable `checkpoint()` a cluster deployment would
+    // aim at a DFS dir (the same trick GraphFrames' CC applies via its
+    // checkpointInterval). The RDD hop leaves codegen for one
+    // deserialization pass over fixed-width (long, long) rows — edge-
+    // relation-sized, never corpus-sized.
+    def materialize(e: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = e.rdd.persist(lvl)
+      (e.sparkSession.createDataFrame(rdd, e.schema), rdd)
+    }
+    var (edges, edgesRdd) = materialize(pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    var s = sig(edges)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val (next, nextRdd) = materialize(smallStar(largeStar(edges)))
+      val ns = sig(next)
+      converged = ns == s
+      edgesRdd.unpersist()
+      edges = next
+      edgesRdd = nextRdd
+      s = ns
+      round += 1
+    }
+    require(converged,
+      s"connectedComponents did not reach a fixpoint in $maxRounds rounds " +
+        "(theory bound is O(log^2 n) alternating rounds)")
+    // Materialize the labels so the last edge RDD can be released HERE
+    // — otherwise every run would strand one cached frame with no handle.
+    // The returned frame is persisted and caller-owned (same lifecycle
+    // contract as [[neardupPairs]]): unpersist it, run under a loan, or
+    // clear the cache when done.
+    val labels = edges
+      .select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
+      .distinct()
+      .persist(lvl)
+    labels.count()
+    edgesRdd.unpersist()
+    labels
+  }
+
+  /** q43 — near-dup CLUSTER assignment: the transitive closure of q13's
+    * verified pair relation. A pipeline that drops only pairwise
+    * near-dups keeps chains (A≈B, B≈C but A≉C — boilerplate families);
+    * clustering closes them so "keep the minimum id per cluster" is a
+    * well-defined corpus-wide rule. The pair stage reuses the whole
+    * [[q13NeardupPairs]] machinery (LSH candidates + exact verify); the
+    * closure is [[connectedComponents]] — every stage shuffles
+    * fixed-width ids/hashes, never text, and the iterative closure
+    * touches only the (tiny relative to the corpus) pair relation.
+    */
+  def q43DupClusters(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = 0.6,
+      bands: Int = 16,
+      rows: Int = 4): DataFrame =
+    q43Build(spark, dir, threshold, bands, rows)._1
+
+  /** Loan form of [[q43DupClusters]] — same contract as
+    * [[withQ13NeardupPairs]]: the query's persisted frames (the pair
+    * stage's plus the materialized labels) are released after `f`
+    * returns. */
+  def withQ43DupClusters[T](
+      spark: SparkSession, dir: String)(f: DataFrame => T): T = {
+    val (result, handles) = q43Build(spark, dir, 0.6, 16, 4)
+    try f(result) finally handles.foreach(_.unpersist())
+  }
+
+  private def q43Build(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double,
+      bands: Int,
+      rows: Int): (DataFrame, Seq[DataFrame]) = {
+    val (pairs, pairHandles) = neardupBuild(
+      Tables.documents(spark, dir), threshold, bands, rows)
+    // connectedComponents returns its labels persisted AND materialized
+    // (its driver loop already ran the closure's actions), so the
+    // pair-stage caches only back the labels' lineage now; the loan
+    // releases them all together.
+    val labels = connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+    (labels.orderBy(col("doc_id")), pairHandles :+ labels)
+  }
+
+  /** Ground truth for [[q43DupClusters]]: the same exact all-pairs
+    * Jaccard pair relation as q13's oracle, closed transitively with a
+    * recursive CTE — `cluster_id = least(self, min reachable)`.
+    * Feasible at oracle scale; recall-1 reasoning inherited from q13. */
+  def q43OracleSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(
+      |           generate_series(1, greatest(len(toks) - 2, 0)),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id,
+      |               list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+      |        FROM documents)
+      |), p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      |    AND len(list_intersect(a.sh, b.sh)) >=
+      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 0.6
+      |), e AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM p
+      |  UNION
+      |  SELECT doc_b, doc_a FROM p
+      |), reach(u, v) AS (
+      |  SELECT u, v FROM e
+      |  UNION
+      |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+      |  WHERE e2.v <> r.u
+      |)
+      |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+
   /** Exact all-pairs ground truth for [[q27NgramJaccard]] — matched
     * unconditionally because prefix filtering has recall 1 by
     * construction (unlike q13, no fixture-margin argument needed). */

@@ -373,6 +373,68 @@ object TextOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- q44
+
+  /** q44 — per-document bigram REPETITION profile, the Gopher-style
+    * ("Scaling Language Models", Rae et al. 2021, §A1.1) quality rule
+    * that catches boilerplate/spam the single-token stats of q17 miss:
+    * a doc whose most frequent word-bigram covers a large fraction of
+    * all its bigram OCCURRENCES is template noise, not prose. Output is
+    * all-integer `(n_bigrams, n_distinct, top_count)` — the filter
+    * ratio `top_count / n_bigrams` is derivable and the hash gate stays
+    * representation-proof.
+    *
+    * Unlike the dedup pipeline's [[graft.functions.HashedShingles]]
+    * frame this needs NON-distinct grams (repetition is the signal, so
+    * collapsing repeats would erase it) — hence the built-in
+    * `transform(sequence)` chain, with each bigram replaced by its
+    * 64-bit hash BEFORE the explode so the aggregate shuffles 8-byte
+    * longs, never strings (q13's collision argument: a count-changing
+    * collision needs two distinct bigrams of the SAME doc to share an
+    * xxhash64 — ~n²/2⁶⁵ per doc, negligible and deterministic). Plan:
+    * one narrow generate + two hash aggregates, the first map-side
+    * partial on `(doc_id, g)`, the second a doc-keyed rollup of the
+    * first — no joins, no windows, embarrassingly parallel in the doc
+    * dimension at any corpus size. */
+  def q44BigramRep(spark: SparkSession, dir: String): DataFrame =
+    bigramRep(Tables.documents(spark, dir))
+
+  /** Frame-level core of [[q44BigramRep]] over any `(doc_id, text)`
+    * frame. Docs with fewer than two tokens have no bigrams and are
+    * excluded (matching the oracle's `len(toks) >= 2` guard). */
+  def bigramRep(docs: DataFrame): DataFrame = {
+    val tk = toks(col("text"))
+    val grams = transform(
+      sequence(lit(1), size(col("toks")) - 1),
+      i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(2)))))
+    docs
+      .select(col("doc_id"), tk.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_count"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q44OracleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(generate_series(1, len(toks) - 1),
+      |                               i -> toks[i] || ' ' || toks[i+1])) AS g
+      |  FROM (SELECT doc_id,
+      |               list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 2
+      |), c AS (
+      |  SELECT doc_id, g, count(*) AS n FROM b GROUP BY doc_id, g
+      |)
+      |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+      |       count(*) AS n_distinct, CAST(max(n) AS BIGINT) AS top_count
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def q42OracleSql: String =
     s"""WITH tf AS (
        |  SELECT doc_id, token, count(*) AS tf

@@ -135,4 +135,39 @@ class TextOpsSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), s"df join not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
   }
+
+  test("q44: bigram repetition counts on hand fixtures; short docs excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b A b a"),   // bigrams: "a b","b a","a b","b a" (lowercased)
+      (2L, "x"),           // < 2 tokens -> no row
+      (3L, "p q r"),       // two distinct bigrams
+      (4L, "t t  t t")     // "t t" x3 (double space drops an empty token)
+    ).toDF("doc_id", "text")
+    val out = TextOps.bigramRep(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      1L -> ((4L, 2L, 2L)),
+      3L -> ((2L, 2L, 1L)),
+      4L -> ((3L, 1L, 3L))))
+  }
+
+  test("q44 on the fixture matches a driver-side recount") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      if (toks.length < 2) None
+      else {
+        val counts = toks.sliding(2).map(_.mkString(" ")).toSeq
+          .groupBy(identity).view.mapValues(_.size.toLong)
+        Some(id -> ((counts.values.sum, counts.size.toLong, counts.values.max)))
+      }
+    }
+    val out = TextOps.q44BigramRep(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == expected)
+    assert(out.nonEmpty)
+  }
 }
