@@ -15,12 +15,18 @@ import org.apache.spark.sql.functions._
   *      quality gate (q17's n_tokens) — narrow filters, run before
   *      anything that shuffles.
   *   3. NEAR-dup removal (q13 machinery) — MinHash-LSH candidates,
-  *      exact Jaccard verify, then drop the HIGHER doc_id of every
-  *      verified pair. Greedy-by-id, deterministic; a doc that
-  *      near-dups several others is dropped once. (Transitive
-  *      clustering is deliberately NOT done: A~B and B~C do not imply
-  *      A~C at the threshold, and dropping by pair keeps the rule
-  *      local and auditable.)
+  *      exact Jaccard verify, then one of two deterministic drop rules
+  *      (`Config.clusterNeardups`):
+  *      - PAIRWISE (default): drop the HIGHER doc_id of every verified
+  *        pair. Greedy-by-id; a doc similar to several others is
+  *        dropped once, and docs linked only THROUGH a hub survive
+  *        (A~B and B~C do not imply A~C at the threshold) — the rule
+  *        stays local and auditable, keeps more data.
+  *      - CLUSTER: close the pair relation transitively (q43's
+  *        [[DedupOps.connectedComponents]]) and keep only each
+  *        component's minimum id — the "one per duplicate family"
+  *        rule production corpus dedups use when boilerplate chains
+  *        would otherwise survive pair-local dropping.
   *   4. Stratified rebalance (q41 rates) — content-keyed per-language
   *      sampling, reproducible across reruns and engines.
   *   5. Keyword tagging (q42 core) — each surviving doc gets its
@@ -55,7 +61,8 @@ object CorpusPipeline {
       lshRows: Int = 4,
       stratRates: Seq[(String, Int)] = RelationalOps.StratRates,
       defaultPerMille: Int = RelationalOps.DefaultKeepPerMille,
-      topKeywords: Int = TextOps.TfidfTopK) {
+      topKeywords: Int = TextOps.TfidfTopK,
+      clusterNeardups: Boolean = false) {
     require(neardupThreshold > 0 && neardupThreshold <= 1,
       s"neardupThreshold must be in (0, 1], got $neardupThreshold")
     require(neardupThreshold >= 0.5 || (lshBands, lshRows) != (16, 4),
@@ -115,10 +122,20 @@ object CorpusPipeline {
       .filter(col("lang").isInCollection(cfg.keepLangs))
       .filter(size(TextOps.toks(col("text"))) >= cfg.minTokens)
 
-    // 3. near-dup removal: drop the higher id of every verified pair
+    // 3. near-dup removal: pairwise-greedy or cluster keep-min (see
+    // the object doc). Cluster mode's closure runs its driver-side
+    // fixpoint loop eagerly here; its labels frame comes back persisted
+    // and joins the handle set.
     val (pairs, dedupHandles) =
       DedupOps.neardupBuild(gated, cfg.neardupThreshold, cfg.lshBands, cfg.lshRows)
-    val losers = pairs.select(col("doc_b").as("doc_id")).distinct()
+    val (losers, dedupHandles2) =
+      if (cfg.clusterNeardups) {
+        val labels = DedupOps.connectedComponents(
+          pairs.select(col("doc_a"), col("doc_b")))
+        (labels.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id")),
+          dedupHandles :+ labels)
+      } else
+        (pairs.select(col("doc_b").as("doc_id")).distinct(), dedupHandles)
     val neardupFree = gated.join(losers, Seq("doc_id"), "left_anti")
 
     // 4. stratified rebalance (content-keyed, reproducible). Persisted:
@@ -130,7 +147,7 @@ object CorpusPipeline {
     val balanced = neardupFree
       .filter(RelationalOps.stratifiedKeep(cfg.stratRates, cfg.defaultPerMille))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val handles = dedupHandles :+ balanced
+    val handles = dedupHandles2 :+ balanced
 
     // 5. keyword tagging over the FINAL corpus; rank order preserved in
     // the array via sort_array over (rank, token) structs

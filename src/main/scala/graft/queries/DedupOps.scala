@@ -335,7 +335,7 @@ object DedupOps {
     * never rides along. Both phases emit edges oriented (larger, smaller),
     * so round outputs are canonical and set-comparable.
     */
-  private def largeStar(edges: DataFrame): DataFrame = {
+  private[graft] def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
     val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
@@ -347,7 +347,7 @@ object DedupOps {
       .distinct()
   }
 
-  private def smallStar(edges: DataFrame): DataFrame = {
+  private[graft] def smallStar(edges: DataFrame): DataFrame = {
     val dir = edges
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()

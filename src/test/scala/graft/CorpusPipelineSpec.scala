@@ -125,4 +125,40 @@ class CorpusPipelineSpec extends SparkSuite {
       assert(kw1 == expected, s"got $kw1, expected $expected")
     }
   }
+
+  test("cluster mode keeps one representative per duplicate family") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    // Hub-and-satellites: docs 1 and 3 each near-dup the hub 5 (Jaccard
+    // 58/78 ≈ 0.74) but NOT each other (58/98 ≈ 0.59 < 0.6) — the
+    // geometry where the two drop rules diverge. Doc 7 is unrelated.
+    val common = (1 to 60).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", "s", (1 to 20).map(i => s"a$i").mkString(" ") + " " + common),
+      (3L, "en", "s", (1 to 20).map(i => s"b$i").mkString(" ") + " " + common),
+      (5L, "en", "s", common),
+      (7L, "en", "s", (1 to 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "lang", "source", "text")
+    // pin the fixture's pair structure first, so a drop-rule failure
+    // below is attributable
+    val pairs = DedupOps.neardupPairs(docs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache() // neardupPairs persist: test-owned
+    assert(pairs == Set((1L, 5L), (3L, 5L)))
+
+    val noSampling = CorpusPipeline.Config(stratRates = Seq.empty)
+    // pairwise (default): only the hub — the doc_b of both pairs — drops;
+    // the satellites, linked only THROUGH it, both survive
+    val pairwise = CorpusPipeline.withPrepared(docs, noSampling)(
+      _.collect().map(_.getLong(0)).toSet)
+    assert(pairwise == Set(1L, 3L, 7L))
+    // cluster: {1,3,5} is one family -> its minimum alone survives
+    val cluster = CorpusPipeline.withPrepared(
+      docs, noSampling.copy(clusterNeardups = true))(
+      _.collect().map(_.getLong(0)).toSet)
+    assert(cluster == Set(1L, 7L))
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark),
+      "cluster-mode loan leaked cached frames")
+  }
 }

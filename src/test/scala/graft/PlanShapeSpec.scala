@@ -85,4 +85,25 @@ class PlanShapeSpec extends SparkSuite {
     assert(!beforeMap.contains("Exchange"),
       s"payload shuffled before the encoder:\n$p")
   }
+
+  test("q44: pruned scan, no joins — two hash aggregates only") {
+    val p = plan(TextOps.q44BigramRep(spark, sf))
+    val scan = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scan.contains("lang") && !scan.contains("n_chars"),
+      s"q44 scan not pruned:\n$p")
+    assert(!p.contains("Join"), s"q44 must be join-free:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregates:\n$p")
+  }
+
+  test("q43: each star round joins on node id — no all-pairs product") {
+    import spark.implicits._
+    // One alternating round over a toy edge set IS the repeated unit of
+    // the fixpoint loop (lineage breaks make every round's plan
+    // identical), so pinning its shape pins the whole closure.
+    val edges = Seq((2L, 1L), (3L, 2L), (11L, 10L)).toDF("u", "v")
+    val p = plan(DedupOps.smallStar(DedupOps.largeStar(edges)))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"all-pairs in closure:\n$p")
+    assert(p.contains("HashAggregate"), s"neighborhood min not aggregated:\n$p")
+  }
 }
