@@ -66,6 +66,7 @@ object SparkEntry {
     "q42_tfidf_topterms"   -> ((s, d) => TextOps.q42TfidfTopTerms(s, d)),
     "q43_dup_clusters"     -> ((s, d) => DedupOps.q43DupClusters(s, d)),
     "q44_bigram_rep"       -> (TextOps.q44BigramRep _),
+    "q45_crossmodal_dups"  -> (DedupOps.q45CrossmodalDups _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -264,5 +265,9 @@ object SparkEntry {
     // Bigram repetition profile (Gopher-style quality rule),
     // all-integer output.
     "q44_bigram_rep" -> TextOps.q44OracleSql,
+
+    // Cross-modal (lexical vs embedding) near-dup agreement — q13's and
+    // q37's pair CTEs reconciled with a full outer join, integer flags.
+    "q45_crossmodal_dups" -> DedupOps.q45OracleSql,
   )
 }

@@ -511,6 +511,79 @@ object DedupOps {
       |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+
+  /** q45 — CROSS-MODAL near-dup agreement: the full-outer reconciliation
+    * of the lexical pair relation (q13's MinHash-verified Jaccard) with
+    * the semantic one (q37's embedding-cosine screen), flagging each
+    * pair with which detector(s) fired. This is the SemDeDup-style
+    * triage step (Abbas et al. 2023: semantic dedup catches paraphrases
+    * lexical hashing misses, and vice versa) a pipeline runs to
+    * calibrate thresholds before committing to a drop rule: pairs
+    * flagged by BOTH are safe drops, single-detector pairs are the
+    * review queue. The fixture's `documents.doc_id` and
+    * `embeddings.vec_id` are id-aligned (row i of each table describes
+    * the same item).
+    *
+    * Scale shape: both inputs are already candidate-bounded pair
+    * relations (≪ corpus — LSH/bucket-blocked upstream), and the
+    * reconciliation shuffles fixed-width id pairs on (doc_a, doc_b) —
+    * the aggregate-before-outer-join shape q38 pins, applied across
+    * modalities. Output is all-integer for the hash gate. */
+  def q45CrossmodalDups(spark: SparkSession, dir: String): DataFrame =
+    q45Build(spark, dir)._1
+
+  /** Loan form of [[q45CrossmodalDups]] — releases the lexical stage's
+    * persisted shingle frame after `f` returns. */
+  def withQ45CrossmodalDups[T](
+      spark: SparkSession, dir: String)(f: DataFrame => T): T = {
+    val (result, handles) = q45Build(spark, dir)
+    try f(result) finally handles.foreach(_.unpersist())
+  }
+
+  private def q45Build(
+      spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    val (pairs, handles) = neardupBuild(Tables.documents(spark, dir), 0.6, 16, 4)
+    val lex = pairs.select(col("doc_a"), col("doc_b"), lit(1).as("lex_dup"))
+    val emb = SimilarityOps.q37CosineNeardup(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+        lit(1).as("emb_dup"))
+    val result = lex.join(emb, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("lex_dup"), lit(0)).as("lex_dup"),
+        coalesce(col("emb_dup"), lit(0)).as("emb_dup"))
+      .orderBy(col("doc_a"), col("doc_b"))
+    (result, handles)
+  }
+
+  /** Ground truth for [[q45CrossmodalDups]]: q13's exact all-pairs
+    * Jaccard CTE full-outer-joined with q37's bucket-blocked cosine CTE
+    * (identical hyperplane constants — implementation-verified like
+    * q14/q37). */
+  def q45OracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(
+       |           generate_series(1, greatest(len(toks) - 2, 0)),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+       |        FROM documents)
+       |), lex AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |    AND len(list_intersect(a.sh, b.sh)) >=
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 0.6
+       |), ${SimilarityOps.q37PairsCteSql()}
+       |SELECT coalesce(l.doc_a, e.vec_a) AS doc_a,
+       |       coalesce(l.doc_b, e.vec_b) AS doc_b,
+       |       CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS lex_dup,
+       |       CASE WHEN e.vec_a IS NOT NULL THEN 1 ELSE 0 END AS emb_dup
+       |FROM lex l FULL OUTER JOIN emb e
+       |  ON l.doc_a = e.vec_a AND l.doc_b = e.vec_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Exact all-pairs ground truth for [[q27NgramJaccard]] — matched
     * unconditionally because prefix filtering has recall 1 by
     * construction (unlike q13, no fixture-margin argument needed). */

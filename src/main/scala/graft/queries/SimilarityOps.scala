@@ -323,25 +323,33 @@ object SimilarityOps {
       .orderBy($"vec_a", $"vec_b")
   }
 
-  /** DuckDB oracle for [[q37CosineNeardup]] — identical hyperplane
-    * constants, blocking, and scoring. */
-  def q37OracleSql(threshold: Double = NeardupCosine, numPlanes: Int = 4): String = {
+  /** CTE clauses yielding the q37 pair relation as `emb(vec_a, vec_b,
+    * sim)` — shared verbatim by q37's own oracle and q45's cross-modal
+    * reconciliation so the two gates cannot drift. */
+  def q37PairsCteSql(threshold: Double = NeardupCosine, numPlanes: Int = 4): String = {
     val bucketExpr = (0 until numPlanes).map { j =>
       s"(CASE WHEN list_dot_product(e, ${planeSql(j)}) > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString("\n         + ")
-    s"""WITH b AS (
+    s"""b AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS e,
        |         $bucketExpr AS bucket
        |  FROM embeddings
-       |)
-       |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-       |       round(list_dot_product(a.e, b2.e) /
-       |             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))), 6) AS sim
-       |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-       |WHERE round(list_dot_product(a.e, b2.e) /
-       |            (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))), 6) >= $threshold
-       |ORDER BY vec_a, vec_b""".stripMargin
+       |), emb AS (
+       |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       |         round(list_dot_product(a.e, b2.e) /
+       |               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))), 6) AS sim
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |  WHERE round(list_dot_product(a.e, b2.e) /
+       |              (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))), 6) >= $threshold
+       |)""".stripMargin
   }
+
+  /** DuckDB oracle for [[q37CosineNeardup]] — identical hyperplane
+    * constants, blocking, and scoring. */
+  def q37OracleSql(threshold: Double = NeardupCosine, numPlanes: Int = 4): String =
+    s"""WITH ${q37PairsCteSql(threshold, numPlanes)}
+       |SELECT vec_a, vec_b, sim FROM emb
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** DuckDB oracle for [[q14AnnTopK]] — the same buckets (identical
     * hyperplane constants), join, scoring, and ranking in ANSI SQL. */

@@ -132,4 +132,30 @@ class DedupOpsSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
   }
+
+  test("q45 reconciles the lexical and embedding pair relations exactly") {
+    import graft.queries.SimilarityOps
+    val lex = DedupOps.q13NeardupPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache() // q13 persist: test-owned
+    val emb = SimilarityOps.q37CosineNeardup(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = DedupOps.withQ45CrossmodalDups(spark, sf) { df =>
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getInt(3))))
+        .toMap
+    }
+    // full-outer contract: one row per pair either detector fired on,
+    // flags exactly reflecting membership
+    assert(got.keySet == (lex ++ emb))
+    got.foreach { case (k, (l, e)) =>
+      assert(l == (if (lex(k)) 1 else 0), s"lex flag wrong for $k")
+      assert(e == (if (emb(k)) 1 else 0), s"emb flag wrong for $k")
+    }
+    assert(lex.nonEmpty && emb.nonEmpty, "vacuous fixture")
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark),
+      "q45 loan left cached frames")
+  }
 }
