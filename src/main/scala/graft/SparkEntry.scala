@@ -67,6 +67,7 @@ object SparkEntry {
     "q43_dup_clusters"     -> ((s, d) => DedupOps.q43DupClusters(s, d)),
     "q44_bigram_rep"       -> (TextOps.q44BigramRep _),
     "q45_crossmodal_dups"  -> (DedupOps.q45CrossmodalDups _),
+    "q46_repeated_windows" -> ((s, d) => DedupOps.q46RepeatedWindows(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -269,5 +270,9 @@ object SparkEntry {
     // Cross-modal (lexical vs embedding) near-dup agreement — q13's and
     // q37's pair CTEs reconciled with a full outer join, integer flags.
     "q45_crossmodal_dups" -> DedupOps.q45OracleSql,
+
+    // Substring-level duplication audit: top repeated exact token
+    // windows across documents, deterministic (n_occ desc, window) cut.
+    "q46_repeated_windows" -> DedupOps.q46OracleSql,
   )
 }

@@ -584,6 +584,82 @@ object DedupOps {
        |  ON l.doc_a = e.vec_a AND l.doc_b = e.vec_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+
+  /** Window width for [[q46RepeatedWindows]] — token windows, like the
+    * 50-token spans of the substring-dedup literature scaled to the
+    * fixture's ~50-token docs. */
+  val WindowTokens = 8
+
+  /** q46 — repeated-window REPORT: the top-N exact token windows that
+    * appear in two or more distinct documents, with occurrence and
+    * document counts. This is the audit view of SUBSTRING-level
+    * duplication (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": exact repeated spans — boilerplate,
+    * licenses, headers — harm models even when whole documents are not
+    * near-dups, so pipelines hunt spans, not just docs). Document-level
+    * q13/q27 cannot see a shared paragraph inside otherwise-different
+    * docs; this does.
+    *
+    * Plan: one narrow generate (non-distinct windows — multiplicity is
+    * the signal, like q44), one two-phase aggregate on the window with
+    * map-side partial collapse (a repeated span collapses WITHIN each
+    * partition before the shuffle — boilerplate is precisely the
+    * high-multiplicity case, so the partial agg absorbs it), then
+    * `TakeOrderedAndProject` for the top-N — never a global sort. The
+    * report carries the window TEXT (its purpose is showing the
+    * boilerplate); a 100 TB run would hash-aggregate first and resolve
+    * text only for the top candidates — the two-phase refinement is
+    * noted, not needed, at report cardinality. Deterministic order:
+    * (n_occ desc, win asc; `win` because `window` is an ANSI reserved word). */
+  def q46RepeatedWindows(
+      spark: SparkSession, dir: String, topN: Int = 20): DataFrame =
+    repeatedWindows(Tables.documents(spark, dir), topN)
+
+  /** Frame-level core of [[q46RepeatedWindows]] over any `(doc_id,
+    * text)` frame. */
+  def repeatedWindows(docs: DataFrame, topN: Int = 20): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "), t => length(t) > 0)
+    val wins = transform(
+      sequence(lit(1), size(col("toks")) - (WindowTokens - 1)),
+      i => concat_ws(" ", slice(col("toks"), i, lit(WindowTokens))))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= WindowTokens)
+      .select(col("doc_id"), explode(wins).as("win"))
+      .groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .select(col("win"), col("n_docs"), col("n_occ"))
+      .orderBy(col("n_occ").desc, col("win"))
+      .limit(topN)
+  }
+
+  /** Ground truth for [[q46RepeatedWindows]] — the same window builder,
+    * counts, and (n_occ desc, window) top-N in DuckDB. */
+  def q46OracleSql: String = {
+    val gram = (0 until WindowTokens)
+      .map(j => if (j == 0) "toks[i]" else s"toks[i + $j]")
+      .mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+       |  FROM documents
+       |), w AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(
+       |           generate_series(1, greatest(len(toks) - ${WindowTokens - 1}, 0)),
+       |           i -> $gram)) AS win
+       |  FROM t WHERE len(toks) >= $WindowTokens
+       |), c AS (
+       |  SELECT win, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+       |  FROM w GROUP BY win
+       |)
+       |SELECT win, n_docs, n_occ FROM c WHERE n_docs >= 2
+       |ORDER BY n_occ DESC, win LIMIT 20""".stripMargin
+  }
+
   /** Exact all-pairs ground truth for [[q27NgramJaccard]] — matched
     * unconditionally because prefix filtering has recall 1 by
     * construction (unlike q13, no fixture-margin argument needed). */

@@ -158,4 +158,47 @@ class DedupOpsSpec extends SparkSuite {
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark),
       "q45 loan left cached frames")
   }
+
+  test("q46: repeated windows found across docs, within-doc repeats excluded") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"s$i").mkString(" ") // the shared span
+    val docs = Seq(
+      (1L, s"head1 $span tail1"),
+      (2L, s"head2 head2b $span"),       // span at a different offset
+      (3L, s"$span middle $span"),       // within-doc repeat only... also cross-doc
+      (4L, (1 to 12).map(i => s"u$i").mkString(" ")), // unrelated
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.repeatedWindows(docs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the shared span appears in docs 1, 2, 3 (twice in 3) -> n_docs 3, n_occ 4
+    assert(got(span) == ((3L, 4L)))
+    // no window of doc 4 is shared
+    assert(!got.keys.exists(_.startsWith("u")))
+    // every reported window really is cross-document
+    got.values.foreach { case (nd, no) => assert(nd >= 2 && no >= nd) }
+  }
+
+  test("q46 on the fixture matches a driver-side recount") {
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = scala.collection.mutable.Map.empty[String, (Set[Long], Long)]
+    texts.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      toks.sliding(DedupOps.WindowTokens).filter(_.length == DedupOps.WindowTokens)
+        .map(_.mkString(" ")).foreach { w =>
+          val (ds, n) = counts.getOrElse(w, (Set.empty[Long], 0L))
+          counts(w) = (ds + id, n + 1)
+        }
+    }
+    val expected = counts.toSeq
+      .collect { case (w, (ds, n)) if ds.size >= 2 => (w, ds.size.toLong, n) }
+      .sortBy { case (w, _, n) => (-n, w) }
+      .take(20)
+    val got = DedupOps.q46RepeatedWindows(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
