@@ -160,26 +160,9 @@ object SparkEntry {
 
     // Exact all-pairs Jaccard — the oracle-scale ground truth for the
     // LSH-bucketed Spark implementation (recall 1 at the fixture's
-    // similarity margin; output all-integer for hash stability).
-    "q13_neardup_pairs" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         list_distinct(list_transform(
-        |           generate_series(1, greatest(len(toks) - 2, 0)),
-        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |  FROM (SELECT doc_id,
-        |               list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
-        |        FROM documents)
-        |), p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         len(list_intersect(a.sh, b.sh)) AS n_common,
-        |         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
-        |)
-        |SELECT doc_a, doc_b, n_common, n_union FROM p
-        |WHERE n_common >= n_union * 0.6
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    // similarity margin; output all-integer for hash stability). Built
+    // from the shingle CTE the q43/q45 oracles share.
+    "q13_neardup_pairs" -> DedupOps.q13OracleSql,
 
     // Same deterministic sign-LSH buckets (identical hyperplane
     // constants), scoring, and ranking as the Spark side — verifies the
@@ -273,6 +256,6 @@ object SparkEntry {
 
     // Substring-level duplication audit: top repeated exact token
     // windows across documents, deterministic (n_occ desc, window) cut.
-    "q46_repeated_windows" -> DedupOps.q46OracleSql,
+    "q46_repeated_windows" -> DedupOps.q46OracleSql(),
   )
 }

@@ -130,8 +130,11 @@ object CorpusPipeline {
       DedupOps.neardupBuild(gated, cfg.neardupThreshold, cfg.lshBands, cfg.lshRows)
     val (losers, dedupHandles2) =
       if (cfg.clusterNeardups) {
-        val labels = DedupOps.connectedComponents(
-          pairs.select(col("doc_a"), col("doc_b")))
+        // the closure runs eagerly BEFORE build returns its handles to
+        // the loan — release the pair-stage caches ourselves if it throws
+        val labels =
+          try DedupOps.connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+          catch { case t: Throwable => dedupHandles.foreach(_.unpersist()); throw t }
         (labels.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id")),
           dedupHandles :+ labels)
       } else

@@ -43,7 +43,7 @@ object DedupOps {
   /** Distinct k-word shingles of a text column; empty array (never null)
     * for docs shorter than k tokens. */
   def shingles(text: Column, k: Int = 3): Column = {
-    val toks = filter(split(lower(text), " "), t => length(t) > 0)
+    val toks = TextOps.toks(text)
     when(size(toks) >= k,
       array_distinct(transform(
         sequence(lit(1), size(toks) - (k - 1)),
@@ -404,35 +404,42 @@ object DedupOps {
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct())
-    var s = sig(edges)
-    var converged = false
-    var round = 0
-    while (!converged && round < maxRounds) {
-      val (next, nextRdd) = materialize(smallStar(largeStar(edges)))
-      val ns = sig(next)
-      converged = ns == s
-      edgesRdd.unpersist()
-      edges = next
-      edgesRdd = nextRdd
-      s = ns
-      round += 1
-    }
-    require(converged,
-      s"connectedComponents did not reach a fixpoint in $maxRounds rounds " +
-        "(theory bound is O(log^2 n) alternating rounds)")
-    // Materialize the labels so the last edge RDD can be released HERE
-    // — otherwise every run would strand one cached frame with no handle.
-    // The returned frame is persisted and caller-owned (same lifecycle
-    // contract as [[neardupPairs]]): unpersist it, run under a loan, or
-    // clear the cache when done.
-    val labels = edges
-      .select(col("u").as("doc_id"), col("v").as("cluster_id"))
-      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
-      .distinct()
-      .persist(lvl)
-    labels.count()
-    edgesRdd.unpersist()
-    labels
+    // Every failure path must release the round RDDs: they are
+    // BLOCK-level persists, so `spark.catalog.clearCache()` cannot drop
+    // them — a leak here would outlive even the bluntest caller cleanup.
+    try {
+      var s = sig(edges)
+      var converged = false
+      var round = 0
+      while (!converged && round < maxRounds) {
+        val (next, nextRdd) = materialize(smallStar(largeStar(edges)))
+        val ns =
+          try sig(next)
+          catch { case t: Throwable => nextRdd.unpersist(false); throw t }
+        converged = ns == s
+        edgesRdd.unpersist()
+        edges = next
+        edgesRdd = nextRdd
+        s = ns
+        round += 1
+      }
+      require(converged,
+        s"connectedComponents did not reach a fixpoint in $maxRounds rounds " +
+          "(theory bound is O(log^2 n) alternating rounds)")
+      // Materialize the labels so the last edge RDD can be released HERE
+      // — otherwise every run would strand one cached frame with no
+      // handle. The returned frame is persisted and caller-owned (same
+      // lifecycle contract as [[neardupPairs]]): unpersist it, run under
+      // a loan, or clear the cache when done.
+      val labels = edges
+        .select(col("u").as("doc_id"), col("v").as("cluster_id"))
+        .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+        .distinct()
+        .persist(lvl)
+      try labels.count()
+      catch { case t: Throwable => labels.unpersist(false); throw t }
+      labels
+    } finally edgesRdd.unpersist(false)
   }
 
   /** q43 — near-dup CLUSTER assignment: the transitive closure of q13's
@@ -474,17 +481,18 @@ object DedupOps {
     // connectedComponents returns its labels persisted AND materialized
     // (its driver loop already ran the closure's actions), so the
     // pair-stage caches only back the labels' lineage now; the loan
-    // releases them all together.
-    val labels = connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+    // releases them all together. If the closure THROWS, the loan never
+    // sees the handles — release the pair-stage caches here.
+    val labels =
+      try connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+      catch { case t: Throwable => pairHandles.foreach(_.unpersist()); throw t }
     (labels.orderBy(col("doc_id")), pairHandles :+ labels)
   }
 
-  /** Ground truth for [[q43DupClusters]]: the same exact all-pairs
-    * Jaccard pair relation as q13's oracle, closed transitively with a
-    * recursive CTE — `cluster_id = least(self, min reachable)`.
-    * Feasible at oracle scale; recall-1 reasoning inherited from q13. */
-  def q43OracleSql: String =
-    """WITH RECURSIVE t AS (
+  /** CTE clause `t(doc_id, sh)` — the distinct-shingle sets every
+    * lexical-dedup oracle derives from. */
+  private def q13ShingleCteSql: String =
+    """t AS (
       |  SELECT doc_id,
       |         list_distinct(list_transform(
       |           generate_series(1, greatest(len(toks) - 2, 0)),
@@ -492,24 +500,52 @@ object DedupOps {
       |  FROM (SELECT doc_id,
       |               list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
       |        FROM documents)
-      |), p AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-      |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
-      |    AND len(list_intersect(a.sh, b.sh)) >=
-      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 0.6
-      |), e AS (
-      |  SELECT doc_a AS u, doc_b AS v FROM p
-      |  UNION
-      |  SELECT doc_b, doc_a FROM p
-      |), reach(u, v) AS (
-      |  SELECT u, v FROM e
-      |  UNION
-      |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
-      |  WHERE e2.v <> r.u
-      |)
-      |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-      |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+      |)""".stripMargin
+
+  /** CTE clauses yielding the exact-all-pairs VERIFIED lexical pair
+    * relation as `lex(doc_a, doc_b)` — shared verbatim by the q13, q43,
+    * and q45 oracles so the three gates cannot drift (the q37PairsCteSql
+    * pattern, applied to the lexical side). */
+  def q13PairsCteSql(threshold: Double = 0.6): String =
+    s"""$q13ShingleCteSql, lex AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |    AND len(list_intersect(a.sh, b.sh)) >=
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * $threshold
+       |)""".stripMargin
+
+  /** Exact all-pairs Jaccard ground truth for [[q13NeardupPairs]] —
+    * the oracle-scale reference the LSH-bucketed implementation matches
+    * (recall-1 argument on the q13 scaladoc). */
+  def q13OracleSql: String =
+    s"""WITH $q13ShingleCteSql, p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         len(list_intersect(a.sh, b.sh)) AS n_common,
+       |         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |)
+       |SELECT doc_a, doc_b, n_common, n_union FROM p
+       |WHERE n_common >= n_union * 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Ground truth for [[q43DupClusters]]: the shared lexical pair CTE,
+    * closed transitively with a recursive CTE —
+    * `cluster_id = least(self, min reachable)`. */
+  def q43OracleSql: String =
+    s"""WITH RECURSIVE ${q13PairsCteSql()}, e AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM lex
+       |  UNION
+       |  SELECT doc_b, doc_a FROM lex
+       |), reach(u, v) AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+       |  WHERE e2.v <> r.u
+       |)
+       |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q45
 
@@ -561,21 +597,7 @@ object DedupOps {
     * (identical hyperplane constants — implementation-verified like
     * q14/q37). */
   def q45OracleSql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id,
-       |         list_distinct(list_transform(
-       |           generate_series(1, greatest(len(toks) - 2, 0)),
-       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-       |  FROM (SELECT doc_id,
-       |               list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
-       |        FROM documents)
-       |), lex AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
-       |    AND len(list_intersect(a.sh, b.sh)) >=
-       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 0.6
-       |), ${SimilarityOps.q37PairsCteSql()}
+    s"""WITH ${q13PairsCteSql()}, ${SimilarityOps.q37PairsCteSql()}
        |SELECT coalesce(l.doc_a, e.vec_a) AS doc_a,
        |       coalesce(l.doc_b, e.vec_b) AS doc_b,
        |       CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS lex_dup,
@@ -619,7 +641,7 @@ object DedupOps {
   /** Frame-level core of [[q46RepeatedWindows]] over any `(doc_id,
     * text)` frame. */
   def repeatedWindows(docs: DataFrame, topN: Int = 20): DataFrame = {
-    val toks = filter(split(lower(col("text")), " "), t => length(t) > 0)
+    val toks = TextOps.toks(col("text"))
     val wins = transform(
       sequence(lit(1), size(col("toks")) - (WindowTokens - 1)),
       i => concat_ws(" ", slice(col("toks"), i, lit(WindowTokens))))
@@ -637,8 +659,8 @@ object DedupOps {
   }
 
   /** Ground truth for [[q46RepeatedWindows]] — the same window builder,
-    * counts, and (n_occ desc, window) top-N in DuckDB. */
-  def q46OracleSql: String = {
+    * counts, and (n_occ desc, win) top-N in DuckDB. */
+  def q46OracleSql(topN: Int = 20): String = {
     val gram = (0 until WindowTokens)
       .map(j => if (j == 0) "toks[i]" else s"toks[i + $j]")
       .mkString(" || ' ' || ")
@@ -657,7 +679,7 @@ object DedupOps {
        |  FROM w GROUP BY win
        |)
        |SELECT win, n_docs, n_occ FROM c WHERE n_docs >= 2
-       |ORDER BY n_occ DESC, win LIMIT 20""".stripMargin
+       |ORDER BY n_occ DESC, win LIMIT $topN""".stripMargin
   }
 
   /** Exact all-pairs ground truth for [[q27NgramJaccard]] — matched
