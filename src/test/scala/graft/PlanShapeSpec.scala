@@ -95,6 +95,19 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("HashAggregate"), s"expected hash aggregates:\n$p")
   }
 
+  test("AQE re-plans at runtime: small aggregates get coalesced shuffle reads") {
+    // The session runs 32 shuffle partitions for corpus-sized stages;
+    // AQE is what keeps that from over-fragmenting SMALL stages (and,
+    // at 100 TB, what splits skewed ones). Pin that it is live and
+    // actually coalescing, so a config regression (someone disabling
+    // adaptive execution) fails here, not on the cluster.
+    val df = Tables.events(spark, sf).groupBy("event_type").count()
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+      s"adaptive coalescing not active:\n$p")
+  }
+
   test("q43: each star round joins on node id — no all-pairs product") {
     import spark.implicits._
     // One alternating round over a toy edge set IS the repeated unit of
