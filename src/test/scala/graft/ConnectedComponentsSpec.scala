@@ -60,6 +60,14 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(!labels.contains(30L))
   }
 
+  test("empty pair relation yields empty labels without error") {
+    // the sf where no near-dups exist must flow through q43 cleanly:
+    // fixpoint on round one, empty labels, nothing cached afterwards
+    assert(run(Seq.empty[(Long, Long)]) == Map.empty)
+    // a relation of only self-loops is equivalent to empty
+    assert(run(Seq((4L, 4L))) == Map.empty)
+  }
+
   test("random graphs match the driver-side union-find") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 5) {
