@@ -76,6 +76,28 @@ object TextOps {
   def q15Simhash(spark: SparkSession, dir: String): DataFrame =
     simhashFrame(spark, dir).orderBy(col("doc_id"))
 
+  /** Per-ROW SimHash — the STREAMING-SAFE sibling of [[simhashFrame]]:
+    * the same 32-bit fingerprint computed entirely with narrow
+    * higher-order functions (no explode, no shuffle, no stateful
+    * aggregate), so an unbounded stream can fingerprint each document
+    * as it arrives (bit-identical to the aggregate form — spec-pinned).
+    *
+    * Two steps because the token-hash array must be NAMED between them
+    * (`hsCol` → [[simhashFromHashes]]): inlining it would re-evaluate
+    * the md5 chain once per bit (32× per token). The per-bit array
+    * scans are interpreted lambdas — measured fine at stream rates; a
+    * codegen'd custom Expression (the [[graft.functions.HashedShingles]]
+    * precedent) is the upgrade path if a firehose needs it. */
+  def hsCol(text: Column): Column = transform(toks(text), t => h32(t))
+
+  /** Fingerprint from a token-hash array column (see [[hsCol]]). */
+  def simhashFromHashes(hs: Column): Column =
+    (0 until SimhashBits).map { b =>
+      val bitSum = aggregate(hs, lit(0),
+        (acc, h) => acc + when(shiftright(h, b) % 2 === 1, 1).otherwise(-1))
+      when(bitSum > 0, 1L << b).otherwise(0L)
+    }.reduce(_ + _)
+
   /** The q15 computation as an un-ordered SQL body, reusable as a CTE
     * subquery (q21 nests it). */
   private def q15BodySql: String = {

