@@ -68,6 +68,7 @@ object SparkEntry {
     "q44_bigram_rep"       -> (TextOps.q44BigramRep _),
     "q45_crossmodal_dups"  -> (DedupOps.q45CrossmodalDups _),
     "q46_repeated_windows" -> ((s, d) => DedupOps.q46RepeatedWindows(s, d)),
+    "q47_cluster_sizes"    -> (DedupOps.q47ClusterSizes _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -257,5 +258,8 @@ object SparkEntry {
     // Substring-level duplication audit: top repeated exact token
     // windows across documents, deterministic (n_occ desc, window) cut.
     "q46_repeated_windows" -> DedupOps.q46OracleSql(),
+
+    // Duplicate-family size histogram over q43's labels (shared CTE).
+    "q47_cluster_sizes" -> DedupOps.q47OracleSql,
   )
 }

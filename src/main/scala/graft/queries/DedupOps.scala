@@ -530,11 +530,12 @@ object DedupOps {
        |WHERE n_common >= n_union * 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Ground truth for [[q43DupClusters]]: the shared lexical pair CTE,
-    * closed transitively with a recursive CTE —
-    * `cluster_id = least(self, min reachable)`. */
-  def q43OracleSql: String =
-    s"""WITH RECURSIVE ${q13PairsCteSql()}, e AS (
+  /** CTE clauses yielding q43's cluster labels as `labels(doc_id,
+    * cluster_id)` — the shared lexical pair CTE closed transitively
+    * with a recursive CTE; shared by the q43 and q47 oracles. Must
+    * follow a `WITH RECURSIVE` keyword. */
+  private def q43LabelsCteSql: String =
+    s"""${q13PairsCteSql()}, e AS (
        |  SELECT doc_a AS u, doc_b AS v FROM lex
        |  UNION
        |  SELECT doc_b, doc_a FROM lex
@@ -543,9 +544,58 @@ object DedupOps {
        |  UNION
        |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
        |  WHERE e2.v <> r.u
+       |), labels AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |  FROM reach GROUP BY u
+       |)""".stripMargin
+
+  /** Ground truth for [[q43DupClusters]]:
+    * `cluster_id = least(self, min reachable)`. */
+  def q43OracleSql: String =
+    s"""WITH RECURSIVE $q43LabelsCteSql
+       |SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q47
+
+  /** q47 — dedup IMPACT audit: the duplicate-family size histogram
+    * `(cluster_size, n_clusters)` over q43's components. This is the
+    * report a pipeline owner reads before committing to a drop rule:
+    * the histogram's tail (a few huge families = boilerplate/templates)
+    * vs its head (many pairs = true near-dups) decides between the
+    * pairwise and cluster modes of [[CorpusPipeline]], and
+    * `sum((size-1) × n)` is exactly the row count cluster-dedup would
+    * remove. Plan: two tiny aggregates over the label relation — the
+    * heavy lifting is the shared q43 build. */
+  def q47ClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    q47Build(spark, dir)._1
+
+  /** Loan form of [[q47ClusterSizes]] — releases the shared q43 build's
+    * persisted frames after `f` returns. */
+  def withQ47ClusterSizes[T](
+      spark: SparkSession, dir: String)(f: DataFrame => T): T = {
+    val (result, handles) = q47Build(spark, dir)
+    try f(result) finally handles.foreach(_.unpersist())
+  }
+
+  private def q47Build(
+      spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    val (labels, handles) = q43Build(spark, dir, 0.6, 16, 4)
+    val result = labels
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+    (result, handles)
+  }
+
+  /** Ground truth for [[q47ClusterSizes]] — the shared q43 labels CTE,
+    * histogrammed. */
+  def q47OracleSql: String =
+    s"""WITH RECURSIVE $q43LabelsCteSql, sizes AS (
+       |  SELECT cluster_id, count(*) AS cluster_size FROM labels
+       |  GROUP BY cluster_id
        |)
-       |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+       |SELECT cluster_size, count(*) AS n_clusters FROM sizes
+       |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
   // ---------------------------------------------------------------- q45
 

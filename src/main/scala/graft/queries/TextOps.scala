@@ -85,9 +85,12 @@ object TextOps {
     * Two steps because the token-hash array must be NAMED between them
     * (`hsCol` → [[simhashFromHashes]]): inlining it would re-evaluate
     * the md5 chain once per bit (32× per token). The per-bit array
-    * scans are interpreted lambdas — measured fine at stream rates; a
-    * codegen'd custom Expression (the [[graft.functions.HashedShingles]]
-    * precedent) is the upgrade path if a firehose needs it. */
+    * scans are interpreted lambdas, yet the form measures FASTER than
+    * the aggregate on ~50-token docs (23k vs 9k docs/s at sf0.1,
+    * `Prof15`) — skipping the explode + shuffle outweighs the lambda
+    * overhead; a codegen'd custom Expression (the
+    * [[graft.functions.HashedShingles]] precedent) remains the upgrade
+    * path for much longer documents. */
   def hsCol(text: Column): Column = transform(toks(text), t => h32(t))
 
   /** Fingerprint from a token-hash array column (see [[hsCol]]). */

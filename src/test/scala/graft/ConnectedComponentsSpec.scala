@@ -92,6 +92,23 @@ class ConnectedComponentsSpec extends SparkSuite {
     labels.values.foreach(root => assert(labels(root) == root))
   }
 
+  test("q47 histogram matches a recount of the q43 labels") {
+    val labels = DedupOps.withQ43DupClusters(spark, sf) { df =>
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+    }
+    val expected = labels.groupBy(_._2).map(_._2.size.toLong)
+      .groupBy(identity).map { case (size, xs) => size -> xs.size.toLong }
+    val got = DedupOps.withQ47ClusterSizes(spark, sf) { df =>
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // every family has >= 2 members (singletons never enter the label
+    // relation), and the histogram accounts for every labeled doc
+    assert(got.keys.forall(_ >= 2))
+    assert(got.map { case (s, n) => s * n }.sum == labels.length)
+  }
+
   test("q43 loan releases every cached frame") {
     import org.apache.spark.sql.graftShims
     spark.catalog.clearCache()
