@@ -34,6 +34,82 @@ object StreamBench {
     * time → ~13 finalized 60 s slides of 300 s windows. */
   val EventsPerSecond = 500
 
+  /** `SPARK_GRAFT_STREAM_MODE=neardup` — throughput probe for the
+    * [[graft.streaming.NeardupStream]] screen instead of the top-N
+    * pipeline: synthetic ~40-token docs (fixed seed), ~10% of them a
+    * one-token-mutated copy of an earlier doc, streamed through the
+    * fingerprint + banded keyed-state screen. Reports docs/sec and the
+    * flagged count (sanity: must be > 0 — the mutation rate plants
+    * guaranteed-close fingerprints). */
+  private def neardupMode(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "100000").trim.toInt
+    val filesPerTrigger =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "5").trim.toInt
+    val dir = Files.createTempDirectory("graft-ndbench")
+    val rnd = new scala.util.Random(42)
+    val vocab = Array.tabulate(5000)(i => s"v$i")
+    val recent = new scala.collection.mutable.ArrayBuffer[Array[String]]
+    val perFile = 10000
+    var id = 0L
+    var written = 0
+    while (written < nDocs) {
+      val count = math.min(perFile, nDocs - written)
+      val sb = new StringBuilder(count * 300)
+      var i = 0
+      while (i < count) {
+        id += 1
+        val toks =
+          if (recent.nonEmpty && rnd.nextInt(10) == 0) {
+            // near-dup: one token of a random earlier doc replaced
+            val base = recent(rnd.nextInt(recent.size)).clone()
+            base(rnd.nextInt(base.length)) = vocab(rnd.nextInt(vocab.length))
+            base
+          } else {
+            val t = Array.fill(40)(vocab(rnd.nextInt(vocab.length)))
+            if (recent.size < 4096) recent += t
+            t
+          }
+        sb.append(s"""{"doc_id":$id,"ts_sec":${id / EventsPerSecond},"text":"${toks.mkString(" ")}"}""")
+          .append('\n')
+        i += 1
+      }
+      Files.writeString(dir.resolve(f"part-$written%09d.json"), sb.result())
+      written += count
+    }
+    val schema = "doc_id LONG, ts_sec LONG, text STRING"
+    val docs = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", filesPerTrigger)
+      .json(dir.toString)
+      .select(col("doc_id"), col("text"),
+        timestamp_seconds(col("ts_sec")).as("ts"))
+    val t0 = System.nanoTime()
+    val q = graft.streaming.NeardupStream
+      .screen(docs, idleTtl = Some("1 hour"))
+      .writeStream.format("memory").queryName("nd_bench")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ndbench-ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    val flagged = spark.table("nd_bench")
+      .select("doc_id").distinct().count()
+    q.stop()
+    def f1(d: Double): String = f"$d%.1f"
+    val line =
+      s"""{"metric":"stream_neardup_docs_per_sec","value":${f1(nDocs / wall)},"unit":"rows/sec","n_docs":$nDocs,"wall_sec":${f1(wall)},"micro_batches":$batches,"flagged_docs":$flagged}"""
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/stream_bench.json"), line + "\n")
+    println(line)
+    spark.stop()
+    if (flagged == 0L) {
+      System.err.println("SANITY FAIL: planted near-dups were not flagged")
+      sys.exit(1)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val nTweets =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "400000").trim.toInt
@@ -59,6 +135,10 @@ object StreamBench {
     // probe also prices the RocksDB commit path
     val rocksDb = sys.env.get("SPARK_GRAFT_STREAM_ROCKSDB").contains("1")
     if (rocksDb) graft.streaming.StateBackends.useRocksDb(spark)
+    if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("neardup")) {
+      neardupMode(spark)
+      return
+    }
 
     // -- corpus generation (untimed): Zipf-ish tag draw over a 64-tag
     // vocabulary, 1-3 tags per tweet, ~8% tagless, 1% malformed lines
