@@ -69,6 +69,7 @@ object SparkEntry {
     "q45_crossmodal_dups"  -> (DedupOps.q45CrossmodalDups _),
     "q46_repeated_windows" -> ((s, d) => DedupOps.q46RepeatedWindows(s, d)),
     "q47_cluster_sizes"    -> (DedupOps.q47ClusterSizes _),
+    "q48_funnel"           -> ((s, d) => AnalyticsOps.q48Funnel(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -261,5 +262,9 @@ object SparkEntry {
 
     // Duplicate-family size histogram over q43's labels (shared CTE).
     "q47_cluster_sizes" -> DedupOps.q47OracleSql,
+
+    // Funnel analysis: single-shuffle HOF scan vs the oracle's
+    // k-self-join min-chain — same greedy-earliest semantics.
+    "q48_funnel" -> AnalyticsOps.q48OracleSql,
   )
 }

@@ -193,4 +193,82 @@ object AnalyticsOps {
       |SELECT event_id, user_id, ts_us, o_orderkey, price_cents
       |FROM ranked WHERE rn = 1
       |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+
+  /** Funnel step sequence for [[q48Funnel]] — shared with the oracle. */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** q48 — FUNNEL analysis: for each user, the earliest strictly-ordered
+    * traversal of the step sequence view → click → purchase (`t1` =
+    * first view; `t2` = first click AFTER t1; `t3` = first purchase
+    * AFTER t2) plus the reached depth — the sequential-pattern query
+    * (SQL:2016 `MATCH_RECOGNIZE`'s bread-and-butter case) that plain
+    * relational operators cannot express without k self-joins.
+    *
+    * Plan: ONE shuffle — events filtered to funnel types, grouped by
+    * user, each user's (ts, type) pairs sorted and scanned with a
+    * higher-order `aggregate` whose accumulator is the k-slot timestamp
+    * array; slot j fills with the first event of step j that follows a
+    * filled slot j-1 (strict `>`, so simultaneous events never satisfy
+    * an ordering the oracle's `min(ts) WHERE ts > prev` chain would
+    * reject, and sort-order ties are semantically irrelevant). The
+    * k-self-join formulation the oracle uses — the only way to say it
+    * in portable SQL — shuffles the events table k times; the scan
+    * shuffles it once and holds one user's funnel events in memory
+    * (per-user activity-bounded; a pathological single-user firehose
+    * would call for the window-function formulation instead). Output
+    * times are epoch MICROSECONDS (the q22/q24 convention); users with
+    * no step-1 event are excluded on both sides. */
+  def q48Funnel(
+      spark: SparkSession, dir: String,
+      steps: Seq[String] = FunnelSteps): DataFrame = {
+    val k = steps.length
+    val stepsArr = array(steps.map(lit): _*)
+    val perUser = Tables.events(spark, dir)
+      .filter(col("event_type").isInCollection(steps))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_type")))).as("evs"))
+    val initial = array((0 until k).map(_ => lit(null).cast("timestamp")): _*)
+    val scanned = aggregate(col("evs"), initial, (acc, e) =>
+      transform(acc, (t, j) =>
+        when(t.isNotNull, t).otherwise(
+          when(e("event_type") === element_at(stepsArr, j + 1) &&
+              (j === 0 || (element_at(acc, j).isNotNull &&
+                e("ts") > element_at(acc, j))),
+            e("ts")).otherwise(lit(null).cast("timestamp")))))
+    val depth = (1 until k)
+      .map(i => when(element_at(col("ts_arr"), i + 1).isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    perUser
+      .select(col("user_id"), scanned.as("ts_arr"))
+      .select(col("user_id") +:
+        (0 until k).map(i =>
+          unix_micros(element_at(col("ts_arr"), i + 1)).as(s"t${i + 1}_us")) :+
+        depth.as("depth"): _*)
+      .filter(col("t1_us").isNotNull)
+      .orderBy(col("user_id"))
+  }
+
+  /** Ground truth for [[q48Funnel]] — the k-self-join min-chain, the
+    * portable-SQL statement of the same greedy-earliest semantics. */
+  def q48OracleSql: String = {
+    val Seq(s1, s2, s3) = FunnelSteps
+    s"""WITH s1 AS (
+       |  SELECT user_id, min(ts) AS t1 FROM events
+       |  WHERE event_type = '$s1' GROUP BY user_id
+       |), s2 AS (
+       |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       |  WHERE e.event_type = '$s2' AND e.ts > s1.t1 GROUP BY e.user_id
+       |), s3 AS (
+       |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       |  WHERE e.event_type = '$s3' AND e.ts > s2.t2 GROUP BY e.user_id
+       |)
+       |SELECT s1.user_id, epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
+       |       epoch_us(t3) AS t3_us,
+       |       1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+       |         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS depth
+       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+       |ORDER BY user_id""".stripMargin
+  }
 }

@@ -103,4 +103,63 @@ class AnalyticsOpsSpec extends SparkSuite {
     val nEligible = Tables.events(spark, sf).select(col("event_id")).count()
     assert(got.length == nEligible)
   }
+
+  test("q48 funnel: strict ordering, skipped-step and tie semantics") {
+    import spark.implicits._
+    // Tables.events reads ts as raw parquet NANOS (the fixture
+    // convention) — write the same shape
+    def at(sec: Long): Long = sec * 1000000000L
+    val ev = Seq(
+      // user 1: clean traversal
+      (1L, "view", at(10)), (1L, "click", at(20)), (1L, "purchase", at(30)),
+      // user 2: pre-view click ignored; purchase before the matched
+      // click is skipped in favor of a later one
+      (2L, "click", at(5)), (2L, "view", at(10)), (2L, "purchase", at(12)),
+      (2L, "click", at(15)), (2L, "purchase", at(20)),
+      // user 3: purchase precedes view -> depth 1
+      (3L, "view", at(10)), (3L, "purchase", at(5)),
+      // user 4: never views -> excluded
+      (4L, "click", at(10)), (4L, "purchase", at(20)),
+      // user 5: click at the SAME instant as the view -> strict > rejects
+      (5L, "view", at(10)), (5L, "click", at(10)), (5L, "purchase", at(30)),
+      // noise type everywhere
+      (1L, "error", at(1)), (5L, "error", at(50))
+    ).toDF("user_id", "event_type", "ts")
+      .withColumn("event_id", col("user_id")) // schema compat
+    val tmp = java.nio.file.Files.createTempDirectory("funnel-ev").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = AnalyticsOps.q48Funnel(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4))))
+      .toMap
+    def us(sec: Long) = Some(sec * 1000000L)
+    assert(got == Map(
+      1L -> ((us(10), us(20), us(30), 3)),
+      2L -> ((us(10), us(15), us(20), 3)),
+      3L -> ((us(10), None, None, 1)),
+      5L -> ((us(10), None, None, 1))))
+  }
+
+  test("q48 on the fixture matches a driver-side scan") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val steps = AnalyticsOps.FunnelSteps
+    val expected = events.groupBy(_._1).flatMap { case (uid, rows) =>
+      val t1 = rows.filter(_._2 == steps(0)).map(_._3).minOption
+      val t2 = t1.flatMap(a =>
+        rows.filter(r => r._2 == steps(1) && r._3 > a).map(_._3).minOption)
+      val t3 = t2.flatMap(b =>
+        rows.filter(r => r._2 == steps(2) && r._3 > b).map(_._3).minOption)
+      t1.map(_ => uid -> ((t1, t2, t3, 1 + t2.size + t3.size)))
+    }
+    val got = AnalyticsOps.q48Funnel(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4))))
+      .toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.values.exists(_._4 == 3), "vacuous fixture")
+  }
 }
