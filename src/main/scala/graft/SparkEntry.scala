@@ -70,6 +70,7 @@ object SparkEntry {
     "q46_repeated_windows" -> ((s, d) => DedupOps.q46RepeatedWindows(s, d)),
     "q47_cluster_sizes"    -> (DedupOps.q47ClusterSizes _),
     "q48_funnel"           -> ((s, d) => AnalyticsOps.q48Funnel(s, d)),
+    "q49_cohort_retention" -> (AnalyticsOps.q49CohortRetention _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -266,5 +267,8 @@ object SparkEntry {
     // Funnel analysis: single-shuffle HOF scan vs the oracle's
     // k-self-join min-chain — same greedy-earliest semantics.
     "q48_funnel" -> AnalyticsOps.q48OracleSql,
+
+    // Cohort retention matrix, integer week arithmetic on both sides.
+    "q49_cohort_retention" -> AnalyticsOps.q49OracleSql,
   )
 }

@@ -250,6 +250,51 @@ object AnalyticsOps {
       .orderBy(col("user_id"))
   }
 
+  // ---------------------------------------------------------------- q49
+
+  /** Seconds per retention bucket (one week), shared with the oracle. */
+  val CohortWeekUs: Long = 604800L * 1000000L
+
+  /** q49 — COHORT RETENTION: users bucketed by the week of their first
+    * event (the cohort), counted in every later week they were active —
+    * the `(cohort, week_offset) → n_users` matrix behind every
+    * retention curve, and the second canonical product-analytics query
+    * next to q48's funnel.
+    *
+    * Plan: the user-week activity relation is ONE distinct (map-side
+    * partial) on fixed-width `(user, wk)`; cohorts are a min-aggregate
+    * of it; the activity-to-cohort attach is an equi-join on the user
+    * key both sides already share; the matrix is one final aggregate on
+    * `(cohort, offset)`. Week ids are integer epoch-microsecond
+    * division — exact on both engines, no timezone or calendar
+    * arithmetic to drift. */
+  def q49CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ua = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $CohortWeekUs").as("wk"))
+      .distinct()
+    val cohorts = ua.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    ua.join(cohorts, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
+  /** Ground truth for [[q49CohortRetention]] — identical integer week
+    * arithmetic. */
+  def q49OracleSql: String =
+    s"""WITH ua AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $CohortWeekUs AS wk
+       |  FROM events
+       |), c AS (
+       |  SELECT user_id, min(wk) AS cohort_wk FROM ua GROUP BY user_id
+       |)
+       |SELECT c.cohort_wk, ua.wk - c.cohort_wk AS week_offset,
+       |       count(*) AS n_users
+       |FROM ua JOIN c USING (user_id)
+       |GROUP BY c.cohort_wk, week_offset
+       |ORDER BY cohort_wk, week_offset""".stripMargin
+
   /** Ground truth for [[q48Funnel]] — the k-self-join min-chain, the
     * portable-SQL statement of the same greedy-earliest semantics. */
   def q48OracleSql: String = {

@@ -162,4 +162,28 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(got == expected)
     assert(got.nonEmpty && got.values.exists(_._4 == 3), "vacuous fixture")
   }
+
+  test("q49 cohort retention == driver-side recount; matrix invariants hold") {
+    val wkUs = AnalyticsOps.CohortWeekUs
+    val ua = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / wkUs))
+      .distinct
+    val cohorts = ua.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.map(_._2).min
+    }
+    val expected = ua.groupBy { case (u, wk) => (cohorts(u), wk - cohorts(u)) }
+      .map { case (k, rows) => k -> rows.size.toLong }
+    val got = AnalyticsOps.q49CohortRetention(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // invariants: offset 0 counts the whole cohort; no later offset
+    // exceeds it (a user can't be retained without having joined)
+    val cohortSizes = cohorts.groupBy(_._2).map { case (c, xs) => c -> xs.size.toLong }
+    got.foreach { case ((c, off), n) =>
+      assert(off >= 0 && n <= cohortSizes(c))
+      if (off == 0L) assert(n == cohortSizes(c))
+    }
+  }
 }

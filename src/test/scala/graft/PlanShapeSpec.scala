@@ -108,6 +108,14 @@ class PlanShapeSpec extends SparkSuite {
       s"adaptive coalescing not active:\n$p")
   }
 
+  test("q48: the funnel scan is a single hash shuffle") {
+    // the claimed advantage over the k-self-join shape — pin it
+    val p = plan(AnalyticsOps.q48Funnel(spark, sf))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"expected one hash shuffle, got $hashExchanges:\n$p")
+    assert(!p.contains("Join"), s"funnel must not self-join:\n$p")
+  }
+
   test("q43: each star round joins on node id — no all-pairs product") {
     import spark.implicits._
     // One alternating round over a toy edge set IS the repeated unit of
