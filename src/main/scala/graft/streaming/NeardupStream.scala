@@ -12,14 +12,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Shape: each arriving document is fingerprinted ROW-LOCALLY with the
   * narrow [[TextOps.simhashFromHashes]] (no shuffle, no stateful
   * aggregate — the only shuffle in the whole query is the keyed-state
-  * exchange), then exploded into its 4 SimHash bands; per (band, value)
-  * bucket a `flatMapGroupsWithState` holds the fingerprints of KEPT
+  * exchange), then exploded into its SimHash bands (count/width derived
+  * from the q21 constants); per (band, value) bucket a
+  * `flatMapGroupsWithState` holds the fingerprints of KEPT
   * representatives and emits one candidate row per (incoming doc,
   * matching rep) with hamming ≤ `hammingMax` — by the q21 pigeonhole,
-  * any pair within hamming 3 shares at least one whole 8-bit band, so
-  * band-bucket state sees every such pair. A flagged doc is NOT added
-  * to the state (keep-first, the q09/corpus-pipeline rule), so state
-  * grows with content DIVERSITY, not stream length.
+  * any pair within hamming ≤ bands-1 shares at least one whole band, so
+  * band-bucket state sees every such pair. A flagged doc is not added
+  * to the state IN THE BUCKETS WHERE IT MATCHED (keep-first, the
+  * q09/corpus-pipeline rule); buckets are independent, so the same doc
+  * IS still admitted in bands where its value differs from every rep —
+  * each flagged mutation can add up to `hammingMax` band-bucket entries
+  * (extra anchors that only raise recall), bounded per bucket by
+  * `maxPerBucket`. State therefore grows with content diversity plus a
+  * cap-bounded mutation-anchor term, never linearly in stream length;
+  * `dup_of` may name a doc that was itself flagged earlier (chains
+  * collapse downstream exactly as q43 collapses q13's pairs).
   *
   * Semantics are arrival-order (first-seen wins), like the built-in
   * streaming `dropDuplicates` family and the reference's co-flatmap:
@@ -71,20 +79,44 @@ object NeardupStream extends Serializable {
     (out.result(), rs)
   }
 
-  /** SimHash band key columns for a 32-bit fingerprint: 4 bands of
-    * 8 bits (shared constants with the batch q21). */
+  /** Band count and width DERIVED from the batch q21 constants
+    * ([[TextOps.SimhashBands]] over [[TextOps.SimhashBits]]) — one
+    * source of truth, so retuning the batch banding retunes the stream
+    * and the pigeonhole argument stays aligned. */
+  private def bands: Int = TextOps.SimhashBands
+  private def bandWidth: Int = TextOps.SimhashBits / TextOps.SimhashBands
+
+  /** SimHash band key column for a fingerprint. */
   private def bandValue(fp: Column, b: Int): Column =
-    shiftright(fp, 8 * b).bitwiseAND(lit(0xFFL))
+    shiftright(fp, bandWidth * b).bitwiseAND(lit((1L << bandWidth) - 1))
 
   /** The screen. `docs` is a STREAMING frame with `doc_id: long,
     * text: string, ts: timestamp`; output is an append stream of
-    * `(doc_id, dup_of, band, hamming)` candidate rows. */
+    * `(doc_id, dup_of, band, hamming)` candidate rows.
+    *
+    * `hammingMax` must stay BELOW the band count — the pigeonhole
+    * complete-candidate guarantee (hamming ≤ bands-1 ⇒ some whole band
+    * matches) breaks at `hammingMax == bands`, silently, so the
+    * constructor rejects it (the batch LSH threshold/banding coupling
+    * rule, applied here).
+    *
+    * `watermarkDelay` is also the LATE-DATA boundary in TTL mode:
+    * event-time timeouts make Spark drop rows older than the watermark
+    * BEFORE the state function, so with a TTL a doc arriving more than
+    * `watermarkDelay` out of event-time order is neither screened nor
+    * stored (without a TTL nothing is dropped). Size it to the
+    * stream's real disorder — the 1 s default fits tests and
+    * in-order-ish firehoses, not multi-minute-skew backfills. */
   def screen(
       docs: DataFrame,
       watermarkDelay: String = "1 second",
-      hammingMax: Int = 3,
+      hammingMax: Int = TextOps.HammingMax,
       maxPerBucket: Int = 64,
       idleTtl: Option[String] = None): DataFrame = {
+    require(hammingMax >= 0 && hammingMax < bands,
+      s"hammingMax=$hammingMax breaks the pigeonhole recall guarantee of " +
+        s"$bands bands (requires hammingMax <= ${bands - 1}); re-band " +
+        "TextOps.SimhashBands for a looser threshold")
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -93,7 +125,7 @@ object NeardupStream extends Serializable {
       .withColumn("fp", TextOps.simhashFromHashes(col("hs")))
       .withWatermark("ts", watermarkDelay)
       .select(col("doc_id"), col("fp"), col("ts"),
-        explode(array((0 until 4).map(b =>
+        explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"), bandValue(col("fp"), b).as("bv"))): _*))
           .as("bk"))
       .select(col("doc_id"), col("fp"), col("ts"),
@@ -111,10 +143,14 @@ object NeardupStream extends Serializable {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
         val incoming = rows.toSeq.sortBy(r => (r._3.getTime, r._1))
+        val prev = state.getOption.getOrElse(Nil)
         val (emits, reps) = advanceBucket(
-          state.getOption.getOrElse(Nil),
-          incoming.map(r => (r._1, r._2)), hammingMax, maxPerBucket)
-        if (reps.nonEmpty) state.update(reps)
+          prev, incoming.map(r => (r._1, r._2)), hammingMax, maxPerBucket)
+        // advanceBucket returns the SAME list instance when nothing was
+        // admitted — skip the state-store write then (a hot boilerplate
+        // bucket that only flags duplicates would otherwise rewrite its
+        // unchanged rep list, plus changelog churn, every trigger)
+        if (reps.nonEmpty && !(reps eq prev)) state.update(reps)
         idleTtl.foreach { ttl =>
           // event-time TTL anchored at the bucket's LATEST arrival (the
           // tagMilestones deadline rule): the bucket dies after `ttl`

@@ -51,6 +51,16 @@ class NeardupStreamSpec extends SparkSuite {
     assert(e4.isEmpty && r4 == List((1L, 0xF0L)))
   }
 
+  test("hammingMax at or above the band count is rejected (pigeonhole guard)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val e = intercept[IllegalArgumentException] {
+      NeardupStream.screen(in.toDF(), hammingMax = TextOps.SimhashBands)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+  }
+
   test("narrow per-row simhash == the q15 aggregate, row for row") {
     val agg = TextOps.simhashFrame(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
