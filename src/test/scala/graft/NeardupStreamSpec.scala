@@ -114,6 +114,48 @@ class NeardupStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: representative state survives a stop/restart") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("nd-recover").toString
+    val ckpt = Files.createTempDirectory("ckpt-nd-recover").toString
+    def doc(id: Long, sec: Long, text: String): String =
+      s"""{"doc_id":$id,"ts_sec":$sec,"text":"$text"}"""
+    def source() = spark.readStream
+      .schema("doc_id LONG, ts_sec LONG, text STRING")
+      .json(dir)
+      .select(col("doc_id"), col("text"),
+        timestamp_seconds(col("ts_sec")).as("ts"))
+    // memory sink cannot recover from a checkpoint — collect flags via
+    // foreachBatch (the recoverable sink family), driver-side buffer
+    val flags = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def start() = NeardupStream.screen(source())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => flags.add((r.getLong(0), r.getLong(1))))
+        ()
+      }.start()
+    // run 1: the base docs become representatives — no flags; the rep
+    // state exists only in the checkpoint afterwards
+    Files.write(Paths.get(dir, "b1.json"), String.join("\n",
+      doc(1, 100, docA), doc(2, 101, docB)).getBytes("UTF-8"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(flags.isEmpty)
+    // run 2: SAME checkpoint, new query — the near-dup of doc 1 must be
+    // flagged against the RECOVERED representative (a lost state would
+    // silently admit it as fresh), and the already-processed b1 file
+    // must not replay (a replayed doc 1/2 would re-admit silently, but
+    // any replayed emission would duplicate into the buffer)
+    Files.write(Paths.get(dir, "b2.json"),
+      doc(3, 200, docAnear).getBytes("UTF-8"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(flags.asScala.toSet == Set((3L, 1L)),
+      s"recovered state did not flag the near-dup: ${flags.asScala.toList}")
+  }
+
   test("idleTtl bounds bucket state on an ever-fresh stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
