@@ -262,19 +262,22 @@ object AnalyticsOps {
     * next to q48's funnel.
     *
     * Plan: the user-week activity relation is ONE distinct (map-side
-    * partial) on fixed-width `(user, wk)`; cohorts are a min-aggregate
-    * of it; the activity-to-cohort attach is an equi-join on the user
-    * key both sides already share; the matrix is one final aggregate on
-    * `(cohort, offset)`. Week ids are integer epoch-microsecond
-    * division — exact on both engines, no timezone or calendar
-    * arithmetic to drift. */
+    * partial) on fixed-width `(user, wk)`; the cohort attaches as a
+    * `min` WINDOW over the user partition — one pass, where the
+    * equivalent aggregate-then-self-join formulation reads the events
+    * table twice (the executed-plan audit showed the diamond scanning
+    * twice; the window form scans once and is what the 100 TB run
+    * wants); the matrix is one final aggregate on `(cohort, offset)`.
+    * Week ids are integer epoch-microsecond division — exact on both
+    * engines, no timezone or calendar arithmetic to drift. */
   def q49CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ua = Tables.events(spark, dir)
       .select(col("user_id"),
         expr(s"unix_micros(ts) div $CohortWeekUs").as("wk"))
       .distinct()
-    val cohorts = ua.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
-    ua.join(cohorts, "user_id")
+    ua.withColumn("cohort_wk",
+        min(col("wk")).over(Window.partitionBy(col("user_id"))))
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_wk"), col("week_offset"))
