@@ -152,22 +152,40 @@ object SimilarityOps {
       spark: SparkSession,
       dir: String,
       k: Int = 10,
-      numProbes: Int = 10): DataFrame = {
-    import spark.implicits._
-    val dots = array((0 until NumCells).map(c =>
-      PipelineOps.dot($"embedding", centroidLit(c))): _*)
-    val emb = Tables.embeddings(spark, dir)
+      numProbes: Int = 10): DataFrame =
+    ivfTopK(Tables.embeddings(spark, dir),
+      (0 until NumCells).map(c => (0 until Dim).map(centroidComponent(c, _))),
+      k, numProbes)
+
+  /** IVF search over ANY centroid set — the frame-level core of q28 and
+    * the search half of the train-then-search loop: feed it
+    * [[trainCentroids]]' output and the quantizer ADAPTS to the data
+    * (spec-measured recall gain over the fixed pseudo-random centroids)
+    * with the identical plan shape — assignment stays a narrow
+    * projection of codegen'd dot products, probes broadcast, candidates
+    * equi-join on the cell key. */
+  def ivfTopK(
+      embTable: DataFrame,
+      centroids: Seq[Seq[Double]],
+      k: Int = 10,
+      numProbes: Int = 10,
+      numProbedCells: Int = NumProbedCells): DataFrame = {
+    import embTable.sparkSession.implicits._
+    val nCells = centroids.length
+    val dots = array(centroids.map(c =>
+      PipelineOps.dot($"embedding", typedlit(c))): _*)
+    val emb = embTable
       .withColumn("dots", dots)
       .withColumn("cell",
         (array_position($"dots", array_max($"dots")) - 1).cast("int"))
     // probe's best cells: sort (dot desc, cell asc) via negated-dot
     // struct sort (exact: IEEE negation flips order bit-for-bit)
-    val byBest = sort_array(array((0 until NumCells).map(c =>
+    val byBest = sort_array(array((0 until nCells).map(c =>
       struct((-$"dots" (c)).as("nd"), lit(c).as("cell"))): _*))
     val probes = emb
       .filter($"vec_id" < numProbes)
       .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"),
-        explode(transform(slice(byBest, 1, NumProbedCells), s => s("cell")))
+        explode(transform(slice(byBest, 1, numProbedCells), s => s("cell")))
           .as("cell"))
     val scored = emb
       .join(broadcast(probes), "cell")

@@ -187,9 +187,55 @@ class SimilarityOpsSpec extends SparkSuite {
         assert(math.abs(again(a)(i) - trained(a)(i)) < 1e-9))
     }
     // trainCentroids: deterministic end-to-end from the q28 LCG init
+    // (see also "train-then-search" below for the ivfTopK integration)
     val t1 = SimilarityOps.trainCentroids(emb, k = 4, iters = 2)
     val t2 = SimilarityOps.trainCentroids(emb, k = 4, iters = 2)
     assert(t1.length == 4 && t1.forall(_.length == dim))
     assert(t1 == t2, "training must be deterministic")
+  }
+
+  test("train-then-search: IVF over trained centroids, recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    // driver-side exact cosine top-k ground truth per probe
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val k = 10
+    val exact = (0L until 10L).map { p =>
+      p -> vecs.toSeq
+        .map { case (id, v) => (id, cos(vecs(p), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+    }.toMap
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byProbe = rows.groupBy(_.getLong(0))
+      byProbe.map { case (p, rs) =>
+        rs.map(_.getLong(1)).count(exact(p)).toDouble / k
+      }.sum / byProbe.size
+    }
+    val fixed = (0 until SimilarityOps.NumCells).map(c =>
+      (0 until SimilarityOps.Dim).map(SimilarityOps.centroidComponent(c, _)))
+    val rFixed = recall(SimilarityOps.ivfTopK(emb, fixed).collect())
+    val trained = SimilarityOps.trainCentroids(emb, iters = 3)
+    val got = SimilarityOps.ivfTopK(emb, trained).collect()
+    // result contract: consecutive ranks, descending sims per probe
+    got.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(4))
+      assert(sorted.map(_.getInt(4)).toSeq == (1 to sorted.length))
+      val sims = sorted.map(_.getDouble(3)).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+    val rTrained = recall(got)
+    // adaptation is the POINT of training: cells that follow the data
+    // must not probe worse than pseudo-random ones, and must clear a
+    // usable floor (values are deterministic; measured on this fixture)
+    assert(rTrained >= rFixed - 1e-9,
+      s"trained recall $rTrained worse than fixed $rFixed")
+    assert(rTrained >= 0.5, s"trained recall too low: $rTrained")
   }
 }
