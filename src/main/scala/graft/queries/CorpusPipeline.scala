@@ -111,11 +111,30 @@ object CorpusPipeline {
       docs: DataFrame, cfg: Config): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
 
-    // 1. exact dedup: lowest doc_id wins per identical text
-    val byText = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    // 1. exact dedup: lowest doc_id wins per identical text. The window
+    // partitions on xxhash64(text) — an 8-byte shuffle key — not on the
+    // text itself (q09's 100 TB rule: full rows ride the exchange as
+    // payload exactly once regardless, but the KEY the exchange hashes
+    // and the window sorts must stay fixed-width). Collisions are
+    // verified, not assumed: the kept row's text is guarded by
+    // whole-group min(text) === max(text) — same single shuffle, one
+    // extra unordered Window pass — and the stage raises rather than
+    // silently dropping a distinct document (q09 scaladoc has the
+    // probability analysis; q43 documents the same acceptance bound).
+    val byHash = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    val wholeGroup = Window.partitionBy(col("content_hash"))
     val exact = docs
-      .withColumn("rn", row_number().over(byText))
-      .filter(col("rn") === 1).drop("rn")
+      .withColumn("content_hash", xxhash64(col("text")))
+      .withColumn("rn", row_number().over(byHash))
+      .withColumn("_tmin", min(col("text")).over(wholeGroup))
+      .withColumn("_tmax", max(col("text")).over(wholeGroup))
+      .filter(col("rn") === 1)
+      .withColumn("text",
+        when(col("_tmin") === col("_tmax"), col("text"))
+          .otherwise(raise_error(concat(
+            lit("xxhash64 collision in exact-dedup stage on content hash "),
+            col("content_hash").cast("string")))))
+      .drop("rn", "content_hash", "_tmin", "_tmax")
 
     // 2. language + minimum-quality gates (narrow)
     val gated = exact

@@ -16,22 +16,48 @@ import org.apache.spark.sql.functions._
   */
 object PipelineOps {
 
-  /** q09 — exact deduplication with deterministic canonicalization.
+  /** q09 — exact deduplication with deterministic canonicalization,
+    * keyed on the 64-bit content hash (the 100 TB form).
     *
     * `dropDuplicates("text")` keeps an arbitrary row per key; a pipeline
-    * needs a deterministic keep-rule, so we aggregate to
-    * `min(doc_id)` per distinct `text` (plus the duplicate count, which a
-    * real pipeline logs). One hash-aggregate shuffle on `text`; map-side
-    * partial agg means the shuffle carries one row per (partition,
-    * distinct text). At 100 TB, dedup on a long text key should hash the
-    * key first (see [[DedupOps]] for the near-dup path) — exact-dedup on a
-    * 64-bit content hash shuffles 8-byte keys instead of full documents.
+    * needs a deterministic keep-rule, so we aggregate to `min(doc_id)`
+    * per distinct document (plus the duplicate count, which a real
+    * pipeline logs). The aggregate is keyed on `xxhash64(text)` — an
+    * 8-byte shuffle/grouping key — NOT on `text` itself: at 100 TB a
+    * text-keyed exchange ships roughly the corpus over the wire and
+    * hashes/compares multi-KB keys in every aggregate probe, ~100× the
+    * bytes of the hash key. The text still rides the shuffle once as an
+    * aggregate-buffer VALUE (`min(text)` — one distinct value per group
+    * per map partition after partial agg), which is the minimum possible:
+    * the representative row has to reach its reducer somehow.
+    *
+    * Collisions are VERIFIED, not assumed away: the result's `text` is
+    * `min(text)` guarded by `min(text) === max(text)` — if two distinct
+    * documents ever landed in one hash group, the group's min ≠ max and
+    * the query raises instead of silently merging them (the guard lives
+    * in the output column, so Catalyst cannot prune it). Expected never:
+    * P(any collision) ≈ n²/2⁶⁵, ~3·10⁻⁹ even at 10¹⁰ docs — same
+    * analysis as q43's documented acceptance, but here it costs only a
+    * second text min/max buffer, so we check. The string buffers pick
+    * SortAggregate over HashAggregate (Spark's hash agg needs
+    * fixed-width mutable buffers) — an acceptable trade: both partial
+    * and final sort by the 8-byte hash key, while the alternative,
+    * `groupBy(text)`, hashed and compared multi-KB keys in every probe
+    * AND shipped them as the exchange key.
     */
   def q09DedupExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .groupBy($"text")
-      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+      .withColumn("content_hash", xxhash64($"text"))
+      .groupBy($"content_hash")
+      .agg(
+        min($"doc_id").as("doc_id"),
+        when(min($"text") === max($"text"), min($"text"))
+          .otherwise(raise_error(concat(
+            lit("xxhash64 collision: distinct texts share content hash "),
+            $"content_hash".cast("string"))))
+          .as("text"),
+        count(lit(1)).as("n_dups"))
       .select($"doc_id", $"text", $"n_dups")
       .orderBy($"doc_id")
   }

@@ -57,6 +57,43 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("q09: the dedup exchange is keyed on the 8-byte content hash, not text") {
+    // The 100 TB contract: the aggregate's shuffle key must be
+    // xxhash64(text) (fixed-width), never the document text itself — a
+    // refactor back to groupBy(text) ships the corpus as the exchange
+    // KEY and must fail here.
+    val p = plan(PipelineOps.q09DedupExact(spark, sf))
+    val aggExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    assert(aggExchanges.nonEmpty, s"no hash exchange in q09:\n$p")
+    aggExchanges.foreach { l =>
+      assert(l.contains("content_hash"), s"dedup exchange not hash-keyed:\n$l")
+      assert(!l.matches(""".*hashpartitioning\(text#.*"""),
+        s"dedup exchange keyed on full text:\n$l")
+    }
+    // and the aggregate itself groups on the hash (SortAggregate prints
+    // `key=`, HashAggregate `keys=` — the string min/max verify buffers
+    // force the sort-based agg, which sorts by the 8-byte hash)
+    assert(p.contains("key=[content_hash") || p.contains("keys=[content_hash"),
+      s"aggregate not hash-keyed:\n$p")
+  }
+
+  test("corpus pipeline: exact-dedup window partitions on the content hash") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "web", "same text"), (2L, "en", "web", "same text"),
+      (3L, "de", "web", "other text")).toDF("doc_id", "lang", "source", "text")
+    val p = plan(CorpusPipeline.prepare(docs))
+    val windowExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") &&
+        l.contains("content_hash")).toList
+    assert(windowExchanges.nonEmpty,
+      s"exact-dedup window exchange not keyed on content_hash:\n$p")
+    assert(!p.linesIterator.exists(
+      _.matches(""".*Exchange hashpartitioning\(text#.*""")),
+      s"some exchange still keyed on full text:\n$p")
+  }
+
   test("q01: filter and projection reach the parquet scan") {
     val p = plan(ReferenceOps.q01ScanFilter(spark, sf))
     assert(p.contains("PushedFilters: [In(lang"), s"filter not pushed:\n$p")
