@@ -71,6 +71,7 @@ object SparkEntry {
     "q47_cluster_sizes"    -> (DedupOps.q47ClusterSizes _),
     "q48_funnel"           -> ((s, d) => AnalyticsOps.q48Funnel(s, d)),
     "q49_cohort_retention" -> (AnalyticsOps.q49CohortRetention _),
+    "q50_ivf_indexed"      -> ((s, d) => SimilarityOps.q50IvfIndexed(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -270,5 +271,11 @@ object SparkEntry {
 
     // Cohort retention matrix, integer week arithmetic on both sides.
     "q49_cohort_retention" -> AnalyticsOps.q49OracleSql,
+
+    // The persisted-index search must return row-for-row what the
+    // in-plan q28 search returns (same centroids, probes, ranking) —
+    // so its oracle IS q28's oracle. The physical difference (the
+    // partition-pruned scan) is pinned in SimilarityOpsSpec.
+    "q50_ivf_indexed" -> SimilarityOps.q28OracleSql(),
   )
 }

@@ -164,6 +164,18 @@ object SimilarityOps {
     * with the identical plan shape — assignment stays a narrow
     * projection of codegen'd dot products, probes broadcast, candidates
     * equi-join on the cell key. */
+  /** Assign every vector its IVF cell: `dots` (the k inner products,
+    * codegen'd) and `cell` (argmax, first-max tie-break). The shared
+    * front half of the in-plan search ([[ivfTopK]]) and the on-disk
+    * index build ([[writeIvfIndex]]) — one assignment rule, so the two
+    * paths cannot drift. */
+  def assignCells(embTable: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    embTable
+      .withColumn("dots", array(centroids.map(c =>
+        PipelineOps.dot(col("embedding"), typedlit(c))): _*))
+      .withColumn("cell",
+        (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int"))
+
   def ivfTopK(
       embTable: DataFrame,
       centroids: Seq[Seq[Double]],
@@ -172,12 +184,7 @@ object SimilarityOps {
       numProbedCells: Int = NumProbedCells): DataFrame = {
     import embTable.sparkSession.implicits._
     val nCells = centroids.length
-    val dots = array(centroids.map(c =>
-      PipelineOps.dot($"embedding", typedlit(c))): _*)
-    val emb = embTable
-      .withColumn("dots", dots)
-      .withColumn("cell",
-        (array_position($"dots", array_max($"dots")) - 1).cast("int"))
+    val emb = assignCells(embTable, centroids)
     // probe's best cells: sort (dot desc, cell asc) via negated-dot
     // struct sort (exact: IEEE negation flips order bit-for-bit)
     val byBest = sort_array(array((0 until nCells).map(c =>
@@ -196,6 +203,116 @@ object SimilarityOps {
       .filter($"rank" <= k)
       .select($"probe_id", $"vec_id", $"label", $"sim", $"rank")
       .orderBy($"probe_id", $"rank")
+  }
+
+  // ------------------------------------------- persisted IVF index
+
+  /** Materialize the inverted file ON DISK: vectors assigned to their
+    * centroid cell ([[assignCells]] — the identical rule the in-plan
+    * search uses) and written as CELL-PARTITIONED parquet. This is the
+    * storage layout the q28 scaladoc promises: at 1e9 vectors the
+    * probe-side equi-join on `cell` becomes a partition-pruned scan of
+    * `nprobe` of `nlist` directories — the filter never touches file
+    * contents, so a 4-of-16384-cell probe reads ~0.02% of the index.
+    * One `repartition(cell)` keeps each cell's files written by few
+    * tasks (not `shuffle.partitions` fragments per directory); that
+    * single corpus shuffle on an int key is the whole build cost after
+    * assignment's narrow projection. `dots` is dropped — it is
+    * assignment scaffolding, k doubles per row nobody reads back. */
+  def writeIvfIndex(
+      embTable: DataFrame,
+      centroids: Seq[Seq[Double]],
+      path: String): Unit =
+    assignCells(embTable, centroids)
+      .drop("dots")
+      .repartition(col("cell"))
+      .write
+      .partitionBy("cell")
+      .mode("overwrite")
+      .parquet(path)
+
+  /** A probe's `numProbedCells` best cells, computed DRIVER-side — k
+    * dot products over one vector, the coarse-quantizer lookup every
+    * IVF serving path runs before touching storage. Same arithmetic as
+    * the in-plan probe ranking bit for bit: strict left-to-right
+    * double fold (the [[graft.functions.DotProduct]] contract), order
+    * by dot desc then cell asc via the same IEEE negation. */
+  def probeCells(
+      probe: Seq[Double],
+      centroids: Seq[Seq[Double]],
+      numProbedCells: Int = NumProbedCells): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) =>
+        var s = 0.0
+        var j = 0
+        while (j < c.length) { s += probe(j) * c(j); j += 1 }
+        (-s, i)
+      }
+      .sorted
+      .take(numProbedCells)
+      .map(_._2)
+
+  /** Search the PERSISTED inverted file: prune the scan to the union
+    * of the probes' cells (a static `cell IN (...)` partition filter —
+    * the read lists only those directories), then the same broadcast
+    * probe join + per-probe ranking as [[ivfTopK]]. With the same
+    * centroids and probe set this returns row-for-row what the in-plan
+    * form returns (q50's oracle IS q28's oracle) — the difference is
+    * purely what the scan touches, which is the point of the index. */
+  def ivfSearchIndex(
+      spark: SparkSession,
+      indexPath: String,
+      probes: Seq[(Long, Seq[Double])],
+      centroids: Seq[Seq[Double]],
+      k: Int = 10,
+      numProbedCells: Int = NumProbedCells): DataFrame = {
+    import spark.implicits._
+    val probeRows = probes.flatMap { case (id, e) =>
+      probeCells(e, centroids, numProbedCells).map(c => (id, e, c))
+    }
+    val wantedCells = probeRows.map(_._3).distinct.sorted
+    val probesDf = probeRows.toDF("probe_id", "p_emb", "cell")
+    val idx = spark.read.parquet(indexPath)
+      .filter($"cell".isin(wantedCells: _*))
+    val scored = idx
+      .join(broadcast(probesDf), "cell")
+      .withColumn("sim", round(PipelineOps.cosine($"embedding", $"p_emb"), 6))
+    val byProbe = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")
+    scored
+      .withColumn("rank", row_number().over(byProbe))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"vec_id", $"label", $"sim", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** q50 — the q28 search routed through the on-disk inverted file:
+    * build ([[writeIvfIndex]]) with q28's fixed centroids, collect the
+    * probe vectors (numProbes rows — the serving-path reality: probes
+    * arrive driver-side), then [[ivfSearchIndex]]. Oracle-identical to
+    * q28 by construction; what changes is the physical plan — the scan
+    * carries a `cell IN` PartitionFilter instead of reading the table.
+    * The index is rebuilt per call into a temp dir (the fixture is
+    * small); a deployment builds once and serves many. */
+  def q50IvfIndexed(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 10,
+      numProbes: Int = 10): DataFrame = {
+    import spark.implicits._
+    val centroids =
+      (0 until NumCells).map(c => (0 until Dim).map(centroidComponent(c, _)))
+    val emb = Tables.embeddings(spark, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-index").toString
+    writeIvfIndex(emb, centroids, path)
+    val probes = emb
+      .filter($"vec_id" < numProbes)
+      .select($"vec_id", $"embedding")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq
+    ivfSearchIndex(spark, path, probes, centroids, k)
   }
 
   /** DuckDB oracle for [[q28IvfTopK]] — identical centroid constants,

@@ -238,4 +238,65 @@ class SimilarityOpsSpec extends SparkSuite {
       s"trained recall $rTrained worse than fixed $rFixed")
     assert(rTrained >= 0.5, s"trained recall too low: $rTrained")
   }
+
+  test("persisted IVF index: probe scan prunes to the probed cells, matches in-plan search") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    // trained centroids — the full loop: train, persist the inverted
+    // file, serve probes from the pruned layout
+    val centroids = SimilarityOps.trainCentroids(emb, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    SimilarityOps.writeIvfIndex(emb, centroids, path)
+
+    // hive layout: one directory per non-empty cell
+    val cellDirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= SimilarityOps.NumCells,
+      s"unexpected cell layout: ${cellDirs.toSeq}")
+
+    // two probes -> at most 8 of the cells are wanted; the scan must
+    // touch ONLY those directories
+    val nProbes = 2
+    val probes = emb.filter($"vec_id" < nProbes)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq
+    val wanted = probes
+      .flatMap(p => SimilarityOps.probeCells(p._2, centroids)).distinct
+    assert(wanted.size < cellDirs.length,
+      "fixture degenerate: probes want every cell — pruning unobservable")
+
+    val got = SimilarityOps.ivfSearchIndex(spark, path, probes, centroids)
+    // unwrap AQE: AdaptiveSparkPlanExec is itself a leaf node
+    val phys = got.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = phys.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths
+          .exists(_.toString.contains(new java.io.File(path).getName)) => f
+    }.getOrElse(fail(s"no file scan over the index:\n${got.queryExecution}"))
+    // static partition pruning: the cell IN (...) filter is a
+    // PartitionFilter (never a row-level PushedFilter) and the listing
+    // selects exactly the wanted, existing cell directories
+    assert(scan.toString.contains("PartitionFilters: [cell"),
+      s"cell filter not a partition filter:\n$scan")
+    val selected = scan.selectedPartitions.partitionCount
+    val existingWanted = wanted.map(c => s"cell=$c").count(cellDirs.contains)
+    assert(selected == existingWanted,
+      s"scan read $selected partitions, wanted $existingWanted of ${cellDirs.length}")
+
+    // and the pruned search returns row-for-row the in-plan result
+    val inPlan = SimilarityOps
+      .ivfTopK(emb, centroids, numProbes = nProbes).collect().toSeq
+    assert(got.collect().toSeq == inPlan)
+  }
+
+  test("q50: indexed search result is identical to q28's in-plan result") {
+    val q50 = SimilarityOps.q50IvfIndexed(spark, sf).collect().toSeq
+    val q28 = SimilarityOps.q28IvfTopK(spark, sf).collect().toSeq
+    assert(q50 == q28)
+  }
 }
