@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Beyond-reference analytics operators rounding out the engine's query
@@ -255,6 +255,19 @@ object AnalyticsOps {
   /** Seconds per retention bucket (one week), shared with the oracle. */
   val CohortWeekUs: Long = 604800L * 1000000L
 
+  /** FLOOR-division week id for an epoch-microsecond column — matches
+    * DuckDB's `//` on the whole long domain. `micros div CohortWeekUs`
+    * truncates toward zero, so -1 µs would land in week 0 on the Spark
+    * side and week -1 in the oracle; subtracting `pmod` (always
+    * non-negative) makes the numerator an exact multiple of the
+    * divisor, after which `div` IS floor division. Spec-pinned on
+    * negative epochs in AnalyticsOpsSpec. (ANSI caveat: the
+    * realignment would overflow within one week of Long.MinValue —
+    * 290,000 years before 1970, not a representable timestamp.) */
+  private[graft] def weekId(micros: Column): Column =
+    call_function("div",
+      micros - pmod(micros, lit(CohortWeekUs)), lit(CohortWeekUs))
+
   /** q49 — COHORT RETENTION: users bucketed by the week of their first
     * event (the cohort), counted in every later week they were active —
     * the `(cohort, week_offset) → n_users` matrix behind every
@@ -268,13 +281,17 @@ object AnalyticsOps {
     * table twice (the executed-plan audit showed the diamond scanning
     * twice; the window form scans once and is what the 100 TB run
     * wants); the matrix is one final aggregate on `(cohort, offset)`.
-    * Week ids are integer epoch-microsecond division — exact on both
-    * engines, no timezone or calendar arithmetic to drift. */
+    * Week ids are integer epoch-microsecond FLOOR division — Spark's
+    * `div` truncates toward zero while the oracle's DuckDB `//`
+    * floors, which diverges on negative epochs (pre-1970 event times),
+    * so the week id realigns to floor via `pmod` (exact: the numerator
+    * is made a multiple of the divisor first). Identical on both
+    * engines over the whole long domain, not just the fixture's
+    * post-1970 rows; no timezone or calendar arithmetic to drift. */
   def q49CohortRetention(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ua = Tables.events(spark, dir)
-      .select(col("user_id"),
-        expr(s"unix_micros(ts) div $CohortWeekUs").as("wk"))
+      .select(col("user_id"), weekId(expr("unix_micros(ts)")).as("wk"))
       .distinct()
     ua.withColumn("cohort_wk",
         min(col("wk")).over(Window.partitionBy(col("user_id"))))

@@ -186,4 +186,19 @@ class AnalyticsOpsSpec extends SparkSuite {
       if (off == 0L) assert(n == cohortSizes(c))
     }
   }
+
+  test("q49 week id FLOOR-divides negative epochs (DuckDB // alignment)") {
+    import spark.implicits._
+    val w = AnalyticsOps.CohortWeekUs
+    // micros values straddling zero and the week boundaries; the
+    // truncating `div` would map (-1, -w+1) to 0 and (-w-1) to -1 —
+    // floor must give -1 and -2
+    val cases = Seq(-w - 1, -w, -w + 1, -1L, 0L, 1L, w - 1, w, w + 1)
+    val got = cases.toDF("us")
+      .select(AnalyticsOps.weekId($"us").as("wk"))
+      .collect().map(_.getLong(0)).toSeq
+    val expected = cases.map(us => Math.floorDiv(us, w))
+    assert(got == expected, s"weekId drifted from floor division: " +
+      s"${cases.zip(got).zip(expected)}")
+  }
 }
