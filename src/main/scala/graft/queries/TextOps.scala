@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Non-empty whitespace tokens of the lowercased text. */
-  private[queries] def toks(text: Column): Column =
+  private[graft] def toks(text: Column): Column =
     filter(split(lower(text), " "), t => length(t) > 0)
 
   /** 32-bit md5-derived token hash, Spark side (codegen'd). */
@@ -93,7 +93,14 @@ object TextOps {
     * path for much longer documents. */
   def hsCol(text: Column): Column = transform(toks(text), t => h32(t))
 
-  /** Fingerprint from a token-hash array column (see [[hsCol]]). */
+  /** Fingerprint from a token-hash array column (see [[hsCol]]).
+    *
+    * Contract for token-LESS input: every bit-sum is 0, so the result
+    * is the all-zero fingerprint — whereas the batch aggregate
+    * ([[simhashFrame]]) has no row to group and OMITS the doc. Callers
+    * screening with this form must gate empty docs out first (the
+    * streaming screen filters `size(hs) > 0`) or all empty docs
+    * collide at hamming 0. */
   def simhashFromHashes(hs: Column): Column =
     (0 until SimhashBits).map { b =>
       val bitSum = aggregate(hs, lit(0),

@@ -90,6 +90,17 @@ object NeardupStream extends Serializable {
   private def bandValue(fp: Column, b: Int): Column =
     shiftright(fp, bandWidth * b).bitwiseAND(lit((1L << bandWidth) - 1))
 
+  /** Interval string → milliseconds, via the same parser
+    * `withWatermark` uses, so the idleTtl/watermarkDelay comparison
+    * reads the strings exactly as Spark will. */
+  private def durationMs(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0,
+      s"calendar-month intervals are not fixed-length; got '$s'")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
   /** The screen. `docs` is a STREAMING frame with `doc_id: long,
     * text: string, ts: timestamp`; output is an append stream of
     * `(doc_id, dup_of, band, hamming)` candidate rows.
@@ -117,11 +128,26 @@ object NeardupStream extends Serializable {
       s"hammingMax=$hammingMax breaks the pigeonhole recall guarantee of " +
         s"$bands bands (requires hammingMax <= ${bands - 1}); re-band " +
         "TextOps.SimhashBands for a looser threshold")
+    idleTtl.foreach { ttl =>
+      require(durationMs(ttl) > durationMs(watermarkDelay),
+        s"idleTtl=$ttl must exceed watermarkDelay=$watermarkDelay: the " +
+          "event-time timeout is anchored at a bucket's latest arrival, so " +
+          "a TTL inside the allowed-lateness window lets a bucket expire " +
+          "while rows it must still screen are admissible — duplicates of " +
+          "its reps would then pass as originals")
+    }
     val spark = docs.sparkSession
     import spark.implicits._
 
     val banded = docs
       .withColumn("hs", TextOps.hsCol(col("text")))
+      // token-less docs carry no fingerprint: [[TextOps.simhashFromHashes]]
+      // would yield the all-zero fp and every empty doc would "match"
+      // every other at hamming 0, while the batch q15 aggregate OMITS
+      // docs with no tokens entirely. Align with the batch contract:
+      // empty docs are neither screened nor stored (they pass the
+      // pipeline unflagged; a corpus gate drops them anyway)
+      .filter(size(col("hs")) > 0)
       .withColumn("fp", TextOps.simhashFromHashes(col("hs")))
       .withWatermark("ts", watermarkDelay)
       .select(col("doc_id"), col("fp"), col("ts"),

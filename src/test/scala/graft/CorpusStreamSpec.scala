@@ -1,0 +1,127 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.queries.CorpusPipeline
+import graft.streaming.CorpusStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+case class CDoc(
+    doc_id: Long, lang: String, source: String, text: String, ts: Timestamp)
+
+/** End-to-end spec for the STREAMING corpus ingest — the same fixture
+  * flows through [[CorpusStream.ingest]] (gates + streaming exact dedup
+  * + near-dup screen + read-side reconcile) and through the batch
+  * [[CorpusPipeline.prepare]], and the kept-doc sets must agree. The
+  * documented keep-rule divergence (first-arrival vs min-id) is
+  * neutralized by feeding in id order, which is when the two rules
+  * coincide.
+  */
+class CorpusStreamSpec extends SparkSuite {
+
+  private def t(s: Long) = new Timestamp(s * 1000L)
+
+  private val baseToks: Seq[String] =
+    ("the quick brown fox jumps over the lazy dog while seventeen other " +
+      "animals watch quietly from the tall grass near the river bank as " +
+      "evening settles and the water slides past the old stone bridge " +
+      "carrying leaves someone dropped upstream this morning").split(' ').toSeq
+
+  /** Two far-apart tokens swapped: the token BAG is identical, so the
+    * streaming screen sees the same SimHash (hamming 0); only ~6 of
+    * ~40 3-word shingles change, so the batch MinHash path verifies
+    * Jaccard ≈ 0.73 ≥ 0.6. Both detectors must drop it. */
+  private val swapped: Seq[String] = {
+    val (i, j) = (5, 25)
+    baseToks.updated(i, baseToks(j)).updated(j, baseToks(i))
+  }
+
+  private def fixture: Seq[CDoc] = Seq(
+    CDoc(1, "en", "web", baseToks.mkString(" "), t(1)),
+    CDoc(2, "en", "web", baseToks.mkString(" "), t(2)), // exact dup of 1
+    CDoc(3, "en", "web", swapped.mkString(" "), t(3)),  // near-dup of 1
+    CDoc(4, "en", "web", "completely different content about catalyst " +
+      "optimizer internals and shuffle partitioning strategies for very " +
+      "large clusters", t(4)),
+    CDoc(5, "xx", "web", baseToks.mkString(" "), t(5)), // language gate
+    CDoc(6, "en", "web", "too short", t(6)),            // quality gate
+    CDoc(7, "de", "web", "ein ganz anderer text über verteilte systeme " +
+      "und die freuden der fehlersuche in produktionsumgebungen spät in " +
+      "der nacht", t(7)))
+
+  // keep-everything rebalance so the batch path's stage 4 cannot
+  // subsample the comparison away
+  private val cfg = CorpusPipeline.Config(
+    stratRates = Seq.empty, defaultPerMille = 1000)
+
+  test("streaming ingest == batch prepare on an id-ordered feed; flag state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir =
+      java.nio.file.Files.createTempDirectory("corpus-stream-out").toString
+    val ckDir =
+      java.nio.file.Files.createTempDirectory("corpus-stream-ck").toString
+    val in = MemoryStream[CDoc]
+    val (docsQ, flagsQ) = CorpusStream.ingest(in.toDF(), outDir, ckDir, cfg)
+    try {
+      in.addData(fixture)
+      docsQ.processAllAvailable()
+      flagsQ.processAllAvailable()
+      val stateAfterFirst = stateRowsTotal(flagsQ)
+      assert(stateAfterFirst > 0, "screen holds no representatives")
+
+      // numRowsTotal guard: re-feed the whole fixture as NEW doc ids
+      // (every admissible row is now a duplicate of a stored rep) —
+      // flagged docs are never admitted as reps, so screen state must
+      // not grow
+      in.addData(fixture.map(d =>
+        d.copy(doc_id = d.doc_id + 100, ts = t(7 + d.doc_id))))
+      docsQ.processAllAvailable()
+      flagsQ.processAllAvailable()
+      assert(stateRowsTotal(flagsQ) == stateAfterFirst,
+        s"flag state grew on an all-duplicate feed: " +
+          s"$stateAfterFirst -> ${stateRowsTotal(flagsQ)}")
+    } finally {
+      docsQ.stop(); flagsQ.stop()
+    }
+
+    // staging layout: the docs sink is lang-partitioned like the batch
+    // CorpusPipeline.write terminal
+    val langDirs = new java.io.File(s"$outDir/docs").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang=")).toSet
+    assert(langDirs == Set("lang=en", "lang=de"), s"bad layout: $langDirs")
+
+    // reconciliation: every re-fed admissible doc was flagged against a
+    // first-feed rep, so the kept corpus is exactly the first feed's
+    // survivors — and those must equal the batch path's
+    val streamKept = CorpusStream.keptCorpus(spark, outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchKept = CorpusPipeline
+      .prepare(fixture.toDF().drop("ts"), cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == Set(1L, 4L, 7L), s"batch kept $batchKept")
+    assert(streamKept == batchKept,
+      s"stream kept $streamKept, batch kept $batchKept")
+  }
+
+  test("empty docs are neither screened nor stored (batch q15 omission contract)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CDoc]
+    // two empty docs and a whitespace-only doc: with the all-zero
+    // fingerprint they would all "match" at hamming 0; the screen must
+    // instead drop them from consideration entirely
+    val q = graft.streaming.NeardupStream.screen(in.toDF())
+      .writeStream.format("memory").queryName("empty_screen").start()
+    try {
+      in.addData(Seq(
+        CDoc(1, "en", "web", "", t(1)),
+        CDoc(2, "en", "web", "", t(2)),
+        CDoc(3, "en", "web", "   ", t(3))))
+      q.processAllAvailable()
+      assert(spark.table("empty_screen").count() == 0,
+        "token-less docs flagged each other")
+      assert(stateRowsTotal(q) == 0, "token-less docs stored as reps")
+    } finally q.stop()
+  }
+}

@@ -61,6 +61,19 @@ class NeardupStreamSpec extends SparkSuite {
     assert(e.getMessage.contains("pigeonhole"))
   }
 
+  test("idleTtl inside the allowed-lateness window is rejected") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    // a TTL at or below the watermark delay could evict a bucket while
+    // rows it must screen are still admissible — constructor-rejected
+    val e = intercept[IllegalArgumentException] {
+      NeardupStream.screen(in.toDF(),
+        watermarkDelay = "10 seconds", idleTtl = Some("5 seconds"))
+    }
+    assert(e.getMessage.contains("idleTtl"))
+  }
+
   test("narrow per-row simhash == the q15 aggregate, row for row") {
     val agg = TextOps.simhashFrame(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
