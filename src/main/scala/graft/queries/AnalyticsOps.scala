@@ -95,8 +95,16 @@ object AnalyticsOps {
     * Scale: the join shuffles on the equi key (user/customer) — the
     * standard distributed as-of shape; per-key order lists are the
     * bounded dimension side. `max_by` folds map-side, so the aggregate
-    * never materializes the per-event candidate lists. Skewed keys
-    * (one user, millions of events) are AQE-skew-join territory.
+    * never materializes the per-event candidate lists. Skew caveat
+    * (spec-pinned in PlanShapeSpec): because the aggregate's keys
+    * include the join key, the aggregate REUSES the join's
+    * partitioning, and AQE will NOT split a skewed partition by
+    * default — the split would break the downstream requirement.
+    * Relief for a pathological key (one user, millions of events) is
+    * `spark.sql.adaptive.forceOptimizeSkewedJoin=true`, which splits
+    * the join and re-inserts the aggregate's exchange — one extra
+    * shuffle as the price — or [[RelationalOps.saltedEquiJoin]] when
+    * the skew is known ahead of time.
     */
   def q24AsofJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -145,6 +145,67 @@ class PlanShapeSpec extends SparkSuite {
       s"adaptive coalescing not active:\n$p")
   }
 
+  test("AQE skew-join splits a planted skewed key in the q24 as-of join shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, lit, max, max_by, md5, struct}
+    // The q24 scaladoc defers skewed keys (one user, millions of
+    // events) to AQE's skew-join split. The subtlety this pins: q24's
+    // aggregate keys INCLUDE the join key, so the aggregate reuses the
+    // join's partitioning (no exchange between them) — and AQE then
+    // REFUSES to split the skewed partition, because a split would
+    // break the downstream distribution requirement. The split happens
+    // only under forceOptimizeSkewedJoin, which re-inserts the
+    // aggregate's exchange: skew relief costs one extra shuffle in
+    // this shape, it is not free. Both halves are asserted. Thresholds
+    // are lowered because the mechanism's defaults are sized for
+    // 256 MB partitions, not a test fixture.
+    def runAsof(): org.apache.spark.sql.DataFrame = {
+      // ~64 B of incompressible payload per row so the planted key's
+      // partition exceeds the lowered byte thresholds post-compression
+      val pad = concat(md5($"id".cast("string")), md5(($"id" + 1).cast("string")))
+      val events = spark.range(0, 20000)
+        .select(lit(7L).as("user_id"), $"id".as("event_id"),
+          ($"id" % 100 + 1000).as("ts"), pad.as("pad"))
+        .union(spark.range(20000, 20100)
+          .select(($"id" % 17).as("user_id"), $"id".as("event_id"),
+            ($"id" % 100 + 1000).as("ts"), pad.as("pad")))
+      val orders = spark.range(0, 200)
+        .select(($"id" % 20).as("o_custkey"), $"id".as("o_orderkey"),
+          ($"id" % 90 + 1000).as("o_orderdate"))
+      val asof = events
+        .join(orders, $"user_id" === $"o_custkey" && $"o_orderdate" <= $"ts")
+        .groupBy($"event_id", $"user_id", $"ts")
+        .agg(max_by($"o_orderkey", struct($"o_orderdate", $"o_orderkey"))
+          .as("o_orderkey"), max($"pad").as("pad"))
+      asof.collect()
+      asof
+    }
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
+    val saved = (confs.map(_._1) :+ "spark.sql.adaptive.forceOptimizeSkewedJoin")
+      .map(k => k -> spark.conf.getOption(k))
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pDefault = runAsof().queryExecution.executedPlan.toString
+      assert(pDefault.contains("SortMergeJoin") ||
+        pDefault.contains("ShuffledHashJoin"), s"expected shuffle join:\n$pDefault")
+      assert(!pDefault.contains("skew=true"),
+        s"AQE split the join although the aggregate reuses its partitioning:\n$pDefault")
+
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val pForced = runAsof().queryExecution.executedPlan.toString
+      assert(pForced.contains("skew=true"),
+        s"planted skew not split under forceOptimizeSkewedJoin:\n$pForced")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q48: the funnel scan is a single hash shuffle") {
     // the claimed advantage over the k-self-join shape — pin it
     val p = plan(AnalyticsOps.q48Funnel(spark, sf))
