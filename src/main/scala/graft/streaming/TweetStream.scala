@@ -185,6 +185,32 @@ object TweetStream {
     def current: Set[String] = tags
   }
 
+  /** Rebuild the dynamic-filter tag set from what the KV sink already
+    * holds — the RESTART path the in-memory [[TopNState]] lacks.
+    * `startTopN` recovers its windows from the checkpoint, but the
+    * state object feeding [[startDynamicFilter]] is constructed empty,
+    * so an unseeded restart filters like the reference's cold start
+    * (TopNHashtags.java:313-320) until the next window finalizes.
+    * Seeding from the sink's table closes the gap — the store holds
+    * exactly the last published ranking (`Top10-<rank>` →
+    * `"<tag>, <cnt>"`, [[kvPair]]); parse the tag back out of each
+    * rank's value (from the LAST `", "`, since a tag cannot contain
+    * one but defensive beats clever).
+    *
+    * Honesty note (spec-pinned): ranks the latest window did not fill
+    * retain OLDER windows' entries — the sink only overwrites, never
+    * deletes (reference parity, TopNHashtags.java:149-171) — so the
+    * recovered set can be a SUPERSET of the pre-restart in-memory set.
+    * The restarted filter is briefly more permissive, never blind, and
+    * converges at the next finalized window. */
+  def recoverTopNTags(snapshot: Map[String, String], n: Int = 10): Set[String] =
+    (1 to n).flatMap { r =>
+      snapshot.get(s"Top10-$r").map { v =>
+        val cut = v.lastIndexOf(", ")
+        if (cut >= 0) v.substring(0, cut) else v
+      }
+    }.toSet
+
   /** Start the full top-N pipeline on a streaming frame of `json` lines:
     * parse → explode → sliding count → (per finalized window) rank →
     * KV-format → sink, updating `state` for the dynamic filter.

@@ -118,6 +118,70 @@ class TweetStreamSpec extends SparkSuite {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("restart: dynamic-filter state recovers from the KV sink, not a cold start") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tagSource = MemoryStream[Raw]
+    val sink = new InMemoryKvStore
+    val state = new TopNState
+    val q1 = TweetStream.startTopN(
+      tagSource.toDF(), sink, state, n = 10,
+      watermarkDelay = "1 second", tsCol = col("ts"),
+      checkpoint = java.nio.file.Files.createTempDirectory("ckpt-r").toString)
+    try {
+      // finalize a window so the sink holds a published ranking
+      tagSource.addData(
+        Raw(tweet(1, "a", Seq("spark")), at(10)),
+        Raw(tweet(2, "b", Seq("spark")), at(11)),
+        Raw(tweet(3, "c", Seq("flink")), at(12)))
+      tagSource.addData(Raw(tweet(4, "adv", Seq("adv")), at(10000)))
+      q1.processAllAvailable()
+      assert(state.current == Set("spark", "flink"))
+      assert(sink.snapshot.nonEmpty)
+    } finally q1.stop()
+
+    // --- simulated process restart: the in-memory state is GONE ---
+    val recovered = new TopNState
+    assert(recovered.current.isEmpty) // the documented unseeded cold start
+    recovered.update(TweetStream.recoverTopNTags(sink.snapshot))
+    // the sink's table holds exactly the last published ranking here
+    // (every rank the latest window filled; no stale leftovers in this
+    // fixture), so recovery reproduces the pre-restart set
+    assert(recovered.current == Set("spark", "flink"),
+      s"recovered ${recovered.current}")
+
+    // and the restarted dynamic filter matches on its FIRST batch —
+    // no blind window until the next finalization
+    val tweetSource = MemoryStream[Raw]
+    val matched = new InMemoryKvStore
+    val q2 = TweetStream.startDynamicFilter(
+      tweetSource.toDF(), recovered, matched, tsCol = col("ts"),
+      checkpoint = java.nio.file.Files.createTempDirectory("ckpt-r2").toString)
+    try {
+      tweetSource.addData(
+        Raw(tweet(100, "still about #spark", Seq("spark")), at(20)),
+        Raw(tweet(101, "noise #other", Seq("other")), at(21)))
+      q2.processAllAvailable()
+      assert(matched.snapshot == Map("100" -> "still about #spark"),
+        s"first post-restart batch: ${matched.snapshot}")
+    } finally q2.stop()
+  }
+
+  test("recoverTopNTags: stale unfilled ranks widen recovery to a superset (documented)") {
+    // the sink only overwrites, never deletes: rank 2 still holds an
+    // older window's entry — recovery returns the UNION, the documented
+    // briefly-more-permissive restart
+    val snapshot = Map(
+      "Top10-1" -> "fresh, 7",
+      "Top10-2" -> "stale, 3")
+    assert(TweetStream.recoverTopNTags(snapshot) == Set("fresh", "stale"))
+    // values parse from the LAST ", " — a defensive guard, and ranks
+    // beyond n are ignored
+    assert(TweetStream.recoverTopNTags(Map("Top10-1" -> "weird, tag, 9")) ==
+      Set("weird, tag"))
+    assert(TweetStream.recoverTopNTags(Map("Top10-11" -> "out, 1")) == Set.empty)
+  }
+
   test("multi-window finalization: latest window's ranking wins the KV store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
