@@ -378,7 +378,14 @@ object DedupOps {
     * so labels fall out as `(u → root)` plus `(root → root)` with no
     * further joins.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame =
+    ccWithRounds(pairs, maxRounds)._1
+
+  /** [[connectedComponents]] plus the alternating-round count it took
+    * to converge — the O(log² n) bound is CLAIMED in the scaladoc, so
+    * the scale probe (bench/NOTES.md) records the measured rounds. */
+  private[graft] def ccWithRounds(
+      pairs: DataFrame, maxRounds: Int = 25): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def sig(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
@@ -438,7 +445,7 @@ object DedupOps {
         .persist(lvl)
       try labels.count()
       catch { case t: Throwable => labels.unpersist(false); throw t }
-      labels
+      (labels, round)
     } finally edgesRdd.unpersist(false)
   }
 

@@ -1,0 +1,86 @@
+package graft
+
+import graft.queries.DedupOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the dedup chain (bench/NOTES.md): synthesize a 10×
+  * corpus from sf0.1 and measure q13/q27/q43/q47 solo, plus the
+  * closure's measured round count — the O(log² n) and LSH-cap claims
+  * argued in the scaladocs, checked against a real scale step.
+  *
+  * The 10× corpus is ten replicas of the sf0.1 documents; replica
+  * r > 0 suffixes every token with `~r`, so replicas share no shingles
+  * (no cross-replica near-dups) and each replica reproduces the base
+  * corpus's intra-replica pair structure — pairs and nodes both scale
+  * ~10×, which is the clean scaling question ("same data distribution,
+  * ten times more of it").
+  */
+object ProfScale {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val baseDir = sys.env.getOrElse("PROF_BASE", "/root/testdata/sf0.1")
+    val scaleDir = sys.env.getOrElse("PROF_SCALE_DIR", "/tmp/scale10")
+    val replicas = sys.env.getOrElse("PROF_REPLICAS", "10").toInt
+
+    // --- synthesize the Nx corpus ---------------------------------
+    val base = Tables.documents(spark, baseDir)
+    val union = (0 until replicas).map { r =>
+      if (r == 0) base
+      else base.select(
+        ($"doc_id" + lit(r.toLong * 10000000L)).as("doc_id"),
+        $"lang", $"source",
+        concat_ws(" ",
+          transform(split($"text", " "), t => concat(t, lit(s"~$r"))))
+          .as("text"),
+        $"n_chars")
+    }.reduce(_ unionByName _)
+    union.repartition(32).write.mode("overwrite")
+      .parquet(s"$scaleDir/documents.parquet")
+    println(s"[scale] corpus: ${Tables.documents(spark, scaleDir).count()} docs " +
+      s"($replicas x ${base.count()})")
+
+    def time(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name: $s%.2f s, $n rows")
+      s
+    }
+
+    // --- solo timings, base then Nx -------------------------------
+    Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
+      case (tag, dir) =>
+        time(s"q13 $tag") {
+          DedupOps.withQ13NeardupPairs(spark, dir)(_.count())
+        }
+        time(s"q27 $tag") {
+          val n = DedupOps.q27NgramJaccard(spark, dir).count()
+          spark.catalog.clearCache(); n
+        }
+        time(s"q43 $tag") {
+          DedupOps.withQ43DupClusters(spark, dir)(_.count())
+        }
+        time(s"q47 $tag") {
+          val n = DedupOps.q47ClusterSizes(spark, dir).count()
+          spark.catalog.clearCache(); n
+        }
+        // closure rounds: same pair relation q43 closes
+        DedupOps.withQ13NeardupPairs(spark, dir) { pairs =>
+          val (labels, rounds) = DedupOps.ccWithRounds(
+            pairs.select($"doc_a", $"doc_b"))
+          val n = labels.count()
+          labels.unpersist()
+          println(s"[scale] closure $tag: $rounds rounds, $n labeled nodes")
+          n
+        }
+    }
+    spark.stop()
+  }
+}
