@@ -45,8 +45,9 @@ import org.apache.spark.sql.types._
   * tombstones and reconciling at read (then compacting) is how
   * append-only ingest pipelines express deletion. The anti-join is
   * id-keyed and the flag side is fixed-width, so reconciliation cost
-  * stays negligible against the corpus scan; a periodic batch compact
-  * (rewrite `docs/` minus flags, clear flags) amortizes it to zero.
+  * stays negligible against the corpus scan; the periodic batch
+  * [[compact]] folds delta + tombstones into a sealed `base/` and
+  * amortizes it to zero.
   *
   * Keep-rule divergence from the batch path, documented as the
   * contract: streaming keeps the FIRST ARRIVAL of a duplicate family
@@ -118,15 +119,103 @@ object CorpusStream {
     (docsQuery, flagsQuery)
   }
 
-  /** Read-side reconciliation: the kept corpus = staged docs MINUS
-    * flagged ids. The flag side collapses to distinct 8-byte ids
-    * before the anti-join; at scale the join is id-keyed and the flag
-    * relation is orders of magnitude smaller than the corpus. */
+  /** The full staged corpus: the SEALED base (if a [[compact]] has
+    * run) unioned with the ACTIVE streaming delta `docs/`. The
+    * LSM-ish split exists because `docs/` is a `FileStreamSink`
+    * output whose `_spark_metadata` log the sink owns — compacted
+    * rewrites cannot be placed there (files absent from the log are
+    * invisible to readers once the sink appends again), so sealed
+    * data lives in its own plain directory. */
+  private def exists(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir))
+
+  /** The corpus columns a sealed generation carries. Event time (`ts`)
+    * is ingest METADATA, not corpus content — it exists to drive
+    * watermarks and is dropped at the seal (also what lets sealed and
+    * active generations union without schema drift). */
+  private val CorpusCols = Seq("doc_id", "lang", "source", "text")
+
+  private def staged(spark: SparkSession, outDir: String): DataFrame = {
+    // either side may be absent: no compact yet (no base/), or a
+    // generation boundary before the next ingest starts (no docs/)
+    val parts = Seq(s"$outDir/base", s"$outDir/docs")
+      .filter(exists)
+      .map(spark.read.parquet(_).select(CorpusCols.map(col): _*))
+    require(parts.nonEmpty, s"no corpus at $outDir (neither base/ nor docs/)")
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Read-side reconciliation: the kept corpus = staged docs (sealed
+    * base + active delta) MINUS flagged ids. The flag side collapses
+    * to distinct 8-byte ids before the anti-join; at scale the join is
+    * id-keyed and the flag relation is orders of magnitude smaller
+    * than the corpus. A late flag against a doc already sealed into
+    * the base still hides it — tombstones apply to the union. */
   def keptCorpus(spark: SparkSession, outDir: String): DataFrame = {
-    val staged = spark.read.parquet(s"$outDir/docs")
-    val flagged = spark.read.schema(FlagsSchema)
-      .parquet(s"$outDir/flags")
-      .select(col("doc_id")).distinct()
-    staged.join(flagged, Seq("doc_id"), "left_anti")
+    val all = staged(spark, outDir)
+    if (!exists(s"$outDir/flags")) all // post-compact: tombstones folded
+    else {
+      val flagged = spark.read.schema(FlagsSchema)
+        .parquet(s"$outDir/flags")
+        .select(col("doc_id")).distinct()
+      all.join(flagged, Seq("doc_id"), "left_anti")
+    }
+  }
+
+  /** Batch COMPACTION at a GENERATION BOUNDARY — the lambda split's
+    * batch half. Folds the sealed base, the active delta, and the flag
+    * tombstones into one reconciled corpus, re-runs the BATCH
+    * exact + near-dup rules over it ([[CorpusPipeline.prepare]] — the
+    * min-id keep rule, corpus-wide), and seals the result as the new
+    * `base/` through [[CorpusPipeline.write]]'s layout contract
+    * (lang-partitioned, doc_id-sorted, file-size-capped).
+    *
+    * Why a generation boundary and not an in-place truncate: the
+    * delta's `FileStreamSink` metadata log must stay CONTIGUOUS from
+    * batch 0 — a resumed query appends entry N+1 to a truncated log
+    * and every reader then throws (`_spark_metadata/0 doesn't exist`).
+    * So compact retires the whole generation: delta, flags, AND the
+    * ingest checkpoints are deleted, and the next [[ingest]] starts a
+    * fresh generation against the NEXT input epoch (re-pointing at
+    * consumed input would re-ingest it — the operational contract is
+    * compact-between-epochs, which is when maintenance windows exist
+    * anyway). Streaming screen state dies with the generation; that is
+    * WHY compact re-runs the batch dedup: duplicates spanning a
+    * boundary (a doc near-dup'ing one sealed generations ago) are
+    * exactly what the stream screen's bounded state cannot see, and
+    * exactly what the corpus-wide batch pass catches — stream = cheap
+    * within-generation filter, batch = exact cross-corpus rule.
+    *
+    * Returns the number of rows removed (tombstoned + batch-deduped).
+    * The swap is rename-based (base → base.old → base.next → base): a
+    * crash between renames leaves old or new intact under a
+    * recoverable name, never a half-deleted store. */
+  def compact(
+      spark: SparkSession,
+      outDir: String,
+      checkpointDir: String,
+      cfg: CorpusPipeline.Config = CorpusPipeline.Config()): Long = {
+    import java.nio.file.{Files, Paths}
+    val before = staged(spark, outDir).count()
+    val folded = keptCorpus(spark, outDir)
+    CorpusPipeline.withPrepared(folded, cfg) { prepared =>
+      CorpusPipeline.write(prepared.drop("keywords"), s"$outDir/base.next")
+    }
+    val after = spark.read.parquet(s"$outDir/base.next").count()
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(rmTree(_))
+      Files.deleteIfExists(p)
+    }
+    val base = Paths.get(outDir, "base")
+    val old = Paths.get(outDir, "base.old")
+    if (Files.exists(base)) Files.move(base, old)
+    Files.move(Paths.get(outDir, "base.next"), base)
+    rmTree(old)
+    rmTree(Paths.get(outDir, "docs"))
+    rmTree(Paths.get(outDir, "flags"))
+    rmTree(Paths.get(checkpointDir, "docs"))
+    rmTree(Paths.get(checkpointDir, "flags"))
+    before - after
   }
 }

@@ -104,6 +104,76 @@ class CorpusStreamSpec extends SparkSuite {
       s"stream kept $streamKept, batch kept $batchKept")
   }
 
+  test("compact seals delta + tombstones into base/; ingest resumes beside it") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val outDir = Files.createTempDirectory("corpus-compact-out").toString
+    val ckDir = Files.createTempDirectory("corpus-compact-ck").toString
+
+    def jdoc(d: CDoc): String =
+      s"""{"doc_id":${d.doc_id},"lang":"${d.lang}","source":"${d.source}",""" +
+        s""""text":"${d.text}","ts_sec":${d.ts.getTime / 1000}}"""
+    // one FILE-source dir per input epoch — compact is a generation
+    // boundary (checkpoints die with it), so each generation ingests
+    // the NEXT epoch's files
+    def source(srcDir: String) = spark.readStream
+      .schema("doc_id LONG, lang STRING, source STRING, text STRING, ts_sec LONG")
+      .json(srcDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        timestamp_seconds(col("ts_sec")).as("ts"))
+    def runEpoch(docs: Seq[CDoc]): Unit = {
+      val srcDir = Files.createTempDirectory("corpus-compact-src").toString
+      Files.write(Paths.get(srcDir, "input.json"),
+        docs.map(jdoc).mkString("\n").getBytes("UTF-8"))
+      val (docsQ, flagsQ) =
+        CorpusStream.ingest(source(srcDir), outDir, ckDir, cfg)
+      try {
+        docsQ.processAllAvailable()
+        flagsQ.processAllAvailable()
+      } finally { docsQ.stop(); flagsQ.stop() }
+    }
+    def kept(): Set[Long] = CorpusStream.keptCorpus(spark, outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // --- epoch 1: ingest the fixture, drain, stop cleanly ---
+    runEpoch(fixture)
+    assert(kept() == Set(1L, 4L, 7L))
+
+    // --- generation boundary: seal the reconciled corpus ---
+    // only the near-dup tombstone (doc 3) is physically present to
+    // remove: the exact dup (doc 2) was dropped IN-stream by
+    // dropDuplicatesWithinWatermark and never reached staging
+    val removed = CorpusStream.compact(spark, outDir, ckDir, cfg)
+    assert(removed == 1, s"expected doc 3 physically removed, got $removed")
+    val root = new java.io.File(outDir)
+    assert(new java.io.File(root, "base").isDirectory)
+    assert(!new java.io.File(root, "docs").exists, "delta not dropped")
+    assert(!new java.io.File(root, "flags").exists, "tombstones not dropped")
+    assert(!new java.io.File(ckDir, "docs").exists &&
+      !new java.io.File(ckDir, "flags").exists, "generation checkpoints kept")
+    // base carries the CorpusPipeline.write layout
+    val baseLangs = new java.io.File(root, "base").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang=")).toSet
+    assert(baseLangs == Set("lang=en", "lang=de"), s"base layout: $baseLangs")
+    assert(kept() == Set(1L, 4L, 7L))
+
+    // --- epoch 2: a fresh generation (fresh screen state) beside the
+    // sealed base; its near-dup of a SEALED doc is invisible to the
+    // stream screen — by design — and survives into the delta
+    runEpoch(Seq(
+      CDoc(30, "en", "web", "a genuinely fresh document about stream " +
+        "compaction and the maintenance windows it quietly requires", t(20)),
+      CDoc(31, "en", "web", swapped.mkString(" "), t(21)))) // dup of SEALED 1
+    assert(kept() == Set(1L, 4L, 7L, 30L, 31L),
+      s"epoch-2 delta should hold both new docs, got ${kept()}")
+
+    // --- second boundary: the BATCH pass is what catches the
+    // cross-generation near-dup (min-id rule drops 31 against sealed 1)
+    val removed2 = CorpusStream.compact(spark, outDir, ckDir, cfg)
+    assert(removed2 == 1, s"expected doc 31 removed by batch dedup, got $removed2")
+    assert(kept() == Set(1L, 4L, 7L, 30L), s"final corpus: ${kept()}")
+  }
+
   test("empty docs are neither screened nor stored (batch q15 omission contract)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
