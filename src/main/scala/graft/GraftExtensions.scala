@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, HashedShingles}
+import graft.functions.{DotProduct, HashedShingles, SimHash32}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -14,6 +14,8 @@ import org.apache.spark.sql.types.IntegerType
   *     integer literal (it parameterizes the operator, it is not data).
   *   - `dot_product(a, b)` — the codegen'd similarity kernel
   *     ([[graft.functions.DotProduct]]).
+  *   - `simhash32(hs)` — the codegen'd single-pass SimHash fingerprint
+  *     fold ([[graft.functions.SimHash32]]).
   *
   * Two registration paths, same builders:
   *
@@ -80,6 +82,12 @@ object GraftFunctions {
       args => {
         require(args.length == 2, "dot_product(a, b) takes 2 arguments")
         DotProduct(args.head, args(1))
+      }),
+    ("simhash32",
+      "simhash32(hs) - 32-bit SimHash fingerprint of a token-hash array",
+      args => {
+        require(args.length == 1, "simhash32(hs) takes 1 argument")
+        SimHash32(args.head)
       }))
 
   /** Config-path injection (see [[GraftExtensions]]). */

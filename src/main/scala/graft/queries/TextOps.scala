@@ -84,16 +84,14 @@ object TextOps {
     *
     * Two steps because the token-hash array must be NAMED between them
     * (`hsCol` → [[simhashFromHashes]]): inlining it would re-evaluate
-    * the md5 chain once per bit (32× per token). The per-bit array
-    * scans are interpreted lambdas, yet the form measures FASTER than
-    * the aggregate on ~50-token docs (23k vs 9k docs/s at sf0.1,
-    * `Prof15`) — skipping the explode + shuffle outweighs the lambda
-    * overhead; a codegen'd custom Expression (the
-    * [[graft.functions.HashedShingles]] precedent) remains the upgrade
-    * path for much longer documents. */
+    * the md5 chain once per bit (32× per token). */
   def hsCol(text: Column): Column = transform(toks(text), t => h32(t))
 
-  /** Fingerprint from a token-hash array column (see [[hsCol]]).
+  /** Fingerprint from a token-hash array column (see [[hsCol]]) — the
+    * codegen'd single-pass [[graft.functions.SimHash32]] kernel
+    * (formerly 32 interpreted `aggregate` passes, one per bit; the
+    * lambda form survives as [[simhashFromHashesHof]], the spec's
+    * bit-identity cross-check).
     *
     * Contract for token-LESS input: every bit-sum is 0, so the result
     * is the all-zero fingerprint — whereas the batch aggregate
@@ -102,6 +100,14 @@ object TextOps {
     * streaming screen filters `size(hs) > 0`) or all empty docs
     * collide at hamming 0. */
   def simhashFromHashes(hs: Column): Column =
+    graft.functions.SimHash32.simhash32(hs)
+
+  /** The original higher-order-function form of [[simhashFromHashes]]
+    * — 32 interpreted `aggregate` scans, one per bit. Retained ONLY as
+    * the executable specification [[graft.functions.SimHash32]] is
+    * property-tested against (null array → 0, null/negative element →
+    * −1 per bit); production paths use the codegen'd expression. */
+  private[graft] def simhashFromHashesHof(hs: Column): Column =
     (0 until SimhashBits).map { b =>
       val bitSum = aggregate(hs, lit(0),
         (acc, h) => acc + when(shiftright(h, b) % 2 === 1, 1).otherwise(-1))

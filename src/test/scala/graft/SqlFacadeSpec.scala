@@ -58,6 +58,18 @@ class SqlFacadeSpec extends SparkSuite {
       .collect()
     assert(norms.length == 500)
     norms.foreach(r => assert(r.getDouble(1) > 0))
+    // simhash32 kernel from SQL == the Scala API path, bit for bit
+    val fpSql = spark.sql(
+      """SELECT doc_id, simhash32(transform(
+        |  filter(split(lower(text), ' '), x -> length(x) > 0),
+        |  t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))) AS fp
+        |FROM documents""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fpApi = Tables.documents(spark, sf)
+      .select($"doc_id",
+        graft.queries.TextOps.simhashFromHashes(graft.queries.TextOps.hsCol($"text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fpSql == fpApi && fpSql.size == 500)
     // non-literal k is a usage error surfaced as an AnalysisException
     // whose message names the function — NOT a Spark INTERNAL_ERROR
     // (the round-6 regression: a nonexistent error class made the
