@@ -72,6 +72,8 @@ object SparkEntry {
     "q48_funnel"           -> ((s, d) => AnalyticsOps.q48Funnel(s, d)),
     "q49_cohort_retention" -> (AnalyticsOps.q49CohortRetention _),
     "q50_ivf_indexed"      -> ((s, d) => SimilarityOps.q50IvfIndexed(s, d)),
+    "q51_seq_pack"         -> ((s, d) => PipelineOps.q51SeqPack(s, d)),
+    "q52_decontam"         -> (PipelineOps.q52Decontam _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -277,5 +279,14 @@ object SparkEntry {
     // so its oracle IS q28's oracle. The physical difference (the
     // partition-pruned scan) is pinned in SimilarityOpsSpec.
     "q50_ivf_indexed" -> SimilarityOps.q28OracleSql(),
+
+    // Sequence packing: per-shard prefix sums, integer-only output.
+    "q51_seq_pack" -> PipelineOps.q51OracleSql(),
+
+    // Decontamination: the oracle joins on gram STRINGS where the
+    // engine joins on their xxhash64 — matching counts verify the
+    // hashed join loses/invents nothing (HashedShinglesSpec pins the
+    // string↔hash correspondence itself).
+    "q52_decontam" -> PipelineOps.q52OracleSql,
   )
 }

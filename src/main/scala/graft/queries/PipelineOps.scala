@@ -171,4 +171,122 @@ object PipelineOps {
       .orderBy($"sim".desc, $"vec_id")
       .limit(k)
   }
+
+  /** q51 — sequence packing: assign every document a (shard, seq,
+    * seq_off) slot in fixed `budget`-token training sequences, the
+    * concatenate-then-split packing most LLM data pipelines run as
+    * their LAST batch stage (docs are concatenated in a deterministic
+    * order and the token stream is cut every `budget` tokens; a doc
+    * `crosses` when its tokens span a cut).
+    *
+    * Packing is a prefix sum, which is inherently sequential — so the
+    * corpus is sharded first (`doc_id % shards`) and each shard packs
+    * independently: one window partition per shard, each a parallel
+    * prefix sum over its own doc-id-ordered slice. Parallelism at
+    * 100 TB equals `shards` — a real pipeline picks thousands (one per
+    * output file); the fixture uses 8 so each shard still has ~60 docs
+    * at sf0.01. The plan is ONE shuffle (hash by shard) + one in-
+    * partition sort — no global sort, no driver state; token counts
+    * ride as 8-byte longs, text is never shuffled.
+    *
+    * Emitted per doc: its shard, sequence index, offset inside the
+    * sequence, token count, and the boundary-cross flag — integer-only
+    * output, so the oracle hash is exact.
+    */
+  def q51SeqPack(
+      spark: SparkSession, dir: String,
+      budget: Int = 512, shards: Int = 8): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select($"doc_id", ($"doc_id" % shards).as("shard"),
+        size(TextOps.toks($"text")).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum($"n_tokens").over(w) - $"n_tokens")
+      .select($"doc_id", $"shard", $"n_tokens",
+        floor($"start_off" / budget).cast("long").as("seq"),
+        pmod($"start_off", lit(budget)).as("seq_off"),
+        (pmod($"start_off", lit(budget)) + $"n_tokens" > budget)
+          .cast("int").as("crosses"))
+      .orderBy($"doc_id")
+  }
+
+  def q51OracleSql(budget: Int = 512, shards: Int = 8): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % $shards AS shard,
+       |         len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+       |              AS BIGINT) - n_tokens AS start_off
+       |  FROM t
+       |)
+       |SELECT doc_id, shard, n_tokens,
+       |       start_off // $budget AS seq,
+       |       start_off % $budget AS seq_off,
+       |       CASE WHEN start_off % $budget + n_tokens > $budget
+       |            THEN 1 ELSE 0 END AS crosses
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** q52 — benchmark decontamination: flag corpus documents sharing
+    * any distinct `NgramTokens`-gram with an evaluation set (here the
+    * deterministic fixture slice `doc_id % 97 == 0`, standing in for a
+    * held-out benchmark suite) — the overlap check every serious
+    * training-data pipeline runs before training so test questions
+    * don't leak into the corpus.
+    *
+    * Plan shape for 100 TB: both sides shingle through the single-pass
+    * [[graft.functions.HashedShingles]] generator, so the join key is
+    * an 8-byte gram hash, never a gram string. The EVAL side is tiny by
+    * nature (benchmarks are fixed suites, not corpora) and is
+    * `broadcast()` — the corpus side's exploded gram stream is
+    * filtered map-side by the broadcast hash join and only MATCHING
+    * grams (rare by construction) reach the per-doc aggregate, so the
+    * one shuffle carries a near-empty relation. Corpus docs that are
+    * themselves eval members are excluded (they'd trivially self-match).
+    *
+    * Output: contaminated doc ids with the distinct-gram overlap count
+    * and how many eval docs they collide with — the triage a pipeline
+    * either drops or audits. Counting DISTINCT hashes equals counting
+    * distinct grams modulo xxhash64 collisions inside one doc's
+    * gram set (~10³ grams → P ≈ 10⁻¹³; the q43-documented acceptance).
+    */
+  def q52Decontam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, dir)
+      .select($"doc_id", graft.functions.HashedShingles
+        .hashedShingles($"text", DedupOps.NgramTokens).as("g"))
+    val eval = grams.filter($"doc_id" % 97 === 0)
+      .select($"doc_id".as("eval_id"), $"g")
+    grams.filter($"doc_id" % 97 =!= 0)
+      .join(broadcast(eval), "g")
+      .groupBy($"doc_id")
+      .agg(
+        countDistinct($"g").as("n_shared"),
+        countDistinct($"eval_id").as("n_eval_docs"))
+      .orderBy($"doc_id")
+  }
+
+  def q52OracleSql: String = {
+    val k = DedupOps.NgramTokens
+    val gram = (1 to k)
+      .map(j => s"toks[i${if (j == 1) "" else s" + ${j - 1}"}]")
+      .mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(
+       |           generate_series(1, greatest(len(toks) - ${k - 1}, 0)),
+       |           i -> $gram)) AS gs
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+       |        FROM documents)
+       |), ev AS (SELECT doc_id AS eval_id, unnest(gs) AS g FROM t WHERE doc_id % 97 = 0),
+       |   corpus AS (SELECT doc_id, unnest(gs) AS g FROM t WHERE doc_id % 97 <> 0)
+       |SELECT c.doc_id, count(DISTINCT c.g) AS n_shared,
+       |       count(DISTINCT e.eval_id) AS n_eval_docs
+       |FROM corpus c JOIN ev e ON c.g = e.g
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+  }
 }

@@ -102,4 +102,64 @@ class PipelineOpsSpec extends SparkSuite {
     assert(edge(0).getDouble(0) == 11.0)
     assert(edge(1).isNullAt(0) && edge(2).isNullAt(0))
   }
+
+  /** The tokenizer both new specs reimplement: TextOps.toks semantics
+    * (lowercase, split on single spaces, drop empties). */
+  private def tokens(text: String): Vector[String] =
+    text.toLowerCase.split(" ", -1).filter(_.nonEmpty).toVector
+
+  test("q51 sequence packing == in-memory prefix-sum reference") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tokens(r.getString(1)).length.toLong).toMap
+    val budget = 512
+    // reference: per shard, docs in doc_id order, running token offset
+    val expected = docs.keys.toSeq.sorted.groupBy(_ % 8).flatMap {
+      case (shard, ids) =>
+        var cum = 0L
+        ids.sorted.map { id =>
+          val n = docs(id)
+          val startOff = cum
+          cum += n
+          id -> ((shard, n, startOff / budget, startOff % budget,
+            if (startOff % budget + n > budget) 1 else 0))
+        }
+    }
+    val got = PipelineOps.q51SeqPack(spark, sf).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val (shard, n, seq, off, crosses) = expected(r.getLong(0))
+      assert(r.getLong(1) == shard && r.getLong(2) == n &&
+        r.getLong(3) == seq && r.getLong(4) == off && r.getInt(5) == crosses,
+        s"row $r expected ($shard,$n,$seq,$off,$crosses)")
+    }
+    // output ordered by doc_id; offsets always inside the sequence
+    assert(got.map(_.getLong(0)).toSeq == got.map(_.getLong(0)).sorted.toSeq)
+    assert(got.forall(r => r.getLong(4) >= 0 && r.getLong(4) < budget))
+  }
+
+  test("q52 decontamination == in-memory gram-overlap reference") {
+    val k = graft.queries.DedupOps.NgramTokens
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tokens(r.getString(1))
+        .sliding(k).filter(_.length == k).map(_.mkString(" ")).toSet).toMap
+    val evalIds = docs.keySet.filter(_ % 97 == 0)
+    val evalGrams = evalIds.flatMap(docs)
+    val expected = (docs.keySet -- evalIds).flatMap { id =>
+      val shared = docs(id) & evalGrams
+      if (shared.isEmpty) None
+      else Some(id -> ((shared.size.toLong,
+        evalIds.count(e => (docs(e) & docs(id)).nonEmpty).toLong)))
+    }.toMap
+    val got = PipelineOps.q52Decontam(spark, sf).collect()
+    assert(got.length == expected.size && got.nonEmpty,
+      s"${got.length} rows, expected ${expected.size}")
+    got.foreach { r =>
+      val (nShared, nEval) = expected(r.getLong(0))
+      assert(r.getLong(1) == nShared && r.getLong(2) == nEval, s"row $r")
+    }
+    // eval members never flag themselves
+    assert(got.forall(_.getLong(0) % 97 != 0))
+  }
 }

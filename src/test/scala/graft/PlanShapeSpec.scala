@@ -11,6 +11,25 @@ class PlanShapeSpec extends SparkSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("q51: one shard-hash exchange feeds the packing window; text never shuffles") {
+    val p = plan(PipelineOps.q51SeqPack(spark, sf))
+    assert(p.contains("hashpartitioning(shard"), s"window not shard-keyed:\n$p")
+    // the prefix sum must see only (doc_id, shard, n_tokens): everything
+    // printed ABOVE the shard exchange (= the post-shuffle operators)
+    // must be text-free — tokenization happens scan-side, and only the
+    // 8-byte count crosses the wire
+    val aboveExchange = p.substring(0, p.indexOf("Exchange hashpartitioning(shard"))
+    assert(!aboveExchange.contains("text#"),
+      s"text column crossed the exchange:\n$p")
+  }
+
+  test("q52: eval side broadcasts; corpus grams filtered map-side, never sort-merged") {
+    val p = plan(PipelineOps.q52Decontam(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+    assert(p.contains("hashed_shingles"), s"gram generator not the custom one:\n$p")
+  }
+
   test("q06 flagship: rank-limit pushes a partial WindowGroupLimit below the exchange") {
     val p = plan(ReferenceOps.q06SlidingTopN(spark, sf))
     assert(p.contains("WindowGroupLimit"), s"no rank-limit pushdown:\n$p")
