@@ -74,6 +74,7 @@ object SparkEntry {
     "q50_ivf_indexed"      -> ((s, d) => SimilarityOps.q50IvfIndexed(s, d)),
     "q51_seq_pack"         -> ((s, d) => PipelineOps.q51SeqPack(s, d)),
     "q52_decontam"         -> (PipelineOps.q52Decontam _),
+    "q53_gate_yield"       -> (TextOps.q53GateYield _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -288,5 +289,9 @@ object SparkEntry {
     // hashed join loses/invents nothing (HashedShinglesSpec pins the
     // string↔hash correspondence itself).
     "q52_decontam" -> PipelineOps.q52OracleSql,
+
+    // Gate-yield cascade: both sides generated from the same gate
+    // constants; integer-only output.
+    "q53_gate_yield" -> TextOps.q53OracleSql,
   )
 }

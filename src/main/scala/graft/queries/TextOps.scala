@@ -497,4 +497,98 @@ object TextOps {
        |)
        |SELECT doc_id, rank, token, tfidf FROM r WHERE rank <= $TfidfTopK
        |ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+
+  /** q53 gate constants — one place, both engines' queries generated
+    * from them. Ratio gates are written as exact integer cross-
+    * multiplications (`n_distinct * 100 >= n_tokens * pct`), never
+    * float division. */
+  val YieldLangs = Seq("en", "de", "es", "fr")
+  val YieldMinTokens = 40
+  val YieldMaxTokens = 1000
+  val YieldMinDistinctPct = 40
+  val YieldMinStopPct = 2
+
+  /** q53 — filtering-cascade yield report: how many documents each
+    * quality gate drops, in gate order, with cumulative survivors —
+    * the audit table every corpus construction run publishes (the
+    * C4/Gopher-style "dataset yield" table) and the number a pipeline
+    * owner checks before believing any downstream metric. Gates, in
+    * the cheap-first order a pipeline runs them: language keep-list →
+    * token-count band → distinct-token repetition floor → stopword
+    * floor (the natural-language-ness signal).
+    *
+    * ONE corpus scan: every doc computes its four cumulative gate
+    * booleans in a narrow map, one hash-free global aggregate sums
+    * them (map-side partials; 5 longs per partition reach the driver
+    * no matter the corpus size), and `stack` unpivots the single
+    * summary row into the 4-row report. No joins, no windows, no
+    * second pass — at 100 TB this costs exactly one read.
+    */
+  def q53GateYield(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = toks($"text")
+    val nTok = size(t).cast("long")
+    val g1 = $"lang".isInCollection(YieldLangs)
+    val g2 = g1 && nTok.between(YieldMinTokens, YieldMaxTokens)
+    val g3 = g2 &&
+      size(array_distinct(t)).cast("long") * 100 >= nTok * YieldMinDistinctPct
+    val g4 = g3 &&
+      size(filter(t, x => x.isInCollection(Stopwords))).cast("long") * 100 >=
+        nTok * YieldMinStopPct
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n0"), cnt(g1).as("n1"), cnt(g2).as("n2"),
+        cnt(g3).as("n3"), cnt(g4).as("n4"))
+      .select(expr(
+        """stack(4,
+          |  '1_lang', n0, n1,
+          |  '2_length', n1, n2,
+          |  '3_repetition', n2, n3,
+          |  '4_stopword', n3, n4) AS (gate, n_in, n_out)""".stripMargin))
+      .select($"gate", $"n_in", ($"n_in" - $"n_out").as("n_dropped"), $"n_out")
+      .orderBy($"gate")
+  }
+
+  def q53OracleSql: String = {
+    val langs = YieldLangs.map(l => s"'$l'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT lang,
+       |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+       |  FROM documents
+       |), g AS (
+       |  SELECT lang IN ($langs) AS g1,
+       |         len(toks)::BIGINT AS n_tokens,
+       |         len(list_distinct(toks))::BIGINT AS n_distinct,
+       |         len(list_filter(toks, x -> x IN (${Stopwords.map(w => s"'$w'").mkString(", ")})))::BIGINT AS n_stop
+       |  FROM m
+       |), c AS (
+       |  SELECT g1, g1 AND n_tokens BETWEEN $YieldMinTokens AND $YieldMaxTokens AS g2,
+       |         n_distinct, n_tokens, n_stop
+       |  FROM g
+       |), c2 AS (
+       |  SELECT g1, g2, g2 AND n_distinct * 100 >= n_tokens * $YieldMinDistinctPct AS g3,
+       |         n_tokens, n_stop
+       |  FROM c
+       |), c3 AS (
+       |  SELECT g1, g2, g3, g3 AND n_stop * 100 >= n_tokens * $YieldMinStopPct AS g4
+       |  FROM c2
+       |), s AS (
+       |  SELECT count(*) AS n0,
+       |         CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |         CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |         CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |         CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |  FROM c3
+       |)
+       |SELECT '1_lang' AS gate, n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM s
+       |UNION ALL
+       |SELECT '2_length', n1, n1 - n2, n2 FROM s
+       |UNION ALL
+       |SELECT '3_repetition', n2, n2 - n3, n3 FROM s
+       |UNION ALL
+       |SELECT '4_stopword', n3, n3 - n4, n4 FROM s
+       |ORDER BY gate""".stripMargin
+  }
 }

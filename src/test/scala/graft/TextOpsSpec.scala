@@ -170,4 +170,42 @@ class TextOpsSpec extends SparkSuite {
     assert(out == expected)
     assert(out.nonEmpty)
   }
+
+  test("q53 gate yield == in-memory cascade; one scan, one tiny exchange") {
+    // independent reimplementation of the four cumulative gates
+    val docs = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.split(" ", -1).filter(_.nonEmpty)
+        val stop = toks.count(TextOps.Stopwords.contains)
+        val g1 = TextOps.YieldLangs.contains(r.getString(0))
+        val g2 = g1 && toks.length >= TextOps.YieldMinTokens &&
+          toks.length <= TextOps.YieldMaxTokens
+        val g3 = g2 &&
+          toks.distinct.length * 100 >= toks.length * TextOps.YieldMinDistinctPct
+        val g4 = g3 && stop * 100 >= toks.length * TextOps.YieldMinStopPct
+        (g1, g2, g3, g4)
+      }
+    val n0 = docs.length.toLong
+    val Seq(n1, n2, n3, n4) = Seq(
+      docs.count(_._1), docs.count(_._2), docs.count(_._3), docs.count(_._4))
+      .map(_.toLong)
+    val df = TextOps.q53GateYield(spark, sf)
+    val got = df.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "1_lang" -> ((n0, n0 - n1, n1)),
+      "2_length" -> ((n1, n1 - n2, n2)),
+      "3_repetition" -> ((n2, n2 - n3, n3)),
+      "4_stopword" -> ((n3, n3 - n4, n4))))
+    // every gate drops someone in the fixture — the report is not vacuous
+    assert(got.values.forall(_._2 > 0), s"vacuous gate in $got")
+    // one scan; the only exchange is the SinglePartition gather of the
+    // 5-long partial-aggregate row — the 100 TB contract: map-side
+    // partials, nothing keyed ever shuffles
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"unexpected keyed exchange:\n$p")
+    assert(p.contains("Exchange SinglePartition"), s"no partial agg gather:\n$p")
+  }
 }
