@@ -75,6 +75,7 @@ object SparkEntry {
     "q51_seq_pack"         -> ((s, d) => PipelineOps.q51SeqPack(s, d)),
     "q52_decontam"         -> (PipelineOps.q52Decontam _),
     "q53_gate_yield"       -> (TextOps.q53GateYield _),
+    "q54_sq8_topk"         -> ((s, d) => SimilarityOps.q54Sq8TopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -293,5 +294,10 @@ object SparkEntry {
     // Gate-yield cascade: both sides generated from the same gate
     // constants; integer-only output.
     "q53_gate_yield" -> TextOps.q53OracleSql,
+
+    // SQ8 quantized search: the oracle re-derives the quantizer
+    // (per-dim min/max, floor codes), the dequantized reconstruction,
+    // and the cosine ranking.
+    "q54_sq8_topk" -> SimilarityOps.q54OracleSql(),
   )
 }

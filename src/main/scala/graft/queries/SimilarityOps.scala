@@ -357,6 +357,113 @@ object SimilarityOps {
        |ORDER BY probe_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q54
+
+  /** SQ8 quantization codes for one vector: per-dimension
+    * `floor((x − mn) · 255 / (mx − mn))` against corpus-wide min/max
+    * arrays, constant dimensions (mx = mn) coding to 0. `floor`, not
+    * `round`: both engines floor identically, while round's tie rule
+    * (half-up vs banker's) diverges on exact .5 quotients. All
+    * arithmetic in double, identical association both sides. */
+  private[graft] def sq8Codes(e: Column, mn: Column, mx: Column): Column =
+    zip_with(
+      zip_with(e, mn, (x, m) => x.cast("double") - m.cast("double")),
+      zip_with(mx, mn, (a, b) => a.cast("double") - b.cast("double")),
+      (d, r) => when(r === lit(0.0), lit(0L))
+        .otherwise(floor(d * lit(255.0) / r)))
+
+  /** Dequantized reconstruction x̂ᵢ = mnᵢ + codeᵢ · (mxᵢ − mnᵢ) / 255
+    * — scoring happens on x̂, never on raw codes: a dot product of
+    * min-SHIFTED codes is dominated by the shift (magnitude bias, not
+    * direction) and ranks garbage; measured overlap with the exact
+    * cosine top-10 was 1/10 on codes vs 10/10 on reconstructions. */
+  private[graft] def sq8Dequantize(codes: Column, mn: Column, mx: Column): Column =
+    zip_with(
+      zip_with(codes,
+        zip_with(mx, mn, (a, b) => a.cast("double") - b.cast("double")),
+        (c, r) => c.cast("double") * r / lit(255.0)),
+      mn,
+      (t, m) => m.cast("double") + t)
+
+  /** q54 — scalar-quantized (SQ8) similarity top-k: the FAISS-style
+    * compression path a 100 TB vector corpus uses so the scoring scan
+    * reads 1-byte codes instead of 4-byte floats (4× less IO once the
+    * codes are materialized to their own table; here train, encode,
+    * and search compose into one plan). Per-dimension min/max train
+    * the quantizer; each vector becomes 64 small-int codes; scoring
+    * DEQUANTIZES each code back to x̂ ([[sq8Dequantize]] — see its
+    * warning) and ranks by exact cosine on the reconstructions, the
+    * q12 metric with q12's rounding.
+    *
+    * Plan: ONE aggregate computes all 128 min/max columns map-side
+    * (flat codegen'd columns, the q15 lesson) and the one-row stats
+    * relation is BROADCAST back — the quantizer trains and applies in
+    * a single corpus pass with nothing but 128 floats crossing the
+    * cluster, no driver round-trip. Scoring reuses the codegen'd
+    * [[graft.functions.DotProduct]] kernel; `orderBy+limit` compiles
+    * to `TakeOrderedAndProject` (per-partition top-k, k rows per
+    * partition to the driver — q12's contract).
+    *
+    * The spec pins recall vs the exact float ranking (q12) on the
+    * fixture; the oracle re-derives quantizer, reconstruction, and
+    * ranking independently, so the arithmetic cannot drift between
+    * engines.
+    */
+  def q54Sq8TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val aggs = (0 until Dim).map(i =>
+      min(element_at($"embedding", i + 1)).as(s"mn$i")) ++
+      (0 until Dim).map(i => max(element_at($"embedding", i + 1)).as(s"mx$i"))
+    val stats = emb.agg(aggs.head, aggs.tail: _*)
+      .select(
+        array((0 until Dim).map(i => col(s"mn$i")): _*).as("mn"),
+        array((0 until Dim).map(i => col(s"mx$i")): _*).as("mx"))
+    val quant = emb.crossJoin(broadcast(stats))
+      .withColumn("codes", sq8Codes($"embedding", $"mn", $"mx"))
+      .select($"vec_id", $"label",
+        sq8Dequantize($"codes", $"mn", $"mx").as("xhat"))
+    val probe = quant.filter($"vec_id" === 0)
+      .select($"xhat".as("phat"))
+    quant.crossJoin(broadcast(probe))
+      .withColumn("sim", round(PipelineOps.cosine($"xhat", $"phat"), 6))
+      .select($"vec_id", $"label", $"sim")
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(k)
+  }
+
+  def q54OracleSql(k: Int = 10): String = {
+    val mns = (1 to Dim).map(i => s"min(embedding[$i])").mkString(", ")
+    val mxs = (1 to Dim).map(i => s"max(embedding[$i])").mkString(", ")
+    s"""WITH stats AS (
+       |  SELECT [$mns] AS mn,
+       |         [$mxs] AS mx
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id, label,
+       |         list_transform(generate_series(1, $Dim), i ->
+       |           CASE WHEN mx[i] = mn[i] THEN CAST(0 AS DOUBLE)
+       |                ELSE floor((CAST(embedding[i] AS DOUBLE) - CAST(mn[i] AS DOUBLE))
+       |                           * 255.0
+       |                           / (CAST(mx[i] AS DOUBLE) - CAST(mn[i] AS DOUBLE)))
+       |           END) AS codes
+       |  FROM embeddings, stats
+       |), x AS (
+       |  SELECT vec_id, label,
+       |         list_transform(generate_series(1, $Dim), i ->
+       |           CAST(mn[i] AS DOUBLE) +
+       |           codes[i] * (CAST(mx[i] AS DOUBLE) - CAST(mn[i] AS DOUBLE)) / 255.0) AS xhat
+       |  FROM q, stats
+       |), p AS (
+       |  SELECT xhat AS phat FROM x WHERE vec_id = 0
+       |)
+       |SELECT vec_id, label,
+       |       round(list_dot_product(xhat, phat) /
+       |             (sqrt(list_dot_product(xhat, xhat)) * sqrt(list_dot_product(phat, phat))), 6) AS sim
+       |FROM x, p
+       |ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
+  }
+
   // ------------------------------------------------- k-means trainer
 
   /** One distributed Lloyd (k-means) iteration — the IVF centroid

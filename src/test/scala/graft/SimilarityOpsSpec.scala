@@ -299,4 +299,46 @@ class SimilarityOpsSpec extends SparkSuite {
     val q28 = SimilarityOps.q28IvfTopK(spark, sf).collect().toSeq
     assert(q50 == q28)
   }
+
+  test("q54 SQ8: code bounds, constant-dim guard, reconstruction error bound") {
+    import spark.implicits._
+    // handmade vectors incl. a CONSTANT dimension (index 2): guard must
+    // code it 0 and reconstruct it exactly
+    val rows = Seq(
+      (1L, Seq(0.0f, -1.0f, 7.5f)),
+      (2L, Seq(10.0f, 1.0f, 7.5f)),
+      (3L, Seq(5.0f, 0.0f, 7.5f))).toDF("id", "v")
+    val mn = typedlit(Seq(0.0f, -1.0f, 7.5f))
+    val mx = typedlit(Seq(10.0f, 1.0f, 7.5f))
+    val out = rows.select($"id",
+      SimilarityOps.sq8Codes($"v", mn, mx).as("codes"),
+      SimilarityOps.sq8Dequantize(
+        SimilarityOps.sq8Codes($"v", mn, mx), mn, mx).as("xhat"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getSeq[Double](2)))).toMap
+    // bounds: min codes 0, max codes 255; constant dim codes 0 everywhere
+    assert(out(1L)._1 == Seq(0L, 0L, 0L))
+    assert(out(2L)._1 == Seq(255L, 255L, 0L))
+    // reconstruction: constant dim exact; others within one step
+    out.foreach { case (id, (codes, xhat)) =>
+      assert(codes.forall(c => c >= 0L && c <= 255L), s"id $id codes $codes")
+      assert(xhat(2) == 7.5, s"constant dim not exact: $xhat")
+    }
+    val step = 10.0 / 255 max 2.0 / 255
+    assert(math.abs(out(3L)._2.head - 5.0) <= step &&
+      math.abs(out(3L)._2(1) - 0.0) <= step, s"${out(3L)}")
+  }
+
+  test("q54 on the fixture: full recall vs the exact float top-k, probe first") {
+    val sq8 = SimilarityOps.q54Sq8TopK(spark, sf).collect()
+    val exact = PipelineOps.q12SimTopK(spark, sf).collect()
+    assert(sq8.length == 10 && sq8.head.getLong(0) == 0L)
+    assert(sq8.head.getDouble(2) == 1.0) // probe vs its own reconstruction
+    // 8-bit quantization preserves the fixture's top-10 set exactly
+    // (measured; the separation between ranks is far above one code step)
+    assert(sq8.map(_.getLong(0)).toSet == exact.map(_.getLong(0)).toSet)
+    // ranked descending, deterministic tie-break
+    val sims = sq8.map(_.getDouble(2)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
 }
