@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   *      on byte-identical copies.
   *   2. Language gate (q16's downstream contract) + minimum-length
   *      quality gate (q17's n_tokens) — narrow filters, run before
-  *      anything that shuffles.
+  *      anything that shuffles — then the OPTIONAL decontamination
+  *      gate (q52's broadcast gram join against a benchmark frame),
+  *      placed before the near-dup build so contaminated docs never
+  *      pay for shingling twice.
   *   3. NEAR-dup removal (q13 machinery) — MinHash-LSH candidates,
   *      exact Jaccard verify, then one of two deterministic drop rules
   *      (`Config.clusterNeardups`):
@@ -32,6 +35,8 @@ import org.apache.spark.sql.functions._
   *   5. Keyword tagging (q42 core) — each surviving doc gets its
   *      TF-IDF top terms (computed over the FINAL corpus, so the df
   *      statistics describe what ships), as a rank-ordered array.
+  *   6. Optionally, the [[pack]] terminal (q51 core) assigns each
+  *      surviving doc its fixed-budget training-sequence slot.
   *
   * Scale shape is inherited stage by stage: 1/2/4 are narrow filters
   * (one window shuffle for the dedup keep-rule), 3 shuffles fixed-width
@@ -72,18 +77,38 @@ object CorpusPipeline {
   }
 
   /** Run `f` over the prepared corpus, then release the pipeline's
-    * internal cache — the composition-safe entry point. */
-  def withPrepared[T](docs: DataFrame, cfg: Config = Config())(
+    * internal cache — the composition-safe entry point.
+    *
+    * `evalDocs`: optional `(doc_id, text)` benchmark frame; when
+    * present, documents sharing any n-gram with it are DROPPED right
+    * after the narrow gates (the q52 decontamination check as a
+    * pipeline stage — before the near-dup build so contaminated docs
+    * never pay for shingling twice). */
+  def withPrepared[T](
+      docs: DataFrame, cfg: Config = Config(),
+      evalDocs: Option[DataFrame] = None)(
       f: DataFrame => T): T = {
-    val (result, handles) = build(docs, cfg)
+    val (result, handles) = build(docs, cfg, evalDocs)
     try f(result) finally handles.foreach(_.unpersist())
   }
 
   /** Plain form: prepared corpus `(doc_id, lang, source, text,
     * keywords)`, one row per surviving doc, ordered by doc_id. Cache
     * lifecycle is caller-owned (see [[withPrepared]]). */
-  def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame =
-    build(docs, cfg)._1
+  def prepare(
+      docs: DataFrame, cfg: Config = Config(),
+      evalDocs: Option[DataFrame] = None): DataFrame =
+    build(docs, cfg, evalDocs)._1
+
+  /** Packing terminal: assign every prepared doc its fixed-budget
+    * training-sequence slot (the q51 operator over the pipeline's
+    * output — the LAST stage of a real corpus run, after which the
+    * writer groups by (shard, seq) to emit training files). Returns
+    * `(doc_id, shard, n_tokens, seq, seq_off, crosses)`, unordered. */
+  def pack(
+      prepared: DataFrame,
+      budget: Int = 512, shards: Int = 8): DataFrame =
+    PipelineOps.seqPack(prepared, budget, shards)
 
   /** Pipeline terminal: persist the prepared corpus as
     * LANG-PARTITIONED parquet — the layout downstream training reads
@@ -108,7 +133,8 @@ object CorpusPipeline {
       .parquet(path)
 
   private def build(
-      docs: DataFrame, cfg: Config): (DataFrame, Seq[DataFrame]) = {
+      docs: DataFrame, cfg: Config,
+      evalDocs: Option[DataFrame] = None): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
 
     // 1. exact dedup: lowest doc_id wins per identical text. The window
@@ -137,9 +163,19 @@ object CorpusPipeline {
       .drop("rn", "content_hash", "_tmin", "_tmax")
 
     // 2. language + minimum-quality gates (narrow)
-    val gated = exact
+    val narrowGated = exact
       .filter(col("lang").isInCollection(cfg.keepLangs))
       .filter(size(TextOps.toks(col("text"))) >= cfg.minTokens)
+
+    // 2b. optional decontamination gate (q52 core): drop any doc
+    // sharing an n-gram with the benchmark frame. Left-anti against
+    // the flagged-id relation — the broadcast gram join filters
+    // map-side, so the gate costs one narrow pass over survivors.
+    val gated = evalDocs.fold(narrowGated) { ev =>
+      narrowGated.join(
+        PipelineOps.decontamReport(narrowGated, ev).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    }
 
     // 3. near-dup removal: pairwise-greedy or cluster keep-min (see
     // the object doc). Cluster mode's closure runs its driver-side

@@ -193,24 +193,31 @@ object PipelineOps {
     * sequence, token count, and the boundary-cross flag — integer-only
     * output, so the oracle hash is exact.
     */
+  /** Frame-level core of [[q51SeqPack]] over any `(doc_id, text)`
+    * frame — [[CorpusPipeline]]'s packing terminal reuses it on the
+    * prepared corpus. Unordered output (the query contract adds the
+    * sort). */
+  private[graft] def seqPack(
+      docs: DataFrame, budget: Int, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+        size(TextOps.toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("start_off") / budget).cast("long").as("seq"),
+        pmod(col("start_off"), lit(budget)).as("seq_off"),
+        (pmod(col("start_off"), lit(budget)) + col("n_tokens") > budget)
+          .cast("int").as("crosses"))
+  }
+
   def q51SeqPack(
       spark: SparkSession, dir: String,
-      budget: Int = 512, shards: Int = 8): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"shard").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .select($"doc_id", ($"doc_id" % shards).as("shard"),
-        size(TextOps.toks($"text")).cast("long").as("n_tokens"))
-      .withColumn("start_off", sum($"n_tokens").over(w) - $"n_tokens")
-      .select($"doc_id", $"shard", $"n_tokens",
-        floor($"start_off" / budget).cast("long").as("seq"),
-        pmod($"start_off", lit(budget)).as("seq_off"),
-        (pmod($"start_off", lit(budget)) + $"n_tokens" > budget)
-          .cast("int").as("crosses"))
-      .orderBy($"doc_id")
-  }
+      budget: Int = 512, shards: Int = 8): DataFrame =
+    seqPack(Tables.documents(spark, dir), budget, shards)
+      .orderBy(col("doc_id"))
 
   def q51OracleSql(budget: Int = 512, shards: Int = 8): String =
     s"""WITH t AS (
@@ -253,19 +260,29 @@ object PipelineOps {
     * distinct grams modulo xxhash64 collisions inside one doc's
     * gram set (~10³ grams → P ≈ 10⁻¹³; the q43-documented acceptance).
     */
+  /** Frame-level core of [[q52Decontam]]: overlap report of `docs`
+    * against an arbitrary `(doc_id, text)` eval frame (broadcast —
+    * benchmark suites are small by nature). [[CorpusPipeline]]'s
+    * decontamination gate consumes only the flagged ids. */
+  private[graft] def decontamReport(
+      docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      graft.functions.HashedShingles
+        .hashedShingles(col("text"), DedupOps.NgramTokens).as("g"))
+    grams(docs)
+      .join(broadcast(grams(evalDocs).withColumnRenamed("doc_id", "eval_id")), "g")
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("g")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
   def q52Decontam(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grams = Tables.documents(spark, dir)
-      .select($"doc_id", graft.functions.HashedShingles
-        .hashedShingles($"text", DedupOps.NgramTokens).as("g"))
-    val eval = grams.filter($"doc_id" % 97 === 0)
-      .select($"doc_id".as("eval_id"), $"g")
-    grams.filter($"doc_id" % 97 =!= 0)
-      .join(broadcast(eval), "g")
-      .groupBy($"doc_id")
-      .agg(
-        countDistinct($"g").as("n_shared"),
-        countDistinct($"eval_id").as("n_eval_docs"))
+    val docs = Tables.documents(spark, dir)
+    decontamReport(
+      docs.filter($"doc_id" % 97 =!= 0),
+      docs.filter($"doc_id" % 97 === 0))
       .orderBy($"doc_id")
   }
 

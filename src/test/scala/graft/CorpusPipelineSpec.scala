@@ -161,4 +161,48 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark),
       "cluster-mode loan leaked cached frames")
   }
+
+  test("decontamination gate drops exactly the benchmark-overlapping docs") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val docs = Seq(
+      (1L, "en", "s", "alpha beta gamma delta epsilon zeta"),
+      (2L, "en", "s", (1 to 30).map(i => s"x$i").mkString(" ")),
+      (3L, "en", "s", (1 to 30).map(i => s"y$i").mkString(" "))
+    ).toDF("doc_id", "lang", "source", "text")
+    // the eval doc shares the 4-gram "alpha beta gamma delta" with doc 1
+    val evalDocs = Seq((100L, "question: alpha beta gamma delta ?"))
+      .toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(stratRates = Seq.empty)
+    val without = CorpusPipeline.withPrepared(docs, cfg)(
+      _.collect().map(_.getLong(0)).toSet)
+    assert(without == Set(1L, 2L, 3L))
+    val decon = CorpusPipeline.withPrepared(docs, cfg, Some(evalDocs))(
+      _.collect().map(_.getLong(0)).toSet)
+    assert(decon == Set(2L, 3L))
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
+
+  test("pack terminal covers every surviving doc exactly once, offsets consistent") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf)
+    CorpusPipeline.withPrepared(docs, CorpusPipeline.Config()) { prepared =>
+      val budget = 512
+      val packed = CorpusPipeline.pack(prepared, budget).collect()
+      val ids = prepared.select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(packed.length == ids.size &&
+        packed.map(_.getLong(0)).toSet == ids,
+        "packing must assign every surviving doc exactly once")
+      // per shard, (seq, seq_off) reconstruct the doc-id-ordered prefix sum
+      packed.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
+        var cum = 0L
+        rows.sortBy(_.getLong(0)).foreach { r =>
+          assert(r.getLong(3) == cum / budget && r.getLong(4) == cum % budget,
+            s"shard $shard row $r: expected offset $cum")
+          cum += r.getLong(2)
+        }
+      }
+    }
+  }
 }
