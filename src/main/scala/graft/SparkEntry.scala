@@ -76,6 +76,7 @@ object SparkEntry {
     "q52_decontam"         -> (PipelineOps.q52Decontam _),
     "q53_gate_yield"       -> (TextOps.q53GateYield _),
     "q54_sq8_topk"         -> ((s, d) => SimilarityOps.q54Sq8TopK(s, d)),
+    "q55_token_surprisal"  -> (TextOps.q55TokenSurprisal _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -299,5 +300,9 @@ object SparkEntry {
     // (per-dim min/max, floor codes), the dequantized reconstruction,
     // and the cosine ranking.
     "q54_sq8_topk" -> SimilarityOps.q54OracleSql(),
+
+    // Token surprisal: float work happens once per vocab TYPE (integer
+    // micro-nat costs); per-doc sums are exact integers both sides.
+    "q55_token_surprisal" -> TextOps.q55OracleSql,
   )
 }

@@ -591,4 +591,69 @@ object TextOps {
        |SELECT '4_stopword', n3, n3 - n4, n4 FROM s
        |ORDER BY gate""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q55
+
+  /** q55 — per-document token surprisal under the corpus unigram
+    * model: each token costs its self-information ln(N/tf) (N = corpus
+    * token count, tf = the token's corpus frequency), and a document's
+    * score is the sum over its token occurrences — the unigram
+    * approximation of the perplexity-based quality signal
+    * (CCNet-style: high surprisal ≈ rare-token soup, low ≈ boilerplate;
+    * pipelines band corpora by this score).
+    *
+    * Determinism across engines is the design problem: a per-doc SUM
+    * of doubles depends on addition order, which no engine guarantees.
+    * So the float work happens exactly ONCE PER VOCABULARY TYPE: the
+    * unigram table maps each token to `floor(ln(N/tf)·1e6)` integer
+    * MICRO-NATS, and everything downstream — the per-occurrence join
+    * and the per-doc sum — is exact integer arithmetic, order-free on
+    * both engines. (The floor can straddle an FP-noise boundary only
+    * if ln lands within ~1e-10 of an exact micro-nat — ~10⁻¹¹ per
+    * vocabulary type, the q43-class acceptance; ln itself is relied on
+    * bit-identical cross-engine by q42 already.)
+    *
+    * Plan: one token-keyed aggregate builds the tf table (vocab-sized
+    * — bounded by language, not corpus), its total re-aggregates to
+    * one row, and the costed table BROADCASTS back into the exploded
+    * corpus scan — the per-doc aggregate then collapses map-side (a
+    * doc's tokens are partition-local), so the one exchange carries a
+    * row per doc. At 100 TB: identical, with the tf aggregate's
+    * shuffle being vocab-output-sized and the broadcast a few MB.
+    */
+  def q55TokenSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tokens = Tables.documents(spark, dir)
+      .select($"doc_id", explode(toks($"text")).as("token"))
+    val tf = tokens.groupBy($"token").agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum($"tf").as("n_total"))
+    val costed = tf.crossJoin(broadcast(total))
+      .select($"token",
+        floor(log($"n_total".cast("double") / $"tf".cast("double")) * 1e6)
+          .cast("long").as("icost"))
+    tokens.join(broadcast(costed), "token")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"icost").as("surprisal_unats"))
+      .orderBy($"doc_id")
+  }
+
+  def q55OracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS token
+       |  FROM documents
+       |), tf AS (
+       |  SELECT token, count(*) AS tf FROM tok GROUP BY token
+       |), n AS (
+       |  SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM tf
+       |), costed AS (
+       |  SELECT token,
+       |         CAST(floor(ln(n_total::DOUBLE / tf::DOUBLE) * 1e6) AS BIGINT) AS icost
+       |  FROM tf, n
+       |)
+       |SELECT t.doc_id, count(*) AS n_tokens,
+       |       CAST(sum(c.icost) AS BIGINT) AS surprisal_unats
+       |FROM tok t JOIN costed c USING (token)
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 }

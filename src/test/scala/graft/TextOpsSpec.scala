@@ -208,4 +208,27 @@ class TextOpsSpec extends SparkSuite {
       s"unexpected keyed exchange:\n$p")
     assert(p.contains("Exchange SinglePartition"), s"no partial agg gather:\n$p")
   }
+
+  test("q55 token surprisal == in-memory unigram reference; broadcast cost join") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ", -1).filter(_.nonEmpty).toSeq).toMap
+    val tf = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = tf.values.sum
+    // the same float-once-per-type rule: Math.log IS Spark's log
+    val icost = tf.map { case (t, f) =>
+      t -> math.floor(math.log(n.toDouble / f.toDouble) * 1e6).toLong }
+    val expected = docs.collect { case (id, toks) if toks.nonEmpty =>
+      id -> ((toks.length.toLong, toks.map(icost).sum)) }
+    val df = TextOps.q55TokenSurprisal(spark, sf)
+    val got = df.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected && got.size == 500)
+    // positive surprisal (every tf < N), deterministic repeat
+    assert(got.values.forall(_._2 > 0))
+    // the vocab cost table broadcasts; the exploded corpus never sort-merges
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token join shuffled the corpus:\n$p")
+  }
 }
