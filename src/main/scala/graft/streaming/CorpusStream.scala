@@ -186,6 +186,15 @@ object CorpusStream {
     * exactly what the corpus-wide batch pass catches — stream = cheap
     * within-generation filter, batch = exact cross-corpus rule.
     *
+    * `packBudget`: when set, compact also writes `pack/` — the q51
+    * sequence-packing manifest over the sealed base (`doc_id, shard,
+    * n_tokens, seq, seq_off, crosses`), which is what a training-file
+    * writer consumes to emit fixed-budget sequences. The manifest is a
+    * PURE FUNCTION of base (same shard/order rules every run), so a
+    * crash between the base swap and the pack swap is recovered by
+    * simply re-running pack over the new base — no torn state is
+    * possible, the manifest is always re-derivable.
+    *
     * Returns the number of rows removed (tombstoned + batch-deduped).
     * The swap is rename-based (base → base.old → base.next → base): a
     * crash between renames leaves old or new intact under a
@@ -194,7 +203,8 @@ object CorpusStream {
       spark: SparkSession,
       outDir: String,
       checkpointDir: String,
-      cfg: CorpusPipeline.Config = CorpusPipeline.Config()): Long = {
+      cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
+      packBudget: Option[Int] = None): Long = {
     import java.nio.file.{Files, Paths}
     val before = staged(spark, outDir).count()
     val folded = keptCorpus(spark, outDir)
@@ -202,16 +212,25 @@ object CorpusStream {
       CorpusPipeline.write(prepared.drop("keywords"), s"$outDir/base.next")
     }
     val after = spark.read.parquet(s"$outDir/base.next").count()
+    packBudget.foreach { b =>
+      CorpusPipeline.pack(spark.read.parquet(s"$outDir/base.next"), b)
+        .repartition(col("shard")).sortWithinPartitions(col("shard"), col("seq"))
+        .write.mode("overwrite").parquet(s"$outDir/pack.next")
+    }
     def rmTree(p: java.nio.file.Path): Unit = {
       if (Files.isDirectory(p))
         Files.list(p).forEach(rmTree(_))
       Files.deleteIfExists(p)
     }
-    val base = Paths.get(outDir, "base")
-    val old = Paths.get(outDir, "base.old")
-    if (Files.exists(base)) Files.move(base, old)
-    Files.move(Paths.get(outDir, "base.next"), base)
-    rmTree(old)
+    def swap(name: String): Unit = {
+      val cur = Paths.get(outDir, name)
+      val old = Paths.get(outDir, s"$name.old")
+      if (Files.exists(cur)) Files.move(cur, old)
+      Files.move(Paths.get(outDir, s"$name.next"), cur)
+      rmTree(old)
+    }
+    swap("base")
+    if (packBudget.isDefined) swap("pack")
     rmTree(Paths.get(outDir, "docs"))
     rmTree(Paths.get(outDir, "flags"))
     rmTree(Paths.get(checkpointDir, "docs"))

@@ -168,10 +168,25 @@ class CorpusStreamSpec extends SparkSuite {
       s"epoch-2 delta should hold both new docs, got ${kept()}")
 
     // --- second boundary: the BATCH pass is what catches the
-    // cross-generation near-dup (min-id rule drops 31 against sealed 1)
-    val removed2 = CorpusStream.compact(spark, outDir, ckDir, cfg)
+    // cross-generation near-dup (min-id rule drops 31 against sealed 1);
+    // this compact also emits the q51 pack manifest over the sealed base
+    val removed2 =
+      CorpusStream.compact(spark, outDir, ckDir, cfg, packBudget = Some(16))
     assert(removed2 == 1, s"expected doc 31 removed by batch dedup, got $removed2")
     assert(kept() == Set(1L, 4L, 7L, 30L), s"final corpus: ${kept()}")
+    // pack manifest: present, covers the sealed base exactly once, and
+    // its offsets are the per-shard prefix sums of its token counts
+    val pack = spark.read.parquet(s"$outDir/pack").collect()
+    assert(pack.map(_.getLong(0)).toSet == Set(1L, 4L, 7L, 30L) &&
+      pack.length == 4, s"manifest rows: ${pack.toSeq}")
+    pack.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(3) == cum / 16 && r.getLong(4) == cum % 16,
+          s"shard $shard row $r: expected offset $cum")
+        cum += r.getLong(2)
+      }
+    }
   }
 
   test("empty docs are neither screened nor stored (batch q15 omission contract)") {
