@@ -30,6 +30,16 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("hashed_shingles"), s"gram generator not the custom one:\n$p")
   }
 
+  test("q54: quantizer stats broadcast in-plan; scoring is the codegen'd kernel") {
+    val p = plan(SimilarityOps.q54Sq8TopK(spark, sf))
+    assert(p.contains("dot_product"), s"kernel not the custom expression:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+    // train + encode + search in one pass: the stats row and the probe
+    // row both arrive by broadcast, and the final cut is a per-partition
+    // top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$p")
+  }
+
   test("q06 flagship: rank-limit pushes a partial WindowGroupLimit below the exchange") {
     val p = plan(ReferenceOps.q06SlidingTopN(spark, sf))
     assert(p.contains("WindowGroupLimit"), s"no rank-limit pushdown:\n$p")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.DedupOps
+import graft.queries.{DedupOps, PipelineOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -79,6 +79,35 @@ object ProfScale {
           labels.unpersist()
           println(s"[scale] closure $tag: $rounds rounds, $n labeled nodes")
           n
+        }
+    }
+
+    // --- round-9 pipeline operators at the same scale step ----------
+    // embeddings replicas for q54: same vectors under shifted ids, so
+    // the quantizer stats are identical by construction — timing-valid
+    val embBase = Tables.embeddings(spark, baseDir)
+    (0 until replicas).map { r =>
+      if (r == 0) embBase
+      else embBase.select(($"vec_id" + lit(r.toLong * 10000000L)).as("vec_id"),
+        $"embedding", $"label")
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$scaleDir/embeddings.parquet")
+
+    Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
+      case (tag, dir) =>
+        // folds, not counts: a bare count() lets column pruning drop
+        // the computation under test from the narrow plans
+        time(s"q51 $tag") {
+          PipelineOps.q51SeqPack(spark, dir)
+            .agg(bit_xor($"seq"), sum($"n_tokens")).collect(); 1L
+        }
+        time(s"q52 $tag") { PipelineOps.q52Decontam(spark, dir).count() }
+        time(s"q53 $tag") { TextOps.q53GateYield(spark, dir).collect().length.toLong }
+        time(s"q54 $tag") { SimilarityOps.q54Sq8TopK(spark, dir).collect().length.toLong }
+        time(s"q55 $tag") {
+          TextOps.q55TokenSurprisal(spark, dir)
+            .agg(bit_xor($"surprisal_unats")).collect(); 1L
         }
     }
     spark.stop()
