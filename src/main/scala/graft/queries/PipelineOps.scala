@@ -199,6 +199,8 @@ object PipelineOps {
     * sort). */
   private[graft] def seqPack(
       docs: DataFrame, budget: Int, shards: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

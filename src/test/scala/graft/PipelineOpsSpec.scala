@@ -162,4 +162,20 @@ class PipelineOpsSpec extends SparkSuite {
     // eval members never flag themselves
     assert(got.forall(_.getLong(0) % 97 != 0))
   }
+
+  test("q51/q52 edges: degenerate knobs rejected; empty eval frame flags nothing") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    intercept[IllegalArgumentException](PipelineOps.seqPack(docs, 0, 8))
+    intercept[IllegalArgumentException](PipelineOps.seqPack(docs, 512, 0))
+    // a doc longer than the whole budget still gets exactly one slot,
+    // at its running offset, flagged as crossing
+    val tiny = PipelineOps.seqPack(docs, budget = 8, shards = 1).collect()
+    assert(tiny.length == 500 && tiny.count(_.getInt(5) == 1) > 400,
+      "nearly every ~50-token doc must cross an 8-token boundary")
+    // decontamination against an EMPTY benchmark frame flags nothing
+    val noEval = PipelineOps.decontamReport(
+      docs, docs.filter($"doc_id" < 0).select($"doc_id", $"text"))
+    assert(noEval.count() == 0)
+  }
 }
