@@ -171,9 +171,14 @@ object CorpusPipeline {
     // sharing an n-gram with the benchmark frame. Left-anti against
     // the flagged-id relation — the broadcast gram join filters
     // map-side, so the gate costs one narrow pass over survivors.
+    // the flagged-id side is bounded by contamination (rare by
+    // construction) and must be BROADCAST: without the hint the static
+    // planner sizes the aggregate at its exploded-gram child and picks
+    // a sort-merge anti join — a full-corpus shuffle, text and all
     val gated = evalDocs.fold(narrowGated) { ev =>
       narrowGated.join(
-        PipelineOps.decontamReport(narrowGated, ev).select(col("doc_id")),
+        broadcast(PipelineOps.decontamReport(narrowGated, ev)
+          .select(col("doc_id"))),
         Seq("doc_id"), "left_anti")
     }
 

@@ -208,8 +208,11 @@ object PipelineOps {
       .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
         size(TextOps.toks(col("text"))).cast("long").as("n_tokens"))
       .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      // `div`, not `/`: Divide on longs is IEEE double division, which
+      // rounds above 2^53 tokens per shard; div stays exact integer
+      // arithmetic like pmod and the oracle's `//`
       .select(col("doc_id"), col("shard"), col("n_tokens"),
-        floor(col("start_off") / budget).cast("long").as("seq"),
+        expr(s"start_off div $budget").as("seq"),
         pmod(col("start_off"), lit(budget)).as("seq_off"),
         (pmod(col("start_off"), lit(budget)) + col("n_tokens") > budget)
           .cast("int").as("crosses"))

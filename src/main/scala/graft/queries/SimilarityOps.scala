@@ -419,11 +419,16 @@ object SimilarityOps {
       .select(
         array((0 until Dim).map(i => col(s"mn$i")): _*).as("mn"),
         array((0 until Dim).map(i => col(s"mx$i")): _*).as("mx"))
-    val quant = emb.crossJoin(broadcast(stats))
+    def quantize(df: DataFrame) = df.crossJoin(broadcast(stats))
       .withColumn("codes", sq8Codes($"embedding", $"mn", $"mx"))
       .select($"vec_id", $"label",
         sq8Dequantize($"codes", $"mn", $"mx").as("xhat"))
-    val probe = quant.filter($"vec_id" === 0)
+    val quant = quantize(emb)
+    // the probe quantizes from a PRE-FILTERED scan (vec_id pushed to
+    // parquet), not by filtering the full quantized corpus — the
+    // latter would duplicate the whole encode subtree into the
+    // broadcast branch and re-scan every row to extract one
+    val probe = quantize(emb.filter($"vec_id" === 0))
       .select($"xhat".as("phat"))
     quant.crossJoin(broadcast(probe))
       .withColumn("sim", round(PipelineOps.cosine($"xhat", $"phat"), 6))

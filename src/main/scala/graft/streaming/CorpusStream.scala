@@ -218,8 +218,10 @@ object CorpusStream {
         .write.mode("overwrite").parquet(s"$outDir/pack.next")
     }
     def rmTree(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(rmTree(_))
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.forEach(rmTree(_)) finally s.close()
+      }
       Files.deleteIfExists(p)
     }
     def swap(name: String): Unit = {
@@ -231,6 +233,12 @@ object CorpusStream {
     }
     swap("base")
     if (packBudget.isDefined) swap("pack")
+    else {
+      // a pack manifest from an EARLIER generation would silently
+      // describe the old base — remove it rather than leave it stale
+      rmTree(Paths.get(outDir, "pack"))
+      rmTree(Paths.get(outDir, "pack.next"))
+    }
     rmTree(Paths.get(outDir, "docs"))
     rmTree(Paths.get(outDir, "flags"))
     rmTree(Paths.get(checkpointDir, "docs"))

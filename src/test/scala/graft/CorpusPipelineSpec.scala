@@ -181,6 +181,17 @@ class CorpusPipelineSpec extends SparkSuite {
       _.collect().map(_.getLong(0)).toSet)
     assert(decon == Set(2L, 3L))
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+    // the gate's anti join must not add a corpus-wide shuffle join:
+    // the flagged-id side is broadcast, so the with-eval plan carries
+    // exactly as many sort-merge joins as the without-eval plan
+    def smjCount(ev: Option[org.apache.spark.sql.DataFrame]) = {
+      val p = CorpusPipeline.prepare(docs, cfg, ev)
+        .queryExecution.executedPlan.toString
+      spark.catalog.clearCache()
+      "SortMergeJoin".r.findAllIn(p).length
+    }
+    assert(smjCount(Some(evalDocs)) == smjCount(None),
+      "decontamination gate planned a sort-merge join")
   }
 
   test("pack terminal covers every surviving doc exactly once, offsets consistent") {

@@ -187,6 +187,14 @@ class CorpusStreamSpec extends SparkSuite {
         cum += r.getLong(2)
       }
     }
+
+    // --- third boundary WITHOUT packBudget: the old manifest must not
+    // survive to describe a base it no longer matches
+    val removed3 = CorpusStream.compact(spark, outDir, ckDir, cfg)
+    assert(removed3 == 0, s"idle compact removed $removed3")
+    assert(!new java.io.File(root, "pack").exists,
+      "stale pack manifest left beside a newer base")
+    assert(kept() == Set(1L, 4L, 7L, 30L))
   }
 
   test("empty docs are neither screened nor stored (batch q15 omission contract)") {

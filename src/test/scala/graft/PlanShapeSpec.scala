@@ -13,12 +13,14 @@ class PlanShapeSpec extends SparkSuite {
 
   test("q51: one shard-hash exchange feeds the packing window; text never shuffles") {
     val p = plan(PipelineOps.q51SeqPack(spark, sf))
-    assert(p.contains("hashpartitioning(shard"), s"window not shard-keyed:\n$p")
     // the prefix sum must see only (doc_id, shard, n_tokens): everything
     // printed ABOVE the shard exchange (= the post-shuffle operators)
     // must be text-free — tokenization happens scan-side, and only the
-    // 8-byte count crosses the wire
-    val aboveExchange = p.substring(0, p.indexOf("Exchange hashpartitioning(shard"))
+    // 8-byte count crosses the wire. Assert and slice on the SAME
+    // string so a changed node label fails the assert, not substring()
+    val marker = "Exchange hashpartitioning(shard"
+    assert(p.contains(marker), s"window not shard-keyed:\n$p")
+    val aboveExchange = p.substring(0, p.indexOf(marker))
     assert(!aboveExchange.contains("text#"),
       s"text column crossed the exchange:\n$p")
   }
