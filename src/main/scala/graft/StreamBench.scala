@@ -110,6 +110,92 @@ object StreamBench {
     }
   }
 
+  /** `SPARK_GRAFT_STREAM_MODE=corpus` — end-to-end throughput probe
+    * for the STREAMING CORPUS INGEST ([[graft.streaming.CorpusStream]]):
+    * synthetic docs (fixed seed; ~5% exact dups, ~10% one-token
+    * near-dups, ~10% gate-rejected lang, a few token-less) streamed
+    * through gates + watermarked exact dedup + the banded screen into
+    * the two parquet sinks, then ONE [[graft.streaming.CorpusStream.compact]]
+    * generation boundary (batch re-dedup + q51 pack manifest). Reports
+    * ingest docs/sec and the compact wall separately — the steady-state
+    * cost and the maintenance-window cost are different numbers. */
+  private def corpusMode(spark: SparkSession): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "100000").trim.toInt
+    val filesPerTrigger =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "5").trim.toInt
+    val dir = Files.createTempDirectory("graft-corpusbench")
+    val rnd = new scala.util.Random(42)
+    val vocab = Array.tabulate(5000)(i => s"v$i")
+    val langs = Array("en", "de", "es", "xx") // xx → gate-rejected
+    val recent = new scala.collection.mutable.ArrayBuffer[Array[String]]
+    val perFile = 10000
+    var id = 0L
+    var written = 0
+    while (written < nDocs) {
+      val count = math.min(perFile, nDocs - written)
+      val sb = new StringBuilder(count * 320)
+      var i = 0
+      while (i < count) {
+        id += 1
+        val roll = rnd.nextInt(100)
+        val toks =
+          if (recent.nonEmpty && roll < 5) recent(rnd.nextInt(recent.size))
+          else if (recent.nonEmpty && roll < 15) {
+            val base = recent(rnd.nextInt(recent.size)).clone()
+            base(rnd.nextInt(base.length)) = vocab(rnd.nextInt(vocab.length))
+            base
+          } else if (roll < 17) Array.fill(2)(vocab(rnd.nextInt(vocab.length)))
+          else {
+            val t = Array.fill(40)(vocab(rnd.nextInt(vocab.length)))
+            if (recent.size < 4096) recent += t
+            t
+          }
+        val lang = if (roll >= 90) "xx" else langs(rnd.nextInt(3))
+        sb.append(s"""{"doc_id":$id,"lang":"$lang","source":"web",""")
+          .append(s""""text":"${toks.mkString(" ")}","ts_sec":${id / EventsPerSecond}}""")
+          .append('\n')
+        i += 1
+      }
+      Files.writeString(dir.resolve(f"part-$written%09d.json"), sb.result())
+      written += count
+    }
+    val outDir = Files.createTempDirectory("graft-corpusbench-out").toString
+    val ckDir = Files.createTempDirectory("graft-corpusbench-ck").toString
+    val source = spark.readStream
+      .schema("doc_id LONG, lang STRING, source STRING, text STRING, ts_sec LONG")
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .json(dir.toString)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        timestamp_seconds(col("ts_sec")).as("ts"))
+    val t0 = System.nanoTime()
+    val (docsQ, flagsQ) = graft.streaming.CorpusStream
+      .ingest(source, outDir, ckDir, idleTtl = Some("1 hour"))
+    docsQ.processAllAvailable()
+    flagsQ.processAllAvailable()
+    val ingestWall = (System.nanoTime() - t0) / 1e9
+    val batches = docsQ.recentProgress.count(_.numInputRows > 0)
+    docsQ.stop(); flagsQ.stop()
+    val keptDelta = graft.streaming.CorpusStream.keptCorpus(spark, outDir).count()
+    val t1 = System.nanoTime()
+    val removed = graft.streaming.CorpusStream
+      .compact(spark, outDir, ckDir, packBudget = Some(2048))
+    val compactWall = (System.nanoTime() - t1) / 1e9
+    val baseRows = spark.read.parquet(s"$outDir/base").count()
+    val packRows = spark.read.parquet(s"$outDir/pack").count()
+    def f1(d: Double): String = f"$d%.1f"
+    val line =
+      s"""{"metric":"stream_corpus_docs_per_sec","value":${f1(nDocs / ingestWall)},"unit":"rows/sec","n_docs":$nDocs,"ingest_wall_sec":${f1(ingestWall)},"micro_batches":$batches,"kept_delta":$keptDelta,"compact_sec":${f1(compactWall)},"compact_removed":$removed,"base_rows":$baseRows,"pack_rows":$packRows}"""
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/stream_bench.json"), line + "\n")
+    println(line)
+    spark.stop()
+    if (keptDelta == 0L || removed == 0L || baseRows != packRows) {
+      System.err.println("SANITY FAIL: ingest kept nothing, compact removed " +
+        "nothing, or the pack manifest does not cover the base")
+      sys.exit(1)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val nTweets =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "400000").trim.toInt
@@ -137,6 +223,10 @@ object StreamBench {
     if (rocksDb) graft.streaming.StateBackends.useRocksDb(spark)
     if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("neardup")) {
       neardupMode(spark)
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("corpus")) {
+      corpusMode(spark)
       return
     }
 
