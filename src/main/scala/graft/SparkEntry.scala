@@ -77,6 +77,9 @@ object SparkEntry {
     "q53_gate_yield"       -> (TextOps.q53GateYield _),
     "q54_sq8_topk"         -> ((s, d) => SimilarityOps.q54Sq8TopK(s, d)),
     "q55_token_surprisal"  -> (TextOps.q55TokenSurprisal _),
+    "q56_passage_dedup"    -> (DedupOps.q56PassageDedup _),
+    "q57_dup_provenance"   -> ((s, d) => DedupOps.q57DupProvenance(s, d)),
+    "q58_source_drift"     -> (TextOps.q58SourceDrift _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -304,5 +307,18 @@ object SparkEntry {
     // Token surprisal: float work happens once per vocab TYPE (integer
     // micro-nat costs); per-doc sums are exact integers both sides.
     "q55_token_surprisal" -> TextOps.q55OracleSql,
+
+    // Passage dedup: the oracle keeps first occurrences by passage
+    // STRING where the engine keys on xxhash64(passage) — identical
+    // output modulo the documented 2^-64 collision acceptance.
+    "q56_passage_dedup" -> DedupOps.q56OracleSql,
+
+    // Dup provenance: q13's exact all-pairs CTE rolled up by source
+    // pair (recall-1 argument on the q13 scaladoc).
+    "q57_dup_provenance" -> DedupOps.q57OracleSql,
+
+    // Source drift: exact-integer TV distance — identical integer
+    // formulation both sides, no float anywhere.
+    "q58_source_drift" -> TextOps.q58OracleSql,
   )
 }

@@ -764,4 +764,175 @@ object DedupOps {
        |      len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q57
+
+  /** q57 — dup PROVENANCE rollup: q13's verified near-dup pairs mapped
+    * to their source pair `(src_x ≤ src_y)` and counted. This is the
+    * "where do my duplicates come from" audit a corpus owner runs
+    * before choosing drop rules: a hot diagonal cell (src_x = src_y)
+    * means one crawl re-serves its own content (dedup within the
+    * source's ingestion fixes it); hot off-diagonal cells mean two
+    * acquisitions overlap (e.g. two CommonCrawl snapshots, a mirror) —
+    * the earlier-acquisition keep-rule applies, and the cell count is
+    * exactly how many docs that rule removes.
+    *
+    * Scale shape: the pair relation is candidate-bounded (≪ corpus, LSH
+    * upstream), and each of the two provenance joins shuffles it on an
+    * 8-byte doc id against the column-pruned `(doc_id, source)`
+    * projection — the docs scan reads two columns, never the text. The
+    * final rollup groups on the bounded source alphabet, map-side
+    * combined. */
+  def q57DupProvenance(spark: SparkSession, dir: String): DataFrame =
+    q57Build(spark, dir)._1
+
+  /** Loan form of [[q57DupProvenance]] — releases the shared pair
+    * build's persisted shingle frame after `f` returns. */
+  def withQ57DupProvenance[T](
+      spark: SparkSession, dir: String)(f: DataFrame => T): T = {
+    val (result, handles) = q57Build(spark, dir)
+    try f(result) finally handles.foreach(_.unpersist())
+  }
+
+  private def q57Build(
+      spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    val docs = Tables.documents(spark, dir)
+    val (pairs, handles) = neardupBuild(docs, 0.6, 16, 4)
+    val src = docs.select(col("doc_id"), col("source"))
+    val result = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")),
+        "doc_b")
+      .select(
+        least(col("src_a"), col("src_b")).as("src_x"),
+        greatest(col("src_a"), col("src_b")).as("src_y"))
+      .groupBy(col("src_x"), col("src_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_x"), col("src_y"))
+    (result, handles)
+  }
+
+  /** Ground truth for [[q57DupProvenance]]: q13's exact all-pairs
+    * Jaccard CTE (recall-1 argument on the q13 scaladoc) mapped to
+    * sources with the same least/greatest normalization. */
+  def q57OracleSql: String =
+    s"""WITH ${q13PairsCteSql()}
+       |SELECT least(sa.source, sb.source) AS src_x,
+       |       greatest(sa.source, sb.source) AS src_y,
+       |       count(*) AS n_pairs
+       |FROM lex l
+       |JOIN documents sa ON l.doc_a = sa.doc_id
+       |JOIN documents sb ON l.doc_b = sb.doc_id
+       |GROUP BY src_x, src_y ORDER BY src_x, src_y""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+
+  /** Passage width (tokens) for [[q56PassageDedup]]. Non-overlapping
+    * 16-token chunks on the fixture's 10–99-token docs give every doc
+    * 1–7 passages; the production value (RefinedWeb uses paragraphs,
+    * Dolma ~100-token spans) is a config knob, not a semantics change. */
+  val PassageTokens = 16
+
+  /** q56 — PASSAGE-level dedup with document REWRITE: split every doc
+    * into non-overlapping [[PassageTokens]]-token passages, keep only
+    * each passage's globally FIRST occurrence (ordered by doc_id, then
+    * position), and re-emit every document with its surviving passages
+    * re-joined in order. This is the RefinedWeb/Dolma rewrite step that
+    * document-level dedup (q09/q13) cannot express: boilerplate spans
+    * (headers, licenses, navigation chrome) are REMOVED FROM inside
+    * otherwise-unique documents rather than merely audited (q46 reports
+    * repeated windows; this op edits them out).
+    *
+    * Scale shape — the text crosses the wire exactly ONCE, for the
+    * irreducible output materialization:
+    *
+    *   1. passage ids: one scan emits (doc_id, pidx, phash) with
+    *      `phash = xxhash64(passage)` computed INSIDE the projection —
+    *      24-byte rows; the text itself never leaves the scan stage;
+    *   2. first occurrence per phash: `min(struct(doc_id, pidx))` — an
+    *      8-byte-keyed, map-side-combined aggregate (same discipline as
+    *      q09's content-hash rekey);
+    *   3. keep flags: the id relation joins the firsts on phash — both
+    *      sides fixed-width, shuffle bytes ∝ passage COUNT, not corpus
+    *      size — then collapses back to one row per doc carrying the
+    *      sorted kept-position list;
+    *   4. rewrite: per-doc flags join the docs table on doc_id and the
+    *      surviving passages are re-sliced FROM THE SCAN-SIDE text
+    *      map-side — so the only exchange that carries text is the
+    *      final doc_id-keyed one producing the output rows.
+    *
+    * Hash collisions follow q43's documented acceptance (P ≈ n²/2⁶⁵ for
+    * distinct-passage count n): a collision would silently drop one
+    * passage; q09's min=max verification is not available here because
+    * the flag join deliberately never co-locates two copies of the
+    * text. Output counts are all-integer; `clean_text` is the rewritten
+    * document itself — byte-deterministic because the keep rule and the
+    * in-order re-join are. */
+  def q56PassageDedup(spark: SparkSession, dir: String): DataFrame =
+    passageDedup(Tables.documents(spark, dir))
+
+  /** Frame-level core of [[q56PassageDedup]] over any `(doc_id, text)`
+    * frame — spec-testable on synthetic corpora. */
+  def passageDedup(docs: DataFrame, p: Int = PassageTokens): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    // (doc_id, pidx, phash): passage hashes computed inside the scan-side
+    // projection; generate one row per chunk of p tokens.
+    val ids = toks.select(
+      col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, cast((size(t) + ${p - 1}) div $p as int) - 1),
+           |          i -> xxhash64(array_join(slice(t, i * $p + 1, $p), ' ')))"""
+          .stripMargin)).as(Seq("pidx", "phash")))
+    val firsts = ids
+      .groupBy(col("phash"))
+      .agg(min(struct(col("doc_id"), col("pidx"))).as("first"))
+    val perDoc = ids
+      .join(firsts, "phash")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sort_array(collect_list(
+          when(col("doc_id") === col("first.doc_id") &&
+            col("pidx") === col("first.pidx"), col("pidx"))))
+          .as("kept_pidx"))
+    toks.join(perDoc, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_passages"),
+        size(col("kept_pidx")).cast("long").as("n_kept"),
+        array_join(
+          expr(s"transform(kept_pidx, i -> array_join(slice(t, i * $p + 1, $p), ' '))"),
+          " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Ground truth for [[q56PassageDedup]]: the same chunking and
+    * first-occurrence rule over passage STRINGS (the oracle needs no
+    * hash — equality on text is its semantics; the engine's phash form
+    * matches modulo the documented 2⁻⁶⁴ acceptance). */
+  def q56OracleSql: String = {
+    val p = PassageTokens
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), passages AS (
+       |  SELECT doc_id, i AS pidx,
+       |         array_to_string(t[(i * $p + 1):((i + 1) * $p)], ' ') AS ptext
+       |  FROM toks,
+       |       LATERAL (SELECT unnest(range((len(t) + ${p - 1}) // $p)) AS i)
+       |), flagged AS (
+       |  SELECT doc_id, pidx, ptext,
+       |         row_number() OVER (PARTITION BY ptext
+       |                            ORDER BY doc_id, pidx) AS rn
+       |  FROM passages
+       |)
+       |SELECT doc_id,
+       |       count(*) AS n_passages,
+       |       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       |       coalesce(string_agg(ptext, ' ' ORDER BY pidx)
+       |                  FILTER (WHERE rn = 1), '') AS clean_text
+       |FROM flagged
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

@@ -637,6 +637,113 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** q58 — per-source DISTRIBUTION DRIFT: total-variation distance
+    * between each source's token distribution and the whole corpus's,
+    * in exact integer arithmetic. This is the mixture-QA signal a
+    * pipeline owner watches when composing training mixes (and, run
+    * snapshot-over-snapshot, the drift alarm for a recurring crawl): a
+    * source whose unigram distribution sits far from the corpus mean
+    * either needs reweighting or is contaminated/mis-parsed.
+    *
+    * Determinism by construction (the q55 discipline, taken further —
+    * here NO float ever appears): TV = ½ Σ_t |p_s(t) − p(t)| over the
+    * vocabulary is a rational with denominator 2·N·N_s, so the engine
+    * compares the exact integer numerator Σ|tf_s·N − tf·N_s| and emits
+    * `tv_ppm = ⌊numerator·10⁶ / (2·N·N_s)⌋` — integer ops end to end,
+    * immune to FP accumulation order on BOTH engines. Tokens absent
+    * from a source contribute `tf·N_s` each; rather than materializing
+    * the source×vocab grid (|sources|·|vocab| rows — prohibitive at
+    * scale), their total enters in closed form as `N_s·(N − G_s)` where
+    * G_s = Σ_{t∈s} tf — only OBSERVED (source, token) pairs are ever
+    * rows.
+    *
+    * Scale shape: ONE corpus scan feeds the (source, token) aggregate
+    * (map-side combined); the global tf, the per-source totals, and the
+    * grand total all DERIVE from that aggregate, never re-scanning the
+    * corpus; the tf join shuffles vocab-bounded relations on the token
+    * key (AQE broadcasts the fixture-sized tf side; at web-scale vocab
+    * it degrades to a sort-merge join over vocab×sources rows — still
+    * ≪ corpus). The (source, token) aggregate is PERSISTED: its four
+    * consumers are not `sameResult`-identical after filter pushdown, so
+    * without the persist Catalyst re-scans the corpus per branch
+    * (observed — 4 scans) instead of reusing one exchange; the cached
+    * frame is vocab×sources rows, exactly what you'd persist at 100 TB
+    * too. Lifecycle is caller-owned (q13's convention) — prefer the
+    * loan form [[withQ58SourceDrift]] in long-lived sessions. ANSI
+    * overflow headroom: all products sit under 2·N·N_s·10⁶ ≈ 10¹⁸ at
+    * sf1; beyond that swap the three sums to DECIMAL(38,0) (exact,
+    * associative) — noted, not needed here. */
+  def q58SourceDrift(spark: SparkSession, dir: String): DataFrame =
+    sourceDrift(Tables.documents(spark, dir))
+
+  /** Loan form of [[q58SourceDrift]] — releases the persisted
+    * (source, token) aggregate after `f` returns. */
+  def withQ58SourceDrift[T](
+      spark: SparkSession, dir: String)(f: DataFrame => T): T = {
+    val (result, handles) = sourceDriftBuild(Tables.documents(spark, dir))
+    try f(result) finally handles.foreach(_.unpersist())
+  }
+
+  /** Frame-level core of [[q58SourceDrift]] over any `(source, text)`
+    * frame — spec-testable on synthetic corpora. */
+  def sourceDrift(docs: DataFrame): DataFrame =
+    sourceDriftBuild(docs)._1
+
+  private[queries] def sourceDriftBuild(
+      docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stf = docs
+      .select($"source", explode(toks($"text")).as("token"))
+      .groupBy($"source", $"token")
+      .agg(count(lit(1)).as("tf_s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = stf.groupBy($"token").agg(sum($"tf_s").as("tf"))
+    val ns = stf.groupBy($"source").agg(sum($"tf_s").as("n_tokens"))
+    val total = ns.agg(sum($"n_tokens").as("n_total"))
+    val result = stf.join(tf, "token")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(total))
+      .groupBy($"source", $"n_tokens", $"n_total")
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(abs($"tf_s" * $"n_total" - $"tf" * $"n_tokens")).as("dev_sum"),
+        sum($"tf").as("g_s"))
+      .select($"source", $"n_tokens", $"n_types",
+        expr("((dev_sum + n_tokens * (n_total - g_s)) * 1000000) div (2 * n_total * n_tokens)")
+          .as("tv_ppm"))
+      .orderBy($"source")
+    (result, Seq(stf))
+  }
+
+  /** Ground truth for [[q58SourceDrift]] — the identical integer
+    * formulation; `sum` lands in HUGEINT on DuckDB, cast back at the
+    * edge. */
+  def q58OracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT source,
+       |         unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS token
+       |  FROM documents
+       |), stf AS (
+       |  SELECT source, token, count(*) AS tf_s FROM tok GROUP BY 1, 2
+       |), tf AS (
+       |  SELECT token, CAST(sum(tf_s) AS BIGINT) AS tf FROM stf GROUP BY token
+       |), ns AS (
+       |  SELECT source, CAST(sum(tf_s) AS BIGINT) AS n_tokens FROM stf GROUP BY source
+       |), n AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total FROM ns
+       |)
+       |SELECT s.source, ns.n_tokens,
+       |       count(*) AS n_types,
+       |       CAST(((sum(abs(s.tf_s * n.n_total - t.tf * ns.n_tokens))
+       |              + ns.n_tokens * (n.n_total - sum(t.tf)))
+       |             * 1000000) // (2 * n.n_total * ns.n_tokens) AS BIGINT) AS tv_ppm
+       |FROM stf s
+       |JOIN tf t USING (token)
+       |JOIN ns USING (source), n
+       |GROUP BY s.source, ns.n_tokens, n.n_total
+       |ORDER BY s.source""".stripMargin
+
   def q55OracleSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id,

@@ -201,4 +201,73 @@ class DedupOpsSpec extends SparkSuite {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("q56 passage dedup: first occurrence survives, docs rewritten in order") {
+    import spark.implicits._
+    // 2-token passages for a hand-checkable corpus: doc2 repeats doc1's
+    // first two passages, doc3 IS doc1's last passage, doc4 is unique
+    // (and shorter than one passage width).
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d x y"),
+      (3L, "e f"),
+      (4L, "g")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.passageDedup(docs, p = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((3L, 3L, "a b c d e f")),
+      2L -> ((3L, 1L, "x y")),
+      3L -> ((1L, 0L, "")),
+      4L -> ((1L, 1L, "g"))))
+  }
+
+  test("q56 on the fixture matches a driver-side recount") {
+    val p = DedupOps.PassageTokens
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+      .sortBy(_._1)
+    val passages = texts.flatMap { case (id, t) =>
+      t.grouped(p).zipWithIndex.map { case (chunk, i) =>
+        (id, i, chunk.mkString(" ")) }
+    }
+    val firstOf = passages.groupBy(_._3).view
+      .mapValues(g => g.minBy(x => (x._1, x._2))).toMap
+    val expected = passages.groupBy(_._1).map { case (id, ps) =>
+      val kept = ps.filter(x => firstOf(x._3) == x).sortBy(_._2)
+      id -> ((ps.size.toLong, kept.size.toLong, kept.map(_._3).mkString(" ")))
+    }
+    val got = DedupOps.passageDedup(graft.Tables.documents(spark, sf))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == expected)
+    // the fixture actually exercises the drop path
+    assert(got.values.exists { case (n, k, _) => k < n })
+  }
+
+  test("q57 provenance rollup == recount from the q13 pair relation") {
+    val srcOf = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = DedupOps.withQ13NeardupPairs(spark, sf) { pairs =>
+      pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .map { case (a, b) =>
+          val (x, y) = (srcOf(a), srcOf(b))
+          if (x <= y) (x, y) else (y, x) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    val (got, plan) = DedupOps.withQ57DupProvenance(spark, sf) { df =>
+      (df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap,
+        df.queryExecution.executedPlan.toString)
+    }
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // candidate-bounded throughout — never an all-pairs product
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+  }
 }

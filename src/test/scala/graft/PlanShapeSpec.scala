@@ -42,6 +42,37 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$p")
   }
 
+  test("q56: every keyed exchange rides the passage hash or the doc id, never a string") {
+    // The 100 TB contract: dedup machinery (first-occurrence aggregate +
+    // flag join) shuffles 8-byte phash keys; the only text-bearing
+    // exchange is the final doc_id-keyed rewrite join. A refactor to a
+    // window over passage STRINGS would key an exchange on ptext and
+    // must fail here.
+    val p = plan(DedupOps.q56PassageDedup(spark, sf))
+    val ex = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    assert(ex.exists(_.contains("phash")), s"no phash-keyed exchange:\n$p")
+    ex.foreach { l =>
+      assert(l.contains("phash") || l.contains("doc_id"),
+        s"exchange keyed off-contract:\n$l")
+    }
+    assert(p.contains("xxhash64"), s"passage key not the 64-bit hash:\n$p")
+  }
+
+  test("q58: tf/totals derive from the persisted (source, token) aggregate — one corpus scan") {
+    val p = plan(TextOps.q58SourceDrift(spark, sf))
+    // the global-tf, per-source, and grand-total branches must read the
+    // cached stf frame, not re-scan the corpus (observed without the
+    // persist: 4 full scans — the branches differ by pushed isnotnull
+    // filters, so exchange reuse never fires)
+    // (each InMemoryTableScan PRINTS the cached plan's FileScan again,
+    // so count cache reads, not FileScan lines)
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      s"derived aggregates re-scan the corpus:\n$p")
+    // the only nested-loop join is the broadcast 1-row grand total
+    assert(!p.contains("CartesianProduct"), s"grid materialized:\n$p")
+  }
+
   test("q06 flagship: rank-limit pushes a partial WindowGroupLimit below the exchange") {
     val p = plan(ReferenceOps.q06SlidingTopN(spark, sf))
     assert(p.contains("WindowGroupLimit"), s"no rank-limit pushdown:\n$p")

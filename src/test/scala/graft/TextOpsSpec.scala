@@ -231,4 +231,42 @@ class TextOpsSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
     assert(!p.contains("SortMergeJoin"), s"token join shuffled the corpus:\n$p")
   }
+
+  test("q58 source drift == exact-integer reference, hand corpus + fixture") {
+    import spark.implicits._
+    // hand corpus: s1 = {a:2, b:1}, s2 = {b:3}; global {a:2, b:4}, N=6.
+    // TV(s1) = TV(s2) = 1/3 exactly -> floor(1e6/3) = 333333 ppm.
+    val hand = Seq(("s1", "a a b"), ("s2", "b b b")).toDF("source", "text")
+    val gotHand = TextOps.sourceDrift(hand).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(gotHand == Map(
+      "s1" -> ((3L, 2L, 333333L)),
+      "s2" -> ((3L, 1L, 333333L))))
+
+    // fixture recount with the very same integer formula
+    val rows = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => r.getString(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSeq)
+    val stf = rows.flatMap { case (s, ts) => ts.map(s -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tf = stf.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nsM = stf.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n = nsM.values.sum
+    val expected = nsM.map { case (s, ns) =>
+      val inSrc = stf.collect { case ((`s`, t), f) => t -> f }
+      val devSum = inSrc.map { case (t, f) => math.abs(f * n - tf(t) * ns) }.sum
+      val gS = inSrc.map { case (t, _) => tf(t) }.sum
+      val ppm = (devSum + ns * (n - gS)) * 1000000L / (2 * n * ns)
+      s -> ((ns, inSrc.size.toLong, ppm))
+    }
+    val df = TextOps.q58SourceDrift(spark, sf)
+    val got = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+    assert(got.size == 20)
+    // drift is non-degenerate on the fixture
+    assert(got.values.exists(_._3 > 0))
+  }
 }
