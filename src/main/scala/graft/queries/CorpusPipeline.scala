@@ -11,12 +11,16 @@ import org.apache.spark.sql.functions._
   *   1. EXACT dedup (q09 rule) — keep the lowest doc_id per identical
   *      text; cheapest filter first, and near-dup must not waste work
   *      on byte-identical copies.
-  *   2. Language gate (q16's downstream contract) + minimum-length
-  *      quality gate (q17's n_tokens) — narrow filters, run before
-  *      anything that shuffles — then the OPTIONAL decontamination
-  *      gate (q52's broadcast gram join against a benchmark frame),
-  *      placed before the near-dup build so contaminated docs never
-  *      pay for shingling twice.
+  *   2. Language gate (q16's downstream contract), then the OPTIONAL
+  *      passage-level rewrite (q56's first-occurrence rule —
+  *      boilerplate spans removed from INSIDE surviving docs,
+  *      fully-duplicated docs dropped), then the minimum-length
+  *      quality gate (q17's n_tokens) judging the rewritten text —
+  *      narrow-or-hash-keyed stages, run before anything that
+  *      shuffles text — then the OPTIONAL decontamination gate (q52's
+  *      broadcast gram join against a benchmark frame), placed before
+  *      the near-dup build so contaminated docs never pay for
+  *      shingling twice.
   *   3. NEAR-dup removal (q13 machinery) — MinHash-LSH candidates,
   *      exact Jaccard verify, then one of two deterministic drop rules
   *      (`Config.clusterNeardups`):
@@ -67,7 +71,10 @@ object CorpusPipeline {
       stratRates: Seq[(String, Int)] = RelationalOps.StratRates,
       defaultPerMille: Int = RelationalOps.DefaultKeepPerMille,
       topKeywords: Int = TextOps.TfidfTopK,
-      clusterNeardups: Boolean = false) {
+      clusterNeardups: Boolean = false,
+      passageDedup: Boolean = false,
+      passageTokens: Int = DedupOps.PassageTokens) {
+    require(passageTokens > 0, s"passageTokens must be > 0, got $passageTokens")
     require(neardupThreshold > 0 && neardupThreshold <= 1,
       s"neardupThreshold must be in (0, 1], got $neardupThreshold")
     require(neardupThreshold >= 0.5 || (lshBands, lshRows) != (16, 4),
@@ -162,9 +169,19 @@ object CorpusPipeline {
             col("content_hash").cast("string")))))
       .drop("rn", "content_hash", "_tmin", "_tmax")
 
-    // 2. language + minimum-quality gates (narrow)
-    val narrowGated = exact
-      .filter(col("lang").isInCollection(cfg.keepLangs))
+    // 2. language gate (narrow), then the OPTIONAL passage-level
+    // rewrite (q56 core — RefinedWeb's span dedup): placed after the
+    // lang gate so dropped languages never pay passage hashing, and
+    // BEFORE the token floor so the floor judges the REWRITTEN doc
+    // (a doc hollowed out to boilerplate-free stubs should fail the
+    // gate). Pure-duplicate docs (every passage already seen) leave
+    // here entirely; the exact-dedup stage upstream stays — byte-dups
+    // are cheaper to kill on the whole-doc hash than per passage.
+    val langGated = exact.filter(col("lang").isInCollection(cfg.keepLangs))
+    val passageClean =
+      if (cfg.passageDedup) DedupOps.passageRewrite(langGated, cfg.passageTokens)
+      else langGated
+    val narrowGated = passageClean
       .filter(size(TextOps.toks(col("text"))) >= cfg.minTokens)
 
     // 2b. optional decontamination gate (q52 core): drop any doc

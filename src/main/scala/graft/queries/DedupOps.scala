@@ -908,6 +908,23 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Rewrite form of [[passageDedup]] for pipeline composition: same
+    * first-occurrence rule, but the result keeps the INPUT's schema
+    * with `text` replaced by the rewritten document, and docs whose
+    * every passage was dropped (pure duplicates) removed entirely.
+    * Costs one extra doc_id-keyed join to re-attach the non-text
+    * columns; metadata columns derived from the original text (e.g.
+    * `n_chars`) are the caller's to refresh. */
+  def passageRewrite(docs: DataFrame, p: Int = PassageTokens): DataFrame = {
+    val clean = passageDedup(docs.select(col("doc_id"), col("text")), p)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text"))
+    docs.drop("text")
+      .join(clean, "doc_id")
+      .withColumn("text", col("clean_text"))
+      .drop("clean_text")
+  }
+
   /** Ground truth for [[q56PassageDedup]]: the same chunking and
     * first-occurrence rule over passage STRINGS (the oracle needs no
     * hash — equality on text is its semantics; the engine's phash form

@@ -61,6 +61,46 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
   }
 
+  test("passage stage rewrites every surviving doc by the q56 rule") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf)
+    val cfg = CorpusPipeline.Config(passageDedup = true)
+    val out = CorpusPipeline.withPrepared(docs, cfg)(_.collect())
+    assert(out.nonEmpty)
+
+    // driver-side recount of stages 1–2 (exact dedup → lang gate →
+    // passage rewrite): every surviving doc's text must equal its
+    // expected rewrite — later stages only DROP docs, never edit text
+    val rows = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val exact = rows.groupBy(_._3).values.map(_.minBy(_._1)).toSeq
+    val langGated = exact.filter(r => cfg.keepLangs(r._2)).sortBy(_._1)
+    val p = cfg.passageTokens
+    val passages = langGated.flatMap { case (id, _, t) =>
+      t.split(" ", -1).toSeq.grouped(p).zipWithIndex.map {
+        case (c, i) => (id, i, c.mkString(" ")) }
+    }
+    val firstOf = passages.groupBy(_._3).view
+      .mapValues(_.minBy(x => (x._1, x._2))).toMap
+    val rewritten = passages.groupBy(_._1).view.mapValues { ps =>
+      ps.filter(x => firstOf(x._3) == x).sortBy(_._2).map(_._3).mkString(" ")
+    }.toMap
+    out.foreach { r =>
+      assert(rewritten(r.getLong(0)) == r.getString(3),
+        s"doc ${r.getLong(0)} text is not its q56 rewrite")
+    }
+    // the stage is non-vacuous on the fixture: the rewrite changed
+    // some lang-gated doc before the token floor
+    assert(langGated.exists { case (id, _, t) => rewritten(id) != t })
+    // gates still hold on the REWRITTEN text
+    out.foreach { r =>
+      val nToks = r.getString(3).toLowerCase.split(" ").count(_.nonEmpty)
+      assert(nToks >= cfg.minTokens)
+    }
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
+
   test("write terminal: lang-partitioned parquet round-trips and prunes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("corpus-out").toString

@@ -109,6 +109,19 @@ object ProfScale {
           TextOps.q55TokenSurprisal(spark, dir)
             .agg(bit_xor($"surprisal_unats")).collect(); 1L
         }
+        // this session's additions: consume the rewritten text / the
+        // drift score so pruning can't drop the work under test
+        time(s"q56 $tag") {
+          DedupOps.q56PassageDedup(spark, dir)
+            .agg(bit_xor(xxhash64($"clean_text")), sum($"n_kept")).collect(); 1L
+        }
+        time(s"q57 $tag") {
+          DedupOps.withQ57DupProvenance(spark, dir)(_.count())
+        }
+        time(s"q58 $tag") {
+          TextOps.withQ58SourceDrift(spark, dir)(
+            _.agg(bit_xor($"tv_ppm")).collect()); 1L
+        }
     }
     spark.stop()
   }
