@@ -80,6 +80,7 @@ object SparkEntry {
     "q56_passage_dedup"    -> (DedupOps.q56PassageDedup _),
     "q57_dup_provenance"   -> ((s, d) => DedupOps.q57DupProvenance(s, d)),
     "q58_source_drift"     -> (TextOps.q58SourceDrift _),
+    "q59_epoch_shuffle"    -> (PipelineOps.q59EpochShuffle _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -320,5 +321,10 @@ object SparkEntry {
     // Source drift: exact-integer TV distance — identical integer
     // formulation both sides, no float anywhere.
     "q58_source_drift" -> TextOps.q58OracleSql,
+
+    // Epoch shuffle: the oracle states the semantics as ONE global-sort
+    // row_number (affordable at oracle scale); the engine's sharded
+    // rank + offset reconstruction must equal it row for row.
+    "q59_epoch_shuffle" -> PipelineOps.q59OracleSql(),
   )
 }

@@ -224,6 +224,96 @@ object PipelineOps {
     seqPack(Tables.documents(spark, dir), budget, shards)
       .orderBy(col("doc_id"))
 
+  /** Epoch constant baked into [[q59EpochShuffle]]'s hash — a new epoch
+    * value yields an independent, equally-deterministic permutation. */
+  val ShuffleEpoch = 1
+
+  /** Shard count for [[q59EpochShuffle]] — a power of two so shards are
+    * RANGES of the 60-bit hash (`h >> shift`), which is what lets
+    * per-shard ranks + shard offsets reconstruct the GLOBAL hash order
+    * exactly. Thousands at 100 TB (like q51's shards). */
+  val ShuffleShards = 32
+
+  /** q59 — deterministic EPOCH SHUFFLE: assign every doc its position
+    * in a reproducible pseudo-random training order. Training runs need
+    * the corpus in "random" order, but the order must be REPRODUCIBLE
+    * (resume after preemption, re-run an ablation, cross-engine
+    * agreement) and cheap to extend to epoch 2, 3, … — so the
+    * permutation key is a content-independent salted hash
+    * `h = md5(doc_id:epoch)` (60 bits), NOT `rand()`, exactly the
+    * argument q31 makes for sampling (Spark's `orderBy(rand(seed))` is
+    * partitioning-dependent; a hash of the id is not).
+    *
+    * The scale shape is the point: the naive `row_number() OVER
+    * (ORDER BY h)` is a SINGLE-partition window — the whole corpus
+    * through one task. Instead:
+    *
+    *   1. shard by the hash's TOP bits (`shard = h >> shift`) — shards
+    *      are contiguous hash ranges, so (shard, h) lexicographic IS
+    *      the global h order;
+    *   2. per-shard ranks: `row_number` over the shard-keyed window —
+    *      one hash exchange of (doc_id, h) pairs, `shards`-way
+    *      parallel;
+    *   3. shard offsets: per-shard counts (a second, column-pruned
+    *      narrow pass over doc ids — map-side partials, `shards` longs
+    *      to one reducer; the bounded-relation prefix sum is the only
+    *      unpartitioned window, over ≤[[ShuffleShards]] rows) broadcast
+    *      back;
+    *   4. `global_pos = offset + rank − 1` — equal to the global-sort
+    *      rank, proven by the spec against a driver-side full sort.
+    *
+    * Uniformity note: md5's top bits are uniform, so range shards are
+    * balanced in expectation with variance ~√(n/shards) — no hot shard
+    * by construction, no salting needed. */
+  def q59EpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    epochShuffle(Tables.documents(spark, dir), ShuffleEpoch, ShuffleShards)
+      .orderBy(col("doc_id"))
+
+  /** Frame-level core of [[q59EpochShuffle]] over any `(doc_id, …)`
+    * frame. `shards` must be a power of two ≤ 2²⁰ (range sharding of
+    * the 60-bit hash). */
+  private[graft] def epochShuffle(
+      docs: DataFrame, epoch: Int, shards: Int): DataFrame = {
+    require(shards > 0 && (shards & (shards - 1)) == 0 && shards <= (1 << 20),
+      s"shards must be a power of two in [1, 2^20], got $shards")
+    val shift = 60 - Integer.numberOfTrailingZeros(shards)
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit(s":$epoch"))), 1, 15),
+      16, 10).cast("long")
+    val hashed = docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shard", shiftright(col("h"), shift))
+    val ranked = hashed.withColumn("rn",
+      row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+    val offsets = hashed.groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(
+        sum(col("n")).over(
+          Window.orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("shard"), col("offset"))
+    ranked.join(broadcast(offsets), "shard")
+      .select(col("doc_id"), col("shard"),
+        (col("offset") + col("rn") - 1).as("global_pos"))
+  }
+
+  /** Ground truth for [[q59EpochShuffle]]: the oracle CAN afford the
+    * global-sort `row_number` (oracle scale), so it states the
+    * semantics directly — the sharded reconstruction must equal it. */
+  def q59OracleSql(epoch: Int = ShuffleEpoch, shards: Int = ShuffleShards): String = {
+    val shift = 60 - Integer.numberOfTrailingZeros(shards)
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(doc_id::VARCHAR || ':$epoch'), 1, 15))::BIGINT AS h
+       |  FROM documents
+       |)
+       |SELECT doc_id, h >> $shift AS shard,
+       |       CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS global_pos
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   def q51OracleSql(budget: Int = 512, shards: Int = 8): String =
     s"""WITH t AS (
        |  SELECT doc_id, doc_id % $shards AS shard,

@@ -178,4 +178,33 @@ class PipelineOpsSpec extends SparkSuite {
       docs, docs.filter($"doc_id" < 0).select($"doc_id", $"text"))
     assert(noEval.count() == 0)
   }
+
+  test("q59 epoch shuffle == driver-side global hash sort; epochs independent") {
+    import spark.implicits._
+    def md5h(id: Long, epoch: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$epoch".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    val ids = Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val epoch = PipelineOps.ShuffleEpoch
+    val expected = ids.map(id => (id, md5h(id, epoch)))
+      .sortBy { case (id, h) => (h, id) }
+      .zipWithIndex
+      .map { case ((id, h), pos) => id -> ((h >> 55, pos.toLong)) }
+      .toMap
+    val got = PipelineOps.q59EpochShuffle(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // positions are a permutation of [0, n)
+    assert(got.values.map(_._2).toSeq.sorted == (0L until ids.length).toSeq)
+    // a different epoch yields a genuinely different permutation
+    val e2 = PipelineOps.epochShuffle(
+      Tables.documents(spark, sf), epoch + 1, PipelineOps.ShuffleShards)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(e2.values.toSeq.sorted == (0L until ids.length).toSeq)
+    assert(ids.exists(id => e2(id) != got(id)._2), "epoch salt had no effect")
+  }
 }

@@ -73,6 +73,19 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"grid materialized:\n$p")
   }
 
+  test("q59: ranking is shard-parallel — the only single-partition stage is the bounded offset sum") {
+    val p = plan(PipelineOps.q59EpochShuffle(spark, sf))
+    // per-shard ranks ride a shard-keyed exchange (never a global sort
+    // of the corpus), and the offsets come back by broadcast
+    assert(p.contains("Exchange hashpartitioning(shard"),
+      s"rank window not shard-keyed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$p")
+    // exactly one SinglePartition exchange: the <= ShuffleShards-row
+    // count relation feeding the offset prefix sum
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) == 1,
+      s"unexpected single-partition stage:\n$p")
+  }
+
   test("q06 flagship: rank-limit pushes a partial WindowGroupLimit below the exchange") {
     val p = plan(ReferenceOps.q06SlidingTopN(spark, sf))
     assert(p.contains("WindowGroupLimit"), s"no rank-limit pushdown:\n$p")
