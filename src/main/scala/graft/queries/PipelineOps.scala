@@ -88,14 +88,18 @@ object PipelineOps {
     * join #11 generalized to a star-schema equi-join,
     * TopNHashtags.java:298-335).
     *
-    * orders ⋈ customer ⋈ nation ⋈ region, aggregated per nation. All three
-    * dimension sides carry an explicit `broadcast()` hint, so the plan is
-    * three `BroadcastHashJoin`s and the fact table (`orders`) streams
-    * through with ZERO shuffles before the final small aggregate — the
-    * scan of `orders` is the only big-data pass. At 100 TB the customer
-    * dimension may exceed the broadcast threshold; dropping that one hint
-    * degrades gracefully to a shuffle join on `o_custkey` chosen by AQE,
-    * with nation/region still broadcast.
+    * orders ⋈ customer ⋈ nation ⋈ region, aggregated per nation.
+    * nation/region carry an unconditional `broadcast()` hint — they are
+    * bounded by SCHEMA (25 and 5 rows, a fixed geography), so the hint
+    * is always safe. customer GROWS with the dataset, so its hint is
+    * size-gated via [[ScaleHints.broadcastIfBounded]]: at test scale
+    * Catalyst's file-size estimate is tiny, the hint fires, and the
+    * plan is three `BroadcastHashJoin`s with the `orders` scan the only
+    * big-data pass; at 100 TB the estimate exceeds the cap, the join is
+    * left bare, and AQE picks a shuffle join on `o_custkey` from
+    * measured sizes — nation/region still broadcast. The degradation
+    * path is in the code, not a comment (PlanShapeSpec pins both the
+    * fixture broadcast and the gate's refusal under a zero cap).
     *
     * `o_totalprice` is cast to DECIMAL(12,2) BEFORE summing: decimal
     * addition is exact and associative, so the sum is independent of
@@ -113,7 +117,7 @@ object PipelineOps {
     val nation   = Tables.nation(spark, dir)
     val region   = Tables.region(spark, dir)
     orders
-      .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+      .join(ScaleHints.broadcastIfBounded(customer), $"o_custkey" === $"c_custkey")
       .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")

@@ -371,12 +371,19 @@ object TextOps {
     * Plan shape, scale-first: term frequencies are ONE hash aggregate
     * over the exploded tokens (map-side partial); document frequencies
     * are a second aggregate over that already-distinct (doc, token)
-    * frame — vocabulary-sized, so it BROADCASTS into the scoring join
-    * (Zipf: vocab ≪ corpus; were the vocabulary web-scale, the same
-    * plan degrades gracefully to a shuffle join on the token key — both
-    * sides are pre-aggregated, never raw text). The corpus size N rides
-    * a broadcast single row. Ranking is `row_number` partitioned BY DOC
-    * — embarrassingly parallel, no global window anywhere.
+    * frame. The df side carries no FORCED hint — Heaps'-law vocabulary
+    * at a web-scale crawl is 10⁸+ distinct tokens (URLs, numerals,
+    * typos grow with n), which would blow past Spark's 8 GB broadcast
+    * cap — only the size-gated [[ScaleHints.broadcastIfBounded]]:
+    * Catalyst's estimate for the df aggregate scales with its corpus
+    * INPUT (no column stats), so at test scale the gate or AQE's
+    * runtime measurement broadcasts it (pinned in PlanShapeSpec on the
+    * post-execution plan), and at web scale the join is left bare and
+    * AQE degrades it to a shuffle join on the token key — both sides
+    * pre-aggregated, never raw text. The corpus size N rides a
+    * broadcast single row (bounded by construction: one row). Ranking
+    * is `row_number` partitioned BY DOC — embarrassingly parallel, no
+    * global window anywhere.
     *
     * Cross-engine determinism: scores are rounded to 6 decimals BEFORE
     * ranking — both engines rank the same rounded values with the same
@@ -397,7 +404,7 @@ object TextOps {
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = tf.select(countDistinct(col("doc_id")).as("n_docs"))
     val scored = tf
-      .join(broadcast(df), "token")
+      .join(ScaleHints.broadcastIfBounded(df), "token")
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("token"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
@@ -613,13 +620,19 @@ object TextOps {
     * vocabulary type, the q43-class acceptance; ln itself is relied on
     * bit-identical cross-engine by q42 already.)
     *
-    * Plan: one token-keyed aggregate builds the tf table (vocab-sized
-    * — bounded by language, not corpus), its total re-aggregates to
-    * one row, and the costed table BROADCASTS back into the exploded
-    * corpus scan — the per-doc aggregate then collapses map-side (a
-    * doc's tokens are partition-local), so the one exchange carries a
-    * row per doc. At 100 TB: identical, with the tf aggregate's
-    * shuffle being vocab-output-sized and the broadcast a few MB.
+    * Plan: one token-keyed aggregate builds the tf table, its total
+    * re-aggregates to one row (broadcast unconditionally — bounded by
+    * construction), and the costed table joins back into the exploded
+    * corpus scan under the size-gated
+    * [[ScaleHints.broadcastIfBounded]], NOT a forced hint: whitespace
+    * tokens over web text are open-vocabulary (URLs, numerals, typos
+    * grow with n), so the cost table grows with the corpus. At test
+    * scale the gate or AQE's runtime measurement broadcasts it (pinned
+    * in PlanShapeSpec post-execution); at web scale the join is left
+    * bare and AQE degrades to a shuffle join on the token key —
+    * vocab-sized rows on one side, never raw text on either. The
+    * per-doc aggregate then collapses map-side (a doc's tokens are
+    * partition-local), so that exchange carries a row per doc.
     */
   def q55TokenSurprisal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -631,7 +644,7 @@ object TextOps {
       .select($"token",
         floor(log($"n_total".cast("double") / $"tf".cast("double")) * 1e6)
           .cast("long").as("icost"))
-    tokens.join(broadcast(costed), "token")
+    tokens.join(ScaleHints.broadcastIfBounded(costed), "token")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum($"icost").as("surprisal_unats"))
       .orderBy($"doc_id")

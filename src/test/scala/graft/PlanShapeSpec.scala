@@ -86,6 +86,39 @@ class PlanShapeSpec extends SparkSuite {
       s"unexpected single-partition stage:\n$p")
   }
 
+  test("q11/q42/q55: scale-growing sides broadcast via the size gate or AQE — not a forced hint") {
+    // Rounds 7–9 forced broadcast() on customer (q11), the df table
+    // (q42), and the token-cost table (q55) — relations that GROW with
+    // the corpus, so the hint was a 100 TB OOM in waiting. The fix is
+    // ScaleHints.broadcastIfBounded: at fixture scale the gate (or
+    // AQE's runtime measurement) must still broadcast these sides —
+    // pin the FINAL adaptive plan, so the assertion holds under either
+    // mechanism; a regression to sort-merge on the fixture fails here.
+    Seq(
+      "q11" -> PipelineOps.q11JoinEnrich(spark, sf),
+      "q42" -> TextOps.q42TfidfTopTerms(spark, sf),
+      "q55" -> TextOps.q55TokenSurprisal(spark, sf)
+    ).foreach { case (name, df) =>
+      df.collect() // materialize so AQE's re-plan is the plan we pin
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"$name: expected broadcast join:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$name: fixture-sized side shuffled:\n$p")
+    }
+  }
+
+  test("broadcastIfBounded: hints under the cap, leaves the join bare above it") {
+    val customer = Tables.customer(spark, sf)
+    // above the cap: the frame is returned UNCHANGED — no hint node
+    // exists for AQE to obey, so the degradation path is real
+    assert(ScaleHints.broadcastIfBounded(customer, capBytes = 0L) eq customer,
+      "gate must return the frame unchanged when the estimate exceeds the cap")
+    // under the cap: a broadcast hint is planted in the logical plan
+    val hinted = ScaleHints.broadcastIfBounded(customer)
+    assert(hinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      s"gate did not hint a bounded relation:\n${hinted.queryExecution.analyzed}")
+  }
+
   test("q06 flagship: rank-limit pushes a partial WindowGroupLimit below the exchange") {
     val p = plan(ReferenceOps.q06SlidingTopN(spark, sf))
     assert(p.contains("WindowGroupLimit"), s"no rank-limit pushdown:\n$p")
