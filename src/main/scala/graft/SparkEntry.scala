@@ -81,6 +81,7 @@ object SparkEntry {
     "q57_dup_provenance"   -> ((s, d) => DedupOps.q57DupProvenance(s, d)),
     "q58_source_drift"     -> (TextOps.q58SourceDrift _),
     "q59_epoch_shuffle"    -> (PipelineOps.q59EpochShuffle _),
+    "q60_shuffled_pack"    -> ((s, d) => PipelineOps.q60ShuffledPack(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -326,5 +327,10 @@ object SparkEntry {
     // row_number (affordable at oracle scale); the engine's sharded
     // rank + offset reconstruction must equal it row for row.
     "q59_epoch_shuffle" -> PipelineOps.q59OracleSql(),
+
+    // Shuffled-order packing (q59 ∘ q51): the oracle is the global-sort
+    // formulation — one row_number + one running token sum over the
+    // hash order; the sharded reconstruction must match row for row.
+    "q60_shuffled_pack" -> PipelineOps.q60OracleSql(),
   )
 }

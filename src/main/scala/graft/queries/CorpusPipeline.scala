@@ -117,6 +117,22 @@ object CorpusPipeline {
       budget: Int = 512, shards: Int = 8): DataFrame =
     PipelineOps.seqPack(prepared, budget, shards)
 
+  /** Shuffled-order packing terminal (q60 core): concatenate the
+    * prepared corpus in the deterministic EPOCH-SHUFFLE order (q59's
+    * permutation) and cut fixed-budget sequences — the manifest the
+    * trainer actually consumes, where `global_pos`/`seq` are resume
+    * offsets into the training stream. [[pack]] remains the
+    * doc-id-ordered variant for layouts that shuffle at read time.
+    * Returns `(doc_id, shard, global_pos, n_tokens, seq, seq_off,
+    * crosses)`, unordered; a new `epoch` yields an independent,
+    * equally-deterministic order without touching the corpus. */
+  def packShuffled(
+      prepared: DataFrame,
+      budget: Int = 512,
+      epoch: Int = PipelineOps.ShuffleEpoch,
+      shards: Int = PipelineOps.ShuffleShards): DataFrame =
+    PipelineOps.shuffledSeqPack(prepared, epoch, shards, budget)
+
   /** Pipeline terminal: persist the prepared corpus as
     * LANG-PARTITIONED parquet — the layout downstream training reads
     * want (a per-language consumer prunes to its own partition

@@ -303,6 +303,113 @@ object PipelineOps {
         (col("offset") + col("rn") - 1).as("global_pos"))
   }
 
+  /** q60 — SHUFFLED-ORDER sequence packing: the composition of q59 and
+    * q51 that a real pipeline actually terminates with. q51 packs docs
+    * in `doc_id` order — deterministic, but not the order training
+    * consumes them; q59 produces the reproducible pseudo-random
+    * training order but packs nothing. The composed operator
+    * concatenates the corpus IN EPOCH-SHUFFLE ORDER and cuts
+    * fixed-`budget` token sequences, so the pack manifest IS the
+    * training order (resume offsets, ablation reruns, and cross-engine
+    * agreement all read off `global_pos`/`seq` directly).
+    *
+    * The scale shape composes too, with NO join between the two
+    * stages: the permutation hash h and the token count are computed
+    * in the SAME scan projection, and because q59's shards are
+    * contiguous RANGES of the hash order, a per-shard token prefix sum
+    * (window by shard, ordered by (h, doc_id)) plus broadcast
+    * per-shard token offsets reconstructs the GLOBAL concatenation
+    * offset exactly — the identical trick q59 plays for ranks, played
+    * twice in one window pass (rank + token prefix share one exchange
+    * and one sort). The only unpartitioned stage remains the
+    * ≤`shards`-row offset prefix sum; text never shuffles (the
+    * exchange carries `(doc_id, h, n_tokens)` — 24 bytes/doc).
+    *
+    * Output is all-integer `(doc_id, shard, global_pos, n_tokens, seq,
+    * seq_off, crosses)` with `seq` a GLOBAL sequence index (q51's is
+    * per-shard): sequence `s` holds exactly the docs whose global token
+    * interval intersects `[s·budget, (s+1)·budget)` in training order.
+    */
+  def q60ShuffledPack(
+      spark: SparkSession, dir: String,
+      budget: Int = 512): DataFrame =
+    shuffledSeqPack(
+      Tables.documents(spark, dir), ShuffleEpoch, ShuffleShards, budget)
+      .orderBy(col("doc_id"))
+
+  /** Frame-level core of [[q60ShuffledPack]] over any `(doc_id, text)`
+    * frame — [[CorpusPipeline.packShuffled]]'s terminal. Unordered
+    * output (the query contract adds the sort). */
+  private[graft] def shuffledSeqPack(
+      docs: DataFrame, epoch: Int, shards: Int, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0 && (shards & (shards - 1)) == 0 && shards <= (1 << 20),
+      s"shards must be a power of two in [1, 2^20], got $shards")
+    val shift = 60 - Integer.numberOfTrailingZeros(shards)
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit(s":$epoch"))), 1, 15),
+      16, 10).cast("long")
+    // one scan projection: permutation hash + token count together
+    val hashed = docs
+      .select(col("doc_id"),
+        size(TextOps.toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("h", h)
+      .withColumn("shard", shiftright(col("h"), shift))
+    // rank + token prefix share one shard-keyed exchange and one sort
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    val ranked = hashed
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("tok_prefix", sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // bounded offset relation: ≤`shards` rows, rank AND token offsets
+    val offsets = hashed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("toks"))
+      .withColumn("pos_off", coalesce(
+        sum(col("n")).over(Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tok_off", coalesce(
+        sum(col("toks")).over(Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("pos_off"), col("tok_off"))
+    ranked.join(broadcast(offsets), "shard")
+      .withColumn("global_pos", col("pos_off") + col("rn") - 1)
+      // `div`, not `/`: q51's exact-integer-division rule
+      .withColumn("start_off", col("tok_off") + col("tok_prefix") - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("global_pos"), col("n_tokens"),
+        expr(s"start_off div $budget").as("seq"),
+        pmod(col("start_off"), lit(budget)).as("seq_off"),
+        (pmod(col("start_off"), lit(budget)) + col("n_tokens") > budget)
+          .cast("int").as("crosses"))
+  }
+
+  /** Ground truth for [[q60ShuffledPack]] — like q59's oracle, the
+    * global-sort formulation IS the semantics (one `row_number` and one
+    * running token sum over the full hash order), affordable at oracle
+    * scale; the sharded reconstruction must equal it row for row. */
+  def q60OracleSql(
+      epoch: Int = ShuffleEpoch, shards: Int = ShuffleShards,
+      budget: Int = 512): String = {
+    val shift = 60 - Integer.numberOfTrailingZeros(shards)
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(doc_id::VARCHAR || ':$epoch'), 1, 15))::BIGINT AS h,
+       |         len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS n_tokens
+       |  FROM documents
+       |), o AS (
+       |  SELECT doc_id, h >> $shift AS shard, n_tokens,
+       |         CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS global_pos,
+       |         CAST(sum(n_tokens) OVER (ORDER BY h, doc_id) AS BIGINT) - n_tokens AS start_off
+       |  FROM h
+       |)
+       |SELECT doc_id, shard, global_pos, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       start_off // $budget AS seq,
+       |       start_off % $budget AS seq_off,
+       |       CASE WHEN start_off % $budget + n_tokens > $budget
+       |            THEN 1 ELSE 0 END AS crosses
+       |FROM o ORDER BY doc_id""".stripMargin
+  }
+
   /** Ground truth for [[q59EpochShuffle]]: the oracle CAN afford the
     * global-sort `row_number` (oracle scale), so it states the
     * semantics directly — the sharded reconstruction must equal it. */

@@ -256,4 +256,43 @@ class CorpusPipelineSpec extends SparkSuite {
       }
     }
   }
+
+  test("packShuffled terminal: the manifest IS the training order") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf)
+    CorpusPipeline.withPrepared(docs, CorpusPipeline.Config()) { prepared =>
+      val budget = 512
+      val packed = CorpusPipeline.packShuffled(prepared, budget).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getInt(6)))
+      val ids = prepared.select($"doc_id").collect().map(_.getLong(0)).toSet
+      // same coverage contract as the doc-id-ordered terminal: every
+      // surviving doc exactly once — composing the shuffle changes the
+      // ORDER, never the membership
+      assert(packed.length == ids.size && packed.map(_._1).toSet == ids,
+        "shuffled packing must assign every surviving doc exactly once")
+      // global_pos is a permutation of [0, n)
+      val byPos = packed.sortBy(_._2)
+      assert(byPos.map(_._2).toSeq == (0L until packed.length).toSeq)
+      // walked in global_pos order, the offsets are one gap-free token
+      // stream cut every `budget` tokens — so each sequence's docs are
+      // CONTIGUOUS in training order (the verdict property): a doc's
+      // slot starts exactly where its predecessor ended
+      var cum = 0L
+      byPos.foreach { case (id, _, n, seq, seqOff, crosses) =>
+        assert(seq == cum / budget && seqOff == cum % budget,
+          s"doc $id: expected global offset $cum, got seq=$seq off=$seqOff")
+        assert(crosses == (if (cum % budget + n > budget) 1 else 0))
+        cum += n
+      }
+      // contiguity stated directly: the docs of any one sequence occupy
+      // an unbroken global_pos interval
+      byPos.groupBy(_._4).foreach { case (seq, rows) =>
+        val ps = rows.map(_._2)
+        assert(ps.max - ps.min + 1 == ps.length,
+          s"sequence $seq holds non-contiguous positions ${ps.toSeq.sorted}")
+      }
+    }
+  }
 }

@@ -207,4 +207,42 @@ class PipelineOpsSpec extends SparkSuite {
     assert(e2.values.toSeq.sorted == (0L until ids.length).toSeq)
     assert(ids.exists(id => e2(id) != got(id)._2), "epoch salt had no effect")
   }
+
+  test("q60 shuffled packing == in-memory concat-in-hash-order reference") {
+    def md5h(id: Long, epoch: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$epoch".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    val budget = 512
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tokens(r.getString(1)).length.toLong)
+    // the semantics, stated imperatively: sort by (h, id), concatenate,
+    // cut every `budget` tokens
+    var off = 0L
+    val expected = docs
+      .map { case (id, n) => (id, md5h(id, PipelineOps.ShuffleEpoch), n) }
+      .sortBy { case (id, h, _) => (h, id) }
+      .zipWithIndex
+      .map { case ((id, h, n), pos) =>
+        val start = off; off += n
+        id -> ((h >> 55, pos.toLong, n, start / budget, start % budget,
+          if (start % budget + n > budget) 1 else 0))
+      }.toMap
+    val got = PipelineOps.q60ShuffledPack(spark, sf).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val (shard, pos, n, seq, seqOff, crosses) = expected(r.getLong(0))
+      assert(r.getLong(1) == shard && r.getLong(2) == pos &&
+        r.getLong(3) == n && r.getLong(4) == seq &&
+        r.getLong(5) == seqOff && r.getInt(6) == crosses,
+        s"mismatch for doc ${r.getLong(0)}: got $r expected " +
+          s"($shard, $pos, $n, $seq, $seqOff, $crosses)")
+    }
+    // every doc's slot is consistent with a gap-free global token stream:
+    // positions are a permutation and offsets are the running sum
+    assert(got.map(_.getLong(2)).sorted.toSeq == (0L until docs.length).toSeq)
+  }
 }

@@ -86,6 +86,23 @@ class PlanShapeSpec extends SparkSuite {
       s"unexpected single-partition stage:\n$p")
   }
 
+  test("q60: shuffled packing keeps q59's shape — shard-parallel, no second window pass") {
+    val p = plan(PipelineOps.q60ShuffledPack(spark, sf))
+    // rank AND token prefix share ONE shard-keyed window exchange; the
+    // only single-partition stage is the ≤ ShuffleShards-row offset
+    // relation, and the offsets come back by broadcast
+    assert(p.contains("Exchange hashpartitioning(shard"),
+      s"pack window not shard-keyed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) == 1,
+      s"unexpected single-partition stage:\n$p")
+    // text is consumed scan-side (token count) — it never crosses any
+    // exchange: everything above the shard exchange must be text-free
+    val aboveExchange = p.substring(0, p.indexOf("Exchange hashpartitioning(shard"))
+    assert(!aboveExchange.contains("text#"),
+      s"text column crossed the exchange:\n$p")
+  }
+
   test("q11/q42/q55: scale-growing sides broadcast via the size gate or AQE — not a forced hint") {
     // Rounds 7–9 forced broadcast() on customer (q11), the df table
     // (q42), and the token-cost table (q55) — relations that GROW with
