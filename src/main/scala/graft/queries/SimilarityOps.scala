@@ -231,6 +231,52 @@ object SimilarityOps {
       .mode("overwrite")
       .parquet(path)
 
+  /** The missing half of a SERVABLE index: the inverted file alone
+    * cannot answer a query after a restart — computing a probe's cells
+    * needs the coarse quantizer (the centroids) that built it. So the
+    * full train→build loop persists BOTH: [[writeIvfIndex]]'s
+    * cell-partitioned vectors plus the centroids under
+    * `path/_quantizer` (the underscore prefix keeps the directory
+    * invisible to `spark.read.parquet(path)`'s listing — Hadoop hides
+    * `_`/`.` paths — so index reads never mix in quantizer rows). A
+    * k×Dim table of doubles: trivially small, but load-bearing — index
+    * and quantizer travel as ONE artifact and cannot drift apart.
+    * Returns the trained centroids for the caller who serves warm. */
+  def trainAndWriteIvf(
+      emb: DataFrame,
+      path: String,
+      k: Int = NumCells,
+      iters: Int = 5): Seq[Seq[Double]] = {
+    val centroids = trainCentroids(emb, k, iters)
+    writeIvfIndex(emb, centroids, path)
+    writeQuantizer(emb.sparkSession, centroids, path)
+    centroids
+  }
+
+  /** Persist `centroids` as `path/_quantizer` parquet
+    * (`(cell, centroid)` rows). Split out of [[trainAndWriteIvf]] so
+    * an index built from FIXED centroids can be made servable too. */
+  def writeQuantizer(
+      spark: SparkSession, centroids: Seq[Seq[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1) // k×Dim doubles — one tiny file
+      .write.mode("overwrite").parquet(s"$path/_quantizer")
+  }
+
+  /** Reload the coarse quantizer persisted by [[writeQuantizer]] —
+    * the cold-start half of serving: after this, [[ivfSearchIndex]]
+    * needs nothing but the path. Collect is k×Dim doubles (the same
+    * bound as the trainer's driver traffic). */
+  def readQuantizer(spark: SparkSession, path: String): Seq[Seq[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/_quantizer")
+      .select($"cell", $"centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).map(_._2).toSeq
+  }
+
   /** A probe's `numProbedCells` best cells, computed DRIVER-side — k
     * dot products over one vector, the coarse-quantizer lookup every
     * IVF serving path runs before touching storage. Same arithmetic as

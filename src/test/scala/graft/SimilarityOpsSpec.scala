@@ -300,6 +300,77 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(q50 == q28)
   }
 
+  test("IVF cold-start serving: train→persist→reload quantizer→search, recall pinned") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("ivf-cold").toString
+    // the ONE-artifact build: inverted file + quantizer persisted together
+    val trained = SimilarityOps.trainAndWriteIvf(emb, path, iters = 3)
+
+    // cold start: everything below reads ONLY the path — no in-memory
+    // centroids survive a restart, so serving must reload the quantizer
+    val reloaded = SimilarityOps.readQuantizer(spark, path)
+    assert(reloaded == trained,
+      "quantizer round-trip must be bit-exact (doubles, no re-derivation)")
+    // the _quantizer directory is invisible to the index read: plain
+    // parquet listing of the path sees only vector rows
+    val idxCols = spark.read.parquet(path).columns.toSet
+    assert(idxCols == Set("vec_id", "label", "embedding", "cell"),
+      s"index read mixed in quantizer rows: $idxCols")
+
+    val nProbes = 10
+    val probes = emb.filter($"vec_id" < nProbes)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq
+    val served = SimilarityOps
+      .ivfSearchIndex(spark, path, probes, reloaded).collect()
+
+    // serving equals the in-plan trained search row for row …
+    val inPlan = SimilarityOps
+      .ivfTopK(emb, trained, numProbes = nProbes).collect()
+    assert(served.toSeq == inPlan.toSeq)
+
+    // … and clears the brute-force recall floor the trainer is for
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val k = 10
+    val exact = (0L until nProbes.toLong).map { p =>
+      p -> vecs.toSeq.map { case (id, v) => (id, cos(vecs(p), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+    }.toMap
+    val byProbe = served.groupBy(_.getLong(0))
+    val recall = byProbe.map { case (p, rs) =>
+      rs.map(_.getLong(1)).count(exact(p)).toDouble / k
+    }.sum / byProbe.size
+    info(f"cold-start trained recall@10 vs brute force: $recall%.3f")
+    assert(recall >= 0.5, s"cold-start recall too low: $recall")
+
+    // cell-balance datapoint (trained vs fixed): training must not
+    // collapse the index into few hot cells — pin that the heaviest
+    // trained cell stays under half the table, and surface both
+    // distributions for NOTES
+    val fixed = (0 until SimilarityOps.NumCells).map(c =>
+      (0 until SimilarityOps.Dim).map(SimilarityOps.centroidComponent(c, _)))
+    def cellSizes(cs: Seq[Seq[Double]]): Map[Int, Long] =
+      SimilarityOps.assignCells(emb, cs)
+        .groupBy("cell").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = vecs.size
+    val trainedSizes = cellSizes(trained)
+    val fixedSizes = cellSizes(fixed)
+    info(s"cell sizes trained=${trainedSizes.toSeq.sorted} fixed=${fixedSizes.toSeq.sorted}")
+    assert(trainedSizes.values.max < n / 2,
+      s"trained index collapsed into one cell: $trainedSizes")
+  }
+
   test("q54 SQ8: code bounds, constant-dim guard, reconstruction error bound") {
     import spark.implicits._
     // handmade vectors incl. a CONSTANT dimension (index 2): guard must
