@@ -82,6 +82,7 @@ object SparkEntry {
     "q58_source_drift"     -> (TextOps.q58SourceDrift _),
     "q59_epoch_shuffle"    -> (PipelineOps.q59EpochShuffle _),
     "q60_shuffled_pack"    -> ((s, d) => PipelineOps.q60ShuffledPack(s, d)),
+    "q61_sq8_indexed"      -> ((s, d) => SimilarityOps.q61Sq8Indexed(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -332,5 +333,11 @@ object SparkEntry {
     // formulation — one row_number + one running token sum over the
     // hash order; the sharded reconstruction must match row for row.
     "q60_shuffled_pack" -> PipelineOps.q60OracleSql(),
+
+    // The persisted-SQ8 search must return row-for-row what the
+    // in-plan q54 returns (same quantizer through an exact byte/float
+    // round-trip) — so its oracle IS q54's oracle; the physical
+    // difference (1-byte codes, no float column) is pinned in the spec.
+    "q61_sq8_indexed" -> SimilarityOps.q54OracleSql(),
   )
 }

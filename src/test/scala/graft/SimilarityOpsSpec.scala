@@ -371,6 +371,59 @@ class SimilarityOpsSpec extends SparkSuite {
       s"trained index collapsed into one cell: $trainedSizes")
   }
 
+  test("q61 persisted SQ8: serves q54's rows from 1-byte codes — floats never stored") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    val emb = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("sq8-index").toString
+    SimilarityOps.writeSq8Index(emb, path)
+
+    // the stored representation: 1-byte codes, and NO float embedding
+    // column exists in the table at all
+    val idx = spark.read.parquet(path)
+    assert(idx.columns.toSet == Set("vec_id", "label", "codes"),
+      s"unexpected index schema: ${idx.columns.toSeq}")
+    assert(idx.schema("codes").dataType == ArrayType(ByteType),
+      s"codes not 1-byte: ${idx.schema("codes").dataType}")
+    assert(idx.count() == emb.count())
+
+    // serving from the codes is row-identical to the in-plan q54 —
+    // quantizer, byte shift, and float stats all round-trip exactly
+    val served = SimilarityOps.sq8SearchIndex(spark, path).collect().toSeq
+    val inPlan = SimilarityOps.q54Sq8TopK(spark, sf).collect().toSeq
+    assert(served == inPlan, s"served:\n$served\nin-plan:\n$inPlan")
+
+    // the serving scan READS codes, never a float vector: every scan
+    // of the codes table is embedding-free (the 2×Dim-float quantizer
+    // sidecar scan is the one legitimate float read)
+    val p = SimilarityOps.sq8SearchIndex(spark, path)
+      .queryExecution.executedPlan.toString
+    val codeScans = p.linesIterator
+      .filter(l => l.contains("ReadSchema") && !l.contains("_quantizer")).toList
+    assert(codeScans.nonEmpty, s"no codes-table scan found:\n$p")
+    codeScans.foreach { l =>
+      assert(l.contains("codes") && !l.contains("embedding"),
+        s"serving scan reads floats:\n$l")
+    }
+
+    // and the IO claim is real on disk: the codes table (data files,
+    // quantizer excluded) is a fraction of the float table's footprint
+    def bytesUnder(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().filterNot(_.getName.startsWith("_"))
+        .map(bytesUnder).sum
+      else if (f.getName.endsWith(".parquet") || f.getName.startsWith("part-"))
+        f.length else 0L
+    val codesBytes = bytesUnder(new java.io.File(path))
+    val floatBytes = bytesUnder(new java.io.File(s"$sf/embeddings.parquet"))
+    info(f"on-disk: codes $codesBytes B vs floats $floatBytes B " +
+      f"(${codesBytes.toDouble / floatBytes}%.2fx)")
+    assert(codesBytes < floatBytes / 2,
+      s"codes table not smaller: $codesBytes vs $floatBytes bytes")
+
+    // q61 (the temp-dir composition) equals q54 too
+    assert(SimilarityOps.q61Sq8Indexed(spark, sf).collect().toSeq == inPlan)
+  }
+
   test("q54 SQ8: code bounds, constant-dim guard, reconstruction error bound") {
     import spark.implicits._
     // handmade vectors incl. a CONSTANT dimension (index 2): guard must
