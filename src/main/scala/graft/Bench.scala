@@ -98,7 +98,10 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c    => c.toString
       }
-    def f3(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: f"$d%.3f" uses the JVM default locale — a
+    // comma-decimal locale would corrupt the JSON metric line
+    def f3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.map { r =>
       r.err match {
         case None    => s""""${r.name}":${f3(r.median)}"""

@@ -29,6 +29,13 @@ import java.nio.file.{Files, Paths}
   */
 object StreamBench {
 
+  /** Locale-independent fixed-point format: the emitted line is JSON,
+    * and `f"$d%.1f"` renders with the JVM default locale — on a
+    * comma-decimal locale (de_DE, fr_FR, …) the metric line would stop
+    * being valid JSON. */
+  private def f1(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+
   /** Event-time compression: how many tweets share one simulated second.
     * 500 tweets/s over the default 400k tweets spans ~800 s of event
     * time → ~13 finalized 60 s slides of 300 s windows. */
@@ -97,7 +104,6 @@ object StreamBench {
     val flagged = spark.table("nd_bench")
       .select("doc_id").distinct().count()
     q.stop()
-    def f1(d: Double): String = f"$d%.1f"
     val line =
       s"""{"metric":"stream_neardup_docs_per_sec","value":${f1(nDocs / wall)},"unit":"rows/sec","n_docs":$nDocs,"wall_sec":${f1(wall)},"micro_batches":$batches,"flagged_docs":$flagged}"""
     Files.createDirectories(Paths.get("target"))
@@ -182,7 +188,6 @@ object StreamBench {
     val compactWall = (System.nanoTime() - t1) / 1e9
     val baseRows = spark.read.parquet(s"$outDir/base").count()
     val packRows = spark.read.parquet(s"$outDir/pack").count()
-    def f1(d: Double): String = f"$d%.1f"
     val line =
       s"""{"metric":"stream_corpus_docs_per_sec","value":${f1(nDocs / ingestWall)},"unit":"rows/sec","n_docs":$nDocs,"ingest_wall_sec":${f1(ingestWall)},"micro_batches":$batches,"kept_delta":$keptDelta,"compact_sec":${f1(compactWall)},"compact_removed":$removed,"base_rows":$baseRows,"pack_rows":$packRows}"""
     Files.createDirectories(Paths.get("target"))
@@ -284,7 +289,6 @@ object StreamBench {
 
     val kv = sink.snapshot
     sink.dispose()
-    def f1(d: Double): String = f"$d%.1f"
     val line =
       s"""{"metric":"stream_topn_tweets_per_sec","value":${f1(nTweets / wall)},"unit":"rows/sec","n_tweets":$nTweets,"wall_sec":${f1(wall)},"micro_batches":$batches,"kv_entries":${kv.size},"state_backend":"${if (rocksDb) "rocksdb" else "hdfs-heap"}"}"""
     Files.createDirectories(Paths.get("target"))

@@ -207,12 +207,20 @@ object CorpusPipeline {
     // the flagged-id side is bounded by contamination (rare by
     // construction) and must be BROADCAST: without the hint the static
     // planner sizes the aggregate at its exploded-gram child and picks
-    // a sort-merge anti join — a full-corpus shuffle, text and all
-    val gated = evalDocs.fold(narrowGated) { ev =>
-      narrowGated.join(
-        broadcast(PipelineOps.decontamReport(narrowGated, ev)
+    // a sort-merge anti join — a full-corpus shuffle, text and all.
+    // narrowGated is a diamond here (the anti-join's left side AND the
+    // gram probe inside the report) — persist it so the exact-dedup
+    // window (and the optional passage rewrite, which shuffles text)
+    // runs once, not once per branch; released with the other handles
+    val (gated, gateHandles) = evalDocs.fold(
+      (narrowGated, Seq.empty[DataFrame])) { ev =>
+      val shared = narrowGated
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (shared.join(
+        broadcast(PipelineOps.decontamReport(shared, ev)
           .select(col("doc_id"))),
-        Seq("doc_id"), "left_anti")
+        Seq("doc_id"), "left_anti"),
+        Seq(shared))
     }
 
     // 3. near-dup removal: pairwise-greedy or cluster keep-min (see
@@ -243,7 +251,7 @@ object CorpusPipeline {
     val balanced = neardupFree
       .filter(RelationalOps.stratifiedKeep(cfg.stratRates, cfg.defaultPerMille))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val handles = dedupHandles2 :+ balanced
+    val handles = (dedupHandles2 ++ gateHandles) :+ balanced
 
     // 5. keyword tagging over the FINAL corpus; rank order preserved in
     // the array via sort_array over (rank, token) structs

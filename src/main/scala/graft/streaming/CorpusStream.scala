@@ -196,43 +196,43 @@ object CorpusStream {
     * possible, the manifest is always re-derivable.
     *
     * Returns the number of rows removed (tombstoned + batch-deduped).
-    * The swap is rename-based (base → base.old → base.next → base): a
-    * crash between renames leaves old or new intact under a
-    * recoverable name, never a half-deleted store. */
+    *
+    * Crash-consistency: the swap is rename-based (base → base.old →
+    * base.next → base), so a crash never half-deletes a store — but a
+    * crash CAN land between renames ("no base/, complete base.next/")
+    * or between the base and pack swaps ("pack/ describes the previous
+    * base"). Both states are now DETECTED and repaired mechanically:
+    * every sealed directory carries a `_GENERATION` marker (written
+    * LAST, so its presence proves the directory complete;
+    * underscore-hidden from parquet listings), [[recover]] — run at
+    * the start of every compact, callable standalone after a crash —
+    * finishes an interrupted swap from the markers, and
+    * [[packManifest]] refuses to serve a manifest whose generation
+    * does not match the base it claims to describe. */
   def compact(
       spark: SparkSession,
       outDir: String,
       checkpointDir: String,
       cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
       packBudget: Option[Int] = None): Long = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Paths
+    recover(outDir, checkpointDir) // finish any interrupted predecessor
+    val gen = generation(outDir, "base").getOrElse(0L) + 1
     val before = staged(spark, outDir).count()
     val folded = keptCorpus(spark, outDir)
     CorpusPipeline.withPrepared(folded, cfg) { prepared =>
       CorpusPipeline.write(prepared.drop("keywords"), s"$outDir/base.next")
     }
     val after = spark.read.parquet(s"$outDir/base.next").count()
+    writeGeneration(s"$outDir/base.next", gen) // marker last: dir complete
     packBudget.foreach { b =>
       CorpusPipeline.pack(spark.read.parquet(s"$outDir/base.next"), b)
         .repartition(col("shard")).sortWithinPartitions(col("shard"), col("seq"))
         .write.mode("overwrite").parquet(s"$outDir/pack.next")
+      writeGeneration(s"$outDir/pack.next", gen)
     }
-    def rmTree(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        try s.forEach(rmTree(_)) finally s.close()
-      }
-      Files.deleteIfExists(p)
-    }
-    def swap(name: String): Unit = {
-      val cur = Paths.get(outDir, name)
-      val old = Paths.get(outDir, s"$name.old")
-      if (Files.exists(cur)) Files.move(cur, old)
-      Files.move(Paths.get(outDir, s"$name.next"), cur)
-      rmTree(old)
-    }
-    swap("base")
-    if (packBudget.isDefined) swap("pack")
+    swap(outDir, "base")
+    if (packBudget.isDefined) swap(outDir, "pack")
     else {
       // a pack manifest from an EARLIER generation would silently
       // describe the old base — remove it rather than leave it stale
@@ -244,5 +244,98 @@ object CorpusStream {
     rmTree(Paths.get(checkpointDir, "docs"))
     rmTree(Paths.get(checkpointDir, "flags"))
     before - after
+  }
+
+  /** Generation id of a sealed directory (`base`/`pack`/`base.next`/
+    * `pack.next` under `outDir`): the value of its `_GENERATION`
+    * marker; None if directory or marker is absent (an absent marker
+    * on a `.next` means the write never finished — the directory is
+    * garbage, not a generation). */
+  def generation(outDir: String, name: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(outDir, name, "_GENERATION")
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
+    else None
+  }
+
+  private def writeGeneration(dir: String, gen: Long): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_GENERATION"),
+      gen.toString.getBytes("UTF-8"))
+
+  /** The pack manifest, VERIFIED against the base it claims to
+    * describe: refuses to serve when the generations differ (the
+    * "crash between the base and pack swaps" window, or a manifest
+    * orphaned by a pack-less compact racing an external writer). The
+    * manifest is a pure function of base, so the repair is stated in
+    * the error: re-run [[compact]] with `packBudget`, or re-derive
+    * `pack/` from `base/` directly. */
+  def packManifest(spark: SparkSession, outDir: String): DataFrame = {
+    val baseGen = generation(outDir, "base")
+    val packGen = generation(outDir, "pack")
+    require(packGen.isDefined && packGen == baseGen,
+      s"pack/ generation $packGen does not describe base/ generation " +
+        s"$baseGen at $outDir — the manifest is stale (crash between " +
+        "swaps?); re-run compact(packBudget=...) or re-derive pack/ " +
+        "from base/ (CorpusPipeline.pack is deterministic)")
+    spark.read.parquet(s"$outDir/pack")
+  }
+
+  /** Finish an interrupted [[compact]] swap — idempotent, run
+    * automatically at the start of every compact and callable
+    * standalone after a crash. The `_GENERATION` markers make every
+    * window unambiguous:
+    *
+    *   - `base/` missing but `base.next/` carries a marker (crash
+    *     between the two renames): promote `base.next` → `base` — the
+    *     marker proves the write completed — then clear the retired
+    *     generation's delta/flags/checkpoints (the cleanup the crashed
+    *     compact never reached).
+    *   - `base.old/` left behind (crash before its removal): delete it.
+    *   - `pack.next/` carrying the CURRENT base's generation (crash
+    *     between the base and pack swaps): promote it; any `pack/` or
+    *     `pack.next/` whose generation differs from base's is stale —
+    *     delete it (readers would otherwise consume a manifest of a
+    *     base that no longer exists; [[packManifest]] refuses anyway).
+    *
+    * A marker-less `base.next/` is an unfinished WRITE, not an
+    * unfinished swap — left in place for the next compact's
+    * `mode("overwrite")` to replace. */
+  def recover(outDir: String, checkpointDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(outDir, "base")
+    if (!Files.exists(base) && generation(outDir, "base.next").isDefined) {
+      Files.move(Paths.get(outDir, "base.next"), base)
+      rmTree(Paths.get(outDir, "docs"))
+      rmTree(Paths.get(outDir, "flags"))
+      rmTree(Paths.get(checkpointDir, "docs"))
+      rmTree(Paths.get(checkpointDir, "flags"))
+    }
+    rmTree(Paths.get(outDir, "base.old"))
+    rmTree(Paths.get(outDir, "pack.old"))
+    val baseGen = generation(outDir, "base")
+    if (baseGen.isDefined && generation(outDir, "pack.next") == baseGen)
+      swap(outDir, "pack")
+    Seq("pack", "pack.next").foreach { name =>
+      val gen = generation(outDir, name)
+      if (gen.isDefined && gen != baseGen) rmTree(Paths.get(outDir, name))
+    }
+  }
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.forEach(rmTree(_)) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
+  private def swap(outDir: String, name: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val cur = Paths.get(outDir, name)
+    val old = Paths.get(outDir, s"$name.old")
+    if (Files.exists(cur)) Files.move(cur, old)
+    Files.move(Paths.get(outDir, s"$name.next"), cur)
+    rmTree(old)
   }
 }

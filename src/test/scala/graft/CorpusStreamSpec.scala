@@ -151,6 +151,8 @@ class CorpusStreamSpec extends SparkSuite {
     assert(!new java.io.File(root, "flags").exists, "tombstones not dropped")
     assert(!new java.io.File(ckDir, "docs").exists &&
       !new java.io.File(ckDir, "flags").exists, "generation checkpoints kept")
+    assert(CorpusStream.generation(outDir, "base") == Some(1L),
+      "first compact must seal generation 1")
     // base carries the CorpusPipeline.write layout
     val baseLangs = new java.io.File(root, "base").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang=")).toSet
@@ -174,9 +176,14 @@ class CorpusStreamSpec extends SparkSuite {
       CorpusStream.compact(spark, outDir, ckDir, cfg, packBudget = Some(16))
     assert(removed2 == 1, s"expected doc 31 removed by batch dedup, got $removed2")
     assert(kept() == Set(1L, 4L, 7L, 30L), s"final corpus: ${kept()}")
-    // pack manifest: present, covers the sealed base exactly once, and
-    // its offsets are the per-shard prefix sums of its token counts
-    val pack = spark.read.parquet(s"$outDir/pack").collect()
+    // pack manifest: same generation as the base it describes, present,
+    // covers the sealed base exactly once, and its offsets are the
+    // per-shard prefix sums of its token counts (read through the
+    // VERIFYING reader — it must serve when generations match)
+    assert(CorpusStream.generation(outDir, "base") == Some(2L) &&
+      CorpusStream.generation(outDir, "pack") == Some(2L),
+      "base and pack must carry the same generation marker")
+    val pack = CorpusStream.packManifest(spark, outDir).collect()
     assert(pack.map(_.getLong(0)).toSet == Set(1L, 4L, 7L, 30L) &&
       pack.length == 4, s"manifest rows: ${pack.toSeq}")
     pack.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
@@ -195,6 +202,74 @@ class CorpusStreamSpec extends SparkSuite {
     assert(!new java.io.File(root, "pack").exists,
       "stale pack manifest left beside a newer base")
     assert(kept() == Set(1L, 4L, 7L, 30L))
+    assert(CorpusStream.generation(outDir, "base") == Some(3L))
+    // without a pack, the verifying reader must refuse, naming the repair
+    val e = intercept[IllegalArgumentException](
+      CorpusStream.packManifest(spark, outDir))
+    assert(e.getMessage.contains("re-run compact"), e.getMessage)
+  }
+
+  test("compact crash windows: recover() repairs them from the generation markers") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("corpus-crash-out").toString
+    val ckDir = Files.createTempDirectory("corpus-crash-ck").toString
+    // a plain (non-streaming) delta is enough: staged() reads any
+    // parquet under docs/, and the crash machinery is pure filesystem
+    Seq(
+      (1L, "en", "web", "the first document with comfortably many tokens inside"),
+      (2L, "en", "web", "a second entirely different document of ample length"),
+      (3L, "de", "web", "ein drittes deutsches dokument mit genug vielen woertern"))
+      .toDF("doc_id", "lang", "source", "text")
+      .write.parquet(s"$outDir/docs")
+    assert(CorpusStream.compact(spark, outDir, ckDir, cfg,
+      packBudget = Some(16)) == 0)
+    def kept(): Set[Long] = CorpusStream.keptCorpus(spark, outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept() == Set(1L, 2L, 3L) &&
+      CorpusStream.generation(outDir, "base") == Some(1L))
+
+    // --- window A: crash between move(base, base.old) and
+    // move(base.next, base) — no base/, a COMPLETE base.next/ (marker
+    // present), and the retired delta still on disk
+    Files.move(Paths.get(outDir, "base"), Paths.get(outDir, "base.next"))
+    Seq((99L, "en", "web", "stale delta row already folded into the next base"))
+      .toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$outDir/docs")
+    CorpusStream.recover(outDir, ckDir)
+    assert(kept() == Set(1L, 2L, 3L),
+      "recover must promote the complete base.next and drop the folded delta")
+    assert(CorpusStream.generation(outDir, "base") == Some(1L) &&
+      !new java.io.File(outDir, "base.next").exists &&
+      !new java.io.File(outDir, "docs").exists)
+    // pack (gen 1) still matches the recovered base (gen 1): served
+    assert(CorpusStream.packManifest(spark, outDir).count() == 3)
+
+    // --- window B: crash between the base and pack swaps — base is
+    // already generation 2, pack/ still describes generation 1, the
+    // complete pack.next/ carries 2
+    Files.write(Paths.get(outDir, "base", "_GENERATION"), "2".getBytes("UTF-8"))
+    val packDir = new java.io.File(outDir, "pack")
+    val nextDir = new java.io.File(outDir, "pack.next")
+    Files.walk(packDir.toPath).forEach { p =>
+      val q = nextDir.toPath.resolve(packDir.toPath.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(q)
+      else Files.copy(p, q)
+    }
+    Files.write(nextDir.toPath.resolve("_GENERATION"), "2".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](
+      CorpusStream.packManifest(spark, outDir)) // reader refuses pre-repair
+    assert(e.getMessage.contains("generation"), e.getMessage)
+    CorpusStream.recover(outDir, ckDir)
+    assert(CorpusStream.generation(outDir, "pack") == Some(2L) &&
+      !nextDir.exists, "recover must promote the matching pack.next")
+    assert(CorpusStream.packManifest(spark, outDir).count() == 3)
+
+    // --- window C: stale pack with NO repair candidate — recover
+    // deletes it rather than leave a manifest of a vanished base
+    Files.write(Paths.get(outDir, "base", "_GENERATION"), "3".getBytes("UTF-8"))
+    CorpusStream.recover(outDir, ckDir)
+    assert(!packDir.exists, "stale pack must be removed")
   }
 
   test("empty docs are neither screened nor stored (batch q15 omission contract)") {
