@@ -83,6 +83,9 @@ object SparkEntry {
     "q59_epoch_shuffle"    -> (PipelineOps.q59EpochShuffle _),
     "q60_shuffled_pack"    -> ((s, d) => PipelineOps.q60ShuffledPack(s, d)),
     "q61_sq8_indexed"      -> ((s, d) => SimilarityOps.q61Sq8Indexed(s, d)),
+    "q62_delta_dedup"      -> (DedupOps.q62DeltaDedup _),
+    "q63_range_join"       -> (RelationalOps.q63RangeJoin _),
+    "q64_mixture_balance"  -> (PipelineOps.q64MixtureBalance _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -339,5 +342,19 @@ object SparkEntry {
     // round-trip) — so its oracle IS q54's oracle; the physical
     // difference (1-byte codes, no float column) is pinned in the spec.
     "q61_sq8_indexed" -> SimilarityOps.q54OracleSql(),
+
+    // Incremental dedup: the oracle computes exact delta×base Jaccard
+    // over the same deterministic split — the banded screen matches it
+    // at the fixture margin (q13's recall-1 argument).
+    "q62_delta_dedup" -> DedupOps.q62OracleSql,
+
+    // Range join: the oracle states the semantics as the bare theta
+    // join (DuckDB IEJoin); the engine's bucketed equi-join + residual
+    // must agree row for row.
+    "q63_range_join" -> RelationalOps.q63OracleSql,
+
+    // Mixture rebalance: derived per-source keep rates, exact integer
+    // arithmetic both sides (hugeint/decimal intermediates, BIGINT out).
+    "q64_mixture_balance" -> PipelineOps.q64OracleSql,
   )
 }

@@ -512,4 +512,102 @@ object PipelineOps {
        |FROM corpus c JOIN ev e ON c.g = e.g
        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q64
+
+  /** Target mixture WEIGHTS per source for [[q64MixtureBalance]] —
+    * integers (shares are `w / Σw`) so both engines derive rates from
+    * the same constants with no float in between. Unlisted sources get
+    * [[DefaultMixWeight]]. The shape models mixture COMPOSITION: a few
+    * premium sources upweighted over a long uniform tail. */
+  val MixWeights: Seq[(String, Int)] =
+    Seq("src0" -> 6, "src1" -> 4, "src2" -> 4, "src3" -> 2)
+  val DefaultMixWeight = 1
+
+  /** q64 — mixture REBALANCE with DERIVED keep rates: q41's stratified
+    * sampler with the per-stratum rates computed FROM the corpus
+    * instead of fixed. Given target weights `w_s` (share `w_s / W`),
+    * the largest corpus achievable without upsampling is
+    * `T = min_s floor(n_s · W / w_s)` (the scarcest source relative to
+    * its target binds), from which each source's keep rate in per-mille
+    * is `rate_s = floor(T · w_s · 1000 / (W · n_s))` — the premium
+    * sources keep everything, the tail downsamples to proportion. This
+    * is the "data mixture" step a training pipeline runs when composing
+    * a corpus from crawls of very different sizes.
+    *
+    * Exactness: every quantity is integer end to end — counts, weight
+    * sums, and truncating integer division (`div` here, `//` in the
+    * oracle; all operands positive, so truncation = floor). Intermediate
+    * products are bounded by `T · w · 1000 ≤ n_max · W · 1000` —
+    * long-safe past 10¹⁴ docs, and ANSI mode throws rather than wraps
+    * beyond that.
+    *
+    * Plan shape for 100 TB: ONE pass over the corpus builds the
+    * (source, hash-bucket) histogram — a map-side-combined aggregate to
+    * ≤ |sources| × 1000 rows — and EVERYTHING else (totals, `W`, `T`,
+    * rates, kept counts) is arithmetic on that bounded relation; the
+    * corpus is never scanned again, nothing reaches the driver. The
+    * single-partition windows run over the already-aggregated
+    * alphabet-sized frame (the q08 discipline). The kept count per
+    * source equals exactly what filtering the corpus on
+    * `hash(text) mod 1000 < rate_s` would keep, because the histogram
+    * is keyed on that very hash — the filter predicate any downstream
+    * stage can apply independently (q41's `stratifiedKeep` machinery).
+    */
+  def q64MixtureBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byBucket = Tables.documents(spark, dir)
+      .groupBy($"source",
+        RelationalOps.contentHashMod(RelationalOps.PerMille).as("hb"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wExpr = MixWeights.reverse.foldLeft(lit(DefaultMixWeight)) {
+      case (acc, (s, w)) => when($"source" === s, lit(w)).otherwise(acc)
+    }
+    val all = Window.partitionBy(lit(1))
+    val rates = byBucket
+      .groupBy($"source").agg(sum($"cnt").as("n_total"))
+      .withColumn("w", wExpr.cast("long"))
+      .withColumn("w_sum", sum($"w").over(all))
+      .withColumn("t_max", min(expr("n_total * w_sum div w")).over(all))
+      .withColumn("rate_pm", least(lit(1000L),
+        expr("t_max * w * 1000 div (w_sum * n_total)")))
+    rates.join(byBucket, Seq("source"))
+      .groupBy($"source", $"n_total", $"rate_pm")
+      .agg(sum(when($"hb" < $"rate_pm", $"cnt").otherwise(lit(0L))).as("n_kept"))
+      .select($"source", $"n_total", $"rate_pm", $"n_kept")
+      .orderBy($"source")
+  }
+
+  /** Oracle: the same histogram → W/T → rates → kept-count arithmetic
+    * in DuckDB, generated from the same weight constants; HUGEINT
+    * intermediates cast back to BIGINT at every output column. */
+  def q64OracleSql: String = {
+    val cases = MixWeights
+      .map { case (s, w) => s"WHEN source = '$s' THEN $w" }.mkString(" ")
+    val hashPm = RelationalOps.contentHashModSql(RelationalOps.PerMille)
+    s"""WITH c AS (
+       |  SELECT source, $hashPm AS hb, count(*) AS cnt
+       |  FROM documents GROUP BY 1, 2
+       |), t AS (
+       |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_total,
+       |         CAST(CASE $cases ELSE $DefaultMixWeight END AS BIGINT) AS w
+       |  FROM c GROUP BY source
+       |), g1 AS (
+       |  SELECT *, CAST(sum(w) OVER () AS BIGINT) AS w_sum FROM t
+       |), g2 AS (
+       |  SELECT *, min(n_total * w_sum // w) OVER () AS t_max FROM g1
+       |), r AS (
+       |  SELECT source, n_total,
+       |         CAST(least(1000, t_max * w * 1000 // (w_sum * n_total))
+       |              AS BIGINT) AS rate_pm
+       |  FROM g2
+       |)
+       |SELECT r.source, r.n_total, r.rate_pm,
+       |       CAST(sum(CASE WHEN c.hb < r.rate_pm THEN c.cnt ELSE 0 END)
+       |            AS BIGINT) AS n_kept
+       |FROM r JOIN c ON r.source = c.source
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+  }
 }

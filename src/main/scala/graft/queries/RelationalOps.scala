@@ -506,4 +506,121 @@ object RelationalOps {
         count(lit(1)).as("n"))
       .orderBy($"event_type")
   }
+
+  // ---------------------------------------------------------------- q63
+
+  /** Generic BUCKETED point-in-interval range join — the join family
+    * §2.2 still listed as absent in batch (the streaming twin is
+    * TweetStream's interval join). Spark plans a bare
+    * `p >= s AND p < e` join as BroadcastNestedLoopJoin (or a
+    * cartesian product when neither side fits) — O(|points|·|intervals|)
+    * comparisons, the classic non-equi-join trap. The standard fix is
+    * overlap bucketing: quantize the range axis into `bucketWidth`-sized
+    * buckets, explode each interval into every bucket it overlaps, map
+    * each point to its single bucket, EQUI-join on the bucket id, and
+    * re-check the exact predicate as a residual filter. The join
+    * becomes hash-partitionable: work is bounded by
+    * (points + interval-replicas) per bucket, never the cross product.
+    *
+    * `bucketWidth` is the caller's knob and should sit near the MEDIAN
+    * interval span: too small replicates every interval into many
+    * buckets (span/width copies), too large piles unrelated points into
+    * shared buckets and pushes work into the residual filter. Both
+    * failure modes degrade gracefully (more rows through one equi
+    * join), and AQE re-sizes or skew-splits the bucket exchange either
+    * way — a hot bucket (every interval overlapping one busy day) is an
+    * AQE skew split, not a planning failure.
+    *
+    * Bucket ids come from `floor(x / width)` — FLOOR division, so
+    * negative axis values land in the right bucket (a truncating `div`
+    * would fold buckets −1 and 0 together). Exact for |x| < 2^53.
+    *
+    * Columns must be disjoint across the two inputs (checked) — the
+    * result carries all of both, exact-predicate-filtered.
+    */
+  def rangeJoin(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty, s"inputs share columns: $overlap")
+    def bucketOf(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
+    val iv = intervals.withColumn("_rj_bucket",
+      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol) - 1))))
+    val pt = points.withColumn("_rj_bucket", bucketOf(col(pointCol)))
+    iv.join(pt, "_rj_bucket")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("_rj_bucket")
+  }
+
+  /** Day-number anchor for q63 — the fixture's order-date minimum. */
+  val RangeEpoch = "1995-01-01"
+
+  /** Fulfillment-window length in days per order priority — the
+    * interval derivation q63 shares with its oracle. Priorities not
+    * listed take no window (filtered out). */
+  val FulfilWindows: Seq[(String, Int)] = Seq("1-URGENT" -> 3, "2-HIGH" -> 7)
+
+  /** q63's bucket width: one more than the longest window, so every
+    * interval overlaps at most two buckets. */
+  val RangeBucketDays: Long = FulfilWindows.map(_._2).max + 1L
+
+  /** q63 — how many lineitems (any order) shipped inside each urgent/
+    * high-priority order's fulfillment window `[o_orderdate,
+    * o_orderdate + window(priority))` — a point-in-interval range join
+    * on the day axis via [[rangeJoin]].
+    *
+    * The scale move is AGGREGATE PUSHDOWN BELOW THE JOIN: the predicate
+    * is day-granular, so lineitems collapse to per-day counts BEFORE
+    * the join — the point side shrinks from |lineitem| (corpus-sized)
+    * to |distinct days| (calendar-sized, ~2.5k here), and the join
+    * output is |orders| × window-days rows of integers instead of
+    * |orders| × matching-lineitems. The per-order sum of day counts
+    * equals the per-order lineitem count exactly. Neither side carries
+    * a broadcast hint: the day relation grows with the time horizon,
+    * not the corpus, and AQE broadcasts it from its measured size (at
+    * the fixture) or shuffles both sides on the bucket id (if the
+    * horizon ever made it big) — the q42/q58 discipline.
+    */
+  def q63RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def dayNo(c: Column): Column = datediff(to_date(c), to_date(lit(RangeEpoch)))
+    val perDay = Tables.lineitem(spark, dir)
+      .select(dayNo($"l_shipdate").as("ship_day"))
+      .groupBy($"ship_day")
+      .agg(count(lit(1)).as("n_day"))
+    val win = FulfilWindows.tail.foldLeft(
+      when($"o_orderpriority" === FulfilWindows.head._1, lit(FulfilWindows.head._2))) {
+      case (acc, (p, d)) => acc.when($"o_orderpriority" === p, lit(d))
+    }
+    val intervals = Tables.orders(spark, dir)
+      .filter($"o_orderpriority".isin(FulfilWindows.map(_._1): _*))
+      .select($"o_orderkey", dayNo($"o_orderdate").as("ws"),
+        (dayNo($"o_orderdate") + win).as("we"))
+    rangeJoin(perDay, "ship_day", intervals, "ws", "we", RangeBucketDays)
+      .groupBy($"o_orderkey")
+      .agg(sum($"n_day").as("n_shipped"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Oracle: the bare theta join DuckDB plans natively (IEJoin) —
+    * generated from the same window constants, counted per order. */
+  def q63OracleSql: String = {
+    val cases = FulfilWindows
+      .map { case (p, d) => s"WHEN o_orderpriority = '$p' THEN $d" }.mkString(" ")
+    val prios = FulfilWindows.map(p => s"'${p._1}'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT o_orderkey,
+       |         (o_orderdate::DATE - DATE '$RangeEpoch') AS ws,
+       |         (o_orderdate::DATE - DATE '$RangeEpoch')
+       |           + (CASE $cases END) AS we
+       |  FROM orders WHERE o_orderpriority IN ($prios)
+       |)
+       |SELECT o_orderkey, count(*) AS n_shipped
+       |FROM w JOIN lineitem
+       |  ON (l_shipdate::DATE - DATE '$RangeEpoch') >= ws
+       | AND (l_shipdate::DATE - DATE '$RangeEpoch') < we
+       |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+  }
 }

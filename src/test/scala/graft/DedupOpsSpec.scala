@@ -270,4 +270,54 @@ class DedupOpsSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
   }
+
+  test("q62: delta screen == q13's pair relation restricted to cross-split pairs") {
+    // q13 is itself oracle-verified against exact all-pairs Jaccard, so
+    // the incremental form must return EXACTLY its pairs with one doc on
+    // each side of the doc_id split, reoriented (delta_id, base_id) —
+    // same-side pairs are out of scope by design.
+    val expected = DedupOps.q13NeardupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .flatMap { case (a, b, common, union) =>
+        val aDelta = a % DedupOps.DeltaMod == DedupOps.DeltaRem
+        val bDelta = b % DedupOps.DeltaMod == DedupOps.DeltaRem
+        if (aDelta && !bDelta) Some((a, b, common, union))
+        else if (bDelta && !aDelta) Some((b, a, common, union))
+        else None
+      }.toSet
+    val got = DedupOps.q62DeltaDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == expected, s"screen drifted from the pair relation")
+    assert(got.nonEmpty, "fixture must plant cross-split near-dups")
+    val keys = got.map(r => (r._1, r._2)).toSeq
+    assert(keys == keys.sorted) // sorted output contract
+  }
+
+  test("writeDedupIndex + deltaScreen: finds cross-split dups only, index stores no text") {
+    import spark.implicits._
+    val famA = (0 until 40).map(i => s"aaa$i").mkString(" ")
+    val famAdup = (0 until 40).map(i => if (i == 20) "CHANGED" else s"aaa$i").mkString(" ")
+    val famB = (0 until 40).map(i => s"bbb$i").mkString(" ")
+    val famC = (0 until 40).map(i => s"ccc$i").mkString(" ")
+    val famCdup = (0 until 40).map(i => if (i == 5) "ALTERED" else s"ccc$i").mkString(" ")
+    val base = Seq((1L, famA), (2L, famB)).toDF("doc_id", "text")
+    // 12 near-dups base 1; 4 and 8 near-dup EACH OTHER but no base doc
+    val delta = Seq((4L, famC), (8L, famCdup), (12L, famAdup))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("q62spec").toString
+    try {
+      DedupOps.writeDedupIndex(base, path)
+      val idxCols = (spark.read.parquet(s"$path/buckets").columns ++
+        spark.read.parquet(s"$path/shingles").columns).toSet
+      assert(!idxCols.contains("text"), s"index leaked text: $idxCols")
+      val got = DedupOps.deltaScreen(spark, path, delta).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((12L, 1L)),
+        s"expected only the cross-split dup, got $got")
+    } finally {
+      import java.nio.file.{Files, Path}
+      Files.walk(Path.of(path)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
 }

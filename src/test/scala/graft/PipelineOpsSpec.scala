@@ -245,4 +245,44 @@ class PipelineOpsSpec extends SparkSuite {
     // positions are a permutation and offsets are the running sum
     assert(got.map(_.getLong(2)).sorted.toSeq == (0L until docs.length).toSeq)
   }
+
+  test("q64 mixture balance == driver-side integer reimplementation") {
+    import spark.implicits._
+    // independent reimplementation: JVM MessageDigest for the content
+    // hash, plain Long arithmetic for W/T/rates — nothing shared with
+    // the Spark expressions beyond the constants
+    def hashPm(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(4), 16) % 1000
+    }
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val weights = PipelineOps.MixWeights.toMap
+    val nBySrc = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val wBySrc = nBySrc.keys.map(s =>
+      s -> weights.getOrElse(s, PipelineOps.DefaultMixWeight).toLong).toMap
+    val wSum = wBySrc.values.sum
+    val tMax = nBySrc.map { case (s, n) => n * wSum / wBySrc(s) }.min
+    val rate = nBySrc.map { case (s, n) =>
+      s -> math.min(1000L, tMax * wBySrc(s) * 1000L / (wSum * n)) }
+    val kept = docs.groupBy(_._1).view.mapValues(ds =>
+      ds.count(d => hashPm(d._2) < rate(d._1)).toLong).toMap
+    val expected = nBySrc.keys.toSeq.sorted.map(s =>
+      (s, nBySrc(s), rate(s), kept(s)))
+    val got = PipelineOps.q64MixtureBalance(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the binding source (largest w/n) keeps near-everything — the
+    // floor in T = ⌊n·W/w⌋ costs at most ⌈1000·w/(n·W)⌉ per-mille of
+    // its rate; rates are valid per-mille and something downsamples
+    val slack = 1000L * wBySrc.values.max / (nBySrc.values.min * wSum) + 1
+    assert(got.map(_._3).max >= 1000L - slack,
+      s"binding source lost more than the truncation slack: $got")
+    assert(got.exists(_._3 < 1000L), s"nothing downsampled: $got")
+    assert(got.forall(r => r._3 >= 0L && r._3 <= 1000L))
+    assert(got.forall(r => r._4 <= r._2))
+  }
 }

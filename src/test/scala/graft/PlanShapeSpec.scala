@@ -103,6 +103,41 @@ class PlanShapeSpec extends SparkSuite {
       s"text column crossed the exchange:\n$p")
   }
 
+  test("q63: bucketed equi-join — day pre-aggregate below the join, lineitem scan pruned to shipdate") {
+    val df = RelationalOps.q63RangeJoin(spark, sf)
+    df.collect() // pin the FINAL adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // the whole point of the bucketing: the non-equi predicate must NOT
+    // plan as a nested-loop/cartesian — it rides one hash-partitionable
+    // equi-join on the bucket id with a residual filter
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"theta join not bucketed:\n$p")
+    // aggregate pushdown below the join: the lineitem side must enter
+    // as per-day counts, so its scan reads ONLY l_shipdate (scoped to
+    // lineitem's FileScan lines — other tables legitimately read more)
+    val li = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("lineitem")).toList
+    assert(li.nonEmpty, s"no lineitem scan found:\n$p")
+    li.foreach { l =>
+      assert(l.contains("ReadSchema: struct<l_shipdate"),
+        s"lineitem scan not pruned to shipdate:\n$l")
+    }
+  }
+
+  test("q64: one corpus pass — every derived stage reads the cached histogram") {
+    val df = PipelineOps.q64MixtureBalance(spark, sf)
+    df.collect() // pin the FINAL adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // totals/W/T/rates AND the kept-count join must both come off the
+    // persisted (source, hash-bucket) histogram — never a second scan
+    // of documents (the q58 discipline; InMemoryTableScan re-prints the
+    // cached FileScan, so count cache READS, not FileScan lines)
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      s"derived stages re-scan the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"unexpected product:\n$p")
+  }
+
   test("q11/q42/q55: scale-growing sides broadcast via the size gate or AQE — not a forced hint") {
     // Rounds 7–9 forced broadcast() on customer (q11), the df table
     // (q42), and the token-cost table (q55) — relations that GROW with

@@ -264,4 +264,56 @@ class RelationalOpsSpec extends SparkSuite {
     assert(!plan.contains("Join") && !plan.contains("Aggregate"),
       s"q41 must stay a pure filter:\n$plan")
   }
+
+  test("rangeJoin == brute-force interval membership, incl. negative axis values") {
+    import spark.implicits._
+    // points straddle zero so floor-vs-truncate bucketing is exercised:
+    // a truncating div folds buckets -1 and 0 together and misassigns -1
+    val pts = Seq(-7L, -5L, -1L, 0L, 1L, 3L, 7L, 12L)
+    val ivs = Seq((1L, -10L, 0L), (2L, -2L, 4L), (3L, 3L, 8L), (4L, 20L, 25L))
+    val expected = (for {
+      p <- pts; (id, s, e) <- ivs; if p >= s && p < e
+    } yield (id, p)).toSet
+    for (width <- Seq(1L, 3L, 100L)) { // width >> spans and << spans both legal
+      val got = RelationalOps.rangeJoin(
+          pts.toDF("p"), "p", ivs.toDF("iv_id", "s", "e"), "s", "e", width)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(got == expected, s"width=$width drifted: $got")
+    }
+    intercept[IllegalArgumentException] {
+      RelationalOps.rangeJoin(
+        pts.toDF("p"), "p", ivs.toDF("iv_id", "s", "e"), "s", "e", 0L)
+    }
+    intercept[IllegalArgumentException] { // shared column names rejected
+      RelationalOps.rangeJoin(
+        pts.toDF("s"), "s", ivs.toDF("iv_id", "s", "e"), "s", "e", 3L)
+    }
+  }
+
+  test("q63 == driver-side theta-join recount; plan never nested-loops") {
+    import spark.implicits._
+    val df = RelationalOps.q63RangeJoin(spark, sf)
+    val cutoffs = RelationalOps.FulfilWindows.toMap
+    def day(c: org.apache.spark.sql.Column) =
+      datediff(to_date(c), to_date(lit(RelationalOps.RangeEpoch)))
+    val shipDays = Tables.lineitem(spark, sf)
+      .select(day($"l_shipdate").cast("long")).collect().map(_.getLong(0))
+    val expected = Tables.orders(spark, sf)
+      .select($"o_orderkey", day($"o_orderdate").cast("long"), $"o_orderpriority")
+      .collect()
+      .flatMap { r =>
+        cutoffs.get(r.getString(2)).map { w =>
+          val od = r.getLong(1)
+          r.getLong(0) -> shipDays.count(d => d >= od && d < od + w).toLong
+        }
+      }
+      .filter(_._2 > 0).sortBy(_._1).toSeq
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join fell back to an all-pairs plan:\n$plan")
+  }
 }
