@@ -86,6 +86,7 @@ object SparkEntry {
     "q62_delta_dedup"      -> (DedupOps.q62DeltaDedup _),
     "q63_range_join"       -> (RelationalOps.q63RangeJoin _),
     "q64_mixture_balance"  -> (PipelineOps.q64MixtureBalance _),
+    "q65_pq_adc_topk"      -> ((s, d) => SimilarityOps.q65PqAdcTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -356,5 +357,11 @@ object SparkEntry {
     // Mixture rebalance: derived per-source keep rates, exact integer
     // arithmetic both sides (hugeint/decimal intermediates, BIGINT out).
     "q64_mixture_balance" -> PipelineOps.q64OracleSql,
+
+    // PQ/ADC: the oracle re-derives codes and distance tables from the
+    // same LCG codebook constants (q14/q28's implementation-verifying
+    // pattern) — bit-identical dots, first-min argmin, same-order ADC
+    // sum, round 6.
+    "q65_pq_adc_topk" -> SimilarityOps.q65OracleSql(),
   )
 }

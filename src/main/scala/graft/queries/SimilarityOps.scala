@@ -766,4 +766,165 @@ object SimilarityOps {
        |SELECT probe_id, vec_id, label, sim, rank FROM r WHERE rank <= $k
        |ORDER BY probe_id, rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q65
+
+  /** Product-quantization geometry: [[Dim]] splits into `PqSubspaces`
+    * subvectors of `PqSubDim` dims; each subspace has a `PqCodes`-entry
+    * codebook, so a vector stores as `PqSubspaces` 4-bit codes —
+    * 8 codes × ≤1 byte here vs 64 floats, the compression that makes
+    * exhaustive ADC scans affordable at 1e9 vectors. */
+  val PqSubspaces = 8
+  val PqCodes = 16
+  val PqSubDim: Int = Dim / PqSubspaces
+
+  /** Offset keeping PQ codebook LCG indices disjoint from the
+    * hyperplane (< 1024) and centroid (10000–11023) index spaces. */
+  private val PqSeed = 20000L
+
+  /** Codebook component pq(m, j, i) in [-0.5, 0.5) for subspace m,
+    * code j, dim i — the [[planeComponent]] double-round LCG over a
+    * disjoint flat index. (A production PQ trains codebooks with
+    * per-subspace k-means — [[lloydIteration]] restricted to a slice —
+    * exactly as q28's scaladoc argues for IVF centroids; deterministic
+    * codebooks keep the fixture oracle exact while the operator shape —
+    * encode, store codes, ADC-scan — is the real product.) */
+  def pqComponent(m: Int, j: Int, i: Int): Double = {
+    val idx = PqSeed + (m.toLong * PqCodes + j) * PqSubDim + i
+    val v1 = (A * idx + C) % M
+    val v2 = (A * v1 + C) % M
+    v2.toDouble / M - 0.5
+  }
+
+  private def pqCodebook(m: Int, j: Int): Seq[Double] =
+    (0 until PqSubDim).map(pqComponent(m, j, _))
+
+  private def pqLit(m: Int, j: Int): Column = typedlit(pqCodebook(m, j))
+
+  private def pqSql(m: Int, j: Int): String =
+    pqCodebook(m, j).map(_.toString).mkString("[", ", ", "]")
+
+  /** ‖c_{m,j}‖² as a Scala-computed double, inlined as the SAME literal
+    * into both engines' argmin — never recomputed, so it cannot drift
+    * between them. */
+  private def pqNorm(m: Int, j: Int): Double = {
+    val c = pqCodebook(m, j)
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
+  /** The PQ code columns `code0..code{M-1}` for an embedding column:
+    * per subspace, the index of the L2-nearest codebook entry —
+    * argmin over `‖c‖² − 2·v_m·c` (the per-row-constant `‖v_m‖²`
+    * dropped, the [[lloydIteration]] trick), first-min tie-break via
+    * array_position-of-array_min, matching the oracle's
+    * list_position-of-list_min on bit-identical distance values. */
+  private def pqCodeCols(emb: Column): Seq[Column] =
+    (0 until PqSubspaces).map { m =>
+      val sub = slice(emb, m * PqSubDim + 1, PqSubDim)
+      val dists = array((0 until PqCodes).map { j =>
+        lit(pqNorm(m, j)) - lit(2.0) * PipelineOps.dot(sub, pqLit(m, j))
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"code$m")
+    }
+
+  /** q65 — PQ/ADC search: the compressed exhaustive scan that completes
+    * the ANN ladder (q12 brute float scan → q14 sign-LSH → q28 IVF →
+    * q54/q61 SQ8 → here). Encode: every vector collapses to
+    * [[PqSubspaces]] 4-bit codes (one narrow codegen'd projection).
+    * Search: each probe precomputes its distance TABLE — `t_m[j] =
+    * p_m · c_{m,j}`, `M × K` dot products of [[PqSubDim]] doubles, a
+    * per-probe constant — and a row's approximate inner product is
+    * `Σ_m t_m[code_m]`: M array lookups and adds per row, no float
+    * vector ever touched (asymmetric distance computation, ADC).
+    *
+    * Scale shape: at 1e9 vectors the codes relation is M bytes/vector
+    * (64× less scan IO than the float column); the probe relation with
+    * its tables is bounded (a serving batch) and broadcast, so the scan
+    * is embarrassingly parallel with NO shuffle of vector data — the
+    * one exchange carries the per-probe top-k candidates. The
+    * BroadcastNestedLoopJoin in the plan is the DELIBERATE all-rows ×
+    * bounded-probes product every exhaustive scorer has (q12's shape),
+    * not an accident — sublinearity comes from composing with q28's
+    * cell pruning (scan only probed cells' codes), the standard IVF-PQ
+    * stack.
+    *
+    * Output `adc` is the approximate inner product (MIPS convention),
+    * rounded 6 for cross-engine hash stability; ranking ties break on
+    * vec_id. Recall vs the exact scan is a fixture-measured property
+    * (spec + bench/NOTES.md), not a correctness claim — the oracle
+    * re-derives codes and ADC from the same constants, verifying the
+    * implementation, q14/q28-style. */
+  def q65PqAdcTopK(
+      spark: SparkSession, dir: String,
+      k: Int = 10, numProbes: Int = 10): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val codes = emb.select(
+      col("vec_id") +: col("label") +: pqCodeCols(col("embedding")): _*)
+    val probes = emb.filter($"vec_id" < numProbes)
+      .select(
+        col("vec_id").as("probe_id") +:
+        (0 until PqSubspaces).map { m =>
+          val sub = slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
+          array((0 until PqCodes).map(j =>
+            PipelineOps.dot(sub, pqLit(m, j))): _*).as(s"t$m")
+        }: _*)
+    val adc = round(
+      (0 until PqSubspaces)
+        .map(m => element_at(col(s"t$m"), col(s"code$m") + 1))
+        .reduce(_ + _), 6)
+    val byProbe = Window.partitionBy($"probe_id").orderBy($"adc".desc, $"vec_id")
+    codes.crossJoin(broadcast(probes))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(byProbe))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"vec_id", $"label", $"adc", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** DuckDB oracle for [[q65PqAdcTopK]] — identical codebook constants,
+    * encode argmin, distance tables, and ADC sum (left-associated in
+    * the same subspace order both engines). */
+  def q65OracleSql(k: Int = 10, numProbes: Int = 10): String = {
+    def distList(m: Int, v: String): String =
+      (0 until PqCodes).map { j =>
+        s"${pqNorm(m, j)} - 2.0 * list_dot_product($v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}], ${pqSql(m, j)})"
+      }.mkString("[\n             ", ",\n             ", "]")
+    val codeExprs = (0 until PqSubspaces).map { m =>
+      s"""list_position(${distList(m, "e")},
+         |           list_aggregate(${distList(m, "e")}, 'min')) - 1 AS code$m"""
+        .stripMargin
+    }.mkString(",\n         ")
+    val tExprs = (0 until PqSubspaces).map { m =>
+      val dots = (0 until PqCodes).map(j =>
+        s"list_dot_product(pe[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}], ${pqSql(m, j)})")
+      dots.mkString("[\n             ", ",\n             ", s"] AS t$m")
+    }.mkString(",\n         ")
+    val adcSum = (0 until PqSubspaces)
+      .map(m => s"t$m[code$m + 1]").mkString(" + ")
+    s"""WITH b0 AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+       |), enc AS (
+       |  SELECT vec_id, label,
+       |         $codeExprs
+       |  FROM b0
+       |), pt AS (
+       |  SELECT vec_id AS probe_id,
+       |         $tExprs
+       |  FROM (SELECT vec_id, e AS pe FROM b0 WHERE vec_id < $numProbes)
+       |), s AS (
+       |  SELECT probe_id, vec_id, label,
+       |         round($adcSum, 6) AS adc
+       |  FROM enc CROSS JOIN pt
+       |), r AS (
+       |  SELECT probe_id, vec_id, label, adc,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY adc DESC, vec_id) AS rank
+       |  FROM s
+       |)
+       |SELECT probe_id, vec_id, label, adc, rank FROM r WHERE rank <= $k
+       |ORDER BY probe_id, rank""".stripMargin
+  }
 }

@@ -123,6 +123,43 @@ object ProfScale {
             _.agg(bit_xor($"tv_ppm")).collect()); 1L
         }
     }
+
+    // --- round-10 additions at the same scale step ------------------
+    // q63 needs orders + lineitem: same replica trick — keys shift,
+    // dates stay, so each replica reproduces the base's interval/point
+    // density and the day axis stays CALENDAR-sized (the per-day
+    // aggregate's cardinality must not grow with corpus size; only its
+    // counts do — exactly the property the probe checks).
+    import graft.queries.RelationalOps
+    val ordBase = Tables.orders(spark, baseDir)
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    (0 until replicas).map { r =>
+      if (r == 0) ordBase
+      else ordBase.select(($"o_orderkey" + lit(r.toLong * 100000000L)).as("o_orderkey"),
+        $"o_orderdate", $"o_orderpriority")
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$scaleDir/orders.parquet")
+    val liBase = Tables.lineitem(spark, baseDir).select($"l_shipdate")
+    (0 until replicas).map(_ => liBase).reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$scaleDir/lineitem.parquet")
+
+    Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
+      case (tag, dir) =>
+        time(s"q62 $tag") {
+          val n = DedupOps.q62DeltaDedup(spark, dir).count()
+          spark.catalog.clearCache(); n
+        }
+        time(s"q63 $tag") {
+          RelationalOps.q63RangeJoin(spark, dir)
+            .agg(bit_xor($"n_shipped"), sum($"n_shipped")).collect(); 1L
+        }
+        time(s"q64 $tag") {
+          val n = PipelineOps.q64MixtureBalance(spark, dir).count()
+          spark.catalog.clearCache(); n
+        }
+    }
     spark.stop()
   }
 }

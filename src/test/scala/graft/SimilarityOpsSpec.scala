@@ -465,4 +465,96 @@ class SimilarityOpsSpec extends SparkSuite {
     val sims = sq8.map(_.getDouble(2)).toSeq
     assert(sims == sims.sorted.reverse)
   }
+
+  test("pq components deterministic, in [-0.5, 0.5), disjoint from plane/centroid spaces") {
+    val vals = for {
+      m <- 0 until SimilarityOps.PqSubspaces
+      j <- 0 until SimilarityOps.PqCodes
+      i <- 0 until SimilarityOps.PqSubDim
+    } yield SimilarityOps.pqComponent(m, j, i)
+    assert(vals.forall(v => v >= -0.5 && v < 0.5))
+    assert(vals.distinct.size > 500) // 1024 draws, not degenerate
+    assert(SimilarityOps.pqComponent(3, 7, 2) == SimilarityOps.pqComponent(3, 7, 2))
+    // a different codebook entry differs somewhere (codebooks not collapsed)
+    val c00 = (0 until SimilarityOps.PqSubDim).map(SimilarityOps.pqComponent(0, 0, _))
+    val c01 = (0 until SimilarityOps.PqSubDim).map(SimilarityOps.pqComponent(0, 1, _))
+    assert(c00 != c01)
+  }
+
+  /** Driver-side re-implementation of the whole q65 pipeline — encode
+    * (first-min argmin over ‖c‖²−2·v·c), per-probe ADC tables, the
+    * left-associated subspace-order ADC sum, HALF_UP round 6, rank by
+    * (adc desc, vec_id) — mirroring both engines' fold orders exactly.
+    */
+  test("q65 PQ/ADC == in-memory reimplementation, row for row") {
+    val M = SimilarityOps.PqSubspaces
+    val K = SimilarityOps.PqCodes
+    val d = SimilarityOps.PqSubDim
+    val books: Array[Array[Array[Double]]] = Array.tabulate(M, K, d)(
+      (m, j, i) => SimilarityOps.pqComponent(m, j, i))
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def norms(m: Int, j: Int): Double = dotD(books(m)(j), books(m)(j))
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def sub(v: Array[Double], m: Int): Array[Double] = v.slice(m * d, m * d + d)
+    def encode(v: Array[Double]): Array[Int] = Array.tabulate(M) { m =>
+      val dists = Array.tabulate(K)(j => norms(m, j) - 2.0 * dotD(sub(v, m), books(m)(j)))
+      dists.indexOf(dists.min) // first min, = array_position(array_min)
+    }
+    val codes = vecs.map { case (id, lab, v) => (id, lab, encode(v)) }
+    val probes = vecs.filter(_._1 < 10).map { case (id, _, v) =>
+      id -> Array.tabulate(M, K)((m, j) => dotD(sub(v, m), books(m)(j)))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = probes.flatMap { case (pid, t) =>
+      codes.map { case (id, lab, c) =>
+        var s = 0.0 // left-assoc in subspace order, like the plan's reduce
+        var m = 0
+        while (m < M) { s += t(m)(c(m)); m += 1 }
+        (pid, id, lab, r6(s))
+      }.sortBy { case (_, id, _, adc) => (-adc, id) }
+        .take(10).zipWithIndex
+        .map { case ((p, id, lab, adc), i) => (p, id, lab, adc, i + 1) }
+    }.toSeq
+    val got = SimilarityOps.q65PqAdcTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getInt(4))).toSeq
+    assert(got == want)
+  }
+
+  test("q65 recall vs exact inner-product top-k is measured and above floor") {
+    import spark.implicits._
+    val got = SimilarityOps.q65PqAdcTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+    val emb = Tables.embeddings(spark, sf)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val exact = (0L until 10L).map { p =>
+      p -> vecs.toSeq.map { case (id, v) => (id, dotD(vecs(p), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    }.toMap
+    val recall = got.map { case (p, ids) => ids.count(exact(p)).toDouble / 10 }
+      .sum / got.size
+    // Measured 0.21 on the fixture — LOW BY CONSTRUCTION: the synthetic
+    // embeddings are iid-random (no cluster structure for codebooks to
+    // exploit) and 8×4-bit codes compress 64 float dims 64×. The spec
+    // pins "PQ ordering beats chance" (random top-10 of 500 ≈ 0.02),
+    // not serving-grade recall; production recall comes from trained
+    // codebooks + rerank (q12 on the candidates), see scaladoc.
+    info(f"q65 PQ/ADC recall@10 vs exact inner product: $recall%.3f")
+    assert(recall >= 0.1, s"PQ recall collapsed: $recall")
+  }
 }
