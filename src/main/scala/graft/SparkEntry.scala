@@ -87,6 +87,7 @@ object SparkEntry {
     "q63_range_join"       -> (RelationalOps.q63RangeJoin _),
     "q64_mixture_balance"  -> (PipelineOps.q64MixtureBalance _),
     "q65_pq_adc_topk"      -> ((s, d) => SimilarityOps.q65PqAdcTopK(s, d)),
+    "q66_pq_indexed"       -> ((s, d) => SimilarityOps.q66PqIndexed(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -363,5 +364,10 @@ object SparkEntry {
     // pattern) — bit-identical dots, first-min argmin, same-order ADC
     // sum, round 6.
     "q65_pq_adc_topk" -> SimilarityOps.q65OracleSql(),
+
+    // Persisted packed-code serving returns row-identical results to
+    // the in-plan ADC scan (same codebooks, tables, fold orders) —
+    // q65's oracle verbatim, the q61-reuses-q54 pattern.
+    "q66_pq_indexed" -> SimilarityOps.q65OracleSql(),
   )
 }

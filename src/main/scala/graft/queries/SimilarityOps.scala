@@ -927,4 +927,122 @@ object SimilarityOps {
        |SELECT probe_id, vec_id, label, adc, rank FROM r WHERE rank <= $k
        |ORDER BY probe_id, rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q66
+
+  /** The [[PqSubspaces]] 4-bit codes packed into ONE int column —
+    * `Σ_m code_m << 4m`. 4 bytes/vector where the float column is 256:
+    * the 64× stored-representation shrink the q65 scaladoc promises is
+    * only real once codes are what's on disk (q61's argument, one level
+    * denser). Subspace 7's code occupies the sign nibble — harmless:
+    * [[pqUnpack]] masks after the arithmetic shift. */
+  private def pqPack(codeCols: Seq[Column]): Column =
+    codeCols.zipWithIndex
+      .map { case (c, m) => shiftleft(c, 4 * m) }
+      .reduce(_ bitwiseOR _)
+
+  /** Inverse of [[pqPack]]: `(packed >> 4m) & 15`, one narrow
+    * codegen'd expression per subspace — unpacking happens in-plan at
+    * scan time, no intermediate array materialized. */
+  private def pqUnpack(packed: Column, m: Int): Column =
+    shiftright(packed, 4 * m).bitwiseAND(lit(15))
+
+  /** Persist the PQ index: `(vec_id, label, packed int)` — NO float
+    * column in the table, so the serving scan physically cannot read
+    * embeddings — plus the codebooks under `path/_quantizer`
+    * (`(m, j, codebook array<double>)` rows, underscore-hidden from the
+    * table listing; the [[writeQuantizer]] one-artifact rule: index and
+    * codebooks travel together and cannot drift). Build is one corpus
+    * pass, a narrow codegen'd projection. */
+  def writePqIndex(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("vec_id"), col("label"),
+        pqPack(pqCodeCols(col("embedding"))).as("packed"))
+      .write.mode("overwrite").parquet(path)
+    (for (m <- 0 until PqSubspaces; j <- 0 until PqCodes)
+      yield (m, j, pqCodebook(m, j)))
+      .toDF("m", "j", "codebook")
+      .coalesce(1) // M×K×subDim doubles — one tiny file
+      .write.mode("overwrite").parquet(s"$path/_quantizer")
+  }
+
+  /** Reload the PQ codebooks persisted by [[writePqIndex]] — the
+    * cold-start half: after this, [[pqSearchIndex]] needs nothing but
+    * the path and the probe vectors. Bit-exact round trip (doubles
+    * through parquet, no re-derivation). */
+  def readPqQuantizer(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    val books = Array.ofDim[Array[Double]](PqSubspaces, PqCodes)
+    spark.read.parquet(s"$path/_quantizer")
+      .select($"m", $"j", $"codebook").collect()
+      .foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    books
+  }
+
+  /** Search the PERSISTED PQ index: per-probe ADC distance tables are
+    * computed DRIVER-side from the reloaded codebooks (M×K dots of
+    * [[PqSubDim]] doubles per probe — the coarse, bounded work every
+    * ADC serving path does before touching storage; same strict
+    * left-to-right fold as the in-plan [[graft.functions.DotProduct]],
+    * bit for bit), broadcast with the probe ids, and the scan scores
+    * each packed row as [[PqSubspaces]] unpack-lookup-adds. With the
+    * same codebooks and probes this returns row-for-row what the
+    * in-plan [[q65PqAdcTopK]] returns (q66's oracle IS q65's) — the
+    * difference is what the scan reads: a 4-byte column. */
+  def pqSearchIndex(
+      spark: SparkSession,
+      path: String,
+      probes: Seq[(Long, Seq[Double])],
+      books: Array[Array[Array[Double]]],
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val tables = probes.map { case (id, e) =>
+      val t = Array.tabulate(PqSubspaces, PqCodes) { (m, j) =>
+        val c = books(m)(j)
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += e(m * PqSubDim + i) * c(i); i += 1 }
+        s
+      }
+      (id, t.map(_.toSeq).toSeq)
+    }
+    val probesDf = tables.map { case (id, t) => (id, t) }
+      .toDF("probe_id", "t")
+    val codes = spark.read.parquet(path)
+    val adc = round(
+      (0 until PqSubspaces)
+        .map(m => element_at(element_at($"t", m + 1),
+          pqUnpack($"packed", m) + 1))
+        .reduce(_ + _), 6)
+    val byProbe = Window.partitionBy($"probe_id").orderBy($"adc".desc, $"vec_id")
+    codes.crossJoin(broadcast(probesDf))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(byProbe))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"vec_id", $"label", $"adc", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** q66 — the q65 search routed through the on-disk packed-code table
+    * (the q61-for-q54 pattern): build [[writePqIndex]] into a temp
+    * dir, reload the quantizer, serve with [[pqSearchIndex]]. Oracle
+    * identical to q65 by construction; the physical difference — the
+    * scan reads one int per vector and the floats never leave storage
+    * (except the bounded probe reads) — is the point, asserted in the
+    * spec. Rebuilt per call (fixture scale); a deployment encodes once
+    * and serves many. */
+  def q66PqIndexed(
+      spark: SparkSession, dir: String,
+      k: Int = 10, numProbes: Int = 10): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val path = tempIndexDir("graft-pq-index")
+    writePqIndex(emb, path)
+    val books = readPqQuantizer(spark, path)
+    val probes = emb.filter($"vec_id" < numProbes)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq
+    pqSearchIndex(spark, path, probes, books, k)
+  }
 }

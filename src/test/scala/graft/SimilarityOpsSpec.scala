@@ -557,4 +557,96 @@ class SimilarityOpsSpec extends SparkSuite {
     info(f"q65 PQ/ADC recall@10 vs exact inner product: $recall%.3f")
     assert(recall >= 0.1, s"PQ recall collapsed: $recall")
   }
+
+  test("q66 persisted PQ: packed-code serving == q65 in-plan, scan reads one int") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.IntegerType
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val emb = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("pq-index").toString
+    SimilarityOps.writePqIndex(emb, path)
+
+    // the table stores vec_id, label, and ONE int column — floats are
+    // physically absent, the serving scan cannot read them
+    val idx = spark.read.parquet(path)
+    assert(idx.columns.toSet == Set("vec_id", "label", "packed"))
+    assert(idx.schema("packed").dataType == IntegerType)
+
+    // quantizer round-trips bit-exact
+    val books = SimilarityOps.readPqQuantizer(spark, path)
+    for (m <- 0 until SimilarityOps.PqSubspaces; j <- 0 until SimilarityOps.PqCodes) {
+      val want = (0 until SimilarityOps.PqSubDim)
+        .map(SimilarityOps.pqComponent(m, j, _))
+      assert(books(m)(j).toSeq == want, s"codebook ($m,$j) drifted")
+    }
+
+    // packed codes round-trip: unpack equals a driver-side re-encode
+    val d = SimilarityOps.PqSubDim
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val packed = idx.select("vec_id", "packed").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    emb.select("vec_id", "embedding").collect().foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val want = (0 until SimilarityOps.PqSubspaces).map { m =>
+        val sub = v.slice(m * d, m * d + d)
+        val dists = Array.tabulate(SimilarityOps.PqCodes)(j =>
+          dotD(books(m)(j), books(m)(j)) - 2.0 * dotD(sub, books(m)(j)))
+        dists.indexOf(dists.min)
+      }
+      val got = (0 until SimilarityOps.PqSubspaces)
+        .map(m => (packed(r.getLong(0)) >> (4 * m)) & 15)
+      assert(got == want, s"vec ${r.getLong(0)}: unpacked $got != re-encoded $want")
+    }
+
+    // serving from the index == the in-plan q65, row for row
+    val probes = emb.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val served = SimilarityOps.pqSearchIndex(spark, path, probes, books)
+    val inPlan = SimilarityOps.q65PqAdcTopK(spark, sf).collect().toSeq
+    assert(served.collect().toSeq == inPlan)
+
+    // the serving scan over the index reads ONLY the packed column
+    // besides the ids — no array column in any index ReadSchema.
+    // Inspect a FRESH plan: executing under AQE collapses the stage
+    // below the first shuffle into a leaf QueryStageExec that hides
+    // the scan from collect() (the ivf-index spec's pattern).
+    val fresh = SimilarityOps.pqSearchIndex(spark, path, probes, books)
+    val plans = fresh.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val idxName = new java.io.File(path).getName
+    val scans = plans.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains(idxName)) => s
+    }.filterNot(_.relation.location.rootPaths
+      .exists(_.toString.contains("_quantizer")))
+    assert(scans.nonEmpty, s"no index scan found:\n${fresh.queryExecution}")
+    scans.foreach { s =>
+      val schema = s.requiredSchema.fieldNames.toSet
+      assert(schema.subsetOf(Set("vec_id", "label", "packed")),
+        s"index scan read extra columns: $schema")
+    }
+
+    // on-disk: the packed table is a small fraction of the float table
+    // handles both shapes: the fixture table is a single file, the
+    // index is a Spark-written directory of part files
+    def bytes(p: String): Long = {
+      val f = new java.io.File(p)
+      if (f.isFile) f.length()
+      else f.listFiles((c: java.io.File) => c.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    }
+    val floatBytes = bytes(s"$sf/embeddings.parquet")
+    val codeBytes = bytes(path)
+    info(f"pq index bytes: $codeBytes (floats: $floatBytes, ratio ${codeBytes.toDouble / floatBytes}%.3f)")
+    assert(codeBytes < floatBytes / 4,
+      s"packed table not smaller: $codeBytes vs $floatBytes")
+  }
 }
