@@ -31,19 +31,32 @@ object Tables {
       df.createOrReplaceTempView(n)
     }
 
-  /** The fixture writes `events.ts` as parquet `INT64 TIMESTAMP(NANOS)`
-    * (FIXTURES.md §B), which Spark 4.x rejects outright
+  /** Normalize `events.ts` to a session-zoned `TimestampType` regardless of
+    * how the fixture generation wrote it. Older fixtures stored parquet
+    * `INT64 TIMESTAMP(NANOS)`, which Spark 4.x rejects outright
     * (`PARQUET_TYPE_ILLEGAL`) unless the legacy nanos-as-long read path is
-    * enabled. We read the column as raw nanos and convert to a proper
-    * `TimestampType` (microsecond precision) with integer arithmetic —
-    * `ts div 1000` avoids the double-precision loss a float division of an
-    * ~1.7e18 nanos value would introduce. Runtime-settable conf, so every
-    * entry point (Verify/Bench/entry/tests) gets it on first access.
+    * enabled — that surfaces as a `LongType` column we convert with integer
+    * arithmetic (`ts div 1000` avoids the double-precision loss a float
+    * division of an ~1.7e18 nanos value would introduce). Current fixtures
+    * store `TIMESTAMP(MICROS)` without UTC adjustment, which Spark infers
+    * as `TimestampNTZType`; every entry point pins
+    * `spark.sql.session.timeZone=UTC`, so the cast to `TimestampType`
+    * preserves the instant exactly (DuckDB reads the same column as a
+    * naive timestamp either way, so the oracles are type-agnostic).
+    * Runtime-settable conf, so every entry point (Verify/Bench/entry/tests)
+    * gets it on first access.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => // TimestampNTZType (and any other castable shape)
+        df.withColumn("ts",
+          expr("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
