@@ -88,6 +88,7 @@ object SparkEntry {
     "q64_mixture_balance"  -> (PipelineOps.q64MixtureBalance _),
     "q65_pq_adc_topk"      -> ((s, d) => SimilarityOps.q65PqAdcTopK(s, d)),
     "q66_pq_indexed"       -> ((s, d) => SimilarityOps.q66PqIndexed(s, d)),
+    "q67_ivfpq_topk"       -> ((s, d) => SimilarityOps.q67IvfPqTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -369,5 +370,10 @@ object SparkEntry {
     // the in-plan ADC scan (same codebooks, tables, fold orders) —
     // q65's oracle verbatim, the q61-reuses-q54 pattern.
     "q66_pq_indexed" -> SimilarityOps.q65OracleSql(),
+
+    // IVF-PQ: q28's cell/probed-cell CTEs composed with q65's
+    // encode/ADC CTEs on the cell key — the constants, argmax/argmin
+    // rules, and fold orders of BOTH parents, shared verbatim.
+    "q67_ivfpq_topk" -> SimilarityOps.q67OracleSql(),
   )
 }

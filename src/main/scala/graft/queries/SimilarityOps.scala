@@ -1045,4 +1045,149 @@ object SimilarityOps {
       .toSeq
     pqSearchIndex(spark, path, probes, books, k)
   }
+
+  // ---------------------------------------------------------------- q67
+
+  /** q67 — IVF-PQ: the composition the q28 and q65 scaladocs both point
+    * at, and the endpoint of the ANN ladder — the FAISS `IVFx,PQy`
+    * serving stack. q65's ADC scan is exhaustive (every row scores);
+    * q28's cell pruning is sublinear but scores full float vectors.
+    * Composed, a probe touches only its [[NumProbedCells]] best cells
+    * AND scores each candidate from its [[PqSubspaces]] 4-bit codes —
+    * sublinear candidate count × constant bytes per candidate, which is
+    * why this exact composition is the production default at 1e9+
+    * vectors.
+    *
+    * Plan shape: ONE narrow codegen'd projection assigns the cell
+    * ([[assignCells]], q28's rule verbatim) and encodes the codes
+    * ([[pqCodeCols]], q65's rule verbatim) — the float vector is read
+    * once and never shuffled; the probe side (probe ids × probed cells,
+    * with each probe's M×K ADC tables riding along) is bounded by the
+    * serving batch and broadcast; candidates = equi-join on `cell`; the
+    * only exchange carries per-probe top-k rows. At scale the encode
+    * projection is the BUILD (persist it cell-partitioned — compose
+    * [[writeIvfIndex]]'s layout with [[writePqIndex]]'s packed column —
+    * and the join becomes a partition-pruned scan of 4-byte rows in
+    * nprobe of nlist directories; q50 and q66 each demonstrate half of
+    * that storage story).
+    *
+    * Codebook caveat, inherited from q65: these codebooks quantize the
+    * RAW vector. A production IVF-PQ encodes the residual `v −
+    * centroid(cell)` (codebooks then model the within-cell distribution,
+    * one codebook set shared across cells), and its ADC tables are
+    * per-(probe, cell): `t_m[j] = p_m · c_{m,j}` plus the cell's
+    * `p · centroid` offset — bounded extra work (nprobe × M × K dots),
+    * same plan shape. With the fixture's untrained constants the
+    * residual form would change recall only by noise, so the simpler
+    * raw-vector form keeps the oracle construction shared verbatim with
+    * q65 (same `enc`/`pt` CTEs) while the operator shape — assign,
+    * encode, prune, ADC — is the real product.
+    *
+    * Output matches q65's schema; ranking ties break on vec_id; recall
+    * vs the exact scan is a fixture-measured property (spec), not a
+    * correctness claim — the oracle re-derives cells, codes, and ADC
+    * from the same constants (q14/q28/q65's implementation-verifying
+    * pattern). */
+  def q67IvfPqTopK(
+      spark: SparkSession, dir: String,
+      k: Int = 10, numProbes: Int = 10): DataFrame = {
+    import spark.implicits._
+    val centroids = (0 until NumCells)
+      .map(c => (0 until Dim).map(centroidComponent(c, _)))
+    val emb = assignCells(Tables.embeddings(spark, dir), centroids)
+    val codes = emb.select(
+      col("vec_id") +: col("label") +: col("cell") +:
+        pqCodeCols(col("embedding")): _*)
+    val byBest = sort_array(array((0 until NumCells).map(c =>
+      struct((-$"dots" (c)).as("nd"), lit(c).as("cell"))): _*))
+    val probes = emb
+      .filter($"vec_id" < numProbes)
+      .select(
+        $"vec_id".as("probe_id") +:
+          explode(transform(slice(byBest, 1, NumProbedCells), s => s("cell")))
+            .as("cell") +:
+          (0 until PqSubspaces).map { m =>
+            val sub = slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
+            array((0 until PqCodes).map(j =>
+              PipelineOps.dot(sub, pqLit(m, j))): _*).as(s"t$m")
+          }: _*)
+    val adc = round(
+      (0 until PqSubspaces)
+        .map(m => element_at(col(s"t$m"), col(s"code$m") + 1))
+        .reduce(_ + _), 6)
+    val byProbe = Window.partitionBy($"probe_id").orderBy($"adc".desc, $"vec_id")
+    codes.join(broadcast(probes), "cell")
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(byProbe))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"vec_id", $"label", $"adc", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** DuckDB oracle for [[q67IvfPqTopK]] — q28's cell/probed-cell CTEs
+    * and q65's encode/table CTEs, joined on `cell`: identical centroid
+    * and codebook constants, assignment argmax, encode argmin, and
+    * same-order ADC sum. */
+  def q67OracleSql(k: Int = 10, numProbes: Int = 10): String = {
+    val dotsList = (0 until NumCells)
+      .map(c => s"list_dot_product(e, ${centroidSql(c)})")
+      .mkString("[\n           ", ",\n           ", "]")
+    def distList(m: Int, v: String): String =
+      (0 until PqCodes).map { j =>
+        s"${pqNorm(m, j)} - 2.0 * list_dot_product($v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}], ${pqSql(m, j)})"
+      }.mkString("[\n             ", ",\n             ", "]")
+    val codeExprs = (0 until PqSubspaces).map { m =>
+      s"""list_position(${distList(m, "e")},
+         |           list_aggregate(${distList(m, "e")}, 'min')) - 1 AS code$m"""
+        .stripMargin
+    }.mkString(",\n         ")
+    val tExprs = (0 until PqSubspaces).map { m =>
+      val dots = (0 until PqCodes).map(j =>
+        s"list_dot_product(pe[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}], ${pqSql(m, j)})")
+      dots.mkString("[\n             ", ",\n             ", s"] AS t$m")
+    }.mkString(",\n         ")
+    val adcSum = (0 until PqSubspaces)
+      .map(m => s"t$m[code$m + 1]").mkString(" + ")
+    s"""WITH b0 AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+       |), d0 AS (
+       |  SELECT vec_id, label, e,
+       |         $dotsList AS dots
+       |  FROM b0
+       |), a AS (
+       |  SELECT vec_id, label, e,
+       |         list_position(dots, list_aggregate(dots, 'max')) - 1 AS cell
+       |  FROM d0
+       |), enc AS (
+       |  SELECT vec_id, label, cell,
+       |         $codeExprs
+       |  FROM a
+       |), pc AS (
+       |  SELECT vec_id AS probe_id, dots,
+       |         unnest(generate_series(0, ${NumCells - 1})) AS cell
+       |  FROM d0 WHERE vec_id < $numProbes
+       |), p AS (
+       |  SELECT probe_id, cell FROM (
+       |    SELECT probe_id, cell,
+       |           row_number() OVER (PARTITION BY probe_id
+       |                              ORDER BY dots[cell + 1] DESC, cell) AS rn
+       |    FROM pc)
+       |  WHERE rn <= $NumProbedCells
+       |), pt AS (
+       |  SELECT vec_id AS probe_id,
+       |         $tExprs
+       |  FROM (SELECT vec_id, e AS pe FROM b0 WHERE vec_id < $numProbes)
+       |), s AS (
+       |  SELECT p.probe_id, enc.vec_id, enc.label,
+       |         round($adcSum, 6) AS adc
+       |  FROM enc JOIN p USING (cell) JOIN pt ON pt.probe_id = p.probe_id
+       |), r AS (
+       |  SELECT probe_id, vec_id, label, adc,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY adc DESC, vec_id) AS rank
+       |  FROM s
+       |)
+       |SELECT probe_id, vec_id, label, adc, rank FROM r WHERE rank <= $k
+       |ORDER BY probe_id, rank""".stripMargin
+  }
 }

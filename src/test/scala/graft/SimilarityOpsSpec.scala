@@ -558,6 +558,75 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(recall >= 0.1, s"PQ recall collapsed: $recall")
   }
 
+  /** Driver-side re-implementation of the whole q67 IVF-PQ pipeline —
+    * q28's cell assignment (first-max argmax) and probed-cell pick
+    * ((dot desc, cell) order), q65's encode/ADC-table/sum fold orders,
+    * HALF_UP round 6, rank by (adc desc, vec_id) — so the composition
+    * (candidates restricted to probed cells, scored by ADC) is pinned
+    * end to end, not just its two halves separately. */
+  test("q67 IVF-PQ == in-memory reimplementation, row for row") {
+    val M = SimilarityOps.PqSubspaces
+    val K = SimilarityOps.PqCodes
+    val d = SimilarityOps.PqSubDim
+    val nCells = SimilarityOps.NumCells
+    val dim = SimilarityOps.Dim
+    val books: Array[Array[Array[Double]]] = Array.tabulate(M, K, d)(
+      (m, j, i) => SimilarityOps.pqComponent(m, j, i))
+    val cents: Array[Array[Double]] = Array.tabulate(nCells, dim)(
+      (c, i) => SimilarityOps.centroidComponent(c, i))
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def norms(m: Int, j: Int): Double = dotD(books(m)(j), books(m)(j))
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def sub(v: Array[Double], m: Int): Array[Double] = v.slice(m * d, m * d + d)
+    def cellOf(v: Array[Double]): Int = {
+      val dots = Array.tabulate(nCells)(c => dotD(v, cents(c)))
+      dots.indexOf(dots.max) // first max, = array_position(array_max)
+    }
+    def encode(v: Array[Double]): Array[Int] = Array.tabulate(M) { m =>
+      val dists = Array.tabulate(K)(j => norms(m, j) - 2.0 * dotD(sub(v, m), books(m)(j)))
+      dists.indexOf(dists.min)
+    }
+    val assigned = vecs.map { case (id, lab, v) => (id, lab, cellOf(v), encode(v)) }
+    val probes = vecs.filter(_._1 < 10).map { case (id, _, v) =>
+      val dots = Array.tabulate(nCells)(c => dotD(v, cents(c)))
+      val probed = (0 until nCells).sortBy(c => (-dots(c), c)).take(
+        SimilarityOps.NumProbedCells).toSet
+      (id, probed,
+        Array.tabulate(M, K)((m, j) => dotD(sub(v, m), books(m)(j))))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = probes.flatMap { case (pid, probed, t) =>
+      assigned.filter { case (_, _, cell, _) => probed(cell) }
+        .map { case (id, lab, _, c) =>
+          var s = 0.0; var m = 0
+          while (m < M) { s += t(m)(c(m)); m += 1 }
+          (pid, id, lab, r6(s))
+        }.sortBy { case (_, id, _, adc) => (-adc, id) }
+        .take(10).zipWithIndex
+        .map { case ((p, id, lab, adc), i) => (p, id, lab, adc, i + 1) }
+    }.toSeq
+    val got = SimilarityOps.q67IvfPqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getInt(4))).toSeq
+    assert(got == want)
+    // the pruning is real: some exhaustive-scan (q65) result rows fall
+    // outside the probed cells, so q67 ≠ q65 on the fixture (if the two
+    // ever coincide the composition has silently stopped pruning)
+    val exhaustive = SimilarityOps.q65PqAdcTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = got.map { case (p, id, _, _, _) => (p, id) }.toSet
+    assert(pruned != exhaustive, "IVF pruning had no effect on the fixture")
+  }
+
   test("q66 persisted PQ: packed-code serving == q65 in-plan, scan reads one int") {
     import spark.implicits._
     import org.apache.spark.sql.types.IntegerType
