@@ -89,6 +89,7 @@ object SparkEntry {
     "q65_pq_adc_topk"      -> ((s, d) => SimilarityOps.q65PqAdcTopK(s, d)),
     "q66_pq_indexed"       -> ((s, d) => SimilarityOps.q66PqIndexed(s, d)),
     "q67_ivfpq_topk"       -> ((s, d) => SimilarityOps.q67IvfPqTopK(s, d)),
+    "q68_linear_score"     -> (TextOps.q68LinearScore _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -375,5 +376,10 @@ object SparkEntry {
     // encode/ADC CTEs on the cell key — the constants, argmax/argmin
     // rules, and fold orders of BOTH parents, shared verbatim.
     "q67_ivfpq_topk" -> SimilarityOps.q67OracleSql(),
+
+    // Hashed linear classifier: the oracle indexes the SAME integer
+    // micro-weight array with the same md5-derived bucket hash —
+    // integer sums, order-free on both engines (q55's discipline).
+    "q68_linear_score" -> TextOps.q68OracleSql,
   )
 }

@@ -757,6 +757,90 @@ object TextOps {
        |GROUP BY s.source, ns.n_tokens, n.n_total
        |ORDER BY s.source""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+
+  /** Hashed feature-space size for [[q68LinearScore]]. 2¹⁰ here; a
+    * production filter uses 2²⁰+ — still a few MB of weights, same
+    * plan. */
+  val HashDim = 1024
+
+  /** Deterministic integer micro-weights (µ-units, [-10⁶, 10⁶)) for
+    * the fixture model — the [[graft.queries.SimilarityOps]] double-
+    * round LCG over a disjoint seed space, floored to integers so both
+    * engines sum EXACTLY. A deployment replaces this constant array
+    * with trained weights; nothing else changes. */
+  private val WeightSeed = 40000L
+  def weightComponent(f: Int): Long = {
+    val a = 1103515245L; val c = 12345L; val m = 2147483648L
+    val v1 = (a * (WeightSeed + f) + c) % m
+    val v2 = (a * v1 + c) % m
+    math.floor((v2.toDouble / m - 0.5) * 2e6).toLong
+  }
+  private def weightLit: Column =
+    typedlit((0 until HashDim).map(weightComponent))
+  private def weightSql: String =
+    (0 until HashDim).map(weightComponent).mkString("[", ", ", "]::BIGINT[]")
+
+  /** q68 — MODEL-BASED quality scoring via the hashing trick: each
+    * token hashes into a [[HashDim]]-bucket feature space and the
+    * document's score is the sum of its occurrences' bucket weights —
+    * a linear text classifier (the fastText / DCLM-style quality
+    * filter, the step AFTER q16's hand heuristics in every modern
+    * pipeline) evaluated as pure arithmetic.
+    *
+    * The hashing trick (Weinberger et al. 2009) is what makes the
+    * model SCALE-FREE: q55's unigram table grows with the corpus
+    * vocabulary and needs a token-keyed join (size-gated, AQE
+    * degradable), but a hashed model is a FIXED-width array that rides
+    * into every task as a literal — no join, no broadcast relation, no
+    * vocabulary anywhere. The whole query is a narrow per-row map over
+    * the scan (tokenize → hash → array-index → sum, one codegen'd
+    * higher-order fold); the only exchange is the output-contract sort.
+    * At 100 TB: embarrassingly parallel, zero shuffle of data.
+    *
+    * Determinism: weights are integer MICRO-units and the per-doc sum
+    * is integer, so addition order cannot matter (q55's discipline);
+    * the bucket hash is the md5-derived [[h32]] both engines compute
+    * bit-identically. `keep` thresholds at score ≥ 0 — with zero-mean
+    * weights this splits the fixture non-vacuously; a deployment tunes
+    * the threshold like any classifier cutoff. */
+  def q68LinearScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scoreCol = aggregate(
+      transform(toks($"text"),
+        t => element_at(weightLit, (h32(t) % HashDim).cast("int") + 1)),
+      lit(0L), (acc, x) => acc + x)
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(toks($"text")).as("n_tokens"),
+        scoreCol.as("score_micro"))
+      .withColumn("keep", when($"score_micro" >= 0, 1).otherwise(0))
+      .orderBy($"doc_id")
+  }
+
+  /** Ground truth for [[q68LinearScore]] — identical weight constants,
+    * bucket hash, and integer sum. LEFT JOIN from documents so a
+    * zero-token doc scores (0, 0, keep) on both engines (the unnest
+    * would silently drop it). */
+  def q68OracleSql: String =
+    s"""WITH w AS (SELECT $weightSql AS wa),
+       |tok AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS token
+       |  FROM documents
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n,
+       |         sum(wa[(${h32Sql("token")} % $HashDim)::INT + 1]) AS sc
+       |  FROM tok, w
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(a.sc, 0) AS BIGINT) AS score_micro,
+       |       CASE WHEN coalesce(a.sc, 0) >= 0 THEN 1 ELSE 0 END AS keep
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   def q55OracleSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id,

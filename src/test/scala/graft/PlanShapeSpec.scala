@@ -366,6 +366,18 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("q68: the hashed classifier is a pure narrow map — no hash shuffle, no join") {
+    // the scale claim vs q55's vocab join: the model rides into the
+    // tasks as a literal array, so NOTHING shuffles but the contract
+    // sort — pin zero hash exchanges and zero joins.
+    val p = plan(TextOps.q68LinearScore(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q68 grew a hash shuffle:\n$p")
+    assert(!p.contains("Join"), s"q68 grew a join:\n$p")
+    val ranges = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(ranges == 1, s"expected only the contract-sort exchange, got $ranges:\n$p")
+  }
+
   test("q48: the funnel scan is a single hash shuffle") {
     // the claimed advantage over the k-self-join shape — pin it
     val p = plan(AnalyticsOps.q48Funnel(spark, sf))

@@ -9,6 +9,33 @@ import graft.queries.TextOps
   */
 class TextOpsSpec extends SparkSuite {
 
+  /** Driver-side re-implementation of q68's full scoring rule — md5
+    * bucket hash, integer micro-weights, integer sum, keep threshold —
+    * so the zero-shuffle in-plan fold is pinned against independent
+    * arithmetic, not just the oracle. */
+  test("q68 hashed linear score == in-memory reimplementation; keep splits") {
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.split(" ", -1).filter(_.nonEmpty)
+        val score = toks.map(t =>
+          TextOps.weightComponent((h32(t) % TextOps.HashDim).toInt)).sum
+        (r.getLong(0), toks.length, score, if (score >= 0) 1 else 0)
+      }.sortBy(_._1).toSeq
+    val got = TextOps.q68LinearScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == want)
+    // non-vacuous classifier: both classes present on the fixture
+    val keeps = got.count(_._4 == 1)
+    assert(keeps > 0 && keeps < got.size, s"degenerate keep split: $keeps/${got.size}")
+  }
+
   test("q15 simhash: 32-bit fingerprints, identical docs hash identically") {
     val rows = TextOps.q15Simhash(spark, sf).collect()
     assert(rows.length == 500)
