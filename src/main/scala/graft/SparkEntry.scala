@@ -90,6 +90,7 @@ object SparkEntry {
     "q66_pq_indexed"       -> ((s, d) => SimilarityOps.q66PqIndexed(s, d)),
     "q67_ivfpq_topk"       -> ((s, d) => SimilarityOps.q67IvfPqTopK(s, d)),
     "q68_linear_score"     -> (TextOps.q68LinearScore _),
+    "q69_sem_decontam"     -> ((s, d) => SimilarityOps.q69SemanticDecontam(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -381,5 +382,11 @@ object SparkEntry {
     // micro-weight array with the same md5-derived bucket hash —
     // integer sums, order-free on both engines (q55's discipline).
     "q68_linear_score" -> TextOps.q68OracleSql,
+
+    // Semantic decontamination: the oracle's cross-join + argmax
+    // window is the declarative form of the literal-inlined narrow
+    // map — identical cosine arithmetic (round 6), identical
+    // (sim desc, eval_id) tie-break.
+    "q69_sem_decontam" -> SimilarityOps.q69OracleSql(),
   )
 }

@@ -1190,4 +1190,92 @@ object SimilarityOps {
        |SELECT probe_id, vec_id, label, adc, rank FROM r WHERE rank <= $k
        |ORDER BY probe_id, rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q69
+
+  /** Eval-set size for [[q69SemanticDecontam]] (vec_id < this is "the
+    * benchmark"); bounded by construction — eval suites are thousands
+    * of items, never corpus-scale. */
+  val NEvalVecs = 20
+
+  /** Cosine threshold for [[q69SemanticDecontam]] — q37's fixture
+    * rationale: the synthetic embeddings' max pairwise cosine ≈ 0.51,
+    * so 0.35 keeps the flagged set non-vacuous (spec-asserted) while a
+    * production paraphrase gate sits at ~0.8 with real embeddings. */
+  val SemDecontamCosine = 0.35
+
+  /** q69 — SEMANTIC decontamination: flag corpus vectors whose
+    * embedding-cosine against ANY eval-set member clears the
+    * threshold. The embedding-space sibling of q52's n-gram overlap
+    * check: q52 catches verbatim/near-verbatim leakage, this catches
+    * the PARAPHRASED leakage n-grams structurally cannot see — modern
+    * pipelines run both gates before training.
+    *
+    * Plan shape (q68's lesson applied to vectors): the eval set is
+    * BOUNDED, so its vectors are collected driver-side (q50's
+    * documented probe pattern) and inlined as literals — each corpus
+    * row then scores against all of them in ONE narrow codegen'd
+    * projection of [[graft.functions.DotProduct]] kernels. No join, no
+    * aggregate, no shuffle of corpus data; the only exchange is the
+    * output-contract sort. At 100 TB this is a pure map over the
+    * corpus scan. Were the eval set large enough to strain the task
+    * binary (~10⁵+ vectors), the same semantics fall back to the
+    * broadcast-join + map-side-partial `max_by` aggregate — or serve
+    * the eval set through q67's IVF-PQ index and probe with corpus
+    * rows; the literal form is the right plan at real eval sizes.
+    *
+    * `near_eval_id` is the argmax with first-max tie-break over
+    * ROUNDED sims (literals ordered by eval_id, so ties resolve to the
+    * smallest id — the oracle's `ORDER BY sim DESC, eval_id` rule
+    * exactly). */
+  def q69SemanticDecontam(
+      spark: SparkSession, dir: String,
+      threshold: Double = SemDecontamCosine,
+      nEval: Int = NEvalVecs): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val evalVecs = emb.filter($"vec_id" < nEval)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    val sims = array(evalVecs.map { case (_, v) =>
+      round(PipelineOps.cosine($"embedding", typedlit(v)), 6)
+    }: _*)
+    emb.filter($"vec_id" >= nEval)
+      .withColumn("sims", sims)
+      .withColumn("sim", array_max($"sims"))
+      .filter($"sim" >= threshold)
+      .withColumn("near_eval_id",
+        element_at(typedlit(evalVecs.map(_._1)),
+          array_position($"sims", $"sim").cast("int")))
+      .select($"vec_id", $"label", $"near_eval_id", $"sim")
+      .orderBy($"vec_id")
+  }
+
+  /** DuckDB oracle for [[q69SemanticDecontam]] — the cross-join
+    * formulation of the same semantics: every corpus×eval cosine
+    * (identical double arithmetic, round 6), argmax per corpus vector
+    * by (sim DESC, eval_id), threshold filter. */
+  def q69OracleSql(
+      threshold: Double = SemDecontamCosine, nEval: Int = NEvalVecs): String =
+    s"""WITH b AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+       |), ev AS (
+       |  SELECT vec_id AS eval_id, e AS pe FROM b WHERE vec_id < $nEval
+       |), c AS (
+       |  SELECT vec_id, label, e FROM b WHERE vec_id >= $nEval
+       |), s AS (
+       |  SELECT c.vec_id, c.label, ev.eval_id,
+       |         round(list_dot_product(c.e, ev.pe) /
+       |               (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(ev.pe, ev.pe))), 6) AS sim
+       |  FROM c CROSS JOIN ev
+       |), r AS (
+       |  SELECT vec_id, label, eval_id, sim,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY sim DESC, eval_id) AS rn
+       |  FROM s
+       |)
+       |SELECT vec_id, label, eval_id AS near_eval_id, sim
+       |FROM r WHERE rn = 1 AND sim >= $threshold
+       |ORDER BY vec_id""".stripMargin
 }

@@ -378,6 +378,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(ranges == 1, s"expected only the contract-sort exchange, got $ranges:\n$p")
   }
 
+  test("q69: semantic decontam is a narrow map over the corpus scan — no join, no hash shuffle") {
+    // the eval set rides in as literals (q50's bounded-probe pattern),
+    // so the corpus never joins, aggregates, or shuffles — pin it.
+    val p = plan(SimilarityOps.q69SemanticDecontam(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q69 grew a hash shuffle:\n$p")
+    assert(!p.contains("Join"), s"q69 grew a join:\n$p")
+  }
+
   test("q48: the funnel scan is a single hash shuffle") {
     // the claimed advantage over the k-self-join shape — pin it
     val p = plan(AnalyticsOps.q48Funnel(spark, sf))

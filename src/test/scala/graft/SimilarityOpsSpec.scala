@@ -627,6 +627,43 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(pruned != exhaustive, "IVF pruning had no effect on the fixture")
   }
 
+  /** Driver-side re-implementation of q69's flagging rule — cosine in
+    * the plan's exact association (dot/(sqrt·sqrt), left-assoc dots),
+    * HALF_UP round 6, first-max argmax over eval_id order, threshold
+    * filter. */
+  test("q69 semantic decontam == in-memory reimplementation; flags split") {
+    val nEval = SimilarityOps.NEvalVecs
+    val thr = SimilarityOps.SemDecontamCosine
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val evalVecs = vecs.filter(_._1 < nEval)
+    val want = vecs.filter(_._1 >= nEval).flatMap { case (id, lab, v) =>
+      val sims = evalVecs.map { case (eid, _, pe) =>
+        (eid, r6(dotD(v, pe) / (math.sqrt(dotD(v, v)) * math.sqrt(dotD(pe, pe)))))
+      }
+      val best = sims.maxBy(_._2)
+      val firstMax = sims.find(_._2 == best._2).get // first max = smallest eval_id
+      if (best._2 >= thr) Some((id, lab, firstMax._1, firstMax._2)) else None
+    }.toSeq
+    val got = SimilarityOps.q69SemanticDecontam(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    // the gate bites and spares: some corpus vectors flagged, most not
+    val corpus = vecs.count(_._1 >= nEval)
+    assert(got.nonEmpty && got.size < corpus,
+      s"degenerate flag set: ${got.size}/$corpus")
+  }
+
   test("q66 persisted PQ: packed-code serving == q65 in-plan, scan reads one int") {
     import spark.implicits._
     import org.apache.spark.sql.types.IntegerType
