@@ -91,6 +91,7 @@ object SparkEntry {
     "q67_ivfpq_topk"       -> ((s, d) => SimilarityOps.q67IvfPqTopK(s, d)),
     "q68_linear_score"     -> (TextOps.q68LinearScore _),
     "q69_sem_decontam"     -> ((s, d) => SimilarityOps.q69SemanticDecontam(s, d)),
+    "q70_rerank_topk"      -> ((s, d) => SimilarityOps.q70RerankTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -388,5 +389,9 @@ object SparkEntry {
     // map — identical cosine arithmetic (round 6), identical
     // (sim desc, eval_id) tie-break.
     "q69_sem_decontam" -> SimilarityOps.q69OracleSql(),
+
+    // Two-stage retrieval: q67's oracle nested as the shortlist CTE,
+    // then the exact-cosine rerank — q12's arithmetic and tie-break.
+    "q70_rerank_topk" -> SimilarityOps.q70OracleSql(),
   )
 }

@@ -1278,4 +1278,84 @@ object SimilarityOps {
        |SELECT vec_id, label, eval_id AS near_eval_id, sim
        |FROM r WHERE rn = 1 AND sim >= $threshold
        |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+
+  /** Shortlist size for [[q70RerankTopK]] — candidates the compressed
+    * first stage hands to the exact second stage. */
+  val RerankShortlist = 50
+
+  /** q70 — two-stage retrieval: the q67 IVF-PQ stack produces a
+    * SHORTLIST (top-[[RerankShortlist]] by ADC over probed cells), and
+    * only those rows are RERANKED by exact float cosine. This is how
+    * every production vector-search deployment actually serves — the
+    * compressed index bounds the candidate count, the rerank restores
+    * the accuracy the 4-bit codes gave up (q65's spec measures
+    * recall 0.21 for raw ADC; reranked recall is spec-measured
+    * strictly higher). The ladder ends here: q12 proved the exact
+    * scorer, q67 proved the compressed prune, q70 composes them.
+    *
+    * Plan shape: stage 1 is q67's plan verbatim (narrow
+    * assign+encode projection, broadcast probes, cell equi-join,
+    * per-probe window cut); stage 2 re-joins the ≤ probes×shortlist id
+    * pairs back to the float table — at scale that is a POINT-LOOKUP
+    * join (id-keyed, shortlist side tiny and broadcast, the big side's
+    * scan prunes to the id set), never a second corpus scan of
+    * anything but ids. Exact sims recompute only for
+    * probes×[[RerankShortlist]] rows — bounded serving work.
+    *
+    * The rerank tie-break is (sim desc, vec_id), q12's rule; output
+    * schema matches q67's with `sim` replacing `adc`. */
+  def q70RerankTopK(
+      spark: SparkSession, dir: String,
+      k: Int = 10, numProbes: Int = 10,
+      shortlist: Int = RerankShortlist): DataFrame = {
+    import spark.implicits._
+    val short = q67IvfPqTopK(spark, dir, shortlist, numProbes)
+      .select($"probe_id", $"vec_id")
+    val emb = Tables.embeddings(spark, dir)
+    val probeVecs = emb.filter($"vec_id" < numProbes)
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"))
+    val byProbe = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")
+    emb.join(broadcast(short), "vec_id")
+      .join(broadcast(probeVecs), "probe_id")
+      .withColumn("sim", round(PipelineOps.cosine($"embedding", $"p_emb"), 6))
+      .withColumn("rank", row_number().over(byProbe))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"vec_id", $"label", $"sim", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** DuckDB oracle for [[q70RerankTopK]] — q67's oracle CTEs cut at
+    * the shortlist, then the exact-cosine rerank with q12's
+    * (sim desc, vec_id) tie-break. */
+  def q70OracleSql(
+      k: Int = 10, numProbes: Int = 10,
+      shortlist: Int = RerankShortlist): String = {
+    val stage1 = q67OracleSql(shortlist, numProbes)
+    // reuse q67's full text as a subquery: it already ends in the
+    // ordered top-`shortlist` selection
+    s"""WITH short AS (
+       |${stage1.linesIterator.map("  " + _).mkString("\n")}
+       |), pv AS (
+       |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
+       |  FROM embeddings WHERE vec_id < $numProbes
+       |), cv AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+       |), rr AS (
+       |  SELECT s.probe_id, s.vec_id, cv.label,
+       |         round(list_dot_product(cv.e, pv.pe) /
+       |               (sqrt(list_dot_product(cv.e, cv.e)) * sqrt(list_dot_product(pv.pe, pv.pe))), 6) AS sim
+       |  FROM short s
+       |  JOIN cv ON cv.vec_id = s.vec_id
+       |  JOIN pv ON pv.probe_id = s.probe_id
+       |), rk AS (
+       |  SELECT probe_id, vec_id, label, sim,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY sim DESC, vec_id) AS rank
+       |  FROM rr
+       |)
+       |SELECT probe_id, vec_id, label, sim, rank FROM rk WHERE rank <= $k
+       |ORDER BY probe_id, rank""".stripMargin
+  }
 }
