@@ -54,8 +54,12 @@ object ProfScale {
       s
     }
 
+    // PROF_SKIP_OLD: synthesize the corpus but only time the newest
+    // section (dev loop for incremental probe extensions).
+    val skipOld = sys.env.contains("PROF_SKIP_OLD")
+
     // --- solo timings, base then Nx -------------------------------
-    Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
+    if (!skipOld) Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
       case (tag, dir) =>
         time(s"q13 $tag") {
           DedupOps.withQ13NeardupPairs(spark, dir)(_.count())
@@ -94,7 +98,7 @@ object ProfScale {
       .repartition(32).write.mode("overwrite")
       .parquet(s"$scaleDir/embeddings.parquet")
 
-    Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
+    if (!skipOld) Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
       case (tag, dir) =>
         // folds, not counts: a bare count() lets column pruning drop
         // the computation under test from the narrow plans
@@ -145,7 +149,7 @@ object ProfScale {
       .repartition(32).write.mode("overwrite")
       .parquet(s"$scaleDir/lineitem.parquet")
 
-    Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
+    if (!skipOld) Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
       case (tag, dir) =>
         time(s"q62 $tag") {
           val n = DedupOps.q62DeltaDedup(spark, dir).count()
@@ -158,6 +162,28 @@ object ProfScale {
         time(s"q64 $tag") {
           val n = PipelineOps.q64MixtureBalance(spark, dir).count()
           spark.catalog.clearCache(); n
+        }
+    }
+
+    // --- retrieval terminal + model gates at the same scale step ----
+    // q67/q70 probe vec_id < 10 and q69's eval set is vec_id < 20 —
+    // replica ids are shifted by 10M, so the probe/eval sides stay
+    // base-sized while the corpus side scales: exactly the serving
+    // question (10× corpus, same query load).
+    Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
+      case (tag, dir) =>
+        time(s"q67 $tag") {
+          SimilarityOps.q67IvfPqTopK(spark, dir).collect().length.toLong
+        }
+        time(s"q68 $tag") {
+          TextOps.q68LinearScore(spark, dir)
+            .agg(bit_xor($"score_micro"), sum($"n_tokens")).collect(); 1L
+        }
+        time(s"q69 $tag") {
+          SimilarityOps.q69SemanticDecontam(spark, dir).count()
+        }
+        time(s"q70 $tag") {
+          SimilarityOps.q70RerankTopK(spark, dir).collect().length.toLong
         }
     }
     spark.stop()
