@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   *      passage-level rewrite (q56's first-occurrence rule —
   *      boilerplate spans removed from INSIDE surviving docs,
   *      fully-duplicated docs dropped), then the minimum-length
-  *      quality gate (q17's n_tokens) judging the rewritten text —
+  *      quality gate (q17's n_tokens) judging the rewritten text,
+  *      then the OPTIONAL model gate (q68's hashed linear classifier,
+  *      the heuristics→model filter order production pipelines use) —
   *      narrow-or-hash-keyed stages, run before anything that
   *      shuffles text — then the OPTIONAL decontamination gate (q52's
   *      broadcast gram join against a benchmark frame), placed before
@@ -73,7 +75,8 @@ object CorpusPipeline {
       topKeywords: Int = TextOps.TfidfTopK,
       clusterNeardups: Boolean = false,
       passageDedup: Boolean = false,
-      passageTokens: Int = DedupOps.PassageTokens) {
+      passageTokens: Int = DedupOps.PassageTokens,
+      modelGate: Boolean = false) {
     require(passageTokens > 0, s"passageTokens must be > 0, got $passageTokens")
     require(neardupThreshold > 0 && neardupThreshold <= 1,
       s"neardupThreshold must be in (0, 1], got $neardupThreshold")
@@ -197,8 +200,17 @@ object CorpusPipeline {
     val passageClean =
       if (cfg.passageDedup) DedupOps.passageRewrite(langGated, cfg.passageTokens)
       else langGated
-    val narrowGated = passageClean
+    // heuristics first (cheap floor), then the OPTIONAL model gate
+    // (q68's hashed linear classifier, score ≥ 0 keeps) — the
+    // heuristics→model order every production pipeline uses; both are
+    // narrow maps, so gate order costs nothing and the model never
+    // scores docs the floor already killed.
+    val floorGated = passageClean
       .filter(size(TextOps.toks(col("text"))) >= cfg.minTokens)
+    val narrowGated =
+      if (cfg.modelGate)
+        floorGated.filter(TextOps.linearScoreMicro(col("text")) >= 0)
+      else floorGated
 
     // 2b. optional decontamination gate (q52 core): drop any doc
     // sharing an n-gram with the benchmark frame. Left-anti against

@@ -804,16 +804,21 @@ object TextOps {
     * bit-identically. `keep` thresholds at score ≥ 0 — with zero-mean
     * weights this splits the fixture non-vacuously; a deployment tunes
     * the threshold like any classifier cutoff. */
-  def q68LinearScore(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val scoreCol = aggregate(
-      transform(toks($"text"),
+  /** Per-row integer micro-score of [[q68LinearScore]] over any text
+    * column — the reusable GATE form ([[CorpusPipeline]]'s model-gate
+    * stage filters on it directly, keeping the stage a narrow map). */
+  def linearScoreMicro(text: Column): Column =
+    aggregate(
+      transform(toks(text),
         t => element_at(weightLit, (h32(t) % HashDim).cast("int") + 1)),
       lit(0L), (acc, x) => acc + x)
+
+  def q68LinearScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id",
         size(toks($"text")).as("n_tokens"),
-        scoreCol.as("score_micro"))
+        linearScoreMicro($"text").as("score_micro"))
       .withColumn("keep", when($"score_micro" >= 0, 1).otherwise(0))
       .orderBy($"doc_id")
   }

@@ -61,6 +61,38 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
   }
 
+  test("model gate keeps exactly the q68-positive survivors") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf)
+    val keepByModel = TextOps.q68LinearScore(spark, sf).collect()
+      .filter(_.getInt(3) == 1).map(_.getLong(0)).toSet
+
+    // exactness, with the near-dup stage neutralized (threshold 1.0 —
+    // post-exact-dedup docs can't reach Jaccard 1): the gated run is
+    // precisely the ungated run minus the q68 keep=0 docs
+    val iso = CorpusPipeline.Config(
+      stratRates = Seq.empty, neardupThreshold = 1.0)
+    val without = CorpusPipeline.withPrepared(docs, iso)(
+      _.select($"doc_id").collect().map(_.getLong(0)).toSet)
+    val withGate = CorpusPipeline.withPrepared(
+      docs, iso.copy(modelGate = true))(
+      _.select($"doc_id").collect().map(_.getLong(0)).toSet)
+    assert(withGate == without.filter(keepByModel),
+      "model gate disagrees with q68's keep flag")
+    assert(withGate.size < without.size, "gate didn't bite")
+
+    // under the FULL default pipeline the interaction with later
+    // stages may reshape the near-dup pair set (dropping a pair's low
+    // id can resurrect its partner) — but no model-negative doc can
+    // ever ship
+    val full = CorpusPipeline.withPrepared(
+      docs, CorpusPipeline.Config(modelGate = true))(
+      _.select($"doc_id").collect().map(_.getLong(0)).toSet)
+    assert(full.forall(keepByModel),
+      "a model-negative doc survived the gated pipeline")
+  }
+
   test("passage stage rewrites every surviving doc by the q56 rule") {
     import spark.implicits._
     spark.catalog.clearCache()
