@@ -70,14 +70,20 @@ object CorpusStream {
     StructField("hamming", IntegerType)))
 
   /** The narrow admission gates (batch stage 2, verbatim): language
-    * allow-list and minimum token count. Stateless, codegen'd, run
-    * FIRST so neither state store ever holds a discarded doc. */
+    * allow-list, minimum token count, and — when `cfg.modelGate` —
+    * the q68 linear-classifier score (heuristics first, model second,
+    * the batch pipeline's order). All stateless, codegen'd, run FIRST
+    * so neither state store ever holds a discarded doc. */
   def gate(
       docs: DataFrame,
-      cfg: CorpusPipeline.Config = CorpusPipeline.Config()): DataFrame =
-    docs
+      cfg: CorpusPipeline.Config = CorpusPipeline.Config()): DataFrame = {
+    val floorGated = docs
       .filter(col("lang").isInCollection(cfg.keepLangs))
       .filter(size(TextOps.toks(col("text"))) >= cfg.minTokens)
+    if (cfg.modelGate)
+      floorGated.filter(TextOps.linearScoreMicro(col("text")) >= 0)
+    else floorGated
+  }
 
   /** Exact streaming dedup — q09's content-hash rule on an unbounded
     * stream: state keys are `xxhash64(text)` (8 bytes), eviction is

@@ -272,6 +272,25 @@ class CorpusStreamSpec extends SparkSuite {
     assert(!packDir.exists, "stale pack must be removed")
   }
 
+  test("model gate in the admission path matches q68's keep flag exactly") {
+    import spark.implicits._
+    // the gate is stateless, so its batch evaluation IS its streaming
+    // evaluation (same codegen'd predicate per row) — assert against
+    // q68 on the fixture corpus with the heuristics gates wide open
+    val docs = Tables.documents(spark, sf)
+      .withColumn("ts", org.apache.spark.sql.functions.lit(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val cfg = graft.queries.CorpusPipeline.Config(
+      keepLangs = docs.select($"lang").distinct()
+        .collect().map(_.getString(0)).toSet,
+      minTokens = 0, modelGate = true)
+    val admitted = graft.streaming.CorpusStream.gate(docs, cfg)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val keep = graft.queries.TextOps.q68LinearScore(spark, sf).collect()
+      .filter(_.getInt(3) == 1).map(_.getLong(0)).toSet
+    assert(admitted == keep, "streaming admission disagrees with q68")
+  }
+
   test("empty docs are neither screened nor stored (batch q15 omission contract)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
