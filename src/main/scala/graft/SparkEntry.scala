@@ -92,6 +92,7 @@ object SparkEntry {
     "q68_linear_score"     -> (TextOps.q68LinearScore _),
     "q69_sem_decontam"     -> ((s, d) => SimilarityOps.q69SemanticDecontam(s, d)),
     "q70_rerank_topk"      -> ((s, d) => SimilarityOps.q70RerankTopK(s, d)),
+    "q71_heavy_hitters"    -> ((s, d) => TextOps.q71HeavyHitters(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -393,5 +394,11 @@ object SparkEntry {
     // Two-stage retrieval: q67's oracle nested as the shortlist CTE,
     // then the exact-cosine rerank — q12's arithmetic and tie-break.
     "q70_rerank_topk" -> SimilarityOps.q70OracleSql(),
+
+    // Heavy hitters: the oracle runs the direct full-vocabulary
+    // HAVING query; the Spark side must reproduce it exactly from
+    // the Misra-Gries-pruned two-pass plan (superset candidates +
+    // exact recount ⇒ partition-layout-independent output).
+    "q71_heavy_hitters" -> TextOps.q71OracleSql(),
   )
 }

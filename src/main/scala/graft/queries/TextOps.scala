@@ -846,6 +846,131 @@ object TextOps {
        |FROM documents d LEFT JOIN agg a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+
+  /** Heavy-hitter threshold in per-mille of total token occurrences:
+    * a token is reported iff `count·1000 ≥ perMille·N`. 10‰ = 1% —
+    * stopword territory on the fixture (non-vacuous, spec-asserted). */
+  val HeavyHitterPerMille = 10
+
+  /** Misra-Gries summary of one partition's token stream, capacity
+    * `cap` counters: any token whose true partition count exceeds
+    * `local_n/(cap+1)` is GUARANTEED present at the end (the classic
+    * frequent-items invariant — each decrement step destroys cap+1
+    * occurrence credits, so a token exceeding that budget can't be
+    * evicted to zero). O(cap) memory regardless of vocabulary size —
+    * the property that makes the candidate pass safe at any scale.
+    * Returns surviving tokens plus the partition's total. */
+  private[graft] def mgSummary(
+      it: Iterator[String], cap: Int): (Iterator[String], Long) = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    var total = 0L
+    it.foreach { t =>
+      total += 1
+      m.get(t) match {
+        case Some(c) => m.update(t, c + 1)
+        case None if m.size < cap => m.update(t, 1L)
+        case None => // decrement-all, drop zeros (the MG step)
+          val dead = List.newBuilder[String]
+          m.foreach { case (k, v) =>
+            if (v == 1L) dead += k else m.update(k, v - 1) }
+          dead.result().foreach(m.remove)
+      }
+    }
+    (m.keysIterator, total)
+  }
+
+  /** q71 — EXACT corpus-wide heavy hitters (tokens with ≥
+    * [[HeavyHitterPerMille]]‰ of all occurrences) WITHOUT aggregating
+    * the vocabulary: the open-vocab `groupBy(token)` that q42/q55
+    * accept (and size-gate) shuffles every distinct token — at a
+    * 100 TB crawl that is ~10⁸+ keys of long-tail noise paying for a
+    * handful of answer rows. The classic two-pass frequent-items
+    * algorithm deletes the tail before it ever reaches an exchange:
+    *
+    *   Pass 1 (candidates): each partition folds its tokens through a
+    *   bounded [[mgSummary]] (capacity 2000/perMille — comfortably
+    *   above the 1000/perMille the guarantee needs). By the weighted-
+    *   average argument, a GLOBAL heavy hitter must be a local heavy
+    *   hitter in at least one partition (max ratio ≥ overall ratio),
+    *   and every local heavy hitter survives its MG summary — so the
+    *   union of summaries is a GUARANTEED SUPERSET of the answer.
+    *   Each partition also emits its total as one marker row, so N
+    *   rides the same pass (no extra corpus scan). Candidate volume
+    *   is ≤ cap·partitions rows of a few bytes — a rounding error
+    *   next to the corpus.
+    *
+    *   Pass 2 (exact): one token-keyed join restricts the corpus
+    *   stream to candidates (left bare — AQE broadcasts the measured
+    *   tiny side at runtime, the round-9 rule), an exact count, and
+    *   the integer threshold against N. False candidates die here, so
+    *   the OUTPUT is partition-layout-independent — exactly the
+    *   HAVING query the oracle runs (spec shuffles the partitioning
+    *   and asserts bit-identical results).
+    *
+    * The one `mapPartitions` in the engine outside the multimodal
+    * stubs — justified: Misra-Gries is genuinely per-partition
+    * imperative state (a bounded counter map folded over rows in
+    * arrival order), the case the charter reserves it for. */
+  def q71HeavyHitters(
+      spark: SparkSession, dir: String,
+      perMille: Int = HeavyHitterPerMille): DataFrame =
+    heavyHittersBuild(Tables.documents(spark, dir), perMille)._1
+
+  /** Loan form of [[q71HeavyHitters]] — releases the (tiny) persisted
+    * candidate summary after `f`. */
+  def withQ71HeavyHitters[T](
+      spark: SparkSession, dir: String,
+      perMille: Int = HeavyHitterPerMille)(f: DataFrame => T): T = {
+    val (result, handles) = heavyHittersBuild(
+      Tables.documents(spark, dir), perMille)
+    try f(result) finally handles.foreach(_.unpersist())
+  }
+
+  private[graft] def heavyHittersBuild(
+      docs: DataFrame, perMille: Int): (DataFrame, Seq[DataFrame]) = {
+    require(perMille >= 1 && perMille <= 1000,
+      s"perMille must be in [1, 1000], got $perMille")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cap = math.max(1, 2000 / perMille)
+    val tokens = docs.select(explode(toks($"text")).as("token"))
+    // summaries: candidate rows (token, 0) + one (null, local_n) marker
+    // per partition. Persisted — it is a diamond (N and the candidate
+    // set both read it) of ≤ cap+1 rows per partition.
+    val summaries = tokens.as[String].mapPartitions { it =>
+      val (survivors, total) = mgSummary(it, cap)
+      survivors.map(t => (t, 0L)) ++ Iterator((null: String, total))
+    }.toDF("token", "local_n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTotal = summaries.agg(sum($"local_n").as("n_total"))
+    val candidates = summaries
+      .filter($"token".isNotNull).select($"token").distinct()
+    val result = tokens
+      .join(candidates, "token") // bare: AQE measures the tiny side
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(nTotal))
+      .filter($"n" * 1000 >= lit(perMille) * $"n_total")
+      .select($"token", $"n")
+      .orderBy($"token")
+    (result, Seq(summaries))
+  }
+
+  /** Ground truth for [[q71HeavyHitters]] — the direct HAVING
+    * formulation over the full vocabulary (affordable at oracle
+    * scale; the Spark side must equal it from the pruned two-pass
+    * plan). */
+  def q71OracleSql(perMille: Int = HeavyHitterPerMille): String =
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS token
+       |  FROM documents
+       |), n AS (SELECT count(*) AS n_total FROM tok)
+       |SELECT token, count(*) AS n
+       |FROM tok, n
+       |GROUP BY token, n_total
+       |HAVING count(*) * 1000 >= $perMille * n_total
+       |ORDER BY token""".stripMargin
+
   def q55OracleSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id,

@@ -36,6 +36,61 @@ class TextOpsSpec extends SparkSuite {
     assert(keeps > 0 && keeps < got.size, s"degenerate keep split: $keeps/${got.size}")
   }
 
+  test("q71 Misra-Gries summary: every local heavy hitter survives, memory bounded") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val cap = 10
+      // planted distribution: a few heavy tokens + a long random tail
+      val heavy = Seq.fill(400)("h" + rnd.nextInt(3))
+      val tail = Seq.fill(600)("t" + rnd.nextInt(500))
+      val stream = rnd.shuffle(heavy ++ tail)
+      val (it, total) = TextOps.mgSummary(stream.iterator, cap)
+      val survivors = it.toSet
+      assert(total == stream.length.toLong)
+      assert(survivors.size <= cap, s"trial $trial: summary exceeded cap")
+      // the MG guarantee: true count > n/(cap+1) => present
+      val counts = stream.groupBy(identity).view.mapValues(_.size)
+      counts.foreach { case (t, c) =>
+        if (c > stream.length / (cap + 1))
+          assert(survivors(t), s"trial $trial: heavy '$t' ($c) evicted")
+      }
+    }
+  }
+
+  test("q71 heavy hitters: output is partition-layout-independent and exact") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    def run(d: org.apache.spark.sql.DataFrame): Seq[(String, Long)] = {
+      val (res, handles) = TextOps.heavyHittersBuild(d, TextOps.HeavyHitterPerMille)
+      val out = res.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      handles.foreach(_.unpersist())
+      out
+    }
+    val a = run(docs)
+    val b = run(docs.repartition(3, col("lang")))
+    val c = run(docs.coalesce(1))
+    // exact algorithm: the candidate SET varies with layout, the
+    // answer cannot (false candidates die in the exact recount)
+    assert(a == b && b == c, "heavy-hitter output depends on partitioning")
+    assert(a.nonEmpty, "no heavy hitters on the fixture")
+    // sanity: every reported token really clears the threshold
+    val tokens = docs.select(org.apache.spark.sql.functions
+      .explode(org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.lower(col("text")), " ")).as("t"))
+      .filter(org.apache.spark.sql.functions.length(col("t")) > 0)
+      .collect().map(_.getString(0))
+    val n = tokens.length.toLong
+    val byTok = tokens.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    a.foreach { case (t, cnt) =>
+      assert(byTok(t) == cnt, s"count mismatch for '$t'")
+      assert(cnt * 1000 >= TextOps.HeavyHitterPerMille * n, s"'$t' below threshold")
+    }
+    // and none missed: the driver-side full count finds the same set
+    val wantSet = byTok.filter { case (_, c) =>
+      c * 1000 >= TextOps.HeavyHitterPerMille * n }.keySet
+    assert(a.map(_._1).toSet == wantSet, "heavy-hitter set differs from exhaustive count")
+  }
+
   test("q15 simhash: 32-bit fingerprints, identical docs hash identically") {
     val rows = TextOps.q15Simhash(spark, sf).collect()
     assert(rows.length == 500)
