@@ -387,6 +387,38 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Join"), s"q69 grew a join:\n$p")
   }
 
+  test("q67/q70: probe sides broadcast, candidates never sort-merge") {
+    // the IVF-PQ stack's scale contract: the corpus-sized code relation
+    // joins the bounded probe relation by BROADCAST — a sort-merge here
+    // would shuffle every encoded row on the cell key
+    Seq(
+      "q67" -> SimilarityOps.q67IvfPqTopK(spark, sf),
+      "q70" -> SimilarityOps.q70RerankTopK(spark, sf)
+    ).foreach { case (name, df) =>
+      df.collect() // settle AQE
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"$name lost its broadcast join:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name degraded to sort-merge:\n$p")
+    }
+  }
+
+  test("q71: candidates broadcast back, the token tail never reaches an exchange") {
+    val (df, handles) = TextOps.heavyHittersBuild(
+      Tables.documents(spark, sf), TextOps.HeavyHitterPerMille)
+    try {
+      df.collect() // settle AQE — the candidate side is measured tiny
+      val p = df.queryExecution.executedPlan.toString
+      // pass 2's restriction join must be broadcast: a sort-merge would
+      // shuffle the full token stream, the exact thing the MG pass
+      // exists to prevent
+      assert(p.contains("BroadcastHashJoin"), s"q71 lost its broadcast join:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"q71 degraded to sort-merge:\n$p")
+      // and the Misra-Gries fold is really in the plan (the one
+      // sanctioned mapPartitions outside the multimodal stubs)
+      assert(p.contains("MapPartitions"), s"q71 lost the MG fold:\n$p")
+    } finally handles.foreach(_.unpersist())
+  }
+
   test("q48: the funnel scan is a single hash shuffle") {
     // the claimed advantage over the k-self-join shape — pin it
     val p = plan(AnalyticsOps.q48Funnel(spark, sf))
