@@ -93,6 +93,7 @@ object SparkEntry {
     "q69_sem_decontam"     -> ((s, d) => SimilarityOps.q69SemanticDecontam(s, d)),
     "q70_rerank_topk"      -> ((s, d) => SimilarityOps.q70RerankTopK(s, d)),
     "q71_heavy_hitters"    -> ((s, d) => TextOps.q71HeavyHitters(s, d)),
+    "q72_collocations"     -> ((s, d) => TextOps.q72Collocations(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -400,5 +401,10 @@ object SparkEntry {
     // the Misra-Gries-pruned two-pass plan (superset candidates +
     // exact recount ⇒ partition-layout-independent output).
     "q71_heavy_hitters" -> TextOps.q71OracleSql(),
+
+    // PMI collocations: q71's oracle as the vocabulary CTE, the
+    // q46-style windowed bigram generate, and a single identically
+    // associated ln per output row floored to micro-nats.
+    "q72_collocations" -> TextOps.q72OracleSql(),
   )
 }

@@ -971,6 +971,116 @@ object TextOps {
        |HAVING count(*) * 1000 >= $perMille * n_total
        |ORDER BY token""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+
+  /** q72 — PMI collocations over the HEAVY-HITTER vocabulary: for
+    * every adjacent token pair whose BOTH members are q71 heavy
+    * hitters, the pointwise mutual information
+    * `ln(p(x,y)/(p(x)·p(y)))` in floored micro-nats — the classic
+    * collocation signal ("strongly associated word pairs"), and the
+    * corpus-linguistics QA a pipeline owner reads next to q58's drift
+    * (templated/boilerplate corpora show inflated PMI mass among
+    * stopwords).
+    *
+    * The q71 composition is what makes it SCALE-FREE: naive PMI is a
+    * vocab² aggregate (10¹⁶+ candidate pairs at web vocab). Restricted
+    * to the heavy-hitter set — BOUNDED BY CONSTRUCTION at ≤
+    * 1000/perMille members, the threshold pigeonhole — the pair space
+    * caps at |V|² ≤ 10⁴ rows regardless of corpus size, so the hint on
+    * the V joins is the justified kind (q55's "bounded by
+    * construction" category, not a scale-growing relation). Plan: the
+    * bigram generate is narrow; two broadcast joins filter non-V pairs
+    * map-side (the corpus-sized pair stream never shuffles); the one
+    * keyed exchange carries ≤ |V|² fixed-width rows; totals ride a
+    * broadcast single row.
+    *
+    * Determinism (q55's discipline, float-once-per-OUTPUT-row): counts
+    * are exact integers; the single `ln` evaluates on an identically
+    * associated double expression both engines, floored to micro-nats.
+    */
+  def q72Collocations(
+      spark: SparkSession, dir: String,
+      perMille: Int = HeavyHitterPerMille): DataFrame =
+    collocationsBuild(Tables.documents(spark, dir), perMille)._1
+
+  /** Loan form of [[q72Collocations]]. */
+  def withQ72Collocations[T](
+      spark: SparkSession, dir: String,
+      perMille: Int = HeavyHitterPerMille)(f: DataFrame => T): T = {
+    val (result, handles) = collocationsBuild(
+      Tables.documents(spark, dir), perMille)
+    try f(result) finally handles.foreach(_.unpersist())
+  }
+
+  private[graft] def collocationsBuild(
+      docs: DataFrame, perMille: Int): (DataFrame, Seq[DataFrame]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (hhRes, hhHandles) = heavyHittersBuild(docs, perMille)
+    // (token, n) — ≤ 1000/perMille rows; a diamond (x-join and y-join)
+    val hh = hhRes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = docs.select(toks($"text").as("toks"))
+    val totals = t.agg(
+      sum(size($"toks")).as("n_tok"),
+      sum(greatest(size($"toks") - 1, lit(0))).as("n_big"))
+    val pairs = t.filter(size($"toks") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"toks") - 1),
+        i => struct(element_at($"toks", i).as("tok_x"),
+          element_at($"toks", i + 1).as("tok_y")))).as("bg"))
+      .select($"bg.tok_x", $"bg.tok_y")
+    val cxy = pairs
+      .join(broadcast(hh.select($"token".as("tok_x"), $"n".as("c_x"))), "tok_x")
+      .join(broadcast(hh.select($"token".as("tok_y"), $"n".as("c_y"))), "tok_y")
+      .groupBy($"tok_x", $"tok_y", $"c_x", $"c_y")
+      .agg(count(lit(1)).as("n_xy"))
+    val result = cxy.crossJoin(broadcast(totals))
+      .select($"tok_x", $"tok_y", $"n_xy",
+        floor(log(
+          ($"n_xy".cast("double") * $"n_tok".cast("double") * $"n_tok".cast("double")) /
+            ($"n_big".cast("double") * $"c_x".cast("double") * $"c_y".cast("double"))) * 1e6)
+          .cast("long").as("pmi_unats"))
+      .orderBy($"tok_x", $"tok_y")
+    (result, hhHandles :+ hh)
+  }
+
+  /** Ground truth for [[q72Collocations]] — full-vocabulary heavy
+    * hitters (q71's oracle), the q46-style windowed bigram generate,
+    * and the identically associated PMI expression. */
+  def q72OracleSql(perMille: Int = HeavyHitterPerMille): String =
+    s"""WITH t AS (
+       |  SELECT list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+       |  FROM documents
+       |), tok AS (
+       |  SELECT unnest(toks) AS token FROM t
+       |), n AS (SELECT count(*) AS n_tok FROM tok),
+       |nb AS (SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS n_big FROM t),
+       |hh AS (
+       |  SELECT token, count(*) AS c
+       |  FROM tok, n GROUP BY token, n_tok
+       |  HAVING count(*) * 1000 >= $perMille * n_tok
+       |), big AS (
+       |  SELECT unnest(list_transform(
+       |           generate_series(1, greatest(len(toks) - 1, 0)),
+       |           i -> toks[i] || ' ' || toks[i + 1])) AS bg
+       |  FROM t WHERE len(toks) >= 2
+       |), pairs AS (
+       |  SELECT string_split(bg, ' ')[1] AS tok_x,
+       |         string_split(bg, ' ')[2] AS tok_y
+       |  FROM big
+       |), cxy AS (
+       |  SELECT tok_x, tok_y, hx.c AS c_x, hy.c AS c_y, count(*) AS n_xy
+       |  FROM pairs
+       |  JOIN hh hx ON hx.token = tok_x
+       |  JOIN hh hy ON hy.token = tok_y
+       |  GROUP BY tok_x, tok_y, hx.c, hy.c
+       |)
+       |SELECT tok_x, tok_y, n_xy,
+       |       CAST(floor(ln(
+       |         (n_xy::DOUBLE * n.n_tok::DOUBLE * n.n_tok::DOUBLE) /
+       |         (nb.n_big::DOUBLE * c_x::DOUBLE * c_y::DOUBLE)) * 1e6) AS BIGINT) AS pmi_unats
+       |FROM cxy, n, nb
+       |ORDER BY tok_x, tok_y""".stripMargin
+
   def q55OracleSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id,

@@ -91,6 +91,34 @@ class TextOpsSpec extends SparkSuite {
     assert(a.map(_._1).toSet == wantSet, "heavy-hitter set differs from exhaustive count")
   }
 
+  test("q72 collocations: vocabulary-bounded, counts exact, broadcast-filtered") {
+    val hh = TextOps.withQ71HeavyHitters(spark, sf)(
+      _.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    TextOps.withQ72Collocations(spark, sf) { df =>
+      df.collect() // settle AQE before reading the executed plan
+      val rows = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // pair space bounded by the heavy-hitter vocabulary
+      assert(rows.nonEmpty && rows.length <= hh.size * hh.size)
+      rows.foreach { case (x, y, _, _) =>
+        assert(hh.contains(x) && hh.contains(y), s"non-HH pair ($x,$y)")
+      }
+      // counts exact: re-count a handful of pairs from the raw corpus
+      val toks = Tables.documents(spark, sf).select("text").collect()
+        .map(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
+      val sample = rows.take(5) ++ rows.takeRight(5)
+      sample.foreach { case (x, y, nXy, _) =>
+        val want = toks.map(_.sliding(2).count(w =>
+          w.length == 2 && w(0) == x && w(1) == y)).sum
+        assert(want.toLong == nXy, s"($x,$y): counted $want, q72 says $nXy")
+      }
+      // the corpus pair stream is filtered by BROADCAST, never sort-merge
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"q72 lost its broadcast joins:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"q72 degraded to sort-merge:\n$p")
+    }
+  }
+
   test("q15 simhash: 32-bit fingerprints, identical docs hash identically") {
     val rows = TextOps.q15Simhash(spark, sf).collect()
     assert(rows.length == 500)
