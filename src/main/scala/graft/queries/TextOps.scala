@@ -17,11 +17,16 @@ import org.apache.spark.sql.functions._
   * oracle is GENERATED from the same Scala constants as the Spark plan,
   * so the two sides cannot drift.
   *
-  * Scale shape: everything here is a narrow per-document map followed by
-  * (at most) one hash aggregate — no joins, no windows over the corpus,
-  * nothing driver-side. The SimHash aggregate uses flat per-bit columns
-  * (codegen'd, map-side partial) rather than nested higher-order
-  * lambdas, the lesson measured in [[DedupOps]].
+  * Scale shape: the per-document analyses (q15–q18, q21, q44, q53,
+  * q68) are narrow maps followed by at most one hash aggregate — no
+  * joins, nothing driver-side. The corpus-statistics queries join only
+  * BOUNDED or size-gated relations: q42/q55's vocab tables ride the
+  * [[ScaleHints]] gate (AQE degrades them to shuffle joins at web
+  * vocab), q71/q72 join candidate/vocabulary sets bounded by
+  * construction (threshold pigeonhole), and no join ever shuffles the
+  * corpus-sized side on a text key. The SimHash aggregate uses flat
+  * per-bit columns (codegen'd, map-side partial) rather than nested
+  * higher-order lambdas, the lesson measured in [[DedupOps]].
   */
 object TextOps {
 
