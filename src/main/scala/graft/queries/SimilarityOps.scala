@@ -265,6 +265,34 @@ object SimilarityOps {
       .write.mode("overwrite").parquet(s"$path/_quantizer")
   }
 
+  /** Incrementally MAINTAIN the inverted file — the daily-delta
+    * operation q62 performs for the dedup index, here for ANN serving:
+    * assign the delta's vectors with the index's OWN persisted
+    * quantizer (reloaded from `path/_quantizer`, so the assignment
+    * rule is by construction the one that built the index — a
+    * re-derived or re-trained quantizer would silently split cells
+    * between old and new rows) and APPEND them into the existing cell
+    * directories via dynamic-partition append. One delta-sized
+    * shuffle on the int cell key; base rows are never read, moved, or
+    * rewritten. Searches pick the new vectors up immediately —
+    * [[ivfSearchIndex]]'s partition filter lists the same cell
+    * directories, now with more files ([[SimilarityOpsSpec]] pins
+    * append-then-search ≡ full-rebuild-then-search row for row).
+    * Operational note: appends accumulate a file per writing task per
+    * cell; a deployment periodically compacts each cell directory
+    * (rewrite-in-place, cell-local — no cross-cell shuffle), exactly
+    * the small-file hygiene every partitioned table needs. */
+  def appendIvfIndex(delta: DataFrame, path: String): Unit = {
+    val centroids = readQuantizer(delta.sparkSession, path)
+    assignCells(delta, centroids)
+      .drop("dots")
+      .repartition(col("cell"))
+      .write
+      .partitionBy("cell")
+      .mode("append")
+      .parquet(path)
+  }
+
   /** Reload the coarse quantizer persisted by [[writeQuantizer]] —
     * the cold-start half of serving: after this, [[ivfSearchIndex]]
     * needs nothing but the path. Collect is k×Dim doubles (the same

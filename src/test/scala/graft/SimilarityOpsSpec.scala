@@ -300,6 +300,41 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(q50 == q28)
   }
 
+  test("IVF incremental append: delta-appended index serves identically to a full rebuild") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    // deterministic split: base ingests two-thirds, the delta arrives later
+    val base = emb.filter($"vec_id" % 3 =!= 0)
+    val delta = emb.filter($"vec_id" % 3 === 0)
+    assert(base.count() > 0 && delta.count() > 0)
+
+    val centroids = (0 until SimilarityOps.NumCells)
+      .map(c => (0 until SimilarityOps.Dim).map(SimilarityOps.centroidComponent(c, _)))
+    val incPath = java.nio.file.Files.createTempDirectory("ivf-inc").toString
+    SimilarityOps.writeIvfIndex(base, centroids, incPath)
+    SimilarityOps.writeQuantizer(spark, centroids, incPath)
+    // the append uses the index's own persisted quantizer — no
+    // centroids passed in, the drift-proof contract
+    SimilarityOps.appendIvfIndex(delta, incPath)
+
+    val fullPath = java.nio.file.Files.createTempDirectory("ivf-full").toString
+    SimilarityOps.writeIvfIndex(emb, centroids, fullPath)
+
+    val probes = emb.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq
+    val inc = SimilarityOps.ivfSearchIndex(spark, incPath, probes, centroids).collect()
+    val full = SimilarityOps.ivfSearchIndex(spark, fullPath, probes, centroids).collect()
+    assert(inc.toSeq == full.toSeq,
+      "append-then-search diverged from full-rebuild-then-search")
+    // and the appended index covers every vector exactly once
+    val ids = spark.read.parquet(incPath).select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val want = emb.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == want, "appended index lost or duplicated vectors")
+  }
+
   test("IVF cold-start serving: train→persist→reload quantizer→search, recall pinned") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
