@@ -94,6 +94,7 @@ object SparkEntry {
     "q70_rerank_topk"      -> ((s, d) => SimilarityOps.q70RerankTopK(s, d)),
     "q71_heavy_hitters"    -> ((s, d) => TextOps.q71HeavyHitters(s, d)),
     "q72_collocations"     -> ((s, d) => TextOps.q72Collocations(s, d)),
+    "q73_audio_chunks"     -> (MultimodalOps.q73AudioChunks _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -406,5 +407,10 @@ object SparkEntry {
     // q46-style windowed bigram generate, and a single identically
     // associated ln per output row floored to micro-nats.
     "q72_collocations" -> TextOps.q72OracleSql(),
+
+    // Overlapping chunk table: the oracle reproduces the stride series
+    // and the ord() first-byte probe over the ASCII fixture payload —
+    // the q20/q34 pattern for the imperative batched operator.
+    "q73_audio_chunks" -> MultimodalOps.q73OracleSql,
   )
 }

@@ -196,6 +196,61 @@ object MultimodalOps {
        |) ORDER BY media_id""".stripMargin
   }
 
+  /** Chunk geometry for [[q73AudioChunks]]: fixed-size windows with
+    * OVERLAP (stride < size — the Whisper-style segmentation audio
+    * pipelines run before the encoder, where overlap preserves context
+    * across cut points). The payload stands in for a PCM buffer. */
+  val ChunkBytes = 48
+  val ChunkStride = 32
+
+  /** Per-payload overlapping chunking: one output row PER CHUNK —
+    * `(chunk_idx, start_byte, n_bytes, first byte)` — including the
+    * partial tail window (real pipelines pad it). The generator-shaped
+    * sibling of [[sampleOne]]: media in, MANY rows out. */
+  private[graft] def chunkOne(
+      id: Long, bytes: Array[Byte]): Iterator[(Long, Long, Long, Long, Long)] =
+    Iterator.range(0, bytes.length, ChunkStride).map { s =>
+      (id, (s / ChunkStride).toLong, s.toLong,
+        math.min(ChunkBytes, bytes.length - s).toLong, decodeByte(bytes, s))
+    }
+
+  /** q73 — overlapping audio-chunk table: the EXPLODED per-chunk
+    * relation a training pipeline hands to the audio encoder (q34
+    * emits one summary row per media; here each media fans out to its
+    * chunk rows — the flatMap-shaped batch operator, the third and
+    * last `mapInPandas` signature class after map (q20) and aggregate
+    * (q34)). Chunks overlap by [[ChunkBytes]]−[[ChunkStride]] bytes;
+    * the tail partial chunk ships with its true length. Payload bytes
+    * still never shuffle — each chunk row carries offsets, lengths,
+    * and a first-byte probe (the decode stub), not the slice itself;
+    * the downstream encoder re-reads its slice payload-local, exactly
+    * how a real pipeline keeps the bytes on the scan side. */
+  def q73AudioChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select($"media_id", $"bytes")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { case (id, bytes) => chunkOne(id, bytes) }
+      })
+      .toDF("media_id", "chunk_idx", "start_byte", "n_bytes", "first_byte")
+      .orderBy($"media_id", $"chunk_idx")
+  }
+
+  /** Ground truth for [[q73AudioChunks]] — the same stride series and
+    * `ord()` first-byte probe over the ASCII fixture payload. */
+  def q73OracleSql: String =
+    s"""SELECT doc_id AS media_id,
+       |       (s // $ChunkStride)::BIGINT AS chunk_idx,
+       |       s::BIGINT AS start_byte,
+       |       least($ChunkBytes, len(text) - s)::BIGINT AS n_bytes,
+       |       ord(substr(text, s + 1, 1))::BIGINT AS first_byte
+       |FROM (
+       |  SELECT doc_id, text,
+       |         unnest(generate_series(0, len(text) - 1, $ChunkStride)) AS s
+       |  FROM documents WHERE len(text) > 0
+       |) ORDER BY media_id, chunk_idx""".stripMargin
+
   def q20OracleSql: String = {
     val dims = (0 until EmbedDim).map { k =>
       s"coalesce(list_sum(list_transform(generate_series(${k + 1}, least(len(text), $EmbedSpan), $EmbedDim), i -> ord(substr(text, i, 1)))), 0)::BIGINT AS e$k"

@@ -84,6 +84,39 @@ class MultimodalOpsSpec extends SparkSuite {
     }
   }
 
+  test("q73 chunking: payload fully covered, overlap honored, tail partial") {
+    import graft.queries.MultimodalOps._
+    // unit geometry on planted payloads
+    val empty = chunkOne(1L, Array.emptyByteArray).toSeq
+    assert(empty.isEmpty, "empty payload must produce no chunks")
+    val one = chunkOne(2L, Array.fill[Byte](10)(65)).toSeq
+    assert(one == Seq((2L, 0L, 0L, 10L, 65L)), s"short payload: $one")
+    val bytes = Array.tabulate[Byte](100)(i => (i % 127).toByte)
+    val chunks = chunkOne(3L, bytes).toSeq
+    // starts advance by the stride; every byte position falls inside
+    // at least one chunk (full coverage despite the stub decode)
+    chunks.zipWithIndex.foreach { case ((_, idx, start, n, fb), i) =>
+      assert(idx == i && start == i.toLong * ChunkStride)
+      assert(n == math.min(ChunkBytes, 100 - start))
+      assert(fb == (bytes(start.toInt) & 0xffL))
+    }
+    val covered = chunks.flatMap { case (_, _, s, n, _) => s until (s + n) }.toSet
+    assert(covered == (0L until 100L).toSet, "chunk coverage gap")
+    // consecutive full chunks overlap by size - stride
+    chunks.sliding(2).foreach {
+      case Seq((_, _, s1, n1, _), (_, _, s2, _, _)) if s1 + n1 >= s2 + ChunkBytes - ChunkStride =>
+        assert(s2 - s1 == ChunkStride)
+      case _ =>
+    }
+    // the query agrees with the per-payload rule on the fixture
+    val got = MultimodalOps.q73AudioChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val want = mediaTable(spark, sf).select("media_id", "bytes").collect()
+      .flatMap(r => chunkOne(r.getLong(0), r.getAs[Array[Byte]](1)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("q20 embedding is deterministic and batch-independent") {
     import org.apache.spark.sql.functions._
     val a = MultimodalOps.q20MediaEmbed(spark, sf).collect()
