@@ -366,6 +366,45 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("runtime bloom-filter pruning: a selective dim filter reaches the fact scan as might_contain") {
+    // the 100 TB lever the salted/bucketed joins don't cover: when a
+    // shuffle join's small side is SELECTIVELY FILTERED, Spark can
+    // build a bloom filter over its join keys and inject it into the
+    // big side's scan — fact rows that cannot match die BEFORE the
+    // shuffle write. Pin that the engine's shape triggers it: a
+    // filtered orders dim joined to lineitem under forced-shuffle
+    // confs (thresholds lowered to fixture scale; at a real 100 TB the
+    // defaults — 10 MB creation side, 10 GB probe scan — fire on their
+    // own).
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB")
+    val saved = confs.map(_._1).map(k => k -> spark.conf.getOption(k))
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def revenue = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf)
+          .filter($"o_orderpriority" === "1-URGENT"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(org.apache.spark.sql.functions.sum($"l_extendedprice").as("rev"))
+      val p = revenue.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"no runtime bloom filter injected into the probe side:\n$p")
+      // semantics unchanged: the filter only prunes non-matching rows
+      val got = revenue.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val want = revenue.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got == want, "bloom pruning changed the join result")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q68: the hashed classifier is a pure narrow map — no hash shuffle, no join") {
     // the scale claim vs q55's vocab join: the model rides into the
     // tasks as a literal array, so NOTHING shuffles but the contract
