@@ -186,6 +186,56 @@ object ProfScale {
           SimilarityOps.q70RerankTopK(spark, dir).collect().length.toLong
         }
     }
+
+    // --- vocabulary-statistics invariants under exact duplication ----
+    // The dedup-probe corpus suffixes replica tokens (so replicas share
+    // no shingles) — that DILUTES relative frequencies 10× and empties
+    // the heavy-hitter set, which is correct but uninformative. For the
+    // vocabulary operators the right scale question is exact
+    // duplication: token texts unchanged, every count ×N. Then q71's
+    // set must keep its MEMBERSHIP with counts ×N, and q72's PMI is
+    // bit-identical (the ratio is scale-free: ×N cancels between
+    // numerator and denominator) while its pair counts scale ×N —
+    // exact invariants, asserted, not eyeballed.
+    val plainDir = s"$scaleDir/plain"
+    (0 until replicas).map { r =>
+      if (r == 0) base
+      else base.select(
+        ($"doc_id" + lit(r.toLong * 10000000L)).as("doc_id"),
+        $"lang", $"source", $"text", $"n_chars")
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$plainDir/documents.parquet")
+
+    val hhBase = TextOps.withQ71HeavyHitters(spark, baseDir)(
+      _.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    time(s"q71 plain${replicas}x") {
+      val m = TextOps.withQ71HeavyHitters(spark, plainDir)(
+        _.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      require(m == hhBase.map { case (t, n) => t -> n * replicas },
+        s"q71 heavy-hitter invariant broke: base=${hhBase.size} scaled=${m.size}")
+      m.size.toLong
+    }
+    println(s"[scale] q71 invariant held: ${hhBase.size} heavy hitters, " +
+      s"membership identical, counts x$replicas exactly")
+    val pmiBase = TextOps.withQ72Collocations(spark, baseDir)(
+      _.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap)
+    // pmi_unats equality rides the q55-class acceptance: the scaled
+    // doubles differ by a few ulps, so the floored micro-nat can flip
+    // only when ln lands within ~1e-10 of a boundary (~1e-7 over the
+    // whole pair table)
+    time(s"q72 plain${replicas}x") {
+      val m = TextOps.withQ72Collocations(spark, plainDir)(
+        _.collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap)
+      require(m == pmiBase.map { case (k, (nXy, pmi)) =>
+        k -> (nXy * replicas, pmi) },
+        s"q72 PMI invariant broke: base=${pmiBase.size} scaled=${m.size}")
+      m.size.toLong
+    }
+    println(s"[scale] q72 invariant held: ${pmiBase.size} pairs, counts " +
+      s"x$replicas, pmi_unats bit-identical")
     spark.stop()
   }
 }
