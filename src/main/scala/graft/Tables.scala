@@ -53,9 +53,17 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => df
-      case _ => // TimestampNTZType (and any other castable shape)
+      case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts",
           expr("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other =>
+        // Strict by design: a catch-all cast would turn an unexpected
+        // fixture encoding (string dates, double seconds) into silent
+        // nulls or wrong instants. Fail loudly instead.
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported type $other — expected LongType " +
+            "(legacy nanos), TimestampType, or TimestampNTZType; update " +
+            "Tables.events for any new fixture encoding")
     }
   }
 

@@ -36,8 +36,11 @@ import org.apache.spark.sql.functions._
   *        component's minimum id — the "one per duplicate family"
   *        rule production corpus dedups use when boilerplate chains
   *        would otherwise survive pair-local dropping.
-  *   4. Stratified rebalance (q41 rates) — content-keyed per-language
-  *      sampling, reproducible across reruns and engines.
+  *   4. Rebalance — content-keyed sampling, reproducible across
+  *      reruns and engines: fixed per-language rates (q41) by
+  *      default, or per-source rates DERIVED from the survivor
+  *      mixture (q64's arithmetic, `Config.mixWeights`) when the run
+  *      targets a composition instead of keep fractions.
   *   5. Keyword tagging (q42 core) — each surviving doc gets its
   *      TF-IDF top terms (computed over the FINAL corpus, so the df
   *      statistics describe what ships), as a rank-ordered array.
@@ -76,7 +79,9 @@ object CorpusPipeline {
       clusterNeardups: Boolean = false,
       passageDedup: Boolean = false,
       passageTokens: Int = DedupOps.PassageTokens,
-      modelGate: Boolean = false) {
+      modelGate: Boolean = false,
+      mixWeights: Option[Seq[(String, Int)]] = None,
+      defaultMixWeight: Int = PipelineOps.DefaultMixWeight) {
     require(passageTokens > 0, s"passageTokens must be > 0, got $passageTokens")
     require(neardupThreshold > 0 && neardupThreshold <= 1,
       s"neardupThreshold must be in (0, 1], got $neardupThreshold")
@@ -254,16 +259,44 @@ object CorpusPipeline {
         (pairs.select(col("doc_b").as("doc_id")).distinct(), dedupHandles)
     val neardupFree = gated.join(losers, Seq("doc_id"), "left_anti")
 
-    // 4. stratified rebalance (content-keyed, reproducible). Persisted:
-    // the frame is a diamond with FOUR consumers (the final join's left
-    // side plus tf/df/nDocs inside the keyword stage), and without the
-    // cache the whole stage-1..4 chain re-executes per consumer — the
-    // same diamond rule the shingle frame's persist encodes in
-    // DedupOps. Released with the other handles by the loan form.
-    val balanced = neardupFree
-      .filter(RelationalOps.stratifiedKeep(cfg.stratRates, cfg.defaultPerMille))
+    // 4. rebalance (content-keyed, reproducible). Two modes:
+    //    - FIXED rates (default): q41's per-language stratified keep,
+    //      a narrow filter.
+    //    - DERIVED rates (`cfg.mixWeights`): q64's mixture arithmetic
+    //      over the SURVIVOR histogram — one extra aggregate pass over
+    //      the post-dedup frame (so it gets its own persist: histogram
+    //      + filter are two consumers), then the per-source rates ride
+    //      a broadcast back into the same content-hash predicate.
+    //      The rates relation is bounded by the SOURCE ALPHABET (q58's
+    //      bounded-by-construction category) but derives from a
+    //      corpus-scan aggregate, so Catalyst's estimate is
+    //      corpus-sized and the hint must be explicit — the q52
+    //      flagged-id rule, not a scale hazard.
+    // Persisted either way: the frame is a diamond with FOUR consumers
+    // (the final join's left side plus tf/df/nDocs inside the keyword
+    // stage), and without the cache the whole stage-1..4 chain
+    // re-executes per consumer — the same diamond rule the shingle
+    // frame's persist encodes in DedupOps. Released with the other
+    // handles by the loan form.
+    val (rebalanced, mixHandles) = cfg.mixWeights match {
+      case Some(weights) =>
+        val survivors = neardupFree
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rates =
+          PipelineOps.mixtureRates(survivors, weights, cfg.defaultMixWeight)
+        (survivors.join(broadcast(rates), Seq("source"))
+          .filter(RelationalOps.contentHashMod(RelationalOps.PerMille)
+            < col("rate_pm"))
+          .drop("rate_pm"),
+          Seq(survivors))
+      case None =>
+        (neardupFree.filter(
+          RelationalOps.stratifiedKeep(cfg.stratRates, cfg.defaultPerMille)),
+          Seq.empty[DataFrame])
+    }
+    val balanced = rebalanced
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val handles = (dedupHandles2 ++ gateHandles) :+ balanced
+    val handles = (dedupHandles2 ++ gateHandles ++ mixHandles) :+ balanced
 
     // 5. keyword tagging over the FINAL corpus; rank order preserved in
     // the array via sort_array over (rank, token) structs

@@ -580,6 +580,38 @@ object PipelineOps {
       .orderBy($"source")
   }
 
+  /** The DERIVED-RATE half of [[q64MixtureBalance]] as a reusable
+    * stage: per-source keep rates `(source, rate_pm)` from the
+    * corpus's own composition — the piece [[CorpusPipeline]] threads
+    * in when a run rebalances to target weights instead of q41's
+    * fixed per-language rates. Same integer arithmetic as q64
+    * (`T = min_s floor(n_s·W/w_s)`, `rate_s = floor(T·w_s·1000 /
+    * (W·n_s))`), but over a plain per-source count — the caller that
+    * wants kept counts WITHOUT scanning again uses q64's bucketed
+    * histogram; a caller about to FILTER the corpus anyway (the
+    * pipeline) needs only the rates, one map-side-combined aggregate
+    * to |sources| rows, windows over that alphabet-sized frame. The
+    * filter to apply is `contentHashMod(PerMille) < rate_pm` — the
+    * exact predicate q64's kept-count arithmetic models, so pipeline
+    * kept counts close over q64's numbers (spec-pinned). */
+  def mixtureRates(
+      docs: DataFrame,
+      weights: Seq[(String, Int)] = MixWeights,
+      defaultWeight: Int = DefaultMixWeight): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wExpr = weights.reverse.foldLeft(lit(defaultWeight)) {
+      case (acc, (s, w)) => when(col("source") === s, lit(w)).otherwise(acc)
+    }
+    val all = Window.partitionBy(lit(1))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      .withColumn("w", wExpr.cast("long"))
+      .withColumn("w_sum", sum(col("w")).over(all))
+      .withColumn("t_max", min(expr("n_total * w_sum div w")).over(all))
+      .withColumn("rate_pm", least(lit(1000L),
+        expr("t_max * w * 1000 div (w_sum * n_total)")))
+      .select(col("source"), col("rate_pm"))
+  }
+
   /** Oracle: the same histogram → W/T → rates → kept-count arithmetic
     * in DuckDB, generated from the same weight constants; HUGEINT
     * intermediates cast back to BIGINT at every output column. */

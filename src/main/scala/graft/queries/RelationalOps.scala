@@ -25,11 +25,16 @@ object RelationalOps {
     * This is the engine's one genuinely BIG join — fact-to-fact
     * (lineitem ⋈ orders), both sides filtered BEFORE the join (the
     * filters push to the parquet scans), shuffled on the join key with
-    * map-side partial aggregation after; the filtered customer
-    * dimension is explicitly broadcast so the fact stream never
-    * shuffles for it. At 100 TB this plan survives as-is: AQE sizes the
-    * post-filter shuffle, and the top-10 is `TakeOrderedAndProject`
-    * (per-partition top-k, k rows to the driver — never a global sort).
+    * map-side partial aggregation after. The filtered customer
+    * dimension GROWS with the corpus (one mktsegment ≈ 1/5 of the
+    * table — billions of rows at TPC-H 100 TB), so its broadcast is
+    * size-gated via [[ScaleHints.broadcastIfBounded]]: at test scale
+    * Catalyst's estimate is tiny and the hint fires (the fact stream
+    * never shuffles for it — pinned in PlanShapeSpec); past the cap
+    * the join goes bare and AQE picks shuffle-vs-broadcast from the
+    * measured post-filter size. AQE sizes the fact shuffle, and the
+    * top-10 is `TakeOrderedAndProject` (per-partition top-k, k rows
+    * to the driver — never a global sort).
     *
     * Revenue is EXACT integer "cent-percent" units:
     * `price_cents × (100 − discount_pct)` — double arithmetic would
@@ -50,7 +55,7 @@ object RelationalOps {
         (round($"l_extendedprice" * 100).cast("long") *
           (lit(100L) - round($"l_discount" * 100).cast("long"))).as("rev_cp"))
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(ScaleHints.broadcastIfBounded(cust), $"o_custkey" === $"c_custkey")
       .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(sum($"rev_cp").as("revenue_cp"), count(lit(1)).as("n_items"))
       // parquet timestamps load as TIMESTAMP_NTZ; session tz is UTC, so

@@ -567,15 +567,52 @@ object SimilarityOps {
     * listing, so index and quantizer cannot drift apart. Build cost is
     * one corpus pass: the stats aggregate broadcasts back into the
     * encoding projection (q54's plan, minus the search). */
-  def writeSq8Index(emb: DataFrame, path: String): Unit = {
-    val stats = sq8Stats(emb)
+  def writeSq8Index(emb: DataFrame, path: String): Unit =
+    writeSq8IndexWith(emb, sq8Stats(emb), path)
+
+  /** [[writeSq8Index]] with an EXPLICIT quantizer frame (one `(mn,
+    * mx)` row) — the seam [[appendSq8Index]] and its spec need: when
+    * the stats are self-trained the two are identical, but an append
+    * must encode with the index's PERSISTED quantizer, not retrain.
+    * Codes SATURATE into [0, 255] (`least/greatest` before the byte
+    * shift): a no-op under a self-trained quantizer (min/max cover
+    * every value by definition), and the standard scalar-quantization
+    * drift behavior when appended data escapes the trained range — an
+    * out-of-range dimension clamps to the boundary code instead of
+    * silently overflowing the byte. */
+  private[graft] def writeSq8IndexWith(
+      emb: DataFrame, stats: DataFrame, path: String): Unit = {
     emb.crossJoin(broadcast(stats))
       .select(col("vec_id"), col("label"),
-        transform(sq8Codes(col("embedding"), col("mn"), col("mx")),
-          c => (c - lit(128)).cast("byte")).as("codes"))
+        sq8ByteCodes(col("embedding"), col("mn"), col("mx")).as("codes"))
       .write.mode("overwrite").parquet(path)
     stats.coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_quantizer")
+  }
+
+  /** Saturating byte encoding shared by build and append: quantize,
+    * clamp to [0, 255], shift by −128 into the signed byte range. */
+  private def sq8ByteCodes(e: Column, mn: Column, mx: Column): Column =
+    transform(sq8Codes(e, mn, mx),
+      c => (least(greatest(c, lit(0L)), lit(255L)) - lit(128)).cast("byte"))
+
+  /** Incrementally MAINTAIN the SQ8 table — [[appendIvfIndex]]'s
+    * daily-delta contract for the 1-byte codes: encode the delta with
+    * the index's OWN persisted `(mn, mx)` quantizer (reloaded from
+    * `path/_quantizer` — retraining on the delta would re-scale every
+    * code and silently corrupt the base rows' geometry) and append.
+    * One narrow delta-sized projection; base rows never read or
+    * rewritten. Drift limit: values outside the trained [mn, mx]
+    * saturate to the boundary code ([[sq8ByteCodes]]) — correct
+    * ranking degrades gracefully for out-of-range dims until a
+    * scheduled retrain+rebuild, and append ≡ rebuild-with-same-
+    * quantizer exactly (spec-pinned). */
+  def appendSq8Index(delta: DataFrame, path: String): Unit = {
+    val quantizer = delta.sparkSession.read.parquet(s"$path/_quantizer")
+    delta.crossJoin(broadcast(quantizer))
+      .select(col("vec_id"), col("label"),
+        sq8ByteCodes(col("embedding"), col("mn"), col("mx")).as("codes"))
+      .write.mode("append").parquet(path)
   }
 
   /** Search the PERSISTED SQ8 table: reload the quantizer, dequantize
@@ -827,34 +864,100 @@ object SimilarityOps {
   private def pqCodebook(m: Int, j: Int): Seq[Double] =
     (0 until PqSubDim).map(pqComponent(m, j, _))
 
+  /** The fixed LCG codebooks as one `books(m)(j)` value — the INIT
+    * state of [[trainPqCodebooks]] (exactly as q28's LCG centroids
+    * are [[trainCentroids]]'s init) and the default quantizer the
+    * oracle-checked q65/q66/q67 serve from. */
+  def defaultPqCodebooks: Seq[Seq[Seq[Double]]] =
+    (0 until PqSubspaces).map(m => (0 until PqCodes).map(pqCodebook(m, _)))
+
   private def pqLit(m: Int, j: Int): Column = typedlit(pqCodebook(m, j))
 
   private def pqSql(m: Int, j: Int): String =
     pqCodebook(m, j).map(_.toString).mkString("[", ", ", "]")
 
-  /** ‖c_{m,j}‖² as a Scala-computed double, inlined as the SAME literal
-    * into both engines' argmin — never recomputed, so it cannot drift
-    * between them. */
-  private def pqNorm(m: Int, j: Int): Double = {
-    val c = pqCodebook(m, j)
+  /** ‖c‖² as a Scala-computed double in strict left-to-right order —
+    * for the LCG books it is inlined as the SAME literal into both
+    * engines' argmin, never recomputed, so it cannot drift between
+    * them. */
+  private def pqNorm2(c: Seq[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < c.length) { s += c(i) * c(i); i += 1 }
     s
   }
 
-  /** The PQ code columns `code0..code{M-1}` for an embedding column:
-    * per subspace, the index of the L2-nearest codebook entry —
-    * argmin over `‖c‖² − 2·v_m·c` (the per-row-constant `‖v_m‖²`
-    * dropped, the [[lloydIteration]] trick), first-min tie-break via
-    * array_position-of-array_min, matching the oracle's
-    * list_position-of-list_min on bit-identical distance values. */
-  private def pqCodeCols(emb: Column): Seq[Column] =
+  private def pqNorm(m: Int, j: Int): Double = pqNorm2(pqCodebook(m, j))
+
+  /** The PQ code columns `code0..code{M-1}` for an embedding column
+    * under arbitrary codebooks: per subspace, the index of the
+    * L2-nearest codebook entry — argmin over `‖c‖² − 2·v_m·c` (the
+    * per-row-constant `‖v_m‖²` dropped, the [[kmeansIteration]]
+    * trick), first-min tie-break via array_position-of-array_min,
+    * matching the oracle's list_position-of-list_min on bit-identical
+    * distance values when `books` are the LCG constants. */
+  private[graft] def pqCodeColsFor(
+      emb: Column, books: Seq[Seq[Seq[Double]]]): Seq[Column] =
     (0 until PqSubspaces).map { m =>
       val sub = slice(emb, m * PqSubDim + 1, PqSubDim)
       val dists = array((0 until PqCodes).map { j =>
-        lit(pqNorm(m, j)) - lit(2.0) * PipelineOps.dot(sub, pqLit(m, j))
+        val c = books(m)(j)
+        lit(pqNorm2(c)) - lit(2.0) * PipelineOps.dot(sub, typedlit(c))
       }: _*)
       (array_position(dists, array_min(dists)) - 1).cast("int").as(s"code$m")
+    }
+
+  private def pqCodeCols(emb: Column): Seq[Column] =
+    pqCodeColsFor(emb, defaultPqCodebooks)
+
+  /** One Lloyd iteration over ALL [[PqSubspaces]] codebooks in a
+    * SINGLE corpus pass — the per-subspace k-means q65's scaladoc
+    * defers to, built so training cost does not multiply by M: each
+    * vector's row explodes into M `(m, code_m, subvector)` entries
+    * (a narrow generate, consumed in the same stage), and ONE
+    * map-side-combined hash aggregate over the ≤ M×K = 128 group keys
+    * produces every codebook's new mean. Per iteration the corpus is
+    * read once and only M×K×[[PqSubDim]] doubles reach the driver —
+    * [[kmeansIteration]]'s contract, M codebooks at a time. Codes
+    * that attract no vectors keep their previous entry (same
+    * empty-cell rule). */
+  def pqKmeansIteration(
+      emb: DataFrame,
+      books: Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] = {
+    val entries = (0 until PqSubspaces).map { m =>
+      val sub = slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
+      val dists = array((0 until PqCodes).map { j =>
+        val c = books(m)(j)
+        lit(pqNorm2(c)) - lit(2.0) * PipelineOps.dot(sub, typedlit(c))
+      }: _*)
+      struct(
+        lit(m).as("m"),
+        (array_position(dists, array_min(dists)) - 1).cast("int").as("j"),
+        sub.as("sub"))
+    }
+    val aggs = (0 until PqSubDim).map(i =>
+      avg(element_at(col("e.sub"), i + 1).cast("double")).as(s"c$i"))
+    val rows = emb.select(explode(array(entries: _*)).as("e"))
+      .groupBy(col("e.m").as("m"), col("e.j").as("j"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val updated = books.map(_.toArray).toArray
+    rows.foreach { r =>
+      updated(r.getInt(0))(r.getInt(1)) =
+        (0 until PqSubDim).map(i => r.getDouble(i + 2))
+    }
+    updated.toSeq.map(_.toSeq)
+  }
+
+  /** Train the PQ codebooks: `iters` Lloyd iterations per subspace
+    * from the deterministic LCG books — closing the train→build→serve
+    * loop for PQ exactly as [[trainCentroids]] closed it for IVF.
+    * Trained books feed [[writePqIndex]]/[[pqSearchIndex]] (and the
+    * cold-start path via `_quantizer`); the oracle-checked q65–q67
+    * keep the fixed books so their DuckDB twins stay constructible. */
+  def trainPqCodebooks(
+      emb: DataFrame, iters: Int = 5): Seq[Seq[Seq[Double]]] =
+    (0 until iters).foldLeft(defaultPqCodebooks) {
+      (bs, _) => pqKmeansIteration(emb, bs)
     }
 
   /** q65 — PQ/ADC search: the compressed exhaustive scan that completes
@@ -982,17 +1085,51 @@ object SimilarityOps {
     * table listing; the [[writeQuantizer]] one-artifact rule: index and
     * codebooks travel together and cannot drift). Build is one corpus
     * pass, a narrow codegen'd projection. */
-  def writePqIndex(emb: DataFrame, path: String): Unit = {
+  def writePqIndex(
+      emb: DataFrame, path: String,
+      books: Seq[Seq[Seq[Double]]] = defaultPqCodebooks): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     emb.select(col("vec_id"), col("label"),
-        pqPack(pqCodeCols(col("embedding"))).as("packed"))
+        pqPack(pqCodeColsFor(col("embedding"), books)).as("packed"))
       .write.mode("overwrite").parquet(path)
     (for (m <- 0 until PqSubspaces; j <- 0 until PqCodes)
-      yield (m, j, pqCodebook(m, j)))
+      yield (m, j, books(m)(j)))
       .toDF("m", "j", "codebook")
       .coalesce(1) // M×K×subDim doubles — one tiny file
       .write.mode("overwrite").parquet(s"$path/_quantizer")
+  }
+
+  /** The full PQ train→build loop: train codebooks on the corpus,
+    * persist codes + trained quantizer as one artifact — the PQ twin
+    * of [[trainAndWriteIvf]]. Returns the books for a caller serving
+    * warm; cold starts reload them via [[readPqQuantizer]]. */
+  def trainAndWritePq(
+      emb: DataFrame, path: String, iters: Int = 5): Seq[Seq[Seq[Double]]] = {
+    val books = trainPqCodebooks(emb, iters)
+    writePqIndex(emb, path, books)
+    books
+  }
+
+  /** Incrementally MAINTAIN the PQ index — [[appendIvfIndex]]'s
+    * daily-delta contract for the packed-code table: encode the delta
+    * with the index's OWN persisted codebooks (reloaded from
+    * `path/_quantizer`, so old and new rows share one code geometry
+    * by construction) and append. One narrow delta-sized projection;
+    * base rows are never read or rewritten, and [[pqSearchIndex]]
+    * picks the new rows up immediately (append ≡ rebuild with the
+    * same books, spec-pinned). Drift limit: the codebooks stay those
+    * trained on the base distribution — appended vectors from a
+    * drifted distribution still encode to their NEAREST entry (argmin
+    * is total, nothing saturates), but quantization error grows until
+    * a scheduled retrain+rebuild; the quantizer-versioning any
+    * production PQ deployment runs. */
+  def appendPqIndex(delta: DataFrame, path: String): Unit = {
+    val booksArr = readPqQuantizer(delta.sparkSession, path)
+    val books = booksArr.map(_.map(_.toSeq).toSeq).toSeq
+    delta.select(col("vec_id"), col("label"),
+        pqPack(pqCodeColsFor(col("embedding"), books)).as("packed"))
+      .write.mode("append").parquet(path)
   }
 
   /** Reload the PQ codebooks persisted by [[writePqIndex]] — the
@@ -1118,7 +1255,8 @@ object SimilarityOps {
     * pattern). */
   def q67IvfPqTopK(
       spark: SparkSession, dir: String,
-      k: Int = 10, numProbes: Int = 10): DataFrame = {
+      k: Int = 10, numProbes: Int = 10,
+      probedCells: Int = NumProbedCells): DataFrame = {
     import spark.implicits._
     val centroids = (0 until NumCells)
       .map(c => (0 until Dim).map(centroidComponent(c, _)))
@@ -1132,7 +1270,7 @@ object SimilarityOps {
       .filter($"vec_id" < numProbes)
       .select(
         $"vec_id".as("probe_id") +:
-          explode(transform(slice(byBest, 1, NumProbedCells), s => s("cell")))
+          explode(transform(slice(byBest, 1, probedCells), s => s("cell")))
             .as("cell") +:
           (0 until PqSubspaces).map { m =>
             val sub = slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
@@ -1255,8 +1393,29 @@ object SimilarityOps {
     * `near_eval_id` is the argmax with first-max tie-break over
     * ROUNDED sims (literals ordered by eval_id, so ties resolve to the
     * smallest id — the oracle's `ORDER BY sim DESC, eval_id` rule
-    * exactly). */
+    * exactly).
+    *
+    * FORM SELECTION: up to [[Q69LiteralMaxEval]] eval vectors the
+    * literal plan above wins outright; past it the same semantics run
+    * as [[q69DecontamJoin]] — the size gate is the declared eval
+    * bound itself (`nEval` is a contract, not an estimate, so no job
+    * or Catalyst stat is needed to pick the plan). Both forms return
+    * identical rows (spec-pinned on the fixture). */
   def q69SemanticDecontam(
+      spark: SparkSession, dir: String,
+      threshold: Double = SemDecontamCosine,
+      nEval: Int = NEvalVecs): DataFrame =
+    if (nEval <= Q69LiteralMaxEval)
+      q69DecontamLiteral(spark, dir, threshold, nEval)
+    else q69DecontamJoin(spark, dir, threshold, nEval)
+
+  /** Literal-plan cutoff for [[q69SemanticDecontam]]: 4096 eval
+    * vectors × [[Dim]] doubles ≈ 2 MB of plan literals — comfortably
+    * inside codegen/task-binary limits, an order of magnitude under
+    * the ~10⁵ eval sizes where the inlined form would strain them. */
+  val Q69LiteralMaxEval = 4096
+
+  private[graft] def q69DecontamLiteral(
       spark: SparkSession, dir: String,
       threshold: Double = SemDecontamCosine,
       nEval: Int = NEvalVecs): DataFrame = {
@@ -1277,6 +1436,37 @@ object SimilarityOps {
         element_at(typedlit(evalVecs.map(_._1)),
           array_position($"sims", $"sim").cast("int")))
       .select($"vec_id", $"label", $"near_eval_id", $"sim")
+      .orderBy($"vec_id")
+  }
+
+  /** The ≥[[Q69LiteralMaxEval]]-eval fallback the literal form's
+    * scaladoc promises: the eval set stays a RELATION (never
+    * collected), rides a broadcast to every task, and each corpus row
+    * scores against it in a broadcast nested-loop product whose
+    * blow-up is immediately collapsed by a MAP-SIDE partial `max`
+    * over `struct(sim, −eval_id)` — Spark's max-struct is
+    * partial-aggregatable, and a vec_id lives in exactly one input
+    * partition, so the one exchange carries a single small row per
+    * corpus vector (never the ×nEval product). The struct ordering
+    * reproduces the literal form's tie-break exactly: max sim first,
+    * then max −eval_id = SMALLEST eval id. Same output contract,
+    * row for row (spec-pinned against the literal form). */
+  private[graft] def q69DecontamJoin(
+      spark: SparkSession, dir: String,
+      threshold: Double = SemDecontamCosine,
+      nEval: Int = NEvalVecs): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val ev = emb.filter($"vec_id" < nEval)
+      .select($"vec_id".as("eval_id"), $"embedding".as("pe"))
+    emb.filter($"vec_id" >= nEval)
+      .crossJoin(broadcast(ev))
+      .withColumn("sim", round(PipelineOps.cosine($"embedding", $"pe"), 6))
+      .groupBy($"vec_id", $"label")
+      .agg(max(struct($"sim", (-$"eval_id").as("neg_id"))).as("best"))
+      .filter($"best.sim" >= threshold)
+      .select($"vec_id", $"label",
+        (-$"best.neg_id").as("near_eval_id"), $"best.sim".as("sim"))
       .orderBy($"vec_id")
   }
 
@@ -1337,9 +1527,10 @@ object SimilarityOps {
   def q70RerankTopK(
       spark: SparkSession, dir: String,
       k: Int = 10, numProbes: Int = 10,
-      shortlist: Int = RerankShortlist): DataFrame = {
+      shortlist: Int = RerankShortlist,
+      probedCells: Int = NumProbedCells): DataFrame = {
     import spark.implicits._
-    val short = q67IvfPqTopK(spark, dir, shortlist, numProbes)
+    val short = q67IvfPqTopK(spark, dir, shortlist, numProbes, probedCells)
       .select($"probe_id", $"vec_id")
     val emb = Tables.embeddings(spark, dir)
     val probeVecs = emb.filter($"vec_id" < numProbes)

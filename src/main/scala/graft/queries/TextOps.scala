@@ -920,7 +920,7 @@ object TextOps {
   def q71HeavyHitters(
       spark: SparkSession, dir: String,
       perMille: Int = HeavyHitterPerMille): DataFrame =
-    heavyHittersBuild(Tables.documents(spark, dir), perMille)._1
+    materializeAndRelease(heavyHittersBuild(Tables.documents(spark, dir), perMille))
 
   /** Loan form of [[q71HeavyHitters]] — releases the (tiny) persisted
     * candidate summary after `f`. */
@@ -930,6 +930,25 @@ object TextOps {
     val (result, handles) = heavyHittersBuild(
       Tables.documents(spark, dir), perMille)
     try f(result) finally handles.foreach(_.unpersist())
+  }
+
+  /** Run a build-form (result, persisted-handles) pair to completion
+    * and release the handles before returning. The plain q71/q72
+    * entry points must hand back a frame whose lifetime is the
+    * caller's, yet the builds persist small diamonds (summaries, the
+    * hh vocabulary) — returning the lazy plan would leak those into
+    * the session cache for its lifetime (the repo's cache-empty
+    * discipline, CorpusPipelineSpec). `localCheckpoint(eager)` runs
+    * the query ONCE, pins the (bounded-by-construction — ≤ cap·parts
+    * candidates / ≤ |V|² pairs) RESULT as block-manager RDD blocks
+    * outside the cache manager, and truncates lineage so the
+    * diamonds can be unpersisted immediately; the blocks free when
+    * the frame is GC'd. Callers needing the live plan (plan pins,
+    * controlled release) use the loan/build forms. */
+  private def materializeAndRelease(
+      built: (DataFrame, Seq[DataFrame])): DataFrame = {
+    val (result, handles) = built
+    try result.localCheckpoint(true) finally handles.foreach(_.unpersist())
   }
 
   private[graft] def heavyHittersBuild(
@@ -1001,12 +1020,17 @@ object TextOps {
     *
     * Determinism (q55's discipline, float-once-per-OUTPUT-row): counts
     * are exact integers; the single `ln` evaluates on an identically
-    * associated double expression both engines, floored to micro-nats.
+    * associated double expression both engines, floored at 1e5 (units
+    * of 10 µnat). 1e5, not 1e6: JVM `Math.log` and DuckDB's libm may
+    * disagree in the last ulp, and a floor boundary within that ulp
+    * flips the integer — at 1e6 the flip chance was ~1e-7 per table
+    * (a latent flaky-verify); 1e5's boundaries are 10× sparser, and
+    * 10 µnat resolution is far below any analytic use of PMI.
     */
   def q72Collocations(
       spark: SparkSession, dir: String,
       perMille: Int = HeavyHitterPerMille): DataFrame =
-    collocationsBuild(Tables.documents(spark, dir), perMille)._1
+    materializeAndRelease(collocationsBuild(Tables.documents(spark, dir), perMille))
 
   /** Loan form of [[q72Collocations]]. */
   def withQ72Collocations[T](
@@ -1042,8 +1066,8 @@ object TextOps {
       .select($"tok_x", $"tok_y", $"n_xy",
         floor(log(
           ($"n_xy".cast("double") * $"n_tok".cast("double") * $"n_tok".cast("double")) /
-            ($"n_big".cast("double") * $"c_x".cast("double") * $"c_y".cast("double"))) * 1e6)
-          .cast("long").as("pmi_unats"))
+            ($"n_big".cast("double") * $"c_x".cast("double") * $"c_y".cast("double"))) * 1e5)
+          .cast("long").as("pmi_e5nats"))
       .orderBy($"tok_x", $"tok_y")
     (result, hhHandles :+ hh)
   }
@@ -1082,7 +1106,7 @@ object TextOps {
        |SELECT tok_x, tok_y, n_xy,
        |       CAST(floor(ln(
        |         (n_xy::DOUBLE * n.n_tok::DOUBLE * n.n_tok::DOUBLE) /
-       |         (nb.n_big::DOUBLE * c_x::DOUBLE * c_y::DOUBLE)) * 1e6) AS BIGINT) AS pmi_unats
+       |         (nb.n_big::DOUBLE * c_x::DOUBLE * c_y::DOUBLE)) * 1e5) AS BIGINT) AS pmi_e5nats
        |FROM cxy, n, nb
        |ORDER BY tok_x, tok_y""".stripMargin
 

@@ -172,6 +172,59 @@ class CorpusPipelineSpec extends SparkSuite {
     }
   }
 
+  test("mixture rebalance stage: kept set closes over the q64 derived-rate arithmetic") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf)
+    // reference: the SAME pipeline with the rebalance stage open (keep
+    // everything) — its output is exactly the survivor set the derived
+    // rates are trained on, so the closure property is checkable from
+    // the outside
+    val openCfg = CorpusPipeline.Config(
+      stratRates = Seq.empty,
+      defaultPerMille = graft.queries.RelationalOps.PerMille)
+    val survivors = CorpusPipeline.withPrepared(docs, openCfg)(
+      _.select($"doc_id", $"source", $"text").collect())
+
+    // driver-side q64 arithmetic over the survivor histogram
+    val weights = graft.queries.PipelineOps.MixWeights.toMap
+    val defaultW = graft.queries.PipelineOps.DefaultMixWeight
+    val nBySource = survivors.groupBy(_.getString(1)).view.mapValues(_.size.toLong).toMap
+    val w = nBySource.keys.map(s => s -> weights.getOrElse(s, defaultW).toLong).toMap
+    val wSum = w.values.sum
+    val tMax = nBySource.map { case (s, n) => n * wSum / w(s) }.min
+    val ratePm = nBySource.map { case (s, n) =>
+      s -> math.min(1000L, tMax * w(s) * 1000 / (wSum * n))
+    }
+
+    // expected kept ids: the content-hash predicate at those rates,
+    // evaluated with Spark's own xxhash64 over the survivor rows
+    val survDf = survivors.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.toDF("doc_id", "source", "text")
+    val hashed = survDf.withColumn("hb",
+      graft.queries.RelationalOps.contentHashMod(graft.queries.RelationalOps.PerMille))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val expected = hashed.collect {
+      case (id, src, hb) if hb < ratePm(src) => id
+    }.toSet
+
+    val mixCfg = CorpusPipeline.Config(
+      mixWeights = Some(graft.queries.PipelineOps.MixWeights))
+    CorpusPipeline.withPrepared(docs, mixCfg) { df =>
+      val got = df.select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expected,
+        s"mixture stage kept ${got.size} ids, closure arithmetic says ${expected.size}")
+      // composition sanity: the binding source keeps ~everything (the
+      // double floor in T and rate can shave a few per-mille off the
+      // exact 1000) and at least one tail source downsamples
+      assert(ratePm.values.max >= 990L,
+        s"no source near full keep: $ratePm")
+      assert(ratePm.values.min < 1000L,
+        s"no source downsampled — the stage was a no-op: $ratePm")
+    }
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
+
   test("keyword tagging reflects the FINAL corpus statistics, not the raw input") {
     import spark.implicits._
     // two near-identical docs + one distinct: the near-dup loser must

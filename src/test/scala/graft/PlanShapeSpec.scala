@@ -138,10 +138,11 @@ class PlanShapeSpec extends SparkSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"unexpected product:\n$p")
   }
 
-  test("q11/q42/q55: scale-growing sides broadcast via the size gate or AQE — not a forced hint") {
-    // Rounds 7–9 forced broadcast() on customer (q11), the df table
-    // (q42), and the token-cost table (q55) — relations that GROW with
-    // the corpus, so the hint was a 100 TB OOM in waiting. The fix is
+  test("q11/q29/q42/q55: scale-growing sides broadcast via the size gate or AQE — not a forced hint") {
+    // Rounds 7–9 forced broadcast() on customer (q11, q29), the df
+    // table (q42), and the token-cost table (q55) — relations that
+    // GROW with the corpus, so the hint was a 100 TB OOM in waiting.
+    // The fix is
     // ScaleHints.broadcastIfBounded: at fixture scale the gate (or
     // AQE's runtime measurement) must still broadcast these sides —
     // pin the FINAL adaptive plan, so the assertion holds under either
@@ -156,6 +157,25 @@ class PlanShapeSpec extends SparkSuite {
       assert(p.contains("BroadcastHashJoin"), s"$name: expected broadcast join:\n$p")
       assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
         s"$name: fixture-sized side shuffled:\n$p")
+    }
+  }
+
+  test("q29: customer dimension broadcasts via the size gate; fact join free to shuffle") {
+    // Round 10 size-gated q11/q42/q55 but missed q29 — the same
+    // filtered-customer class (grows linearly with scale, the hint was
+    // an OOM at 100 TB). The gate must still broadcast it at fixture
+    // scale; the fact-to-fact lineitem ⋈ orders join is ALLOWED to be
+    // whatever AQE picks (it legitimately shuffles at scale), so the
+    // pin targets only the c_custkey join.
+    val df = RelationalOps.q29TopRevenue(spark, sf)
+    df.collect() // pin the FINAL adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    val custJoin = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("c_custkey")).toList
+    assert(custJoin.nonEmpty, s"no customer join found:\n$p")
+    custJoin.foreach { l =>
+      assert(l.contains("BroadcastHashJoin"),
+        s"customer side not broadcast at fixture scale:\n$l")
     }
   }
 

@@ -57,14 +57,20 @@ object ProfScale {
     // PROF_SKIP_OLD: synthesize the corpus but only time the newest
     // section (dev loop for incremental probe extensions).
     val skipOld = sys.env.contains("PROF_SKIP_OLD")
+    // PROF_CHAIN_ONLY: time ONLY the q13→q43→q47 dedup/closure chain
+    // (the two heaviest bench queries) — the second-decade probe
+    // VERDICT r10 #6 asks for, runnable without paying the full sweep.
+    val chainOnly = sys.env.contains("PROF_CHAIN_ONLY")
 
     // --- solo timings, base then Nx -------------------------------
-    if (!skipOld) Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
+    if (!skipOld || chainOnly) Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
       case (tag, dir) =>
+        var nPairs = 0L
         time(s"q13 $tag") {
-          DedupOps.withQ13NeardupPairs(spark, dir)(_.count())
+          nPairs = DedupOps.withQ13NeardupPairs(spark, dir)(_.count())
+          nPairs
         }
-        time(s"q27 $tag") {
+        if (!chainOnly) time(s"q27 $tag") {
           val n = DedupOps.q27NgramJaccard(spark, dir).count()
           spark.catalog.clearCache(); n
         }
@@ -75,13 +81,17 @@ object ProfScale {
           val n = DedupOps.q47ClusterSizes(spark, dir).count()
           spark.catalog.clearCache(); n
         }
-        // closure rounds: same pair relation q43 closes
+        // closure rounds: same pair relation q43 closes. Pair volume
+        // (q13's count above) must scale ~linearly with the corpus and
+        // rounds must stay DIAMETER-driven (constant across replicas:
+        // replicas don't link, so the largest component is unchanged).
         DedupOps.withQ13NeardupPairs(spark, dir) { pairs =>
           val (labels, rounds) = DedupOps.ccWithRounds(
             pairs.select($"doc_a", $"doc_b"))
           val n = labels.count()
           labels.unpersist()
-          println(s"[scale] closure $tag: $rounds rounds, $n labeled nodes")
+          println(s"[scale] closure $tag: $rounds rounds, $n labeled nodes, " +
+            s"$nPairs pairs")
           n
         }
     }
@@ -98,7 +108,7 @@ object ProfScale {
       .repartition(32).write.mode("overwrite")
       .parquet(s"$scaleDir/embeddings.parquet")
 
-    if (!skipOld) Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
+    if (!skipOld && !chainOnly) Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
       case (tag, dir) =>
         // folds, not counts: a bare count() lets column pruning drop
         // the computation under test from the narrow plans
@@ -149,7 +159,7 @@ object ProfScale {
       .repartition(32).write.mode("overwrite")
       .parquet(s"$scaleDir/lineitem.parquet")
 
-    if (!skipOld) Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
+    if (!skipOld && !chainOnly) Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
       case (tag, dir) =>
         time(s"q62 $tag") {
           val n = DedupOps.q62DeltaDedup(spark, dir).count()
@@ -221,10 +231,10 @@ object ProfScale {
     val pmiBase = TextOps.withQ72Collocations(spark, baseDir)(
       _.collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3))).toMap)
-    // pmi_unats equality rides the q55-class acceptance: the scaled
-    // doubles differ by a few ulps, so the floored micro-nat can flip
-    // only when ln lands within ~1e-10 of a boundary (~1e-7 over the
-    // whole pair table)
+    // pmi_e5nats equality rides the q55-class acceptance: the scaled
+    // doubles differ by a few ulps, so the floored 10-µnat unit can
+    // flip only when ln lands within ~1e-10 of a boundary (~1e-8 over
+    // the whole pair table at the widened 1e5 floor)
     time(s"q72 plain${replicas}x") {
       val m = TextOps.withQ72Collocations(spark, plainDir)(
         _.collect().map(r => (r.getString(0), r.getString(1)) ->
@@ -235,7 +245,7 @@ object ProfScale {
       m.size.toLong
     }
     println(s"[scale] q72 invariant held: ${pmiBase.size} pairs, counts " +
-      s"x$replicas, pmi_unats bit-identical")
+      s"x$replicas, pmi_e5nats bit-identical")
     spark.stop()
   }
 }

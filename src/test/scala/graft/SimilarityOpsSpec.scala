@@ -822,4 +822,175 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(codeBytes < floatBytes / 4,
       s"packed table not smaller: $codeBytes vs $floatBytes")
   }
+
+  // -- helpers shared by the train/append specs --------------------------
+
+  /** Driver-side exact inner-product (MIPS) top-k ids per probe — the
+    * ground truth ADC approximates. */
+  private def mipsGroundTruth(
+      vecs: Map[Long, Array[Double]], nProbes: Int, k: Int): Map[Long, Set[Long]] = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    (0L until nProbes.toLong).map { p =>
+      p -> vecs.toSeq.map { case (id, v) => (id, dot(vecs(p), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+    }.toMap
+  }
+
+  private def recallAt(
+      rows: Array[org.apache.spark.sql.Row],
+      truth: Map[Long, Set[Long]], k: Int): Double = {
+    val byProbe = rows.groupBy(_.getLong(0))
+    byProbe.map { case (p, rs) =>
+      rs.map(_.getLong(1)).count(truth(p)).toDouble / k
+    }.sum / byProbe.size
+  }
+
+  test("PQ training: one-pass Lloyd over all subspaces lifts ADC recall vs the LCG books") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val k = 10
+    val truth = mipsGroundTruth(vecs, nProbes = 10, k = k)
+    val probes = (0L until 10L).map(p => (p, vecs(p).toSeq)).toSeq
+
+    // trained books: every codebook entry stays PqSubDim wide, and at
+    // least one subspace moves off its LCG init (the fixture is
+    // non-degenerate)
+    val trained = SimilarityOps.trainPqCodebooks(emb, iters = 3)
+    assert(trained.length == SimilarityOps.PqSubspaces)
+    assert(trained.forall(_.length == SimilarityOps.PqCodes))
+    assert(trained.forall(_.forall(_.length == SimilarityOps.PqSubDim)))
+    val init = SimilarityOps.defaultPqCodebooks
+    assert(trained != init, "training moved no codebook entry")
+
+    // train→build→serve round trip: the persisted quantizer IS the
+    // trained one, bit for bit, and serving needs only the path
+    val lcgPath = java.nio.file.Files.createTempDirectory("pq-lcg").toString
+    SimilarityOps.writePqIndex(emb, lcgPath)
+    val trainedPath = java.nio.file.Files.createTempDirectory("pq-trained").toString
+    val returned = SimilarityOps.trainAndWritePq(emb, trainedPath, iters = 3)
+    assert(returned == trained, "trainAndWritePq books differ from trainPqCodebooks")
+    val reloaded = SimilarityOps.readPqQuantizer(spark, trainedPath)
+    for (m <- 0 until SimilarityOps.PqSubspaces; j <- 0 until SimilarityOps.PqCodes)
+      assert(reloaded(m)(j).toSeq == trained(m)(j), s"codebook ($m,$j) drifted")
+
+    val lcgBooks = SimilarityOps.readPqQuantizer(spark, lcgPath)
+    val rLcg = recallAt(
+      SimilarityOps.pqSearchIndex(spark, lcgPath, probes, lcgBooks, k).collect(),
+      truth, k)
+    val rTrained = recallAt(
+      SimilarityOps.pqSearchIndex(spark, trainedPath, probes, reloaded, k).collect(),
+      truth, k)
+    info(f"exhaustive ADC recall@10: LCG $rLcg%.3f, trained $rTrained%.3f")
+    // adaptation is the POINT: codebooks that follow the data must not
+    // rank worse than pseudo-random ones (deterministic on the fixture)
+    assert(rTrained >= rLcg - 1e-9,
+      s"trained recall $rTrained worse than LCG $rLcg")
+  }
+
+  test("PQ incremental append: delta appended with the persisted books == full rebuild") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter($"vec_id" % 3 =!= 0)
+    val delta = emb.filter($"vec_id" % 3 === 0)
+    assert(base.count() > 0 && delta.count() > 0)
+
+    // trained books make the drift-proof contract non-trivial: the
+    // append must reload THESE from _quantizer, not re-derive the LCG
+    // defaults (a re-derivation would split code geometry between old
+    // and new rows — caught by the row-identity below)
+    val books = SimilarityOps.trainPqCodebooks(base, iters = 2)
+    val incPath = java.nio.file.Files.createTempDirectory("pq-inc").toString
+    SimilarityOps.writePqIndex(base, incPath, books)
+    SimilarityOps.appendPqIndex(delta, incPath)
+
+    val fullPath = java.nio.file.Files.createTempDirectory("pq-full").toString
+    SimilarityOps.writePqIndex(emb, fullPath, books)
+
+    // the appended table is row-identical to the rebuild
+    val inc = spark.read.parquet(incPath).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq
+    val full = spark.read.parquet(fullPath).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(inc == full, "append-then-read diverged from full rebuild")
+
+    // and serving agrees row for row
+    val probes = emb.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val loaded = SimilarityOps.readPqQuantizer(spark, incPath)
+    val a = SimilarityOps.pqSearchIndex(spark, incPath, probes, loaded).collect().toSeq
+    val b = SimilarityOps.pqSearchIndex(spark, fullPath, probes, loaded).collect().toSeq
+    assert(a == b, "append-then-search diverged from rebuild-then-search")
+  }
+
+  test("SQ8 incremental append: delta encoded with the persisted quantizer == rebuild") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter($"vec_id" % 3 =!= 0)
+    val delta = emb.filter($"vec_id" % 3 === 0)
+
+    // inc: train on base only, append the delta with the PERSISTED
+    // (mn, mx) — never retrained, the drift-proof contract
+    val incPath = java.nio.file.Files.createTempDirectory("sq8-inc").toString
+    SimilarityOps.writeSq8Index(base, incPath)
+    SimilarityOps.appendSq8Index(delta, incPath)
+
+    // rebuild reference: the SAME base-trained quantizer over the full
+    // table (a self-trained full rebuild would retrain mn/mx — a
+    // different, equally valid index; the append contract is
+    // "same quantizer, more rows")
+    val fullPath = java.nio.file.Files.createTempDirectory("sq8-full").toString
+    SimilarityOps.writeSq8IndexWith(
+      emb, spark.read.parquet(s"$incPath/_quantizer"), fullPath)
+
+    val inc = spark.read.parquet(incPath).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Byte](2).toSeq))
+      .sortBy(_._1).toSeq
+    val full = spark.read.parquet(fullPath).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Byte](2).toSeq))
+      .sortBy(_._1).toSeq
+    assert(inc == full, "append-then-read diverged from same-quantizer rebuild")
+    assert(inc.map(_._1) == emb.select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq, "appended index lost or duplicated vectors")
+
+    // serving from the appended index == serving from the rebuild
+    val a = SimilarityOps.sq8SearchIndex(spark, incPath, probeId = 0).collect().toSeq
+    val b = SimilarityOps.sq8SearchIndex(spark, fullPath, probeId = 0).collect().toSeq
+    assert(a == b, "append-then-search diverged from rebuild-then-search")
+
+    // saturation guard: codes stay bytes even when a delta value falls
+    // outside the trained range — encode a vector 10× outside base's
+    // envelope and check every code lands on a boundary or inside
+    val wild = emb.filter($"vec_id" === 1L)
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x * lit(10.0f)).as("embedding"))
+    SimilarityOps.appendSq8Index(wild, incPath)
+    import org.apache.spark.sql.functions.{col => fcol}
+    val wildCodes = spark.read.parquet(incPath)
+      .filter(fcol("vec_id") === 1L).collect()
+      .map(_.getSeq[Byte](2).toSeq)
+    // two rows share vec_id 1 now (the original and the wild append);
+    // the out-of-range one must show saturated boundary codes instead
+    // of a silent byte overflow
+    assert(wildCodes.exists(_.exists(c => c == -128 || c == 127)),
+      s"no saturated code in the wild append: $wildCodes")
+    assert(spark.read.parquet(incPath).count() == emb.count() + 1)
+  }
+
+  test("q69: join fallback == literal form row for row; the gate picks by eval bound") {
+    val lit69 = SimilarityOps.q69DecontamLiteral(spark, sf).collect().toSeq
+    val join69 = SimilarityOps.q69DecontamJoin(spark, sf).collect().toSeq
+    assert(join69 == lit69, "join fallback diverged from the literal plan")
+    assert(lit69.nonEmpty, "fixture decontam set is vacuous")
+    // the public entry at the default bound routes to the literal plan
+    val routed = SimilarityOps.q69SemanticDecontam(spark, sf).collect().toSeq
+    assert(routed == lit69)
+  }
 }
