@@ -1357,6 +1357,173 @@ object SimilarityOps {
        |ORDER BY probe_id, rank""".stripMargin
   }
 
+  // ------------------------------------- persisted IVF-PQ index (composed)
+
+  /** Persist the COMPOSED IVF-PQ index — the storage story q67's
+    * scaladoc promises ("persist it cell-partitioned … and the join
+    * becomes a partition-pruned scan of 4-byte rows in nprobe of
+    * nlist directories"), of which q50 (cell partitioning) and q66
+    * (packed codes) each demonstrated half. Layout: `(vec_id, label,
+    * packed int)` under `cell=*` directories; BOTH quantizers travel
+    * with the index (`_quantizer` = coarse centroids, readable by
+    * [[readQuantizer]]; `_pq/_quantizer` = codebooks, readable by
+    * [[readPqQuantizer]]`(path + "/_pq")`; `_meta` = the residual
+    * flag), so a cold start needs nothing but the path — the
+    * one-artifact rule, now for a three-part quantizer state.
+    *
+    * `residual = true` encodes `v − centroid(cell)` instead of the
+    * raw vector — the production IVF-PQ form: codebooks then model
+    * the WITHIN-cell distribution (one codebook set shared across
+    * cells), which is what makes 4-bit codes accurate once the coarse
+    * quantizer has soaked up the between-cell variance. The encode
+    * stays one narrow codegen'd projection (the centroid ride in as a
+    * k×Dim literal, `zip_with` subtracts in-plan); search adds the
+    * per-(probe, cell) constant `p · centroid` back into the ADC sum
+    * ([[ivfPqSearchIndex]]) — bounded extra work, same plan shape. */
+  def writeIvfPqIndex(
+      emb: DataFrame,
+      path: String,
+      centroids: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]],
+      residual: Boolean = false): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val encodeInput: Column =
+      if (residual)
+        zip_with(col("embedding"),
+          element_at(typedlit(centroids.map(_.toSeq)), col("cell") + 1),
+          (x, c) => x.cast("double") - c)
+      else col("embedding")
+    assignCells(emb, centroids)
+      .drop("dots")
+      .select(col("vec_id"), col("label"), col("cell"),
+        pqPack(pqCodeColsFor(encodeInput, books)).as("packed"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+    writeQuantizer(spark, centroids, path)
+    (for (m <- 0 until PqSubspaces; j <- 0 until PqCodes)
+      yield (m, j, books(m)(j)))
+      .toDF("m", "j", "codebook")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_pq/_quantizer")
+    Seq(Tuple1(residual)).toDF("residual")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** The full IVF-PQ train→build loop: Lloyd-train the coarse
+    * centroids, then train the codebooks ON THE RESIDUALS those
+    * centroids leave (when `residual` — training on what the codes
+    * will actually encode is the point of the composition), persist
+    * everything as one artifact. Returns both quantizers for a warm
+    * caller. */
+  def trainIvfPq(
+      emb: DataFrame,
+      path: String,
+      ivfIters: Int = 5,
+      pqIters: Int = 5,
+      residual: Boolean = true): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    val centroids = trainCentroids(emb, NumCells, ivfIters)
+    val trainInput =
+      if (residual)
+        assignCells(emb, centroids).select(
+          zip_with(col("embedding"),
+            element_at(typedlit(centroids.map(_.toSeq)), col("cell") + 1),
+            (x, c) => x.cast("double") - c).as("embedding"))
+      else emb
+    val books = trainPqCodebooks(trainInput, pqIters)
+    writeIvfPqIndex(emb, path, centroids, books, residual)
+    (centroids, books)
+  }
+
+  /** Search the PERSISTED composed index: the coarse step runs
+    * driver-side from the reloaded quantizers ([[probeCells]] picks
+    * each probe's cells; the M×K ADC tables and — for a residual
+    * index — the per-(probe, cell) `p · centroid` offset are computed
+    * per probed cell), the scan PRUNES to the probed cell directories
+    * (`cell IN (...)` partition filter — nprobe of nlist directories
+    * of 4-byte rows, the q50 × q66 composition), and each row scores
+    * as M unpack-lookup-adds plus the offset. The only exchange
+    * carries per-probe top-k rows. With `residual = false` and the
+    * same constants this returns row-for-row what the in-plan
+    * [[q67IvfPqTopK]] returns (spec-pinned) — same driver/in-plan
+    * bit-identity contract as [[pqSearchIndex]]. */
+  def ivfPqSearchIndex(
+      spark: SparkSession,
+      path: String,
+      probes: Seq[(Long, Seq[Double])],
+      k: Int = 10,
+      numProbedCells: Int = NumProbedCells): DataFrame = {
+    import spark.implicits._
+    val centroids = readQuantizer(spark, path)
+    val books = readPqQuantizer(spark, s"$path/_pq")
+    val residual = spark.read.parquet(s"$path/_meta")
+      .head().getBoolean(0)
+    val probeRows = probes.flatMap { case (id, e) =>
+      probeCells(e, centroids, numProbedCells).map { c =>
+        val cent = centroids(c)
+        var off = 0.0
+        if (residual) {
+          var i = 0
+          while (i < e.length) { off += e(i) * cent(i); i += 1 }
+        }
+        val t = Array.tabulate(PqSubspaces, PqCodes) { (m, j) =>
+          val cb = books(m)(j)
+          var s = 0.0; var i = 0
+          while (i < cb.length) { s += e(m * PqSubDim + i) * cb(i); i += 1 }
+          s
+        }
+        (id, c, off, t.map(_.toSeq).toSeq)
+      }
+    }
+    val wantedCells = probeRows.map(_._2).distinct.sorted
+    val probesDf = probeRows.toDF("probe_id", "cell", "adc_off", "t")
+    val idx = spark.read.parquet(path).filter($"cell".isin(wantedCells: _*))
+    val adc = round(
+      $"adc_off" + (0 until PqSubspaces)
+        .map(m => element_at(element_at($"t", m + 1),
+          pqUnpack($"packed", m) + 1))
+        .reduce(_ + _), 6)
+    val byProbe = Window.partitionBy($"probe_id").orderBy($"adc".desc, $"vec_id")
+    idx.join(broadcast(probesDf), "cell")
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(byProbe))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"vec_id", $"label", $"adc", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** Incrementally MAINTAIN the composed index — the last index
+    * format to get the [[appendIvfIndex]] daily-delta contract (IVF,
+    * SQ8, PQ, dedup-LSH all have one): assign and encode the delta
+    * with the index's OWN persisted centroids, codebooks, and
+    * residual flag, then dynamic-partition-append into the existing
+    * cell directories. One delta-sized shuffle on the int cell key;
+    * base rows never read or rewritten; append ≡ rebuild with the
+    * same quantizers (spec-pinned). Drift limits are the union of
+    * [[appendIvfIndex]]'s and [[appendPqIndex]]'s — both quantizers
+    * stay base-trained until a scheduled retrain+rebuild. */
+  def appendIvfPqIndex(delta: DataFrame, path: String): Unit = {
+    val spark = delta.sparkSession
+    val centroids = readQuantizer(spark, path)
+    val books = readPqQuantizer(spark, s"$path/_pq")
+      .map(_.map(_.toSeq).toSeq).toSeq
+    val residual = spark.read.parquet(s"$path/_meta")
+      .head().getBoolean(0)
+    val encodeInput: Column =
+      if (residual)
+        zip_with(col("embedding"),
+          element_at(typedlit(centroids.map(_.toSeq)), col("cell") + 1),
+          (x, c) => x.cast("double") - c)
+      else col("embedding")
+    assignCells(delta, centroids)
+      .drop("dots")
+      .select(col("vec_id"), col("label"), col("cell"),
+        pqPack(pqCodeColsFor(encodeInput, books)).as("packed"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("append").parquet(path)
+  }
+
   // ---------------------------------------------------------------- q69
 
   /** Eval-set size for [[q69SemanticDecontam]] (vec_id < this is "the
@@ -1500,8 +1667,15 @@ object SimilarityOps {
   // ---------------------------------------------------------------- q70
 
   /** Shortlist size for [[q70RerankTopK]] — candidates the compressed
-    * first stage hands to the exact second stage. */
-  val RerankShortlist = 50
+    * first stage hands to the exact second stage. 200, not 50: the
+    * ProfRecall frontier sweep (bench/NOTES.md, round 11) showed the
+    * shortlist is the BINDING recall constraint at 50 — recall@10 sat
+    * flat at 0.37–0.43 across 4/8/16 probed cells, while 200 lifted
+    * the default configuration 0.38 → 0.53 at the same candidate scan
+    * volume. Rerank work stays probes×shortlist rows — bounded
+    * serving-side, so the 4× larger shortlist is free at corpus
+    * scale. */
+  val RerankShortlist = 200
 
   /** q70 — two-stage retrieval: the q67 IVF-PQ stack produces a
     * SHORTLIST (top-[[RerankShortlist]] by ADC over probed cells), and

@@ -726,7 +726,7 @@ class SimilarityOpsSpec extends SparkSuite {
     info(f"recall@10 vs exact cosine: IVF-PQ ADC $r67%.3f -> reranked $r70%.3f")
     // the rerank can only reorder the shortlist, so it cannot LOSE
     // ground-truth hits the ADC top-10 had; on the fixture it must
-    // strictly gain (ADC's 4-bit ordering misranks within the 50)
+    // strictly gain (ADC's 4-bit ordering misranks within the shortlist)
     assert(r70 >= r67, s"rerank lost recall: $r67 -> $r70")
     assert(r70 > 0, "reranked recall collapsed")
   }
@@ -982,6 +982,100 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(wildCodes.exists(_.exists(c => c == -128 || c == 127)),
       s"no saturated code in the wild append: $wildCodes")
     assert(spark.read.parquet(incPath).count() == emb.count() + 1)
+  }
+
+  test("composed IVF-PQ index: raw-vector serving == q67 in-plan; scan prunes to probed cells") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = (0 until SimilarityOps.NumCells)
+      .map(c => (0 until SimilarityOps.Dim).map(SimilarityOps.centroidComponent(c, _)))
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-index").toString
+    SimilarityOps.writeIvfPqIndex(
+      emb, path, centroids, SimilarityOps.defaultPqCodebooks, residual = false)
+
+    val probes = emb.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val served = SimilarityOps.ivfPqSearchIndex(spark, path, probes)
+    val inPlan = SimilarityOps.q67IvfPqTopK(spark, sf).collect().toSeq
+    assert(served.collect().toSeq == inPlan,
+      "persisted raw-vector IVF-PQ diverged from the in-plan q67")
+
+    // partition pruning: the index scan lists only the probed cell
+    // directories and reads only the packed column
+    // inspect a FRESH (un-executed) plan: executing under AQE
+    // collapses the stage below the first shuffle into a leaf
+    // QueryStageExec that hides the scan from collect() (q66's pattern)
+    val wanted = probes.flatMap { case (_, e) =>
+      SimilarityOps.probeCells(e, centroids) }.distinct.toSet
+    val fresh = SimilarityOps.ivfPqSearchIndex(spark, path, probes)
+    val plans = fresh.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val idxName = new java.io.File(path).getName
+    val scans = plans.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains(idxName)) => s
+    }
+    assert(scans.nonEmpty, s"no index scan:\n${fresh.queryExecution}")
+    scans.foreach { s =>
+      val touched = s.relation.location.listFiles(s.partitionFilters, s.dataFilters)
+        .flatMap(_.files.map(_.getPath.toString))
+      val cells = touched.flatMap(
+        _.split("/").find(_.startsWith("cell=")).map(_.drop(5).toInt)).toSet
+      assert(cells.subsetOf(wanted), s"scan touched unprobed cells: $cells vs $wanted")
+      assert(s.requiredSchema.fieldNames.toSet.subsetOf(Set("vec_id", "label", "packed")),
+        s"index scan read extra columns: ${s.requiredSchema.fieldNames.toSeq}")
+    }
+  }
+
+  test("composed IVF-PQ: trained residual index lifts recall; append == rebuild") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val k = 10
+    val truth = mipsGroundTruth(vecs, nProbes = 10, k = k)
+    val probes = (0L until 10L).map(p => (p, vecs(p).toSeq)).toSeq
+
+    // LCG raw-vector composition (q67's constants) as the floor
+    val centroids = (0 until SimilarityOps.NumCells)
+      .map(c => (0 until SimilarityOps.Dim).map(SimilarityOps.centroidComponent(c, _)))
+    val rawPath = java.nio.file.Files.createTempDirectory("ivfpq-raw").toString
+    SimilarityOps.writeIvfPqIndex(
+      emb, rawPath, centroids, SimilarityOps.defaultPqCodebooks, residual = false)
+    val rRaw = recallAt(
+      SimilarityOps.ivfPqSearchIndex(spark, rawPath, probes, k).collect(), truth, k)
+
+    // trained centroids + residual-trained codebooks — the production form
+    val trPath = java.nio.file.Files.createTempDirectory("ivfpq-tr").toString
+    SimilarityOps.trainIvfPq(emb, trPath, ivfIters = 3, pqIters = 3)
+    assert(spark.read.parquet(s"$trPath/_meta").head().getBoolean(0),
+      "trained index did not record its residual encoding")
+    val rTrained = recallAt(
+      SimilarityOps.ivfPqSearchIndex(spark, trPath, probes, k).collect(), truth, k)
+    info(f"composed recall@10: raw LCG $rRaw%.3f, trained residual $rTrained%.3f")
+    assert(rTrained >= rRaw - 1e-9,
+      s"trained residual recall $rTrained worse than raw LCG $rRaw")
+
+    // append contract on the trained residual index: the delta must be
+    // assigned AND encoded with the persisted quantizers + flag
+    val base = emb.filter($"vec_id" % 3 =!= 0)
+    val delta = emb.filter($"vec_id" % 3 === 0)
+    val incPath = java.nio.file.Files.createTempDirectory("ivfpq-inc").toString
+    val (cs, bs) = SimilarityOps.trainIvfPq(base, incPath, ivfIters = 2, pqIters = 2)
+    SimilarityOps.appendIvfPqIndex(delta, incPath)
+    val fullPath = java.nio.file.Files.createTempDirectory("ivfpq-full").toString
+    SimilarityOps.writeIvfPqIndex(emb, fullPath, cs, bs, residual = true)
+    val inc = SimilarityOps.ivfPqSearchIndex(spark, incPath, probes, k).collect().toSeq
+    val full = SimilarityOps.ivfPqSearchIndex(spark, fullPath, probes, k).collect().toSeq
+    assert(inc == full, "append-then-search diverged from same-quantizer rebuild")
+    val ids = spark.read.parquet(incPath).select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids == vecs.keys.toSeq.sorted, "appended index lost or duplicated vectors")
   }
 
   test("q69: join fallback == literal form row for row; the gate picks by eval bound") {
