@@ -95,6 +95,7 @@ object SparkEntry {
     "q71_heavy_hitters"    -> ((s, d) => TextOps.q71HeavyHitters(s, d)),
     "q72_collocations"     -> ((s, d) => TextOps.q72Collocations(s, d)),
     "q73_audio_chunks"     -> (MultimodalOps.q73AudioChunks _),
+    "q74_ivfpq_residual"   -> ((s, d) => SimilarityOps.q74ResidualIvfPq(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -412,5 +413,6 @@ object SparkEntry {
     // and the ord() first-byte probe over the ASCII fixture payload —
     // the q20/q34 pattern for the imperative batched operator.
     "q73_audio_chunks" -> MultimodalOps.q73OracleSql,
+    "q74_ivfpq_residual" -> SimilarityOps.q74OracleSql(),
   )
 }

@@ -1479,10 +1479,13 @@ object SimilarityOps {
     val wantedCells = probeRows.map(_._2).distinct.sorted
     val probesDf = probeRows.toDF("probe_id", "cell", "adc_off", "t")
     val idx = spark.read.parquet(path).filter($"cell".isin(wantedCells: _*))
+    // left-associated fold STARTING at the offset — the same grouping
+    // as [[q74ResidualIvfPq]]'s in-plan sum and its oracle's `+` chain,
+    // so the persisted and in-plan residual paths round identically
     val adc = round(
-      $"adc_off" + (0 until PqSubspaces)
+      ($"adc_off" +: (0 until PqSubspaces)
         .map(m => element_at(element_at($"t", m + 1),
-          pqUnpack($"packed", m) + 1))
+          pqUnpack($"packed", m) + 1)))
         .reduce(_ + _), 6)
     val byProbe = Window.partitionBy($"probe_id").orderBy($"adc".desc, $"vec_id")
     idx.join(broadcast(probesDf), "cell")
@@ -1491,6 +1494,147 @@ object SimilarityOps {
       .filter($"rank" <= k)
       .select($"probe_id", $"vec_id", $"label", $"adc", $"rank")
       .orderBy($"probe_id", $"rank")
+  }
+
+  /** q74 — RESIDUAL IVF-PQ: q67's composition with the encode moved
+    * to `v − centroid(cell)` — the form every production IVF-PQ
+    * actually ships (FAISS `IVFx,PQy` default): once the coarse
+    * quantizer absorbs the between-cell variance, the codebooks only
+    * model the within-cell residual distribution, which is what makes
+    * 4-bit codes accurate. The ADC sum gains the per-(probe, cell)
+    * constant back: `adc = p·centroid(cell) + Σ_m t_m[code_m]`, where
+    * `p·centroid` is ALREADY in the probe's `dots` array from cell
+    * assignment — zero extra dot products, the offset is an
+    * element_at on a column the plan carries anyway.
+    *
+    * Plan shape is q67's verbatim: one narrow codegen'd
+    * assign+subtract+encode projection (the centroids ride in as a
+    * k×Dim literal; the float vector is read once and never
+    * shuffled), bounded broadcast probe side, cell equi-join, one
+    * per-probe top-k exchange. With the FIXED LCG constants the
+    * oracle re-derives residuals, codes, tables, and the offset sum
+    * from the same literals (q65/q67's implementation-verifying
+    * pattern) — which is exactly why this query exists alongside
+    * [[trainIvfPq]]: the TRAINED residual index (recall-measured in
+    * the spec) cannot have a DuckDB twin, the fixed-constant form
+    * can, and [[ivfPqSearchIndex]] on a fixed-constant residual index
+    * is spec-pinned row-identical to this query — so the persisted
+    * serving path is transitively oracle-verified. */
+  def q74ResidualIvfPq(
+      spark: SparkSession, dir: String,
+      k: Int = 10, numProbes: Int = 10,
+      probedCells: Int = NumProbedCells): DataFrame = {
+    import spark.implicits._
+    val centroids = (0 until NumCells)
+      .map(c => (0 until Dim).map(centroidComponent(c, _)))
+    val emb = assignCells(Tables.embeddings(spark, dir), centroids)
+    val resid = zip_with(col("embedding"),
+      element_at(typedlit(centroids.map(_.toSeq)), col("cell") + 1),
+      (x, c) => x.cast("double") - c)
+    val codes = emb.select(
+      col("vec_id") +: col("label") +: col("cell") +:
+        pqCodeColsFor(resid, defaultPqCodebooks): _*)
+    val byBest = sort_array(array((0 until NumCells).map(c =>
+      struct((-$"dots" (c)).as("nd"), lit(c).as("cell"))): _*))
+    val probes = emb
+      .filter($"vec_id" < numProbes)
+      .select(
+        $"vec_id".as("probe_id") +:
+          explode(transform(slice(byBest, 1, probedCells), s => s("cell")))
+            .as("cell") +:
+          $"dots".as("pdots") +:
+          (0 until PqSubspaces).map { m =>
+            val sub = slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
+            array((0 until PqCodes).map(j =>
+              PipelineOps.dot(sub, pqLit(m, j))): _*).as(s"t$m")
+          }: _*)
+    val adc = round(
+      (element_at($"pdots", $"cell" + 1) +:
+        (0 until PqSubspaces)
+          .map(m => element_at(col(s"t$m"), col(s"code$m") + 1)))
+        .reduce(_ + _), 6)
+    val byProbe = Window.partitionBy($"probe_id").orderBy($"adc".desc, $"vec_id")
+    codes.join(broadcast(probes), "cell")
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(byProbe))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"vec_id", $"label", $"adc", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** DuckDB oracle for [[q74ResidualIvfPq]] — q67's oracle with the
+    * encode CTE on the residual (`e[i] − cents[cell+1][i]`, the same
+    * double arithmetic as the in-plan `zip_with`) and the probe's
+    * `dots[cell+1]` offset leading the left-associated ADC sum. */
+  def q74OracleSql(k: Int = 10, numProbes: Int = 10): String = {
+    val centsList = (0 until NumCells).map(centroidSql)
+      .mkString("[\n           ", ",\n           ", "]")
+    val dotsList = (0 until NumCells)
+      .map(c => s"list_dot_product(e, ${centroidSql(c)})")
+      .mkString("[\n           ", ",\n           ", "]")
+    def distList(m: Int, v: String): String =
+      (0 until PqCodes).map { j =>
+        s"${pqNorm(m, j)} - 2.0 * list_dot_product($v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}], ${pqSql(m, j)})"
+      }.mkString("[\n             ", ",\n             ", "]")
+    val codeExprs = (0 until PqSubspaces).map { m =>
+      s"""list_position(${distList(m, "re")},
+         |           list_aggregate(${distList(m, "re")}, 'min')) - 1 AS code$m"""
+        .stripMargin
+    }.mkString(",\n         ")
+    val tExprs = (0 until PqSubspaces).map { m =>
+      val dots = (0 until PqCodes).map(j =>
+        s"list_dot_product(pe[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}], ${pqSql(m, j)})")
+      dots.mkString("[\n             ", ",\n             ", s"] AS t$m")
+    }.mkString(",\n         ")
+    val adcSum = (0 until PqSubspaces)
+      .map(m => s"t$m[code$m + 1]").mkString(" + ")
+    s"""WITH b0 AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+       |), d0 AS (
+       |  SELECT vec_id, label, e,
+       |         $dotsList AS dots
+       |  FROM b0
+       |), a AS (
+       |  SELECT vec_id, label, e,
+       |         list_position(dots, list_aggregate(dots, 'max')) - 1 AS cell
+       |  FROM d0
+       |), a2 AS (
+       |  SELECT vec_id, label, cell,
+       |         list_transform(generate_series(1, $Dim),
+       |           i -> e[i] - ($centsList)[cell + 1][i]) AS re
+       |  FROM a
+       |), enc AS (
+       |  SELECT vec_id, label, cell,
+       |         $codeExprs
+       |  FROM a2
+       |), pc AS (
+       |  SELECT vec_id AS probe_id, dots,
+       |         unnest(generate_series(0, ${NumCells - 1})) AS cell
+       |  FROM d0 WHERE vec_id < $numProbes
+       |), p AS (
+       |  SELECT probe_id, cell, dots FROM (
+       |    SELECT probe_id, cell, dots,
+       |           row_number() OVER (PARTITION BY probe_id
+       |                              ORDER BY dots[cell + 1] DESC, cell) AS rn
+       |    FROM pc)
+       |  WHERE rn <= $NumProbedCells
+       |), pt AS (
+       |  SELECT vec_id AS probe_id,
+       |         $tExprs
+       |  FROM (SELECT vec_id, e AS pe FROM b0 WHERE vec_id < $numProbes)
+       |), s AS (
+       |  SELECT p.probe_id, enc.vec_id, enc.label,
+       |         round(p.dots[p.cell + 1] + $adcSum, 6) AS adc
+       |  FROM enc JOIN p ON enc.cell = p.cell
+       |           JOIN pt ON pt.probe_id = p.probe_id
+       |), r AS (
+       |  SELECT probe_id, vec_id, label, adc,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY adc DESC, vec_id) AS rank
+       |  FROM s
+       |)
+       |SELECT probe_id, vec_id, label, adc, rank FROM r WHERE rank <= $k
+       |ORDER BY probe_id, rank""".stripMargin
   }
 
   /** Incrementally MAINTAIN the composed index — the last index

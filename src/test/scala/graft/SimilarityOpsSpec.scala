@@ -1078,6 +1078,29 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(ids == vecs.keys.toSeq.sorted, "appended index lost or duplicated vectors")
   }
 
+  test("q74 residual IVF-PQ: persisted fixed-constant serving == the oracle-gated in-plan form") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = (0 until SimilarityOps.NumCells)
+      .map(c => (0 until SimilarityOps.Dim).map(SimilarityOps.centroidComponent(c, _)))
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-res").toString
+    SimilarityOps.writeIvfPqIndex(
+      emb, path, centroids, SimilarityOps.defaultPqCodebooks, residual = true)
+    val probes = emb.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val served = SimilarityOps.ivfPqSearchIndex(spark, path, probes).collect().toSeq
+    val inPlan = SimilarityOps.q74ResidualIvfPq(spark, sf).collect().toSeq
+    // row-identity makes the persisted residual serving path
+    // TRANSITIVELY oracle-verified: q74 is hash-checked against DuckDB,
+    // and this pin proves the index path returns its exact rows
+    assert(served == inPlan,
+      "persisted residual IVF-PQ diverged from the oracle-gated q74")
+    // and the residual encode genuinely differs from the raw-vector one
+    val raw = SimilarityOps.q67IvfPqTopK(spark, sf).collect().toSeq
+    assert(inPlan != raw, "residual form degenerated to the raw-vector form")
+  }
+
   test("q69: join fallback == literal form row for row; the gate picks by eval bound") {
     val lit69 = SimilarityOps.q69DecontamLiteral(spark, sf).collect().toSeq
     val join69 = SimilarityOps.q69DecontamJoin(spark, sf).collect().toSeq
