@@ -96,6 +96,7 @@ object SparkEntry {
     "q72_collocations"     -> ((s, d) => TextOps.q72Collocations(s, d)),
     "q73_audio_chunks"     -> (MultimodalOps.q73AudioChunks _),
     "q74_ivfpq_residual"   -> ((s, d) => SimilarityOps.q74ResidualIvfPq(s, d)),
+    "q75_text_chunks"      -> ((s, d) => TextOps.q75TextChunks(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -414,5 +415,6 @@ object SparkEntry {
     // the q20/q34 pattern for the imperative batched operator.
     "q73_audio_chunks" -> MultimodalOps.q73OracleSql,
     "q74_ivfpq_residual" -> SimilarityOps.q74OracleSql(),
+    "q75_text_chunks" -> TextOps.q75OracleSql(),
   )
 }

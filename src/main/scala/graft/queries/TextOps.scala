@@ -1110,6 +1110,77 @@ object TextOps {
        |FROM cxy, n, nb
        |ORDER BY tok_x, tok_y""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+
+  /** Chunk geometry for [[q75TextChunks]]: fixed TOKEN windows with
+    * overlap (stride < size), the retrieval-corpus segmentation every
+    * RAG pipeline runs before embedding — overlap keeps a sentence
+    * that straddles a cut point intact in at least one chunk. q73 is
+    * the byte/audio sibling; text chunks differ in kind: the chunk
+    * TEXT is itself the operator's product (it feeds the embedder),
+    * where q73's byte slices stay scan-local. */
+  val ChunkToks = 32
+  val ChunkTokStride = 24
+
+  /** q75 — overlapping token-window chunking: each document fans out
+    * to `ceil(n/stride)` rows of `(chunk_idx, start_tok, n_toks,
+    * chunk_text)`, the exploded per-chunk relation handed to the
+    * embedding stage (q12/q28's corpus is exactly such a table one
+    * step downstream). The tail partial chunk ships with its true
+    * length — padding is the embedder's business, not the chunker's.
+    *
+    * Scale shape: tokenize + generate + slice is ONE narrow codegen'd
+    * projection per document — no join, no aggregate, and the only
+    * exchange is the output-contract sort. Chunk text is derived
+    * in-plan from the scan-side token array (never shuffled as an
+    * intermediate); at 100 TB this is a pure map over the corpus
+    * scan, embarrassingly parallel, and composes with the pipeline
+    * gates upstream (chunk AFTER dedup/quality — chunking first would
+    * multiply every downstream stage's row count by ~n/stride). */
+  def q75TextChunks(
+      spark: SparkSession, dir: String,
+      size: Int = ChunkToks, stride: Int = ChunkTokStride): DataFrame = {
+    import spark.implicits._
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val t = Tables.documents(spark, dir)
+      .select($"doc_id", toks($"text").as("toks"))
+      .filter(org.apache.spark.sql.functions.size($"toks") > 0)
+    val nToks = org.apache.spark.sql.functions.size($"toks")
+    t.select($"doc_id",
+        explode(transform(
+          sequence(lit(0), ((nToks - lit(1)) / lit(stride)).cast("int")),
+          i => struct(
+            i.cast("long").as("chunk_idx"),
+            (i * stride).cast("long").as("start_tok"),
+            least(lit(size.toLong), (nToks - i * stride).cast("long"))
+              .as("n_toks"),
+            array_join(slice($"toks", i * stride + 1, lit(size)), " ")
+              .as("chunk_text")))).as("c"))
+      .select($"doc_id", $"c.chunk_idx", $"c.start_tok", $"c.n_toks",
+        $"c.chunk_text")
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** Ground truth for [[q75TextChunks]] — the same tokenizer, stride
+    * series, inclusive 1-based list slice, and space re-join. */
+  def q75OracleSql(
+      size: Int = ChunkToks, stride: Int = ChunkTokStride): String =
+    s"""SELECT doc_id,
+       |       i::BIGINT AS chunk_idx,
+       |       (i * $stride)::BIGINT AS start_tok,
+       |       least($size, len(toks) - i * $stride)::BIGINT AS n_toks,
+       |       array_to_string(toks[i * $stride + 1 : i * $stride + $size], ' ') AS chunk_text
+       |FROM (
+       |  SELECT doc_id, toks,
+       |         unnest(generate_series(0, (len(toks) - 1) // $stride)) AS i
+       |  FROM (
+       |    SELECT doc_id,
+       |           list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+       |    FROM documents
+       |  ) WHERE len(toks) > 0
+       |) ORDER BY doc_id, chunk_idx""".stripMargin
+
   def q55OracleSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id,

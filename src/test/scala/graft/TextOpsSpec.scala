@@ -379,4 +379,47 @@ class TextOpsSpec extends SparkSuite {
     // drift is non-degenerate on the fixture
     assert(got.values.exists(_._3 > 0))
   }
+
+  test("q75 text chunks: full coverage, fixed overlap, lossless stride reconstruction") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // driver-side reference tokenizer: the toks rule (lowercase,
+    // single-space split, drop empties) re-derived independently
+    val tokRows = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toVector)
+      .toMap
+    val chunks = TextOps.q75TextChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val size = TextOps.ChunkToks
+    val stride = TextOps.ChunkTokStride
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val toksOf = tokRows(id)
+      val sorted = cs.sortBy(_._2)
+      // chunk indices are consecutive from 0; starts ride the stride
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length.toLong))
+      sorted.foreach { case (_, idx, start, n, text) =>
+        assert(start == idx * stride)
+        assert(n == math.min(size.toLong, toksOf.length - start))
+        // the chunk text IS the token slice, space-joined
+        assert(text == toksOf.slice(start.toInt, start.toInt + size).mkString(" "))
+      }
+      // coverage: the last chunk reaches the final token
+      val (_, _, lastStart, lastN, _) = sorted.last
+      assert(lastStart + lastN == toksOf.length.toLong,
+        s"doc $id: tail tokens uncovered")
+      // lossless reconstruction from stride-prefixes: taking the first
+      // `stride` tokens of every chunk (all of the last) re-yields the
+      // document's token stream exactly — the property that lets a
+      // reader de-overlap deterministically
+      val rebuilt = sorted.flatMap { case (_, idx, start, n, text) =>
+        val ts = text.split(" ").toVector
+        if (idx == sorted.length - 1) ts else ts.take(stride)
+      }.toVector
+      assert(rebuilt == toksOf, s"doc $id: stride reconstruction diverged")
+    }
+    // every non-empty doc chunked; empty-token docs absent
+    val nonEmpty = tokRows.filter(_._2.nonEmpty).keySet
+    assert(chunks.map(_._1).toSet == nonEmpty)
+  }
 }
