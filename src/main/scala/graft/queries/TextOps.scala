@@ -1141,13 +1141,29 @@ object TextOps {
       spark: SparkSession, dir: String,
       size: Int = ChunkToks, stride: Int = ChunkTokStride): DataFrame = {
     import spark.implicits._
+    chunkTokens(Tables.documents(spark, dir), size, stride)
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"n_toks", $"chunk_text")
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** The chunking transform itself, reusable on ANY `(doc_id, …,
+    * text)` frame — STATELESS and narrow, so it applies verbatim to
+    * an unbounded streaming frame ([[graft.streaming.CorpusStream
+    * .chunk]] is exactly this call); q75 adds only the batch output
+    * sort. Extra input columns pass through untouched (a streaming
+    * consumer keeps its event-time column for downstream windows). */
+  private[graft] def chunkTokens(
+      docs: DataFrame, size: Int = ChunkToks,
+      stride: Int = ChunkTokStride): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")
-    val t = Tables.documents(spark, dir)
-      .select($"doc_id", toks($"text").as("toks"))
-      .filter(org.apache.spark.sql.functions.size($"toks") > 0)
-    val nToks = org.apache.spark.sql.functions.size($"toks")
-    t.select($"doc_id",
+    val passThrough = docs.columns.filter(c => c != "doc_id" && c != "text")
+      .map(col).toSeq
+    val nToks = org.apache.spark.sql.functions.size(col("toks"))
+    docs
+      .withColumn("toks", toks(col("text")))
+      .filter(org.apache.spark.sql.functions.size(col("toks")) > 0)
+      .select(col("doc_id") +: passThrough :+
         explode(transform(
           sequence(lit(0), ((nToks - lit(1)) / lit(stride)).cast("int")),
           i => struct(
@@ -1155,11 +1171,11 @@ object TextOps {
             (i * stride).cast("long").as("start_tok"),
             least(lit(size.toLong), (nToks - i * stride).cast("long"))
               .as("n_toks"),
-            array_join(slice($"toks", i * stride + 1, lit(size)), " ")
-              .as("chunk_text")))).as("c"))
-      .select($"doc_id", $"c.chunk_idx", $"c.start_tok", $"c.n_toks",
-        $"c.chunk_text")
-      .orderBy($"doc_id", $"chunk_idx")
+            array_join(slice(col("toks"), i * stride + 1, lit(size)), " ")
+              .as("chunk_text")))).as("c"): _*)
+      .select(col("doc_id") +: passThrough :+
+        col("c.chunk_idx") :+ col("c.start_tok") :+ col("c.n_toks") :+
+        col("c.chunk_text"): _*)
   }
 
   /** Ground truth for [[q75TextChunks]] — the same tokenizer, stride

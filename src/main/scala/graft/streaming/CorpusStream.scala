@@ -85,6 +85,21 @@ object CorpusStream {
     else floorGated
   }
 
+  /** Streaming chunking — q75's token-window rule on an unbounded
+    * stream, verbatim ([[TextOps.chunkTokens]] is stateless and
+    * narrow, so the SAME transform runs in both modes with no state
+    * store and no watermark requirement): each admitted doc fans out
+    * to its overlapping chunk rows in the micro-batch it arrives in,
+    * extra columns (the event-time `ts` included) passing through for
+    * downstream windows. Placed AFTER the gates and dedup — chunking
+    * first would multiply every stateful operator's row count by
+    * ~n/stride, the batch pipeline's ordering argument. */
+  def chunk(
+      docs: DataFrame,
+      size: Int = TextOps.ChunkToks,
+      stride: Int = TextOps.ChunkTokStride): DataFrame =
+    TextOps.chunkTokens(docs, size, stride)
+
   /** Exact streaming dedup — q09's content-hash rule on an unbounded
     * stream: state keys are `xxhash64(text)` (8 bytes), eviction is
     * watermark-driven, first arrival within the horizon wins. */

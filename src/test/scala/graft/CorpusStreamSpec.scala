@@ -311,4 +311,32 @@ class CorpusStreamSpec extends SparkSuite {
       assert(stateRowsTotal(q) == 0, "token-less docs stored as reps")
     } finally q.stop()
   }
+
+  test("streaming chunk stage == batch chunkTokens on the same docs; ts passes through") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CDoc]
+    val q = graft.streaming.CorpusStream.chunk(in.toDF())
+      .writeStream.format("memory").queryName("chunk_out").start()
+    val docs = Seq(
+      CDoc(1, "en", "web", baseToks.mkString(" "), t(1)),
+      CDoc(2, "en", "web", baseToks.take(40).mkString(" "), t(2)),
+      CDoc(3, "en", "web", "short doc", t(3)),
+      CDoc(4, "en", "web", "", t(4))) // token-less: no chunk rows
+    try {
+      in.addData(docs)
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_out")
+        .select($"doc_id", $"ts", $"chunk_idx", $"start_tok", $"n_toks", $"chunk_text")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.queries.TextOps.chunkTokens(docs.toDF())
+        .select($"doc_id", $"ts", $"chunk_idx", $"start_tok", $"n_toks", $"chunk_text")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch, "streaming chunk stage diverged from the batch transform")
+      assert(streamed.nonEmpty && !streamed.exists(_.head == 4L),
+        "token-less doc produced chunk rows")
+      // the stage is STATELESS: nothing in any state store
+      assert(stateRowsTotal(q) == 0, "chunking must not hold state")
+    } finally q.stop()
+  }
 }
