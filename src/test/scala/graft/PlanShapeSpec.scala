@@ -191,6 +191,25 @@ class PlanShapeSpec extends SparkSuite {
       s"gate did not hint a bounded relation:\n${hinted.queryExecution.analyzed}")
   }
 
+  test("q75: one narrow generate — no join, no aggregate, scan pruned to doc_id+text") {
+    val df = TextOps.q75TextChunks(spark, sf)
+    df.collect() // settle AQE
+    val p = df.queryExecution.executedPlan.toString
+    // the chunker is a pure map over the corpus scan: any join or
+    // aggregate means someone broke the fan-out into a shuffle shape
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"q75 grew a join/aggregate:\n$p")
+    assert(p.contains("Generate"), s"q75 lost its generate:\n$p")
+    // column pruning: the documents scan must read ONLY doc_id + text
+    val scans = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("documents")).toList
+    assert(scans.nonEmpty, s"no documents scan:\n$p")
+    scans.foreach { l =>
+      assert(l.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"q75 scan reads extra columns:\n$l")
+    }
+  }
+
   test("q06 flagship: rank-limit pushes a partial WindowGroupLimit below the exchange") {
     val p = plan(ReferenceOps.q06SlidingTopN(spark, sf))
     assert(p.contains("WindowGroupLimit"), s"no rank-limit pushdown:\n$p")
@@ -452,7 +471,8 @@ class PlanShapeSpec extends SparkSuite {
     // would shuffle every encoded row on the cell key
     Seq(
       "q67" -> SimilarityOps.q67IvfPqTopK(spark, sf),
-      "q70" -> SimilarityOps.q70RerankTopK(spark, sf)
+      "q70" -> SimilarityOps.q70RerankTopK(spark, sf),
+      "q74" -> SimilarityOps.q74ResidualIvfPq(spark, sf)
     ).foreach { case (name, df) =>
       df.collect() // settle AQE
       val p = df.queryExecution.executedPlan.toString

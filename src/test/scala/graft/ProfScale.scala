@@ -195,6 +195,13 @@ object ProfScale {
         time(s"q70 $tag") {
           SimilarityOps.q70RerankTopK(spark, dir).collect().length.toLong
         }
+        time(s"q74 $tag") {
+          SimilarityOps.q74ResidualIvfPq(spark, dir).collect().length.toLong
+        }
+        time(s"q75 $tag") {
+          TextOps.q75TextChunks(spark, dir)
+            .agg(bit_xor(xxhash64($"chunk_text")), sum($"n_toks")).collect(); 1L
+        }
     }
 
     // --- vocabulary-statistics invariants under exact duplication ----
