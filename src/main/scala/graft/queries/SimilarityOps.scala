@@ -1637,6 +1637,39 @@ object SimilarityOps {
        |ORDER BY probe_id, rank""".stripMargin
   }
 
+  /** Two-stage retrieval on PERSISTED artifacts — q70's plan served
+    * from disk: stage 1 takes the shortlist from the composed
+    * [[ivfPqSearchIndex]] (partition-pruned 4-byte scan), stage 2
+    * reranks only those ≤ probes×shortlist ids by exact float cosine
+    * against the float table — an id-keyed point-lookup join with
+    * both bounded sides broadcast, never a second corpus scan. With a
+    * raw-vector fixed-constant index this returns row-for-row what
+    * the in-plan [[q70RerankTopK]] returns (spec-pinned), so the full
+    * production serving call — cold start from nothing but an index
+    * path and a float table — is transitively oracle-verified through
+    * q70's DuckDB twin. */
+  def ivfPqServe(
+      spark: SparkSession,
+      indexPath: String,
+      emb: DataFrame,
+      probes: Seq[(Long, Seq[Double])],
+      k: Int = 10,
+      shortlist: Int = RerankShortlist,
+      numProbedCells: Int = NumProbedCells): DataFrame = {
+    import spark.implicits._
+    val short = ivfPqSearchIndex(spark, indexPath, probes, shortlist, numProbedCells)
+      .select($"probe_id", $"vec_id")
+    val probeVecs = probes.toDF("probe_id", "p_emb")
+    val byProbe = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")
+    emb.join(broadcast(short), "vec_id")
+      .join(broadcast(probeVecs), "probe_id")
+      .withColumn("sim", round(PipelineOps.cosine($"embedding", $"p_emb"), 6))
+      .withColumn("rank", row_number().over(byProbe))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"vec_id", $"label", $"sim", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
   /** Incrementally MAINTAIN the composed index — the last index
     * format to get the [[appendIvfIndex]] daily-delta contract (IVF,
     * SQ8, PQ, dedup-LSH all have one): assign and encode the delta

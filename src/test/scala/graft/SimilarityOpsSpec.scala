@@ -1078,6 +1078,32 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(ids == vecs.keys.toSeq.sorted, "appended index lost or duplicated vectors")
   }
 
+  test("ivfPqServe: persisted two-stage retrieval == the in-plan q70, cold start from a path") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = (0 until SimilarityOps.NumCells)
+      .map(c => (0 until SimilarityOps.Dim).map(SimilarityOps.centroidComponent(c, _)))
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-serve").toString
+    SimilarityOps.writeIvfPqIndex(
+      emb, path, centroids, SimilarityOps.defaultPqCodebooks, residual = false)
+    val probes = emb.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val served = SimilarityOps.ivfPqServe(spark, path, emb, probes).collect().toSeq
+    val inPlan = SimilarityOps.q70RerankTopK(spark, sf).collect().toSeq
+    // row-identity to the oracle-gated q70: the full serving call —
+    // shortlist off the pruned 4-byte scan, exact rerank off the float
+    // table — is transitively DuckDB-verified
+    assert(served == inPlan,
+      "persisted two-stage serving diverged from the in-plan q70")
+    // trained residual index serves too (values differ; contract holds)
+    val trPath = java.nio.file.Files.createTempDirectory("ivfpq-serve-tr").toString
+    SimilarityOps.trainIvfPq(emb, trPath, ivfIters = 2, pqIters = 2)
+    val trained = SimilarityOps.ivfPqServe(spark, trPath, emb, probes).collect()
+    assert(trained.groupBy(_.getLong(0)).forall(_._2.length == 10),
+      "trained serve lost rows")
+  }
+
   test("q74 residual IVF-PQ: persisted fixed-constant serving == the oracle-gated in-plan form") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
