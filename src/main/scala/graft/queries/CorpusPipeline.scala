@@ -83,6 +83,14 @@ object CorpusPipeline {
       mixWeights: Option[Seq[(String, Int)]] = None,
       defaultMixWeight: Int = PipelineOps.DefaultMixWeight) {
     require(passageTokens > 0, s"passageTokens must be > 0, got $passageTokens")
+    require(defaultMixWeight > 0,
+      s"defaultMixWeight must be > 0, got $defaultMixWeight")
+    mixWeights.toSeq.flatten.foreach { case (s, w) =>
+      // zero divides inside the rate arithmetic (NULL under non-ANSI,
+      // silently ignored by the window min — a source wiped with no
+      // error); negative corrupts t_max. Fail at construction.
+      require(w > 0, s"mixture weight for '$s' must be > 0, got $w")
+    }
     require(neardupThreshold > 0 && neardupThreshold <= 1,
       s"neardupThreshold must be in (0, 1], got $neardupThreshold")
     require(neardupThreshold >= 0.5 || (lshBands, lshRows) != (16, 4),

@@ -556,23 +556,14 @@ object PipelineOps {
     */
   def q64MixtureBalance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val byBucket = Tables.documents(spark, dir)
       .groupBy($"source",
         RelationalOps.contentHashMod(RelationalOps.PerMille).as("hb"))
       .agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wExpr = MixWeights.reverse.foldLeft(lit(DefaultMixWeight)) {
-      case (acc, (s, w)) => when($"source" === s, lit(w)).otherwise(acc)
-    }
-    val all = Window.partitionBy(lit(1))
-    val rates = byBucket
-      .groupBy($"source").agg(sum($"cnt").as("n_total"))
-      .withColumn("w", wExpr.cast("long"))
-      .withColumn("w_sum", sum($"w").over(all))
-      .withColumn("t_max", min(expr("n_total * w_sum div w")).over(all))
-      .withColumn("rate_pm", least(lit(1000L),
-        expr("t_max * w * 1000 div (w_sum * n_total)")))
+    val rates = deriveRates(
+      byBucket.groupBy($"source").agg(sum($"cnt").as("n_total")),
+      MixWeights, DefaultMixWeight)
     rates.join(byBucket, Seq("source"))
       .groupBy($"source", $"n_total", $"rate_pm")
       .agg(sum(when($"hb" < $"rate_pm", $"cnt").otherwise(lit(0L))).as("n_kept"))
@@ -597,19 +588,38 @@ object PipelineOps {
   def mixtureRates(
       docs: DataFrame,
       weights: Seq[(String, Int)] = MixWeights,
-      defaultWeight: Int = DefaultMixWeight): DataFrame = {
+      defaultWeight: Int = DefaultMixWeight): DataFrame =
+    deriveRates(
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_total")),
+      weights, defaultWeight)
+      .select(col("source"), col("rate_pm"))
+
+  /** The ONE copy of the derived-rate arithmetic (`W`, `T = min_s
+    * floor(n_s·W/w_s)`, `rate_s = floor(T·w_s·1000/(W·n_s))` capped
+    * at 1000) over an aggregated `(source, n_total)` frame — q64 and
+    * [[mixtureRates]] both route through here, so the pipeline's
+    * kept-set closure over q64's numbers cannot drift out of sync.
+    * Weights must be strictly positive: a zero weight would divide by
+    * zero inside `t_max` (NULL under non-ANSI sessions, silently
+    * ignored by the window min — a source wiped with no error). */
+  private def deriveRates(
+      bySource: DataFrame,
+      weights: Seq[(String, Int)],
+      defaultWeight: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(defaultWeight > 0, s"defaultWeight must be > 0, got $defaultWeight")
+    weights.foreach { case (s, w) =>
+      require(w > 0, s"mixture weight for '$s' must be > 0, got $w") }
     val wExpr = weights.reverse.foldLeft(lit(defaultWeight)) {
       case (acc, (s, w)) => when(col("source") === s, lit(w)).otherwise(acc)
     }
     val all = Window.partitionBy(lit(1))
-    docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    bySource
       .withColumn("w", wExpr.cast("long"))
       .withColumn("w_sum", sum(col("w")).over(all))
       .withColumn("t_max", min(expr("n_total * w_sum div w")).over(all))
       .withColumn("rate_pm", least(lit(1000L),
         expr("t_max * w * 1000 div (w_sum * n_total)")))
-      .select(col("source"), col("rate_pm"))
   }
 
   /** Oracle: the same histogram → W/T → rates → kept-count arithmetic

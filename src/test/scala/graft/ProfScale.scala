@@ -96,6 +96,10 @@ object ProfScale {
         }
     }
 
+    // chain-only mode ends here: everything below is the full sweep
+    // (replica synthesis for other tables included) the flag skips
+    if (chainOnly) { spark.stop(); return }
+
     // --- round-9 pipeline operators at the same scale step ----------
     // embeddings replicas for q54: same vectors under shifted ids, so
     // the quantizer stats are identical by construction — timing-valid
@@ -108,7 +112,7 @@ object ProfScale {
       .repartition(32).write.mode("overwrite")
       .parquet(s"$scaleDir/embeddings.parquet")
 
-    if (!skipOld && !chainOnly) Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
+    if (!skipOld) Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
       case (tag, dir) =>
         // folds, not counts: a bare count() lets column pruning drop
         // the computation under test from the narrow plans
@@ -159,7 +163,7 @@ object ProfScale {
       .repartition(32).write.mode("overwrite")
       .parquet(s"$scaleDir/lineitem.parquet")
 
-    if (!skipOld && !chainOnly) Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
+    if (!skipOld) Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
       case (tag, dir) =>
         time(s"q62 $tag") {
           val n = DedupOps.q62DeltaDedup(spark, dir).count()

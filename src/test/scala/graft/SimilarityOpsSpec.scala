@@ -870,15 +870,20 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(trained != init, "training moved no codebook entry")
 
     // train→build→serve round trip: the persisted quantizer IS the
-    // trained one, bit for bit, and serving needs only the path
+    // one trainAndWritePq trained, bit for bit, and serving needs only
+    // the path. NOT asserted: bit-equality of `returned` with the
+    // separately-trained `trained` above — avg()'s partial merge order
+    // varies with shuffle arrival, so two trainings may differ in the
+    // last ulp of a mean (the same flake class q72's 1e5 floor
+    // widening addresses); the contract is write==reload, not
+    // run==run.
     val lcgPath = java.nio.file.Files.createTempDirectory("pq-lcg").toString
     SimilarityOps.writePqIndex(emb, lcgPath)
     val trainedPath = java.nio.file.Files.createTempDirectory("pq-trained").toString
     val returned = SimilarityOps.trainAndWritePq(emb, trainedPath, iters = 3)
-    assert(returned == trained, "trainAndWritePq books differ from trainPqCodebooks")
     val reloaded = SimilarityOps.readPqQuantizer(spark, trainedPath)
     for (m <- 0 until SimilarityOps.PqSubspaces; j <- 0 until SimilarityOps.PqCodes)
-      assert(reloaded(m)(j).toSeq == trained(m)(j), s"codebook ($m,$j) drifted")
+      assert(reloaded(m)(j).toSeq == returned(m)(j), s"codebook ($m,$j) drifted")
 
     val lcgBooks = SimilarityOps.readPqQuantizer(spark, lcgPath)
     val rLcg = recallAt(
