@@ -121,4 +121,45 @@ class TokenizerPropsSpec extends SparkSuite {
     joined.foreach(r => assert(r.getInt(1).toLong == r.getLong(2),
       s"doc ${r.getLong(0)}: size=${r.getInt(1)} explode=${r.getLong(2)}"))
   }
+
+  test("chunking properties hold for generated corpora across window geometries") {
+    import spark.implicits._
+    // generated docs (including empties and heavy whitespace) through
+    // the q75 transform at several (size, stride) geometries — the
+    // coverage/reconstruction contract must hold for ALL of them, not
+    // just the fixture's 32/24
+    val docs = corpus(150).zipWithIndex
+      .map { case (text, i) => (i.toLong, text) }
+    val docsDf = docs.toDF("doc_id", "text")
+    val ref = docs.map { case (id, text) =>
+      id -> text.toLowerCase.split(" ").filter(_.nonEmpty).toVector }.toMap
+    for ((size, stride) <- Seq((4, 3), (8, 8), (5, 2))) {
+      val chunks = graft.queries.TextOps.chunkTokens(docsDf, size, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .groupBy(_._1)
+      // docs with tokens chunk; token-less docs are absent
+      assert(chunks.keySet == ref.filter(_._2.nonEmpty).keySet,
+        s"($size,$stride): doc set mismatch")
+      chunks.foreach { case (id, cs) =>
+        val toks = ref(id)
+        val sorted = cs.sortBy(_._2)
+        assert(sorted.map(_._2).toSeq == (0L until sorted.length.toLong))
+        sorted.foreach { case (_, idx, start, n, text) =>
+          assert(start == idx * stride)
+          assert(n == math.min(size.toLong, toks.length - start))
+          assert(text == toks.slice(start.toInt, start.toInt + size).mkString(" "))
+        }
+        // coverage: last chunk reaches the final token
+        val (_, _, ls, ln, _) = sorted.last
+        assert(ls + ln == toks.length.toLong, s"($size,$stride) doc $id: tail lost")
+        // stride-prefix reconstruction is lossless for every geometry
+        val rebuilt = sorted.flatMap { case (_, idx, _, _, text) =>
+          val ts = text.split(" ").toVector
+          if (idx == sorted.length - 1) ts else ts.take(stride)
+        }.toVector
+        assert(rebuilt == toks, s"($size,$stride) doc $id: reconstruction broke")
+      }
+    }
+  }
 }
