@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.queries.{CorpusPipeline, TextOps}
+import graft.queries.{CorpusPipeline, RelationalOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -84,6 +84,27 @@ object CorpusStream {
       floorGated.filter(TextOps.linearScoreMicro(col("text")) >= 0)
     else floorGated
   }
+
+  /** Streaming mixture gate — q64's derived rates applied on the
+    * LIVE stream: rates are computed batch-side over the sealed
+    * corpus ([[graft.queries.PipelineOps.mixtureRates]], typically at
+    * each [[compact]]) and persisted; the stream applies them as a
+    * STREAM-STATIC broadcast join plus the same content-hash
+    * predicate the batch stage uses — so a doc is kept on the stream
+    * exactly iff the batch rebalance would keep it (spec-pinned).
+    * This is the lambda split the rest of CorpusStream already runs:
+    * global statistics belong to the batch layer (a streaming job
+    * cannot see the full composition), per-row decisions to the
+    * stream. Sources absent from the rates table keep everything
+    * (rate 1000) — new sources admit until the next batch refresh
+    * rather than silently vanishing. */
+  def mixtureGate(docs: DataFrame, rates: DataFrame): DataFrame =
+    docs
+      .join(broadcast(rates.select(col("source"), col("rate_pm"))),
+        Seq("source"), "left_outer")
+      .filter(RelationalOps.contentHashMod(RelationalOps.PerMille)
+        < coalesce(col("rate_pm"), lit(1000L)))
+      .drop("rate_pm")
 
   /** Streaming chunking — q75's token-window rule on an unbounded
     * stream, verbatim ([[TextOps.chunkTokens]] is stateless and

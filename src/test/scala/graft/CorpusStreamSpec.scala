@@ -312,6 +312,50 @@ class CorpusStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming mixture gate keeps exactly the batch rebalance's rows; unknown sources admit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // rates derived BATCH-side from a sealed corpus (the lambda split):
+    // src0 premium, src1 half, srcX absent from the table entirely
+    val sealedDocs = (0 until 200).map(i =>
+      (i.toLong, "en", if (i % 2 == 0) "src0" else "src1",
+        s"sealed doc number $i with some words", t(i.toLong)))
+      .toDF("doc_id", "lang", "source", "text", "ts")
+    val rates = graft.queries.PipelineOps.mixtureRates(
+      sealedDocs, Seq("src0" -> 3, "src1" -> 1), 1)
+    val ratesLocal = rates.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val in = MemoryStream[CDoc]
+    val q = graft.streaming.CorpusStream.mixtureGate(in.toDF(), rates)
+      .writeStream.format("memory").queryName("mix_gate").start()
+    val arriving = (0 until 90).map { i =>
+      val src = i % 3 match {
+        case 0 => "src0"; case 1 => "src1"; case _ => "srcX" }
+      CDoc(1000L + i, "en", src, s"arriving doc $i with streamed words", t(i.toLong))
+    }
+    try {
+      in.addData(arriving)
+      q.processAllAvailable()
+      val kept = spark.table("mix_gate").select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // the contract: kept on the stream == the batch predicate at the
+      // same rates (content-hash per-mille against rate, absent → 1000)
+      val expected = arriving.toDF()
+        .withColumn("hb", graft.queries.RelationalOps
+          .contentHashMod(graft.queries.RelationalOps.PerMille))
+        .collect().filter { r =>
+          r.getLong(5) < ratesLocal.getOrElse(r.getString(2), 1000L) }
+        .map(_.getLong(0)).toSet
+      assert(kept == expected, "streaming gate diverged from the batch predicate")
+      // srcX is absent from the rates table: every srcX doc admits
+      val srcX = arriving.filter(_.source == "srcX").map(_.doc_id).toSet
+      assert(srcX.subsetOf(kept), "unknown source silently dropped")
+      // and the gate is stateless — stream-static joins hold no state
+      assert(stateRowsTotal(q) == 0, "mixture gate must not hold state")
+    } finally q.stop()
+  }
+
   test("streaming chunk stage == batch chunkTokens on the same docs; ts passes through") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
