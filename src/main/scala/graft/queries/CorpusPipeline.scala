@@ -292,11 +292,7 @@ object CorpusPipeline {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val rates =
           PipelineOps.mixtureRates(survivors, weights, cfg.defaultMixWeight)
-        (survivors.join(broadcast(rates), Seq("source"))
-          .filter(RelationalOps.contentHashMod(RelationalOps.PerMille)
-            < col("rate_pm"))
-          .drop("rate_pm"),
-          Seq(survivors))
+        (PipelineOps.applyMixtureRates(survivors, rates), Seq(survivors))
       case None =>
         (neardupFree.filter(
           RelationalOps.stratifiedKeep(cfg.stratRates, cfg.defaultPerMille)),

@@ -594,6 +594,26 @@ object PipelineOps {
       weights, defaultWeight)
       .select(col("source"), col("rate_pm"))
 
+  /** The ONE copy of the rate APPLICATION — the join+predicate shape
+    * that keeps the batch rebalance ([[CorpusPipeline]] stage 4) and
+    * the streaming gate ([[graft.streaming.CorpusStream.mixtureGate]])
+    * keeping byte-identical sets: left-outer on `source` (the rates
+    * relation is bounded by the source alphabet but derives from a
+    * corpus aggregate, so the broadcast hint must be explicit — the
+    * q52 rule), then `contentHashMod(PerMille) < rate_pm` with NULL
+    * or ABSENT sources defaulting to full keep (1000‰) — an unknown
+    * source admits until the next rates refresh, and a null source
+    * behaves as unknown in BOTH layers rather than silently diverging
+    * (a null equi-key matches nothing, so an inner join would drop it
+    * batch-side while the stream admitted it). */
+  def applyMixtureRates(docs: DataFrame, rates: DataFrame): DataFrame =
+    docs
+      .join(broadcast(rates.select(col("source"), col("rate_pm"))),
+        Seq("source"), "left_outer")
+      .filter(RelationalOps.contentHashMod(RelationalOps.PerMille)
+        < coalesce(col("rate_pm"), lit(1000L)))
+      .drop("rate_pm")
+
   /** The ONE copy of the derived-rate arithmetic (`W`, `T = min_s
     * floor(n_s·W/w_s)`, `rate_s = floor(T·w_s·1000/(W·n_s))` capped
     * at 1000) over an aggregated `(source, n_total)` frame — q64 and

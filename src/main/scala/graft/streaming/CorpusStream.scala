@@ -90,21 +90,26 @@ object CorpusStream {
     * corpus ([[graft.queries.PipelineOps.mixtureRates]], typically at
     * each [[compact]]) and persisted; the stream applies them as a
     * STREAM-STATIC broadcast join plus the same content-hash
-    * predicate the batch stage uses — so a doc is kept on the stream
-    * exactly iff the batch rebalance would keep it (spec-pinned).
-    * This is the lambda split the rest of CorpusStream already runs:
-    * global statistics belong to the batch layer (a streaming job
-    * cannot see the full composition), per-row decisions to the
-    * stream. Sources absent from the rates table keep everything
-    * (rate 1000) — new sources admit until the next batch refresh
-    * rather than silently vanishing. */
+    * predicate, through the SAME code as the batch stage
+    * ([[graft.queries.PipelineOps.applyMixtureRates]] — one copy, so
+    * the two layers cannot drift) — a doc is kept on the stream
+    * exactly iff the batch rebalance at the same rates would keep the
+    * SAME TEXT (spec-pinned; under `cfg.passageDedup` the batch hash
+    * sees the REWRITTEN text, so the equivalence is per-text, not
+    * per-raw-doc — the same class of documented divergence as the
+    * first-arrival vs min-id keep rule above). This is the lambda
+    * split the rest of CorpusStream already runs: global statistics
+    * belong to the batch layer (a streaming job cannot see the full
+    * composition), per-row decisions to the stream. Sources absent
+    * from the rates table — or null — keep everything (rate 1000):
+    * new sources admit until the next batch refresh rather than
+    * silently vanishing. Pass a MATERIALIZED rates frame (read back
+    * from parquet, or persisted): the static side of a stream-static
+    * join re-evaluates per micro-batch, and an unmaterialized
+    * derived-rates plan would re-aggregate the sealed corpus on
+    * every trigger. */
   def mixtureGate(docs: DataFrame, rates: DataFrame): DataFrame =
-    docs
-      .join(broadcast(rates.select(col("source"), col("rate_pm"))),
-        Seq("source"), "left_outer")
-      .filter(RelationalOps.contentHashMod(RelationalOps.PerMille)
-        < coalesce(col("rate_pm"), lit(1000L)))
-      .drop("rate_pm")
+    graft.queries.PipelineOps.applyMixtureRates(docs, rates)
 
   /** Streaming chunking — q75's token-window rule on an unbounded
     * stream, verbatim ([[TextOps.chunkTokens]] is stateless and

@@ -321,8 +321,15 @@ class CorpusStreamSpec extends SparkSuite {
       (i.toLong, "en", if (i % 2 == 0) "src0" else "src1",
         s"sealed doc number $i with some words", t(i.toLong)))
       .toDF("doc_id", "lang", "source", "text", "ts")
-    val rates = graft.queries.PipelineOps.mixtureRates(
-      sealedDocs, Seq("src0" -> 3, "src1" -> 1), 1)
+    // materialized through parquet, as the scaladoc demands: the
+    // static side re-evaluates per micro-batch, so production passes
+    // a read-back table, not the derived plan
+    val ratesPath = java.nio.file.Files
+      .createTempDirectory("mix-rates").toString
+    graft.queries.PipelineOps.mixtureRates(
+        sealedDocs, Seq("src0" -> 3, "src1" -> 1), 1)
+      .write.mode("overwrite").parquet(ratesPath)
+    val rates = spark.read.parquet(ratesPath)
     val ratesLocal = rates.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
