@@ -97,6 +97,9 @@ object SparkEntry {
     "q73_audio_chunks"     -> (MultimodalOps.q73AudioChunks _),
     "q74_ivfpq_residual"   -> ((s, d) => SimilarityOps.q74ResidualIvfPq(s, d)),
     "q75_text_chunks"      -> ((s, d) => TextOps.q75TextChunks(s, d)),
+    "q76_bm25_topk"        -> (RetrievalOps.q76Bm25TopK _),
+    "q77_bm25_indexed"     -> (RetrievalOps.q77Bm25Indexed _),
+    "q78_hybrid_rrf"       -> (RetrievalOps.q78HybridRrf _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -416,5 +419,15 @@ object SparkEntry {
     "q73_audio_chunks" -> MultimodalOps.q73OracleSql,
     "q74_ivfpq_residual" -> SimilarityOps.q74OracleSql(),
     "q75_text_chunks" -> TextOps.q75OracleSql(),
+
+    // BM25: the score expression is ONE shared SQL fragment on both
+    // engines (scoreSqlFragment) — idf and saturation never drift.
+    "q76_bm25_topk" -> RetrievalOps.q76OracleSql(),
+    // Served from the persisted inverted index; row-identical to q76
+    // by shared scoreAndRank, so the oracle is q76's verbatim.
+    "q77_bm25_indexed" -> RetrievalOps.q77OracleSql(),
+    // Hybrid RRF: q76's CTEs as the sparse leg, q12's cosine text as
+    // the dense leg, integer `//` rank fusion.
+    "q78_hybrid_rrf" -> RetrievalOps.q78OracleSql(),
   )
 }

@@ -1,0 +1,169 @@
+package graft
+
+import graft.queries.RetrievalOps
+import org.apache.spark.sql.functions._
+
+/** Sparse/hybrid retrieval specs: q76 against an exact driver-side BM25
+  * recomputation, q77's persisted-index row-identity + partition
+  * pruning, index append ≡ rebuild, and q78's integer fusion contract.
+  */
+class RetrievalOpsSpec extends SparkSuite {
+
+  private def tokens(text: String): Seq[String] =
+    text.toLowerCase.split(" ", -1).toSeq.filter(_.nonEmpty)
+
+  /** Exact reimplementation of the BM25 contract on the driver, same
+    * association order as [[RetrievalOps.scoreSqlFragment]] (same JVM
+    * doubles ⇒ bit-identical scores). */
+  private def bm25Expected(): Seq[(Int, Int, Long, Double)] = {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), tokens(r.getString(1))))
+    val n = docs.length.toLong
+    val sumdl = docs.map(_._2.length.toLong).sum
+    val df = RetrievalOps.AllTerms.map(t =>
+      t -> docs.count(_._2.contains(t)).toLong).toMap
+    val avgdl = sumdl.toDouble / n
+    RetrievalOps.BmQueries.flatMap { case (qid, terms) =>
+      docs.flatMap { case (docId, tk) =>
+        val tfs = terms.map(t => t -> tk.count(_ == t).toLong).toMap
+        if (tfs.values.forall(_ == 0L)) None
+        else {
+          val score = terms.map { t =>
+            val tf = tfs(t); val d = df(t)
+            math.log(1.0 + (n - d + 0.5) / (d + 0.5)) *
+              (tf * (1.0 + 1.2) /
+                (tf + 1.2 * (1.0 - 0.75 + 0.75 * docId2dl(tk) / avgdl)))
+          }.sum
+          val rounded = BigDecimal(score)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Some((qid, docId, rounded))
+        }
+      }.sortBy { case (_, id, s) => (-s, id) }
+        .take(RetrievalOps.TopK)
+        .zipWithIndex
+        .map { case ((q, id, s), i) => (q, i + 1, id, s) }
+    }
+  }
+
+  private def docId2dl(tk: Seq[String]): Double = tk.length.toDouble
+
+  test("q76 == exact driver-side BM25 recomputation (ranks, ids, scores)") {
+    val got = RetrievalOps.q76Bm25TopK(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val expected = bm25Expected()
+    assert(got == expected,
+      s"BM25 diverges; got=${got.take(5)} expected=${expected.take(5)}")
+    // the rare term must matter: query 1's top hit contains "dup"
+    // (its idf dwarfs the common terms') — guards against a future
+    // change silently zeroing the idf leg
+    val top1 = got.find(r => r._1 == 1 && r._2 == 1).get._3
+    val text = Tables.documents(spark, sf)
+      .filter(col("doc_id") === top1).select(col("text"))
+      .collect().head.getString(0)
+    assert(tokens(text).contains("dup"),
+      s"query 1 top hit $top1 lacks the rare term — idf leg broken?")
+  }
+
+  test("q77 (persisted inverted index) is row-identical to q76") {
+    val direct = RetrievalOps.q76Bm25TopK(spark, sf).collect().toSeq
+    val served = RetrievalOps.q77Bm25Indexed(spark, sf).collect().toSeq
+    assert(served == direct)
+  }
+
+  test("inverted-index serving scan prunes partitions and never reads text") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-inv-spec").toString
+    RetrievalOps.writeInvertedIndex(Tables.documents(spark, sf), path)
+    val plan = RetrievalOps.bm25SearchIndex(spark, path)
+      .queryExecution.executedPlan.toString
+    // the bucket predicates constant-fold to partition filters on the
+    // postings scan — the serving path's whole point
+    val scanLines = plan.linesIterator
+      .filter(l => l.contains("PartitionFilters")).toSeq
+    assert(scanLines.nonEmpty, s"no partition filters in:\n$plan")
+    assert(scanLines.exists(_.contains("bucket")),
+      s"postings scan not pruned on bucket:\n$plan")
+    // no scan in the serving plan reads document text
+    plan.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text:"), s"serving path reads text: $l")
+    }
+    // postings for the fixture's query terms occupy few buckets —
+    // pruning has something to prune
+    val allBuckets = spark.read.parquet(path)
+      .select(col("bucket")).distinct().count()
+    assert(allBuckets > RetrievalOps.BmQueries.flatMap(_._2).distinct.size,
+      "vocabulary collapsed into query-term buckets; pruning vacuous")
+  }
+
+  test("appendInvertedIndex: append == rebuild, serving row-identical") {
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+    val appended = java.nio.file.Files
+      .createTempDirectory("graft-inv-append").toString
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-inv-rebuild").toString
+    RetrievalOps.writeInvertedIndex(base, appended)
+    RetrievalOps.appendInvertedIndex(delta, appended)
+    RetrievalOps.writeInvertedIndex(docs, rebuilt)
+    val a = RetrievalOps.bm25SearchIndex(spark, appended).collect().toSeq
+    val r = RetrievalOps.bm25SearchIndex(spark, rebuilt).collect().toSeq
+    assert(a == r)
+  }
+
+  test("q76 plan: no token explode reaches an exchange; stats broadcast") {
+    val plan = RetrievalOps.q76Bm25TopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(token"),
+      s"corpus tokens shuffled — the literal-term projection regressed:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"one-row stats not broadcast:\n$plan")
+  }
+
+  test("q78 fusion: integer RRF arithmetic, rank contract per query") {
+    val rows = RetrievalOps.q78HybridRrf(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, rrf, sRank, dRank) =>
+      val expect =
+        (if (sRank > 0) 1000000L / (60 + sRank) else 0L) +
+          (if (dRank > 0) 1000000L / (60 + dRank) else 0L)
+      assert(rrf == expect, s"rrf=$rrf expect=$expect s=$sRank d=$dRank")
+      assert(sRank > 0 || dRank > 0, "fused row retrieved by neither leg")
+    }
+    rows.groupBy(_._1).foreach { case (qid, qRows) =>
+      val byRank = qRows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to byRank.length).toSeq,
+        s"ranks not dense for query $qid")
+      val rrfs = byRank.map(_._4).toSeq
+      assert(rrfs == rrfs.sortBy(-_: Long), s"rrf not descending for $qid")
+    }
+  }
+
+  test("q78 == driver-side fusion of the two collected legs") {
+    val sparse = RetrievalOps.q76Bm25TopK(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getLong(2)), r.getInt(1))).toMap
+    val dense = RetrievalOps.denseRanks(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getInt(2))).toMap
+    val expected = (sparse.keySet ++ dense.keySet).toSeq
+      .map { case key @ (qid, docId) =>
+        val s = sparse.getOrElse(key, 0)
+        val d = dense.getOrElse(key, 0)
+        val rrf = (if (s > 0) 1000000L / (60 + s) else 0L) +
+          (if (d > 0) 1000000L / (60 + d) else 0L)
+        (qid, docId, rrf, s, d)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        g.sortBy { case (_, id, rrf, _, _) => (-rrf, id) }
+          .take(RetrievalOps.TopK).zipWithIndex
+          .map { case ((q, id, rrf, s, d), i) => (q, i + 1, id, rrf, s, d) }
+      }.sortBy(r => (r._1, r._2))
+    val got = RetrievalOps.q78HybridRrf(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5))).toSeq
+    assert(got == expected,
+      s"fusion diverges; got=${got.take(4)} expected=${expected.take(4)}")
+  }
+}
