@@ -100,6 +100,7 @@ object SparkEntry {
     "q76_bm25_topk"        -> (RetrievalOps.q76Bm25TopK _),
     "q77_bm25_indexed"     -> (RetrievalOps.q77Bm25Indexed _),
     "q78_hybrid_rrf"       -> (RetrievalOps.q78HybridRrf _),
+    "q79_bigram_lm"        -> ((s, d) => TextOps.q79BigramLm(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -429,5 +430,10 @@ object SparkEntry {
     // Hybrid RRF: q76's CTEs as the sparse leg, q12's cosine text as
     // the dense leg, integer `//` rank fusion.
     "q78_hybrid_rrf" -> RetrievalOps.q78OracleSql(),
+
+    // Bigram-LM cross-entropy over the bounded q71 vocabulary + unk:
+    // one ln per model entry floored at 1e5 (q72's 10-µnat
+    // discipline), per-doc sums exact integers.
+    "q79_bigram_lm" -> TextOps.q79OracleSql(),
   )
 }

@@ -1216,4 +1216,141 @@ object TextOps {
        |FROM tok t JOIN costed c USING (token)
        |GROUP BY t.doc_id
        |ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q79
+
+  /** Out-of-vocabulary stand-in for the bigram LM (the KenLM/fastText
+    * convention). A corpus token could in principle equal this literal
+    * and merge counts with the unk bucket — harmless for a quality
+    * band, and a deployment picks a sentinel outside its tokenizer's
+    * alphabet. */
+  val UnkToken = "<unk>"
+
+  /** q79 — per-document cross-entropy under an add-one-smoothed BIGRAM
+    * language model with a BOUNDED vocabulary: the CCNet-style
+    * perplexity quality filter (Wenzek et al. 2020 band corpora by LM
+    * perplexity; low = boilerplate, high = noise), one modeling step
+    * past q55's unigram surprisal — it sees LOCAL INCOHERENCE
+    * (improbable transitions) that per-token rarity cannot.
+    *
+    * The q71 composition is what makes it scale-free, the same move
+    * that bounded q72: the model's vocabulary is the heavy-hitter set
+    * (≤ 1000/perMille members by the threshold pigeonhole) plus
+    * [[UnkToken]] — exactly how production perplexity filters work (a
+    * FIXED-vocab KenLM; open-vocab tokens map to unk). So the model
+    * relation is ≤ (|V|+1)² rows BY CONSTRUCTION regardless of corpus
+    * size, and every model-side join rides a justified broadcast —
+    * where q55's open-vocab cost table grows with the corpus and
+    * needs the size gate.
+    *
+    * Model: c(x,y) = corpus count of the mapped bigram, c(x) = Σ_y
+    * c(x,y), P(y|x) = (c(x,y)+1)/(c(x)+|V|+1); a document's score is
+    * Σ −ln P over its bigram occurrences. Every corpus bigram is in
+    * the model by construction (it was counted), so the scoring join
+    * never misses.
+    *
+    * Determinism (q72's discipline): ONE ln per MODEL ENTRY —
+    * `cost(x,y) = ⌊ln((c(x)+V′)/(c(x,y)+1))·1e5⌋` integer 10-µnat
+    * units on an identically associated expression both engines
+    * (positive: the numerator is strictly larger) — and the per-doc
+    * sum is exact integer arithmetic, order-free.
+    *
+    * Plan: the corpus scans TWICE by necessity (a training pass and a
+    * scoring pass — a deployment persists the tiny model artifact and
+    * skips the first): pass 1 generates mapped bigrams narrowly (two
+    * broadcast-hh membership joins — map-side, corpus rows never
+    * shuffle for them) and folds them to the bounded model (one
+    * exchange of ≤ (|V|+1)² fixed-width rows, map-side combined);
+    * pass 2 re-generates the same mapped bigram stream, joins the
+    * broadcast cost table, and collapses per doc map-side (a doc's
+    * bigrams are partition-local), so the final exchange carries one
+    * row per document. Docs with fewer than two tokens have no
+    * bigrams and no defined score — excluded (fixture docs all
+    * qualify; a pipeline gates them by q17 length first).
+    */
+  def q79BigramLm(
+      spark: SparkSession, dir: String,
+      perMille: Int = HeavyHitterPerMille): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (hhRes, hhHandles) = heavyHittersBuild(docs, perMille)
+    val hh = hhRes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      import spark.implicits._
+      val vp = hh.agg((count(lit(1)) + 1L).as("vp"))
+      def mappedBigrams: DataFrame = docs
+        .select($"doc_id", toks($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id",
+          explode(transform(sequence(lit(1), size($"toks") - 1),
+            i => struct(element_at($"toks", i).as("tok_x"),
+              element_at($"toks", i + 1).as("tok_y")))).as("bg"))
+        .join(broadcast(hh.select($"token".as("tok_x"), lit(1).as("in_x"))),
+          $"bg.tok_x" === $"tok_x", "left")
+        .join(broadcast(hh.select($"token".as("tok_y"), lit(1).as("in_y"))),
+          $"bg.tok_y" === $"tok_y", "left")
+        .select($"doc_id",
+          when($"in_x".isNotNull, $"bg.tok_x").otherwise(UnkToken).as("mx"),
+          when($"in_y".isNotNull, $"bg.tok_y").otherwise(UnkToken).as("my"))
+      val cxy = mappedBigrams.groupBy($"mx", $"my")
+        .agg(count(lit(1)).as("c_xy"))
+      val cx = cxy.groupBy($"mx").agg(sum($"c_xy").as("c_x"))
+      val cost = cxy.join(cx, "mx").crossJoin(broadcast(vp))
+        .select($"mx", $"my",
+          floor(log(($"c_x" + $"vp").cast("double") /
+            ($"c_xy" + lit(1L)).cast("double")) * 1e5)
+            .cast("long").as("icost"))
+      mappedBigrams.join(broadcast(cost), Seq("mx", "my"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"icost").as("xent_e5nats"))
+        .orderBy($"doc_id")
+        .localCheckpoint(true)
+    } finally {
+      hh.unpersist()
+      hhHandles.foreach(_.unpersist())
+    }
+  }
+
+  /** Ground truth for [[q79BigramLm]]: q71's full-vocabulary CTE, the
+    * q72 bigram generate carrying doc_id, CASE-mapped unk, and the
+    * identically associated add-one cost expression. */
+  def q79OracleSql(perMille: Int = HeavyHitterPerMille): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+       |  FROM documents
+       |), tok AS (
+       |  SELECT unnest(toks) AS token FROM t
+       |), n AS (SELECT count(*) AS n_tok FROM tok),
+       |hh AS (
+       |  SELECT token, count(*) AS c
+       |  FROM tok, n GROUP BY token, n_tok
+       |  HAVING count(*) * 1000 >= $perMille * n_tok
+       |), v AS (SELECT count(*) + 1 AS vp FROM hh),
+       |big AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(
+       |           generate_series(1, greatest(len(toks) - 1, 0)),
+       |           i -> toks[i] || ' ' || toks[i + 1])) AS bg
+       |  FROM t WHERE len(toks) >= 2
+       |), mb AS (
+       |  SELECT doc_id,
+       |         CASE WHEN string_split(bg, ' ')[1] IN (SELECT token FROM hh)
+       |              THEN string_split(bg, ' ')[1] ELSE '$UnkToken' END AS mx,
+       |         CASE WHEN string_split(bg, ' ')[2] IN (SELECT token FROM hh)
+       |              THEN string_split(bg, ' ')[2] ELSE '$UnkToken' END AS my
+       |  FROM big
+       |), cxy AS (
+       |  SELECT mx, my, count(*) AS c_xy FROM mb GROUP BY mx, my
+       |), cx AS (
+       |  SELECT mx, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cxy GROUP BY mx
+       |), cost AS (
+       |  SELECT mx, my,
+       |         CAST(floor(ln((c_x + vp)::DOUBLE / (c_xy + 1)::DOUBLE) * 1e5) AS BIGINT) AS icost
+       |  FROM cxy JOIN cx USING (mx), v
+       |)
+       |SELECT mb.doc_id, count(*) AS n_bigrams,
+       |       CAST(sum(cost.icost) AS BIGINT) AS xent_e5nats
+       |FROM mb JOIN cost USING (mx, my)
+       |GROUP BY mb.doc_id
+       |ORDER BY mb.doc_id""".stripMargin
 }

@@ -422,4 +422,39 @@ class TextOpsSpec extends SparkSuite {
     val nonEmpty = tokRows.filter(_._2.nonEmpty).keySet
     assert(chunks.map(_._1).toSet == nonEmpty)
   }
+
+  test("q79 == exact driver-side bigram-LM recomputation; unk exercised") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toVector)
+    // heavy-hitter vocabulary by the q71 threshold rule
+    val all = docs.flatMap(_._2)
+    val nTok = all.length.toLong
+    val vocab = all.groupBy(identity).collect {
+      case (t, o) if o.length.toLong * 1000 >= TextOps.HeavyHitterPerMille * nTok => t
+    }.toSet
+    assert(docs.exists(_._2.exists(t => !vocab.contains(t))),
+      "fixture has no OOV token — the unk path is untested")
+    val mapTok = (t: String) => if (vocab.contains(t)) t else TextOps.UnkToken
+    val bigrams = docs.flatMap { case (id, tk) =>
+      if (tk.length < 2) Nil
+      else tk.zip(tk.tail).map { case (x, y) => (id, mapTok(x), mapTok(y)) }
+    }
+    val cxy = bigrams.groupBy(b => (b._2, b._3)).map { case (k, o) => k -> o.length.toLong }
+    val cx = cxy.groupBy(_._1._1).map { case (x, m) => x -> m.values.sum }
+    val vp = vocab.size.toLong + 1
+    val cost = cxy.map { case ((x, y), n) =>
+      (x, y) -> math.floor(
+        math.log((cx(x) + vp).toDouble / (n + 1).toDouble) * 1e5).toLong
+    }
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      (id, bs.length.toLong, bs.map(b => cost((b._2, b._3))).sum)
+    }.toSeq.sortBy(_._1)
+    val got = TextOps.q79BigramLm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected,
+      s"bigram LM diverges; got=${got.take(3)} expected=${expected.take(3)}")
+    assert(got.forall(_._3 > 0), "cross-entropy must be positive")
+  }
 }
