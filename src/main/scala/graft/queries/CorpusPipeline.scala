@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
   *      fully-duplicated docs dropped), then the minimum-length
   *      quality gate (q17's n_tokens) judging the rewritten text,
   *      then the OPTIONAL model gate (q68's hashed linear classifier,
-  *      the heuristics→model filter order production pipelines use) —
+  *      the heuristics→model filter order production pipelines use),
+  *      then the OPTIONAL LM-perplexity band gate (q79's bigram model
+  *      trained on the gate's own input, both tails cut — the CCNet
+  *      heuristics→model→LM order; the costliest gate, so it runs
+  *      last of the quality gates) —
   *      narrow-or-hash-keyed stages, run before anything that
   *      shuffles text — then the OPTIONAL decontamination gate (q52's
   *      broadcast gram join against a benchmark frame), placed before
@@ -80,6 +84,8 @@ object CorpusPipeline {
       passageDedup: Boolean = false,
       passageTokens: Int = DedupOps.PassageTokens,
       modelGate: Boolean = false,
+      perplexityBand: Option[(Long, Long)] = None,
+      perplexityPerMille: Int = TextOps.HeavyHitterPerMille,
       mixWeights: Option[Seq[(String, Int)]] = None,
       defaultMixWeight: Int = PipelineOps.DefaultMixWeight) {
     require(passageTokens > 0, s"passageTokens must be > 0, got $passageTokens")
@@ -93,6 +99,14 @@ object CorpusPipeline {
     }
     require(neardupThreshold > 0 && neardupThreshold <= 1,
       s"neardupThreshold must be in (0, 1], got $neardupThreshold")
+    perplexityBand.foreach { case (lo, hi) =>
+      require(lo >= 0 && lo <= hi,
+        s"perplexityBand must satisfy 0 <= lo <= hi, got [$lo, $hi]")
+      // a doc needs >= 2 tokens for a defined bigram perplexity; the
+      // token floor must guarantee that or the gate silently drops
+      require(minTokens >= 2,
+        s"perplexityBand needs minTokens >= 2, got $minTokens")
+    }
     require(neardupThreshold >= 0.5 || (lshBands, lshRows) != (16, 4),
       s"neardupThreshold=$neardupThreshold is below the recall knee of " +
         "the default 16x4 LSH banding (candidate P = 1-(1-j^rows)^bands); " +
@@ -225,6 +239,26 @@ object CorpusPipeline {
         floorGated.filter(TextOps.linearScoreMicro(col("text")) >= 0)
       else floorGated
 
+    // 2a'. optional LM-perplexity BAND gate (q79 core — the CCNet
+    // filter order: heuristics → linear model → language model): the
+    // bigram LM trains on the gate's own input (self-perplexity) and
+    // keeps docs whose mean bigram cost sits in the configured 10-µnat
+    // band — both tails cut (low = boilerplate loops, high = token
+    // soup). The most expensive gate, so it runs LAST of the quality
+    // gates and before anything that shingles text. The input is a
+    // diamond (heavy-hitter pass, model pass, scoring pass, and the
+    // gate join's left side) — persist it; the q79 machinery's own
+    // caches ride the returned handles.
+    val (perpGated, perpHandles) = cfg.perplexityBand match {
+      case Some((lo, hi)) =>
+        val shared = narrowGated
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (kept, xentHandles) =
+          TextOps.perplexityGate(shared, lo, hi, cfg.perplexityPerMille)
+        (kept, xentHandles :+ shared)
+      case None => (narrowGated, Seq.empty[DataFrame])
+    }
+
     // 2b. optional decontamination gate (q52 core): drop any doc
     // sharing an n-gram with the benchmark frame. Left-anti against
     // the flagged-id relation — the broadcast gram join filters
@@ -238,8 +272,8 @@ object CorpusPipeline {
     // window (and the optional passage rewrite, which shuffles text)
     // runs once, not once per branch; released with the other handles
     val (gated, gateHandles) = evalDocs.fold(
-      (narrowGated, Seq.empty[DataFrame])) { ev =>
-      val shared = narrowGated
+      (perpGated, Seq.empty[DataFrame])) { ev =>
+      val shared = perpGated
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (shared.join(
         broadcast(PipelineOps.decontamReport(shared, ev)
@@ -300,7 +334,8 @@ object CorpusPipeline {
     }
     val balanced = rebalanced
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val handles = (dedupHandles2 ++ gateHandles ++ mixHandles) :+ balanced
+    val handles =
+      (dedupHandles2 ++ gateHandles ++ perpHandles ++ mixHandles) :+ balanced
 
     // 5. keyword tagging over the FINAL corpus; rank order preserved in
     // the array via sort_array over (rank, token) structs

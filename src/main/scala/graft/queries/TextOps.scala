@@ -1271,43 +1271,77 @@ object TextOps {
   def q79BigramLm(
       spark: SparkSession, dir: String,
       perMille: Int = HeavyHitterPerMille): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val (scores, handles) =
+      bigramXentBuild(Tables.documents(spark, dir), perMille)
+    try scores.orderBy(col("doc_id")).localCheckpoint(true)
+    finally handles.foreach(_.unpersist())
+  }
+
+  /** Frame-level core of [[q79BigramLm]]: `(doc_id, n_bigrams,
+    * xent_e5nats)` for every `docs` row with ≥ 2 tokens, unordered
+    * (the query contract adds the sort). Returned handles (the
+    * heavy-hitter caches) must outlive every consumer of the result —
+    * the pipeline threads them into its loan set. */
+  private[graft] def bigramXentBuild(
+      docs: DataFrame, perMille: Int): (DataFrame, Seq[DataFrame]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val (hhRes, hhHandles) = heavyHittersBuild(docs, perMille)
     val hh = hhRes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      import spark.implicits._
-      val vp = hh.agg((count(lit(1)) + 1L).as("vp"))
-      def mappedBigrams: DataFrame = docs
-        .select($"doc_id", toks($"text").as("toks"))
-        .filter(size($"toks") >= 2)
-        .select($"doc_id",
-          explode(transform(sequence(lit(1), size($"toks") - 1),
-            i => struct(element_at($"toks", i).as("tok_x"),
-              element_at($"toks", i + 1).as("tok_y")))).as("bg"))
-        .join(broadcast(hh.select($"token".as("tok_x"), lit(1).as("in_x"))),
-          $"bg.tok_x" === $"tok_x", "left")
-        .join(broadcast(hh.select($"token".as("tok_y"), lit(1).as("in_y"))),
-          $"bg.tok_y" === $"tok_y", "left")
-        .select($"doc_id",
-          when($"in_x".isNotNull, $"bg.tok_x").otherwise(UnkToken).as("mx"),
-          when($"in_y".isNotNull, $"bg.tok_y").otherwise(UnkToken).as("my"))
-      val cxy = mappedBigrams.groupBy($"mx", $"my")
-        .agg(count(lit(1)).as("c_xy"))
-      val cx = cxy.groupBy($"mx").agg(sum($"c_xy").as("c_x"))
-      val cost = cxy.join(cx, "mx").crossJoin(broadcast(vp))
-        .select($"mx", $"my",
-          floor(log(($"c_x" + $"vp").cast("double") /
-            ($"c_xy" + lit(1L)).cast("double")) * 1e5)
-            .cast("long").as("icost"))
-      mappedBigrams.join(broadcast(cost), Seq("mx", "my"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum($"icost").as("xent_e5nats"))
-        .orderBy($"doc_id")
-        .localCheckpoint(true)
-    } finally {
-      hh.unpersist()
-      hhHandles.foreach(_.unpersist())
-    }
+    val vp = hh.agg((count(lit(1)) + 1L).as("vp"))
+    def mappedBigrams: DataFrame = docs
+      .select($"doc_id", toks($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id",
+        explode(transform(sequence(lit(1), size($"toks") - 1),
+          i => struct(element_at($"toks", i).as("tok_x"),
+            element_at($"toks", i + 1).as("tok_y")))).as("bg"))
+      .join(broadcast(hh.select($"token".as("tok_x"), lit(1).as("in_x"))),
+        $"bg.tok_x" === $"tok_x", "left")
+      .join(broadcast(hh.select($"token".as("tok_y"), lit(1).as("in_y"))),
+        $"bg.tok_y" === $"tok_y", "left")
+      .select($"doc_id",
+        when($"in_x".isNotNull, $"bg.tok_x").otherwise(UnkToken).as("mx"),
+        when($"in_y".isNotNull, $"bg.tok_y").otherwise(UnkToken).as("my"))
+    val cxy = mappedBigrams.groupBy($"mx", $"my")
+      .agg(count(lit(1)).as("c_xy"))
+    val cx = cxy.groupBy($"mx").agg(sum($"c_xy").as("c_x"))
+    val cost = cxy.join(cx, "mx").crossJoin(broadcast(vp))
+      .select($"mx", $"my",
+        floor(log(($"c_x" + $"vp").cast("double") /
+          ($"c_xy" + lit(1L)).cast("double")) * 1e5)
+          .cast("long").as("icost"))
+    val scores = mappedBigrams.join(broadcast(cost), Seq("mx", "my"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"icost").as("xent_e5nats"))
+    (scores, hhHandles :+ hh)
+  }
+
+  /** CCNet-style perplexity BAND gate over any `(doc_id, …, text)`
+    * frame: train the [[bigramXentBuild]] model on `docs` ITSELF
+    * (self-perplexity — outliers in a corpus's own LM are the noise
+    * and the boilerplate), keep rows whose MEAN bigram cost sits in
+    * `[lo, hi]` 10-µnat units. The band compare is pure integer
+    * arithmetic (`lo·n ≤ xent ≤ hi·n` — no division, no float), so
+    * the kept set is engine- and partitioning-exact.
+    *
+    * Scale shape: the model passes are q79's (bounded exchanges, a
+    * broadcast cost table); re-attaching scores to text costs ONE
+    * doc_id-keyed join — the corpus shuffles once, the q56 precedent
+    * for gates that need a per-doc aggregate beside the row. Rows
+    * with < 2 tokens have no defined perplexity and are DROPPED
+    * (callers gate length first — the pipeline's token floor
+    * guarantees ≥ 2 upstream). */
+  private[graft] def perplexityGate(
+      docs: DataFrame, lo: Long, hi: Long,
+      perMille: Int = HeavyHitterPerMille): (DataFrame, Seq[DataFrame]) = {
+    require(lo >= 0 && lo <= hi, s"band must satisfy 0 <= lo <= hi, got [$lo, $hi]")
+    val (scores, handles) = bigramXentBuild(docs, perMille)
+    val kept = docs.join(scores, Seq("doc_id"))
+      .filter(col("xent_e5nats") >= col("n_bigrams") * lo &&
+        col("xent_e5nats") <= col("n_bigrams") * hi)
+      .drop("n_bigrams", "xent_e5nats")
+    (kept, handles)
   }
 
   /** Ground truth for [[q79BigramLm]]: q71's full-vocabulary CTE, the

@@ -93,6 +93,45 @@ class CorpusPipelineSpec extends SparkSuite {
       "a model-negative doc survived the gated pipeline")
   }
 
+  test("perplexity band gate keeps exactly the in-band survivors, both tails cut") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf)
+    val lo = 330000L; val hi = 345000L
+
+    // isolate the gate: neutralize near-dup and rebalance so the
+    // pipeline output IS the gate stage's input (the model-gate spec's
+    // pattern)
+    val iso = CorpusPipeline.Config(
+      stratRates = Seq.empty, neardupThreshold = 1.0)
+    val without = CorpusPipeline.withPrepared(docs, iso)(
+      _.select($"doc_id").collect().map(_.getLong(0)).toSet)
+
+    // reference: q79's scores over the reconstructed gate input (the
+    // MODEL itself is pinned against a driver-side recomputation in
+    // TextOpsSpec; this spec pins the pipeline PLUMBING — placement,
+    // join, integer band arithmetic, cache lifecycle)
+    val gateInput = docs.filter($"doc_id".isInCollection(without))
+    val (scores, handles) = TextOps.bigramXentBuild(gateInput, 10)
+    val means = scores.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    handles.foreach(_.unpersist())
+    val inBand = without.filter { id =>
+      val (n, x) = means(id); x >= lo * n && x <= hi * n
+    }
+    assert(inBand.size < without.size, "band didn't bite")
+    val dropped = without -- inBand
+    assert(dropped.exists(id => { val (n, x) = means(id); x < lo * n }) &&
+      dropped.exists(id => { val (n, x) = means(id); x > hi * n }),
+      "band should cut BOTH tails on the fixture")
+
+    val withGate = CorpusPipeline.withPrepared(
+      docs, iso.copy(perplexityBand = Some((lo, hi))))(
+      _.select($"doc_id").collect().map(_.getLong(0)).toSet)
+    assert(withGate == inBand, "perplexity gate disagrees with q79's scores")
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
+
   test("passage stage rewrites every surviving doc by the q56 rule") {
     import spark.implicits._
     spark.catalog.clearCache()
