@@ -257,6 +257,46 @@ object ProfScale {
     }
     println(s"[scale] q72 invariant held: ${pmiBase.size} pairs, counts " +
       s"x$replicas, pmi_e5nats bit-identical")
+
+    // --- round-11 retrieval block at the same scale step ------------
+    // q76/q77 over plain replicas: no exact output invariant (BM25's
+    // +0.5 idf smoothing and the add-one LM are deliberately not
+    // scale-invariant), so these are WALL-CLOCK probes — both should
+    // scale ~linearly (scan-bound; the top-k exchange is fixed) — plus
+    // structural checks that the result stays a full top-k.
+    import graft.queries.RetrievalOps
+    Seq("base" -> baseDir, s"plain${replicas}x" -> plainDir).foreach {
+      case (tag, dir) =>
+        time(s"q76 $tag") {
+          val rows = RetrievalOps.q76Bm25TopK(spark, dir).collect()
+          require(rows.length == 30, s"expected 3x10 rows, got ${rows.length}")
+          rows.length.toLong
+        }
+        time(s"q77 $tag") {
+          RetrievalOps.q77Bm25Indexed(spark, dir).count()
+        }
+    }
+    // q79 invariant on plain replicas: the model is GLOBAL and scores
+    // depend only on text, so every replica copy of a doc must score
+    // identically to its base copy (same n_bigrams, same xent) — the
+    // layout/scale-independence the scaladoc claims. The cost VALUES
+    // shift with scale (add-one smoothing), so the check compares
+    // copies within the scaled run, not against base.
+    time(s"q79 plain${replicas}x copies-consistent") {
+      val scores = TextOps.q79BigramLm(spark, plainDir).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      val baseIds = scores.keySet.filter(_ < 10000000L)
+      baseIds.foreach { id =>
+        (1 until replicas).foreach { r =>
+          val copy = id + r.toLong * 10000000L
+          require(scores(copy) == scores(id),
+            s"replica copy $copy scored differently from base $id")
+        }
+      }
+      baseIds.size.toLong
+    }
+    println(s"[scale] q79 invariant held: every replica copy scores " +
+      "identically to its base doc")
     spark.stop()
   }
 }
