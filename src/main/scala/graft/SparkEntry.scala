@@ -101,6 +101,7 @@ object SparkEntry {
     "q77_bm25_indexed"     -> (RetrievalOps.q77Bm25Indexed _),
     "q78_hybrid_rrf"       -> (RetrievalOps.q78HybridRrf _),
     "q79_bigram_lm"        -> ((s, d) => TextOps.q79BigramLm(s, d)),
+    "q80_contrastive"      -> ((s, d) => SimilarityOps.q80ContrastivePairs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -435,5 +436,9 @@ object SparkEntry {
     // one ln per model entry floored at 1e5 (q72's 10-µnat
     // discipline), per-doc sums exact integers.
     "q79_bigram_lm" -> TextOps.q79OracleSql(),
+
+    // Contrastive mining: q43's recursive-closure labels pick the
+    // anchors, q12's cosine text ranks; roles and tie-breaks shared.
+    "q80_contrastive" -> SimilarityOps.q80OracleSql(),
   )
 }

@@ -486,7 +486,7 @@ object DedupOps {
     try f(result) finally handles.foreach(_.unpersist())
   }
 
-  private def q43Build(
+  private[graft] def q43Build(
       spark: SparkSession,
       dir: String,
       threshold: Double,
@@ -550,7 +550,7 @@ object DedupOps {
     * cluster_id)` — the shared lexical pair CTE closed transitively
     * with a recursive CTE; shared by the q43 and q47 oracles. Must
     * follow a `WITH RECURSIVE` keyword. */
-  private def q43LabelsCteSql: String =
+  private[graft] def q43LabelsCteSql: String =
     s"""${q13PairsCteSql()}, e AS (
        |  SELECT doc_a AS u, doc_b AS v FROM lex
        |  UNION

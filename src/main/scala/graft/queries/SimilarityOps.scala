@@ -1942,4 +1942,111 @@ object SimilarityOps {
        |SELECT probe_id, vec_id, label, sim, rank FROM rk WHERE rank <= $k
        |ORDER BY probe_id, rank""".stripMargin
   }
+
+  // ------------------------------------------------------------- q80
+
+  /** How many duplicate families anchor the q80 mining run. */
+  val ContrastiveAnchors = 3
+
+  /** q80 — contrastive training-pair mining (the DPR/SimCSE data-prep
+    * step an embedding-training pipeline runs over the prepared
+    * corpus): for each anchor document, its POSITIVES are the other
+    * members of its lexical duplicate family (q43's verified
+    * transitive closure — near-dup text is the classic free positive
+    * signal), and its HARD NEGATIVES are the top-k most
+    * cosine-similar vectors OUTSIDE that family (similar enough to be
+    * hard, provably not duplicates — exactly the negatives that teach
+    * a bi-encoder the dup/near-topic boundary).
+    *
+    * Anchors are DATA-DERIVED, not fixed ids: the representatives
+    * (minimum member = `cluster_id`) of the [[ContrastiveAnchors]]
+    * largest families by (size desc, id) — deterministic, and
+    * guaranteed non-vacuous positives at any scale where dup families
+    * exist at all. Uses the fixture's doc_id↔vec_id alignment (q45's
+    * convention).
+    *
+    * Scale shape: the heavy stage is q43's label build (shared
+    * machinery, fixed-width ids end to end). On top of it: one tiny
+    * family-size aggregate + limit (the anchor relation, ≤ 3 rows,
+    * broadcast with its vectors riding along), ONE corpus-sized
+    * enrich join attaching each vector's cluster label (8-byte key,
+    * the q11 shape — labels are a per-doc fixed-width relation), a
+    * broadcast-anchor scoring projection (q12's rounded cosine), and
+    * per-anchor rank windows (`WindowGroupLimit` for the negative
+    * top-k). Output is ≤ anchors·(k + max family) rows.
+    */
+  def q80ContrastivePairs(
+      spark: SparkSession, dir: String, k: Int = 10,
+      nAnchors: Int = ContrastiveAnchors): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val (labels, handles) = DedupOps.q43Build(spark, dir, 0.6, 16, 4)
+    try {
+      val fam = labels.groupBy($"cluster_id")
+        .agg(count(lit(1)).as("fam_size"))
+      val anchors = fam.orderBy($"fam_size".desc, $"cluster_id")
+        .limit(nAnchors).select($"cluster_id".as("anchor_id"))
+      val emb = Tables.embeddings(spark, dir)
+      val anchorVecs = emb
+        .join(broadcast(anchors), $"vec_id" === $"anchor_id")
+        .select($"anchor_id", $"embedding".as("avec"))
+      val labeled = emb.join(
+        labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      val scored = labeled.crossJoin(broadcast(anchorVecs))
+        .filter($"vec_id" =!= $"anchor_id")
+        .withColumn("sim", round(PipelineOps.cosine($"embedding", $"avec"), 6))
+      val pos = scored.filter($"cluster_id" === $"anchor_id")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"anchor_id").orderBy($"vec_id")))
+        .select($"anchor_id", lit("pos").as("role"), $"rank", $"vec_id", $"sim")
+      val neg = scored
+        .filter($"cluster_id".isNull || $"cluster_id" =!= $"anchor_id")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"anchor_id").orderBy($"sim".desc, $"vec_id")))
+        .filter($"rank" <= k)
+        .select($"anchor_id", lit("neg").as("role"), $"rank", $"vec_id", $"sim")
+      pos.unionByName(neg)
+        .orderBy($"anchor_id", $"role", $"rank")
+        .localCheckpoint(true)
+    } finally handles.foreach(_.unpersist())
+  }
+
+  /** Ground truth for [[q80ContrastivePairs]]: q43's recursive-CTE
+    * labels, the same (size desc, id) anchor rule, q12's cosine text,
+    * identical role partitions and tie-breaks. */
+  def q80OracleSql(k: Int = 10, nAnchors: Int = ContrastiveAnchors): String =
+    s"""WITH RECURSIVE ${DedupOps.q43LabelsCteSql},
+       |fam AS (
+       |  SELECT cluster_id, count(*) AS fam_size FROM labels GROUP BY cluster_id
+       |), anchors AS (
+       |  SELECT cluster_id AS anchor_id FROM fam
+       |  ORDER BY fam_size DESC, cluster_id LIMIT $nAnchors
+       |), av AS (
+       |  SELECT anchor_id, embedding::DOUBLE[] AS avec
+       |  FROM embeddings JOIN anchors ON vec_id = anchor_id
+       |), lab AS (
+       |  SELECT e.vec_id, l.cluster_id, e.embedding
+       |  FROM embeddings e LEFT JOIN labels l ON l.doc_id = e.vec_id
+       |), scored AS (
+       |  SELECT av.anchor_id, lab.vec_id, lab.cluster_id,
+       |         round(list_dot_product(lab.embedding::DOUBLE[], av.avec) /
+       |               (sqrt(list_dot_product(lab.embedding::DOUBLE[], lab.embedding::DOUBLE[])) *
+       |                sqrt(list_dot_product(av.avec, av.avec))), 6) AS sim
+       |  FROM lab, av WHERE lab.vec_id <> av.anchor_id
+       |), pos AS (
+       |  SELECT anchor_id, 'pos' AS role,
+       |         row_number() OVER (PARTITION BY anchor_id ORDER BY vec_id) AS rank,
+       |         vec_id, sim
+       |  FROM scored WHERE cluster_id = anchor_id
+       |), neg AS (
+       |  SELECT * FROM (
+       |    SELECT anchor_id, 'neg' AS role,
+       |           row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, vec_id) AS rank,
+       |           vec_id, sim
+       |    FROM scored WHERE cluster_id IS NULL OR cluster_id <> anchor_id
+       |  ) WHERE rank <= $k
+       |)
+       |SELECT anchor_id, role, rank, vec_id, sim
+       |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+       |ORDER BY anchor_id, role, rank""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{PipelineOps, SimilarityOps}
+import graft.queries.{DedupOps, PipelineOps, SimilarityOps}
 import org.apache.spark.sql.functions._
 
 /** Bucketed ANN specs: bucket determinism/bounds, exact self-retrieval,
@@ -1140,5 +1140,50 @@ class SimilarityOpsSpec extends SparkSuite {
     // the public entry at the default bound routes to the literal plan
     val routed = SimilarityOps.q69SemanticDecontam(spark, sf).collect().toSeq
     assert(routed == lit69)
+  }
+
+  test("q80 == exact driver-side contrastive mining (anchors, roles, ranks, sims)") {
+    import spark.implicits._
+    val labels = DedupOps.withQ43DupClusters(spark, sf)(
+      _.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val raw = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val anchors = labels.values.groupBy(identity)
+      .map { case (c, o) => (c, o.size) }.toSeq
+      .sortBy { case (c, n) => (-n, c) }
+      .take(SimilarityOps.ContrastiveAnchors).map(_._1)
+    val expected = anchors.flatMap { a =>
+      val av = vecs(a)
+      val others = vecs.keys.filter(_ != a).toSeq
+      val pos = others.filter(v => labels.get(v).contains(a)).sorted
+        .zipWithIndex.map { case (v, i) => (a, "pos", i + 1, v, cos(vecs(v), av)) }
+      val neg = others.filter(v => !labels.get(v).contains(a))
+        .map(v => (v, cos(vecs(v), av)))
+        .sortBy { case (v, s) => (-s, v) }.take(10)
+        .zipWithIndex.map { case ((v, s), i) => (a, "neg", i + 1, v, s) }
+      pos ++ neg
+    }.sortBy(r => (r._1, r._2, r._3))
+    val got = SimilarityOps.q80ContrastivePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected,
+      s"contrastive mining diverges; got=${got.take(4)} expected=${expected.take(4)}")
+    // the structure the operator exists for: every anchor has at least
+    // one positive and exactly 10 negatives, and no negative shares the
+    // anchor's family
+    anchors.foreach { a =>
+      assert(got.count(r => r._1 == a && r._2 == "pos") >= 1)
+      assert(got.count(r => r._1 == a && r._2 == "neg") == 10)
+    }
   }
 }
