@@ -93,11 +93,12 @@ object RetrievalOps {
     * term absent from the doc contributes exactly 0 (tf_t = 0 zeroes
     * the numerator; the denominator stays positive), so candidates
     * need any-term presence only. */
-  private[graft] def scoreSqlFragment(terms: Seq[String]): String =
+  private[graft] def scoreSqlFragment(
+      terms: Seq[String], stat: String => String = identity): String =
     terms.map { t =>
-      s"ln(1.0 + (n - df_$t + 0.5) / (df_$t + 0.5))" +
+      s"ln(1.0 + (${stat("n")} - ${stat(s"df_$t")} + 0.5) / (${stat(s"df_$t")} + 0.5))" +
         s" * (tf_$t * (1.0 + $K1)" +
-        s" / (tf_$t + $K1 * (1.0 - $B + $B * dl / (sumdl / n))))"
+        s" / (tf_$t + $K1 * (1.0 - $B + $B * dl / (${stat("sumdl")} / ${stat("n")}))))"
     }.mkString(" + ")
 
   /** Rank the per-doc term-frequency relation (`doc_id, dl,
@@ -294,11 +295,7 @@ object RetrievalOps {
     * sibling of q61's "1-byte codes, no float column" claim.
     */
   def bm25SearchIndex(spark: SparkSession, path: String): DataFrame = {
-    val bucketPred = AllTerms
-      .map(t => col("bucket") === pmod(xxhash64(lit(t)), lit(IndexBuckets)))
-      .reduce(_ || _)
-    val pruned = spark.read.parquet(path)
-      .filter(bucketPred && col("token").isin(AllTerms: _*))
+    val pruned = prunedPostings(spark, path)
     val perDoc = pruned.groupBy(col("doc_id"), col("dl"))
       .agg(
         sum(when(col("token") === AllTerms.head, col("tf")).otherwise(0L))
@@ -306,6 +303,24 @@ object RetrievalOps {
         AllTerms.tail.map(t =>
           sum(when(col("token") === t, col("tf")).otherwise(0L))
             .as(s"tf_$t")): _*)
+    scoreAndRank(perDoc, indexStats(spark, path))
+  }
+
+  /** The query terms' postings, partition-pruned to their buckets. */
+  private def prunedPostings(spark: SparkSession, path: String): DataFrame = {
+    val bucketPred = AllTerms
+      .map(t => col("bucket") === pmod(xxhash64(lit(t)), lit(IndexBuckets)))
+      .reduce(_ || _)
+    spark.read.parquet(path)
+      .filter(bucketPred && col("token").isin(AllTerms: _*))
+  }
+
+  /** One-row serving stats from a persisted index: stored corpus
+    * totals × per-term df derived from the pruned postings — the
+    * frozen-statistics relation both the batch serving path and the
+    * streaming standing-query scorer read. */
+  private[graft] def indexStats(spark: SparkSession, path: String): DataFrame = {
+    val pruned = prunedPostings(spark, path)
     val dfRow = pruned.agg(
       sum((col("token") === AllTerms.head).cast("long"))
         .as(s"df_${AllTerms.head}"),
@@ -314,9 +329,8 @@ object RetrievalOps {
       // absent terms aggregate to NULL on an empty slice; df 0 is the
       // correct value and keeps the idf finite
       .na.fill(0L)
-    val stats = spark.read.parquet(s"$path/_stats")
+    spark.read.parquet(s"$path/_stats")
       .crossJoin(broadcast(dfRow))
-    scoreAndRank(perDoc, stats)
   }
 
   /** q76's search served from the on-disk inverted index (the

@@ -1,0 +1,76 @@
+package graft
+
+import graft.queries.RetrievalOps
+import graft.streaming.RetrievalStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class SDoc(doc_id: Long, text: String)
+
+/** Standing-query matcher specs: streaming == batch on the same rows
+  * (the stage is a stateless projection), and the frozen-stats scores
+  * agree bit-for-bit with q76's on the shared support.
+  */
+class RetrievalStreamSpec extends SparkSuite {
+
+  private def frozenStats() = {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-standing-idx").toString
+    RetrievalOps.writeInvertedIndex(Tables.documents(spark, sf), path)
+    RetrievalOps.indexStats(spark, path)
+  }
+
+  test("standingMatches: stream == batch row for row; every query non-vacuous") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stats = frozenStats()
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    val batchOut = RetrievalStream.standingMatches(docs, stats).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3))).toSet
+
+    val in = MemoryStream[SDoc]
+    val q = RetrievalStream.standingMatches(in.toDF(), stats)
+      .writeStream.format("memory").queryName("standing_out")
+      .outputMode("append").start()
+    try {
+      val rows = docs.collect().map(r => SDoc(r.getLong(0), r.getString(1)))
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a.toIndexedSeq); q.processAllAvailable()
+      in.addData(b.toIndexedSeq); q.processAllAvailable()
+      val streamOut = spark.table("standing_out").collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3))).toSet
+      assert(streamOut == batchOut,
+        s"stream diverges from batch; only-stream=${(streamOut -- batchOut).take(3)} " +
+          s"only-batch=${(batchOut -- streamOut).take(3)}")
+    } finally q.stop()
+
+    // each standing query alerts on something, and nothing dips below
+    // its threshold
+    RetrievalStream.MatchThresholds.foreach { case (qid, thr) =>
+      val hits = batchOut.filter(_._2 == qid)
+      assert(hits.nonEmpty, s"query $qid matched nothing — threshold too high")
+      assert(hits.forall(_._3 >= thr), s"sub-threshold row for query $qid")
+    }
+  }
+
+  test("frozen-stats scores are bit-identical to q76's on the shared support") {
+    val stats = frozenStats()
+    val matched = RetrievalStream
+      .standingMatches(Tables.documents(spark, sf).select(col("doc_id"), col("text")), stats)
+      .collect().map(r => (r.getInt(2), r.getLong(0)) -> r.getDouble(3)).toMap
+    val q76 = RetrievalOps.q76Bm25TopK(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(2)) -> r.getDouble(3))
+    // every q76 top-10 row above its query's threshold must appear in
+    // the standing matches with the SAME rounded score — one BM25
+    // definition across batch, served, and streaming surfaces
+    val shared = q76.filter { case ((qid, _), s) =>
+      s >= RetrievalStream.MatchThresholds(qid)
+    }
+    assert(shared.nonEmpty, "no q76 row clears its threshold — vacuous check")
+    shared.foreach { case (key, s) =>
+      assert(matched.get(key).contains(s),
+        s"score mismatch for $key: q76=$s standing=${matched.get(key)}")
+    }
+  }
+}
