@@ -233,6 +233,14 @@ object RetrievalOps {
     * derivable from the pruned scan at serve time (so index appends
     * keep df consistent for free). */
   def writeInvertedIndex(docs: DataFrame, path: String): Unit = {
+    postings(docs).write.partitionBy("bucket").mode("overwrite").parquet(path)
+    corpusTotals(docs).write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** The bucketed posting rows of a corpus — ONE definition shared by
+    * build and append so the spec-pinned append ≡ rebuild invariant
+    * cannot drift. */
+  private def postings(docs: DataFrame): DataFrame = {
     val tk = TextOps.toks(col("text"))
     docs
       .select(col("doc_id"), size(tk).cast("long").as("dl"),
@@ -240,12 +248,13 @@ object RetrievalOps {
       .groupBy(col("token"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("token")), lit(IndexBuckets)))
-      .write.partitionBy("bucket").mode("overwrite").parquet(path)
-    docs
-      .select(size(tk).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-      .write.mode("overwrite").parquet(s"$path/_stats")
   }
+
+  /** One-row `(n, sumdl)` corpus totals — the `_stats` artifact. */
+  private def corpusTotals(docs: DataFrame): DataFrame =
+    docs
+      .select(size(TextOps.toks(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
 
   /** Append a delta corpus to a persisted inverted index (the
     * daily-crawl contract the ANN indexes got in round 11): delta
@@ -257,27 +266,16 @@ object RetrievalOps {
     */
   def appendInvertedIndex(docs: DataFrame, path: String): Unit = {
     val spark = docs.sparkSession
-    val tk = TextOps.toks(col("text"))
-    docs
-      .select(col("doc_id"), size(tk).cast("long").as("dl"),
-        explode(tk).as("token"))
-      .groupBy(col("token"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(xxhash64(col("token")), lit(IndexBuckets)))
-      .write.partitionBy("bucket").mode("append").parquet(path)
-    val old = spark.read.parquet(s"$path/_stats")
-      .collect().head
-    val delta = docs.select(size(tk).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-      .collect().head
+    postings(docs).write.partitionBy("bucket").mode("append").parquet(path)
+    // both rows are COLLECTED before the overwrite, so the write has
+    // no read dependency on the path it replaces — no tmp indirection
+    // needed; a deployment that wants crash atomicity uses a manifest
+    val old = spark.read.parquet(s"$path/_stats").collect().head
+    val delta = corpusTotals(docs).collect().head
     import spark.implicits._
     Seq((old.getLong(0) + delta.getLong(0),
       old.getLong(1) + delta.getLong(1)))
       .toDF("n", "sumdl")
-      .write.mode("overwrite").parquet(s"$path/_stats.tmp")
-    // two-step swap not needed: _stats is one row, overwrite is atomic
-    // enough for the fixture contract; a deployment uses a manifest
-    spark.read.parquet(s"$path/_stats.tmp")
       .write.mode("overwrite").parquet(s"$path/_stats")
   }
 
@@ -292,7 +290,13 @@ object RetrievalOps {
     *
     * What changed vs q76 is what gets READ: ~|terms| buckets of
     * fixed-width postings instead of the corpus text — the sparse
-    * sibling of q61's "1-byte codes, no float column" claim.
+    * sibling of q61's "1-byte codes, no float column" claim. The
+    * pruned buckets are scanned twice per serve (the candidate
+    * reassembly and the df derivation are separate passes) — both
+    * reads are bounded by the query terms' posting volume, never the
+    * index, so the second scan is noise next to the corpus scan it
+    * replaces; a serving deployment pins the pruned buckets in memory
+    * anyway.
     */
   def bm25SearchIndex(spark: SparkSession, path: String): DataFrame = {
     val pruned = prunedPostings(spark, path)

@@ -51,6 +51,13 @@ object RetrievalStream {
       docs: DataFrame,
       stats: DataFrame,
       thresholds: Map[Int, Double] = MatchThresholds): DataFrame = {
+    val reserved = Seq("q", "dl", "qid", "score") ++
+      RetrievalOps.AllTerms.map(t => s"tf_$t")
+    val clash = docs.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"input carries reserved scoring column(s) ${clash.mkString(", ")} — " +
+        "rename them before standingMatches (they would be overwritten " +
+        "and dropped)")
     val statRow = stats.collect() match {
       case Array(r) => r
       case rows => throw new IllegalArgumentException(
