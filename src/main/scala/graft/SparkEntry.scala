@@ -102,6 +102,7 @@ object SparkEntry {
     "q78_hybrid_rrf"       -> (RetrievalOps.q78HybridRrf _),
     "q79_bigram_lm"        -> ((s, d) => TextOps.q79BigramLm(s, d)),
     "q80_contrastive"      -> ((s, d) => SimilarityOps.q80ContrastivePairs(s, d)),
+    "q81_patch_grid"       -> (MultimodalOps.q81PatchGrid _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -440,5 +441,9 @@ object SparkEntry {
     // Contrastive mining: q43's recursive-closure labels pick the
     // anchors, q12's cosine text ranks; roles and tie-breaks shared.
     "q80_contrastive" -> SimilarityOps.q80OracleSql(),
+
+    // ViT patch grid: q19's metadata arithmetic, nested stride
+    // unnests, row-major offset probe — all exact integers.
+    "q81_patch_grid" -> MultimodalOps.q81OracleSql,
   )
 }

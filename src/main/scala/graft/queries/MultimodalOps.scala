@@ -251,6 +251,90 @@ object MultimodalOps {
        |  FROM documents WHERE len(text) > 0
        |) ORDER BY media_id, chunk_idx""".stripMargin
 
+  /** Patch edge for [[q81PatchGrid]] — ViT-style square patches. 64
+    * keeps the fixture's patch tables small while the edge-clip logic
+    * still exercises (fixture widths/heights are not multiples). */
+  val PatchPx = 64
+
+  /** Per-media patch grid: one row per (x0, y0) patch origin over the
+    * METADATA (width × height) grid, edge patches clipped to their
+    * true extent; the probe decodes the patch's top-left byte under a
+    * row-major 1-byte-per-pixel layout iff that offset exists in the
+    * payload (−1 otherwise — the fixture's metadata grid can exceed
+    * its stand-in payload). The 2-D generator sibling of [[chunkOne]].
+    */
+  private[graft] def patchOne(
+      id: Long, bytes: Array[Byte], width: Int, height: Int)
+      : Iterator[(Long, Long, Long, Long, Long, Long, Long)] = {
+    val patchesX = (width + PatchPx - 1) / PatchPx
+    for {
+      y0 <- Iterator.range(0, height, PatchPx)
+      x0 <- Iterator.range(0, width, PatchPx)
+    } yield {
+      val off = y0.toLong * width + x0
+      val probe = if (off < bytes.length) decodeByte(bytes, off.toInt) else -1L
+      (id, (y0 / PatchPx).toLong * patchesX + (x0 / PatchPx),
+        x0.toLong, y0.toLong,
+        math.min(PatchPx, width - x0).toLong,
+        math.min(PatchPx, height - y0).toLong,
+        probe)
+    }
+  }
+
+  /** q81 — ViT-style image PATCH table: each media fans out to its
+    * 2-D patch grid — `(patch_idx, x0, y0, pw, ph, probe)` — the
+    * patchify step a vision-language pipeline runs before the image
+    * encoder (q73's 2-D sibling; with q75's token windows this
+    * completes the chunking family across modalities). Geometry is
+    * pure integer arithmetic over STORED metadata (the q19 rule:
+    * width/height never derive from the payload, so the binary column
+    * stays out of the geometry computation); edge patches clip to
+    * their true extent rather than padding, keeping every emitted
+    * number exact. The rows route through the same batched
+    * `mapPartitions` operator as q20/q34/q73 because the probe column
+    * touches payload bytes — offsets and extents ride the row, the
+    * pixels never shuffle.
+    */
+  def q81PatchGrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select($"media_id", $"bytes", $"width", $"height")
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions(_.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { case (id, bytes, w, h) =>
+          patchOne(id, bytes, w, h)
+        }
+      })
+      .toDF("media_id", "patch_idx", "x0", "y0", "pw", "ph", "probe")
+      .orderBy($"media_id", $"patch_idx")
+  }
+
+  /** Ground truth for [[q81PatchGrid]] — q19's width/height metadata
+    * arithmetic, a nested x/y stride unnest, and the same row-major
+    * offset probe over the ASCII payload. */
+  def q81OracleSql: String =
+    s"""SELECT media_id,
+       |       ((y0 // $PatchPx) * ((width + ${PatchPx - 1}) // $PatchPx)
+       |        + (x0 // $PatchPx))::BIGINT AS patch_idx,
+       |       x0::BIGINT AS x0, y0::BIGINT AS y0,
+       |       least($PatchPx, width - x0)::BIGINT AS pw,
+       |       least($PatchPx, height - y0)::BIGINT AS ph,
+       |       (CASE WHEN y0 * width + x0 < n_bytes
+       |             THEN ord(substr(text, y0 * width + x0 + 1, 1))
+       |             ELSE -1 END)::BIGINT AS probe
+       |FROM (
+       |  SELECT media_id, width, height, n_bytes, text, y0,
+       |         unnest(generate_series(0, width - 1, $PatchPx)) AS x0
+       |  FROM (
+       |    SELECT doc_id AS media_id,
+       |           ((n_chars % 512) + 32)::INT AS width,
+       |           (((n_chars * 7) % 512) + 32)::INT AS height,
+       |           n_chars AS n_bytes, text,
+       |           unnest(generate_series(0, (((n_chars * 7) % 512) + 32)::INT - 1, $PatchPx)) AS y0
+       |    FROM documents
+       |  )
+       |) ORDER BY media_id, patch_idx""".stripMargin
+
   def q20OracleSql: String = {
     val dims = (0 until EmbedDim).map { k =>
       s"coalesce(list_sum(list_transform(generate_series(${k + 1}, least(len(text), $EmbedSpan), $EmbedDim), i -> ord(substr(text, i, 1)))), 0)::BIGINT AS e$k"

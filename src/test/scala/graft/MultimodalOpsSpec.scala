@@ -117,6 +117,44 @@ class MultimodalOpsSpec extends SparkSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("q81 patch grid: exact tiling, dense indices, probe matches payload") {
+    import spark.implicits._
+    val meta = MultimodalOps.mediaTable(spark, sf)
+      .select($"media_id", $"width", $"height", $"n_bytes", $"bytes")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getAs[Array[Byte]](4)))
+      .toMap
+    val rows = MultimodalOps.q81PatchGrid(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val p = MultimodalOps.PatchPx
+    rows.groupBy(_._1).foreach { case (id, patches) =>
+      val (w, h, nBytes, bytes) = meta(id)
+      // the patch extents tile the metadata grid EXACTLY — no gap, no
+      // overlap: total patch area equals the image area
+      assert(patches.map(pr => pr._5 * pr._6).sum == w.toLong * h,
+        s"media $id: patches do not tile ${w}x$h")
+      // indices dense row-major 0..n-1
+      val px = (w + p - 1) / p; val py = (h + p - 1) / p
+      assert(patches.map(_._2).sorted.toSeq == (0L until px.toLong * py),
+        s"media $id: patch indices not dense")
+      patches.foreach { case (_, idx, x0, y0, pw, ph, probe) =>
+        assert(x0 % p == 0 && y0 % p == 0)
+        assert(pw == math.min(p, w - x0) && ph == math.min(p, h - y0))
+        assert(idx == (y0 / p) * px + x0 / p)
+        val off = y0 * w + x0
+        val expectProbe =
+          if (off < nBytes) (bytes(off.toInt) & 0xff).toLong else -1L
+        assert(probe == expectProbe, s"media $id patch $idx probe")
+      }
+    }
+    // both probe regimes occur on the fixture (offset inside and
+    // beyond the stand-in payload) — the clip logic is exercised
+    assert(rows.exists(_._7 >= 0) && rows.exists(_._7 == -1L))
+  }
+
   test("q20 embedding is deterministic and batch-independent") {
     import org.apache.spark.sql.functions._
     val a = MultimodalOps.q20MediaEmbed(spark, sf).collect()
