@@ -103,6 +103,7 @@ object SparkEntry {
     "q79_bigram_lm"        -> ((s, d) => TextOps.q79BigramLm(s, d)),
     "q80_contrastive"      -> ((s, d) => SimilarityOps.q80ContrastivePairs(s, d)),
     "q81_patch_grid"       -> (MultimodalOps.q81PatchGrid _),
+    "q82_burst_detect"     -> (AnalyticsOps.q82BurstDetect _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -445,5 +446,9 @@ object SparkEntry {
     // ViT patch grid: q19's metadata arithmetic, nested stride
     // unnests, row-major offset probe — all exact integers.
     "q81_patch_grid" -> MultimodalOps.q81OracleSql,
+
+    // Burst detection: dense grid + trailing frame + integer
+    // cross-multiplied threshold — all-integer output.
+    "q82_burst_detect" -> AnalyticsOps.q82OracleSql,
   )
 }

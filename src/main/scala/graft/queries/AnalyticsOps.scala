@@ -344,4 +344,89 @@ object AnalyticsOps {
        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
        |ORDER BY user_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q82
+
+  /** Burst geometry: 4-hour tumbling windows, a 3-window trailing
+    * baseline, and the "more than 2× the trailing mean, at least
+    * [[BurstMinCount]] events" rule — `n·TRAIL > 2·trail_sum` keeps
+    * the compare in exact integer cross-multiplication (no mean
+    * division anywhere). */
+  val BurstWindowSec = 14400
+  val BurstTrail = 3
+  val BurstMinCount = 4
+
+  /** q82 — BURST detection per event type: flag windows whose count
+    * exceeds twice the trailing-3-window mean — the trending-topic
+    * primitive the reference's domain actually wants (its top-N ranks
+    * by absolute count, so a permanently-large type always wins;
+    * bursts rank by DEVIATION from each type's own baseline, which is
+    * what "trending" means). The q05 window aggregate composed with a
+    * q40-style dense resample and a q25-style trailing frame.
+    *
+    * The grid must be DENSE before the frame runs: `ROWS BETWEEN`
+    * frames count physical rows, so a silent-period gap would make
+    * the baseline reach back to stale traffic and mask the burst at
+    * reactivation. Empty slots therefore materialize as zeros first
+    * (bounds are a broadcast 1-row aggregate; the slot series is
+    * time-span-sized, not corpus-sized, and the type alphabet is
+    * bounded — the grid stays tiny at any corpus scale while the
+    * heavy count aggregate combines map-side). Cold-start windows
+    * (fewer than [[BurstTrail]] predecessors) never flag.
+    * All-integer output.
+    */
+  def q82BurstDetect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val c = Tables.events(spark, dir)
+      .groupBy(window($"ts", s"$BurstWindowSec seconds"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".cast("long").as("ws"), $"event_type", $"n")
+    val bounds = c.agg(min($"ws").as("lo"), max($"ws").as("hi"))
+    val grid = c.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type",
+        explode(sequence($"lo", $"hi", lit(BurstWindowSec.toLong))).as("ws"))
+    val frame = Window.partitionBy($"event_type").orderBy($"ws")
+      .rowsBetween(-BurstTrail, -1)
+    grid.join(c, Seq("event_type", "ws"), "left")
+      .select($"event_type", $"ws", coalesce($"n", lit(0L)).as("n"))
+      .withColumn("trail_sum", coalesce(sum($"n").over(frame), lit(0L)))
+      .withColumn("trail_n", count(lit(1)).over(frame))
+      .withColumn("is_burst",
+        ($"trail_n" === BurstTrail &&
+          $"n" * BurstTrail > $"trail_sum" * 2 &&
+          $"n" >= BurstMinCount).cast("int"))
+      .select($"event_type", $"ws", $"n", $"trail_sum", $"is_burst")
+      .orderBy($"event_type", $"ws")
+  }
+
+  /** Ground truth for [[q82BurstDetect]] — the same dense grid,
+    * trailing frame, and integer cross-multiplied rule. */
+  def q82OracleSql: String =
+    s"""WITH c AS (
+       |  SELECT CAST(floor(epoch(ts) / $BurstWindowSec) * $BurstWindowSec AS BIGINT) AS ws,
+       |         event_type, count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), b AS (SELECT min(ws) AS lo, max(ws) AS hi FROM c),
+       |grid AS (
+       |  SELECT t.event_type, g.ws
+       |  FROM (SELECT DISTINCT event_type FROM c) t,
+       |       (SELECT unnest(generate_series(lo, hi, $BurstWindowSec)) AS ws FROM b) g
+       |), dense AS (
+       |  SELECT grid.event_type, grid.ws, coalesce(c.n, 0)::BIGINT AS n
+       |  FROM grid LEFT JOIN c ON c.event_type = grid.event_type AND c.ws = grid.ws
+       |), t AS (
+       |  SELECT event_type, ws, n,
+       |         coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY ws
+       |           ROWS BETWEEN $BurstTrail PRECEDING AND 1 PRECEDING), 0)::BIGINT AS trail_sum,
+       |         count(*) OVER (PARTITION BY event_type ORDER BY ws
+       |           ROWS BETWEEN $BurstTrail PRECEDING AND 1 PRECEDING) AS trail_n
+       |  FROM dense
+       |)
+       |SELECT event_type, ws, n, trail_sum,
+       |       (CASE WHEN trail_n = $BurstTrail AND n * $BurstTrail > trail_sum * 2
+       |                  AND n >= $BurstMinCount
+       |             THEN 1 ELSE 0 END)::INT AS is_burst
+       |FROM t ORDER BY event_type, ws""".stripMargin
 }

@@ -32,6 +32,37 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(got.exists(_._4 > 1))
   }
 
+  test("q82 == exact driver-side burst recomputation; bursts non-vacuous") {
+    val w = AnalyticsOps.BurstWindowSec.toLong
+    val events = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 1000000 / w * w))
+    val counts = events.groupBy(identity).map { case (k, o) => k -> o.length.toLong }
+    val lo = events.map(_._2).min; val hi = events.map(_._2).max
+    val slots = lo to hi by w
+    val expected = events.map(_._1).distinct.sorted.toSeq.flatMap { t =>
+      val dense = slots.map(ws => (ws, counts.getOrElse((t, ws), 0L)))
+      dense.zipWithIndex.map { case ((ws, n), i) =>
+        val trail = dense.slice(math.max(0, i - AnalyticsOps.BurstTrail), i)
+        val trailSum = trail.map(_._2).sum
+        val burst = trail.length == AnalyticsOps.BurstTrail &&
+          n * AnalyticsOps.BurstTrail > trailSum * 2 &&
+          n >= AnalyticsOps.BurstMinCount
+        (t, ws, n, trailSum, if (burst) 1 else 0)
+      }
+    }
+    val got = AnalyticsOps.q82BurstDetect(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    val firstDiff = got.zip(expected).zipWithIndex.find { case ((g, e), _) => g != e }
+    assert(got == expected,
+      s"burst detection diverges; sizes=${got.size}/${expected.size} " +
+        s"firstDiff=$firstDiff")
+    assert(got.exists(_._5 == 1), "no burst fired — thresholds vacuous")
+    assert(got.count(_._5 == 1) < got.size / 10,
+      "bursts not selective — thresholds degenerate")
+  }
+
   test("q23 rollup: subtotals and grand total are consistent") {
     val rows = AnalyticsOps.q23Rollup(spark, sf).collect()
     val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
