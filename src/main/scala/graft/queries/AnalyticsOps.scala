@@ -375,10 +375,17 @@ object AnalyticsOps {
     * (fewer than [[BurstTrail]] predecessors) never flag.
     * All-integer output.
     */
-  def q82BurstDetect(spark: SparkSession, dir: String): DataFrame = {
+  def q82BurstDetect(spark: SparkSession, dir: String): DataFrame =
+    burstDetect(Tables.events(spark, dir))
+
+  /** Frame-level core of [[q82BurstDetect]] over any `(ts,
+    * event_type, …)` frame — the streaming twin's equivalence spec
+    * runs it on a shared synthetic feed. */
+  private[graft] def burstDetect(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
     import spark.implicits._
-    val c = Tables.events(spark, dir)
+    val c = events
       .groupBy(window($"ts", s"$BurstWindowSec seconds"), $"event_type")
       .agg(count(lit(1)).as("n"))
       .select($"window.start".cast("long").as("ws"), $"event_type", $"n")

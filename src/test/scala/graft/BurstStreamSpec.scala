@@ -1,0 +1,86 @@
+package graft
+
+import graft.queries.AnalyticsOps
+import graft.streaming.BurstStream
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class BEvent(ts: Timestamp, event_type: String)
+
+/** Streaming burst detection: equal to the batch q82 core on a shared
+  * synthetic feed (non-empty windows), including gap-fill baselines
+  * and cold-start suppression.
+  */
+class BurstStreamSpec extends SparkSuite {
+
+  private val W = AnalyticsOps.BurstWindowSec.toLong
+
+  private def at(slot: Long, offSec: Long = 1): Timestamp =
+    new Timestamp((slot * W + offSec) * 1000)
+
+  // every type present in slot 0 so the batch grid's global origin
+  // and each stream ring's own origin coincide (the alignment the
+  // equivalence claim needs; a type absent at the global origin would
+  // see batch zero-slots the stream cannot know about)
+  private def feed: Seq[BEvent] = {
+    def n(slot: Long, t: String, k: Int) = Seq.fill(k)(BEvent(at(slot), t))
+    n(0, "a", 1) ++ n(0, "b", 2) ++
+      n(1, "a", 1) ++ n(1, "b", 2) ++
+      n(2, "a", 2) ++ n(2, "b", 1) ++
+      n(3, "a", 1) ++ n(3, "b", 2) ++
+      // slot 4: "a" bursts (5 > 2x mean of 4/3); "b" stays flat
+      n(4, "a", 5) ++ n(4, "b", 2) ++
+      // "b" goes silent for slots 5-7; "a" keeps a trickle
+      n(5, "a", 1) ++ n(6, "a", 1) ++ n(7, "a", 1) ++
+      // slot 8: "b" returns with 4 — its trailing window is the
+      // zero-filled gap, so this MUST flag in both engines
+      n(8, "a", 1) ++ n(8, "b", 4)
+  }
+
+  test("streaming bursts == batch q82 core on the same feed; gap baselines zero-filled") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batchInput = feed.toDF()
+    val expected = AnalyticsOps.burstDetect(batchInput)
+      .filter($"n" > 0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+
+    val in = MemoryStream[BEvent]
+    val q = BurstStream.bursts(in.toDF(), watermarkDelay = "1 seconds")
+      .writeStream.format("memory").queryName("burst_out")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = feed.partition(_.ts.getTime / 1000 / W < 3)
+      in.addData(first.toIndexedSeq); q.processAllAvailable()
+      in.addData(rest.toIndexedSeq); q.processAllAvailable()
+      // sentinel far in the future pushes the watermark past every
+      // real window so they all finalize; its own window stays open
+      in.addData(IndexedSeq(BEvent(at(100), "zz"))); q.processAllAvailable()
+      // one more empty pass lets event-time timeouts fire for types
+      // whose last windows finalized via the sentinel's watermark
+      in.addData(IndexedSeq(BEvent(at(101), "zz"))); q.processAllAvailable()
+
+      val got = spark.table("burst_out")
+        .filter($"event_type" =!= "zz").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getInt(4))).toSet
+      assert(got == expected,
+        s"stream diverges from batch; only-stream=${(got -- expected).take(3)} " +
+          s"only-batch=${(expected -- got).take(3)}")
+      // the scenarios the operator exists for actually occurred
+      assert(expected.exists(r => r._1 == "a" && r._5 == 1),
+        "in-traffic burst missing from the fixture feed")
+      assert(expected.exists(r => r._1 == "b" && r._2 == 8 * W && r._5 == 1),
+        "reactivation-after-silence burst missing — gap fill broken?")
+      assert(expected.filter(_._2 < 3 * W).forall(_._5 == 0),
+        "a cold-start window flagged")
+      // one state row per type — the bounded-alphabet claim
+      assert(stateRowsTotal(q) <= feed.map(_.event_type).distinct.size + 1,
+        "state exceeded the type alphabet")
+    } finally q.stop()
+  }
+}
