@@ -385,27 +385,35 @@ object AnalyticsOps {
     import org.apache.spark.sql.expressions.Window
     val spark = events.sparkSession
     import spark.implicits._
+    // the count aggregate feeds THREE consumers (bounds, type set,
+    // the grid join) — persist it so the events scan + group-by run
+    // once, and hand back an eagerly-materialized result so the
+    // cache can be released before returning (the q71/q79 pattern)
     val c = events
       .groupBy(window($"ts", s"$BurstWindowSec seconds"), $"event_type")
       .agg(count(lit(1)).as("n"))
       .select($"window.start".cast("long").as("ws"), $"event_type", $"n")
-    val bounds = c.agg(min($"ws").as("lo"), max($"ws").as("hi"))
-    val grid = c.select($"event_type").distinct()
-      .crossJoin(broadcast(bounds))
-      .select($"event_type",
-        explode(sequence($"lo", $"hi", lit(BurstWindowSec.toLong))).as("ws"))
-    val frame = Window.partitionBy($"event_type").orderBy($"ws")
-      .rowsBetween(-BurstTrail, -1)
-    grid.join(c, Seq("event_type", "ws"), "left")
-      .select($"event_type", $"ws", coalesce($"n", lit(0L)).as("n"))
-      .withColumn("trail_sum", coalesce(sum($"n").over(frame), lit(0L)))
-      .withColumn("trail_n", count(lit(1)).over(frame))
-      .withColumn("is_burst",
-        ($"trail_n" === BurstTrail &&
-          $"n" * BurstTrail > $"trail_sum" * 2 &&
-          $"n" >= BurstMinCount).cast("int"))
-      .select($"event_type", $"ws", $"n", $"trail_sum", $"is_burst")
-      .orderBy($"event_type", $"ws")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bounds = c.agg(min($"ws").as("lo"), max($"ws").as("hi"))
+      val grid = c.select($"event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select($"event_type",
+          explode(sequence($"lo", $"hi", lit(BurstWindowSec.toLong))).as("ws"))
+      val frame = Window.partitionBy($"event_type").orderBy($"ws")
+        .rowsBetween(-BurstTrail, -1)
+      grid.join(c, Seq("event_type", "ws"), "left")
+        .select($"event_type", $"ws", coalesce($"n", lit(0L)).as("n"))
+        .withColumn("trail_sum", coalesce(sum($"n").over(frame), lit(0L)))
+        .withColumn("trail_n", count(lit(1)).over(frame))
+        .withColumn("is_burst",
+          ($"trail_n" === BurstTrail &&
+            $"n" * BurstTrail > $"trail_sum" * 2 &&
+            $"n" >= BurstMinCount).cast("int"))
+        .select($"event_type", $"ws", $"n", $"trail_sum", $"is_burst")
+        .orderBy($"event_type", $"ws")
+        .localCheckpoint(true)
+    } finally c.unpersist()
   }
 
   /** Ground truth for [[q82BurstDetect]] — the same dense grid,

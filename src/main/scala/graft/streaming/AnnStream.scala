@@ -3,6 +3,7 @@ package graft.streaming
 import graft.queries.SimilarityOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
+import scala.jdk.CollectionConverters._
 
 /** STREAMING vector-query serving — the dense sibling of
   * [[RetrievalStream]]: an unbounded stream of probe vectors answered
@@ -28,10 +29,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object AnnStream {
 
+  /** Driver-side probes held at once — the backlog guard: a restart
+    * or source catch-up batch can span hours of queued requests, so
+    * the per-batch collect must not be trusted to stay small on its
+    * own. Chunks of this size serve sequentially; pair with a source
+    * rate limit (e.g. `maxOffsetsPerTrigger`) to bound batch size at
+    * the source too. */
+  val MaxProbesPerCall = 1024
+
   /** Serve the probe stream `(probe_id bigint, embedding
     * array<double>)` from the index at `indexPath`, reranking against
     * the static `emb` float table; each batch's `(probe_id, vec_id,
-    * label, sim, rank)` results are handed to `write`. */
+    * label, sim, rank)` results are handed to `write`, in chunks of
+    * at most [[MaxProbesPerCall]] probes per serving call. */
   def serveProbes(
       probes: DataFrame,
       indexPath: String,
@@ -41,11 +51,16 @@ object AnnStream {
     probes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ps = batch.select("probe_id", "embedding").collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
-        if (ps.nonEmpty)
-          write(SimilarityOps.ivfPqServe(
-            batch.sparkSession, indexPath, emb, ps, k))
+        // toLocalIterator keeps at most a partition on the driver;
+        // grouped() then bounds what a single serving call inlines
+        batch.select("probe_id", "embedding").toLocalIterator()
+          .asScala
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+          .grouped(MaxProbesPerCall)
+          .foreach { chunk =>
+            write(SimilarityOps.ivfPqServe(
+              batch.sparkSession, indexPath, emb, chunk.toSeq, k))
+          }
       }
       .start()
 }

@@ -40,35 +40,54 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object BurstStream {
 
-  /** (lastFinalizedWs | −1, newest-last ring of finalized counts,
-    * open window-start → count). */
+  /** (lastFinalizedWs | Long.MinValue for "no history", newest-last
+    * ring of finalized counts, open window-start → count). */
   private type BState = (Long, List[Long], Map[Long, Long])
 
   /** Emitted per finalized NON-EMPTY window: q82's row shape. */
   private type BurstRow = (String, Long, Long, Long, Int)
 
+  /** `originSec`: the stream's global first-window epoch. A type
+    * first seen LATER than the origin zero-fills its ring from the
+    * origin slot — exactly the batch grid's global `lo`, so a
+    * brand-new type's first active window can flag against its
+    * all-zero baseline (the "new trending topic" case). Without an
+    * origin a new type's baseline starts at its own first window and
+    * its first [[AnalyticsOps.BurstTrail]] windows are cold-start —
+    * a DOCUMENTED divergence from the batch grid for late-joining
+    * types (the stream cannot know a global origin it was never
+    * told). */
   def bursts(
       events: DataFrame,
       watermarkDelay: String = "30 seconds",
       windowSec: Long = AnalyticsOps.BurstWindowSec.toLong,
       trail: Int = AnalyticsOps.BurstTrail,
-      minCount: Long = AnalyticsOps.BurstMinCount.toLong): DataFrame = {
+      minCount: Long = AnalyticsOps.BurstMinCount.toLong,
+      originSec: Option[Long] = None): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    val originWs = originSec.map(o => Math.floorDiv(o, windowSec) * windowSec)
 
     def advance(
         kind: String,
         rows: Iterator[(String, Timestamp)],
         state: GroupState[BState]): Iterator[BurstRow] = {
-      val (lastWs0, ring0, open0) = state.getOption.getOrElse((-1L, Nil, Map.empty[Long, Long]))
+      val (lastWs0, ring0, open0) = state.getOption.getOrElse(
+        // a declared origin seeds every type as if it had been silent
+        // since the stream began — the batch grid's global lo.
+        // Long.MinValue = "no history" (a plain -1 would collide with
+        // legitimately negative pre-1970 window starts AND with an
+        // origin seed of originWs - windowSec when the origin is 0)
+        (originWs.map(_ - windowSec).getOrElse(Long.MinValue),
+          Nil, Map.empty[Long, Long]))
       // fold the batch's rows into the open windows
       var open = open0
       rows.foreach { case (_, ts) =>
-        val ws = Math.floorDiv(ts.getTime / 1000, windowSec) * windowSec
+        val ws = Math.floorDiv(ts.getTime, windowSec * 1000) * windowSec
         open = open.updated(ws, open.getOrElse(ws, 0L) + 1)
       }
       // finalize, oldest first, every open window the watermark passed
-      val wmSec = state.getCurrentWatermarkMs() / 1000
+      val wmSec = Math.floorDiv(state.getCurrentWatermarkMs(), 1000L)
       val ready = open.keys.filter(ws => ws + windowSec <= wmSec).toList.sorted
       var lastWs = lastWs0
       var ring = ring0
@@ -81,7 +100,7 @@ object BurstStream {
         lastWs = ws
       }
       ready.foreach { ws =>
-        var slot = if (lastWs < 0) ws else lastWs + windowSec
+        var slot = if (lastWs == Long.MinValue) ws else lastWs + windowSec
         while (slot < ws) { pushSlot(slot, 0L, emit = false); slot += windowSec }
         pushSlot(ws, open(ws), emit = true)
       }

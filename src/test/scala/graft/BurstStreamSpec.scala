@@ -19,10 +19,10 @@ class BurstStreamSpec extends SparkSuite {
   private def at(slot: Long, offSec: Long = 1): Timestamp =
     new Timestamp((slot * W + offSec) * 1000)
 
-  // every type present in slot 0 so the batch grid's global origin
-  // and each stream ring's own origin coincide (the alignment the
-  // equivalence claim needs; a type absent at the global origin would
-  // see batch zero-slots the stream cannot know about)
+  // type "c" deliberately joins LATE (slot 5): under the declared
+  // origin its ring zero-fills from the stream's global slot 0 —
+  // exactly the batch grid's lo — so its first active window flags
+  // (the "new trending topic" case); "a"/"b" start at the origin
   private def feed: Seq[BEvent] = {
     def n(slot: Long, t: String, k: Int) = Seq.fill(k)(BEvent(at(slot), t))
     n(0, "a", 1) ++ n(0, "b", 2) ++
@@ -31,8 +31,10 @@ class BurstStreamSpec extends SparkSuite {
       n(3, "a", 1) ++ n(3, "b", 2) ++
       // slot 4: "a" bursts (5 > 2x mean of 4/3); "b" stays flat
       n(4, "a", 5) ++ n(4, "b", 2) ++
-      // "b" goes silent for slots 5-7; "a" keeps a trickle
-      n(5, "a", 1) ++ n(6, "a", 1) ++ n(7, "a", 1) ++
+      // "b" goes silent for slots 5-7; "a" keeps a trickle; NEW type
+      // "c" appears with enough traffic to flag against its all-zero
+      // origin-filled baseline
+      n(5, "a", 1) ++ n(5, "c", 6) ++ n(6, "a", 1) ++ n(7, "a", 1) ++
       // slot 8: "b" returns with 4 — its trailing window is the
       // zero-filled gap, so this MUST flag in both engines
       n(8, "a", 1) ++ n(8, "b", 4)
@@ -50,7 +52,8 @@ class BurstStreamSpec extends SparkSuite {
         r.getInt(4))).toSet
 
     val in = MemoryStream[BEvent]
-    val q = BurstStream.bursts(in.toDF(), watermarkDelay = "1 seconds")
+    val q = BurstStream.bursts(in.toDF(), watermarkDelay = "1 seconds",
+      originSec = Some(0L))
       .writeStream.format("memory").queryName("burst_out")
       .outputMode("append").start()
     try {
@@ -78,6 +81,10 @@ class BurstStreamSpec extends SparkSuite {
         "reactivation-after-silence burst missing — gap fill broken?")
       assert(expected.filter(_._2 < 3 * W).forall(_._5 == 0),
         "a cold-start window flagged")
+      // the late-joining type flagged on arrival in BOTH engines —
+      // the origin seeding matches the batch grid's global lo
+      assert(expected.exists(r => r._1 == "c" && r._2 == 5 * W && r._5 == 1),
+        "late-joining type did not flag in batch — feed broken")
       // one state row per type — the bounded-alphabet claim
       assert(stateRowsTotal(q) <= feed.map(_.event_type).distinct.size + 1,
         "state exceeded the type alphabet")
