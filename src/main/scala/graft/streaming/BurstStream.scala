@@ -100,6 +100,15 @@ object BurstStream {
         lastWs = ws
       }
       ready.foreach { ws =>
+        // a gap longer than the ring is indistinguishable from exactly
+        // trail zero slots (zero slots emit nothing and the ring keeps
+        // only the last `trail`), so fast-forward instead of looping —
+        // a type reactivating after a long silence (or origin-seeded
+        // far in the past) costs O(trail), not O(gap/windowSec)
+        if (lastWs != Long.MinValue && (ws - lastWs) / windowSec > trail) {
+          ring = List.fill(trail)(0L)
+          lastWs = ws - windowSec
+        }
         var slot = if (lastWs == Long.MinValue) ws else lastWs + windowSec
         while (slot < ws) { pushSlot(slot, 0L, emit = false); slot += windowSec }
         pushSlot(ws, open(ws), emit = true)

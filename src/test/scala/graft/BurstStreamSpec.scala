@@ -90,4 +90,44 @@ class BurstStreamSpec extends SparkSuite {
         "state exceeded the type alphabet")
     } finally q.stop()
   }
+
+  test("reactivation after a gap far longer than the ring matches batch (fast-forward path)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // type "g" runs slots 0-3, goes silent for ~500 windows, then
+    // returns hot — the gap is >> trail, so the stream takes the
+    // O(trail) fast-forward instead of pushing one zero per slot;
+    // output must still equal the batch dense grid's
+    def n(slot: Long, t: String, k: Int) = Seq.fill(k)(BEvent(at(slot), t))
+    val gapFeed = n(0, "g", 2) ++ n(1, "g", 2) ++ n(2, "g", 2) ++
+      n(3, "g", 2) ++ n(503, "g", 5)
+
+    val expected = AnalyticsOps.burstDetect(gapFeed.toDF())
+      .filter($"n" > 0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+    assert(expected.exists(r => r._2 == 503 * W && r._5 == 1),
+      "post-gap window did not flag in batch — zero baseline broken in fixture")
+
+    val in = MemoryStream[BEvent]
+    val q = BurstStream.bursts(in.toDF(), watermarkDelay = "1 seconds",
+      originSec = Some(0L))
+      .writeStream.format("memory").queryName("burst_gap_out")
+      .outputMode("append").start()
+    try {
+      in.addData(gapFeed.toIndexedSeq); q.processAllAvailable()
+      in.addData(IndexedSeq(BEvent(at(600), "zz"))); q.processAllAvailable()
+      in.addData(IndexedSeq(BEvent(at(601), "zz"))); q.processAllAvailable()
+      val got = spark.table("burst_gap_out")
+        .filter($"event_type" =!= "zz").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getInt(4))).toSet
+      assert(got == expected,
+        s"stream diverges from batch across the long gap; " +
+          s"only-stream=${(got -- expected).take(3)} " +
+          s"only-batch=${(expected -- got).take(3)}")
+    } finally q.stop()
+  }
 }
