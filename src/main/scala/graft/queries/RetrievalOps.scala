@@ -218,14 +218,24 @@ object RetrievalOps {
   // ------------------------------------------------------------- q77
 
   /** Build the persisted inverted index: postings
-    * `(doc_id, dl, tf, token)` partitioned by `bucket =
-    * pmod(xxhash64(token), [[IndexBuckets]])` — a serving scan prunes
-    * to its query terms' buckets (constant-folded partition filters,
-    * spec-pinned) and never touches the rest — plus the one-row corpus
-    * stats under `path/_stats` (underscore-prefixed like q61's
-    * `_quantizer`, invisible to readers of `path`). Document length
-    * rides ON the posting row (Lucene's norms trick) so serving never
-    * joins a corpus-sized doc-length relation.
+    * `(doc_id, dl, tf, token)` partitioned by `(gen, bucket)` with
+    * `bucket = pmod(xxhash64(token), [[IndexBuckets]])` — a serving
+    * scan prunes to its query terms' buckets (constant-folded
+    * partition filters, spec-pinned) and never touches the rest —
+    * plus per-generation one-row corpus stats under `path/_stats`
+    * (underscore-prefixed like q61's `_quantizer`, invisible to
+    * readers of `path`). Document length rides ON the posting row
+    * (Lucene's norms trick) so serving never joins a corpus-sized
+    * doc-length relation.
+    *
+    * `gen` is the CRASH-ATOMICITY key (the `_GENERATION` manifest
+    * pattern [[graft.streaming.CorpusStream.compact]] established):
+    * readers take the committed generation G from the `path/
+    * _GENERATION` manifest and scan postings `gen <= G` with stats
+    * `gen = G`, so an [[appendInvertedIndex]] that crashed before its
+    * manifest flip is NEVER observable — its orphaned `gen = G+1`
+    * files are invisible to every reader and purged by the retry.
+    * The manifest itself flips by atomic rename (one tiny file).
     *
     * Build cost: one corpus scan + one (token, doc) aggregate — the
     * exchange carries fixed-width rows keyed by the token, text never
@@ -233,8 +243,60 @@ object RetrievalOps {
     * derivable from the pruned scan at serve time (so index appends
     * keep df consistent for free). */
   def writeInvertedIndex(docs: DataFrame, path: String): Unit = {
-    postings(docs).write.partitionBy("bucket").mode("overwrite").parquet(path)
-    corpusTotals(docs).write.mode("overwrite").parquet(s"$path/_stats")
+    postings(docs).withColumn("gen", lit(1L))
+      .write.partitionBy("gen", "bucket").mode("overwrite").parquet(path)
+    corpusTotals(docs).withColumn("gen", lit(1L))
+      .write.partitionBy("gen").mode("overwrite").parquet(s"$path/_stats")
+    commitGeneration(path, 1L)
+  }
+
+  /** The committed generation of a persisted index — what every
+    * reader scopes its scan to. Absent manifest = the index was never
+    * fully built (or predates the generation scheme): refuse loudly
+    * rather than serve torn state. */
+  def currentGeneration(path: String): Long = {
+    val p = java.nio.file.Paths.get(path, "_GENERATION")
+    require(java.nio.file.Files.exists(p),
+      s"no _GENERATION manifest at $path — index incomplete or never " +
+        "committed (writeInvertedIndex finishes by committing gen 1)")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong
+  }
+
+  /** Atomically flip the manifest: write `_GENERATION.tmp`, rename
+    * over `_GENERATION`. The rename is the ONLY point an append
+    * becomes visible — everything before it is invisible to readers
+    * (gen-scoped scans) and idempotently purged by a retry. */
+  private def commitGeneration(path: String, gen: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(path, "_GENERATION.tmp")
+    Files.write(tmp, gen.toString.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(path, "_GENERATION"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Delete any `gen=N` partition directories above the committed
+    * generation (postings and stats) — the debris of an append that
+    * crashed before its manifest flip. Run at the start of every
+    * append so a retry starts clean instead of double-appending. */
+  private def purgeUncommitted(path: String, committed: Long): Unit = {
+    import java.nio.file.{Files, Paths, Path}
+    def rmTree(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.forEach(rmTree(_)) finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    def purge(root: Path): Unit = if (Files.isDirectory(root)) {
+      val s = Files.list(root)
+      try s.forEach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("gen=") &&
+          name.stripPrefix("gen=").toLong > committed) rmTree(p)
+      } finally s.close()
+    }
+    purge(Paths.get(path))
+    purge(Paths.get(path, "_stats"))
   }
 
   /** The bucketed posting rows of a corpus — ONE definition shared by
@@ -257,26 +319,43 @@ object RetrievalOps {
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
 
   /** Append a delta corpus to a persisted inverted index (the
-    * daily-crawl contract the ANN indexes got in round 11): delta
-    * postings append under the same bucket scheme; the one-row stats
-    * are REPLACED by base+delta sums (read → add → overwrite — stats
-    * are one row, so the rewrite is constant work). df stays exact
-    * automatically because serving derives it from the postings.
-    * Caller owns id-disjointness (same as [[SimilarityOps]] appends).
-    */
-  def appendInvertedIndex(docs: DataFrame, path: String): Unit = {
+    * daily-crawl contract the ANN indexes got in round 11),
+    * CRASH-ATOMICALLY: delta postings and the summed base+delta
+    * stats both land under the NEXT generation `G+1` — invisible to
+    * readers, who scope to the committed manifest — and only the
+    * final atomic manifest rename makes them (jointly) visible. A
+    * crash at ANY point leaves readers on the old generation with
+    * postings and stats still mutually consistent; the retry purges
+    * the orphaned `gen=G+1` debris first, so it cannot double-append.
+    * df stays exact automatically because serving derives it from the
+    * (gen-scoped) postings. Caller owns id-disjointness (same as
+    * [[SimilarityOps]] appends). */
+  def appendInvertedIndex(docs: DataFrame, path: String): Unit =
+    appendStaged(docs, path, crashAfterStage = Int.MaxValue)
+
+  /** [[appendInvertedIndex]] with a failpoint, for the crash-window
+    * spec: stop after stage 1 (delta postings written) or stage 2
+    * (next-generation stats written) — both states must be invisible
+    * to readers and repaired by the next append's purge. */
+  private[graft] def appendStaged(
+      docs: DataFrame, path: String, crashAfterStage: Int): Unit = {
     val spark = docs.sparkSession
-    postings(docs).write.partitionBy("bucket").mode("append").parquet(path)
-    // both rows are COLLECTED before the overwrite, so the write has
-    // no read dependency on the path it replaces — no tmp indirection
-    // needed; a deployment that wants crash atomicity uses a manifest
-    val old = spark.read.parquet(s"$path/_stats").collect().head
+    val g = currentGeneration(path)
+    purgeUncommitted(path, g) // a crashed predecessor's orphans
+    postings(docs).withColumn("gen", lit(g + 1))
+      .write.partitionBy("gen", "bucket").mode("append").parquet(path)
+    if (crashAfterStage <= 1) return
+    val old = spark.read.parquet(s"$path/_stats")
+      .filter(col("gen") === g).select(col("n"), col("sumdl"))
+      .collect().head
     val delta = corpusTotals(docs).collect().head
     import spark.implicits._
     Seq((old.getLong(0) + delta.getLong(0),
       old.getLong(1) + delta.getLong(1)))
-      .toDF("n", "sumdl")
-      .write.mode("overwrite").parquet(s"$path/_stats")
+      .toDF("n", "sumdl").withColumn("gen", lit(g + 1))
+      .write.partitionBy("gen").mode("append").parquet(s"$path/_stats")
+    if (crashAfterStage <= 2) return
+    commitGeneration(path, g + 1)
   }
 
   /** Serve BM25 from the persisted index: prune the postings scan to
@@ -310,13 +389,17 @@ object RetrievalOps {
     scoreAndRank(perDoc, indexStats(spark, path))
   }
 
-  /** The query terms' postings, partition-pruned to their buckets. */
+  /** The query terms' postings, partition-pruned to their buckets and
+    * scoped to generations the manifest has committed (`gen <= G` —
+    * also a partition filter, so an in-flight append's uncommitted
+    * files are never even listed into the scan). */
   private def prunedPostings(spark: SparkSession, path: String): DataFrame = {
     val bucketPred = AllTerms
       .map(t => col("bucket") === pmod(xxhash64(lit(t)), lit(IndexBuckets)))
       .reduce(_ || _)
     spark.read.parquet(path)
-      .filter(bucketPred && col("token").isin(AllTerms: _*))
+      .filter(col("gen") <= currentGeneration(path) &&
+        bucketPred && col("token").isin(AllTerms: _*))
   }
 
   /** One-row serving stats from a persisted index: stored corpus
@@ -333,7 +416,10 @@ object RetrievalOps {
       // absent terms aggregate to NULL on an empty slice; df 0 is the
       // correct value and keeps the idf finite
       .na.fill(0L)
+    // stats are cumulative totals — exactly the committed generation's
+    // row is current (older rows are the pre-append history)
     spark.read.parquet(s"$path/_stats")
+      .filter(col("gen") === currentGeneration(path)).drop("gen")
       .crossJoin(broadcast(dfRow))
   }
 

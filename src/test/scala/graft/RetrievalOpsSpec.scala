@@ -112,6 +112,48 @@ class RetrievalOpsSpec extends SparkSuite {
     assert(a == r)
   }
 
+  test("appendInvertedIndex crash windows: readers see the old generation until the manifest flips; retry converges") {
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-inv-crash").toString
+    RetrievalOps.writeInvertedIndex(base, path)
+    val baseServe = RetrievalOps.bm25SearchIndex(spark, path).collect().toSeq
+    val baseStats = RetrievalOps.indexStats(spark, path).collect().toSeq
+
+    // crash window 1: delta postings on disk, stats and manifest not —
+    // serving and stats must be EXACTLY the pre-append view (postings
+    // including the delta against stale n/sumdl is the torn state the
+    // generation scheme exists to prevent)
+    RetrievalOps.appendStaged(delta, path, crashAfterStage = 1)
+    assert(RetrievalOps.currentGeneration(path) == 1L)
+    assert(RetrievalOps.bm25SearchIndex(spark, path).collect().toSeq == baseServe,
+      "uncommitted delta postings leaked into serving")
+    assert(RetrievalOps.indexStats(spark, path).collect().toSeq == baseStats,
+      "stats drifted before the manifest flip")
+
+    // crash window 2: postings AND next-gen stats on disk, manifest
+    // not flipped — still the old view (note the retry purged window
+    // 1's orphans first, so this is also the double-append guard)
+    RetrievalOps.appendStaged(delta, path, crashAfterStage = 2)
+    assert(RetrievalOps.currentGeneration(path) == 1L)
+    assert(RetrievalOps.bm25SearchIndex(spark, path).collect().toSeq == baseServe,
+      "uncommitted generation leaked into serving")
+    assert(RetrievalOps.indexStats(spark, path).collect().toSeq == baseStats,
+      "next-generation stats leaked before the manifest flip")
+
+    // the retried (completed) append converges to the full rebuild
+    RetrievalOps.appendInvertedIndex(delta, path)
+    assert(RetrievalOps.currentGeneration(path) == 2L)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-inv-crash-rebuild").toString
+    RetrievalOps.writeInvertedIndex(docs, rebuilt)
+    assert(RetrievalOps.bm25SearchIndex(spark, path).collect().toSeq ==
+      RetrievalOps.bm25SearchIndex(spark, rebuilt).collect().toSeq,
+      "retried append diverged from rebuild")
+  }
+
   test("q76 plan: no token explode reaches an exchange; stats broadcast") {
     val plan = RetrievalOps.q76Bm25TopK(spark, sf)
       .queryExecution.executedPlan.toString
