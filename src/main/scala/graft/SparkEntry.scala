@@ -104,6 +104,7 @@ object SparkEntry {
     "q80_contrastive"      -> ((s, d) => SimilarityOps.q80ContrastivePairs(s, d)),
     "q81_patch_grid"       -> (MultimodalOps.q81PatchGrid _),
     "q82_burst_detect"     -> (AnalyticsOps.q82BurstDetect _),
+    "q83_hybrid_indexed"   -> (RetrievalOps.q83HybridIndexed _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -450,5 +451,11 @@ object SparkEntry {
     // Burst detection: dense grid + trailing frame + integer
     // cross-multiplied threshold — all-integer output.
     "q82_burst_detect" -> AnalyticsOps.q82OracleSql,
+
+    // Hybrid fusion with BOTH legs index-served: q76's CTEs as the
+    // sparse leg, q70's shortlist+rerank oracle (the constants the
+    // persisted IVF-PQ index serves) as the dense leg, shared integer
+    // fusion tail.
+    "q83_hybrid_indexed" -> RetrievalOps.q83OracleSql(),
   )
 }

@@ -479,24 +479,35 @@ object RetrievalOps {
       .select($"p_qid".as("qid"), $"vec_id".as("doc_id"), $"rank".as("d_rank"))
   }
 
-  def q78HybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val sparse = q76Bm25TopK(spark, dir)
-      .select($"qid", $"doc_id", $"rank".as("s_rank"))
-    val dense = denseRanks(spark, dir)
-    val byQuery = Window.partitionBy($"qid")
-      .orderBy($"rrf_micro".desc, $"doc_id")
+  /** The RRF fusion core — ONE definition shared by q78 (exact dense
+    * leg) and q83 (indexed dense leg), so the two hybrids cannot
+    * drift in their rank arithmetic: full-outer join the legs' top-k
+    * relations, integer `div` reciprocal ranks, per-query re-rank.
+    * `sparse` carries (qid, doc_id, s_rank); `dense` (qid, doc_id,
+    * d_rank). Both inputs are ≤ k·|Q| fixed-width rows, so everything
+    * here is driver-trivial regardless of corpus size. */
+  private def fuseRrf(sparse: DataFrame, dense: DataFrame): DataFrame = {
+    val byQuery = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
     sparse.join(dense, Seq("qid", "doc_id"), "full_outer")
-      .select($"qid", $"doc_id",
-        coalesce($"s_rank", lit(0)).as("s_rank"),
-        coalesce($"d_rank", lit(0)).as("d_rank"))
+      .select(col("qid"), col("doc_id"),
+        coalesce(col("s_rank"), lit(0)).as("s_rank"),
+        coalesce(col("d_rank"), lit(0)).as("d_rank"))
       .withColumn("rrf_micro",
         expr(s"CASE WHEN s_rank > 0 THEN 1000000 div ($RrfK + s_rank) ELSE 0 END" +
           s" + CASE WHEN d_rank > 0 THEN 1000000 div ($RrfK + d_rank) ELSE 0 END"))
       .withColumn("rank", row_number().over(byQuery))
-      .filter($"rank" <= TopK)
-      .select($"qid", $"rank", $"doc_id", $"rrf_micro", $"s_rank", $"d_rank")
-      .orderBy($"qid", $"rank")
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("doc_id"), col("rrf_micro"),
+        col("s_rank"), col("d_rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def q78HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sparse = q76Bm25TopK(spark, dir)
+      .select($"qid", $"doc_id", $"rank".as("s_rank"))
+    fuseRrf(sparse, denseRanks(spark, dir))
   }
 
   /** q78's oracle: q76's CTE stack as the sparse leg, q12's cosine
@@ -523,7 +534,16 @@ object RetrievalOps {
         |  FROM ds
         |), dense AS (
         |  SELECT qid, doc_id, d_rank FROM dr WHERE d_rank <= $TopK
-        |), fused AS (
+        |), $rrfTailSql""".stripMargin
+  }
+
+  /** The fusion tail every hybrid oracle shares (expects CTEs `sparse
+    * (qid, doc_id, s_rank)` and `dense (qid, doc_id, d_rank)` in
+    * scope) — the SQL twin of [[fuseRrf]], factored for the same
+    * reason: one rank-arithmetic definition across q78/q83 and both
+    * engines. */
+  private def rrfTailSql: String =
+    s"""|fused AS (
         |  SELECT coalesce(s.qid, d.qid) AS qid,
         |         coalesce(s.doc_id, d.doc_id) AS doc_id,
         |         coalesce(s.s_rank, 0) AS s_rank,
@@ -542,5 +562,68 @@ object RetrievalOps {
         |)
         |SELECT qid, rank, doc_id, rrf_micro, s_rank, d_rank FROM scored
         |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
+  // ------------------------------------------------------------- q83
+
+  /** q83 — q78's hybrid fusion with the dense leg SERVED FROM THE
+    * PERSISTED IVF-PQ INDEX instead of q12's exact corpus-wide scan:
+    * the production shape, where BOTH legs read indexes (sparse from
+    * the q77 inverted index's contract, dense from
+    * [[SimilarityOps.ivfPqServe]]'s two-stage
+    * shortlist-then-exact-rerank) and no query ever scans corpus text
+    * or float vectors end to end. The fusion core is [[fuseRrf]],
+    * shared with q78 — RRF fuses RANKS, so swapping a leg's retrieval
+    * engine is exactly the modularity the operator exists for; where
+    * ANN recall < 1 the fused ranking legitimately differs from
+    * q78's (the spec reports the rank agreement).
+    *
+    * Correctness chain: the index is built with the FIXED q67
+    * constants (non-residual), for which [[SimilarityOps.ivfPqServe]]
+    * is spec-pinned row-identical to [[SimilarityOps.q70RerankTopK]]
+    * — so the dense leg has q70's DuckDB oracle (with the probe
+    * predicate swapped to [[DenseProbeIds]]) and the WHOLE hybrid is
+    * hash-verified end to end, unlike a trained index (q84's
+    * territory). Rebuilt per call at fixture scale; a deployment
+    * builds once per compact generation and serves many. */
+  def q83HybridIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val path = SimilarityOps.tempIndexDir("graft-hybrid-ivfpq")
+    val centroids = (0 until SimilarityOps.NumCells).map(c =>
+      (0 until SimilarityOps.Dim).map(SimilarityOps.centroidComponent(c, _)))
+    SimilarityOps.writeIvfPqIndex(
+      emb, path, centroids, SimilarityOps.defaultPqCodebooks, residual = false)
+    val probes = emb
+      .filter($"vec_id".isInCollection(DenseProbeIds.map(_.toLong)))
+      .select($"vec_id", $"embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq
+    val dense = SimilarityOps.ivfPqServe(spark, path, emb, probes, k = TopK)
+      .select($"probe_id".cast("int").as("qid"),
+        $"vec_id".as("doc_id"), $"rank".as("d_rank"))
+    val sparse = q76Bm25TopK(spark, dir)
+      .select($"qid", $"doc_id", $"rank".as("s_rank"))
+    fuseRrf(sparse, dense)
+  }
+
+  /** q83's oracle: q76's CTE stack as the sparse leg, q70's oracle —
+    * shortlist-by-ADC then exact-cosine rerank, the same constants the
+    * persisted index serves — as the dense leg (probe predicate
+    * swapped to the [[DenseProbeIds]] set), and the shared fusion
+    * tail. */
+  def q83OracleSql(): String = {
+    val denseStage = SimilarityOps.q70OracleSql(
+      k = TopK,
+      probePred = Some(s"vec_id IN (${DenseProbeIds.mkString(", ")})"))
+    s"""|WITH sparse AS (
+        |  SELECT qid, doc_id, rank AS s_rank FROM (
+        |${q76OracleSql().linesIterator.map("    " + _).mkString("\n")}
+        |  )
+        |), dense AS (
+        |  SELECT probe_id::INT AS qid, vec_id AS doc_id, rank AS d_rank FROM (
+        |${denseStage.linesIterator.map("    " + _).mkString("\n")}
+        |  )
+        |), $rrfTailSql""".stripMargin
   }
 }

@@ -1294,7 +1294,10 @@ object SimilarityOps {
     * and q65's encode/table CTEs, joined on `cell`: identical centroid
     * and codebook constants, assignment argmax, encode argmin, and
     * same-order ADC sum. */
-  def q67OracleSql(k: Int = 10, numProbes: Int = 10): String = {
+  def q67OracleSql(
+      k: Int = 10, numProbes: Int = 10,
+      probePred: Option[String] = None): String = {
+    val pPred = probePred.getOrElse(s"vec_id < $numProbes")
     val dotsList = (0 until NumCells)
       .map(c => s"list_dot_product(e, ${centroidSql(c)})")
       .mkString("[\n           ", ",\n           ", "]")
@@ -1331,7 +1334,7 @@ object SimilarityOps {
        |), pc AS (
        |  SELECT vec_id AS probe_id, dots,
        |         unnest(generate_series(0, ${NumCells - 1})) AS cell
-       |  FROM d0 WHERE vec_id < $numProbes
+       |  FROM d0 WHERE $pPred
        |), p AS (
        |  SELECT probe_id, cell FROM (
        |    SELECT probe_id, cell,
@@ -1342,7 +1345,7 @@ object SimilarityOps {
        |), pt AS (
        |  SELECT vec_id AS probe_id,
        |         $tExprs
-       |  FROM (SELECT vec_id, e AS pe FROM b0 WHERE vec_id < $numProbes)
+       |  FROM (SELECT vec_id, e AS pe FROM b0 WHERE $pPred)
        |), s AS (
        |  SELECT p.probe_id, enc.vec_id, enc.label,
        |         round($adcSum, 6) AS adc
@@ -1915,15 +1918,17 @@ object SimilarityOps {
     * (sim desc, vec_id) tie-break. */
   def q70OracleSql(
       k: Int = 10, numProbes: Int = 10,
-      shortlist: Int = RerankShortlist): String = {
-    val stage1 = q67OracleSql(shortlist, numProbes)
+      shortlist: Int = RerankShortlist,
+      probePred: Option[String] = None): String = {
+    val pPred = probePred.getOrElse(s"vec_id < $numProbes")
+    val stage1 = q67OracleSql(shortlist, numProbes, probePred)
     // reuse q67's full text as a subquery: it already ends in the
     // ordered top-`shortlist` selection
     s"""WITH short AS (
        |${stage1.linesIterator.map("  " + _).mkString("\n")}
        |), pv AS (
        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
-       |  FROM embeddings WHERE vec_id < $numProbes
+       |  FROM embeddings WHERE $pPred
        |), cv AS (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
        |), rr AS (
