@@ -1020,9 +1020,33 @@ object DedupOps {
       threshold: Double = 0.6, bands: Int = 16, rows: Int = 4): DataFrame = {
     // Same diamond as neardupBuild: the delta's shingle frame feeds the
     // signature aggregate AND the verify join — persist or re-scan the
-    // delta text per consumer.
+    // delta text per consumer. The cache lives until the session drops
+    // it; a caller that screens REPEATEDLY (the streaming stage) uses
+    // [[withDeltaScreen]] so each batch's cache is released eagerly.
     val exD = shingleHashes(deltaDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    deltaScreenFrom(spark, indexPath, exD, threshold, bands, rows)
+  }
+
+  /** Loan form of [[deltaScreen]]: run `use` over the screen result,
+    * then RELEASE the delta's cached shingle frame — the
+    * materialize-and-release discipline (q71/q72's) for callers that
+    * screen many deltas in one session (per-micro-batch in
+    * [[graft.streaming.CorpusStream.baseScreen]]), where the plain
+    * form's session-lifetime caches would accumulate one per batch. */
+  def withDeltaScreen[T](
+      spark: SparkSession, indexPath: String, deltaDocs: DataFrame,
+      threshold: Double = 0.6, bands: Int = 16, rows: Int = 4)(
+      use: DataFrame => T): T = {
+    val exD = shingleHashes(deltaDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try use(deltaScreenFrom(spark, indexPath, exD, threshold, bands, rows))
+    finally exD.unpersist()
+  }
+
+  private def deltaScreenFrom(
+      spark: SparkSession, indexPath: String, exD: DataFrame,
+      threshold: Double, bands: Int, rows: Int): DataFrame = {
     val bucketsB = spark.read.parquet(s"$indexPath/buckets")
       .select(col("pos"), col("bh"),
         col("doc_id").as("base_id"), col("n").as("n_b"))

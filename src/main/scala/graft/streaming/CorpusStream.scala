@@ -126,6 +126,56 @@ object CorpusStream {
       stride: Int = TextOps.ChunkTokStride): DataFrame =
     TextOps.chunkTokens(docs, size, stride)
 
+  /** Streaming delta-dedup against the SEALED base — q62's
+    * daily-crawl contract run per micro-batch: each incoming batch is
+    * screened against the persisted [[graft.queries.DedupOps
+    * .writeDedupIndex]] artifact (band equi-join on the index's
+    * `buckets/`, exact integer-Jaccard verify against its
+    * `shingles/`) and the verdicts land as append-only tombstones
+    * `(doc_id, dup_of, n_common, n_union)` under `flagsDir` — `doc_id`
+    * keyed like the near-dup `flags/`, so the same read-side anti-join
+    * reconciliation ([[keptCorpus]]'s shape) hides the flagged docs.
+    * This closes the screen [[ingest]]'s within-generation state
+    * cannot perform: a stream doc duplicating a doc sealed
+    * GENERATIONS ago is exactly what bounded stream state never sees
+    * and exactly what the sealed index remembers.
+    *
+    * Mechanics: `foreachBatch`, because the screen is a multi-join
+    * batch computation (aggregate + two joins), not a row-local
+    * transform — and because each batch doc's verdict depends only on
+    * (doc, sealed index), never on other stream docs, per-batch
+    * screening is EXACTLY batch [[graft.queries.DedupOps.deltaScreen]]
+    * semantics regardless of how arrivals split into batches
+    * (spec-pinned). The stage is STATELESS (no state store, no
+    * watermark — boundedness by construction); each batch's shingle
+    * cache is released before the next
+    * ([[graft.queries.DedupOps.withDeltaScreen]]). Restart replays at
+    * least once; duplicate tombstone rows are harmless under the
+    * distinct-before-anti-join reconciliation. Within-batch dups are
+    * [[ingest]]'s screens' job; BASE membership is this stage's. */
+  def baseScreen(
+      docs: DataFrame,
+      indexPath: String,
+      flagsDir: String,
+      checkpointDir: String,
+      threshold: Double = 0.6,
+      bands: Int = 16,
+      rows: Int = 4): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.DedupOps.withDeltaScreen(
+          batch.sparkSession, indexPath, batch, threshold, bands, rows) {
+          screened =>
+            screened
+              .withColumnRenamed("delta_id", "doc_id")
+              .withColumnRenamed("base_id", "dup_of")
+              .write.mode("append").parquet(flagsDir)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Exact streaming dedup — q09's content-hash rule on an unbounded
     * stream: state keys are `xxhash64(text)` (8 bytes), eviction is
     * watermark-driven, first arrival within the horizon wins. */

@@ -390,4 +390,58 @@ class CorpusStreamSpec extends SparkSuite {
       assert(stateRowsTotal(q) == 0, "chunking must not hold state")
     } finally q.stop()
   }
+
+  test("baseScreen: stream-screened flags == batch deltaScreen on the same delta; stateless") {
+    import graft.queries.DedupOps
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the q62 split on the real fixture corpus: sealed base vs incoming
+    // delta — the batch deltaScreen over the WHOLE delta is the ground
+    // truth the per-batch stream screen must reproduce regardless of
+    // how arrivals chop into micro-batches
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % DedupOps.DeltaMod =!= DedupOps.DeltaRem)
+    val delta = docs.filter(col("doc_id") % DedupOps.DeltaMod === DedupOps.DeltaRem)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-basescreen-idx").toString
+    DedupOps.writeDedupIndex(base, idxPath)
+    val expected = DedupOps.deltaScreen(spark, idxPath, delta).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expected.nonEmpty, "fixture delta has no cross-split dups — vacuous")
+
+    val deltaRows = delta.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toIndexedSeq
+    val (batch1, batch2) = deltaRows.partition(_._1 < deltaRows.map(_._1).sorted
+      .apply(deltaRows.length / 2))
+
+    val flagsDir = java.nio.file.Files
+      .createTempDirectory("graft-basescreen-flags").toString + "/flags_base"
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-basescreen-ck").toString
+    // the batch deltaScreen above left its documented session-lifetime
+    // cache; start the stream from a clean registry so the final
+    // no-leak check sees only what baseScreen's batches did
+    spark.catalog.clearCache()
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusStream.baseScreen(
+      in.toDF().toDF("doc_id", "text"), idxPath, flagsDir, ckDir)
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      val got = spark.read.parquet(flagsDir)
+        .select($"doc_id", $"dup_of", $"n_common", $"n_union").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected,
+        s"stream screen diverges from batch deltaScreen; " +
+          s"only-stream=${(got -- expected).take(3)} " +
+          s"only-batch=${(expected -- got).take(3)}")
+      // stateless by construction — nothing may land in a state store
+      assert(stateRowsTotal(q) == 0, "baseScreen must not hold state")
+      // the loan released each batch's shingle cache
+      assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark),
+        "baseScreen leaked a cached shingle frame across batches")
+    } finally q.stop()
+  }
 }

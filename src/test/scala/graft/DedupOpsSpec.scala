@@ -124,6 +124,17 @@ class DedupOpsSpec extends SparkSuite {
       }
     }
     assert(graftShims.cacheIsEmpty(spark), "q13 loan leaked on failure")
+    // the delta-screen loan (the streaming baseScreen's per-batch form)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-loan-idx").toString
+    val docs = Tables.documents(spark, sf)
+    DedupOps.writeDedupIndex(
+      docs.filter(col("doc_id") % DedupOps.DeltaMod =!= DedupOps.DeltaRem), idx)
+    spark.catalog.clearCache() // writeDedupIndex's own persist is released; start clean
+    val nScreen = DedupOps.withDeltaScreen(spark, idx,
+      docs.filter(col("doc_id") % DedupOps.DeltaMod === DedupOps.DeltaRem))(_.count())
+    assert(nScreen > 0)
+    assert(graftShims.cacheIsEmpty(spark), "deltaScreen loan left cached frames")
   }
 
   test("q13 plan has no cartesian/all-pairs join") {
