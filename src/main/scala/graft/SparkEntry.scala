@@ -105,6 +105,11 @@ object SparkEntry {
     "q81_patch_grid"       -> (MultimodalOps.q81PatchGrid _),
     "q82_burst_detect"     -> (AnalyticsOps.q82BurstDetect _),
     "q83_hybrid_indexed"   -> (RetrievalOps.q83HybridIndexed _),
+    // q84 has NO oracle entry by design (the q33 precedent): trained
+    // k-means quantizers are engine-specific float fixed points with
+    // no SQL re-derivation (driver records the rows-only check; the
+    // spec pins per-probe arity and recall@10 vs brute force).
+    "q84_trained_ann"      -> ((s, d) => SimilarityOps.q84TrainedAnnServe(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -1650,7 +1650,13 @@ object SimilarityOps {
     * the in-plan [[q70RerankTopK]] returns (spec-pinned), so the full
     * production serving call — cold start from nothing but an index
     * path and a float table — is transitively oracle-verified through
-    * q70's DuckDB twin. */
+    * q70's DuckDB twin.
+    *
+    * The DEPLOYMENT DEFAULT is to serve from a TRAINED artifact —
+    * [[q84TrainedAnnServe]] composes [[trainIvfPq]] with this serve
+    * and is recall-pinned in the spec; the fixed-constant queries
+    * (q67/q70/q74) exist for the DuckDB oracle, not as the
+    * recommended production configuration. */
   def ivfPqServe(
       spark: SparkSession,
       indexPath: String,
@@ -1671,6 +1677,42 @@ object SimilarityOps {
       .filter($"rank" <= k)
       .select($"probe_id", $"vec_id", $"label", $"sim", $"rank")
       .orderBy($"probe_id", $"rank")
+  }
+
+  /** q84 — TRAINED-quantizer serving, the deployment default: train
+    * the full IVF-PQ artifact on the corpus ([[trainIvfPq]] — Lloyd
+    * coarse centroids, then codebooks trained ON THE RESIDUALS they
+    * will encode) and serve the two-stage shortlist+rerank from it
+    * ([[ivfPqServe]]). Round 11 measured what training buys (ADC
+    * recall@10 0.21 → 0.37; bench/NOTES.md) but left the fixed-LCG
+    * constants as the only serving queries, because only THOSE have a
+    * DuckDB twin; this entry makes the measured gain the shipped
+    * behavior.
+    *
+    * Oracle-EXEMPT (the q33 precedent): a trained quantizer is the
+    * fixed point of float k-means iterations — engine-specific, not
+    * re-derivable in SQL — so the driver records the rows-only check
+    * while the spec pins the contract that matters: per-probe result
+    * arity, and recall@10 against the exact brute-force scorer at or
+    * above the fixed-constant serving path's on the same fixture.
+    *
+    * Scale shape is [[ivfPqServe]]'s unchanged (training adds
+    * `ivfIters + pqIters` corpus passes at build time, amortized over
+    * every serve); iteration counts are fixture-sized here, a
+    * deployment tunes them at train time. */
+  def q84TrainedAnnServe(
+      spark: SparkSession, dir: String,
+      k: Int = 10, numProbes: Int = 10,
+      ivfIters: Int = 3, pqIters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val path = tempIndexDir("graft-trained-serve")
+    trainIvfPq(emb, path, ivfIters, pqIters)
+    val probes = emb.filter($"vec_id" < numProbes)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq
+    ivfPqServe(spark, path, emb, probes, k)
   }
 
   /** Incrementally MAINTAIN the composed index — the last index

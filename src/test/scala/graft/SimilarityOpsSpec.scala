@@ -1109,6 +1109,30 @@ class SimilarityOpsSpec extends SparkSuite {
       "trained serve lost rows")
   }
 
+  test("q84 trained serving default: recall@10 at/above the fixed-constant serve") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val k = 10
+    val truth = mipsGroundTruth(vecs, nProbes = 10, k = k)
+
+    val trained = SimilarityOps.q84TrainedAnnServe(spark, sf).collect()
+    assert(trained.groupBy(_.getLong(0)).size == 10 &&
+      trained.groupBy(_.getLong(0)).forall(_._2.length == k),
+      "trained serve lost probes or rows")
+    val rTrained = recallAt(trained, truth, k)
+    // the fixed-LCG two-stage serve (q70's constants) on the same
+    // fixture is the floor the trained artifact must not fall under —
+    // training the quantizers on the data can only help the shortlist
+    val rFixed = recallAt(
+      SimilarityOps.q70RerankTopK(spark, sf).collect(), truth, k)
+    info(f"two-stage recall@10: trained $rTrained%.3f vs fixed LCG $rFixed%.3f")
+    assert(rTrained >= rFixed - 1e-9,
+      f"trained serving recall $rTrained%.3f fell under the fixed-constant $rFixed%.3f")
+    assert(rTrained >= 0.5, f"trained serving recall collapsed: $rTrained%.3f")
+  }
+
   test("q74 residual IVF-PQ: persisted fixed-constant serving == the oracle-gated in-plan form") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
