@@ -101,6 +101,10 @@ object SparkEntry {
     "q77_bm25_indexed"     -> (RetrievalOps.q77Bm25Indexed _),
     "q78_hybrid_rrf"       -> (RetrievalOps.q78HybridRrf _),
     "q79_bigram_lm"        -> ((s, d) => TextOps.q79BigramLm(s, d)),
+    // q80 and q82 are the inventory's two EAGER queries: they return
+    // localCheckpoint(true)-materialized frames (bounded outputs; the
+    // price of releasing their borrowed caches before returning), so
+    // constructing them runs the computation — see their scaladoc.
     "q80_contrastive"      -> ((s, d) => SimilarityOps.q80ContrastivePairs(s, d)),
     "q81_patch_grid"       -> (MultimodalOps.q81PatchGrid _),
     "q82_burst_detect"     -> (AnalyticsOps.q82BurstDetect _),

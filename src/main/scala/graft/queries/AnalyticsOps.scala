@@ -374,6 +374,17 @@ object AnalyticsOps {
     * heavy count aggregate combines map-side). Cold-start windows
     * (fewer than [[BurstTrail]] predecessors) never flag.
     * All-integer output.
+    *
+    * QUERY CONTRACT — EAGER, not lazy: the returned DataFrame is
+    * already materialized (`localCheckpoint(true)` — the price of
+    * running the events scan + count aggregate exactly once across
+    * the plan's three consumers while still releasing the cache
+    * before returning). Unlike every other inventory query, calling
+    * this RUNS the computation; the result is a bounded
+    * time-span × type-alphabet grid held on the session's executors,
+    * re-read (not recomputed) by every downstream action, and
+    * released with the session (or an explicit `.unpersist()`).
+    * q80 shares the pattern for the same reason; see `SparkEntry`.
     */
   def q82BurstDetect(spark: SparkSession, dir: String): DataFrame =
     burstDetect(Tables.events(spark, dir))

@@ -2021,6 +2021,13 @@ object SimilarityOps {
     * broadcast-anchor scoring projection (q12's rounded cosine), and
     * per-anchor rank windows (`WindowGroupLimit` for the negative
     * top-k). Output is ≤ anchors·(k + max family) rows.
+    *
+    * QUERY CONTRACT — EAGER, not lazy (q82's contract, same reason):
+    * the q43 label build borrows persisted intermediates that must be
+    * released before returning, so the result is materialized via
+    * `localCheckpoint(true)` inside the loan. Calling this RUNS the
+    * computation; the bounded output is held on the session's
+    * executors and re-read by downstream actions. See `SparkEntry`.
     */
   def q80ContrastivePairs(
       spark: SparkSession, dir: String, k: Int = 10,

@@ -54,6 +54,58 @@ class RetrievalStreamSpec extends SparkSuite {
     }
   }
 
+  test("index-refresh handshake: scores flip to the new generation's stats exactly at the restart boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // generation 1: index over half the corpus
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val delta = docs.filter($"doc_id" % 2 =!= 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-refresh-idx").toString
+    RetrievalOps.writeInvertedIndex(base, path)
+    val statsV1 = RetrievalOps.indexStats(spark, path)
+
+    val probeDf = docs.select($"doc_id", $"text")
+    val probeRows = probeDf.collect()
+      .map(r => SDoc(r.getLong(0), r.getString(1))).toIndexedSeq
+    def run(name: String, stats: org.apache.spark.sql.DataFrame): Set[(Long, Int, Double)] = {
+      val in = MemoryStream[SDoc]
+      val q = RetrievalStream.standingMatches(in.toDF(), stats)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(probeRows); q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3))).toSet
+      } finally q.stop() // the generation boundary: query retired
+    }
+    def batch(stats: org.apache.spark.sql.DataFrame): Set[(Long, Int, Double)] =
+      RetrievalStream.standingMatches(probeDf, stats).collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3))).toSet
+
+    // before the refresh: every emitted score is generation 1's
+    val gotV1 = run("refresh_v1", statsV1)
+    assert(gotV1 == batch(statsV1), "pre-refresh scores not under v1 stats")
+
+    // the refresh: crash-atomic append commits generation 2; the
+    // handshake is restart-with-recollected-stats (standingMatches
+    // freezes stats at construction BY DESIGN — a running query never
+    // drifts; the swap happens only at a query boundary)
+    RetrievalOps.appendInvertedIndex(delta, path)
+    assert(RetrievalOps.currentGeneration(path) == 2L)
+    val statsV2 = RetrievalOps.indexStats(spark, path)
+    val expectV2 = batch(statsV2)
+    assert(expectV2 != gotV1,
+      "append did not move any score — refresh check vacuous")
+
+    // after the restart: every emitted score is generation 2's,
+    // bit-identical to the batch projection under the new stats —
+    // the flip is exact at the boundary, no mixed-generation scoring
+    val gotV2 = run("refresh_v2", statsV2)
+    assert(gotV2 == expectV2, "post-refresh scores not under v2 stats")
+  }
+
   test("frozen-stats scores are bit-identical to q76's on the shared support") {
     val stats = frozenStats()
     val matched = RetrievalStream
