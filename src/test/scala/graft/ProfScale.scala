@@ -29,22 +29,30 @@ object ProfScale {
     val scaleDir = sys.env.getOrElse("PROF_SCALE_DIR", "/tmp/scale10")
     val replicas = sys.env.getOrElse("PROF_REPLICAS", "10").toInt
 
+    // PROF_RETRIEVAL_ONLY: synthesize only the PLAIN replicas and run
+    // only the retrieval block (q76/q77/q79) — the 100×-decade probe
+    // (VERDICT r11 #6): PROF_REPLICAS=100 takes the block to 500k docs
+    // the way the closure chain went in round 11.
+    val retrievalOnly = sys.env.contains("PROF_RETRIEVAL_ONLY")
+
     // --- synthesize the Nx corpus ---------------------------------
     val base = Tables.documents(spark, baseDir)
-    val union = (0 until replicas).map { r =>
-      if (r == 0) base
-      else base.select(
-        ($"doc_id" + lit(r.toLong * 10000000L)).as("doc_id"),
-        $"lang", $"source",
-        concat_ws(" ",
-          transform(split($"text", " "), t => concat(t, lit(s"~$r"))))
-          .as("text"),
-        $"n_chars")
-    }.reduce(_ unionByName _)
-    union.repartition(32).write.mode("overwrite")
-      .parquet(s"$scaleDir/documents.parquet")
-    println(s"[scale] corpus: ${Tables.documents(spark, scaleDir).count()} docs " +
-      s"($replicas x ${base.count()})")
+    if (!retrievalOnly) {
+      val union = (0 until replicas).map { r =>
+        if (r == 0) base
+        else base.select(
+          ($"doc_id" + lit(r.toLong * 10000000L)).as("doc_id"),
+          $"lang", $"source",
+          concat_ws(" ",
+            transform(split($"text", " "), t => concat(t, lit(s"~$r"))))
+            .as("text"),
+          $"n_chars")
+      }.reduce(_ unionByName _)
+      union.repartition(32).write.mode("overwrite")
+        .parquet(s"$scaleDir/documents.parquet")
+      println(s"[scale] corpus: ${Tables.documents(spark, scaleDir).count()} docs " +
+        s"($replicas x ${base.count()})")
+    }
 
     def time(name: String)(f: => Long): Double = {
       val t0 = System.nanoTime()
@@ -63,7 +71,8 @@ object ProfScale {
     val chainOnly = sys.env.contains("PROF_CHAIN_ONLY")
 
     // --- solo timings, base then Nx -------------------------------
-    if (!skipOld || chainOnly) Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
+    if ((!skipOld || chainOnly) && !retrievalOnly)
+      Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
       case (tag, dir) =>
         var nPairs = 0L
         time(s"q13 $tag") {
@@ -103,6 +112,7 @@ object ProfScale {
     // --- round-9 pipeline operators at the same scale step ----------
     // embeddings replicas for q54: same vectors under shifted ids, so
     // the quantizer stats are identical by construction — timing-valid
+    if (!retrievalOnly) {
     val embBase = Tables.embeddings(spark, baseDir)
     (0 until replicas).map { r =>
       if (r == 0) embBase
@@ -207,6 +217,7 @@ object ProfScale {
             .agg(bit_xor(xxhash64($"chunk_text")), sum($"n_toks")).collect(); 1L
         }
     }
+    } // !retrievalOnly
 
     // --- vocabulary-statistics invariants under exact duplication ----
     // The dedup-probe corpus suffixes replica tokens (so replicas share
@@ -228,6 +239,7 @@ object ProfScale {
       .repartition(32).write.mode("overwrite")
       .parquet(s"$plainDir/documents.parquet")
 
+    if (!retrievalOnly) {
     val hhBase = TextOps.withQ71HeavyHitters(spark, baseDir)(
       _.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
     time(s"q71 plain${replicas}x") {
@@ -257,6 +269,7 @@ object ProfScale {
     }
     println(s"[scale] q72 invariant held: ${pmiBase.size} pairs, counts " +
       s"x$replicas, pmi_e5nats bit-identical")
+    } // !retrievalOnly
 
     // --- round-11 retrieval block at the same scale step ------------
     // q76/q77 over plain replicas: no exact output invariant (BM25's
