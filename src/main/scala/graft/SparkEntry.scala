@@ -114,6 +114,8 @@ object SparkEntry {
     // no SQL re-derivation (driver records the rows-only check; the
     // spec pins per-probe arity and recall@10 vs brute force).
     "q84_trained_ann"      -> ((s, d) => SimilarityOps.q84TrainedAnnServe(s, d)),
+    "q85_passage_bm25"     -> (RetrievalOps.q85PassageBm25 _),
+    "q86_bpe_pairs"        -> ((s, d) => TextOps.q86BpePairs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -466,5 +468,14 @@ object SparkEntry {
     // persisted IVF-PQ index serves) as the dense leg, shared integer
     // fusion tail.
     "q83_hybrid_indexed" -> RetrievalOps.q83OracleSql(),
+
+    // Passage retrieval: q75's chunk oracle nested verbatim as the
+    // passage relation, the shared BM25 fragment under chunk-level
+    // stats, best-passage-per-doc then top-k-per-query windows.
+    "q85_passage_bm25" -> RetrievalOps.q85OracleSql(),
+
+    // BPE merge induction: same tokenizer, per-position character
+    // pairs over the word-frequency table, (n desc, left, right) order.
+    "q86_bpe_pairs" -> TextOps.q86OracleSql(),
   )
 }

@@ -626,4 +626,121 @@ object RetrievalOps {
         |  )
         |), $rrfTailSql""".stripMargin
   }
+
+  // ------------------------------------------------------------- q85
+
+  /** q85 — PASSAGE-level BM25 retrieval, the RAG serving shape: the
+    * retrieval UNIT is the q75 overlapping token-window chunk (what
+    * actually feeds a generator's context window), the RESULT unit is
+    * the document with its best passage as evidence — per query, each
+    * doc is represented by its highest-scoring chunk (one doc cannot
+    * flood the top-k with its own overlapping windows, the standard
+    * max-passage rule), then docs rank by that passage score.
+    *
+    * Composition, not new machinery: q75's chunker (verbatim — the
+    * spec-pinned lossless segmentation) feeds q76's scoring fragment
+    * ([[scoreSqlFragment]], shared with the oracle) under CHUNK-level
+    * statistics (df/avgdl over passages, not documents — the
+    * granularity a passage index actually stores; BM25's length
+    * normalization then compares a chunk against typical chunk
+    * length, which is the point of passage retrieval).
+    *
+    * Scale shape: chunking is q75's narrow generate (~n/stride
+    * fan-out, no shuffle); stats are one broadcast row; scoring is a
+    * per-chunk codegen'd projection with the bounded query-branch
+    * explode; then TWO rank exchanges — best-passage-per-(query, doc)
+    * and top-k-per-query — both `WindowGroupLimit`-cut below their
+    * shuffles, carrying any-hit chunk rows only (a vanishing fraction
+    * of the corpus for literal query terms). Chunk text itself never
+    * shuffles — only (qid, doc_id, chunk_idx, score) survives the
+    * projection. */
+  def q85PassageBm25(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = TextOps.chunkTokens(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+    val tk = TextOps.toks(col("chunk_text"))
+    val proj = chunks.select(
+      col("doc_id") +: col("chunk_idx") +:
+        size(tk).cast("long").as("dl") +:
+        AllTerms.map(t =>
+          size(filter(tk, x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
+    val aggs = sum(col("dl")).as("sumdl") +:
+      AllTerms.map(t =>
+        sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
+    val stats = proj.agg(count(lit(1)).as("n"), aggs: _*)
+    val branches = BmQueries.map { case (qid, terms) =>
+      struct(
+        lit(qid).as("qid"),
+        expr(scoreSqlFragment(terms)).as("score"),
+        terms.map(t => col(s"tf_$t") > 0).reduce(_ || _).as("hit"))
+    }
+    val bestPassage = Window.partitionBy(col("qid"), col("doc_id"))
+      .orderBy(col("score").desc, col("chunk_idx"))
+    val byQuery = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    proj.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("chunk_idx"),
+        explode(array(branches: _*)).as("q"))
+      .filter(col("q.hit"))
+      .select(col("q.qid").as("qid"), col("doc_id"), col("chunk_idx"),
+        round(col("q.score"), 6).as("score"))
+      .withColumn("pr", row_number().over(bestPassage))
+      .filter(col("pr") === 1).drop("pr")
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("doc_id"), col("chunk_idx"),
+        col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q85's oracle: q75's chunk oracle NESTED VERBATIM as the passage
+    * relation (segmentation cannot drift from the hash-verified q75),
+    * q76's tokenize/tf shape on `chunk_text`, the shared
+    * [[scoreSqlFragment]], and the same two-window
+    * best-passage-then-top-k rule. */
+  def q85OracleSql(): String = {
+    val tfCols = AllTerms.map(t =>
+      s"len(list_filter(tk, x -> x = '$t'))::BIGINT AS tf_$t")
+      .mkString(",\n|         ")
+    val dfCols = AllTerms.map(t =>
+      s"sum((tf_$t > 0)::INT)::BIGINT AS df_$t").mkString(", ")
+    val branches = BmQueries.map { case (qid, terms) =>
+      val hit = terms.map(t => s"tf_$t > 0").mkString(" OR ")
+      s"""|  SELECT $qid AS qid, doc_id, chunk_idx,
+          |         round(${scoreSqlFragment(terms)}, 6) AS score
+          |  FROM c, g WHERE $hit"""
+    }.mkString("\n|  UNION ALL\n")
+    s"""|WITH chunks AS (
+        |  SELECT doc_id, chunk_idx, chunk_text FROM (
+        |${q75OracleRef().linesIterator.map("    " + _).mkString("\n")}
+        |  )
+        |), tok AS (
+        |  SELECT doc_id, chunk_idx,
+        |         list_filter(string_split(lower(chunk_text), ' '), x -> len(x) > 0) AS tk
+        |  FROM chunks
+        |), c AS (
+        |  SELECT doc_id, chunk_idx, len(tk)::BIGINT AS dl,
+        |         $tfCols
+        |  FROM tok
+        |), g AS (
+        |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl, $dfCols
+        |  FROM c
+        |), cand AS (
+        $branches
+        |), best AS (
+        |  SELECT qid, doc_id, chunk_idx, score,
+        |         row_number() OVER (PARTITION BY qid, doc_id
+        |                            ORDER BY score DESC, chunk_idx) AS pr
+        |  FROM cand
+        |), ranked AS (
+        |  SELECT qid, doc_id, chunk_idx, score,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        |  FROM best WHERE pr = 1
+        |)
+        |SELECT qid, rank, doc_id, chunk_idx, score FROM ranked
+        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+  }
+
+  /** The q75 chunk oracle, delegated so q85's passage relation is the
+    * hash-verified segmentation by construction. */
+  private def q75OracleRef(): String = TextOps.q75OracleSql()
 }

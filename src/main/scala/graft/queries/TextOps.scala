@@ -1387,4 +1387,89 @@ object TextOps {
        |FROM mb JOIN cost USING (mx, my)
        |GROUP BY mb.doc_id
        |ORDER BY mb.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q86
+
+  /** Merge-table size for [[q86BpePairs]]. */
+  val BpeTopMerges = 20
+
+  /** q86 — BPE merge induction, step one: the highest-frequency
+    * adjacent CHARACTER pairs inside words, weighted by word
+    * frequency — exactly the statistic byte-pair-encoding's training
+    * loop greedily consumes (Sennrich et al. 2016: count symbol pairs
+    * over the word-frequency table, merge the argmax, repeat). A
+    * tokenizer-training pipeline runs this over the prepared corpus;
+    * the top-[[BpeTopMerges]] table IS its first merge candidates
+    * (every subsequent merge round is this same aggregate over a
+    * rewritten symbol table — the primitive is what matters;
+    * overlapping repeats count per occurrence, e.g. "aaa" ⇒ (a,a)×2).
+    *
+    * Scale shape — two aggregates, only ONE corpus-sized: the q04
+    * token-frequency exchange (fixed-width token keys; the standard
+    * shape every vocabulary pass pays), after which ALL pair work
+    * runs on the DISTINCT-token relation (vocabulary-sized, orders of
+    * magnitude under the corpus) with a per-token character fan-out
+    * and a ≤ alphabet²-key aggregate whose partial combine collapses
+    * it map-side. Corpus text is read once; nothing wider than
+    * (char, char, long) reaches the second exchange. */
+  def q86BpePairs(
+      spark: SparkSession, dir: String,
+      topMerges: Int = BpeTopMerges): DataFrame =
+    bpePairsFrom(Tables.documents(spark, dir), topMerges)
+
+  /** The induction core over any `(…, text)` frame — factored so the
+    * spec can pin the per-occurrence rule ("aaa" ⇒ (a,a)×2) on a
+    * synthetic frame the fixture's vocabulary happens not to cover. */
+  private[graft] def bpePairsFrom(
+      docs: DataFrame, topMerges: Int = BpeTopMerges): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tok_n"))
+    // single-char tokens carry no pair; guard BEFORE sequence(1, n-1)
+    // (Spark's sequence steps BACKWARD for start > stop — a 1-char
+    // token would yield [1, 0], not empty)
+    val chars = filter(split(col("token"), ""), c => length(c) > 0)
+    val pairs = vocab
+      .filter(length(col("token")) >= 2)
+      .select(col("tok_n"),
+        explode(transform(sequence(lit(1), size(chars) - 1), i =>
+          struct(element_at(chars, i).as("left"),
+            element_at(chars, i + 1).as("right")))).as("p"))
+      .groupBy(col("p.left").as("lhs"), col("p.right").as("rhs"))
+      .agg(sum(col("tok_n")).as("n"))
+    val byFreq = Window.orderBy(col("n").desc, col("lhs"), col("rhs"))
+    // the single-partition rank window is safe HERE and only here:
+    // its input is the ≤ alphabet²-row pair table, not a corpus
+    pairs
+      .withColumn("rank", row_number().over(byFreq))
+      .filter(col("rank") <= topMerges)
+      .select(col("rank"), col("lhs"), col("rhs"), col("n"))
+      .orderBy(col("rank"))
+  }
+
+  /** Ground truth for [[q86BpePairs]] — the same tokenizer, the same
+    * per-position character pairing (1-based slices), the same
+    * frequency weighting and (n desc, left, right) merge order. */
+  def q86OracleSql(topMerges: Int = BpeTopMerges): String =
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS token
+       |  FROM documents
+       |), vocab AS (
+       |  SELECT token, count(*) AS tok_n FROM tok GROUP BY token
+       |), pairs AS (
+       |  SELECT token[i:i] AS lhs, token[i+1:i+1] AS rhs, tok_n
+       |  FROM vocab,
+       |       LATERAL (SELECT unnest(generate_series(1, len(token) - 1)) AS i)
+       |  WHERE len(token) >= 2
+       |), agg AS (
+       |  SELECT lhs, rhs, CAST(sum(tok_n) AS BIGINT) AS n
+       |  FROM pairs GROUP BY lhs, rhs
+       |), ranked AS (
+       |  SELECT row_number() OVER (ORDER BY n DESC, lhs, rhs) AS rank,
+       |         lhs, rhs, n
+       |  FROM agg
+       |)
+       |SELECT rank, lhs, rhs, n FROM ranked
+       |WHERE rank <= $topMerges ORDER BY rank""".stripMargin
 }

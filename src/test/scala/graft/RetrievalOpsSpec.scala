@@ -218,6 +218,35 @@ class RetrievalOpsSpec extends SparkSuite {
       f"indexed dense leg moved the fused set too far: $agreement%.3f")
   }
 
+  test("q85 passage retrieval: one best passage per (query, doc); chunk text stays out of exchanges") {
+    val rows = RetrievalOps.q85PassageBm25(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // max-passage rule: a doc appears at most once per query
+    rows.groupBy(r => (r._1, r._3)).foreach { case (key, g) =>
+      assert(g.length == 1, s"doc listed twice for $key")
+    }
+    rows.groupBy(_._1).foreach { case (qid, qRows) =>
+      val byRank = qRows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to byRank.length).toSeq,
+        s"ranks not dense for query $qid")
+      val scores = byRank.map(_._5).toSeq
+      assert(scores == scores.sorted.reverse, s"scores not descending for $qid")
+    }
+    // non-vacuous best-passage selection: some winning passage is not
+    // the doc's first chunk (the rule actually chose between windows)
+    assert(rows.exists(_._4 > 0L),
+      "every winner is chunk 0 — best-passage selection vacuous on this fixture")
+    // chunk text never shuffles: exchanges carry only ids/scores
+    val plan = RetrievalOps.q85PassageBm25(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(chunk_text"),
+      s"chunk text reached an exchange:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"one-row chunk stats not broadcast:\n$plan")
+  }
+
   test("q78 == driver-side fusion of the two collected legs") {
     val sparse = RetrievalOps.q76Bm25TopK(spark, sf).collect()
       .map(r => ((r.getInt(0), r.getLong(2)), r.getInt(1))).toMap

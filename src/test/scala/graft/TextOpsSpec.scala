@@ -457,4 +457,35 @@ class TextOpsSpec extends SparkSuite {
       s"bigram LM diverges; got=${got.take(3)} expected=${expected.take(3)}")
     assert(got.forall(_._3 > 0), "cross-entropy must be positive")
   }
+
+  test("q86 == exact driver-side BPE pair recount; overlapping repeats counted") {
+    import spark.implicits._
+    val tokens = Tables.documents(spark, sf).select($"text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
+    val vocab = tokens.groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+    val pairCounts = vocab.toSeq.filter(_._1.length >= 2)
+      .flatMap { case (t, n) =>
+        t.toSeq.zip(t.toSeq.tail).map { case (a, b) => (a.toString, b.toString) -> n }
+      }
+      .groupBy(_._1).map { case (k, o) => k -> o.map(_._2).sum }
+    val expected = pairCounts.toSeq
+      .sortBy { case ((l, r), n) => (-n, l, r) }
+      .take(TextOps.BpeTopMerges)
+      .zipWithIndex
+      .map { case (((l, r), n), i) => (i + 1, l, r, n) }
+    val got = TextOps.q86BpePairs(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected,
+      s"BPE pairs diverge; got=${got.take(4)} expected=${expected.take(4)}")
+
+    // per-occurrence rule on a synthetic frame (the fixture vocabulary
+    // has no repeated adjacent pair): "aaa aaa ab" ⇒ (a,a) counted
+    // twice per "aaa" occurrence, weighted by the 2 occurrences
+    val tiny = Seq((1L, "aaa aaa ab")).toDF("doc_id", "text")
+    val pairs = TextOps.bpePairsFrom(tiny).collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(pairs(("a", "a")) == 4L,
+      s"per-occurrence counting broken: ${pairs.toSeq.sorted}")
+    assert(pairs(("a", "b")) == 1L)
+  }
 }
