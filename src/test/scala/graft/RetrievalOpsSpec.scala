@@ -245,6 +245,9 @@ class RetrievalOpsSpec extends SparkSuite {
       s"chunk text reached an exchange:\n$plan")
     assert(plan.contains("BroadcastExchange"),
       s"one-row chunk stats not broadcast:\n$plan")
+    // both rank cuts run partially below their exchanges
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing from the passage windows:\n$plan")
   }
 
   test("q78 == driver-side fusion of the two collected legs") {
