@@ -116,6 +116,7 @@ object SparkEntry {
     "q84_trained_ann"      -> ((s, d) => SimilarityOps.q84TrainedAnnServe(s, d)),
     "q85_passage_bm25"     -> (RetrievalOps.q85PassageBm25 _),
     "q86_bpe_pairs"        -> ((s, d) => TextOps.q86BpePairs(s, d)),
+    "q87_passage_indexed"  -> (RetrievalOps.q87PassageIndexed _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -475,7 +476,11 @@ object SparkEntry {
     "q85_passage_bm25" -> RetrievalOps.q85OracleSql(),
 
     // BPE merge induction: same tokenizer, per-position character
-    // pairs over the word-frequency table, (n desc, left, right) order.
+    // pairs over the word-frequency table, (n desc, lhs, rhs) order.
     "q86_bpe_pairs" -> TextOps.q86OracleSql(),
+
+    // Served from the persisted passage index; row-identical to q85
+    // by the shared scoring core, so the oracle is q85's verbatim.
+    "q87_passage_indexed" -> RetrievalOps.q87OracleSql(),
   )
 }

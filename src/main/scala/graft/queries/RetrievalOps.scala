@@ -338,17 +338,29 @@ object RetrievalOps {
     * (next-generation stats written) — both states must be invisible
     * to readers and repaired by the next append's purge. */
   private[graft] def appendStaged(
-      docs: DataFrame, path: String, crashAfterStage: Int): Unit = {
+      docs: DataFrame, path: String, crashAfterStage: Int): Unit =
+    appendGeneric(docs, path, postings, corpusTotals, crashAfterStage)
+
+  /** The generation-append protocol, shared by the document-level and
+    * passage-level indexes (one crash-atomicity implementation, two
+    * posting granularities): purge uncommitted debris, land delta
+    * postings and summed stats under gen G+1, flip the manifest
+    * last. */
+  private def appendGeneric(
+      docs: DataFrame, path: String,
+      postingsOf: DataFrame => DataFrame,
+      totalsOf: DataFrame => DataFrame,
+      crashAfterStage: Int): Unit = {
     val spark = docs.sparkSession
     val g = currentGeneration(path)
     purgeUncommitted(path, g) // a crashed predecessor's orphans
-    postings(docs).withColumn("gen", lit(g + 1))
+    postingsOf(docs).withColumn("gen", lit(g + 1))
       .write.partitionBy("gen", "bucket").mode("append").parquet(path)
     if (crashAfterStage <= 1) return
     val old = spark.read.parquet(s"$path/_stats")
       .filter(col("gen") === g).select(col("n"), col("sumdl"))
       .collect().head
-    val delta = corpusTotals(docs).collect().head
+    val delta = totalsOf(docs).collect().head
     import spark.implicits._
     Seq((old.getLong(0) + delta.getLong(0),
       old.getLong(1) + delta.getLong(1)))
@@ -655,18 +667,35 @@ object RetrievalOps {
     * shuffles — only (qid, doc_id, chunk_idx, score) survives the
     * projection. */
   def q85PassageBm25(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = TextOps.chunkTokens(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
-    val tk = TextOps.toks(col("chunk_text"))
-    val proj = chunks.select(
-      col("doc_id") +: col("chunk_idx") +:
-        size(tk).cast("long").as("dl") +:
-        AllTerms.map(t =>
-          size(filter(tk, x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
+    val proj = chunkTermProjection(Tables.documents(spark, dir))
     val aggs = sum(col("dl")).as("sumdl") +:
       AllTerms.map(t =>
         sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
     val stats = proj.agg(count(lit(1)).as("n"), aggs: _*)
+    passageScoreAndRank(proj, stats)
+  }
+
+  /** Per-chunk projection `(doc_id, chunk_idx, dl, tf_<term>…)` —
+    * [[docTermProjection]]'s shape at passage granularity, over q75's
+    * spec-pinned chunker. */
+  private def chunkTermProjection(docs: DataFrame): DataFrame = {
+    val chunks = TextOps.chunkTokens(docs)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+    val tk = TextOps.toks(col("chunk_text"))
+    chunks.select(
+      col("doc_id") +: col("chunk_idx") +:
+        size(tk).cast("long").as("dl") +:
+        AllTerms.map(t =>
+          size(filter(tk, x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
+  }
+
+  /** Score and rank at passage granularity — [[scoreAndRank]]'s twin
+    * for `(doc_id, chunk_idx, dl, tf_*)` relations, shared by q85
+    * (projection computed in-scan) and q87 (reassembled from the
+    * persisted passage postings), so the served path CANNOT drift
+    * from the direct one — the q77-inherits-q76 construction. */
+  private[graft] def passageScoreAndRank(
+      perChunk: DataFrame, stats: DataFrame): DataFrame = {
     val branches = BmQueries.map { case (qid, terms) =>
       struct(
         lit(qid).as("qid"),
@@ -677,7 +706,7 @@ object RetrievalOps {
       .orderBy(col("score").desc, col("chunk_idx"))
     val byQuery = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id"))
-    proj.crossJoin(broadcast(stats))
+    perChunk.crossJoin(broadcast(stats))
       .select(col("doc_id"), col("chunk_idx"),
         explode(array(branches: _*)).as("q"))
       .filter(col("q.hit"))
@@ -743,4 +772,92 @@ object RetrievalOps {
   /** The q75 chunk oracle, delegated so q85's passage relation is the
     * hash-verified segmentation by construction. */
   private def q75OracleRef(): String = TextOps.q75OracleSql()
+
+  // ------------------------------------------------------------- q87
+
+  /** Build the persisted PASSAGE index — [[writeInvertedIndex]]'s
+    * layout at chunk granularity: postings `(token, doc_id, chunk_idx,
+    * dl, tf)` under the same `(gen, bucket)` crash-atomic partition
+    * scheme and `_GENERATION` manifest (ONE protocol implementation
+    * for both index families), with chunk length riding the posting
+    * row and chunk-level `(n, sumdl)` totals in `_stats`. This is
+    * what a RAG deployment actually persists: q85 scans and re-chunks
+    * the corpus per query; the index pays chunking + the (token,
+    * chunk) aggregate ONCE per build and serving reads ~|terms|
+    * buckets of fixed-width rows — chunk text is not even STORED,
+    * serving never touches it (the evidence passage is re-derivable
+    * from (doc_id, chunk_idx) against the corpus when a caller needs
+    * the text itself). */
+  def writePassageIndex(docs: DataFrame, path: String): Unit = {
+    chunkPostings(docs).withColumn("gen", lit(1L))
+      .write.partitionBy("gen", "bucket").mode("overwrite").parquet(path)
+    chunkTotals(docs).withColumn("gen", lit(1L))
+      .write.partitionBy("gen").mode("overwrite").parquet(s"$path/_stats")
+    commitGeneration(path, 1L)
+  }
+
+  /** Append a delta corpus's chunks to a persisted passage index —
+    * the same crash-atomic generation protocol as
+    * [[appendInvertedIndex]] (shared implementation). Caller owns
+    * id-disjointness. */
+  def appendPassageIndex(docs: DataFrame, path: String): Unit =
+    appendGeneric(docs, path, chunkPostings, chunkTotals,
+      crashAfterStage = Int.MaxValue)
+
+  /** The bucketed passage posting rows — ONE definition for build and
+    * append. */
+  private def chunkPostings(docs: DataFrame): DataFrame = {
+    val chunks = TextOps.chunkTokens(docs)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+    val tk = TextOps.toks(col("chunk_text"))
+    chunks
+      .select(col("doc_id"), col("chunk_idx"),
+        size(tk).cast("long").as("dl"), explode(tk).as("token"))
+      .groupBy(col("token"), col("doc_id"), col("chunk_idx"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("token")), lit(IndexBuckets)))
+  }
+
+  /** One-row `(n, sumdl)` CHUNK totals — n counts passages, sumdl
+    * sums passage lengths (the granularity the BM25 length
+    * normalization runs at for passage retrieval). */
+  private def chunkTotals(docs: DataFrame): DataFrame = {
+    val tk = TextOps.toks(col("chunk_text"))
+    TextOps.chunkTokens(docs)
+      .select(size(tk).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+  }
+
+  /** Serve passage BM25 from the persisted index: the [[bm25SearchIndex]]
+    * mechanics — gen-scoped bucket-pruned postings scan, conditional
+    * tf reassembly, df derived from the pruned postings — keyed by
+    * (doc_id, chunk_idx), scored through the SHARED
+    * [[passageScoreAndRank]]: row-identical to q85 on the same corpus
+    * by construction. */
+  def passageSearchIndex(spark: SparkSession, path: String): DataFrame = {
+    val pruned = prunedPostings(spark, path)
+    val perChunk = pruned
+      .groupBy(col("doc_id"), col("chunk_idx"), col("dl"))
+      .agg(
+        sum(when(col("token") === AllTerms.head, col("tf")).otherwise(0L))
+          .as(s"tf_${AllTerms.head}"),
+        AllTerms.tail.map(t =>
+          sum(when(col("token") === t, col("tf")).otherwise(0L))
+            .as(s"tf_$t")): _*)
+    passageScoreAndRank(perChunk, indexStats(spark, path))
+  }
+
+  /** q87 — q85's passage retrieval served from the on-disk passage
+    * index (the q77-for-q76 pattern at chunk granularity): build into
+    * a scratch dir, serve pruned. Oracle-identical to q85 by the
+    * shared scoring core. Rebuilt per call at fixture scale; a
+    * deployment builds once per compact generation and serves many. */
+  def q87PassageIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val path = SimilarityOps.tempIndexDir("graft-passage-index")
+    writePassageIndex(Tables.documents(spark, dir), path)
+    passageSearchIndex(spark, path)
+  }
+
+  /** q87's oracle IS q85's (row-identical serving path). */
+  def q87OracleSql(): String = q85OracleSql()
 }

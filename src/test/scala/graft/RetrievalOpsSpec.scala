@@ -250,6 +250,40 @@ class RetrievalOpsSpec extends SparkSuite {
       s"rank-limit pushdown missing from the passage windows:\n$plan")
   }
 
+  test("q87 (persisted passage index) is row-identical to q85; append == rebuild; scan pruned, no text stored") {
+    val docs = Tables.documents(spark, sf)
+    val direct = RetrievalOps.q85PassageBm25(spark, sf).collect().toSeq
+    val served = RetrievalOps.q87PassageIndexed(spark, sf).collect().toSeq
+    assert(served == direct, "passage serving diverged from the direct q85")
+
+    // append == rebuild under the shared generation protocol
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+    val appended = java.nio.file.Files
+      .createTempDirectory("graft-passage-append").toString
+    RetrievalOps.writePassageIndex(base, appended)
+    RetrievalOps.appendPassageIndex(delta, appended)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-passage-rebuild").toString
+    RetrievalOps.writePassageIndex(docs, rebuilt)
+    assert(RetrievalOps.currentGeneration(appended) == 2L)
+    assert(
+      RetrievalOps.passageSearchIndex(spark, appended).collect().toSeq ==
+        RetrievalOps.passageSearchIndex(spark, rebuilt).collect().toSeq,
+      "passage append diverged from rebuild")
+
+    // serving prunes on (gen, bucket); the index stores NO text at all
+    val plan = RetrievalOps.passageSearchIndex(spark, rebuilt)
+      .queryExecution.executedPlan.toString
+    val scanLines = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(scanLines.exists(l => l.contains("bucket") && l.contains("gen")),
+      s"passage postings scan not pruned on (gen, bucket):\n$plan")
+    val stored = spark.read.parquet(rebuilt).columns.toSet
+    assert(!stored.exists(c => c.contains("text")),
+      s"passage index stores text: $stored")
+  }
+
   test("q78 == driver-side fusion of the two collected legs") {
     val sparse = RetrievalOps.q76Bm25TopK(spark, sf).collect()
       .map(r => ((r.getInt(0), r.getLong(2)), r.getInt(1))).toMap
