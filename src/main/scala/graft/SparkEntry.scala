@@ -117,6 +117,8 @@ object SparkEntry {
     "q85_passage_bm25"     -> (RetrievalOps.q85PassageBm25 _),
     "q86_bpe_pairs"        -> ((s, d) => TextOps.q86BpePairs(s, d)),
     "q87_passage_indexed"  -> (RetrievalOps.q87PassageIndexed _),
+    "q88_semdedup"         -> ((s, d) => SimilarityOps.q88SemDedup(s, d)),
+    "q89_bpe_encode"       -> ((s, d) => TextOps.q89BpeEncode(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -482,5 +484,14 @@ object SparkEntry {
     // Served from the persisted passage index; row-identical to q85
     // by the shared scoring core, so the oracle is q85's verbatim.
     "q87_passage_indexed" -> RetrievalOps.q87OracleSql(),
+
+    // SemDeDup: q28's centroid constants and argmax assignment, in-cell
+    // pairing with the q37 rounding, greedy keep-lowest-id rule.
+    "q88_semdedup" -> SimilarityOps.q88OracleSql(),
+
+    // BPE encode: same tokenizer, wrapper representation, literal merge
+    // chain, and paren-count arithmetic (replace is leftmost
+    // non-overlapping in both engines).
+    "q89_bpe_encode" -> TextOps.q89OracleSql(),
   )
 }

@@ -2103,4 +2103,90 @@ object SimilarityOps {
        |SELECT anchor_id, role, rank, vec_id, sim
        |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
        |ORDER BY anchor_id, role, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+
+  /** q88 — SemDeDup: cluster-then-prune semantic deduplication (Abbas
+    * et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"). Every vector is assigned to its
+    * k-means cell by the SAME coarse quantizer the ANN stack uses
+    * ([[assignCells]]); within each cell, a vector is PRUNED iff some
+    * lower-id cell-mate sits at cosine ≥ threshold — the greedy
+    * keep-first rule, decided in one pass with no iteration. Output is
+    * the per-vector decision artifact `(vec_id, cell, kept)` a curation
+    * pipeline joins against the corpus — not a pair listing.
+    *
+    * Relation to the other dedup flavors: q37 lists sign-LSH-blocked
+    * near-dup PAIRS, q43 builds exact transitive families; q88 is the
+    * embedding-space KEEP/DROP decision under k-means blocking — the
+    * shape that curates multimodal corpora where no text shingles
+    * exist. Blocking by the quantizer means recall is bounded by cell
+    * agreement (near-dups straddling a cell boundary are missed), the
+    * paper's own trade: nlist controls the candidate volume.
+    *
+    * Scale shape: assignment is a narrow projection of `nlist`
+    * codegen'd dot products; ONE shuffle on the int cell key; within-
+    * cell pairs are SemDeDup's intrinsic O(Σ|cell|²) — nlist grows
+    * ~√n so cells stay bounded, and a production run feeds
+    * [[trainCentroids]]' k-means output through the same plan (the
+    * fixed LCG centroids here keep the DuckDB oracle exact, the q28
+    * convention). The pruned set is a distinct over 8-byte ids; the
+    * final decision join is id-keyed. Embeddings never leave their
+    * cell's partition. */
+  def q88SemDedup(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = NeardupCosine): DataFrame =
+    semDedup(Tables.embeddings(spark, dir),
+      (0 until NumCells).map(c => (0 until Dim).map(centroidComponent(c, _))),
+      threshold)
+
+  /** Frame-level core of [[q88SemDedup]] over any `(vec_id, embedding)`
+    * frame and ANY centroid set — feed [[trainCentroids]]' output for
+    * the deployment (trained-quantizer) path, same plan shape. */
+  def semDedup(
+      emb: DataFrame,
+      centroids: Seq[Seq[Double]],
+      threshold: Double): DataFrame = {
+    import emb.sparkSession.implicits._
+    val assigned = assignCells(emb, centroids)
+      .select($"vec_id", $"cell", $"embedding")
+    val a = assigned.select($"cell", $"vec_id".as("vec_a"), $"embedding".as("e_a"))
+    val b = assigned.select($"cell", $"vec_id".as("vec_b"), $"embedding".as("e_b"))
+    val pruned = a.join(b, "cell")
+      .filter($"vec_a" < $"vec_b")
+      .filter(round(PipelineOps.cosine($"e_a", $"e_b"), 6) >= threshold)
+      .select($"vec_b".as("vec_id")).distinct()
+      .withColumn("pr", lit(0))
+    assigned.join(pruned, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell", coalesce($"pr", lit(1)).as("kept"))
+      .orderBy($"vec_id")
+  }
+
+  /** DuckDB oracle for [[q88SemDedup]] — identical centroid constants,
+    * argmax assignment, in-cell pairing, rounding, and keep rule. */
+  def q88OracleSql(threshold: Double = NeardupCosine): String = {
+    val dotsList = (0 until NumCells)
+      .map(c => s"list_dot_product(e, ${centroidSql(c)})")
+      .mkString("[\n           ", ",\n           ", "]")
+    s"""WITH b0 AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |), d0 AS (
+       |  SELECT vec_id, e,
+       |         $dotsList AS dots
+       |  FROM b0
+       |), a AS (
+       |  SELECT vec_id, e,
+       |         list_position(dots, list_aggregate(dots, 'max')) - 1 AS cell
+       |  FROM d0
+       |), pr AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE round(list_dot_product(x.e, y.e) /
+       |              (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) >= $threshold
+       |)
+       |SELECT a.vec_id, a.cell, CASE WHEN pr.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+       |FROM a LEFT JOIN pr ON a.vec_id = pr.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
 }

@@ -1472,4 +1472,101 @@ object TextOps {
        |)
        |SELECT rank, lhs, rhs, n FROM ranked
        |WHERE rank <= $topMerges ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------- q89
+
+  /** The fixed merge table [[q89BpeEncode]] applies, in priority
+    * order — the artifact a q86-style training loop emits after
+    * iterating (each merge's operands may themselves be merge
+    * OUTPUTS: (th,e), (d,at), (w,in) are second-level). Literal
+    * constants for the oracle, the q76 literal-query-terms precedent:
+    * a deployment swaps in its trained table, identical plan. */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "t"), ("s", "t"),
+    ("st", "r"), ("e", "r"), ("o", "w"), ("d", "at"), ("b", "at"),
+    ("w", "in"), ("a", "n"))
+
+  /** One word BPE-encoded under `merges`: every character wrapped as
+    * `(c)`, then each merge applied as a literal string replace of
+    * `(l)(r)` → `(lr)` in priority order. A single left-to-right
+    * non-overlapping replace pass IS the reference BPE apply rule
+    * (Sennrich's encoder does exactly one regex sub per merge): in
+    * `(a)(b)(a)(b)` the two `(a)(b)` matches share no characters, so
+    * both merge — unlike a space-delimited encoding, where the shared
+    * separator makes global replace skip every second occurrence. The
+    * wrappers also make cross-symbol false matches impossible:
+    * `(t)(h)` cannot match inside `(at)(h)`. */
+  private[graft] def encodedWord(
+      t: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(regexp_replace(t, "(.)", "($1)")) {
+      case (s, (l, r)) => replace(s, lit(s"($l)($r)"), lit(s"($l$r)"))
+    }
+
+  /** q89 — BPE encoding applied: per-document token counts under the
+    * [[BpeMerges]] merge table, the statistic every training-data
+    * pipeline budgets by (sequence packing, mixture rates, and cost
+    * estimates all consume tokens, not words or characters). Closes
+    * the tokenizer loop q86 opened: q86 INDUCES merge candidates from
+    * corpus statistics; q89 APPLIES a merge table to encode. Output
+    * `(doc_id, n_words, n_chars, n_tokens)` — chars-per-token
+    * compression is derivable, and since every merge application
+    * reduces the symbol count by exactly one, `n_chars − n_tokens` is
+    * the per-doc merge-application count.
+    *
+    * Scale shape: a pure per-row projection — the merge chain is
+    * `|merges|` codegen'd literal string replaces inside a `transform`
+    * over the token array, summed by `aggregate` WITHOUT any explode;
+    * no shuffle anywhere (the trailing orderBy is presentation). At
+    * 100 TB this is map-only work that scales with input bytes; a
+    * 50k-merge production table would move the encode into one
+    * mapPartitions pass with a trie, same per-row contract. */
+  def q89BpeEncode(
+      spark: SparkSession, dir: String,
+      merges: Seq[(String, String)] = BpeMerges): DataFrame =
+    bpeEncodeCounts(Tables.documents(spark, dir), merges)
+
+  /** Frame-level core of [[q89BpeEncode]] over any `(doc_id, text)`
+    * frame. */
+  private[graft] def bpeEncodeCounts(
+      docs: DataFrame,
+      merges: Seq[(String, String)] = BpeMerges): DataFrame = {
+    val nTok = (t: Column) => {
+      val enc = encodedWord(t, merges)
+      (length(enc) - length(replace(enc, lit("(")))).cast("long")
+    }
+    docs
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), _ + _).as("n_chars"),
+        aggregate(transform(col("toks"), nTok), lit(0L), _ + _)
+          .as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Ground truth for [[q89BpeEncode]] — the same tokenizer, wrapper
+    * representation, literal merge chain, and paren-count token
+    * arithmetic (both engines' `replace` is leftmost non-overlapping
+    * over all occurrences). */
+  def q89OracleSql(merges: Seq[(String, String)] = BpeMerges): String = {
+    val chain = merges.foldLeft("regexp_replace(w, '(.)', '(\\1)', 'g')") {
+      case (s, (l, r)) => s"replace($s, '($l)($r)', '($l$r)')"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+       |  FROM documents
+       |), e AS (
+       |  SELECT doc_id, toks,
+       |         list_transform(toks, w -> $chain) AS enc
+       |  FROM t
+       |)
+       |SELECT doc_id,
+       |       CAST(len(toks) AS BIGINT) AS n_words,
+       |       CAST(coalesce(list_sum(list_transform(toks, w -> len(w))), 0) AS BIGINT) AS n_chars,
+       |       CAST(coalesce(list_sum(list_transform(enc,
+       |              s -> len(s) - len(replace(s, '(', '')))), 0) AS BIGINT) AS n_tokens
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
 }

@@ -210,6 +210,42 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("q89: pure per-row projection — no join, no aggregate, no hash exchange") {
+    val df = TextOps.q89BpeEncode(spark, sf)
+    df.collect() // settle AQE
+    val p = df.queryExecution.executedPlan.toString
+    // the encode is map-only work that scales with input bytes: the only
+    // exchange allowed is the presentation orderBy's range partitioning
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"q89 grew a join/aggregate:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q89 grew a hash shuffle:\n$p")
+    val scans = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("documents")).toList
+    assert(scans.nonEmpty, s"no documents scan:\n$p")
+    scans.foreach { l =>
+      assert(l.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"q89 scan reads extra columns:\n$l")
+    }
+  }
+
+  test("q88: in-cell pairing only — keyed exchanges ride cell/vec_id, kernel codegen'd") {
+    val df = SimilarityOps.q88SemDedup(spark, sf)
+    df.collect() // settle AQE
+    val p = df.queryExecution.executedPlan.toString
+    // SemDeDup's contract: candidates are CELL-blocked (never all-pairs),
+    // and the decision join is id-keyed — so every hash exchange must
+    // ride the int cell key or the 8-byte vec_id, never an embedding
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q88 degenerated to all-pairs:\n$p")
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(l.contains("cell") || l.contains("vec_id"),
+        s"q88 exchange keyed off-contract:\n$l")
+    }
+    assert(p.contains("dot_product"),
+      s"q88 cosine not the codegen'd kernel:\n$p")
+  }
+
   test("q06 flagship: rank-limit pushes a partial WindowGroupLimit below the exchange") {
     val p = plan(ReferenceOps.q06SlidingTopN(spark, sf))
     assert(p.contains("WindowGroupLimit"), s"no rank-limit pushdown:\n$p")

@@ -1210,4 +1210,74 @@ class SimilarityOpsSpec extends SparkSuite {
       assert(got.count(r => r._1 == a && r._2 == "neg") == 10)
     }
   }
+
+  test("q88 == exact driver-side SemDeDup (cells, pairing, greedy keep rule)") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = (0 until SimilarityOps.NumCells)
+      .map(c => (0 until SimilarityOps.Dim)
+        .map(SimilarityOps.centroidComponent(c, _)).toArray)
+    def cell(v: Array[Double]): Int = {
+      val dots = cents.map(dot(v, _))
+      dots.indexOf(dots.max) // first-max, the assignCells rule
+    }
+    val assigned = vecs.map { case (id, v) => (id, cell(v), v) }
+    val expected = assigned.map { case (id, c, v) =>
+      val pruned = assigned.exists { case (id2, c2, v2) =>
+        c2 == c && id2 < id && cos(v2, v) >= SimilarityOps.NeardupCosine
+      }
+      (id, c, if (pruned) 0 else 1)
+    }.toSeq
+    val got = SimilarityOps.q88SemDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got == expected,
+      s"SemDeDup diverges; got=${got.take(5)} expected=${expected.take(5)}")
+    // non-vacuous both ways: something pruned, most kept
+    assert(got.exists(_._3 == 0), "fixture should prune at least one vector")
+    assert(got.count(_._3 == 1) > got.length / 2)
+  }
+
+  test("semDedup over trained centroids: same rule, per-vector decision verified") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val trained = SimilarityOps.trainCentroids(emb, iters = 2)
+    val got = SimilarityOps.semDedup(emb, trained, SimilarityOps.NeardupCosine)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got.map(_._1) == got.map(_._1).sorted && got.length == 500)
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // verify the keep rule against the OPERATOR's own cells (so the
+    // check holds for any centroid set): pruned iff a lower-id
+    // cell-mate clears the threshold
+    val byId = got.map(r => r._1 -> r).toMap
+    got.foreach { case (id, c, kept) =>
+      val hasEarlier = got.exists { case (id2, c2, _) =>
+        c2 == c && id2 < id &&
+          cos(vecs(id2), vecs(id)) >= SimilarityOps.NeardupCosine
+      }
+      assert(kept == (if (hasEarlier) 0 else 1),
+        s"trained-path keep rule broken at vec $id (cell $c)")
+    }
+    assert(byId.size == 500)
+  }
 }

@@ -488,4 +488,56 @@ class TextOpsSpec extends SparkSuite {
       s"per-occurrence counting broken: ${pairs.toSeq.sorted}")
     assert(pairs(("a", "b")) == 1L)
   }
+
+  test("q89 == exact driver-side BPE encode recount; merges fire") {
+    def encCount(w: String): Long = {
+      var s = w.map(c => s"($c)").mkString
+      TextOps.BpeMerges.foreach { case (l, r) =>
+        s = s.replace(s"($l)($r)", s"($l$r)")
+      }
+      s.count(_ == '(').toLong
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val expected = docs.map { case (id, text) =>
+      val ws = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      (id, ws.length.toLong, ws.map(_.length.toLong).sum,
+        ws.map(encCount).sum)
+    }.toSeq
+    val got = TextOps.q89BpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected,
+      s"BPE encode diverges; got=${got.take(3)} expected=${expected.take(3)}")
+    // merges actually fire on the fixture: tokens strictly under chars
+    assert(got.map(_._4).sum < got.map(_._3).sum)
+    // every token count is at least ceil(chars/longest-merged-symbol)
+    assert(got.forall(r => r._4 >= r._2), "a word never encodes below 1 token")
+  }
+
+  test("q89 merge semantics: non-overlapping repeats, multi-level merges, empty doc") {
+    import spark.implicits._
+    // leftmost non-overlapping: "abab" under merge (a,b) -> (ab)(ab) = 2
+    val tiny = Seq((1L, "abab"), (2L, ""), (3L, "the")).toDF("doc_id", "text")
+    val gotAb = TextOps.bpeEncodeCounts(tiny, Seq(("a", "b"))).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(gotAb(1L) == ((1L, 4L, 2L)),
+      s"overlap rule broken: ${gotAb(1L)} (both (a)(b) occurrences must merge)")
+    assert(gotAb(2L) == ((0L, 0L, 0L)), "empty doc must count zeroes")
+    // the full table's chained merges: t,h -> th; th,e -> the = 1 token
+    val gotFull = TextOps.bpeEncodeCounts(tiny).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(gotFull(3L) == 1L,
+      s"multi-level merge broken: 'the' encoded to ${gotFull(3L)} tokens")
+    // cross-symbol false match must NOT fire: with merges (a,t) then
+    // (t,h), "ath" becomes (at)(h) and the (t)(h) merge cannot apply
+    // inside (at)(h)
+    val cross = Seq((1L, "ath")).toDF("doc_id", "text")
+    val gotCross = TextOps.bpeEncodeCounts(
+      cross, Seq(("a", "t"), ("t", "h"))).collect()
+    assert(gotCross.head.getLong(3) == 2L,
+      "wrapper representation must prevent cross-symbol merges")
+  }
 }
