@@ -230,12 +230,14 @@ object RetrievalOps {
     *
     * `gen` is the CRASH-ATOMICITY key (the `_GENERATION` manifest
     * pattern [[graft.streaming.CorpusStream.compact]] established):
-    * readers take the committed generation G from the `path/
-    * _GENERATION` manifest and scan postings `gen <= G` with stats
-    * `gen = G`, so an [[appendInvertedIndex]] that crashed before its
-    * manifest flip is NEVER observable — its orphaned `gen = G+1`
-    * files are invisible to every reader and purged by the retry.
-    * The manifest itself flips by atomic rename (one tiny file).
+    * readers take the committed window `[lo, hi]` from the `path/
+    * _GENERATION` manifest and scan postings `lo <= gen <= hi` with
+    * stats `gen = hi`, so an [[appendInvertedIndex]] that crashed
+    * before its manifest flip is NEVER observable — its orphaned
+    * `gen = hi+1` files are invisible to every reader and purged by
+    * the retry — and a committed [[compactIndex]] hides the
+    * generations it replaced the same way. The manifest itself flips
+    * by atomic rename (one tiny file).
     *
     * Build cost: one corpus scan + one (token, doc) aggregate — the
     * exchange carries fixed-width rows keyed by the token, text never
@@ -247,38 +249,57 @@ object RetrievalOps {
       .write.partitionBy("gen", "bucket").mode("overwrite").parquet(path)
     corpusTotals(docs).withColumn("gen", lit(1L))
       .write.partitionBy("gen").mode("overwrite").parquet(s"$path/_stats")
-    commitGeneration(path, 1L)
+    commitGeneration(path, 1L, 1L)
   }
 
-  /** The committed generation of a persisted index — what every
-    * reader scopes its scan to. Absent manifest = the index was never
-    * fully built (or predates the generation scheme): refuse loudly
-    * rather than serve torn state. */
-  def currentGeneration(path: String): Long = {
+  /** The committed generation WINDOW `[lo, hi]` of a persisted index —
+    * what every reader scopes its scan to. Appends extend `hi`;
+    * [[compactIndex]] rewrites the window into one fresh generation
+    * and moves `lo` up to it, which is how a compacted snapshot
+    * atomically HIDES the generations it replaced (readers never
+    * subtract — they just stop listing the old partitions). A
+    * single-number manifest (the pre-compaction format) is read as
+    * `[1, n]`. Absent manifest = the index was never fully built:
+    * refuse loudly rather than serve torn state. */
+  def generationWindow(path: String): (Long, Long) = {
     val p = java.nio.file.Paths.get(path, "_GENERATION")
     require(java.nio.file.Files.exists(p),
       s"no _GENERATION manifest at $path — index incomplete or never " +
         "committed (writeInvertedIndex finishes by committing gen 1)")
-    new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong
+    val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .trim.split("\\s+")
+    raw match {
+      case Array(hi)     => (1L, hi.toLong)
+      case Array(lo, hi) => (lo.toLong, hi.toLong)
+      case _ => sys.error(s"malformed _GENERATION manifest at $path: " +
+        raw.mkString(" "))
+    }
   }
 
+  /** The newest committed generation (the window's `hi`) — the
+    * generation whose cumulative `_stats` row is current. */
+  def currentGeneration(path: String): Long = generationWindow(path)._2
+
   /** Atomically flip the manifest: write `_GENERATION.tmp`, rename
-    * over `_GENERATION`. The rename is the ONLY point an append
-    * becomes visible — everything before it is invisible to readers
-    * (gen-scoped scans) and idempotently purged by a retry. */
-  private def commitGeneration(path: String, gen: Long): Unit = {
+    * over `_GENERATION`. The rename is the ONLY point an append or a
+    * compaction becomes visible — everything before it is invisible to
+    * readers (window-scoped scans) and idempotently purged by a
+    * retry. */
+  private def commitGeneration(path: String, lo: Long, hi: Long): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Paths.get(path, "_GENERATION.tmp")
-    Files.write(tmp, gen.toString.getBytes("UTF-8"))
+    Files.write(tmp, s"$lo $hi".getBytes("UTF-8"))
     Files.move(tmp, Paths.get(path, "_GENERATION"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Delete any `gen=N` partition directories above the committed
-    * generation (postings and stats) — the debris of an append that
-    * crashed before its manifest flip. Run at the start of every
-    * append so a retry starts clean instead of double-appending. */
-  private def purgeUncommitted(path: String, committed: Long): Unit = {
+  /** Delete any `gen=N` partition directories OUTSIDE the committed
+    * window (postings and stats): above `hi` is the debris of an
+    * append or compaction that crashed before its manifest flip;
+    * below `lo` is the pre-compaction history a committed compaction
+    * replaced. Run at the start of every append/compaction so a retry
+    * starts clean instead of double-appending. */
+  private def purgeOutside(path: String, lo: Long, hi: Long): Unit = {
     import java.nio.file.{Files, Paths, Path}
     def rmTree(p: Path): Unit = {
       if (Files.isDirectory(p)) {
@@ -291,8 +312,10 @@ object RetrievalOps {
       val s = Files.list(root)
       try s.forEach { p =>
         val name = p.getFileName.toString
-        if (name.startsWith("gen=") &&
-          name.stripPrefix("gen=").toLong > committed) rmTree(p)
+        if (name.startsWith("gen=")) {
+          val g = name.stripPrefix("gen=").toLong
+          if (g > hi || g < lo) rmTree(p)
+        }
       } finally s.close()
     }
     purge(Paths.get(path))
@@ -352,22 +375,73 @@ object RetrievalOps {
       totalsOf: DataFrame => DataFrame,
       crashAfterStage: Int): Unit = {
     val spark = docs.sparkSession
-    val g = currentGeneration(path)
-    purgeUncommitted(path, g) // a crashed predecessor's orphans
-    postingsOf(docs).withColumn("gen", lit(g + 1))
+    val (lo, hi) = generationWindow(path)
+    purgeOutside(path, lo, hi) // a crashed predecessor's orphans
+    postingsOf(docs).withColumn("gen", lit(hi + 1))
       .write.partitionBy("gen", "bucket").mode("append").parquet(path)
     if (crashAfterStage <= 1) return
     val old = spark.read.parquet(s"$path/_stats")
-      .filter(col("gen") === g).select(col("n"), col("sumdl"))
+      .filter(col("gen") === hi).select(col("n"), col("sumdl"))
       .collect().head
     val delta = totalsOf(docs).collect().head
     import spark.implicits._
     Seq((old.getLong(0) + delta.getLong(0),
       old.getLong(1) + delta.getLong(1)))
-      .toDF("n", "sumdl").withColumn("gen", lit(g + 1))
+      .toDF("n", "sumdl").withColumn("gen", lit(hi + 1))
       .write.partitionBy("gen").mode("append").parquet(s"$path/_stats")
     if (crashAfterStage <= 2) return
-    commitGeneration(path, g + 1)
+    commitGeneration(path, lo, hi + 1)
+  }
+
+  /** Compact a persisted (document- or passage-level) index: rewrite
+    * every committed generation's postings into ONE fresh generation
+    * and shrink the window to it — the maintenance op a daily-append
+    * deployment runs so a year of crawls doesn't mean 365 parquet
+    * files per bucket on every serving scan. Content-agnostic (rows
+    * pass through unchanged, whatever the posting schema), so one
+    * implementation serves both index families.
+    *
+    * Crash-atomic under the SAME manifest protocol as appends: the
+    * snapshot lands at `hi+1` (invisible — readers scope to the
+    * committed window), the `hi` stats row is carried over verbatim
+    * (compaction changes layout, never totals), and the atomic
+    * manifest flip to `[hi+1, hi+1]` simultaneously reveals the
+    * snapshot and hides the generations it replaced. A crash before
+    * the flip leaves the old window serving, with the half-written
+    * snapshot purged as over-window debris by the next op; a crash
+    * after the flip (before the trailing purge) leaves the replaced
+    * generations as under-window debris — also invisible, also purged
+    * by the next op. Serving results are bit-identical across the
+    * flip: same rows, new layout.
+    *
+    * Cost: one window-scoped scan + one shuffle on the int bucket key
+    * (so each bucket directory is written by one task, not
+    * `shuffle.partitions` fragments) — no re-tokenization, no corpus
+    * read, no aggregate. */
+  def compactIndex(spark: SparkSession, path: String): Unit =
+    compactStaged(spark, path, crashAfterStage = Int.MaxValue)
+
+  /** [[compactIndex]] with a failpoint for the crash-window spec. */
+  private[graft] def compactStaged(
+      spark: SparkSession, path: String, crashAfterStage: Int): Unit = {
+    val (lo, hi) = generationWindow(path)
+    purgeOutside(path, lo, hi) // a crashed predecessor's orphans
+    if (lo == hi) return // already one generation — nothing to rewrite
+    spark.read.parquet(path)
+      .filter(col("gen").between(lo, hi)).drop("gen")
+      .withColumn("gen", lit(hi + 1))
+      .repartition(col("bucket"))
+      .write.partitionBy("gen", "bucket").mode("append").parquet(path)
+    if (crashAfterStage <= 1) return
+    spark.read.parquet(s"$path/_stats")
+      .filter(col("gen") === hi).drop("gen")
+      .withColumn("gen", lit(hi + 1))
+      .write.partitionBy("gen").mode("append").parquet(s"$path/_stats")
+    if (crashAfterStage <= 2) return
+    commitGeneration(path, hi + 1, hi + 1)
+    // the replaced generations are now invisible debris; reclaim
+    // eagerly (a crash mid-purge is repaired by the next op's purge)
+    purgeOutside(path, hi + 1, hi + 1)
   }
 
   /** Serve BM25 from the persisted index: prune the postings scan to
@@ -402,15 +476,17 @@ object RetrievalOps {
   }
 
   /** The query terms' postings, partition-pruned to their buckets and
-    * scoped to generations the manifest has committed (`gen <= G` —
-    * also a partition filter, so an in-flight append's uncommitted
-    * files are never even listed into the scan). */
+    * scoped to the committed generation window (`gen BETWEEN lo AND
+    * hi` — also partition filters, so an in-flight append's
+    * uncommitted files AND a committed compaction's replaced
+    * generations are never even listed into the scan). */
   private def prunedPostings(spark: SparkSession, path: String): DataFrame = {
     val bucketPred = AllTerms
       .map(t => col("bucket") === pmod(xxhash64(lit(t)), lit(IndexBuckets)))
       .reduce(_ || _)
+    val (lo, hi) = generationWindow(path)
     spark.read.parquet(path)
-      .filter(col("gen") <= currentGeneration(path) &&
+      .filter(col("gen").between(lo, hi) &&
         bucketPred && col("token").isin(AllTerms: _*))
   }
 
@@ -793,7 +869,7 @@ object RetrievalOps {
       .write.partitionBy("gen", "bucket").mode("overwrite").parquet(path)
     chunkTotals(docs).withColumn("gen", lit(1L))
       .write.partitionBy("gen").mode("overwrite").parquet(s"$path/_stats")
-    commitGeneration(path, 1L)
+    commitGeneration(path, 1L, 1L)
   }
 
   /** Append a delta corpus's chunks to a persisted passage index —

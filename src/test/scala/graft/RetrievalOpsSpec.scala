@@ -154,6 +154,78 @@ class RetrievalOpsSpec extends SparkSuite {
       "retried append diverged from rebuild")
   }
 
+  test("compactIndex: snapshot replaces the window bit-identically; crash windows invisible; appends interleave") {
+    def genDirs(p: String): Seq[String] = {
+      val d = new java.io.File(p)
+      d.listFiles().map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
+    }
+    val docs = Tables.documents(spark, sf)
+    val part = (i: Int) => docs.filter(col("doc_id") % 4 === i)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-inv-compact").toString
+    RetrievalOps.writeInvertedIndex(part(0), path)
+    RetrievalOps.appendInvertedIndex(part(1), path)
+    assert(RetrievalOps.generationWindow(path) == ((1L, 2L)))
+    val before = RetrievalOps.bm25SearchIndex(spark, path).collect().toSeq
+    val statsBefore = RetrievalOps.indexStats(spark, path).collect().toSeq
+
+    // crash window 1: snapshot postings on disk, manifest not flipped —
+    // readers stay on the old window, results unchanged
+    RetrievalOps.compactStaged(spark, path, crashAfterStage = 1)
+    assert(RetrievalOps.generationWindow(path) == ((1L, 2L)))
+    assert(RetrievalOps.bm25SearchIndex(spark, path).collect().toSeq == before,
+      "half-written compaction snapshot leaked into serving")
+    // crash window 2: snapshot + carried stats on disk, manifest not
+    // flipped — still the old view (retry purged window 1's orphan)
+    RetrievalOps.compactStaged(spark, path, crashAfterStage = 2)
+    assert(RetrievalOps.generationWindow(path) == ((1L, 2L)))
+    assert(RetrievalOps.indexStats(spark, path).collect().toSeq == statsBefore,
+      "compaction stats leaked before the manifest flip")
+
+    // completed (retried) compaction: window collapses to one fresh
+    // generation, serving and stats BIT-IDENTICAL, old gens reclaimed
+    RetrievalOps.compactIndex(spark, path)
+    assert(RetrievalOps.generationWindow(path) == ((3L, 3L)))
+    assert(RetrievalOps.bm25SearchIndex(spark, path).collect().toSeq == before,
+      "compaction changed serving results")
+    assert(RetrievalOps.indexStats(spark, path).collect().toSeq == statsBefore,
+      "compaction changed stats")
+    assert(genDirs(path) == Seq("gen=3"),
+      s"replaced generations not reclaimed: ${genDirs(path)}")
+    assert(genDirs(s"$path/_stats") == Seq("gen=3"))
+
+    // compacting a single-generation window is a no-op
+    RetrievalOps.compactIndex(spark, path)
+    assert(RetrievalOps.generationWindow(path) == ((3L, 3L)))
+
+    // appends keep working after compaction, and a second compaction
+    // of the mixed window converges to the full rebuild
+    RetrievalOps.appendInvertedIndex(part(2), path)
+    assert(RetrievalOps.generationWindow(path) == ((3L, 4L)))
+    RetrievalOps.compactIndex(spark, path)
+    RetrievalOps.appendInvertedIndex(part(3), path)
+    assert(RetrievalOps.generationWindow(path) == ((5L, 6L)))
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-inv-compact-rebuild").toString
+    RetrievalOps.writeInvertedIndex(docs, rebuilt)
+    assert(RetrievalOps.bm25SearchIndex(spark, path).collect().toSeq ==
+      RetrievalOps.bm25SearchIndex(spark, rebuilt).collect().toSeq,
+      "compact/append interleaving diverged from rebuild")
+  }
+
+  test("compactIndex is content-agnostic: passage index compacts with serving intact") {
+    val docs = Tables.documents(spark, sf)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-passage-compact").toString
+    RetrievalOps.writePassageIndex(docs.filter(col("doc_id") % 2 === 0), path)
+    RetrievalOps.appendPassageIndex(docs.filter(col("doc_id") % 2 === 1), path)
+    val before = RetrievalOps.passageSearchIndex(spark, path).collect().toSeq
+    RetrievalOps.compactIndex(spark, path)
+    assert(RetrievalOps.generationWindow(path) == ((3L, 3L)))
+    assert(RetrievalOps.passageSearchIndex(spark, path).collect().toSeq == before,
+      "passage compaction changed serving results")
+  }
+
   test("q76 plan: no token explode reaches an exchange; stats broadcast") {
     val plan = RetrievalOps.q76Bm25TopK(spark, sf)
       .queryExecution.executedPlan.toString
