@@ -86,4 +86,41 @@ object RetrievalStream {
       .withColumn("score", col("q.score"))
       .drop((Seq("q", "dl") ++ RetrievalOps.AllTerms.map(t => s"tf_$t")): _*)
   }
+
+  /** Per-query alert thresholds at CHUNK granularity — passage scores
+    * run hotter than document scores (the matched terms dominate a
+    * 32-token window where they dilute in a full document), so the
+    * passage thresholds are tuned separately on the fixture. */
+  val PassageThresholds: Map[Int, Double] =
+    Map(1 -> 4.0, 2 -> 2.2, 3 -> 1.7)
+
+  /** Passage-level standing matches — [[standingMatches]] at chunk
+    * granularity: each incoming document fans out to its q75
+    * token-window chunks ([[TextOps.chunkTokens]] — stateless and
+    * narrow, so the composition stays a pure per-row projection with
+    * no state store and no watermark requirement) and every chunk is
+    * scored under stats FROZEN from a persisted PASSAGE index
+    * ([[RetrievalOps.indexStats]] over a [[RetrievalOps
+    * .writePassageIndex]] artifact — chunk-level n/sumdl/df, the q87
+    * serving statistics). Emits one row per (chunk, matching query):
+    * the input's columns plus `(chunk_idx, start_tok, n_toks, passage,
+    * qid, score)` — the alert carries its evidence passage, which is
+    * what a RAG-style monitor forwards.
+    *
+    * One BM25 definition across all passage surfaces: the scoring
+    * expression is the same [[RetrievalOps.scoreSqlFragment]] q85/q87
+    * and their oracle share, so a standing passage alert's score is
+    * bit-identical to what q87 would serve for that (doc, chunk) —
+    * spec-pinned on the shared support. */
+  def standingPassageMatches(
+      docs: DataFrame,
+      stats: DataFrame,
+      thresholds: Map[Int, Double] = PassageThresholds,
+      size: Int = TextOps.ChunkToks,
+      stride: Int = TextOps.ChunkTokStride): DataFrame =
+    standingMatches(
+      TextOps.chunkTokens(docs, size, stride)
+        .withColumnRenamed("chunk_text", "text"),
+      stats, thresholds)
+      .withColumnRenamed("text", "passage")
 }

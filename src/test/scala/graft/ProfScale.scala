@@ -310,6 +310,71 @@ object ProfScale {
     }
     println(s"[scale] q79 invariant held: every replica copy scores " +
       "identically to its base doc")
+
+    // --- round-12 additions at the same scale step -------------------
+    // q85/q87 over plain replicas: wall probes (scan/build-bound like
+    // q76/q77, fixed top-k exchange) + full-result structural check.
+    Seq("base" -> baseDir, s"plain${replicas}x" -> plainDir).foreach {
+      case (tag, dir) =>
+        time(s"q85 $tag") {
+          val rows = RetrievalOps.q85PassageBm25(spark, dir).collect()
+          require(rows.length == 30, s"expected 3x10 rows, got ${rows.length}")
+          rows.length.toLong
+        }
+        time(s"q87 $tag") {
+          RetrievalOps.q87PassageIndexed(spark, dir).count()
+        }
+    }
+    // q89 invariant on plain replicas: a pure per-row encode — every
+    // replica copy must count identically to its base doc; wall scales
+    // with input bytes.
+    time(s"q89 plain${replicas}x copies-consistent") {
+      val counts = TextOps.q89BpeEncode(spark, plainDir).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val baseIds = counts.keySet.filter(_ < 10000000L)
+      baseIds.foreach { id =>
+        (1 until replicas).foreach { r =>
+          require(counts(id + r.toLong * 10000000L) == counts(id),
+            s"replica copy of $id encoded differently")
+        }
+      }
+      baseIds.size.toLong
+    }
+    println(s"[scale] q89 invariant held: every replica copy encodes " +
+      "identically to its base doc")
+    // q88 invariant on EXACT embedding replicas (same vectors, shifted
+    // ids): every r>0 copy has its r=0 twin at cosine 1.0 in the same
+    // cell with a smaller id, so ALL replicas must be pruned and the
+    // r=0 decisions must equal the base run exactly. This is also the
+    // honest quadratic probe: in-cell pairs scale ×N² under exact
+    // duplication (they ARE dups — the work is the answer), which is
+    // why a production run grows nlist with n to keep cells bounded.
+    val embReplicaDir = s"$scaleDir/embdup"
+    val embBase10 = Tables.embeddings(spark, baseDir)
+    (0 until replicas).map { r =>
+      if (r == 0) embBase10
+      else embBase10.select(
+        ($"vec_id" + lit(r.toLong * 10000000L)).as("vec_id"),
+        $"embedding", $"label")
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$embReplicaDir/embeddings.parquet")
+    val keptBase = SimilarityOps.q88SemDedup(spark, baseDir).collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toMap
+    time(s"q88 dup${replicas}x") {
+      val dec = SimilarityOps.q88SemDedup(spark, embReplicaDir).collect()
+        .map(r => (r.getLong(0), r.getInt(2))).toMap
+      dec.foreach { case (id, kept) =>
+        if (id >= 10000000L)
+          require(kept == 0, s"replica $id survived its exact twin")
+        else require(kept == keptBase(id),
+          s"base decision flipped under duplication at vec $id")
+      }
+      dec.size.toLong
+    }
+    println(s"[scale] q88 invariant held: all ${replicas - 1}x replicas " +
+      "pruned, base decisions unchanged")
     spark.stop()
   }
 }

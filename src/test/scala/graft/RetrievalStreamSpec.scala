@@ -125,4 +125,71 @@ class RetrievalStreamSpec extends SparkSuite {
         s"score mismatch for $key: q76=$s standing=${matched.get(key)}")
     }
   }
+
+  private def frozenPassageStats() = {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-standing-passage-idx").toString
+    RetrievalOps.writePassageIndex(Tables.documents(spark, sf), path)
+    RetrievalOps.indexStats(spark, path)
+  }
+
+  test("standingPassageMatches: stream == batch; alerts carry their passage; non-vacuous") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stats = frozenPassageStats()
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val batch = RetrievalStream.standingPassageMatches(docs, stats)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Int]("qid"), r.getAs[Double]("score"),
+        r.getAs[String]("passage"))
+    val batchOut = batch.collect().map(key).toSet
+
+    val in = MemoryStream[SDoc]
+    val q = RetrievalStream.standingPassageMatches(in.toDF(), stats)
+      .writeStream.format("memory").queryName("standing_passage_out")
+      .outputMode("append").start()
+    try {
+      val rows = docs.collect().map(r => SDoc(r.getLong(0), r.getString(1)))
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a.toIndexedSeq); q.processAllAvailable()
+      in.addData(b.toIndexedSeq); q.processAllAvailable()
+      val streamOut = spark.table("standing_passage_out").collect()
+        .map(key).toSet
+      assert(streamOut == batchOut,
+        s"stream diverges from batch; only-stream=${(streamOut -- batchOut).take(3)} " +
+          s"only-batch=${(batchOut -- streamOut).take(3)}")
+    } finally q.stop()
+
+    RetrievalStream.PassageThresholds.foreach { case (qid, thr) =>
+      val hits = batchOut.filter(_._3 == qid)
+      assert(hits.nonEmpty, s"passage query $qid matched nothing")
+      assert(hits.forall(_._4 >= thr), s"sub-threshold passage for query $qid")
+    }
+    // the alert's evidence: every emitted passage is a q75 chunk — its
+    // token count is bounded by the window and it is non-empty
+    batchOut.foreach { case (_, _, _, _, passage) =>
+      val n = passage.split(" ").count(_.nonEmpty)
+      assert(n >= 1 && n <= graft.queries.TextOps.ChunkToks,
+        s"emitted passage is not a chunk-sized window: '$passage'")
+    }
+  }
+
+  test("standing passage scores are bit-identical to q87's serving on the shared support") {
+    val stats = frozenPassageStats()
+    val standing = RetrievalStream.standingPassageMatches(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")), stats,
+      // accept everything a hit produces: q87's top rows must be a subset
+      Map(1 -> -100.0, 2 -> -100.0, 3 -> -100.0))
+      .collect()
+      .map(r => (r.getAs[Int]("qid"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("chunk_idx")) -> r.getAs[Double]("score")).toMap
+    val q87 = RetrievalOps.q87PassageIndexed(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)) -> r.getDouble(4))
+    assert(q87.nonEmpty)
+    q87.foreach { case (k, s) =>
+      assert(standing.get(k).contains(s),
+        s"passage score mismatch at $k: q87=$s standing=${standing.get(k)}")
+    }
+  }
 }
