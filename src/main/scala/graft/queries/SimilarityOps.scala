@@ -923,20 +923,24 @@ object SimilarityOps {
   def pqKmeansIteration(
       emb: DataFrame,
       books: Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] = {
+    // codes as M SEPARATE projection columns first ([[pqCodeColsFor]] —
+    // the identical assign rule the encoders use), THEN a cheap struct
+    // explode over column refs. Inlining the M×K distance arrays inside
+    // the generate put ~12k lines into one janino method ("Code grows
+    // beyond 64 KB" → interpreted fallback); as standalone projection
+    // expressions the codegen splitter gives each subspace its own
+    // method and the whole stage stays compiled.
+    val coded = emb.select(
+      col("embedding") +: pqCodeColsFor(col("embedding"), books): _*)
     val entries = (0 until PqSubspaces).map { m =>
-      val sub = slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
-      val dists = array((0 until PqCodes).map { j =>
-        val c = books(m)(j)
-        lit(pqNorm2(c)) - lit(2.0) * PipelineOps.dot(sub, typedlit(c))
-      }: _*)
       struct(
         lit(m).as("m"),
-        (array_position(dists, array_min(dists)) - 1).cast("int").as("j"),
-        sub.as("sub"))
+        col(s"code$m").as("j"),
+        slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("sub"))
     }
     val aggs = (0 until PqSubDim).map(i =>
       avg(element_at(col("e.sub"), i + 1).cast("double")).as(s"c$i"))
-    val rows = emb.select(explode(array(entries: _*)).as("e"))
+    val rows = coded.select(explode(array(entries: _*)).as("e"))
       .groupBy(col("e.m").as("m"), col("e.j").as("j"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
