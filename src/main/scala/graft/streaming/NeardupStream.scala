@@ -92,8 +92,9 @@ object NeardupStream extends Serializable {
 
   /** Interval string → milliseconds, via the same parser
     * `withWatermark` uses, so the idleTtl/watermarkDelay comparison
-    * reads the strings exactly as Spark will. */
-  private def durationMs(s: String): Long = {
+    * reads the strings exactly as Spark will. (Shared with
+    * [[SemDedupStream]] — one parser, one TTL/watermark rule.) */
+  private[streaming] def durationMs(s: String): Long = {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
       org.apache.spark.unsafe.types.UTF8String.fromString(s))
     require(iv.months == 0,
