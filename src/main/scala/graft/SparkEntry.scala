@@ -119,6 +119,7 @@ object SparkEntry {
     "q87_passage_indexed"  -> (RetrievalOps.q87PassageIndexed _),
     "q88_semdedup"         -> ((s, d) => SimilarityOps.q88SemDedup(s, d)),
     "q89_bpe_encode"       -> ((s, d) => TextOps.q89BpeEncode(s, d)),
+    "q90_token_budget"     -> ((s, d) => TextOps.q90TokenBudget(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -493,5 +494,9 @@ object SparkEntry {
     // chain, and paren-count arithmetic (replace is leftmost
     // non-overlapping in both engines).
     "q89_bpe_encode" -> TextOps.q89OracleSql(),
+
+    // Token budget: the shared encode CTEs (one definition with q89),
+    // q09's min-doc_id keep rule by group-by-text, source rollup.
+    "q90_token_budget" -> TextOps.q90OracleSql(),
   )
 }

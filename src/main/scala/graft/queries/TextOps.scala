@@ -1526,47 +1526,131 @@ object TextOps {
     bpeEncodeCounts(Tables.documents(spark, dir), merges)
 
   /** Frame-level core of [[q89BpeEncode]] over any `(doc_id, text)`
-    * frame. */
+    * frame; `passThrough` columns ride along unchanged (q90 carries
+    * `source`). */
   private[graft] def bpeEncodeCounts(
       docs: DataFrame,
-      merges: Seq[(String, String)] = BpeMerges): DataFrame = {
+      merges: Seq[(String, String)] = BpeMerges,
+      passThrough: Seq[String] = Nil): DataFrame = {
     val nTok = (t: Column) => {
       val enc = encodedWord(t, merges)
       (length(enc) - length(replace(enc, lit("(")))).cast("long")
     }
+    val extra = passThrough.map(col)
     docs
-      .select(col("doc_id"), toks(col("text")).as("toks"))
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_words"),
+      .select(col("doc_id") +: extra :+ toks(col("text")).as("toks"): _*)
+      .select(col("doc_id") +: extra :+
+        size(col("toks")).cast("long").as("n_words") :+
         aggregate(transform(col("toks"), t => length(t).cast("long")),
-          lit(0L), _ + _).as("n_chars"),
+          lit(0L), _ + _).as("n_chars") :+
         aggregate(transform(col("toks"), nTok), lit(0L), _ + _)
-          .as("n_tokens"))
+          .as("n_tokens"): _*)
       .orderBy(col("doc_id"))
+  }
+
+  /** The q89 encode as oracle CTE text — `t`/`e` clauses plus the
+    * measure expressions, shared verbatim by the q89 and q90 oracles
+    * so the two gates hold ONE encode definition. `extraCols` ride
+    * through (q90 carries `source`). */
+  private def bpeEncCteSql(
+      merges: Seq[(String, String)], extraCols: String = ""): String = {
+    val chain = merges.foldLeft("regexp_replace(w, '(.)', '(\\1)', 'g')") {
+      case (s, (l, r)) => s"replace($s, '($l)($r)', '($l$r)')"
+    }
+    s"""t AS (
+       |  SELECT doc_id,$extraCols
+       |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+       |  FROM documents
+       |), e AS (
+       |  SELECT doc_id,$extraCols toks,
+       |         list_transform(toks, w -> $chain) AS enc
+       |  FROM t
+       |), m AS (
+       |  SELECT doc_id,$extraCols
+       |         CAST(len(toks) AS BIGINT) AS n_words,
+       |         CAST(coalesce(list_sum(list_transform(toks, w -> len(w))), 0) AS BIGINT) AS n_chars,
+       |         CAST(coalesce(list_sum(list_transform(enc,
+       |                s -> len(s) - len(replace(s, '(', '')))), 0) AS BIGINT) AS n_tokens
+       |  FROM e
+       |)""".stripMargin
   }
 
   /** Ground truth for [[q89BpeEncode]] — the same tokenizer, wrapper
     * representation, literal merge chain, and paren-count token
     * arithmetic (both engines' `replace` is leftmost non-overlapping
     * over all occurrences). */
-  def q89OracleSql(merges: Seq[(String, String)] = BpeMerges): String = {
-    val chain = merges.foldLeft("regexp_replace(w, '(.)', '(\\1)', 'g')") {
-      case (s, (l, r)) => s"replace($s, '($l)($r)', '($l$r)')"
-    }
-    s"""WITH t AS (
-       |  SELECT doc_id,
-       |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
-       |  FROM documents
-       |), e AS (
-       |  SELECT doc_id, toks,
-       |         list_transform(toks, w -> $chain) AS enc
-       |  FROM t
-       |)
-       |SELECT doc_id,
-       |       CAST(len(toks) AS BIGINT) AS n_words,
-       |       CAST(coalesce(list_sum(list_transform(toks, w -> len(w))), 0) AS BIGINT) AS n_chars,
-       |       CAST(coalesce(list_sum(list_transform(enc,
-       |              s -> len(s) - len(replace(s, '(', '')))), 0) AS BIGINT) AS n_tokens
-       |FROM e ORDER BY doc_id""".stripMargin
+  def q89OracleSql(merges: Seq[(String, String)] = BpeMerges): String =
+    s"""WITH ${bpeEncCteSql(merges)}
+       |SELECT doc_id, n_words, n_chars, n_tokens
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q90
+
+  /** q90 — per-source token budget, dedup-adjusted: for every source,
+    * the gross corpus volume (docs, words, BPE tokens under
+    * [[BpeMerges]]) and the NET volume after exact dedup under q09's
+    * keep rule (min doc_id per identical text). This is the table a
+    * mixture planner actually consumes: q64's rebalancing buys
+    * per-source rates against available tokens, and "available" means
+    * net of duplicates — a source whose volume is boilerplate
+    * re-crawls contributes far fewer effective tokens than its row
+    * count suggests. Cross-source duplicates debit the LOSING source
+    * (the keeper's source books the tokens), which is the real
+    * accounting a curation run reports.
+    *
+    * Scale shape: the encode is q89's map-only projection with
+    * `source` riding along; the dedup flag costs ONE exchange keyed on
+    * the 8-byte content hash (computed scan-side — text never
+    * shuffles, the q09 argument) resolved back over the id-keyed
+    * join; the final aggregate groups by the tiny source alphabet.
+    * Collision guard as q09: xxhash64 vs the oracle's group-by-text
+    * differ only on a 64-bit collision between distinct texts. */
+  def q90TokenBudget(
+      spark: SparkSession, dir: String,
+      merges: Seq[(String, String)] = BpeMerges): DataFrame =
+    tokenBudget(Tables.documents(spark, dir), merges)
+
+  /** Frame-level core of [[q90TokenBudget]] over any `(doc_id, source,
+    * text)` frame — the spec plants cross-source duplicates on a
+    * synthetic frame (the fixture's 500 texts are all distinct, so the
+    * dedup debit never fires there; the oracle still verifies the full
+    * computation). */
+  private[graft] def tokenBudget(
+      docs: DataFrame,
+      merges: Seq[(String, String)] = BpeMerges): DataFrame = {
+    val enc = bpeEncodeCounts(docs, merges, passThrough = Seq("source"))
+    val hashed = docs.select(col("doc_id"), xxhash64(col("text")).as("h"))
+    val keepers = hashed.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val flags = hashed.join(keepers, "h")
+      .select(col("doc_id"),
+        (col("doc_id") === col("keep_id")).cast("long").as("kept"))
+    enc.join(flags, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("kept")).as("n_docs_kept"),
+        sum(col("kept") * col("n_tokens")).as("n_tokens_kept"))
+      .orderBy(col("source"))
   }
+
+  /** Ground truth for [[q90TokenBudget]] — the shared encode CTEs, the
+    * q09 keep rule by group-by-text, the same source rollup. */
+  def q90OracleSql(merges: Seq[(String, String)] = BpeMerges): String =
+    s"""WITH ${bpeEncCteSql(merges, " source,")},
+       |k AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+       |), f AS (
+       |  SELECT m.*, CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END AS kept
+       |  FROM m LEFT JOIN k USING (doc_id)
+       |)
+       |SELECT source,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_words) AS BIGINT) AS n_words,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(sum(kept) AS BIGINT) AS n_docs_kept,
+       |       CAST(sum(kept * n_tokens) AS BIGINT) AS n_tokens_kept
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
 }

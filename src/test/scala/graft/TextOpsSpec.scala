@@ -540,4 +540,48 @@ class TextOpsSpec extends SparkSuite {
     assert(gotCross.head.getLong(3) == 2L,
       "wrapper representation must prevent cross-symbol merges")
   }
+
+  test("q90 == exact driver-side budget recount over the fixture") {
+    def encCount(w: String): Long = {
+      var s = w.map(c => s"($c)").mkString
+      TextOps.BpeMerges.foreach { case (l, r) =>
+        s = s.replace(s"($l)($r)", s"($l$r)")
+      }
+      s.count(_ == '(').toLong
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val keepIds = docs.groupBy(_._3).values.map(_.map(_._1).min).toSet
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val toks = ds.map { case (id, _, text) =>
+        val ws = text.toLowerCase.split(" ").filter(_.nonEmpty)
+        (id, ws.length.toLong, ws.map(encCount).sum)
+      }
+      (src, ds.length.toLong, toks.map(_._2).sum, toks.map(_._3).sum,
+        toks.count(t => keepIds(t._1)).toLong,
+        toks.filter(t => keepIds(t._1)).map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    val got = TextOps.q90TokenBudget(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected,
+      s"budget diverges; got=${got.take(2)} expected=${expected.take(2)}")
+  }
+
+  test("q90 dedup debit: cross-source duplicates book to the keeper's source") {
+    import spark.implicits._
+    // texts of unmergeable single-letter words: 1 token per word
+    val tiny = Seq(
+      (1L, "srcA", "x y"), (2L, "srcB", "x y"),
+      (3L, "srcB", "z"), (4L, "srcB", "x y")
+    ).toDF("doc_id", "source", "text")
+    val got = TextOps.tokenBudget(tiny).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // srcA keeps its copy (min doc_id); srcB's two copies are debited
+    // and only "z" survives — net tokens 1 of gross 5
+    assert(got("srcA") == ((1L, 2L, 2L, 1L, 2L)), s"srcA: ${got("srcA")}")
+    assert(got("srcB") == ((3L, 5L, 5L, 1L, 1L)), s"srcB: ${got("srcB")}")
+  }
 }
