@@ -987,18 +987,95 @@ object DedupOps {
     * then amortizes it over every daily delta. A deployment would also
     * bucket `buckets/` by `(pos, bh)` into a metastore table to skip
     * the base-side exchange per screen; plain parquet keeps the fixture
-    * self-contained and costs one hash shuffle of the 32-byte tuples. */
+    * self-contained and costs one hash shuffle of the 32-byte tuples.
+    *
+    * Both artifacts live under the [[GenerationManifest]] window
+    * protocol (generation-partitioned, readers window-scoped, one
+    * atomic manifest flip per mutation): [[appendDedupIndex]] seals
+    * each day's screen survivors, [[compactDedupIndex]] collapses the
+    * accreted generations — the same contract the inverted/passage
+    * indexes carry. */
   def writeDedupIndex(
       baseDocs: DataFrame, path: String,
       bands: Int = 16, rows: Int = 4): Unit = {
     val ex = shingleHashes(baseDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      bandedBuckets(ex, bands, rows)
-        .write.mode("overwrite").parquet(s"$path/buckets")
-      ex.write.mode("overwrite").parquet(s"$path/shingles")
+      bandedBuckets(ex, bands, rows).withColumn("gen", lit(1L))
+        .write.partitionBy("gen").mode("overwrite").parquet(s"$path/buckets")
+      ex.withColumn("gen", lit(1L))
+        .write.partitionBy("gen").mode("overwrite").parquet(s"$path/shingles")
+    } finally ex.unpersist()
+    GenerationManifest.commit(path, 1L, 1L)
+  }
+
+  /** The committed generation window of a persisted dedup index. */
+  def dedupIndexWindow(path: String): (Long, Long) =
+    GenerationManifest.window(path)
+
+  /** SEAL a delta into a persisted dedup index — the second half of
+    * the daily loop [[deltaScreen]] opens: screen today's crawl
+    * against the sealed base, then append the SURVIVORS so tomorrow's
+    * screen sees them too (without this, the deployment rebuilds the
+    * index from all text daily). Crash-atomic under the SAME
+    * [[GenerationManifest]] window protocol as the inverted/passage
+    * indexes — the index mutates TWO artifacts (`buckets/` and
+    * `shingles/`), and a doc present in one but not the other would
+    * silently lose recall (a bucket candidate with no shingle rows
+    * verifies to zero overlap), which is exactly the torn state the
+    * joint manifest flip prevents. Caller owns id-disjointness and
+    * passes the docs that SURVIVED the screen (appending a flagged
+    * dup would make it an index anchor). */
+  def appendDedupIndex(
+      deltaDocs: DataFrame, path: String,
+      bands: Int = 16, rows: Int = 4): Unit =
+    appendDedupStaged(deltaDocs, path, bands, rows,
+      crashAfterStage = Int.MaxValue)
+
+  /** [[appendDedupIndex]] with a failpoint for the crash-window spec:
+    * stop after stage 1 (delta buckets written) or stage 2 (delta
+    * shingles written) — both states must be invisible to
+    * [[deltaScreen]] and repaired by the next mutation's purge. */
+  private[graft] def appendDedupStaged(
+      deltaDocs: DataFrame, path: String,
+      bands: Int, rows: Int, crashAfterStage: Int): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, DedupIndexRoots, lo, hi)
+    val ex = shingleHashes(deltaDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      bandedBuckets(ex, bands, rows).withColumn("gen", lit(hi + 1))
+        .write.partitionBy("gen").mode("append").parquet(s"$path/buckets")
+      if (crashAfterStage <= 1) return
+      ex.withColumn("gen", lit(hi + 1))
+        .write.partitionBy("gen").mode("append").parquet(s"$path/shingles")
+      if (crashAfterStage <= 2) return
+      GenerationManifest.commit(path, lo, hi + 1)
     } finally ex.unpersist()
   }
+
+  /** Compact a persisted dedup index: rewrite every committed
+    * generation of both artifacts into ONE fresh generation and shrink
+    * the window to it ([[graft.queries.RetrievalOps.compactIndex]]'s
+    * contract for this index family). Screen results are bit-identical
+    * across the flip; a crash on either side of it leaves only
+    * invisible debris for the next mutation's purge. */
+  def compactDedupIndex(spark: SparkSession, path: String): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, DedupIndexRoots, lo, hi)
+    if (lo == hi) return
+    DedupIndexRoots.foreach { sub =>
+      val root = s"$path/$sub"
+      spark.read.parquet(root)
+        .filter(col("gen").between(lo, hi)).drop("gen")
+        .withColumn("gen", lit(hi + 1))
+        .write.partitionBy("gen").mode("append").parquet(root)
+    }
+    GenerationManifest.commit(path, hi + 1, hi + 1)
+    GenerationManifest.purgeOutside(path, DedupIndexRoots, hi + 1, hi + 1)
+  }
+
+  private val DedupIndexRoots = Seq("buckets", "shingles")
 
   /** Screen a DELTA frame against a sealed [[writeDedupIndex]] index:
     * LSH candidates from an equi-join of the delta's band buckets with
@@ -1047,7 +1124,12 @@ object DedupOps {
   private def deltaScreenFrom(
       spark: SparkSession, indexPath: String, exD: DataFrame,
       threshold: Double, bands: Int, rows: Int): DataFrame = {
+    // scope both artifact scans to the committed window (partition
+    // filters): an in-flight append's uncommitted generation and a
+    // committed compaction's replaced history are never even listed
+    val (lo, hi) = GenerationManifest.window(indexPath)
     val bucketsB = spark.read.parquet(s"$indexPath/buckets")
+      .filter(col("gen").between(lo, hi))
       .select(col("pos"), col("bh"),
         col("doc_id").as("base_id"), col("n").as("n_b"))
     val cand = bandedBuckets(exD, bands, rows)
@@ -1059,6 +1141,7 @@ object DedupOps {
     cand
       .join(exD.select(col("doc_id").as("delta_id"), col("hs")), "delta_id")
       .join(spark.read.parquet(s"$indexPath/shingles")
+        .filter(col("gen").between(lo, hi))
         .select(col("doc_id").as("base_id"), col("hs")), Seq("base_id", "hs"))
       .groupBy(col("delta_id"), col("base_id"), col("n_d"), col("n_b"))
       .agg(count(lit(1)).as("n_common"))

@@ -261,37 +261,20 @@ object RetrievalOps {
     * single-number manifest (the pre-compaction format) is read as
     * `[1, n]`. Absent manifest = the index was never fully built:
     * refuse loudly rather than serve torn state. */
-  def generationWindow(path: String): (Long, Long) = {
-    val p = java.nio.file.Paths.get(path, "_GENERATION")
-    require(java.nio.file.Files.exists(p),
-      s"no _GENERATION manifest at $path — index incomplete or never " +
-        "committed (writeInvertedIndex finishes by committing gen 1)")
-    val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      .trim.split("\\s+")
-    raw match {
-      case Array(hi)     => (1L, hi.toLong)
-      case Array(lo, hi) => (lo.toLong, hi.toLong)
-      case _ => sys.error(s"malformed _GENERATION manifest at $path: " +
-        raw.mkString(" "))
-    }
-  }
+  def generationWindow(path: String): (Long, Long) =
+    GenerationManifest.window(path)
 
   /** The newest committed generation (the window's `hi`) — the
     * generation whose cumulative `_stats` row is current. */
   def currentGeneration(path: String): Long = generationWindow(path)._2
 
-  /** Atomically flip the manifest: write `_GENERATION.tmp`, rename
-    * over `_GENERATION`. The rename is the ONLY point an append or a
-    * compaction becomes visible — everything before it is invisible to
-    * readers (window-scoped scans) and idempotently purged by a
-    * retry. */
-  private def commitGeneration(path: String, lo: Long, hi: Long): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tmp = Paths.get(path, "_GENERATION.tmp")
-    Files.write(tmp, s"$lo $hi".getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(path, "_GENERATION"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  /** Atomically flip the manifest ([[GenerationManifest.commit]] —
+    * the protocol is SHARED with the dedup index): the rename is the
+    * ONLY point an append or a compaction becomes visible — everything
+    * before it is invisible to readers (window-scoped scans) and
+    * idempotently purged by a retry. */
+  private def commitGeneration(path: String, lo: Long, hi: Long): Unit =
+    GenerationManifest.commit(path, lo, hi)
 
   /** Delete any `gen=N` partition directories OUTSIDE the committed
     * window (postings and stats): above `hi` is the debris of an
@@ -299,28 +282,8 @@ object RetrievalOps {
     * below `lo` is the pre-compaction history a committed compaction
     * replaced. Run at the start of every append/compaction so a retry
     * starts clean instead of double-appending. */
-  private def purgeOutside(path: String, lo: Long, hi: Long): Unit = {
-    import java.nio.file.{Files, Paths, Path}
-    def rmTree(p: Path): Unit = {
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        try s.forEach(rmTree(_)) finally s.close()
-      }
-      Files.deleteIfExists(p)
-    }
-    def purge(root: Path): Unit = if (Files.isDirectory(root)) {
-      val s = Files.list(root)
-      try s.forEach { p =>
-        val name = p.getFileName.toString
-        if (name.startsWith("gen=")) {
-          val g = name.stripPrefix("gen=").toLong
-          if (g > hi || g < lo) rmTree(p)
-        }
-      } finally s.close()
-    }
-    purge(Paths.get(path))
-    purge(Paths.get(path, "_stats"))
-  }
+  private def purgeOutside(path: String, lo: Long, hi: Long): Unit =
+    GenerationManifest.purgeOutside(path, Seq("", "_stats"), lo, hi)
 
   /** The bucketed posting rows of a corpus — ONE definition shared by
     * build and append so the spec-pinned append ≡ rebuild invariant

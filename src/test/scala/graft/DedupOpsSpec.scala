@@ -137,6 +137,61 @@ class DedupOpsSpec extends SparkSuite {
     assert(graftShims.cacheIsEmpty(spark), "deltaScreen loan left cached frames")
   }
 
+  test("appendDedupIndex: append == rebuild; crash windows invisible; compaction screen-identical") {
+    import spark.implicits._
+    def genDirs(p: String): Seq[String] = {
+      val d = new java.io.File(p)
+      d.listFiles().map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
+    }
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter($"doc_id" % 4 === 1 || $"doc_id" % 4 === 2)
+    val d1 = docs.filter($"doc_id" % 4 === 3)
+    val probe = docs.filter($"doc_id" % 4 === 0)
+    def screen(idx: String): Seq[(Long, Long, Long, Long)] =
+      DedupOps.withDeltaScreen(spark, idx, probe)(_.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq)
+
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-dedup-rebuild").toString
+    DedupOps.writeDedupIndex(base.unionByName(d1), rebuilt)
+    val want = screen(rebuilt)
+    assert(want.nonEmpty, "fixture screen is vacuous")
+
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-dedup-append").toString
+    DedupOps.writeDedupIndex(base, idx)
+    val baseOnly = screen(idx)
+    assert(baseOnly != want, "delta adds no screen evidence — vacuous")
+
+    // crash window 1: delta buckets on disk, shingles and manifest not
+    // — the torn state that would lose recall silently; must be
+    // invisible (screen == the base-only view)
+    DedupOps.appendDedupStaged(d1, idx, 16, 4, crashAfterStage = 1)
+    assert(DedupOps.dedupIndexWindow(idx) == ((1L, 1L)))
+    assert(screen(idx) == baseOnly, "uncommitted buckets leaked into the screen")
+    // crash window 2: both artifacts on disk, manifest not flipped
+    DedupOps.appendDedupStaged(d1, idx, 16, 4, crashAfterStage = 2)
+    assert(DedupOps.dedupIndexWindow(idx) == ((1L, 1L)))
+    assert(screen(idx) == baseOnly, "uncommitted generation leaked into the screen")
+
+    // the retried (completed) append converges to the rebuild
+    DedupOps.appendDedupIndex(d1, idx)
+    assert(DedupOps.dedupIndexWindow(idx) == ((1L, 2L)))
+    assert(screen(idx) == want, "append diverged from rebuild")
+
+    // compaction: window collapses, screen bit-identical, debris gone
+    DedupOps.compactDedupIndex(spark, idx)
+    assert(DedupOps.dedupIndexWindow(idx) == ((3L, 3L)))
+    assert(screen(idx) == want, "compaction changed screen results")
+    assert(genDirs(s"$idx/buckets") == Seq("gen=3") &&
+      genDirs(s"$idx/shingles") == Seq("gen=3"),
+      "replaced generations not reclaimed")
+    // single-generation compaction is a no-op
+    DedupOps.compactDedupIndex(spark, idx)
+    assert(DedupOps.dedupIndexWindow(idx) == ((3L, 3L)))
+  }
+
   test("q13 plan has no cartesian/all-pairs join") {
     val plan = DedupOps.q13NeardupPairs(spark, sf)
       .queryExecution.executedPlan.toString
