@@ -192,6 +192,40 @@ class DedupOpsSpec extends SparkSuite {
     assert(DedupOps.dedupIndexWindow(idx) == ((3L, 3L)))
   }
 
+  test("the daily loop closes: day-2 survivors sealed, day-3 screen flags their dups") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter($"doc_id" % 4 === 1 || $"doc_id" % 4 === 2)
+    val day2 = docs.filter($"doc_id" % 4 === 3)
+    val day3 = docs.filter($"doc_id" % 4 === 0)
+
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-daily-loop").toString
+    DedupOps.writeDedupIndex(base, idx)
+    // day 2: screen, then seal the SURVIVORS (screen-flagged docs must
+    // not become index anchors — they are duplicates, not corpus)
+    val flagged2 = DedupOps.withDeltaScreen(spark, idx, day2)(
+      _.collect().map(_.getLong(0)).toSet)
+    val survivors2 = day2.filter(!$"doc_id".isin(flagged2.toSeq: _*))
+    DedupOps.appendDedupIndex(survivors2, idx)
+
+    // day 3 screens against base AND day-2 survivors
+    val got = DedupOps.withDeltaScreen(spark, idx, day3)(_.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-daily-loop-rebuild").toString
+    DedupOps.writeDedupIndex(base.unionByName(survivors2), rebuilt)
+    val want = DedupOps.withDeltaScreen(spark, rebuilt, day3)(_.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq)
+    assert(got == want, "looped screen diverges from the one-shot index")
+    // the loop's whole point: at least one day-3 flag names a DAY-2
+    // survivor — yesterday's crawl is visible to today's screen
+    assert(got.exists(_._2 % 4 == 3),
+      s"no day-3 flag names a day-2 doc — loop not exercised: $got")
+  }
+
   test("q13 plan has no cartesian/all-pairs join") {
     val plan = DedupOps.q13NeardupPairs(spark, sf)
       .queryExecution.executedPlan.toString
