@@ -222,14 +222,17 @@ object SimilarityOps {
   def writeIvfIndex(
       embTable: DataFrame,
       centroids: Seq[Seq[Double]],
-      path: String): Unit =
+      path: String): Unit = {
     assignCells(embTable, centroids)
       .drop("dots")
+      .withColumn("gen", lit(1L))
       .repartition(col("cell"))
       .write
-      .partitionBy("cell")
+      .partitionBy("gen", "cell")
       .mode("overwrite")
       .parquet(path)
+    GenerationManifest.commit(path, 1L, 1L)
+  }
 
   /** The missing half of a SERVABLE index: the inverted file alone
     * cannot answer a query after a restart — computing a probe's cells
@@ -278,19 +281,57 @@ object SimilarityOps {
     * [[ivfSearchIndex]]'s partition filter lists the same cell
     * directories, now with more files ([[SimilarityOpsSpec]] pins
     * append-then-search ≡ full-rebuild-then-search row for row).
-    * Operational note: appends accumulate a file per writing task per
-    * cell; a deployment periodically compacts each cell directory
-    * (rewrite-in-place, cell-local — no cross-cell shuffle), exactly
-    * the small-file hygiene every partitioned table needs. */
-  def appendIvfIndex(delta: DataFrame, path: String): Unit = {
+    * Crash-atomic under the shared [[GenerationManifest]] window
+    * protocol (a dynamic-partition append's multi-directory commit is
+    * otherwise only PARTIALLY visible after a crash — some cells with
+    * the delta's files, others without, silently costing the delta
+    * recall): the delta lands under `gen=hi+1`, invisible to the
+    * window-scoped readers, and the atomic manifest flip publishes it
+    * whole. [[compactAnnIndex]] collapses the accreted generations —
+    * the small-file hygiene the daily loop needs. */
+  def appendIvfIndex(delta: DataFrame, path: String): Unit =
+    appendIvfStaged(delta, path, crashAfterStage = Int.MaxValue)
+
+  /** [[appendIvfIndex]] with a failpoint for the crash-window spec. */
+  private[graft] def appendIvfStaged(
+      delta: DataFrame, path: String, crashAfterStage: Int): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, Seq(""), lo, hi)
     val centroids = readQuantizer(delta.sparkSession, path)
     assignCells(delta, centroids)
       .drop("dots")
+      .withColumn("gen", lit(hi + 1))
       .repartition(col("cell"))
       .write
-      .partitionBy("cell")
+      .partitionBy("gen", "cell")
       .mode("append")
       .parquet(path)
+    if (crashAfterStage <= 1) return
+    GenerationManifest.commit(path, lo, hi + 1)
+  }
+
+  /** Compact a cell-partitioned ANN index (IVF or IVF-PQ — one root,
+    * `(gen, cell)` layout, sidecars untouched): rewrite the committed
+    * window into ONE fresh generation and shrink the window to it.
+    * One window-scoped scan + one shuffle on the int cell key; the
+    * atomic manifest flip to `[hi+1, hi+1]` reveals the snapshot and
+    * hides the generations it replaced, serving row-identically across
+    * the flip (spec-pinned). */
+  /** The committed generation window of a persisted ANN index. */
+  def annIndexWindow(path: String): (Long, Long) =
+    GenerationManifest.window(path)
+
+  def compactAnnIndex(spark: SparkSession, path: String): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, Seq(""), lo, hi)
+    if (lo == hi) return
+    spark.read.parquet(path)
+      .filter(col("gen").between(lo, hi)).drop("gen")
+      .withColumn("gen", lit(hi + 1))
+      .repartition(col("cell"))
+      .write.partitionBy("gen", "cell").mode("append").parquet(path)
+    GenerationManifest.commit(path, hi + 1, hi + 1)
+    GenerationManifest.purgeOutside(path, Seq(""), hi + 1, hi + 1)
   }
 
   /** Reload the coarse quantizer persisted by [[writeQuantizer]] —
@@ -346,8 +387,9 @@ object SimilarityOps {
     }
     val wantedCells = probeRows.map(_._3).distinct.sorted
     val probesDf = probeRows.toDF("probe_id", "p_emb", "cell")
+    val (lo, hi) = GenerationManifest.window(indexPath)
     val idx = spark.read.parquet(indexPath)
-      .filter($"cell".isin(wantedCells: _*))
+      .filter($"cell".isin(wantedCells: _*) && $"gen".between(lo, hi))
     val scored = idx
       .join(broadcast(probesDf), "cell")
       .withColumn("sim", round(PipelineOps.cosine($"embedding", $"p_emb"), 6))
@@ -1396,8 +1438,10 @@ object SimilarityOps {
     val spark = emb.sparkSession
     import spark.implicits._
     encodeForIndex(assignCells(emb, centroids), centroids, books, residual)
+      .withColumn("gen", lit(1L))
       .repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(path)
+      .write.partitionBy("gen", "cell").mode("overwrite").parquet(path)
+    GenerationManifest.commit(path, 1L, 1L)
     writeQuantizer(spark, centroids, path)
     (for (m <- 0 until PqSubspaces; j <- 0 until PqCodes)
       yield (m, j, books(m)(j)))
@@ -1476,7 +1520,9 @@ object SimilarityOps {
     }
     val wantedCells = probeRows.map(_._2).distinct.sorted
     val probesDf = probeRows.toDF("probe_id", "cell", "adc_off", "t")
-    val idx = spark.read.parquet(path).filter($"cell".isin(wantedCells: _*))
+    val (winLo, winHi) = GenerationManifest.window(path)
+    val idx = spark.read.parquet(path)
+      .filter($"cell".isin(wantedCells: _*) && $"gen".between(winLo, winHi))
     // left-associated fold STARTING at the offset — the same grouping
     // as [[q74ResidualIvfPq]]'s in-plan sum and its oracle's `+` chain,
     // so the persisted and in-plan residual paths round identically
@@ -1731,14 +1777,18 @@ object SimilarityOps {
     * stay base-trained until a scheduled retrain+rebuild. */
   def appendIvfPqIndex(delta: DataFrame, path: String): Unit = {
     val spark = delta.sparkSession
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, Seq(""), lo, hi)
     val centroids = readQuantizer(spark, path)
     val books = readPqQuantizer(spark, s"$path/_pq")
       .map(_.map(_.toSeq).toSeq).toSeq
     val residual = spark.read.parquet(s"$path/_meta")
       .head().getBoolean(0)
     encodeForIndex(assignCells(delta, centroids), centroids, books, residual)
+      .withColumn("gen", lit(hi + 1))
       .repartition(col("cell"))
-      .write.partitionBy("cell").mode("append").parquet(path)
+      .write.partitionBy("gen", "cell").mode("append").parquet(path)
+    GenerationManifest.commit(path, lo, hi + 1)
   }
 
   /** Shared assign→(residual-subtract)→encode projection for the

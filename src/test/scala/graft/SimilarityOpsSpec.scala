@@ -248,8 +248,10 @@ class SimilarityOpsSpec extends SparkSuite {
     val path = java.nio.file.Files.createTempDirectory("ivf-index").toString
     SimilarityOps.writeIvfIndex(emb, centroids, path)
 
-    // hive layout: one directory per non-empty cell
-    val cellDirs = new java.io.File(path).listFiles()
+    // hive layout: one directory per non-empty cell, under the
+    // committed generation (the GenerationManifest window protocol)
+    assert(SimilarityOps.annIndexWindow(path) == ((1L, 1L)))
+    val cellDirs = new java.io.File(path, "gen=1").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
     assert(cellDirs.nonEmpty && cellDirs.length <= SimilarityOps.NumCells,
       s"unexpected cell layout: ${cellDirs.toSeq}")
@@ -278,10 +280,14 @@ class SimilarityOpsSpec extends SparkSuite {
         if f.relation.location.rootPaths
           .exists(_.toString.contains(new java.io.File(path).getName)) => f
     }.getOrElse(fail(s"no file scan over the index:\n${got.queryExecution}"))
-    // static partition pruning: the cell IN (...) filter is a
-    // PartitionFilter (never a row-level PushedFilter) and the listing
-    // selects exactly the wanted, existing cell directories
-    assert(scan.toString.contains("PartitionFilters: [cell"),
+    // static partition pruning: the cell IN (...) filter (and the
+    // generation window) is a PartitionFilter (never a row-level
+    // PushedFilter) and the listing selects exactly the wanted,
+    // existing cell directories
+    val scanStr = scan.toString
+    val pf = scanStr.substring(scanStr.indexOf("PartitionFilters: ["))
+    assert(scanStr.contains("PartitionFilters: [") &&
+      pf.takeWhile(_ != ']').contains("cell"),
       s"cell filter not a partition filter:\n$scan")
     val selected = scan.selectedPartitions.partitionCount
     val existingWanted = wanted.map(c => s"cell=$c").count(cellDirs.contains)
@@ -328,6 +334,35 @@ class SimilarityOpsSpec extends SparkSuite {
     val full = SimilarityOps.ivfSearchIndex(spark, fullPath, probes, centroids).collect()
     assert(inc.toSeq == full.toSeq,
       "append-then-search diverged from full-rebuild-then-search")
+
+    // crash window: an append that wrote its generation but never
+    // flipped the manifest must be invisible (a dynamic-partition
+    // append's multi-directory commit is otherwise only partially
+    // visible after a crash), and the retry must converge
+    val crashPath = java.nio.file.Files.createTempDirectory("ivf-crash").toString
+    SimilarityOps.writeIvfIndex(base, centroids, crashPath)
+    SimilarityOps.writeQuantizer(spark, centroids, crashPath)
+    val baseServe = SimilarityOps
+      .ivfSearchIndex(spark, crashPath, probes, centroids).collect().toSeq
+    SimilarityOps.appendIvfStaged(delta, crashPath, crashAfterStage = 1)
+    assert(SimilarityOps.annIndexWindow(crashPath) == ((1L, 1L)))
+    assert(SimilarityOps.ivfSearchIndex(spark, crashPath, probes, centroids)
+      .collect().toSeq == baseServe,
+      "uncommitted append generation leaked into serving")
+    SimilarityOps.appendIvfIndex(delta, crashPath)
+    assert(SimilarityOps.annIndexWindow(crashPath) == ((1L, 2L)))
+    assert(SimilarityOps.ivfSearchIndex(spark, crashPath, probes, centroids)
+      .collect().toSeq == inc.toSeq, "retried append diverged")
+
+    // compaction: window collapses to one generation, serving
+    // row-identical, replaced generations reclaimed
+    SimilarityOps.compactAnnIndex(spark, crashPath)
+    assert(SimilarityOps.annIndexWindow(crashPath) == ((3L, 3L)))
+    assert(SimilarityOps.ivfSearchIndex(spark, crashPath, probes, centroids)
+      .collect().toSeq == inc.toSeq, "compaction changed serving results")
+    val gens = new java.io.File(crashPath).listFiles()
+      .map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
+    assert(gens == Seq("gen=3"), s"replaced generations not reclaimed: $gens")
     // and the appended index covers every vector exactly once
     val ids = spark.read.parquet(incPath).select("vec_id").collect()
       .map(_.getLong(0)).sorted.toSeq
@@ -350,7 +385,7 @@ class SimilarityOpsSpec extends SparkSuite {
     // the _quantizer directory is invisible to the index read: plain
     // parquet listing of the path sees only vector rows
     val idxCols = spark.read.parquet(path).columns.toSet
-    assert(idxCols == Set("vec_id", "label", "embedding", "cell"),
+    assert(idxCols == Set("vec_id", "label", "embedding", "cell", "gen"),
       s"index read mixed in quantizer rows: $idxCols")
 
     val nProbes = 10
