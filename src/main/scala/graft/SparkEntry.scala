@@ -120,6 +120,7 @@ object SparkEntry {
     "q88_semdedup"         -> ((s, d) => SimilarityOps.q88SemDedup(s, d)),
     "q89_bpe_encode"       -> ((s, d) => TextOps.q89BpeEncode(s, d)),
     "q90_token_budget"     -> ((s, d) => TextOps.q90TokenBudget(s, d)),
+    "q91_substr_excise"    -> ((s, d) => DedupOps.q91SubstrExcise(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -498,5 +499,10 @@ object SparkEntry {
     // Token budget: the shared encode CTEs (one definition with q89),
     // q09's min-doc_id keep rule by group-by-text, source rollup.
     "q90_token_budget" -> TextOps.q90OracleSql(),
+
+    // Duplicated-phrase excision: same window/duplicate/merge/excise
+    // rule on phrase STRINGS (islands over covered indices ≡ the
+    // engine's merged window spans).
+    "q91_substr_excise" -> DedupOps.q91OracleSql,
   )
 }

@@ -1188,4 +1188,153 @@ object DedupOps {
        |SELECT delta_id, base_id, n_common, n_union FROM p
        |WHERE n_common >= n_union * 0.6
        |ORDER BY delta_id, base_id""".stripMargin
+
+  // ---------------------------------------------------------------- q91
+
+  /** Phrase width (tokens) for [[q91SubstrExcise]]. 8 tokens on the
+    * fixture's ~30-word vocabulary makes an accidental cross-doc match
+    * vanishingly rare (30⁸ ≈ 6.5·10¹¹ phrase space vs ~25k windows), so
+    * the excised spans are the PLANTED near-dup overlaps; production
+    * systems use ~50 tokens (Lee et al.) — a knob, not a semantics
+    * change. */
+  val ExciseTokens = 8
+
+  /** q91 — duplicated-PHRASE excision, the alignment-free member of the
+    * rewrite family: every [[ExciseTokens]]-token window at EVERY
+    * offset is hashed, a phrase that occurs in ≥ 2 distinct documents
+    * is a duplicate, and every document is re-emitted with all its
+    * duplicated-phrase spans (overlapping windows merged to maximal
+    * runs) excised. This is the token-granularity form of exact
+    * substring deduplication (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" — their ExactSubstr, built there on
+    * suffix arrays): q56's passage dedup only sees spans that fall on
+    * its fixed 16-token chunk grid and keeps one copy; q91 catches a
+    * shared phrase at ANY alignment in BOTH documents and removes every
+    * occurrence — the symmetric rule a contamination scrub wants, and
+    * deliberately distinct from q56's keep-first rule (the two compose:
+    * scrub shared boilerplate, then dedup what remains).
+    *
+    * Scale shape — a suffix array over 100 TB is its own distributed
+    * system; the window-hash formulation is one narrow generate plus
+    * hash-keyed exchanges, and over-marks nothing (every window IS
+    * checked, unlike stride/winnowing approximations):
+    *
+    *   1. `(doc_id, pos, gh)` — one generate per token position, 24-byte
+    *      rows, `gh = xxhash64(window)` computed inside the projection
+    *      (text never leaves the scan);
+    *   2. duplicated phrases: groupBy(gh) with a map-side-combined
+    *      min/max doc_id pair — `min ≠ max` ⟺ ≥ 2 distinct docs — an
+    *      8-byte-keyed aggregate, cheaper than countDistinct;
+    *   3. marked positions: the window frame semi-joins the duplicate
+    *      hashes (8-byte key); surviving rows are (doc_id, pos) only;
+    *   4. spans: per-doc gaps-and-islands (one doc_id-keyed window +
+    *      the co-partitioned span/doc aggregates) merges overlapping
+    *      windows into maximal `[s, e)` runs;
+    *   5. rewrite: the spans list (small per doc) joins the docs scan on
+    *      doc_id — the ONLY exchange that carries text — and a
+    *      filter-with-index lambda drops covered tokens.
+    *
+    * Hash collisions: q56's documented acceptance (a 2⁻⁶⁴ collision
+    * would excise a non-duplicated span). Output is all-integer plus
+    * the deterministic rewritten text. */
+  def q91SubstrExcise(spark: SparkSession, dir: String): DataFrame =
+    substrExcise(Tables.documents(spark, dir))
+
+  /** Frame-level core of [[q91SubstrExcise]] over any `(doc_id, text)`
+    * frame. Emits one row per input doc: `(doc_id, n_spans, n_removed,
+    * clean_text)` — span count after merging, tokens removed, and the
+    * document with covered tokens excised (space re-join). */
+  private[graft] def substrExcise(
+      docs: DataFrame, l: Int = ExciseTokens): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val wins = toks.select(
+      col("doc_id"),
+      posexplode(expr(
+        s"""CASE WHEN size(t) >= $l
+           |     THEN transform(sequence(0, size(t) - $l),
+           |                    i -> xxhash64(array_join(slice(t, i + 1, $l), ' ')))
+           |     ELSE cast(array() AS array<bigint>) END""".stripMargin))
+        .as(Seq("pos", "gh")))
+    val dups = wins.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("gh"))
+    val marked = wins.join(dups, "gh").select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = marked
+      .withColumn("prev_end",
+        max(col("pos") + l).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("prev_end").isNull || col("prev_end") < col("pos"), 1)
+          .otherwise(0))
+      .withColumn("span_id", sum(col("is_new")).over(w))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + l).as("e"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("n_removed"),
+        sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        when(col("spans").isNull, array_join(col("t"), " "))
+          .otherwise(expr(
+            """array_join(
+              |  filter(t, (tok, i) ->
+              |    NOT exists(spans, sp -> i >= sp.s AND i < sp.e)), ' ')"""
+              .stripMargin))
+          .as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Ground truth for [[q91SubstrExcise]]: the same window/duplicate/
+    * merge/excise rule over phrase STRINGS (no hash — q56's oracle
+    * stance). Spans come out as maximal runs of covered token indices
+    * (`idx − row_number()` islands), provably identical to the engine's
+    * merged-window spans. */
+  def q91OracleSql: String = {
+    val l = ExciseTokens
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), wins AS (
+       |  SELECT doc_id, i AS pos, array_to_string(t[(i + 1):(i + $l)], ' ') AS g
+       |  FROM toks, LATERAL (SELECT unnest(range(len(t) - ${l - 1})) AS i)
+       |), dups AS (
+       |  SELECT g FROM wins GROUP BY g HAVING min(doc_id) <> max(doc_id)
+       |), marked AS (
+       |  SELECT w.doc_id, w.pos FROM wins w JOIN dups USING (g)
+       |), covered AS (
+       |  SELECT DISTINCT m.doc_id, m.pos + j AS idx
+       |  FROM marked m, LATERAL (SELECT unnest(range($l)) AS j)
+       |), runs AS (
+       |  SELECT doc_id, idx,
+       |         idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+       |  FROM covered
+       |), stats AS (
+       |  SELECT doc_id, count(*) AS n_removed, count(DISTINCT grp) AS n_spans
+       |  FROM runs GROUP BY doc_id
+       |), toksex AS (
+       |  SELECT doc_id, i AS idx, t[i + 1] AS tok
+       |  FROM toks, LATERAL (SELECT unnest(range(len(t))) AS i)
+       |), kept AS (
+       |  SELECT te.doc_id,
+       |         coalesce(string_agg(te.tok, ' ' ORDER BY te.idx)
+       |                    FILTER (WHERE c.idx IS NULL), '') AS clean_text
+       |  FROM toksex te LEFT JOIN covered c
+       |    ON te.doc_id = c.doc_id AND te.idx = c.idx
+       |  GROUP BY te.doc_id
+       |)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+       |       CAST(coalesce(s.n_removed, 0) AS BIGINT) AS n_removed,
+       |       k.clean_text
+       |FROM toks d
+       |LEFT JOIN stats s USING (doc_id)
+       |JOIN kept k USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

@@ -420,4 +420,55 @@ class DedupOpsSpec extends SparkSuite {
         .forEach(p => Files.deleteIfExists(p))
     }
   }
+
+  test("q91 excision: shared phrases removed at any alignment, spans merged") {
+    import spark.implicits._
+    // l=3 hand corpus: docs 1/4 share a 5-token run (overlapping windows
+    // must merge to ONE span in both docs), doc 2 shares only "c d e",
+    // doc 3 is shorter than a window, doc 5 shares two SEPARATED phrases
+    // with doc 1 (two spans around a surviving middle).
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "x c d e y z w"),
+      (3L, "p q"),
+      (4L, "c d e f g h"),
+      (5L, "c d e m m m e f g")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.substrExcise(docs, l = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, 5L, "a b")),
+      2L -> ((1L, 3L, "x y z w")),
+      3L -> ((0L, 0L, "p q")),
+      4L -> ((1L, 5L, "h")),
+      5L -> ((2L, 6L, "m m m"))))
+  }
+
+  test("q91 on the fixture matches a driver-side recount") {
+    val l = DedupOps.ExciseTokens
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val wins = texts.flatMap { case (id, t) =>
+      (0 to t.size - l).map(i => (id, i, t.slice(i, i + l).mkString(" ")))
+    }
+    val dupGrams = wins.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val expected = texts.map { case (id, t) =>
+      val covered = wins
+        .filter(w => w._1 == id && dupGrams(w._3))
+        .flatMap(w => w._2 until w._2 + l).toSet
+      val nSpans = covered.toSeq.sorted
+        .zipWithIndex.map { case (idx, rn) => idx - rn }.distinct.size
+      id -> ((nSpans.toLong, covered.size.toLong,
+        t.indices.filterNot(covered).map(t).mkString(" ")))
+    }.toMap
+    val got = DedupOps.q91SubstrExcise(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == expected)
+    // the fixture's planted near-dups actually exercise the excise path
+    assert(got.values.exists { case (n, _, _) => n > 0 })
+  }
 }

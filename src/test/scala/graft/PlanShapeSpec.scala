@@ -59,6 +59,24 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("xxhash64"), s"passage key not the 64-bit hash:\n$p")
   }
 
+  test("q91: excision machinery shuffles 8-byte phrase hashes; text rides only the doc_id rewrite join") {
+    // q56's contract at window granularity: the duplicate-phrase
+    // aggregate and the mark join key on the 64-bit window hash, the
+    // islands window and rewrite join on doc_id — a refactor that
+    // shuffles phrase STRINGS (or goes all-pairs) must fail here.
+    val p = plan(DedupOps.q91SubstrExcise(spark, sf))
+    val ex = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    assert(ex.exists(_.contains("gh")), s"no window-hash-keyed exchange:\n$p")
+    ex.foreach { l =>
+      assert(l.contains("gh") || l.contains("doc_id"),
+        s"exchange keyed off-contract:\n$l")
+    }
+    assert(p.contains("xxhash64"), s"phrase key not the 64-bit hash:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$p")
+  }
+
   test("q58: tf/totals derive from the persisted (source, token) aggregate — one corpus scan") {
     val p = plan(TextOps.q58SourceDrift(spark, sf))
     // the global-tf, per-source, and grand-total branches must read the
