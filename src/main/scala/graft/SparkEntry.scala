@@ -121,6 +121,7 @@ object SparkEntry {
     "q89_bpe_encode"       -> ((s, d) => TextOps.q89BpeEncode(s, d)),
     "q90_token_budget"     -> ((s, d) => TextOps.q90TokenBudget(s, d)),
     "q91_substr_excise"    -> ((s, d) => DedupOps.q91SubstrExcise(s, d)),
+    "q92_knn_label"        -> ((s, d) => SimilarityOps.q92KnnLabel(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -504,5 +505,9 @@ object SparkEntry {
     // rule on phrase STRINGS (islands over covered indices ≡ the
     // engine's merged window spans).
     "q91_substr_excise" -> DedupOps.q91OracleSql,
+
+    // kNN label propagation: q12's cosine text, same neighbor-rank and
+    // majority-vote tie-breaks over the same deterministic split.
+    "q92_knn_label" -> SimilarityOps.q92OracleSql(),
   )
 }

@@ -2243,4 +2243,96 @@ object SimilarityOps {
        |FROM a LEFT JOIN pr ON a.vec_id = pr.vec_id
        |ORDER BY a.vec_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q92
+
+  /** Neighbor count for [[q92KnnLabel]]'s majority vote. */
+  val KnnK = 5
+
+  /** Probe-set modulus: `vec_id % KnnProbeMod == 0` is the UNLABELED
+    * batch to classify (q52's bounded-split convention — it models the
+    * day's incoming unlabeled vectors, not a constant fraction of an
+    * unbounded corpus). */
+  val KnnProbeMod = 97
+
+  /** q92 — kNN LABEL PROPAGATION: classify each probe vector by the
+    * majority label of its [[KnnK]] nearest labeled neighbors (cosine).
+    * This is the semi-supervised auto-labeling step a training pipeline
+    * runs to spread a small curated seed's labels (quality tiers,
+    * domains, topics) over new data — the embedding-space analog of the
+    * fastText quality classifier used by CCNet/LLaMA-style corpus
+    * builds — and it completes the embedding-column family's "apply"
+    * side: q12/q28 retrieve neighbors, q92 turns them into a decision.
+    *
+    * Tie-breaks are total: neighbors rank by (sim desc, vec_id), the
+    * vote by (count desc, label) — both engines replay them exactly.
+    *
+    * Scale shape: the probe batch rides a size-gated broadcast
+    * ([[ScaleHints.broadcastIfBounded]] — a probe batch that outgrows
+    * the gate degrades to AQE's choice, never a driver OOM); the
+    * labeled corpus is scanned ONCE with a codegen'd scoring
+    * projection; the per-probe top-k is a rank window cut to k BELOW
+    * its exchange (`WindowGroupLimit` — each input partition forwards
+    * at most k rows per probe), and the vote aggregate + winner window
+    * re-use the probe_id partitioning. For probe batches too large to
+    * broadcast, the candidate stage swaps for the IVF index serve
+    * (q50/q70's path) with this vote unchanged — the decision layer is
+    * candidate-source-agnostic. */
+  def q92KnnLabel(
+      spark: SparkSession, dir: String, k: Int = KnnK): DataFrame =
+    knnLabel(Tables.embeddings(spark, dir), k)
+
+  /** Frame-level core of [[q92KnnLabel]] over any `(vec_id, embedding,
+    * label)` frame. */
+  private[graft] def knnLabel(emb: DataFrame, k: Int = KnnK): DataFrame = {
+    import emb.sparkSession.implicits._
+    val probes = emb.filter($"vec_id" % KnnProbeMod === 0)
+      .select($"vec_id".as("probe_id"), $"embedding".as("pvec"),
+        $"label".as("true_label"))
+    val refs = emb.filter($"vec_id" % KnnProbeMod =!= 0)
+    val nn = refs.crossJoin(ScaleHints.broadcastIfBounded(probes))
+      .withColumn("sim", round(PipelineOps.cosine($"embedding", $"pvec"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")))
+      .filter($"rn" <= k)
+    nn.groupBy($"probe_id", $"true_label", $"label")
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("wr", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"n_votes".desc, $"label")))
+      .filter($"wr" === 1)
+      .select($"probe_id".as("vec_id"), $"true_label",
+        $"label".as("pred_label"), $"n_votes")
+      .orderBy($"vec_id")
+  }
+
+  /** Ground truth for [[q92KnnLabel]]: q12's cosine text, the same
+    * split, neighbor rank, and vote tie-breaks. */
+  def q92OracleSql(k: Int = KnnK): String =
+    s"""WITH p AS (
+       |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe, label AS true_label
+       |  FROM embeddings WHERE vec_id % $KnnProbeMod = 0
+       |), r AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS re
+       |  FROM embeddings WHERE vec_id % $KnnProbeMod <> 0
+       |), s AS (
+       |  SELECT p.probe_id, p.true_label, r.vec_id, r.label,
+       |         round(list_dot_product(re, pe) /
+       |               (sqrt(list_dot_product(re, re)) *
+       |                sqrt(list_dot_product(pe, pe))), 6) AS sim
+       |  FROM r, p
+       |), nn AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |                               ORDER BY sim DESC, vec_id) AS rn
+       |  FROM s
+       |), votes AS (
+       |  SELECT probe_id, true_label, label, count(*) AS n_votes
+       |  FROM nn WHERE rn <= $k GROUP BY probe_id, true_label, label
+       |), win AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |                               ORDER BY n_votes DESC, label) AS wr
+       |  FROM votes
+       |)
+       |SELECT probe_id AS vec_id, true_label, label AS pred_label,
+       |       CAST(n_votes AS BIGINT) AS n_votes
+       |FROM win WHERE wr = 1 ORDER BY vec_id""".stripMargin
 }

@@ -77,6 +77,13 @@ class PlanShapeSpec extends SparkSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$p")
   }
 
+  test("q92: probes broadcast, scoring codegen'd, neighbor top-k cut below the exchange") {
+    val p = plan(SimilarityOps.q92KnnLabel(spark, sf))
+    assert(p.contains("dot_product"), s"kernel not the custom expression:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"no rank-limit pushdown:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
   test("q58: tf/totals derive from the persisted (source, token) aggregate — one corpus scan") {
     val p = plan(TextOps.q58SourceDrift(spark, sf))
     // the global-tf, per-source, and grand-total branches must read the

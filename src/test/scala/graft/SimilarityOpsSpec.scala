@@ -1315,4 +1315,50 @@ class SimilarityOpsSpec extends SparkSuite {
     }
     assert(byId.size == 500)
   }
+
+  test("q92 kNN vote: majority wins, ties break to the smaller label") {
+    import spark.implicits._
+    // k=2 hand fixture (2-D vectors): probe 0 ties 1-1 between labels
+    // 7 and 9 (both neighbors at sim 1.0 — the smaller label must
+    // win); probe 97's two nearest agree on label 5.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 9),
+      (97L, Seq(0.0f, 1.0f), 9),
+      (1L, Seq(1.0f, 0.0f), 7),
+      (2L, Seq(1.0f, 0.0f), 9),
+      (3L, Seq(0.0f, 1.0f), 5),
+      (4L, Seq(0.1f, 1.0f), 5)
+    ).toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.knnLabel(emb, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got == Seq((0L, 9, 7, 1L), (97L, 9, 5, 2L)))
+  }
+
+  test("q92 on the fixture == exact driver-side kNN label propagation") {
+    import spark.implicits._
+    val rows = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val raw = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val (probes, refs) = rows.partition(_._1 % SimilarityOps.KnnProbeMod == 0)
+    val expected = probes.sortBy(_._1).map { case (pid, pv, tl) =>
+      val votes = refs.map { case (v, rv, l) => (v, l, cos(rv, pv)) }
+        .sortBy { case (v, _, s) => (-s, v) }.take(SimilarityOps.KnnK)
+        .groupBy(_._2).map { case (l, g) => (l, g.size) }.toSeq
+        .sortBy { case (l, n) => (-n, l) }
+      (pid, tl, votes.head._1, votes.head._2.toLong)
+    }.toSeq
+    val got = SimilarityOps.q92KnnLabel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
