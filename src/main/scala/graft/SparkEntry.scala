@@ -122,6 +122,7 @@ object SparkEntry {
     "q90_token_budget"     -> ((s, d) => TextOps.q90TokenBudget(s, d)),
     "q91_substr_excise"    -> ((s, d) => DedupOps.q91SubstrExcise(s, d)),
     "q92_knn_label"        -> ((s, d) => SimilarityOps.q92KnnLabel(s, d)),
+    "q93_code_outliers"    -> ((s, d) => SimilarityOps.q93CodeOutliers(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -509,5 +510,10 @@ object SparkEntry {
     // kNN label propagation: q12's cosine text, same neighbor-rank and
     // majority-vote tie-breaks over the same deterministic split.
     "q92_knn_label" -> SimilarityOps.q92OracleSql(),
+
+    // Compressed-domain outlier screen: q54's quantizer CTE, per-label
+    // integer code sums, the scaled distance Σ(n·c−S)², same rank and
+    // 5% flag rule — all-integer, so the hash is exact by construction.
+    "q93_code_outliers" -> SimilarityOps.q93OracleSql,
   )
 }

@@ -2335,4 +2335,109 @@ object SimilarityOps {
        |SELECT probe_id AS vec_id, true_label, label AS pred_label,
        |       CAST(n_votes AS BIGINT) AS n_votes
        |FROM win WHERE wr = 1 ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q93
+
+  /** Outlier fraction denominator for [[q93CodeOutliers]]: the top
+    * `ceil(n / OutlierDenom)` most-distant vectors per label are
+    * flagged (1/20 = 5%). */
+  val OutlierDenom = 20
+
+  /** q93 — COMPRESSED-DOMAIN OUTLIER SCREEN: flag, per label, the
+    * vectors farthest from their label's centroid — the
+    * mislabeled/noise screen a pipeline runs over an embedding column
+    * before trusting its labels (fastText-style label audits, CLIP
+    * pair filtering). Screening happens in SQ8 CODE space (q54's
+    * quantizer), the same compressed-domain trick the PQ/ADC family
+    * uses: the scan reads 1-byte codes, and — the reason this op is
+    * exact where a float-centroid formulation cannot be — every
+    * quantity stays INTEGER, so the result is independent of
+    * partitioning, accumulation order, and engine.
+    *
+    * The integer trick: the distance of code vector c to its label
+    * mean S/n is compared WITHIN a label, so scale by n² —
+    * `d2 = Σ_d (n·c_d − S_d)²` with S the per-label per-dimension code
+    * SUM — exact int64 up to ~1.5M vectors per label (255·n·√Dim <
+    * 2^31.5); past that a deployment divides first and scores in
+    * double (ranking almost surely unchanged), or shards labels. Code
+    * space is min-max-normalized coordinates, so d2 is Euclidean
+    * distance under per-dimension normalization — a standard outlier
+    * metric, not a magnitude artifact (the q54 dequantize warning
+    * does not apply: no cross-space comparison happens).
+    *
+    * Plan: q54's one-pass stats broadcast + encode projection; ONE
+    * label-keyed hash aggregate (Dim flat sum columns, map-side
+    * partials — the q15 lesson) produces the 10-row centroid relation,
+    * which re-joins by size-gated broadcast; d2 is a codegen'd
+    * fold; the flag window re-uses the label partitioning (one
+    * exchange for agg + window together under AQE). Output is
+    * all-integer. */
+  def q93CodeOutliers(spark: SparkSession, dir: String): DataFrame =
+    codeOutliers(Tables.embeddings(spark, dir))
+
+  /** Frame-level core of [[q93CodeOutliers]] over any `(vec_id,
+    * embedding, label)` frame. */
+  private[graft] def codeOutliers(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val stats = sq8Stats(emb)
+    val coded = emb.crossJoin(broadcast(stats))
+      .select($"vec_id", $"label",
+        sq8Codes($"embedding", $"mn", $"mx").cast("array<long>").as("codes"))
+    val sumCols = (0 until Dim).map(i =>
+      sum(element_at($"codes", i + 1)).as(s"s$i"))
+    val centroids = coded.groupBy($"label")
+      .agg(count(lit(1)).as("n"), sumCols: _*)
+      .select($"label", $"n",
+        array((0 until Dim).map(i => col(s"s$i")): _*).as("s"))
+    coded.join(ScaleHints.broadcastIfBounded(centroids), "label")
+      .withColumn("d2", expr(
+        """aggregate(zip_with(codes, s, (c, sd) -> (n * c - sd) * (n * c - sd)),
+          |          0L, (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"label").orderBy($"d2".desc, $"vec_id")))
+      .select($"vec_id", $"label", $"d2",
+        when($"rn" <= ($"n" + (OutlierDenom - 1)) / OutlierDenom, 1)
+          .otherwise(0).as("is_outlier"))
+      .orderBy($"vec_id")
+  }
+
+  /** Ground truth for [[q93CodeOutliers]]: q54's quantizer CTE text
+    * (codes cast to BIGINT), the same per-label integer sums, scaled
+    * distance, rank, and 5% flag rule. */
+  def q93OracleSql: String = {
+    val mns = (1 to Dim).map(i => s"min(embedding[$i])").mkString(", ")
+    val mxs = (1 to Dim).map(i => s"max(embedding[$i])").mkString(", ")
+    val sums = (1 to Dim).map(i => s"sum(codes[$i])").mkString(", ")
+    s"""WITH stats AS (
+       |  SELECT [$mns] AS mn,
+       |         [$mxs] AS mx
+       |  FROM embeddings
+       |), c AS (
+       |  SELECT vec_id, label,
+       |         list_transform(generate_series(1, $Dim), i ->
+       |           CASE WHEN mx[i] = mn[i] THEN CAST(0 AS BIGINT)
+       |                ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - CAST(mn[i] AS DOUBLE))
+       |                           * 255.0
+       |                           / (CAST(mx[i] AS DOUBLE) - CAST(mn[i] AS DOUBLE))) AS BIGINT)
+       |           END) AS codes
+       |  FROM embeddings, stats
+       |), g AS (
+       |  SELECT label, count(*) AS n, [$sums] AS s
+       |  FROM c GROUP BY label
+       |), d AS (
+       |  SELECT vec_id, c.label,
+       |         CAST(list_sum(list_transform(generate_series(1, $Dim), i ->
+       |           (n * codes[i] - s[i]) * (n * codes[i] - s[i]))) AS BIGINT) AS d2,
+       |         n
+       |  FROM c JOIN g ON c.label = g.label
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY label
+       |                               ORDER BY d2 DESC, vec_id) AS rn
+       |  FROM d
+       |)
+       |SELECT vec_id, label, d2,
+       |       CASE WHEN rn <= (n + ${OutlierDenom - 1}) // $OutlierDenom
+       |            THEN 1 ELSE 0 END AS is_outlier
+       |FROM r ORDER BY vec_id""".stripMargin
+  }
 }

@@ -84,6 +84,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
   }
 
+  test("q93: quantizer stats and centroids broadcast; keyed exchanges ride the label") {
+    // one-pass encode (stats arrive by broadcast, q54's shape), the
+    // 10-row centroid relation re-joins by broadcast, and the only
+    // hash-keyed exchanges are the label-keyed aggregate + flag window
+    val p = plan(SimilarityOps.q93CodeOutliers(spark, sf))
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(l.contains("label"), s"exchange keyed off-contract:\n$l")
+    }
+  }
+
   test("q58: tf/totals derive from the persisted (source, token) aggregate — one corpus scan") {
     val p = plan(TextOps.q58SourceDrift(spark, sf))
     // the global-tf, per-source, and grand-total branches must read the

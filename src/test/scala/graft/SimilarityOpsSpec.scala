@@ -1361,4 +1361,41 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("q93 on the fixture == exact driver-side compressed-domain outlier screen") {
+    import spark.implicits._
+    val rows = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val dim = rows.head._2.length
+    val mn = (0 until dim).map(d => rows.map(_._2(d)).min)
+    val mx = (0 until dim).map(d => rows.map(_._2(d)).max)
+    def codes(v: Array[Float]): Array[Long] =
+      (0 until dim).map { d =>
+        if (mx(d) == mn(d)) 0L
+        else math.floor((v(d).toDouble - mn(d).toDouble) * 255.0 /
+          (mx(d).toDouble - mn(d).toDouble)).toLong
+      }.toArray
+    val coded = rows.map { case (id, v, l) => (id, codes(v), l) }
+    val expected = coded.groupBy(_._3).toSeq.flatMap { case (l, g) =>
+      val n = g.size.toLong
+      val sums = (0 until dim).map(d => g.map(_._2(d)).sum)
+      val d2s = g.map { case (id, c, _) =>
+        (id, (0 until dim).map { d =>
+          val t = n * c(d) - sums(d); t * t }.sum)
+      }
+      val flagged = d2s.sortBy { case (id, d2) => (-d2, id) }
+        .take(((n + SimilarityOps.OutlierDenom - 1) / SimilarityOps.OutlierDenom).toInt)
+        .map(_._1).toSet
+      d2s.map { case (id, d2) => (id, l, d2, if (flagged(id)) 1 else 0) }
+    }.sortBy(_._1)
+    val got = SimilarityOps.q93CodeOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == expected)
+    // every label flags at least one vector (ceil rule)
+    val labels = got.map(_._2).distinct
+    labels.foreach { l =>
+      assert(got.exists(r => r._2 == l && r._4 == 1), s"label $l flags none")
+    }
+  }
 }
