@@ -123,6 +123,7 @@ object SparkEntry {
     "q91_substr_excise"    -> ((s, d) => DedupOps.q91SubstrExcise(s, d)),
     "q92_knn_label"        -> ((s, d) => SimilarityOps.q92KnnLabel(s, d)),
     "q93_code_outliers"    -> ((s, d) => SimilarityOps.q93CodeOutliers(s, d)),
+    "q94_vocab_coverage"   -> ((s, d) => TextOps.q94VocabCoverage(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -515,5 +516,9 @@ object SparkEntry {
     // integer code sums, the scaled distance Σ(n·c−S)², same rank and
     // 5% flag rule — all-integer, so the hash is exact by construction.
     "q93_code_outliers" -> SimilarityOps.q93OracleSql,
+
+    // Vocab coverage curve: q04's tokenizer, (n desc, token) rank,
+    // integer cum·100 ≥ P·total comparison, min-rank checkpoints.
+    "q94_vocab_coverage" -> TextOps.q94OracleSql,
   )
 }

@@ -1653,4 +1653,84 @@ object TextOps {
        |       CAST(sum(kept) AS BIGINT) AS n_docs_kept,
        |       CAST(sum(kept * n_tokens) AS BIGINT) AS n_tokens_kept
        |FROM f GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q94
+
+  /** Coverage checkpoints (percent of total token mass) for
+    * [[q94VocabCoverage]]. */
+  val CoverageTargets = Seq(50, 90, 95, 99)
+
+  /** q94 — VOCABULARY COVERAGE CURVE: for each checkpoint P, the
+    * minimal frequency-ranked vocabulary size whose cumulative token
+    * mass reaches P% of the corpus — the measurement that sizes a
+    * tokenizer's vocab (and its UNK rate) before committing to a BPE
+    * budget (q86 induces merges; q94 says how large the table must be).
+    * The comparison is `cum · 100 ≥ P · total` in integers — no float
+    * ever appears, so the result is engine-exact.
+    *
+    * Scale shape: the corpus-sized stage is the (token)-keyed frequency
+    * aggregate (map-side combined, the q04 shape). Everything after
+    * runs on the VOCAB relation, which Zipf keeps orders of magnitude
+    * smaller than the corpus — the ranked-cumulative window is the one
+    * single-partition stage, bounded by vocab size, not corpus size
+    * (q59's bounded-offset argument; a vocabulary too large for one
+    * partition would range-partition the window into a two-phase
+    * prefix sum). The 1-row total and the 4-row target relation ride
+    * broadcasts; the final min-rank aggregate is 4 groups. */
+  def q94VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.documents(spark, dir))
+
+  /** Frame-level core of [[q94VocabCoverage]] over any `(doc_id,
+    * text)` frame. */
+  private[graft] def vocabCoverage(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(explode(toks(col("text"))).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy($"n".desc, $"token")
+    val ranked = tf
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum($"n").over(w))
+      .select($"rank", $"cum")
+    val total = tf.agg(sum($"n").as("total"))
+    val targets = CoverageTargets.toDF("pct")
+    ranked.crossJoin(broadcast(total)).crossJoin(broadcast(targets))
+      .filter($"cum" * 100 >= $"pct" * $"total")
+      .groupBy($"pct", $"total")
+      .agg(min(struct($"rank", $"cum")).as("first"))
+      .select($"pct", $"first.rank".as("vocab_size"),
+        $"first.cum".as("covered_tokens"), $"total".as("total_tokens"))
+      .orderBy($"pct")
+  }
+
+  /** Ground truth for [[q94VocabCoverage]]: the q04 tokenizer, the
+    * same (n desc, token) rank, integer cumulative comparison, and
+    * min-rank checkpoint rule. */
+  def q94OracleSql: String = {
+    val values = CoverageTargets.map(p => s"($p)").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+       |                            t -> len(t) > 0)) AS token
+       |  FROM documents
+       |), tf AS (
+       |  SELECT token, count(*) AS n FROM tok GROUP BY token
+       |), rk AS (
+       |  SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank,
+       |         sum(n) OVER (ORDER BY n DESC, token
+       |                      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM tf
+       |), tot AS (SELECT sum(n) AS total FROM tf),
+       |t(pct) AS (VALUES $values),
+       |q AS (
+       |  SELECT pct, min(rank) AS vocab_size
+       |  FROM rk, tot, t
+       |  WHERE cum * 100 >= pct * total
+       |  GROUP BY pct
+       |)
+       |SELECT pct, CAST(vocab_size AS BIGINT) AS vocab_size,
+       |       CAST(rk.cum AS BIGINT) AS covered_tokens,
+       |       CAST(total AS BIGINT) AS total_tokens
+       |FROM q JOIN rk ON rk.rank = q.vocab_size, tot
+       |ORDER BY pct""".stripMargin
+  }
 }

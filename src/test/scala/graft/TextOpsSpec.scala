@@ -584,4 +584,24 @@ class TextOpsSpec extends SparkSuite {
     assert(got("srcA") == ((1L, 2L, 2L, 1L, 2L)), s"srcA: ${got("srcA")}")
     assert(got("srcB") == ((3L, 5L, 5L, 1L, 1L)), s"srcB: ${got("srcB")}")
   }
+
+  test("q94 on the fixture == exact driver-side coverage curve") {
+    val tokens = graft.Tables.documents(spark, sf)
+      .select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
+    val total = tokens.length.toLong
+    val ranked = tokens.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, n) => (-n, t) }
+    val cums = ranked.scanLeft(0L)(_ + _._2).drop(1)
+    val expected = TextOps.CoverageTargets.map { p =>
+      val i = cums.indexWhere(c => c * 100 >= p * total)
+      (p, (i + 1).toLong, cums(i), total)
+    }
+    val got = TextOps.q94VocabCoverage(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the curve is monotone and ends under the full vocab (Zipf head)
+    assert(got.map(_._2) == got.map(_._2).sorted)
+    assert(got.last._2 <= ranked.size)
+  }
 }
