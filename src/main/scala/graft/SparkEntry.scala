@@ -124,6 +124,7 @@ object SparkEntry {
     "q92_knn_label"        -> ((s, d) => SimilarityOps.q92KnnLabel(s, d)),
     "q93_code_outliers"    -> ((s, d) => SimilarityOps.q93CodeOutliers(s, d)),
     "q94_vocab_coverage"   -> ((s, d) => TextOps.q94VocabCoverage(s, d)),
+    "q95_excise_indexed"   -> ((s, d) => DedupOps.q95ExciseIndexed(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -520,5 +521,9 @@ object SparkEntry {
     // Vocab coverage curve: q04's tokenizer, (n desc, token) rank,
     // integer cum·100 ≥ P·total comparison, min-rank checkpoints.
     "q94_vocab_coverage" -> TextOps.q94OracleSql,
+
+    // Index-served phrase excision: delta windows marked iff the phrase
+    // occurs in the sealed base, then q91's shared excise tail.
+    "q95_excise_indexed" -> DedupOps.q95OracleSql,
   )
 }

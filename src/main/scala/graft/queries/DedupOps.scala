@@ -1246,9 +1246,26 @@ object DedupOps {
     * document with covered tokens excised (space re-join). */
   private[graft] def substrExcise(
       docs: DataFrame, l: Int = ExciseTokens): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-    val wins = toks.select(
+    val toks = docTokens(docs)
+    val wins = windowHashes(toks, l)
+    val dups = wins.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("gh"))
+    val marked = wins.join(dups, "gh").select(col("doc_id"), col("pos"))
+    exciseMarked(toks, marked, l)
+  }
+
+  /** `(doc_id, t)` — the tokenized form both the excise pipeline and
+    * its rewrite join read (q56's raw single-space split). */
+  private def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+
+  /** `(doc_id, pos, gh)` — the xxhash64 of every `l`-token window at
+    * every offset, one narrow generate (24-byte rows; the text never
+    * leaves the scan stage). */
+  private[graft] def windowHashes(toks: DataFrame, l: Int): DataFrame =
+    toks.select(
       col("doc_id"),
       posexplode(expr(
         s"""CASE WHEN size(t) >= $l
@@ -1256,11 +1273,15 @@ object DedupOps {
            |                    i -> xxhash64(array_join(slice(t, i + 1, $l), ' ')))
            |     ELSE cast(array() AS array<bigint>) END""".stripMargin))
         .as(Seq("pos", "gh")))
-    val dups = wins.groupBy(col("gh"))
-      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-      .filter(col("mn") =!= col("mx"))
-      .select(col("gh"))
-    val marked = wins.join(dups, "gh").select(col("doc_id"), col("pos"))
+
+  /** Steps 4–5 of the excise pipeline (see [[q91SubstrExcise]]):
+    * islands-merge the marked window starts into maximal spans and
+    * re-emit every doc in `toks` with covered tokens excised — shared
+    * verbatim by the in-plan q91 and the index-served scrub
+    * ([[scrubAgainst]]), so the two paths cannot drift. */
+  private def exciseMarked(
+      toks: DataFrame, marked: DataFrame, l: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = marked
       .withColumn("prev_end",
@@ -1307,7 +1328,17 @@ object DedupOps {
        |  SELECT g FROM wins GROUP BY g HAVING min(doc_id) <> max(doc_id)
        |), marked AS (
        |  SELECT w.doc_id, w.pos FROM wins w JOIN dups USING (g)
-       |), covered AS (
+       |), $exciseOracleTail""".stripMargin
+  }
+
+  /** The merge/excise tail shared by the q91 and q95 oracles: consumes
+    * CTEs `toks (doc_id, t)` and `marked (doc_id, pos)`, produces the
+    * operator's 4-column output — one SQL text, so the in-plan and
+    * index-served oracles cannot drift (the engine side shares
+    * [[exciseMarked]] the same way). */
+  private def exciseOracleTail: String = {
+    val l = ExciseTokens
+    s"""covered AS (
        |  SELECT DISTINCT m.doc_id, m.pos + j AS idx
        |  FROM marked m, LATERAL (SELECT unnest(range($l)) AS j)
        |), runs AS (
@@ -1336,5 +1367,141 @@ object DedupOps {
        |LEFT JOIN stats s USING (doc_id)
        |JOIN kept k USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q95
+
+  private val PhraseIndexRoots = Seq("phrases")
+
+  /** Write the PHRASE BANK for a sealed corpus — q91's duplicate-
+    * detection state in persisted form, so later deltas can be
+    * scrubbed WITHOUT re-reading the sealed corpus: one artifact
+    * `phrases/ (gh, mn, mx)` — every distinct window hash with its
+    * min/max holder doc_id. min/max (not a dup flag) is what makes the
+    * bank COMPOSABLE: it merges associatively across appends
+    * ([[phraseBank]] re-aggregates over the window), and it encodes
+    * the self-exclusion rule — a phrase is a duplicate FOR doc d iff
+    * some OTHER doc holds it, i.e. NOT (mn = d AND mx = d) — which
+    * makes a full-corpus self-scrub row-identical to q91 (spec-pinned).
+    *
+    * 8 bytes of hash + 16 of holders per distinct phrase, never text.
+    * Lives under the [[GenerationManifest]] window protocol like every
+    * other persisted index family. */
+  def writePhraseIndex(
+      docs: DataFrame, path: String, l: Int = ExciseTokens): Unit = {
+    phraseTable(docs, l).withColumn("gen", lit(1L))
+      .write.partitionBy("gen").mode("overwrite").parquet(s"$path/phrases")
+    GenerationManifest.commit(path, 1, 1)
+  }
+
+  /** `(gh, mn, mx)` for one corpus slice. */
+  private def phraseTable(docs: DataFrame, l: Int): DataFrame =
+    windowHashes(docTokens(docs), l)
+      .groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+
+  /** Append a day's corpus to the phrase bank: stage the delta's
+    * phrase table as generation `hi+1`, then one atomic manifest flip
+    * ([[GenerationManifest]] — a crash before the flip leaves readers
+    * on the old window). Append ≡ rebuild (spec-pinned) because the
+    * serve-side merge re-aggregates min/mx across generations. */
+  def appendPhraseIndex(
+      delta: DataFrame, path: String, l: Int = ExciseTokens): Unit =
+    appendPhraseStaged(delta, path, l, crashAfterStage = Int.MaxValue)
+
+  /** [[appendPhraseIndex]] with a failpoint for the crash-window spec. */
+  private[graft] def appendPhraseStaged(
+      delta: DataFrame, path: String, l: Int, crashAfterStage: Int): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, PhraseIndexRoots, lo, hi)
+    phraseTable(delta, l).withColumn("gen", lit(hi + 1))
+      .write.partitionBy("gen").mode("append").parquet(s"$path/phrases")
+    if (crashAfterStage <= 1) return
+    GenerationManifest.commit(path, lo, hi + 1)
+  }
+
+  /** Compact the accreted generations into one ([[compactDedupIndex]]'s
+    * contract): merge the window's phrase rows, stage as `hi+1`, flip
+    * to `[hi+1, hi+1]`. Scrub results are bit-identical across the
+    * flip. */
+  def compactPhraseIndex(spark: SparkSession, path: String): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, PhraseIndexRoots, lo, hi)
+    if (lo == hi) return
+    spark.read.parquet(s"$path/phrases")
+      .filter(col("gen").between(lo, hi)).drop("gen")
+      .groupBy(col("gh"))
+      .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+      .withColumn("gen", lit(hi + 1))
+      .write.partitionBy("gen").mode("append").parquet(s"$path/phrases")
+    GenerationManifest.commit(path, hi + 1, hi + 1)
+    GenerationManifest.purgeOutside(path, PhraseIndexRoots, hi + 1, hi + 1)
+  }
+
+  /** The served phrase relation: window-scoped scan + the associative
+    * min/mx merge across generations (a phrase appended twice must
+    * present ONE row with holders from both). */
+  private def phraseBank(spark: SparkSession, path: String): DataFrame = {
+    val (lo, hi) = GenerationManifest.window(path)
+    spark.read.parquet(s"$path/phrases")
+      .filter(col("gen").between(lo, hi))
+      .groupBy(col("gh"))
+      .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+  }
+
+  /** Scrub `docs` against a sealed phrase bank: excise every window
+    * whose phrase some OTHER doc holds (`NOT (mn = doc AND mx = doc)`
+    * — so scrubbing a corpus against its own bank reproduces q91
+    * exactly, and scrubbing a disjoint delta excises everything the
+    * sealed corpus already contains: the incremental contamination
+    * scrub). Same [[exciseMarked]] tail as q91 — the shuffled keys are
+    * gh and doc_id, the delta's text crosses once in the rewrite
+    * join. */
+  def scrubAgainst(
+      spark: SparkSession, indexPath: String, docs: DataFrame,
+      l: Int = ExciseTokens): DataFrame = {
+    val toks = docTokens(docs)
+    val marked = windowHashes(toks, l)
+      .join(phraseBank(spark, indexPath), "gh")
+      .filter(!(col("mn") === col("doc_id") && col("mx") === col("doc_id")))
+      .select(col("doc_id"), col("pos"))
+    exciseMarked(toks, marked, l)
+  }
+
+  /** q95 — INDEX-SERVED phrase excision: q62's incremental shape for
+    * the q91 operator. The corpus splits deterministically
+    * ([[DeltaMod]]) into a sealed base and an incoming delta; the
+    * base's phrase bank is built once ([[writePhraseIndex]]) and the
+    * delta scrubbed against it — the sealed text is never re-read.
+    * Like q50/q62, the query re-pays the build per call into a temp
+    * dir (fixture-scale convenience). */
+  def q95ExciseIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val path = SimilarityOps.tempIndexDir("graft-phrase-index")
+    writePhraseIndex(docs.filter($"doc_id" % DeltaMod =!= DeltaRem), path)
+    scrubAgainst(spark, path, docs.filter($"doc_id" % DeltaMod === DeltaRem))
+  }
+
+  /** Ground truth for [[q95ExciseIndexed]]: delta windows marked iff
+    * the phrase occurs anywhere in the base (the disjoint split makes
+    * self-exclusion vacuous), then the shared excise tail. */
+  def q95OracleSql: String = {
+    val l = ExciseTokens
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE doc_id % $DeltaMod = $DeltaRem
+       |), wins AS (
+       |  SELECT doc_id, i AS pos, array_to_string(t[(i + 1):(i + $l)], ' ') AS g
+       |  FROM toks, LATERAL (SELECT unnest(range(len(t) - ${l - 1})) AS i)
+       |), bt AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE doc_id % $DeltaMod <> $DeltaRem
+       |), bg AS (
+       |  SELECT DISTINCT array_to_string(t[(i + 1):(i + $l)], ' ') AS g
+       |  FROM bt, LATERAL (SELECT unnest(range(len(t) - ${l - 1})) AS i)
+       |), marked AS (
+       |  SELECT w.doc_id, w.pos FROM wins w JOIN bg USING (g)
+       |), $exciseOracleTail""".stripMargin
   }
 }

@@ -471,4 +471,61 @@ class DedupOpsSpec extends SparkSuite {
     // the fixture's planted near-dups actually exercise the excise path
     assert(got.values.exists { case (n, _, _) => n > 0 })
   }
+
+  test("q95: self-scrub against the corpus' own bank == q91, and the bank holds no text") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val docs = graft.Tables.documents(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("q95self").toString
+    try {
+      DedupOps.writePhraseIndex(docs, path)
+      val idxCols = spark.read.parquet(s"$path/phrases").columns.toSet
+      assert(idxCols == Set("gh", "mn", "mx", "gen"), s"unexpected bank schema: $idxCols")
+      assert(rows(DedupOps.scrubAgainst(spark, path, docs)) ==
+        rows(DedupOps.substrExcise(docs)),
+        "self-scrub diverges from q91 — self-exclusion rule broken")
+    } finally rmTree(path)
+  }
+
+  test("q95: append == rebuild, crash window invisible, compaction transparent") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val docs = graft.Tables.documents(spark, sf)
+    val base = docs.filter($"doc_id" % 3 === 0)
+    val day2 = docs.filter($"doc_id" % 3 === 1)
+    val delta = docs.filter($"doc_id" % 3 === 2)
+    val incr = java.nio.file.Files.createTempDirectory("q95incr").toString
+    val full = java.nio.file.Files.createTempDirectory("q95full").toString
+    try {
+      DedupOps.writePhraseIndex(base, incr)
+      val beforeAppend = rows(DedupOps.scrubAgainst(spark, incr, delta))
+      // crashed append: staged generation, no manifest flip -> invisible
+      DedupOps.appendPhraseStaged(day2, incr, DedupOps.ExciseTokens,
+        crashAfterStage = 1)
+      assert(rows(DedupOps.scrubAgainst(spark, incr, delta)) == beforeAppend,
+        "uncommitted append observable")
+      // the retry purges the debris and lands; append == rebuild
+      DedupOps.appendPhraseIndex(day2, incr)
+      DedupOps.writePhraseIndex(docs.filter($"doc_id" % 3 < 2), full)
+      val got = rows(DedupOps.scrubAgainst(spark, incr, delta))
+      assert(got == rows(DedupOps.scrubAgainst(spark, full, delta)),
+        "append diverges from rebuild")
+      // compaction collapses generations without changing the serve
+      DedupOps.compactPhraseIndex(spark, incr)
+      assert(graft.queries.GenerationManifest.window(incr)._1 ==
+        graft.queries.GenerationManifest.window(incr)._2)
+      assert(rows(DedupOps.scrubAgainst(spark, incr, delta)) == got,
+        "compaction changed the served scrub")
+      // a phrase shared base/day2 must excise from the delta too
+      // (min/mx merge across generations), and the scrub is non-vacuous
+      assert(got.exists(_._2 > 0))
+    } finally { rmTree(incr); rmTree(full) }
+  }
+
+  private def rmTree(path: String): Unit = {
+    import java.nio.file.{Files, Path}
+    Files.walk(Path.of(path)).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
+  }
 }

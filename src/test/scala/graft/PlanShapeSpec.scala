@@ -84,6 +84,18 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
   }
 
+  test("q95: the served scrub keeps q91's exchange contract (gh/doc_id keys only)") {
+    val p = plan(DedupOps.q95ExciseIndexed(spark, sf))
+    val ex = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    ex.foreach { l =>
+      assert(l.contains("gh") || l.contains("doc_id"),
+        s"exchange keyed off-contract:\n$l")
+    }
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$p")
+  }
+
   test("q93: quantizer stats and centroids broadcast; keyed exchanges ride the label") {
     // one-pass encode (stats arrive by broadcast, q54's shape), the
     // 10-row centroid relation re-joins by broadcast, and the only
