@@ -176,6 +176,37 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming PHRASE SCRUB — [[baseScreen]]'s shape for the q91/q95
+    * excision operator: every arriving document is rewritten with the
+    * spans the SEALED phrase bank already contains excised
+    * ([[graft.queries.DedupOps.scrubAgainst]] per batch), and the
+    * scrubbed rows land in `outDir`. This is the crawl-side
+    * contamination scrub: boilerplate and benchmark text known to the
+    * sealed corpus never reaches the training corpus at any alignment.
+    *
+    * Same stateless argument as [[baseScreen]]: a doc's scrub depends
+    * only on (doc, sealed bank) — never on other stream docs — so
+    * per-batch application is EXACTLY the batch operator's semantics
+    * regardless of how arrivals split into batches (spec-pinned).
+    * `foreachBatch` because the scrub is a multi-join computation
+    * (bank join + islands window + rewrite join). Restart replays at
+    * least once; replayed docs re-scrub to byte-identical rows, so
+    * downstream exact dedup (q09's rule) absorbs duplicates. */
+  def phraseScrub(
+      docs: DataFrame,
+      indexPath: String,
+      outDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.DedupOps
+          .scrubAgainst(batch.sparkSession, indexPath, batch)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Exact streaming dedup — q09's content-hash rule on an unbounded
     * stream: state keys are `xxhash64(text)` (8 bytes), eviction is
     * watermark-driven, first arrival within the horizon wins. */

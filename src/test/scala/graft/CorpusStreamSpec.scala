@@ -444,4 +444,46 @@ class CorpusStreamSpec extends SparkSuite {
         "baseScreen leaked a cached shingle frame across batches")
     } finally q.stop()
   }
+
+  test("phraseScrub: stream-scrubbed rows == batch scrubAgainst on the same delta; stateless") {
+    import graft.queries.DedupOps
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % DedupOps.DeltaMod =!= DedupOps.DeltaRem)
+    val delta = docs.filter(col("doc_id") % DedupOps.DeltaMod === DedupOps.DeltaRem)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-scrub-idx").toString
+    DedupOps.writePhraseIndex(base, idxPath)
+    val expected = DedupOps.scrubAgainst(spark, idxPath, delta).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(expected.exists(_._2 > 0), "fixture delta scrubs nothing — vacuous")
+
+    val deltaRows = delta.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toIndexedSeq
+    val (batch1, batch2) = deltaRows.partition(_._1 < deltaRows.map(_._1).sorted
+      .apply(deltaRows.length / 2))
+
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-scrub-out").toString + "/scrubbed"
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-scrub-ck").toString
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusStream.phraseScrub(
+      in.toDF().toDF("doc_id", "text"), idxPath, outDir, ckDir)
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select($"doc_id", $"n_spans", $"n_removed", $"clean_text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(got == expected,
+        s"stream scrub diverges from batch scrubAgainst; " +
+          s"only-stream=${(got -- expected).take(3)} " +
+          s"only-batch=${(expected -- got).take(3)}")
+      assert(stateRowsTotal(q) == 0, "phraseScrub must not hold state")
+    } finally q.stop()
+  }
 }
