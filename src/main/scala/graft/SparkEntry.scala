@@ -125,6 +125,7 @@ object SparkEntry {
     "q93_code_outliers"    -> ((s, d) => SimilarityOps.q93CodeOutliers(s, d)),
     "q94_vocab_coverage"   -> ((s, d) => TextOps.q94VocabCoverage(s, d)),
     "q95_excise_indexed"   -> ((s, d) => DedupOps.q95ExciseIndexed(s, d)),
+    "q96_excise_keepfirst" -> ((s, d) => DedupOps.q96ExciseKeepFirst(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -525,5 +526,9 @@ object SparkEntry {
     // Index-served phrase excision: delta windows marked iff the phrase
     // occurs in the sealed base, then q91's shared excise tail.
     "q95_excise_indexed" -> DedupOps.q95OracleSql,
+
+    // Keep-first phrase dedup: rank over (doc_id, pos) per phrase
+    // string (rn > 1 ⟺ duplicated and not first), shared excise tail.
+    "q96_excise_keepfirst" -> DedupOps.q96OracleSql,
   )
 }

@@ -1483,6 +1483,67 @@ object DedupOps {
     scrubAgainst(spark, path, docs.filter($"doc_id" % DeltaMod === DeltaRem))
   }
 
+  // ---------------------------------------------------------------- q96
+
+  /** q96 — KEEP-FIRST phrase dedup: q91's machinery under the actual
+    * training-dedup rule of Lee et al.'s ExactSubstr — every
+    * occurrence of a duplicated phrase is excised EXCEPT the phrase's
+    * globally first occurrence (min by (doc_id, pos)), and "duplicated"
+    * counts TOTAL occurrences, so intra-document repetition dedups too
+    * (q44/q46 report it; q96 edits it — and q91's symmetric scrub
+    * deliberately does neither). One copy of every phrase survives;
+    * the corpus keeps its information, loses its repetition.
+    *
+    * The kept occurrence is a WINDOW-rule survivor: a different
+    * overlapping duplicated phrase can still cover part of it (span
+    * semantics — exactly as in the suffix-array original, where
+    * overlapping duplicate extents merge before excision).
+    *
+    * Scale shape = q91's with one aggregate swapped: the duplicate
+    * detection carries `min(struct(doc_id, pos))` + a count per hash
+    * (24 bytes, map-side combined) instead of the min/max doc pair;
+    * everything else — 8-byte keyed exchanges, islands merge, one
+    * text-bearing rewrite join — is [[exciseMarked]] verbatim. */
+  def q96ExciseKeepFirst(spark: SparkSession, dir: String): DataFrame =
+    exciseKeepFirst(Tables.documents(spark, dir))
+
+  /** Frame-level core of [[q96ExciseKeepFirst]]. */
+  private[graft] def exciseKeepFirst(
+      docs: DataFrame, l: Int = ExciseTokens): DataFrame = {
+    val toks = docTokens(docs)
+    val wins = windowHashes(toks, l)
+    val firsts = wins.groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val marked = wins.join(firsts, "gh")
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos"))
+    exciseMarked(toks, marked, l)
+  }
+
+  /** Ground truth for [[q96ExciseKeepFirst]]: the same first-
+    * occurrence rule as a rank over (doc_id, pos) per phrase string
+    * (`rn > 1` ⟺ duplicated and not first), then the shared excise
+    * tail. */
+  def q96OracleSql: String = {
+    val l = ExciseTokens
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), wins AS (
+       |  SELECT doc_id, i AS pos, array_to_string(t[(i + 1):(i + $l)], ' ') AS g
+       |  FROM toks, LATERAL (SELECT unnest(range(len(t) - ${l - 1})) AS i)
+       |), marked AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |           row_number() OVER (PARTITION BY g
+       |                              ORDER BY doc_id, pos) AS rn
+       |    FROM wins)
+       |  WHERE rn > 1
+       |), $exciseOracleTail""".stripMargin
+  }
+
   /** Ground truth for [[q95ExciseIndexed]]: delta windows marked iff
     * the phrase occurs anywhere in the base (the disjoint split makes
     * self-exclusion vacuous), then the shared excise tail. */

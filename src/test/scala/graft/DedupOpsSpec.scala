@@ -523,6 +523,54 @@ class DedupOpsSpec extends SparkSuite {
     } finally { rmTree(incr); rmTree(full) }
   }
 
+  test("q96 keep-first: one copy of every phrase survives, intra-doc repeats dedup") {
+    import spark.implicits._
+    // l=3: doc1 repeats "a b c" internally (second occurrence excised,
+    // first kept); doc2's copy is excised too (doc1 pos 0 is globally
+    // first); doc3 is below window width.
+    val docs = Seq(
+      (1L, "a b c a b c d"),
+      (2L, "a b c x y"),
+      (3L, "p q")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.exciseKeepFirst(docs, l = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, 3L, "a b c d")),
+      2L -> ((1L, 3L, "x y")),
+      3L -> ((0L, 0L, "p q"))))
+  }
+
+  test("q96 on the fixture matches a driver-side recount") {
+    val l = DedupOps.ExciseTokens
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val wins = texts.flatMap { case (id, t) =>
+      (0 to t.size - l).map(i => (id, i, t.slice(i, i + l).mkString(" ")))
+    }
+    val byGram = wins.groupBy(_._3)
+    val expected = texts.map { case (id, t) =>
+      val covered = wins.filter(_._1 == id).flatMap { case (_, p, g) =>
+        val occ = byGram(g)
+        val first = occ.minBy(o => (o._1, o._2))
+        if (occ.size >= 2 && (first._1, first._2) != ((id, p)))
+          p until p + l
+        else Nil
+      }.toSet
+      val nSpans = covered.toSeq.sorted
+        .zipWithIndex.map { case (idx, rn) => idx - rn }.distinct.size
+      id -> ((nSpans.toLong, covered.size.toLong,
+        t.indices.filterNot(covered).map(t).mkString(" ")))
+    }.toMap
+    val got = DedupOps.q96ExciseKeepFirst(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == expected)
+    assert(got.values.exists { case (n, _, _) => n > 0 })
+  }
+
   private def rmTree(path: String): Unit = {
     import java.nio.file.{Files, Path}
     Files.walk(Path.of(path)).sorted(java.util.Comparator.reverseOrder[Path]())
