@@ -126,6 +126,7 @@ object SparkEntry {
     "q94_vocab_coverage"   -> ((s, d) => TextOps.q94VocabCoverage(s, d)),
     "q95_excise_indexed"   -> ((s, d) => DedupOps.q95ExciseIndexed(s, d)),
     "q96_excise_keepfirst" -> ((s, d) => DedupOps.q96ExciseKeepFirst(s, d)),
+    "q97_cell_balance"     -> ((s, d) => SimilarityOps.q97CellBalance(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -530,5 +531,9 @@ object SparkEntry {
     // Keep-first phrase dedup: rank over (doc_id, pos) per phrase
     // string (rn > 1 ⟺ duplicated and not first), shared excise tail.
     "q96_excise_keepfirst" -> DedupOps.q96OracleSql,
+
+    // Cluster-balanced sampling: q88's cell CTEs, q31's md5 bucket on
+    // the id string, q64's integer rate arithmetic, uniform target.
+    "q97_cell_balance" -> SimilarityOps.q97OracleSql,
   )
 }

@@ -2440,4 +2440,94 @@ object SimilarityOps {
        |            THEN 1 ELSE 0 END AS is_outlier
        |FROM r ORDER BY vec_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q97
+
+  /** q97 — CLUSTER-BALANCED SAMPLING: q64's mixture-rebalance
+    * arithmetic with the strata coming from the DATA's own geometry
+    * instead of a metadata column — every vector is assigned to its
+    * coarse k-means cell (the ANN stack's quantizer) and per-cell keep
+    * rates are derived toward a UNIFORM cell target, the
+    * semantic-diversity rebalance (DoReMi-flavored: down-weight
+    * over-represented regions of embedding space) a curation pipeline
+    * runs when "source" is too coarse a notion of domain. Largest
+    * corpus achievable without upsampling: `t_min = min_c n_c` per
+    * cell; `rate_c = ⌊t_min·1000 / n_c⌋` per-mille — integers end to
+    * end (q64's no-float discipline). The keep predicate is the
+    * deterministic md5-bucket rule on `vec_id` (q31/q41's sampling
+    * key, rendered from the same constants in both engines).
+    *
+    * Scale shape: q88's narrow cell-assignment projection (codegen'd
+    * dot products, no shuffle), then ONE hash aggregate to the
+    * (cell × mille-bucket) histogram — ≤ 16k rows regardless of corpus
+    * size, q64's trick: the kept-count arithmetic runs entirely on the
+    * histogram, never re-scanning vectors. Rates derive from a
+    * broadcast 1-row min; output is |cells| rows. */
+  def q97CellBalance(spark: SparkSession, dir: String): DataFrame =
+    cellBalance(Tables.embeddings(spark, dir),
+      (0 until NumCells).map(c => (0 until Dim).map(centroidComponent(c, _))))
+
+  /** Frame-level core of [[q97CellBalance]] over any `(vec_id,
+    * embedding)` frame and ANY centroid set ([[trainCentroids]]' output
+    * for the deployment path — q88's seam). */
+  private[graft] def cellBalance(
+      emb: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+    import emb.sparkSession.implicits._
+    val byBucket = assignCells(emb, centroids)
+      .groupBy($"cell",
+        (conv(substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % PerMille).as("hb"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = byBucket.groupBy($"cell").agg(sum($"cnt").as("n_total"))
+    val tmin = totals.agg(min($"n_total").as("t_min"))
+    val rates = totals.crossJoin(broadcast(tmin))
+      .withColumn("rate_pm", expr("CAST(t_min * 1000 DIV n_total AS BIGINT)"))
+    rates.join(byBucket, Seq("cell"))
+      .groupBy($"cell", $"n_total", $"rate_pm")
+      .agg(sum(when($"hb" < $"rate_pm", $"cnt").otherwise(lit(0L))).as("n_kept"))
+      .select($"cell", $"n_total", $"rate_pm", $"n_kept")
+      .orderBy($"cell")
+  }
+
+  private val PerMille = 1000
+
+  /** Ground truth for [[q97CellBalance]]: q88's cell-assignment CTEs,
+    * the q31 md5 bucket on the id string, and q64's integer rate
+    * arithmetic under the uniform target. */
+  def q97OracleSql: String = {
+    val dotsList = (0 until NumCells)
+      .map(c => s"list_dot_product(e, ${centroidSql(c)})")
+      .mkString("[\n           ", ",\n           ", "]")
+    s"""WITH b0 AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |), d0 AS (
+       |  SELECT vec_id,
+       |         $dotsList AS dots
+       |  FROM b0
+       |), a AS (
+       |  SELECT vec_id,
+       |         list_position(dots, list_aggregate(dots, 'max')) - 1 AS cell
+       |  FROM d0
+       |), c AS (
+       |  SELECT cell,
+       |         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT
+       |           % $PerMille AS hb,
+       |         count(*) AS cnt
+       |  FROM a GROUP BY 1, 2
+       |), t AS (
+       |  SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_total FROM c GROUP BY cell
+       |), g AS (
+       |  SELECT *, min(n_total) OVER () AS t_min FROM t
+       |), r AS (
+       |  SELECT cell, n_total,
+       |         CAST(t_min * 1000 // n_total AS BIGINT) AS rate_pm
+       |  FROM g
+       |)
+       |SELECT r.cell, r.n_total, r.rate_pm,
+       |       CAST(sum(CASE WHEN c.hb < r.rate_pm THEN c.cnt ELSE 0 END)
+       |            AS BIGINT) AS n_kept
+       |FROM r JOIN c ON r.cell = c.cell
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+  }
 }

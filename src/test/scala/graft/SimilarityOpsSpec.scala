@@ -1398,4 +1398,40 @@ class SimilarityOpsSpec extends SparkSuite {
       assert(got.exists(r => r._2 == l && r._4 == 1), s"label $l flags none")
     }
   }
+
+  test("q97 on the fixture == exact driver-side cluster rebalance") {
+    import spark.implicits._
+    val cents = (0 until SimilarityOps.NumCells)
+      .map(c => (0 until SimilarityOps.Dim)
+        .map(d => SimilarityOps.centroidComponent(c, d)).toArray)
+    val rows = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * c(i); i += 1 }
+      acc
+    }
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(
+          id.toString).substring(0, 4), 16) % 1000
+    val cellOf = rows.map { case (id, v) =>
+      val dots = cents.map(c => dot(v, c))
+      id -> dots.indexOf(dots.max)
+    }
+    val byCell = cellOf.groupBy(_._2)
+    val tMin = byCell.values.map(_.length).min.toLong
+    val expected = byCell.toSeq.map { case (cell, g) =>
+      val n = g.length.toLong
+      val rate = tMin * 1000 / n
+      (cell, n, rate, g.count(x => bucket(x._1) < rate).toLong)
+    }.sortBy(_._1)
+    val got = SimilarityOps.q97CellBalance(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the scarcest cell binds: it keeps everything, others downsample
+    assert(got.exists(r => r._3 == 1000L && r._4 == r._2))
+    assert(got.forall(r => r._4 <= r._2))
+  }
 }
