@@ -127,6 +127,7 @@ object SparkEntry {
     "q95_excise_indexed"   -> ((s, d) => DedupOps.q95ExciseIndexed(s, d)),
     "q96_excise_keepfirst" -> ((s, d) => DedupOps.q96ExciseKeepFirst(s, d)),
     "q97_cell_balance"     -> ((s, d) => SimilarityOps.q97CellBalance(s, d)),
+    "q98_containment"      -> ((s, d) => DedupOps.q98Containment(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -535,5 +536,10 @@ object SparkEntry {
     // Cluster-balanced sampling: q88's cell CTEs, q31's md5 bucket on
     // the id string, q64's integer rate arithmetic, uniform target.
     "q97_cell_balance" -> SimilarityOps.q97OracleSql,
+
+    // Containment join: exact all-pairs over q27's gram CTE with the
+    // integer C >= 3/4 predicate — recall-1 prefix argument on the
+    // q98 scaladoc makes the engine match unconditional.
+    "q98_containment" -> DedupOps.q98OracleSql,
   )
 }

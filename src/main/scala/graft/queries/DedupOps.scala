@@ -1565,4 +1565,115 @@ object DedupOps {
        |  SELECT w.doc_id, w.pos FROM wins w JOIN bg USING (g)
        |), $exciseOracleTail""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q98
+
+  /** Containment threshold numerator/denominator for
+    * [[q98Containment]]: report (inner, outer) iff
+    * `|in ∩ out| · 4 ≥ |in| · 3` (C ≥ 3/4) — exact integers, q27's
+    * no-float discipline. */
+  val ContainNum = 3
+  val ContainDen = 4
+
+  /** q98 — asymmetric CONTAINMENT join: ordered pairs where ≥ 3/4 of
+    * the inner doc's distinct token-4-grams occur in the outer doc —
+    * quote/excerpt/superset detection, the relation every Jaccard
+    * flavor (q13/q21/q27) STRUCTURALLY misses: a paragraph embedded in
+    * a 100× longer doc has Jaccard ≈ |A|/|B| ≈ 0 but containment ≈ 1.
+    * (LSH is no rescue — MinHash collision probability IS Jaccard.)
+    * A curation pipeline runs this to trace excerpts to their source
+    * and to spot aggregator docs stitched from corpus content; it
+    * composes with q13 (symmetric near-dups rank both directions).
+    *
+    * Prefix filter, containment form (the PPJoin family's asymmetric
+    * cousin): order the INNER doc's grams rarest-first (global df,
+    * hash tie-break); if none of its first `n − ⌈t·n⌉ + 1` grams is
+    * shared, the overlap is ≤ n − p = ⌈t·n⌉ − 1 < ⌈t·n⌉ — so probing
+    * with inner prefixes against the FULL gram relation is a complete
+    * candidate generator (recall 1 by construction; nothing holds for
+    * outer-side pruning because containment is unbounded in |out|).
+    *
+    * Scale shape: q27's exactly, with the b-side unfiltered — the
+    * candidate join shuffles inner-PREFIX rows (tiny, rare-first)
+    * against the gram-keyed relation; Σ df over probed grams is the
+    * textbook cost of a probe-the-inverted-index containment join, and
+    * hub grams are exactly what rarest-first prefixes avoid probing.
+    * Verify is the same candidate-bounded count as q13/q27. */
+  def q98Containment(spark: SparkSession, dir: String): DataFrame =
+    containmentBuild(Tables.documents(spark, dir))._1
+
+  /** Loan form — [[withQ27NgramJaccard]]'s contract. */
+  def withQ98Containment[T](
+      spark: SparkSession, dir: String)(f: DataFrame => T): T = {
+    val (result, handles) = containmentBuild(Tables.documents(spark, dir))
+    try f(result) finally handles.foreach(_.unpersist())
+  }
+
+  /** Frame-level core of [[q98Containment]] over any `(doc_id, text)`
+    * frame; returns the result plus the persisted handles the caller
+    * releases. */
+  private[graft] def containmentBuild(
+      docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = docs
+      .select(col("doc_id"),
+        graft.functions.HashedShingles
+          .hashedShingles(col("text"), NgramTokens).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("g"))
+    val perDoc = Window.partitionBy(col("doc_id"))
+    val ranked = ex.join(freq, "g")
+      .select(col("doc_id"), col("g"),
+        row_number().over(byRarity).as("rk"),
+        count(lit(1)).over(perDoc).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // inner prefix p = n - ceil(t·n) + 1, ceil(3n/4) = (3n+3) div 4
+    val probe = ranked
+      .filter(col("rk") <=
+        col("n") - (col("n") * ContainNum + (ContainDen - 1)) / ContainDen + 1)
+      .select(col("g"), col("doc_id").as("doc_in"), col("n").as("n_in"))
+    val full = ranked.select(col("g"),
+      col("doc_id").as("doc_out"), col("n").as("n_out"))
+    val cand = probe.join(full, "g")
+      .filter(col("doc_in") =!= col("doc_out"))
+      .select(col("doc_in"), col("doc_out"), col("n_in"), col("n_out"))
+      .distinct()
+    val result = cand
+      .join(ex.select(col("doc_id").as("doc_in"), col("g")), "doc_in")
+      .join(ex.select(col("doc_id").as("doc_out"), col("g")), Seq("doc_out", "g"))
+      .groupBy(col("doc_in"), col("doc_out"), col("n_in"), col("n_out"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") * ContainDen >= col("n_in") * ContainNum)
+      .select(col("doc_in"), col("doc_out"), col("n_common"),
+        col("n_in"), col("n_out"))
+      .orderBy(col("doc_in"), col("doc_out"))
+    (result, Seq(ex, ranked))
+  }
+
+  /** Exact all-pairs ground truth for [[q98Containment]] — q27's gram
+    * CTE, the integer containment predicate, ordered pairs. */
+  def q98OracleSql: String = {
+    val gram = (1 to NgramTokens)
+      .map(j => s"toks[i${if (j == 1) "" else s" + ${j - 1}"}]")
+      .mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(
+       |           generate_series(1, greatest(len(toks) - ${NgramTokens - 1}, 0)),
+       |           i -> $gram)) AS gs
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+       |        FROM documents)
+       |)
+       |SELECT a.doc_id AS doc_in, b.doc_id AS doc_out,
+       |       len(list_intersect(a.gs, b.gs)) AS n_common,
+       |       len(a.gs) AS n_in, len(b.gs) AS n_out
+       |FROM t a JOIN t b ON a.doc_id <> b.doc_id
+       |WHERE len(a.gs) > 0
+       |  AND len(list_intersect(a.gs, b.gs)) * $ContainDen >=
+       |      len(a.gs) * $ContainNum
+       |ORDER BY doc_in, doc_out""".stripMargin
+  }
 }

@@ -571,6 +571,47 @@ class DedupOpsSpec extends SparkSuite {
     assert(got.values.exists { case (n, _, _) => n > 0 })
   }
 
+  test("q98 containment: catches the embedded quote Jaccard misses") {
+    import spark.implicits._
+    // doc 2 is doc 1's opening paragraph verbatim — 100% contained but
+    // Jaccard-tiny against the long host; doc 3 shares nothing.
+    val para = (1 to 12).map(i => s"w$i").mkString(" ")
+    val host = para + " " + (13 to 120).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, host), (2L, para), (3L, "x y z q r s t u v")
+    ).toDF("doc_id", "text")
+    val (res, handles) = DedupOps.containmentBuild(docs)
+    val got = try res.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    finally handles.foreach(_.unpersist())
+    // only (2 in 1): 2's 9 grams all occur in 1; nothing else qualifies
+    // (1's 117 grams are mostly outside 2)
+    assert(got == Set((2L, 1L)), s"got $got")
+  }
+
+  test("q98 on the fixture matches the exact all-pairs recount (recall 1)") {
+    val k = DedupOps.NgramTokens
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSeq)
+    val grams = texts.map { case (id, t) =>
+      id -> (0 to t.size - k).map(i => t.slice(i, i + k).mkString(" ")).toSet
+    }.toMap
+    val expected = (for {
+      (a, ga) <- grams.toSeq; (b, gb) <- grams.toSeq
+      if a != b && ga.nonEmpty
+      common = (ga intersect gb).size
+      if common * DedupOps.ContainDen >= ga.size * DedupOps.ContainNum
+    } yield (a, b, common.toLong, ga.size.toLong, gb.size.toLong)).toSet
+    val got = DedupOps.withQ98Containment(spark, sf) {
+      _.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    }
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   private def rmTree(path: String): Unit = {
     import java.nio.file.{Files, Path}
     Files.walk(Path.of(path)).sorted(java.util.Comparator.reverseOrder[Path]())
