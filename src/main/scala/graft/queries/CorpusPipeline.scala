@@ -81,6 +81,8 @@ object CorpusPipeline {
       defaultPerMille: Int = RelationalOps.DefaultKeepPerMille,
       topKeywords: Int = TextOps.TfidfTopK,
       clusterNeardups: Boolean = false,
+      phraseExcise: Boolean = false,
+      exciseTokens: Int = DedupOps.ExciseTokens,
       passageDedup: Boolean = false,
       passageTokens: Int = DedupOps.PassageTokens,
       modelGate: Boolean = false,
@@ -89,6 +91,7 @@ object CorpusPipeline {
       mixWeights: Option[Seq[(String, Int)]] = None,
       defaultMixWeight: Int = PipelineOps.DefaultMixWeight) {
     require(passageTokens > 0, s"passageTokens must be > 0, got $passageTokens")
+    require(exciseTokens > 0, s"exciseTokens must be > 0, got $exciseTokens")
     require(defaultMixWeight > 0,
       s"defaultMixWeight must be > 0, got $defaultMixWeight")
     mixWeights.toSeq.flatten.foreach { case (s, w) =>
@@ -224,9 +227,18 @@ object CorpusPipeline {
     // here entirely; the exact-dedup stage upstream stays — byte-dups
     // are cheaper to kill on the whole-doc hash than per passage.
     val langGated = exact.filter(col("lang").isInCollection(cfg.keepLangs))
-    val passageClean =
-      if (cfg.passageDedup) DedupOps.passageRewrite(langGated, cfg.passageTokens)
+    // 2a. OPTIONAL keep-first phrase excision (q96 core — Lee et al.'s
+    // ExactSubstr training-dedup rule) BEFORE the coarser passage
+    // stage: phrase granularity edits inside passages, so running it
+    // first leaves the passage stage only whole-chunk dups; docs
+    // excised to pure repetition leave here, and the token floor below
+    // judges the REWRITTEN doc (same argument as the passage stage).
+    val phraseClean =
+      if (cfg.phraseExcise) DedupOps.exciseRewrite(langGated, cfg.exciseTokens)
       else langGated
+    val passageClean =
+      if (cfg.passageDedup) DedupOps.passageRewrite(phraseClean, cfg.passageTokens)
+      else phraseClean
     // heuristics first (cheap floor), then the OPTIONAL model gate
     // (q68's hashed linear classifier, score ≥ 0 keeps) — the
     // heuristics→model order every production pipeline uses; both are

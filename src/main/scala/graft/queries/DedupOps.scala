@@ -1523,6 +1523,21 @@ object DedupOps {
     exciseMarked(toks, marked, l)
   }
 
+  /** Rewrite form of [[exciseKeepFirst]] for pipeline composition
+    * ([[passageRewrite]]'s contract): input schema kept, `text`
+    * replaced by the excised document, docs excised to NOTHING (pure
+    * repetition) removed entirely. Metadata derived from the original
+    * text is the caller's to refresh. */
+  def exciseRewrite(docs: DataFrame, l: Int = ExciseTokens): DataFrame = {
+    val clean = exciseKeepFirst(docs.select(col("doc_id"), col("text")), l)
+      .filter(col("clean_text") =!= "")
+      .select(col("doc_id"), col("clean_text"))
+    docs.drop("text")
+      .join(clean, "doc_id")
+      .withColumn("text", col("clean_text"))
+      .drop("clean_text")
+  }
+
   /** Ground truth for [[q96ExciseKeepFirst]]: the same first-
     * occurrence rule as a rank over (doc_id, pos) per phrase string
     * (`rn > 1` ⟺ duplicated and not first), then the shared excise

@@ -132,6 +132,46 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
   }
 
+  test("phrase-excise stage rewrites every surviving doc by the q96 rule") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf)
+    val cfg = CorpusPipeline.Config(phraseExcise = true)
+    val out = CorpusPipeline.withPrepared(docs, cfg)(_.collect())
+    assert(out.nonEmpty)
+
+    // driver-side recount of stages 1-2a (exact dedup -> lang gate ->
+    // keep-first excision): every surviving doc's text must equal its
+    // q96 rewrite — later stages only DROP docs, never edit text
+    val rows = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val exact = rows.groupBy(_._3).values.map(_.minBy(_._1)).toSeq
+    val langGated = exact.filter(r => cfg.keepLangs(r._2)).sortBy(_._1)
+    val l = cfg.exciseTokens
+    val wins = langGated.flatMap { case (id, _, t) =>
+      val toks = t.split(" ", -1).toSeq
+      (0 to toks.size - l).map(i => (id, i, toks.slice(i, i + l).mkString(" ")))
+    }
+    val byGram = wins.groupBy(_._3)
+    val rewritten = langGated.map { case (id, _, t) =>
+      val toks = t.split(" ", -1).toSeq
+      val covered = wins.filter(_._1 == id).flatMap { case (_, p, g) =>
+        val occ = byGram(g)
+        val first = occ.minBy(o => (o._1, o._2))
+        if (occ.size >= 2 && (first._1, first._2) != ((id, p))) p until p + l
+        else Nil
+      }.toSet
+      id -> toks.indices.filterNot(covered).map(toks).mkString(" ")
+    }.toMap
+    out.foreach { r =>
+      assert(rewritten(r.getLong(0)) == r.getString(3),
+        s"doc ${r.getLong(0)} text is not its q96 rewrite")
+    }
+    // non-vacuous: the excision changed some lang-gated doc
+    assert(langGated.exists { case (id, _, t) => rewritten(id) != t })
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
+
   test("passage stage rewrites every surviving doc by the q56 rule") {
     import spark.implicits._
     spark.catalog.clearCache()
