@@ -128,6 +128,7 @@ object SparkEntry {
     "q96_excise_keepfirst" -> ((s, d) => DedupOps.q96ExciseKeepFirst(s, d)),
     "q97_cell_balance"     -> ((s, d) => SimilarityOps.q97CellBalance(s, d)),
     "q98_containment"      -> ((s, d) => DedupOps.q98Containment(s, d)),
+    "q99_snapshot_diff"    -> ((s, d) => PipelineOps.q99SnapshotDiff(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -541,5 +542,9 @@ object SparkEntry {
     // integer C >= 3/4 predicate — recall-1 prefix argument on the
     // q98 scaladoc makes the engine match unconditional.
     "q98_containment" -> DedupOps.q98OracleSql,
+
+    // Snapshot diff: same version-synthesis constants, content compared
+    // as strings where the engine compares xxhash64 (q43's acceptance).
+    "q99_snapshot_diff" -> PipelineOps.q99OracleSql,
   )
 }

@@ -672,4 +672,75 @@ object PipelineOps {
        |FROM r JOIN c ON r.source = c.source
        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q99
+
+  /** Deterministic two-snapshot synthesis for [[q99SnapshotDiff]]:
+    * v1 = `doc_id % V1Mod ≠ 0`, v2 = `doc_id % V2Mod ≠ 0` with docs at
+    * `doc_id % RevMod == 0` carrying revised text (`" rev2"` appended)
+    * — both engines derive the versions from these constants, giving
+    * all four statuses non-vacuously on the fixture. */
+  val V1Mod = 5
+  val V2Mod = 7
+  val RevMod = 11
+
+  /** q99 — SNAPSHOT DIFF: the dataset-versioning audit between two
+    * corpus generations — per (source, status) counts of `added`
+    * (v2 only), `removed` (v1 only), `changed` (both, content
+    * differs), `unchanged`. A pipeline runs this before promoting a
+    * rebuilt corpus: an unexpected `removed` spike means a source went
+    * dark, a `changed` spike means an extractor changed behavior —
+    * the regression signals a 100 TB rebuild needs BEFORE training
+    * sees the data.
+    *
+    * Scale shape: each snapshot scan reduces to `(doc_id, h, source)`
+    * with `h = xxhash64(text)` computed scan-side — the FULL OUTER
+    * join shuffles 24-byte rows on doc_id, text never crosses the
+    * wire; the status projection is codegen'd and the rollup is an
+    * alphabet-sized aggregate. Content equality is hash-grain (q43's
+    * documented 2⁻⁶⁴ acceptance; the oracle compares the strings
+    * themselves). */
+  def q99SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.filter($"doc_id" % V1Mod =!= 0)
+      .select($"doc_id", xxhash64($"text").as("h1"), $"source".as("src1"))
+    val v2 = docs.filter($"doc_id" % V2Mod =!= 0)
+      .select($"doc_id",
+        xxhash64(when($"doc_id" % RevMod === 0,
+          concat($"text", lit(" rev2"))).otherwise($"text")).as("h2"),
+        $"source".as("src2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce($"src1", $"src2").as("source"),
+        when($"h2".isNull, lit("removed"))
+          .when($"h1".isNull, lit("added"))
+          .when($"h1" =!= $"h2", lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy($"source", $"status")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"source", $"status")
+  }
+
+  /** Ground truth for [[q99SnapshotDiff]]: the same version constants,
+    * content compared as STRINGS. */
+  def q99OracleSql: String =
+    s"""WITH v1 AS (
+       |  SELECT doc_id, text AS t1, source AS src1 FROM documents
+       |  WHERE doc_id % $V1Mod <> 0
+       |), v2 AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % $RevMod = 0 THEN text || ' rev2'
+       |              ELSE text END AS t2,
+       |         source AS src2
+       |  FROM documents WHERE doc_id % $V2Mod <> 0
+       |)
+       |SELECT coalesce(src1, src2) AS source,
+       |       CASE WHEN t2 IS NULL THEN 'removed'
+       |            WHEN t1 IS NULL THEN 'added'
+       |            WHEN t1 <> t2 THEN 'changed'
+       |            ELSE 'unchanged' END AS status,
+       |       count(*) AS n_docs
+       |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

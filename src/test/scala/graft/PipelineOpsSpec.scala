@@ -285,4 +285,32 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got.forall(r => r._3 >= 0L && r._3 <= 1000L))
     assert(got.forall(r => r._4 <= r._2))
   }
+
+  test("q99 on the fixture == exact driver-side snapshot diff") {
+    val rows = Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val v1 = rows.filter(_._1 % PipelineOps.V1Mod != 0)
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val v2 = rows.filter(_._1 % PipelineOps.V2Mod != 0)
+      .map(r => r._1 -> ((if (r._1 % PipelineOps.RevMod == 0) r._2 + " rev2"
+        else r._2, r._3))).toMap
+    val expected = (v1.keySet ++ v2.keySet).toSeq.map { id =>
+      val status = (v1.get(id), v2.get(id)) match {
+        case (Some(_), None) => "removed"
+        case (None, Some(_)) => "added"
+        case (Some((t1, _)), Some((t2, _))) =>
+          if (t1 != t2) "changed" else "unchanged"
+        case _ => sys.error("unreachable")
+      }
+      val src = v1.get(id).orElse(v2.get(id)).get._2
+      (src, status)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = PipelineOps.q99SnapshotDiff(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    // all four statuses are exercised on the fixture
+    assert(got.keySet.map(_._2) ==
+      Set("added", "removed", "changed", "unchanged"))
+  }
 }
