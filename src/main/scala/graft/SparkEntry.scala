@@ -129,6 +129,7 @@ object SparkEntry {
     "q97_cell_balance"     -> ((s, d) => SimilarityOps.q97CellBalance(s, d)),
     "q98_containment"      -> ((s, d) => DedupOps.q98Containment(s, d)),
     "q99_snapshot_diff"    -> ((s, d) => PipelineOps.q99SnapshotDiff(s, d)),
+    "q100_novelty_score"   -> ((s, d) => DedupOps.q100NoveltyScore(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -546,5 +547,9 @@ object SparkEntry {
     // Snapshot diff: same version-synthesis constants, content compared
     // as strings where the engine compares xxhash64 (q43's acceptance).
     "q99_snapshot_diff" -> PipelineOps.q99OracleSql,
+
+    // Novelty score: delta windows vs distinct base phrases, integer
+    // per-mille — q95's probe side without the rewrite.
+    "q100_novelty_score" -> DedupOps.q100OracleSql,
   )
 }

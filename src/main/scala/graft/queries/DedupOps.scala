@@ -1581,6 +1581,81 @@ object DedupOps {
        |), $exciseOracleTail""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q100
+
+  /** q100 — NOVELTY SCORE against the sealed phrase bank: per delta
+    * doc, how much of it the sealed corpus has already seen — windows
+    * known to the bank over total windows, as an exact per-mille
+    * integer. The crawl-prioritization signal (a recrawl scoring ~1000
+    * is pure re-fetch; a source whose deltas trend up is going stale)
+    * and the cheap pre-screen gate in front of the q95 rewrite: score
+    * first (this op — no islands, no rewrite, no text shuffle at all),
+    * scrub only what passes.
+    *
+    * Scale shape: q95's probe side without its rewrite half — window
+    * hashes join the bank on the 8-byte key, ONE doc_id-keyed count
+    * aggregate, and a left join back to the per-doc window totals
+    * (docs with no known window score 0; docs shorter than a window
+    * emit no row — they carry no evidence either way, spec-pinned).
+    * Self-exclusion matches [[scrubAgainst]], so score 0 ⟺ the scrub
+    * would rewrite nothing. */
+  def q100NoveltyScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val path = SimilarityOps.tempIndexDir("graft-novelty-index")
+    writePhraseIndex(docs.filter($"doc_id" % DeltaMod =!= DeltaRem), path)
+    noveltyScore(spark, path, docs.filter($"doc_id" % DeltaMod === DeltaRem))
+  }
+
+  /** Score `docs` against a sealed [[writePhraseIndex]] bank:
+    * `(doc_id, n_windows, n_known, known_pm)`. */
+  def noveltyScore(
+      spark: SparkSession, indexPath: String, docs: DataFrame,
+      l: Int = ExciseTokens): DataFrame = {
+    val wins = windowHashes(docTokens(docs), l)
+    val totals = wins.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"))
+    val known = wins.join(phraseBank(spark, indexPath), "gh")
+      .filter(!(col("mn") === col("doc_id") && col("mx") === col("doc_id")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_known"))
+    totals.join(known, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        expr("CAST(coalesce(n_known, 0L) * 1000 DIV n_windows AS BIGINT)")
+          .as("known_pm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Ground truth for [[q100NoveltyScore]]: delta windows against the
+    * distinct base phrases, integer per-mille. */
+  def q100OracleSql: String = {
+    val l = ExciseTokens
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE doc_id % $DeltaMod = $DeltaRem
+       |), wins AS (
+       |  SELECT doc_id, array_to_string(t[(i + 1):(i + $l)], ' ') AS g
+       |  FROM toks, LATERAL (SELECT unnest(range(len(t) - ${l - 1})) AS i)
+       |), bg AS (
+       |  SELECT DISTINCT array_to_string(t[(i + 1):(i + $l)], ' ') AS g
+       |  FROM (SELECT string_split(text, ' ') AS t FROM documents
+       |        WHERE doc_id % $DeltaMod <> $DeltaRem),
+       |       LATERAL (SELECT unnest(range(len(t) - ${l - 1})) AS i)
+       |), tot AS (
+       |  SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY doc_id
+       |), kn AS (
+       |  SELECT w.doc_id, count(*) AS n_known
+       |  FROM wins w JOIN bg USING (g) GROUP BY w.doc_id
+       |)
+       |SELECT t.doc_id, t.n_windows,
+       |       CAST(coalesce(k.n_known, 0) AS BIGINT) AS n_known,
+       |       CAST(coalesce(k.n_known, 0) * 1000 // t.n_windows AS BIGINT)
+       |         AS known_pm
+       |FROM tot t LEFT JOIN kn k USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q98
 
   /** Containment threshold numerator/denominator for

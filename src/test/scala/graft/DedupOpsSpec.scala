@@ -612,6 +612,40 @@ class DedupOpsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("q100 novelty == driver recount; zero score <=> the scrub rewrites nothing") {
+    import spark.implicits._
+    val l = DedupOps.ExciseTokens
+    val docs = graft.Tables.documents(spark, sf)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val (delta, base) = texts.partition(_._1 % DedupOps.DeltaMod == DedupOps.DeltaRem)
+    val baseGrams = base.flatMap { case (_, t) =>
+      (0 to t.size - l).map(i => t.slice(i, i + l).mkString(" "))
+    }.toSet
+    val expected = delta.collect { case (id, t) if t.size >= l =>
+      val ws = (0 to t.size - l).map(i => t.slice(i, i + l).mkString(" "))
+      val known = ws.count(baseGrams)
+      (id, ws.size.toLong, known.toLong, known.toLong * 1000 / ws.size)
+    }.sortBy(_._1).toSeq
+    val got = DedupOps.q100NoveltyScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._4 > 0), "no delta doc scores — vacuous")
+    // score/scrub consistency on the same bank: n_known > 0 <=> spans
+    val path = java.nio.file.Files.createTempDirectory("q100c").toString
+    try {
+      DedupOps.writePhraseIndex(
+        docs.filter($"doc_id" % DedupOps.DeltaMod =!= DedupOps.DeltaRem), path)
+      val spans = DedupOps.scrubAgainst(spark, path,
+        docs.filter($"doc_id" % DedupOps.DeltaMod === DedupOps.DeltaRem))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got.foreach { case (id, _, known, _) =>
+        assert((known > 0) == (spans(id) > 0),
+          s"doc $id: score/scrub disagree (known=$known spans=${spans(id)})")
+      }
+    } finally rmTree(path)
+  }
+
   private def rmTree(path: String): Unit = {
     import java.nio.file.{Files, Path}
     Files.walk(Path.of(path)).sorted(java.util.Comparator.reverseOrder[Path]())
