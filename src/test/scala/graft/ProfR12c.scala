@@ -139,6 +139,27 @@ object ProfR12c {
           TextOps.q94VocabCoverage(spark, dir).collect().length.toLong
         }
     }
+
+    // --- q96 / q98 / q100 wall at base and 10x (suffixed) -------------
+    // q96: q91's shape, one aggregate swapped — must track q91's curve.
+    // q98: the probe-the-inverted-index containment join — the
+    // quadratic-hazard candidate stage; suffixed replicas keep probes
+    // intra-replica, so candidates scale ~10×, the clean question.
+    // q100: q95's probe side without the rewrite — must undercut q95.
+    Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
+      case (tag, dir) =>
+        time(s"q96 $tag") {
+          DedupOps.q96ExciseKeepFirst(spark, dir)
+            .agg(sum($"n_removed")).collect(); 1L
+        }
+        time(s"q98 $tag") {
+          DedupOps.withQ98Containment(spark, dir)(_.count())
+        }
+        time(s"q100 $tag") {
+          DedupOps.q100NoveltyScore(spark, dir)
+            .agg(sum($"n_known")).collect(); 1L
+        }
+    }
     spark.stop()
   }
 }
