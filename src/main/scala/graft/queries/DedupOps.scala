@@ -1507,18 +1507,29 @@ object DedupOps {
   def q96ExciseKeepFirst(spark: SparkSession, dir: String): DataFrame =
     exciseKeepFirst(Tables.documents(spark, dir))
 
+  /** Packed (doc_id, pos) order key base for [[exciseKeepFirst]]'s
+    * first-occurrence aggregate: `doc_id · 2²¹ + pos` orders
+    * identically to the (doc_id, pos) tuple for documents under 2M
+    * tokens (and doc ids under 2⁴²) — and unlike `min(struct(...))`,
+    * which Spark can only evaluate as a SortAggregate (measured 5×
+    * the q91 wall at 500k docs: two full sorts of the window
+    * relation), a LONG min stays a codegen'd map-side-combined
+    * HashAggregate. A corpus with longer documents raises the base
+    * (or falls back to the struct form) — q93's
+    * documented-integer-bound convention. */
+  val FirstPackBase: Long = 1L << 21
+
   /** Frame-level core of [[q96ExciseKeepFirst]]. */
   private[graft] def exciseKeepFirst(
       docs: DataFrame, l: Int = ExciseTokens): DataFrame = {
     val toks = docTokens(docs)
     val wins = windowHashes(toks, l)
+    val packed = col("doc_id") * FirstPackBase + col("pos")
     val firsts = wins.groupBy(col("gh"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
-        count(lit(1)).as("cnt"))
+      .agg(min(packed).as("first"), count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
     val marked = wins.join(firsts, "gh")
-      .filter(!(col("doc_id") === col("first.doc_id") &&
-        col("pos") === col("first.pos")))
+      .filter(packed =!= col("first"))
       .select(col("doc_id"), col("pos"))
     exciseMarked(toks, marked, l)
   }
@@ -1719,10 +1730,15 @@ object DedupOps {
         row_number().over(byRarity).as("rk"),
         count(lit(1)).over(perDoc).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // inner prefix p = n - ceil(t·n) + 1, ceil(3n/4) = (3n+3) div 4
+    // inner prefix p = n - ceil(t·n) + 1, ceil(3n/4) = (3n+3) div 4.
+    // INTEGER division (SQL DIV) is load-bearing: Column./ is double
+    // division, and `n - (3n+3)/4.0 + 1` floors to (n+1) div 4 — one
+    // gram SHORT of the completeness bound for every n, which silently
+    // loses exactly the pairs whose only shared probe gram is the
+    // inner's p-th rarest (regression-pinned in the spec).
     val probe = ranked
-      .filter(col("rk") <=
-        col("n") - (col("n") * ContainNum + (ContainDen - 1)) / ContainDen + 1)
+      .filter(col("rk") <= col("n") -
+        expr(s"(n * $ContainNum + ${ContainDen - 1}) DIV $ContainDen") + 1)
       .select(col("g"), col("doc_id").as("doc_in"), col("n").as("n_in"))
     val full = ranked.select(col("g"),
       col("doc_id").as("doc_out"), col("n").as("n_out"))

@@ -589,6 +589,25 @@ class DedupOpsSpec extends SparkSuite {
     assert(got == Set((2L, 1L)), s"got $got")
   }
 
+  test("q98 prefix bound: a pair sharing only the inner's p-th rarest gram is still found") {
+    import spark.implicits._
+    // inner has 4 grams; its RAREST (df=1) gram is the unshared one, so
+    // the shared grams start at prefix position 2. The completeness
+    // bound gives p = n - ceil(3n/4) + 1 = 2 for n = 4; an
+    // off-by-one prefix (the double-division floor (n+1) div 4 = 1)
+    // probes only the unshared gram and silently loses the pair.
+    val inner = "a1 a2 a3 a4 a5 a6 a7"            // grams a1..a4 .. a4..a7
+    val outer = "x1 a2 a3 a4 a5 a6 a7 x2"         // shares exactly 3 of 4
+    val docs = Seq((1L, inner), (2L, outer)).toDF("doc_id", "text")
+    val (res, handles) = DedupOps.containmentBuild(docs)
+    val got = try res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    finally handles.foreach(_.unpersist())
+    // (1 in 2): common 3, n_in 4 -> C = 3/4 exactly; the reverse
+    // direction fails (3/5 < 3/4)
+    assert(got == Set((1L, 2L, 3L, 4L)), s"got $got")
+  }
+
   test("q98 on the fixture matches the exact all-pairs recount (recall 1)") {
     val k = DedupOps.NgramTokens
     val texts = graft.Tables.documents(spark, sf)

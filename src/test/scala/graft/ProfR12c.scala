@@ -42,6 +42,12 @@ object ProfR12c {
       println(f"[r12c] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
     }
 
+    // PROF_NEW_ONLY: synthesize only the suffixed corpus and run only
+    // the q91/q96/q98/q100 block — the post-fix re-probe loop (the
+    // q96 packed-key and q98 prefix-bound fixes landed after the first
+    // full run).
+    val newOnly = sys.env.contains("PROF_NEW_ONLY")
+
     // --- synthesize: suffixed docs, plain docs, exact embedding dups --
     val base = Tables.documents(spark, baseDir)
     (0 until replicas).map { r =>
@@ -56,6 +62,8 @@ object ProfR12c {
       .repartition(32).write.mode("overwrite")
       .parquet(s"$scaleDir/documents.parquet")
     val plainDir = s"$scaleDir/plain"
+    val embDir = s"$scaleDir/embdup"
+    if (!newOnly) {
     (0 until replicas).map { r =>
       if (r == 0) base
       else base.select(($"doc_id" + lit(r * off)).as("doc_id"),
@@ -63,7 +71,6 @@ object ProfR12c {
     }.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite")
       .parquet(s"$plainDir/documents.parquet")
-    val embDir = s"$scaleDir/embdup"
     val embBase = Tables.embeddings(spark, baseDir)
     (0 until replicas).map { r =>
       if (r == 0) embBase
@@ -74,8 +81,10 @@ object ProfR12c {
       .parquet(s"$embDir/embeddings.parquet")
     println(s"[r12c] docs: ${Tables.documents(spark, scaleDir).count()}, " +
       s"vecs: ${Tables.embeddings(spark, embDir).count()}")
+    } else println(s"[r12c] docs: ${Tables.documents(spark, scaleDir).count()}")
 
     // --- q91 / q95 wall at base and 10x (suffixed) -------------------
+    if (!newOnly)
     Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
       case (tag, dir) =>
         time(s"q91 $tag") {
@@ -88,6 +97,7 @@ object ProfR12c {
         }
     }
 
+    if (!newOnly) {
     // --- q91 saturation invariant under PLAIN replicas ---------------
     val l = DedupOps.ExciseTokens
     time(s"q91 plain${replicas}x saturated") {
@@ -139,6 +149,7 @@ object ProfR12c {
           TextOps.q94VocabCoverage(spark, dir).collect().length.toLong
         }
     }
+    } // !newOnly
 
     // --- q96 / q98 / q100 wall at base and 10x (suffixed) -------------
     // q96: q91's shape, one aggregate swapped — must track q91's curve.
@@ -148,6 +159,10 @@ object ProfR12c {
     // q100: q95's probe side without the rewrite — must undercut q95.
     Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
       case (tag, dir) =>
+        if (newOnly) time(s"q91 $tag") {
+          DedupOps.q91SubstrExcise(spark, dir)
+            .agg(sum($"n_removed"), sum($"n_spans")).collect(); 1L
+        }
         time(s"q96 $tag") {
           DedupOps.q96ExciseKeepFirst(spark, dir)
             .agg(sum($"n_removed")).collect(); 1L
