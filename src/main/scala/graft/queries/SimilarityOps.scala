@@ -2290,12 +2290,22 @@ object SimilarityOps {
       .select($"vec_id".as("probe_id"), $"embedding".as("pvec"),
         $"label".as("true_label"))
     val refs = emb.filter($"vec_id" % KnnProbeMod =!= 0)
-    val nn = refs.crossJoin(ScaleHints.broadcastIfBounded(probes))
+    val scored = refs.crossJoin(ScaleHints.broadcastIfBounded(probes))
       .withColumn("sim", round(PipelineOps.cosine($"embedding", $"pvec"), 6))
+    labelVote(scored, k)
+  }
+
+  /** The VOTE half of q92 over ANY scored candidate frame
+    * `(probe_id, true_label, vec_id, label, sim)` — the
+    * candidate-source-agnostic decision layer the q92 scaladoc
+    * promises: rank, cut to k, majority with total tie-breaks. */
+  private[graft] def labelVote(scored: DataFrame, k: Int = KnnK): DataFrame = {
+    import scored.sparkSession.implicits._
+    scored
       .withColumn("rn", row_number().over(
         Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")))
       .filter($"rn" <= k)
-    nn.groupBy($"probe_id", $"true_label", $"label")
+      .groupBy($"probe_id", $"true_label", $"label")
       .agg(count(lit(1)).as("n_votes"))
       .withColumn("wr", row_number().over(
         Window.partitionBy($"probe_id").orderBy($"n_votes".desc, $"label")))
@@ -2303,6 +2313,36 @@ object SimilarityOps {
       .select($"probe_id".as("vec_id"), $"true_label",
         $"label".as("pred_label"), $"n_votes")
       .orderBy($"vec_id")
+  }
+
+  /** [[knnLabel]] with IVF-BUCKETED candidates — the measured escape
+    * hatch past the brute path's |probes| · |corpus| scoring wall
+    * (ProfR12c: 220 s at 2063 probes × 200k refs): each probe scores
+    * only its [[NumProbedCells]] best cells' vectors (q28's probe
+    * rule), cutting scored pairs by ~probedCells/nlist, and the vote
+    * layer is [[labelVote]] UNCHANGED. Predictions match the exact
+    * q92 wherever the true k nearest sit in probed cells (recall
+    * measured in the spec; production tunes cells/probes on the q84
+    * trained quantizer exactly as the retrieval ladder does). */
+  private[graft] def knnLabelIvf(
+      emb: DataFrame, centroids: Seq[Seq[Double]],
+      k: Int = KnnK,
+      numProbedCells: Int = NumProbedCells): DataFrame = {
+    import emb.sparkSession.implicits._
+    val nCells = centroids.length
+    val assigned = assignCells(emb, centroids)
+    val byBest = sort_array(array((0 until nCells).map(c =>
+      struct((-$"dots" (c)).as("nd"), lit(c).as("cell"))): _*))
+    val probes = assigned.filter($"vec_id" % KnnProbeMod === 0)
+      .select($"vec_id".as("probe_id"), $"embedding".as("pvec"),
+        $"label".as("true_label"),
+        explode(transform(slice(byBest, 1, numProbedCells), s => s("cell")))
+          .as("cell"))
+    val scored = assigned.filter($"vec_id" % KnnProbeMod =!= 0)
+      .select($"cell", $"vec_id", $"label", $"embedding")
+      .join(ScaleHints.broadcastIfBounded(probes), "cell")
+      .withColumn("sim", round(PipelineOps.cosine($"embedding", $"pvec"), 6))
+    labelVote(scored, k)
   }
 
   /** Ground truth for [[q92KnnLabel]]: q12's cosine text, the same

@@ -1434,4 +1434,36 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(got.exists(r => r._3 == 1000L && r._4 == r._2))
     assert(got.forall(r => r._4 <= r._2))
   }
+
+  test("q92 IVF-bucketed labeling: same vote layer, measured agreement with exact") {
+    val cents = (0 until SimilarityOps.NumCells)
+      .map(c => (0 until SimilarityOps.Dim)
+        .map(d => SimilarityOps.centroidComponent(c, d)))
+    val emb = Tables.embeddings(spark, sf)
+    def decisions(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3))))
+      .toMap
+    val exact = decisions(SimilarityOps.knnLabel(emb))
+    // probing EVERY cell makes the candidate set the whole labeled
+    // corpus, so the bucketed path must reproduce exact q92 BIT FOR
+    // BIT — the vote layer is provably shared, not approximately so
+    val full = decisions(SimilarityOps.knnLabelIvf(emb, cents,
+      numProbedCells = SimilarityOps.NumCells))
+    assert(full == exact, "all-cells probe diverges from exact q92")
+    // fewer probed cells trade recall for scan volume monotonically
+    def agree(cells: Int): Int = {
+      val d = decisions(SimilarityOps.knnLabelIvf(emb, cents,
+        numProbedCells = cells))
+      assert(d.keySet == exact.keySet, s"a probe lost its decision at $cells")
+      d.count { case (id, v) => exact(id)._2 == v._2 }
+    }
+    assert(agree(SimilarityOps.NumCells / 2) >=
+      agree(SimilarityOps.NumProbedCells),
+      "agreement not monotone in probed cells")
+    // the candidate stage is cell-bounded: no all-pairs product
+    val plan = SimilarityOps.knnLabelIvf(emb, cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs scoring:\n$plan")
+  }
 }
