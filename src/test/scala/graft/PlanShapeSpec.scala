@@ -96,6 +96,42 @@ class PlanShapeSpec extends SparkSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$p")
   }
 
+  test("q96: the first-occurrence aggregate stays a hash aggregate (packed key)") {
+    // min(struct(doc_id, pos)) can only evaluate as a SortAggregate —
+    // two full sorts of the corpus-sized window relation (measured 5×
+    // the q91 wall at 500k docs). The packed-long formulation must
+    // keep every corpus-sized aggregate in hash form; islands/rewrite
+    // aggregates carry collect_list (ObjectHashAggregate — fine, they
+    // run on the small marked/span relations).
+    val p = plan(DedupOps.q96ExciseKeepFirst(spark, sf))
+    assert(!p.contains("SortAggregate"), s"sort aggregate crept back:\n$p")
+    val ex = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    ex.foreach { l =>
+      assert(l.contains("gh") || l.contains("doc_id"),
+        s"exchange keyed off-contract:\n$l")
+    }
+  }
+
+  test("q100: scoring never touches text after the scan — gh/doc_id exchanges only") {
+    val p = plan(DedupOps.q100NoveltyScore(spark, sf))
+    val ex = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    ex.foreach { l =>
+      assert(l.contains("gh") || l.contains("doc_id"),
+        s"exchange keyed off-contract:\n$l")
+    }
+    assert(!p.contains("CartesianProduct"), s"all-pairs product:\n$p")
+  }
+
+  test("q97: one corpus-sized aggregate; rates and totals ride broadcasts") {
+    val p = plan(SimilarityOps.q97CellBalance(spark, sf))
+    // the histogram aggregate keys on (cell, hb); everything after
+    // runs on the bounded histogram — no corpus-sized sort-merge join
+    assert(!p.contains("SortMergeJoin"), s"histogram re-join shuffled:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"rates not broadcast:\n$p")
+  }
+
   test("q93: quantizer stats and centroids broadcast; keyed exchanges ride the label") {
     // one-pass encode (stats arrive by broadcast, q54's shape), the
     // 10-row centroid relation re-joins by broadcast, and the only
