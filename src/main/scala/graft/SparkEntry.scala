@@ -130,6 +130,7 @@ object SparkEntry {
     "q98_containment"      -> ((s, d) => DedupOps.q98Containment(s, d)),
     "q99_snapshot_diff"    -> ((s, d) => PipelineOps.q99SnapshotDiff(s, d)),
     "q100_novelty_score"   -> ((s, d) => DedupOps.q100NoveltyScore(s, d)),
+    "q101_patch_pool"      -> ((s, d) => MultimodalOps.q101PatchPool(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -551,5 +552,9 @@ object SparkEntry {
     // Novelty score: delta windows vs distinct base phrases, integer
     // per-mille — q95's probe side without the rewrite.
     "q100_novelty_score" -> DedupOps.q100OracleSql,
+
+    // Patch pooling: q81's oracle text as the grid CTE, the same
+    // integer mean/max pool with -1 sentinels.
+    "q101_patch_pool" -> MultimodalOps.q101OracleSql,
   )
 }

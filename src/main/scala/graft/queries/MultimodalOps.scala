@@ -344,4 +344,60 @@ object MultimodalOps {
        |       len(text)::BIGINT AS n_bytes
        |FROM documents ORDER BY media_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q101
+
+  /** q101 — patch POOLING: collapse each media's q81 patch-feature
+    * rows into one fixed-width media representation — the pooling
+    * step a ViT-style encoder runs after patchify (patch features →
+    * mean/max pool → the media vector retrieval and dedup consume;
+    * completes the image plumbing: q19 plan → q81 patchify → q20/q101
+    * featurize+pool). The per-patch feature is the decode-stub probe
+    * (the contract is the shape — a real model's patch vectors slot
+    * into the same aggregate); pooling is EXACT integer arithmetic:
+    * mean = `sum DIV n_valid` over the in-payload patches, max over
+    * the same, −1 sentinels when no patch reaches the payload.
+    *
+    * Scale shape: the grid is generated executor-side (q81's batched
+    * `mapPartitions` — pixels never shuffle); the pool is ONE
+    * media_id-keyed hash aggregate of fixed-width rows, map-side
+    * combined. Output is one row per media. */
+  def q101PatchPool(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select($"media_id", $"bytes", $"width", $"height")
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions(_.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { case (id, bytes, w, h) =>
+          patchOne(id, bytes, w, h)
+        }
+      })
+      .toDF("media_id", "patch_idx", "x0", "y0", "pw", "ph", "probe")
+      .groupBy($"media_id")
+      .agg(
+        count(lit(1)).as("n_patches"),
+        count(when($"probe" >= 0, 1)).as("n_valid"),
+        coalesce(expr(
+          "CAST(sum(CASE WHEN probe >= 0 THEN probe END) DIV " +
+            "nullif(count(CASE WHEN probe >= 0 THEN 1 END), 0) AS BIGINT)"),
+          lit(-1L)).as("mean_probe"),
+        coalesce(max(when($"probe" >= 0, $"probe")), lit(-1L)).as("max_probe"))
+      .orderBy($"media_id")
+  }
+
+  /** Ground truth for [[q101PatchPool]]: q81's oracle text as a CTE,
+    * the same integer pool. */
+  def q101OracleSql: String =
+    s"""WITH grid AS (
+       |${q81OracleSql.linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |SELECT media_id,
+       |       count(*) AS n_patches,
+       |       count(CASE WHEN probe >= 0 THEN 1 END) AS n_valid,
+       |       coalesce(CAST(sum(CASE WHEN probe >= 0 THEN probe END) //
+       |                     nullif(count(CASE WHEN probe >= 0 THEN 1 END), 0)
+       |                     AS BIGINT), -1) AS mean_probe,
+       |       coalesce(max(CASE WHEN probe >= 0 THEN probe END), -1)
+       |         AS max_probe
+       |FROM grid GROUP BY media_id ORDER BY media_id""".stripMargin
 }

@@ -180,4 +180,23 @@ class MultimodalOpsSpec extends SparkSuite {
     assert(a.map(r => (1 to MultimodalOps.EmbedDim).map(r.getLong).toVector).toSeq ==
       b.map(_.getSeq[Long](1).toVector).toSeq)
   }
+
+  test("q101 pool == recount over the q81 grid; both sentinel regimes present") {
+    val grid = MultimodalOps.q81PatchGrid(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(6)))
+    val expected = grid.groupBy(_._1).toSeq.map { case (id, g) =>
+      val valid = g.map(_._2).filter(_ >= 0)
+      (id, g.length.toLong, valid.length.toLong,
+        if (valid.nonEmpty) valid.sum / valid.length else -1L,
+        if (valid.nonEmpty) valid.max else -1L)
+    }.sortBy(_._1)
+    val got = MultimodalOps.q101PatchPool(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // the fixture exercises both regimes: media whose grid outruns the
+    // stand-in payload (n_valid < n_patches) and fully-covered media
+    assert(got.exists(r => r._3 < r._2))
+    assert(got.exists(r => r._3 == r._2 && r._2 > 0))
+  }
 }
