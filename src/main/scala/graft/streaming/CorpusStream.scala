@@ -207,6 +207,45 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming NOVELTY GATE — the score-then-admit crawl front door:
+    * each arriving doc is scored against the sealed phrase bank
+    * ([[graft.queries.DedupOps.noveltyScore]] per batch) and only docs
+    * at or under `maxKnownPm` land in `outDir` WITH their score
+    * columns riding along (the admit decision is auditable downstream;
+    * a recrawl scoring ~1000‰ known never enters the corpus, and the
+    * per-source score trend is the staleness signal). Docs shorter
+    * than one phrase window carry no evidence and are admitted with
+    * `n_windows = 0, known_pm = 0` (same contract as the batch op's
+    * no-row case, made explicit here because a gate must decide).
+    *
+    * Stateless by [[baseScreen]]'s argument: a doc's score depends
+    * only on (doc, sealed bank), so per-batch application equals batch
+    * semantics regardless of arrival chunking (spec-pinned). The
+    * cheap sibling of [[phraseScrub]] — a deployment typically gates
+    * here and scrubs only what passes. */
+  def noveltyGate(
+      docs: DataFrame,
+      indexPath: String,
+      outDir: String,
+      checkpointDir: String,
+      maxKnownPm: Long = 500): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val scores = graft.queries.DedupOps
+          .noveltyScore(batch.sparkSession, indexPath, batch)
+        batch
+          .join(scores, Seq("doc_id"), "left")
+          .select(batch.columns.map(col) ++ Seq(
+            coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+            coalesce(col("n_known"), lit(0L)).as("n_known"),
+            coalesce(col("known_pm"), lit(0L)).as("known_pm")): _*)
+          .filter(col("known_pm") <= maxKnownPm)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Exact streaming dedup — q09's content-hash rule on an unbounded
     * stream: state keys are `xxhash64(text)` (8 bytes), eviction is
     * watermark-driven, first arrival within the horizon wins. */

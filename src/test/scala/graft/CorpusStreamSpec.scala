@@ -486,4 +486,50 @@ class CorpusStreamSpec extends SparkSuite {
       assert(stateRowsTotal(q) == 0, "phraseScrub must not hold state")
     } finally q.stop()
   }
+
+  test("noveltyGate: admits == batch score filter; short docs admitted; stateless") {
+    import graft.queries.DedupOps
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % DedupOps.DeltaMod =!= DedupOps.DeltaRem)
+    val delta = docs.filter(col("doc_id") % DedupOps.DeltaMod === DedupOps.DeltaRem)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-gate-idx").toString
+    DedupOps.writePhraseIndex(base, idxPath)
+    val maxPm = 500L
+    val scores = DedupOps.noveltyScore(spark, idxPath, delta).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val deltaRows = delta.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toIndexedSeq
+    // batch expectation: scored docs under the cap + unscored short docs
+    val expected = deltaRows.map(_._1)
+      .filter(id => scores.getOrElse(id, 0L) <= maxPm).toSet
+    assert(expected.nonEmpty && expected.size < deltaRows.size,
+      "gate is vacuous on the fixture — nothing filtered or everything")
+
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-gate-out").toString + "/admitted"
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-gate-ck").toString
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusStream.noveltyGate(
+      in.toDF().toDF("doc_id", "text"), idxPath, outDir, ckDir, maxPm)
+    try {
+      val (b1, b2) = deltaRows.splitAt(deltaRows.length / 2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val admitted = spark.read.parquet(outDir)
+      val got = admitted.select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expected,
+        s"gate diverges: only-stream=${(got -- expected).take(3)} " +
+          s"only-batch=${(expected -- got).take(3)}")
+      // score columns ride along for auditability
+      assert(Set("n_windows", "n_known", "known_pm")
+        .subsetOf(admitted.columns.toSet))
+      assert(stateRowsTotal(q) == 0, "noveltyGate must not hold state")
+    } finally q.stop()
+  }
 }

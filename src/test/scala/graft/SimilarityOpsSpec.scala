@@ -1466,4 +1466,19 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs scoring:\n$plan")
   }
+
+  test("q97 trained-centroid path: same plan over trainCentroids' cells") {
+    // q88's deployment seam applies to the rebalance too: cellBalance
+    // accepts ANY centroid set; feeding the trained quantizer must
+    // keep the arithmetic invariants (rates from the scarcest cell,
+    // kept <= total, full coverage of the corpus)
+    val emb = Tables.embeddings(spark, sf)
+    val trained = SimilarityOps.trainCentroids(emb, SimilarityOps.NumCells, 3)
+    val got = SimilarityOps.cellBalance(emb, trained).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).sum == emb.count(), "cells do not cover the corpus")
+    assert(got.exists(r => r._3 == 1000L && r._4 == r._2),
+      "no binding scarcest cell")
+    assert(got.forall(r => r._4 <= r._2 && r._3 <= 1000L))
+  }
 }
