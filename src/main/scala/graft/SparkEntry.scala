@@ -126,6 +126,9 @@ object SparkEntry {
     "q94_vocab_coverage"   -> ((s, d) => TextOps.q94VocabCoverage(s, d)),
     "q95_excise_indexed"   -> ((s, d) => DedupOps.q95ExciseIndexed(s, d)),
     "q96_excise_keepfirst" -> ((s, d) => DedupOps.q96ExciseKeepFirst(s, d)),
+    // q97 joined the EAGER class (q80/q82's contract): constructing it
+    // runs the one-pass histogram aggregate and returns the finished
+    // bounded local relation — see its scaladoc.
     "q97_cell_balance"     -> ((s, d) => SimilarityOps.q97CellBalance(s, d)),
     "q98_containment"      -> ((s, d) => DedupOps.q98Containment(s, d)),
     "q99_snapshot_diff"    -> ((s, d) => PipelineOps.q99SnapshotDiff(s, d)),

@@ -1221,7 +1221,13 @@ object DedupOps {
     *
     *   1. `(doc_id, pos, gh)` — one generate per token position, 24-byte
     *      rows, `gh = xxhash64(window)` computed inside the projection
-    *      (text never leaves the scan);
+    *      (text never leaves the scan). The window frame feeds both the
+    *      duplicate aggregate and the mark join, so the generate
+    *      EXECUTES twice (and the tokenized scan once more for the
+    *      rewrite) — a deliberate recompute-over-cache trade: the
+    *      projection is narrow and scan-bound, and caching corpus-sized
+    *      intermediates at 100 TB costs more than re-deriving them
+    *      (q56's shape makes the same call);
     *   2. duplicated phrases: groupBy(gh) with a map-side-combined
     *      min/max doc_id pair — `min ≠ max` ⟺ ≥ 2 distinct docs — an
     *      8-byte-keyed aggregate, cheaper than countDistinct;
@@ -1456,14 +1462,31 @@ object DedupOps {
     * sealed corpus already contains: the incremental contamination
     * scrub). Same [[exciseMarked]] tail as q91 — the shuffled keys are
     * gh and doc_id, the delta's text crosses once in the rewrite
-    * join. */
+    * join.
+    *
+    * `selfExclude = false` disables the holder check — REQUIRED when
+    * `docs` comes from a DIFFERENT id space than the bank (the
+    * streaming crawl scrub): an incoming doc whose caller-supplied id
+    * happens to equal a sealed phrase's sole holder would otherwise
+    * have the contamination check silently disabled for exactly the
+    * re-fetch case the scrub exists for. Self-exclusion is only
+    * meaningful when ids are shared (the self-scrub ≡ q91 property).
+    *
+    * Cost note: the window-hash generate feeds both the bank join and
+    * (via [[exciseMarked]]) nothing else, but `toks` is re-derived for
+    * the rewrite join — a deliberate recompute-over-cache trade (the
+    * projection is narrow and scan-bound; caching corpus-sized
+    * intermediates at 100 TB costs more than re-deriving them, q56's
+    * precedent). */
   def scrubAgainst(
       spark: SparkSession, indexPath: String, docs: DataFrame,
-      l: Int = ExciseTokens): DataFrame = {
+      l: Int = ExciseTokens, selfExclude: Boolean = true): DataFrame = {
     val toks = docTokens(docs)
-    val marked = windowHashes(toks, l)
+    val hits = windowHashes(toks, l)
       .join(phraseBank(spark, indexPath), "gh")
-      .filter(!(col("mn") === col("doc_id") && col("mx") === col("doc_id")))
+    val marked = (if (selfExclude)
+      hits.filter(!(col("mn") === col("doc_id") && col("mx") === col("doc_id")))
+    else hits)
       .select(col("doc_id"), col("pos"))
     exciseMarked(toks, marked, l)
   }
@@ -1622,12 +1645,14 @@ object DedupOps {
     * `(doc_id, n_windows, n_known, known_pm)`. */
   def noveltyScore(
       spark: SparkSession, indexPath: String, docs: DataFrame,
-      l: Int = ExciseTokens): DataFrame = {
+      l: Int = ExciseTokens, selfExclude: Boolean = true): DataFrame = {
     val wins = windowHashes(docTokens(docs), l)
     val totals = wins.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"))
-    val known = wins.join(phraseBank(spark, indexPath), "gh")
-      .filter(!(col("mn") === col("doc_id") && col("mx") === col("doc_id")))
+    val hits = wins.join(phraseBank(spark, indexPath), "gh")
+    val known = (if (selfExclude)
+      hits.filter(!(col("mn") === col("doc_id") && col("mx") === col("doc_id")))
+    else hits)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_known"))
     totals.join(known, Seq("doc_id"), "left")

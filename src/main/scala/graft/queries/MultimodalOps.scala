@@ -297,6 +297,14 @@ object MultimodalOps {
     */
   def q81PatchGrid(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    patchRows(spark, dir).orderBy($"media_id", $"patch_idx")
+  }
+
+  /** The shared patch-row frame (q81's batched `mapPartitions` grid,
+    * unordered) — consumed by the q81 table and the q101 pool so the
+    * two cannot drift. */
+  private def patchRows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     mediaTable(spark, dir)
       .select($"media_id", $"bytes", $"width", $"height")
       .as[(Long, Array[Byte], Int, Int)]
@@ -306,7 +314,6 @@ object MultimodalOps {
         }
       })
       .toDF("media_id", "patch_idx", "x0", "y0", "pw", "ph", "probe")
-      .orderBy($"media_id", $"patch_idx")
   }
 
   /** Ground truth for [[q81PatchGrid]] — q19's width/height metadata
@@ -364,15 +371,7 @@ object MultimodalOps {
     * combined. Output is one row per media. */
   def q101PatchPool(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, dir)
-      .select($"media_id", $"bytes", $"width", $"height")
-      .as[(Long, Array[Byte], Int, Int)]
-      .mapPartitions(_.grouped(BatchSize).flatMap { batch =>
-        batch.iterator.flatMap { case (id, bytes, w, h) =>
-          patchOne(id, bytes, w, h)
-        }
-      })
-      .toDF("media_id", "patch_idx", "x0", "y0", "pw", "ph", "probe")
+    patchRows(spark, dir)
       .groupBy($"media_id")
       .agg(
         count(lit(1)).as("n_patches"),

@@ -2411,7 +2411,11 @@ object SimilarityOps {
     * which re-joins by size-gated broadcast; d2 is a codegen'd
     * fold; the flag window re-uses the label partitioning (one
     * exchange for agg + window together under AQE). Output is
-    * all-integer. */
+    * all-integer. The coded frame feeds both the centroid aggregate
+    * and the scoring join, so the scan+encode subtree executes twice —
+    * the in-plan one-shot form's deliberate trade; a deployment that
+    * screens repeatedly materializes the codes ONCE as the q61 SQ8
+    * index and scans 1-byte codes from disk on both branches. */
   def q93CodeOutliers(spark: SparkSession, dir: String): DataFrame =
     codeOutliers(Tables.embeddings(spark, dir))
 
@@ -2499,10 +2503,17 @@ object SimilarityOps {
     *
     * Scale shape: q88's narrow cell-assignment projection (codegen'd
     * dot products, no shuffle), then ONE hash aggregate to the
-    * (cell × mille-bucket) histogram — ≤ 16k rows regardless of corpus
-    * size, q64's trick: the kept-count arithmetic runs entirely on the
-    * histogram, never re-scanning vectors. Rates derive from a
-    * broadcast 1-row min; output is |cells| rows. */
+    * (cell × mille-bucket) histogram — ≤ |cells|·1000 rows regardless
+    * of corpus size, q64's trick: the kept-count arithmetic runs
+    * entirely on the histogram, never re-scanning vectors. The
+    * histogram's provable bound lets the rate/kept arithmetic finish
+    * DRIVER-side on the collected rows — no cached frame (q64's
+    * persisted-diamond alternative leaks one per call), no second
+    * corpus pass, and the returned relation is local.
+    *
+    * QUERY CONTRACT — EAGER (q80/q82's class): constructing the frame
+    * RUNS the one-pass aggregate; the bounded result is held locally
+    * and re-read by downstream actions. */
   def q97CellBalance(spark: SparkSession, dir: String): DataFrame =
     cellBalance(Tables.embeddings(spark, dir),
       (0 until NumCells).map(c => (0 until Dim).map(centroidComponent(c, _))))
@@ -2513,21 +2524,27 @@ object SimilarityOps {
   private[graft] def cellBalance(
       emb: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
     import emb.sparkSession.implicits._
-    val byBucket = assignCells(emb, centroids)
+    // ONE corpus pass reduces everything downstream needs to the
+    // (cell × mille-bucket) histogram — provably ≤ |cells|·1000 rows —
+    // which is collected and finished driver-side: no second scan, and
+    // (unlike q64's persisted-histogram diamond) no cached frame left
+    // behind for the session to accumulate. The histogram bound is the
+    // scale argument: it is independent of corpus size.
+    val hist = assignCells(emb, centroids)
       .groupBy($"cell",
         (conv(substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
           .cast("long") % PerMille).as("hb"))
       .agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = byBucket.groupBy($"cell").agg(sum($"cnt").as("n_total"))
-    val tmin = totals.agg(min($"n_total").as("t_min"))
-    val rates = totals.crossJoin(broadcast(tmin))
-      .withColumn("rate_pm", expr("CAST(t_min * 1000 DIV n_total AS BIGINT)"))
-    rates.join(byBucket, Seq("cell"))
-      .groupBy($"cell", $"n_total", $"rate_pm")
-      .agg(sum(when($"hb" < $"rate_pm", $"cnt").otherwise(lit(0L))).as("n_kept"))
-      .select($"cell", $"n_total", $"rate_pm", $"n_kept")
-      .orderBy($"cell")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val totals = hist.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val tMin = totals.values.min
+    val rows = totals.toSeq.map { case (cell, n) =>
+      val rate = tMin * 1000 / n
+      val kept = hist.filter(h => h._1 == cell && h._2 < rate).map(_._3).sum
+      (cell, n, rate, kept)
+    }.sortBy(_._1)
+    emb.sparkSession.createDataFrame(rows)
+      .toDF("cell", "n_total", "rate_pm", "n_kept")
   }
 
   private val PerMille = 1000

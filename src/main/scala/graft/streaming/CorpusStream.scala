@@ -191,7 +191,15 @@ object CorpusStream {
     * `foreachBatch` because the scrub is a multi-join computation
     * (bank join + islands window + rewrite join). Restart replays at
     * least once; replayed docs re-scrub to byte-identical rows, so
-    * downstream exact dedup (q09's rule) absorbs duplicates. */
+    * downstream exact dedup (q09's rule) absorbs duplicates.
+    *
+    * The batch SCHEMA survives: `text` is replaced by the scrubbed
+    * document, every other column rides through, and (n_spans,
+    * n_removed) land as audit columns — so the output feeds any
+    * documents-schema consumer directly. Self-exclusion is OFF
+    * ([[graft.queries.DedupOps.scrubAgainst]]'s flag): stream ids are
+    * not the bank's id space, and an id collision with a sealed
+    * phrase's sole holder must not silently disable the scrub. */
   def phraseScrub(
       docs: DataFrame,
       indexPath: String,
@@ -199,8 +207,16 @@ object CorpusStream {
       checkpointDir: String): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.queries.DedupOps
-          .scrubAgainst(batch.sparkSession, indexPath, batch)
+        val scrubbed = graft.queries.DedupOps
+          .scrubAgainst(batch.sparkSession, indexPath,
+            batch.select(col("doc_id"), col("text")), selfExclude = false)
+        // metadata-preserving output (exciseRewrite's contract): the
+        // batch schema survives with `text` replaced by the scrubbed
+        // document, and the span counts ride as audit columns
+        batch.drop("text")
+          .join(scrubbed, Seq("doc_id"))
+          .withColumn("text", col("clean_text"))
+          .drop("clean_text")
           .write.mode("append").parquet(outDir)
         ()
       }
@@ -222,7 +238,10 @@ object CorpusStream {
     * only on (doc, sealed bank), so per-batch application equals batch
     * semantics regardless of arrival chunking (spec-pinned). The
     * cheap sibling of [[phraseScrub]] — a deployment typically gates
-    * here and scrubs only what passes. */
+    * here and scrubs only what passes. Self-exclusion is OFF (the
+    * [[phraseScrub]] argument): an arriving doc whose caller-supplied
+    * id collides with a sealed phrase's sole holder must still score
+    * known — the pure re-fetch is exactly what the gate rejects. */
   def noveltyGate(
       docs: DataFrame,
       indexPath: String,
@@ -232,7 +251,8 @@ object CorpusStream {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val scores = graft.queries.DedupOps
-          .noveltyScore(batch.sparkSession, indexPath, batch)
+          .noveltyScore(batch.sparkSession, indexPath,
+            batch.select(col("doc_id"), col("text")), selfExclude = false)
         batch
           .join(scores, Seq("doc_id"), "left")
           .select(batch.columns.map(col) ++ Seq(

@@ -476,8 +476,13 @@ class CorpusStreamSpec extends SparkSuite {
     try {
       in.addData(batch1); q.processAllAvailable()
       in.addData(batch2); q.processAllAvailable()
-      val got = spark.read.parquet(outDir)
-        .select($"doc_id", $"n_spans", $"n_removed", $"clean_text").collect()
+      val out = spark.read.parquet(outDir)
+      // metadata-preserving contract: the batch schema survives with
+      // text replaced, plus the two audit columns
+      assert(out.columns.toSet ==
+        Set("doc_id", "text", "n_spans", "n_removed"))
+      val got = out
+        .select($"doc_id", $"n_spans", $"n_removed", $"text").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
       assert(got == expected,
         s"stream scrub diverges from batch scrubAgainst; " +

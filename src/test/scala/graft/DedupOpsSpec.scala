@@ -665,6 +665,33 @@ class DedupOpsSpec extends SparkSuite {
     } finally rmTree(path)
   }
 
+  test("scrub/score selfExclude=false: an id collision cannot disable the check") {
+    import spark.implicits._
+    // the sealed doc is its phrases' SOLE holder (mn = mx = 42); an
+    // arriving doc from a DIFFERENT id space that reuses id 42 with
+    // the same text is a pure re-fetch — with self-exclusion on it
+    // scores fully novel (the hole), with it off it scores fully known
+    val text = (1 to 12).map(i => s"w$i").mkString(" ")
+    val sealedDocs = Seq((42L, text)).toDF("doc_id", "text")
+    val arriving = Seq((42L, text)).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("q100self").toString
+    try {
+      DedupOps.writePhraseIndex(sealedDocs, path)
+      val on = DedupOps.noveltyScore(spark, path, arriving).collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toMap
+      assert(on(42L) == 0L, "shared-id-space semantics changed")
+      val off = DedupOps.noveltyScore(spark, path, arriving,
+        selfExclude = false).collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toMap
+      assert(off(42L) == 1000L,
+        s"re-fetch must score fully known with selfExclude off: $off")
+      val scrubbed = DedupOps.scrubAgainst(spark, path, arriving,
+        selfExclude = false).collect()
+        .map(r => (r.getLong(0), r.getString(3))).toMap
+      assert(scrubbed(42L) == "", "re-fetch must scrub to nothing")
+    } finally rmTree(path)
+  }
+
   private def rmTree(path: String): Unit = {
     import java.nio.file.{Files, Path}
     Files.walk(Path.of(path)).sorted(java.util.Comparator.reverseOrder[Path]())

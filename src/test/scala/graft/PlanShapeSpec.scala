@@ -124,12 +124,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"all-pairs product:\n$p")
   }
 
-  test("q97: one corpus-sized aggregate; rates and totals ride broadcasts") {
-    val p = plan(SimilarityOps.q97CellBalance(spark, sf))
-    // the histogram aggregate keys on (cell, hb); everything after
-    // runs on the bounded histogram — no corpus-sized sort-merge join
-    assert(!p.contains("SortMergeJoin"), s"histogram re-join shuffled:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"rates not broadcast:\n$p")
+  test("q97: eager bounded-histogram contract — the returned frame is local") {
+    // cellBalance reduces the corpus to the ≤ |cells|·1000-row
+    // histogram in ONE aggregate pass and finishes driver-side (no
+    // cached frame, no second scan — q80's eager contract); the
+    // returned relation must therefore be LOCAL and cell-count-sized,
+    // never a corpus-bearing plan
+    val df = SimilarityOps.q97CellBalance(spark, sf)
+    val p = plan(df)
+    assert(p.contains("LocalTableScan") || p.contains("localtablescan"),
+      s"q97 result is not the finished local relation:\n$p")
+    assert(df.count() <= SimilarityOps.NumCells)
   }
 
   test("q93: quantizer stats and centroids broadcast; keyed exchanges ride the label") {
