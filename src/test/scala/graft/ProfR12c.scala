@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{DedupOps, SimilarityOps, TextOps}
+import graft.queries.{DedupOps, MultimodalOps, PipelineOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   *   - q92/q94: wall probes (probe set and vocab both grow ~10×).
   */
 object ProfR12c {
+  /** Under PROF_NEW_ONLY the embedding-replica corpus is not
+    * synthesized — fall back to base so the q97 probe still runs. */
+  private def embDirFor(newOnly: Boolean, embDir: String, base: String): String =
+    if (newOnly) base else embDir
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -173,6 +178,26 @@ object ProfR12c {
         time(s"q100 $tag") {
           DedupOps.q100NoveltyScore(spark, dir)
             .agg(sum($"n_known")).collect(); 1L
+        }
+    }
+
+    // --- q97 / q99 / q101 wall at base and Nx ------------------------
+    // q97: eager bounded-histogram form — one aggregate pass, the rest
+    // driver-side. q99: one full-outer hash join of 24-byte rows.
+    // q101: media-keyed aggregate over executor-generated patch rows.
+    Seq("base" -> baseDir, s"${replicas}x" -> scaleDir).foreach {
+      case (tag, dir) =>
+        time(s"q99 $tag") {
+          PipelineOps.q99SnapshotDiff(spark, dir).collect().length.toLong
+        }
+        time(s"q101 $tag") {
+          MultimodalOps.q101PatchPool(spark, dir).count()
+        }
+    }
+    Seq("base" -> baseDir, s"dup${replicas}x" -> embDirFor(newOnly, embDir, baseDir)).foreach {
+      case (tag, dir) =>
+        time(s"q97 $tag") {
+          SimilarityOps.q97CellBalance(spark, dir).count()
         }
     }
     spark.stop()
