@@ -1072,7 +1072,8 @@ object DedupOps {
         .write.partitionBy("gen").mode("append").parquet(root)
     }
     GenerationManifest.commit(path, hi + 1, hi + 1)
-    GenerationManifest.purgeOutside(path, DedupIndexRoots, hi + 1, hi + 1)
+    // replaced generations stay on disk until the next mutation's
+    // leading purge — in-flight readers of the old window are safe
   }
 
   private val DedupIndexRoots = Seq("buckets", "shingles")
@@ -1441,7 +1442,8 @@ object DedupOps {
       .withColumn("gen", lit(hi + 1))
       .write.partitionBy("gen").mode("append").parquet(s"$path/phrases")
     GenerationManifest.commit(path, hi + 1, hi + 1)
-    GenerationManifest.purgeOutside(path, PhraseIndexRoots, hi + 1, hi + 1)
+    // replaced generations stay on disk until the next mutation's
+    // leading purge — in-flight readers of the old window are safe
   }
 
   /** The served phrase relation: window-scoped scan + the associative
@@ -1542,12 +1544,28 @@ object DedupOps {
     * documented-integer-bound convention. */
   val FirstPackBase: Long = 1L << 21
 
+  /** [[FirstPackBase]]'s doc_id headroom: `doc_id · 2²¹` must not
+    * cross 2⁶³. */
+  private val FirstPackMaxDoc: Long = Long.MaxValue / FirstPackBase
+
   /** Frame-level core of [[q96ExciseKeepFirst]]. */
   private[graft] def exciseKeepFirst(
       docs: DataFrame, l: Int = ExciseTokens): DataFrame = {
     val toks = docTokens(docs)
     val wins = windowHashes(toks, l)
-    val packed = col("doc_id") * FirstPackBase + col("pos")
+    // the packed-key order bound is ENFORCED, not just documented: a
+    // >2M-token document (or a doc_id past the 2⁴² headroom) raises
+    // instead of silently mis-ordering the first-occurrence choice.
+    // Two codegen'd comparisons per window row — the aggregate stays
+    // a map-side-combined HashAggregate.
+    val packed = when(
+      col("pos") >= FirstPackBase || col("doc_id") >= FirstPackMaxDoc,
+      raise_error(concat(
+        lit(s"exciseKeepFirst: (doc_id, pos) exceeds the packed-key " +
+          s"bound (pos < $FirstPackBase, doc_id < $FirstPackMaxDoc) " +
+          "— raise FirstPackBase or use the struct order; got doc_id="),
+        col("doc_id"), lit(" pos="), col("pos"))))
+      .otherwise(col("doc_id") * FirstPackBase + col("pos"))
     val firsts = wins.groupBy(col("gh"))
       .agg(min(packed).as("first"), count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)

@@ -1,5 +1,8 @@
 package graft.queries
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
+
 /** The crash-atomic generation-window protocol shared by every
   * persisted multi-artifact index in the library (the inverted/passage
   * indexes' postings+stats pair, the dedup index's buckets+shingles
@@ -11,21 +14,42 @@ package graft.queries
   * and hides every generation it replaced. Readers scope every scan to
   * the window (partition filters), so a torn write is never
   * observable; debris outside the window is purged at the start of the
-  * next mutating operation.
+  * next mutating operation — mutations NEVER reclaim the generations
+  * they replace eagerly, so a reader that resolved the old window
+  * before the flip can finish its scan (reader isolation holds for
+  * any reader that outlives at most one subsequent mutation).
+  *
+  * All manifest and purge I/O goes through the Hadoop `FileSystem`
+  * resolved FROM THE INDEX PATH — the same layer Spark writes the
+  * parquet data through — so a scheme-qualified path (`hdfs://…`,
+  * `file://…`) keeps manifest and data on the same store and the
+  * atomicity claim holds wherever rename is atomic (local FS, HDFS).
+  * A bare path resolves against the session's default FS, exactly as
+  * the data writes do.
   *
   * Single-number manifests (the pre-window format) read as `[1, n]`.
   */
 private[graft] object GenerationManifest {
 
+  private def conf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
   /** The committed window `[lo, hi]`. Absent manifest = the index was
     * never fully built: refuse loudly rather than serve torn state. */
   def window(path: String): (Long, Long) = {
-    val p = java.nio.file.Paths.get(path, "_GENERATION")
-    require(java.nio.file.Files.exists(p),
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    val p = new HPath(root, "_GENERATION")
+    require(fs.exists(p),
       s"no _GENERATION manifest at $path — index incomplete or never " +
         "committed (the index writer finishes by committing gen 1)")
-    val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      .trim.split("\\s+")
+    val in = fs.open(p)
+    val raw =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        .split("\\s+")
+      finally in.close()
     raw match {
       case Array(hi)     => (1L, hi.toLong)
       case Array(lo, hi) => (lo.toLong, hi.toLong)
@@ -35,44 +59,45 @@ private[graft] object GenerationManifest {
   }
 
   /** Atomically flip the manifest: write `_GENERATION.tmp`, rename
-    * over `_GENERATION`. The rename is the ONLY point a mutation
-    * becomes visible. */
+    * over `_GENERATION` (`FileContext` rename with OVERWRITE — atomic
+    * on the local FS and on HDFS). The rename is the ONLY point a
+    * mutation becomes visible. */
   def commit(path: String, lo: Long, hi: Long): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tmp = Paths.get(path, "_GENERATION.tmp")
-    Files.write(tmp, s"$lo $hi".getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(path, "_GENERATION"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val c = conf
+    val root = new HPath(path)
+    val fs = root.getFileSystem(c)
+    val tmp = new HPath(root, "_GENERATION.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$lo $hi".getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(fs.getUri, c)
+    fc.rename(fs.makeQualified(tmp),
+      fs.makeQualified(new HPath(root, "_GENERATION")),
+      Options.Rename.OVERWRITE)
   }
 
   /** Delete any `gen=N` partition directories OUTSIDE the committed
     * window in each of the index's artifact roots (`subRoots` are
     * paths relative to `path`; `""` is the root itself): above `hi` is
     * a crashed mutation's debris, below `lo` a committed compaction's
-    * replaced history. Run at the start of every mutating operation so
-    * a retry starts clean. */
+    * replaced history. Run at the START of every mutating operation —
+    * never at the end of one — so a retry starts clean and an
+    * in-flight reader of the just-replaced window is not yanked
+    * mid-scan. */
   def purgeOutside(
       path: String, subRoots: Seq[String], lo: Long, hi: Long): Unit = {
-    import java.nio.file.{Files, Paths, Path}
-    def rmTree(p: Path): Unit = {
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        try s.forEach(rmTree(_)) finally s.close()
-      }
-      Files.deleteIfExists(p)
-    }
-    def purge(root: Path): Unit = if (Files.isDirectory(root)) {
-      val s = Files.list(root)
-      try s.forEach { p =>
-        val name = p.getFileName.toString
-        if (name.startsWith("gen=")) {
-          val g = name.stripPrefix("gen=").toLong
-          if (g > hi || g < lo) rmTree(p)
-        }
-      } finally s.close()
-    }
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
     subRoots.foreach { sub =>
-      purge(if (sub.isEmpty) Paths.get(path) else Paths.get(path, sub))
+      val r = if (sub.isEmpty) root else new HPath(root, sub)
+      if (fs.exists(r) && fs.getFileStatus(r).isDirectory) {
+        fs.listStatus(r).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("gen=")) {
+            val g = name.stripPrefix("gen=").toLong
+            if (g > hi || g < lo) fs.delete(st.getPath, true)
+          }
+        }
+      }
     }
   }
 }

@@ -402,9 +402,10 @@ object RetrievalOps {
       .write.partitionBy("gen").mode("append").parquet(s"$path/_stats")
     if (crashAfterStage <= 2) return
     commitGeneration(path, hi + 1, hi + 1)
-    // the replaced generations are now invisible debris; reclaim
-    // eagerly (a crash mid-purge is repaired by the next op's purge)
-    purgeOutside(path, hi + 1, hi + 1)
+    // the replaced generations are now invisible debris; reclamation
+    // is DEFERRED to the next mutating operation's leading purge so a
+    // reader that resolved the old window before the flip finishes its
+    // scan (same reclamation path that repairs crashed mutations)
   }
 
   /** Serve BM25 from the persisted index: prune the postings scan to

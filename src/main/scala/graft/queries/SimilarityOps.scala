@@ -331,7 +331,8 @@ object SimilarityOps {
       .repartition(col("cell"))
       .write.partitionBy("gen", "cell").mode("append").parquet(path)
     GenerationManifest.commit(path, hi + 1, hi + 1)
-    GenerationManifest.purgeOutside(path, Seq(""), hi + 1, hi + 1)
+    // replaced generations stay on disk until the next mutation's
+    // leading purge — in-flight readers of the old window are safe
   }
 
   /** Reload the coarse quantizer persisted by [[writeQuantizer]] —
@@ -2274,17 +2275,52 @@ object SimilarityOps {
     * projection; the per-probe top-k is a rank window cut to k BELOW
     * its exchange (`WindowGroupLimit` — each input partition forwards
     * at most k rows per probe), and the vote aggregate + winner window
-    * re-use the probe_id partitioning. For probe batches too large to
-    * broadcast, the candidate stage swaps for the IVF index serve
-    * (q50/q70's path) with this vote unchanged — the decision layer is
-    * candidate-source-agnostic. */
+    * re-use the probe_id partitioning.
+    *
+    * FORM SELECTION (q69's gate discipline, made MEASURED where q69's
+    * is declared): the probe split is a fraction of the corpus —
+    * probes ≈ n/[[KnnProbeMod]] — so the brute candidate stage scores
+    * ~n²/[[KnnProbeMod]] pairs and hits a wall the broadcast gate
+    * alone cannot fix (ProfR12c: 220 s at 2063 probes × 200k refs).
+    * [[knnLabel]] therefore counts the frame once (a zero-column
+    * count — noise next to even one scoring pass) and swaps the
+    * candidate stage for [[knnLabelIvf]] past [[KnnBrutePairBudget]]
+    * scored pairs; the vote layer is shared, so the swap changes only
+    * WHICH candidates vote (exact wherever the true k nearest sit in
+    * probed cells — the standard ANN serving trade, agreement-pinned
+    * in the spec). */
   def q92KnnLabel(
       spark: SparkSession, dir: String, k: Int = KnnK): DataFrame =
     knnLabel(Tables.embeddings(spark, dir), k)
 
+  /** Scored-pair budget above which [[knnLabel]]'s candidate stage
+    * swaps from brute to IVF-bucketed: 10⁸ pairs of codegen'd cosines
+    * is the last scale where exact-by-construction is worth the wall
+    * time (ProfR12c measured 4.1·10⁸ pairs at 220 s). */
+  val KnnBrutePairBudget: Long = 100L * 1000 * 1000
+
   /** Frame-level core of [[q92KnnLabel]] over any `(vec_id, embedding,
-    * label)` frame. */
-  private[graft] def knnLabel(emb: DataFrame, k: Int = KnnK): DataFrame = {
+    * label)` frame: the [[KnnBrutePairBudget]] gate over
+    * [[knnLabelBrute]] / [[knnLabelIvf]] (fixed q28 centroids — a
+    * deployment passes [[trainCentroids]]' output to [[knnLabelIvf]]
+    * directly, the q97/q88 seam). */
+  private[graft] def knnLabel(
+      emb: DataFrame, k: Int = KnnK,
+      brutePairBudget: Long = KnnBrutePairBudget): DataFrame = {
+    val n = emb.count()
+    val nProbes = n / KnnProbeMod + (if (n % KnnProbeMod > 0) 1L else 0L)
+    val pairs = nProbes * (n - nProbes)
+    if (pairs <= brutePairBudget) knnLabelBrute(emb, k)
+    else knnLabelIvf(emb,
+      (0 until NumCells).map(c => (0 until Dim).map(centroidComponent(c, _))),
+      k)
+  }
+
+  /** The exact (all-pairs) candidate stage — the oracle's twin, and
+    * the winning plan while probes × refs fits [[KnnBrutePairBudget]]:
+    * probe batch broadcast (size-gated), labeled corpus scanned once
+    * with a codegen'd scoring projection. */
+  private[graft] def knnLabelBrute(emb: DataFrame, k: Int = KnnK): DataFrame = {
     import emb.sparkSession.implicits._
     val probes = emb.filter($"vec_id" % KnnProbeMod === 0)
       .select($"vec_id".as("probe_id"), $"embedding".as("pvec"),
@@ -2315,16 +2351,18 @@ object SimilarityOps {
       .orderBy($"vec_id")
   }
 
-  /** [[knnLabel]] with IVF-BUCKETED candidates — the measured escape
-    * hatch past the brute path's |probes| · |corpus| scoring wall
-    * (ProfR12c: 220 s at 2063 probes × 200k refs): each probe scores
-    * only its [[NumProbedCells]] best cells' vectors (q28's probe
-    * rule), cutting scored pairs by ~probedCells/nlist, and the vote
-    * layer is [[labelVote]] UNCHANGED. Predictions match the exact
-    * q92 wherever the true k nearest sit in probed cells (recall
-    * measured in the spec; production tunes cells/probes on the q84
-    * trained quantizer exactly as the retrieval ladder does). */
-  private[graft] def knnLabelIvf(
+  /** [[knnLabel]] with IVF-BUCKETED candidates — the scale form the
+    * [[KnnBrutePairBudget]] gate selects past the brute path's
+    * |probes| · |corpus| scoring wall (ProfR12c: 220 s at 2063 probes
+    * × 200k refs): each probe scores only its [[NumProbedCells]] best
+    * cells' vectors (q28's probe rule), cutting scored pairs by
+    * ~probedCells/nlist, and the vote layer is [[labelVote]]
+    * UNCHANGED. Predictions match the exact q92 wherever the true k
+    * nearest sit in probed cells (recall measured in the spec;
+    * production tunes cells/probes on the q84 trained quantizer
+    * exactly as the retrieval ladder does — pass [[trainCentroids]]'
+    * output as `centroids`). */
+  def knnLabelIvf(
       emb: DataFrame, centroids: Seq[Seq[Double]],
       k: Int = KnnK,
       numProbedCells: Int = NumProbedCells): DataFrame = {
@@ -2536,6 +2574,10 @@ object SimilarityOps {
           .cast("long") % PerMille).as("hb"))
       .agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // empty corpus → empty balance table (not a bare min() throw)
+    if (hist.isEmpty)
+      return Seq.empty[(Int, Long, Long, Long)]
+        .toDF("cell", "n_total", "rate_pm", "n_kept")
     val totals = hist.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val tMin = totals.values.min
     val rows = totals.toSeq.map { case (cell, n) =>

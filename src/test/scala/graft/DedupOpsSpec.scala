@@ -180,16 +180,20 @@ class DedupOpsSpec extends SparkSuite {
     assert(DedupOps.dedupIndexWindow(idx) == ((1L, 2L)))
     assert(screen(idx) == want, "append diverged from rebuild")
 
-    // compaction: window collapses, screen bit-identical, debris gone
+    // compaction: window collapses, screen bit-identical; replaced
+    // generations stay on disk for in-flight readers of the old window
     DedupOps.compactDedupIndex(spark, idx)
     assert(DedupOps.dedupIndexWindow(idx) == ((3L, 3L)))
     assert(screen(idx) == want, "compaction changed screen results")
-    assert(genDirs(s"$idx/buckets") == Seq("gen=3") &&
-      genDirs(s"$idx/shingles") == Seq("gen=3"),
-      "replaced generations not reclaimed")
-    // single-generation compaction is a no-op
+    assert(genDirs(s"$idx/buckets") == Seq("gen=1", "gen=2", "gen=3"),
+      "replaced generations reclaimed eagerly (reader isolation broken)")
+    // the next mutation's leading purge reclaims them (single-gen
+    // compaction is otherwise a no-op)
     DedupOps.compactDedupIndex(spark, idx)
     assert(DedupOps.dedupIndexWindow(idx) == ((3L, 3L)))
+    assert(genDirs(s"$idx/buckets") == Seq("gen=3") &&
+      genDirs(s"$idx/shingles") == Seq("gen=3"),
+      "deferred reclamation never ran")
   }
 
   test("the daily loop closes: day-2 survivors sealed, day-3 screen flags their dups") {
@@ -569,6 +573,24 @@ class DedupOpsSpec extends SparkSuite {
       .toMap
     assert(got == expected)
     assert(got.values.exists { case (n, _, _) => n > 0 })
+  }
+
+  test("q96 packed-key bound is ENFORCED: an out-of-range doc_id raises") {
+    import spark.implicits._
+    // doc_id past the 2⁴² headroom would silently mis-order the
+    // first-occurrence min under the packed key; the guard must raise
+    // instead (the pos >= 2²¹ arm is the same expression).
+    val docs = Seq(
+      (1L << 50, "a b c a b c d"),
+      (2L, "a b c x y")
+    ).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      DedupOps.exciseKeepFirst(docs, l = 3).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(ex).contains("packed-key"),
+      s"expected the packed-key bound error, got: ${chain(ex)}")
   }
 
   test("q98 containment: catches the embedded quote Jaccard misses") {

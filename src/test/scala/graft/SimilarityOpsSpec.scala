@@ -355,14 +355,18 @@ class SimilarityOpsSpec extends SparkSuite {
       .collect().toSeq == inc.toSeq, "retried append diverged")
 
     // compaction: window collapses to one generation, serving
-    // row-identical, replaced generations reclaimed
+    // row-identical; the replaced generations stay on disk (reader
+    // isolation) until the next mutation's leading purge reclaims them
     SimilarityOps.compactAnnIndex(spark, crashPath)
     assert(SimilarityOps.annIndexWindow(crashPath) == ((3L, 3L)))
     assert(SimilarityOps.ivfSearchIndex(spark, crashPath, probes, centroids)
       .collect().toSeq == inc.toSeq, "compaction changed serving results")
-    val gens = new java.io.File(crashPath).listFiles()
+    def gens(): Seq[String] = new java.io.File(crashPath).listFiles()
       .map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
-    assert(gens == Seq("gen=3"), s"replaced generations not reclaimed: $gens")
+    assert(gens() == Seq("gen=1", "gen=2", "gen=3"),
+      s"replaced generations reclaimed eagerly (reader isolation broken): ${gens()}")
+    SimilarityOps.compactAnnIndex(spark, crashPath) // no-op + leading purge
+    assert(gens() == Seq("gen=3"), s"deferred reclamation never ran: ${gens()}")
     // and the appended index covers every vector exactly once
     val ids = spark.read.parquet(incPath).select("vec_id").collect()
       .map(_.getLong(0)).sorted.toSeq
@@ -1465,6 +1469,37 @@ class SimilarityOpsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs scoring:\n$plan")
+  }
+
+  test("q92 pair-budget gate: brute below, IVF above — both branches live") {
+    val emb = Tables.embeddings(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    // fixture scale sits under the budget: the registered q92 must be
+    // the exact (oracle-matching) plan
+    assert(rows(SimilarityOps.knnLabel(emb)) ==
+      rows(SimilarityOps.knnLabelBrute(emb)),
+      "gate did not pick the brute plan under the budget")
+    // a zero budget models the ProfR12c wall: the gate must swap the
+    // candidate stage for the IVF form (vote layer shared)
+    val cents = (0 until SimilarityOps.NumCells)
+      .map(c => (0 until SimilarityOps.Dim)
+        .map(SimilarityOps.centroidComponent(c, _)))
+    assert(rows(SimilarityOps.knnLabel(emb, brutePairBudget = 0L)) ==
+      rows(SimilarityOps.knnLabelIvf(emb, cents)),
+      "gate did not swap to the IVF candidate stage past the budget")
+  }
+
+  test("q97 cellBalance: empty corpus yields an empty table, not a throw") {
+    import spark.implicits._
+    val cents = (0 until SimilarityOps.NumCells)
+      .map(c => (0 until SimilarityOps.Dim)
+        .map(SimilarityOps.centroidComponent(c, _)))
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val got = SimilarityOps.cellBalance(empty, cents)
+    assert(got.columns.toSeq ==
+      Seq("cell", "n_total", "rate_pm", "n_kept"))
+    assert(got.collect().isEmpty)
   }
 
   test("q97 trained-centroid path: same plan over trainCentroids' cells") {
