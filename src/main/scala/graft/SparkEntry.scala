@@ -134,6 +134,7 @@ object SparkEntry {
     "q99_snapshot_diff"    -> ((s, d) => PipelineOps.q99SnapshotDiff(s, d)),
     "q100_novelty_score"   -> ((s, d) => DedupOps.q100NoveltyScore(s, d)),
     "q101_patch_pool"      -> ((s, d) => MultimodalOps.q101PatchPool(s, d)),
+    "q102_bpe_train"       -> ((s, d) => TextOps.q102BpeTrain(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -559,5 +560,9 @@ object SparkEntry {
     // Patch pooling: q81's oracle text as the grid CTE, the same
     // integer mean/max pool with -1 sentinels.
     "q101_patch_pool" -> MultimodalOps.q101OracleSql,
+
+    // BPE training loop: the Spark loop unrolled into chained CTEs —
+    // per-round argmax as a 1-row CTE feeding the next rewrite.
+    "q102_bpe_train" -> TextOps.q102OracleSql(),
   )
 }

@@ -1733,4 +1733,126 @@ object TextOps {
        |FROM q JOIN rk ON rk.rank = q.vocab_size, tot
        |ORDER BY pct""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q102
+
+  /** Trained-merge-table size for [[q102BpeTrain]]. */
+  val BpeTrainRounds = 12
+
+  /** q102 — the BPE TRAINING LOOP closed: iterate q86's pair
+    * induction through q89's apply rule — induce the argmax pair,
+    * merge it everywhere, re-induce on the rewritten symbol table —
+    * for `rounds` rounds, emitting the ORDERED merge table a real
+    * tokenizer build ships (Sennrich et al. 2016's Algorithm 1; the
+    * artifact [[BpeMerges]] stands in for). Round 1 is exactly q86's
+    * rank-1 row; later rounds see MERGED symbols as operands (the
+    * (th,e)-style second-level merges q89's fixed table illustrates).
+    * Ties break (n desc, lhs, rhs) — total, replayed by both engines.
+    *
+    * Scale shape — the corpus is scanned ONCE: training runs entirely
+    * on the persisted distinct-token `(token, tok_n)` relation
+    * (vocabulary-sized, orders of magnitude under the corpus — the
+    * exact shape HuggingFace's trainer uses via its word-count table).
+    * Each round is one vocabulary-sized job: q89's codegen'd
+    * `(c)`-wrapper replace chain re-encodes, a symbol fan-out +
+    * ≤ |vocab-symbols|²-key partial aggregate counts pairs, and ONE
+    * row (the argmax) comes to the driver to parametrize the next
+    * round's rewrite — R bounded collects total. The loop is
+    * inherently sequential (merge r+1's statistics depend on merge r
+    * having been applied); parallelism lives inside each round. */
+  def q102BpeTrain(
+      spark: SparkSession, dir: String,
+      rounds: Int = BpeTrainRounds): DataFrame =
+    bpeTrain(Tables.documents(spark, dir), rounds)
+
+  /** The training core over any `(…, text)` frame. Stops early if the
+    * vocabulary runs out of pairs (every token fully merged). */
+  private[graft] def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tok_n"))
+      .persist()
+    try {
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var table = Seq.empty[(String, String)]
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        // q89's apply rule re-encodes the vocab under the merges so
+        // far; symbols are the (…) groups of the wrapper encoding
+        val syms = regexp_extract_all(
+          encodedWord(col("token"), table),
+          lit("\\(([^)]*)\\)"), lit(1))
+        val top = vocab
+          .select(col("tok_n"), syms.as("s"))
+          .filter(size(col("s")) >= 2)
+          .select(col("tok_n"),
+            explode(transform(sequence(lit(1), size(col("s")) - 1), i =>
+              struct(element_at(col("s"), i).as("lhs"),
+                element_at(col("s"), i + 1).as("rhs")))).as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("tok_n")).as("n"))
+          .orderBy(col("n").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val t = top.head
+          merges += ((r, t.getString(0), t.getString(1), t.getLong(2)))
+          table = table :+ ((t.getString(0), t.getString(1)))
+          r += 1
+        }
+      }
+      merges.result().toDF("rank", "lhs", "rhs", "n")
+    } finally { vocab.unpersist(); () }
+  }
+
+  /** Ground truth for [[q102BpeTrain]] — the loop UNROLLED into
+    * chained CTEs (SQL has no iteration over a data-dependent scalar;
+    * a fixed round count does): each round's argmax `m_r` is a 1-row
+    * CTE whose lhs/rhs feed the next round's `replace` as scalar
+    * subqueries — the same wrapper encoding, apply rule, and
+    * (n desc, lhs, rhs) tie-break as the Spark loop. */
+  def q102OracleSql(rounds: Int = BpeTrainRounds): String = {
+    val head =
+      """vocab AS MATERIALIZED (
+        |  SELECT token, count(*) AS tok_n
+        |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |                                  x -> len(x) > 0)) AS token
+        |        FROM documents)
+        |  GROUP BY token
+        |), e0 AS MATERIALIZED (
+        |  SELECT regexp_replace(token, '(.)', '(\1)', 'g') AS enc, tok_n
+        |  FROM vocab
+        |)""".stripMargin
+    val blocks = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT s[i] AS lhs, s[i+1] AS rhs, tok_n
+         |  FROM (SELECT regexp_extract_all(enc, '\\(([^)]*)\\)', 1) AS s,
+         |               tok_n
+         |        FROM e${r - 1}),
+         |       LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+         |  WHERE len(s) >= 2
+         |), m$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, CAST(sum(tok_n) AS BIGINT) AS n
+         |  FROM p$r GROUP BY lhs, rhs
+         |  ORDER BY n DESC, lhs, rhs LIMIT 1
+         |), e$r AS MATERIALIZED (
+         |  SELECT replace(enc,
+         |           '(' || (SELECT lhs FROM m$r) || ')(' ||
+         |                  (SELECT rhs FROM m$r) || ')',
+         |           '(' || (SELECT lhs FROM m$r) ||
+         |                  (SELECT rhs FROM m$r) || ')') AS enc, tok_n
+         |  FROM e${r - 1}
+         |)""".stripMargin
+    }
+    val sel = (1 to rounds)
+      .map(r => s"SELECT $r AS rank, lhs, rhs, n FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${(head +: blocks).mkString(", ")}
+       |SELECT * FROM (
+       |  $sel
+       |) ORDER BY rank""".stripMargin
+  }
 }

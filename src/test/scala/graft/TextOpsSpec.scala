@@ -489,6 +489,39 @@ class TextOpsSpec extends SparkSuite {
     assert(pairs(("a", "b")) == 1L)
   }
 
+  test("q102 BPE training loop: round-2+ merges match the hand computation; early stop") {
+    import spark.implicits._
+    // vocab: abab:2, ab:1, ba:1
+    //   round 1: (a,b) 2·2+1 = 5 beats (b,a) 3         → merge (a,b)
+    //   round 2: abab = (ab)(ab) → (ab,ab) 2 beats (b,a) 1 — an
+    //            operand that is itself a MERGE OUTPUT, the thing a
+    //            one-round induction can never produce
+    //   round 3: only ba has a pair left → (b,a) 1
+    //   round 4: every token is one symbol → early stop
+    val docs = Seq((1L, "abab abab ab ba")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(docs, rounds = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1, "a", "b", 5L), (2, "ab", "ab", 2L), (3, "b", "a", 1L)),
+      s"training loop diverges from the hand computation: $got")
+
+    // the SEAM: the trained table flows straight into q89's encode —
+    // the tokenizer build consumes its own upstream
+    val table = got.map { case (_, l, r, _) => (l, r) }
+    val enc = TextOps.bpeEncodeCounts(docs, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // abab→(abab), abab→(abab), ab→(ab), ba→(ba): 4 tokens, 12 chars
+    assert(enc == Seq((1L, 4L, 12L, 4L)),
+      s"trained table does not encode through q89's core: $enc")
+
+    // round 1 on the real fixture IS q86's rank-1 row
+    val r1 = TextOps.q102BpeTrain(spark, sf, rounds = 1).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).head
+    val q86r1 = TextOps.q86BpePairs(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).head
+    assert(r1 == q86r1, s"round 1 != q86 rank 1: $r1 vs $q86r1")
+  }
+
   test("q89 == exact driver-side BPE encode recount; merges fire") {
     def encCount(w: String): Long = {
       var s = w.map(c => s"($c)").mkString
