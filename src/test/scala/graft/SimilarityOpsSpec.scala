@@ -1516,4 +1516,90 @@ class SimilarityOpsSpec extends SparkSuite {
       "no binding scarcest cell")
     assert(got.forall(r => r._4 <= r._2 && r._3 <= 1000L))
   }
+
+  test("q28 trained-centroid path: identical plan shape, contract kept") {
+    // the deployment seam the fixed-LCG registered form stands in
+    // for: ivfTopK over trainCentroids' output must run the SAME
+    // physical plan (the quantizer is literals in a projection — the
+    // plan cannot tell trained from fixed) and keep the per-probe
+    // contract
+    val emb = Tables.embeddings(spark, sf)
+    val trained = SimilarityOps.trainCentroids(emb, SimilarityOps.NumCells, 3)
+    val fixed = (0 until SimilarityOps.NumCells)
+      .map(c => (0 until SimilarityOps.Dim)
+        .map(SimilarityOps.centroidComponent(c, _)))
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect { case p => p.nodeName }
+    val t = SimilarityOps.ivfTopK(emb, trained)
+    assert(shape(t) == shape(SimilarityOps.ivfTopK(emb, fixed)),
+      "trained quantizer changed the q28 plan shape")
+    val byProbe = t.collect()
+      .map(r => (r.getLong(0), r.getInt(4))).groupBy(_._1)
+    assert(byProbe.size == 10, s"probe set wrong: ${byProbe.keySet}")
+    byProbe.foreach { case (p, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to 10), s"probe $p ranks broken")
+    }
+  }
+
+  test("q50 trained-centroid path: trained index serves partition-pruned") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val emb = Tables.embeddings(spark, sf)
+    val trained = SimilarityOps.trainCentroids(emb, SimilarityOps.NumCells, 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-trained-seam").toString
+    SimilarityOps.writeIvfIndex(emb, trained, path)
+    val probes = emb.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq
+    val res = SimilarityOps.ivfSearchIndex(spark, path, probes, trained)
+    val wanted = probes.flatMap { case (_, e) =>
+      SimilarityOps.probeCells(e, trained) }.distinct.toSet
+    val plans = res.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val idxName = new java.io.File(path).getName
+    val scans = plans.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains(idxName)) => s
+    }
+    assert(scans.nonEmpty, s"no index scan:\n${res.queryExecution}")
+    scans.foreach { s =>
+      val cells = s.relation.location
+        .listFiles(s.partitionFilters, s.dataFilters)
+        .flatMap(_.files.map(_.getPath.toString))
+        .flatMap(_.split("/").find(_.startsWith("cell="))
+          .map(_.drop(5).toInt)).toSet
+      assert(cells.subsetOf(wanted),
+        s"trained index scan touched unprobed cells: $cells vs $wanted")
+    }
+    // every probe retrieves itself at rank 1 (it is in the corpus)
+    val top = res.filter(col("rank") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    probes.foreach { case (p, _) =>
+      assert(top(p) == p, s"probe $p does not self-retrieve from the trained index")
+    }
+  }
+
+  test("q88 trained-centroid path: identical plan shape, decisions total") {
+    val emb = Tables.embeddings(spark, sf)
+    val trained = SimilarityOps.trainCentroids(emb, SimilarityOps.NumCells, 3)
+    val fixed = (0 until SimilarityOps.NumCells)
+      .map(c => (0 until SimilarityOps.Dim)
+        .map(SimilarityOps.centroidComponent(c, _)))
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect { case p => p.nodeName }
+    val t = SimilarityOps.semDedup(emb, trained, SimilarityOps.NeardupCosine)
+    assert(shape(t) ==
+      shape(SimilarityOps.semDedup(emb, fixed, SimilarityOps.NeardupCosine)),
+      "trained quantizer changed the q88 plan shape")
+    val rows = t.collect().map(r => (r.getLong(0), r.getInt(2)))
+    // every vector gets exactly one keep/prune decision
+    assert(rows.length == emb.count(), "decisions not total")
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate decisions")
+    assert(rows.forall(r => r._2 == 0 || r._2 == 1))
+  }
 }
