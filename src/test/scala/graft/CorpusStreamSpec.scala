@@ -537,4 +537,95 @@ class CorpusStreamSpec extends SparkSuite {
       assert(stateRowsTotal(q) == 0, "noveltyGate must not hold state")
     } finally q.stop()
   }
+
+  test("phrase-bank refresh handshake: a generation flip mid-stream lands at the next batch") {
+    import graft.queries.DedupOps
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the gate re-resolves the bank's _GENERATION window at every
+    // batch (noveltyScore reads the manifest per call), so a
+    // crawl-side append or compaction lands WITHOUT a stream restart —
+    // the streaming twin of the retrieval stats-refresh handshake.
+    // The flip is atomic: a batch sees the old window or the new,
+    // never torn, and compaction's deferred reclamation means a batch
+    // straddling the flip still finishes its scan.
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2)
+    val day2 = docs.filter(col("doc_id") % 4 === 3)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-handshake-idx").toString
+    DedupOps.writePhraseIndex(base, idxPath)
+
+    // a day-2 text that the base bank admits but the refreshed bank
+    // must reject (after the append its every window is sealed)
+    val baseScores = DedupOps.noveltyScore(spark, idxPath, day2).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val candidate = day2.select($"doc_id", $"text").as[(Long, String)]
+      .collect()
+      .find { case (id, t) =>
+        t.split(" ").count(_.nonEmpty) >= DedupOps.ExciseTokens &&
+          baseScores.getOrElse(id, 0L) <= 500L
+      }
+    assert(candidate.nonEmpty, "no day-2 doc is base-novel — vacuous fixture")
+    val knownText = candidate.get._2
+    val novelText = (1 to DedupOps.ExciseTokens + 4)
+      .map(i => s"zq$i").mkString(" ")
+
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-handshake-out").toString + "/admitted"
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-handshake-ck").toString
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusStream.noveltyGate(
+      in.toDF().toDF("doc_id", "text"), idxPath, outDir, ckDir, 500L)
+    def admittedIds(): Set[Long] =
+      spark.read.parquet(outDir).select($"doc_id").collect()
+        .map(_.getLong(0)).toSet
+    try {
+      // batch 1 against the base-only bank: both admitted
+      in.addData(Seq((900001L, knownText), (900002L, novelText)))
+      q.processAllAvailable()
+      assert(admittedIds() == Set(900001L, 900002L),
+        s"pre-flip admits wrong: ${admittedIds()}")
+
+      // the flip: day-2 appended, one atomic manifest rename
+      DedupOps.appendPhraseIndex(day2, idxPath)
+
+      // batch 2, same texts under fresh ids: the re-fetch of sealed
+      // day-2 text must now be rejected; genuinely novel text passes
+      in.addData(Seq((910001L, knownText), (910002L, novelText)))
+      q.processAllAvailable()
+      assert(admittedIds() == Set(900001L, 900002L, 910002L),
+        s"post-append admits wrong: ${admittedIds()}")
+
+      // compaction flips again mid-stream; decisions are unchanged
+      // (bit-identical serve across the compaction flip)
+      DedupOps.compactPhraseIndex(spark, idxPath)
+      in.addData(Seq((920001L, knownText), (920002L, novelText)))
+      q.processAllAvailable()
+      assert(admittedIds() == Set(900001L, 900002L, 910002L, 920002L),
+        s"post-compaction admits wrong: ${admittedIds()}")
+      assert(stateRowsTotal(q) == 0, "noveltyGate must not hold state")
+    } finally q.stop()
+
+    // the scrub side of the same handshake: a batch scrubbed after
+    // the flip excises the sealed day-2 spans a pre-flip batch kept
+    val scrubOut = java.nio.file.Files
+      .createTempDirectory("graft-handshake-scrub").toString + "/scrubbed"
+    val scrubCk = java.nio.file.Files
+      .createTempDirectory("graft-handshake-sck").toString
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = CorpusStream.phraseScrub(
+      in2.toDF().toDF("doc_id", "text"), idxPath, scrubOut, scrubCk)
+    try {
+      in2.addData(Seq((930001L, knownText))); q2.processAllAvailable()
+      val post = spark.read.parquet(scrubOut)
+        .select($"doc_id", $"n_removed").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every window of the sealed text is bank-held: full excision
+      assert(post(930001L) > 0, "refreshed bank scrubbed nothing")
+    } finally q2.stop()
+  }
 }
