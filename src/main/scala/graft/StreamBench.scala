@@ -201,6 +201,163 @@ object StreamBench {
     }
   }
 
+  /** `SPARK_GRAFT_STREAM_MODE=semdedup` — throughput probe for the
+    * [[graft.streaming.SemDedupStream]] vector screen: synthetic
+    * 64-dim uniform(-1,1) vectors (fixed seed; random cosines
+    * concentrate near 0), ~10% exact copies of an earlier vector
+    * (cosine 1.0 — guaranteed flags at the 0.9 probe threshold),
+    * streamed through the cell-keyed screen on q28's fixed quantizer.
+    * Reports vectors/sec and the flagged count (sanity > 0). */
+  private def semDedupMode(spark: SparkSession): Unit = {
+    val nVecs = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "100000").trim.toInt
+    val filesPerTrigger =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "5").trim.toInt
+    val dim = graft.queries.SimilarityOps.Dim
+    val dir = Files.createTempDirectory("graft-sdbench")
+    val rnd = new scala.util.Random(42)
+    val recent = new scala.collection.mutable.ArrayBuffer[Array[Float]]
+    val perFile = 10000
+    var id = 0L
+    var written = 0
+    while (written < nVecs) {
+      val count = math.min(perFile, nVecs - written)
+      val sb = new StringBuilder(count * 700)
+      var i = 0
+      while (i < count) {
+        id += 1
+        val v =
+          if (recent.nonEmpty && rnd.nextInt(10) == 0)
+            recent(rnd.nextInt(recent.size))
+          else {
+            val t = Array.fill(dim)((rnd.nextFloat() * 2 - 1))
+            if (recent.size < 4096) recent += t
+            t
+          }
+        sb.append(s"""{"vec_id":$id,"ts_sec":${id / EventsPerSecond},""")
+          .append(s""""embedding":[${v.mkString(",")}]}""").append('\n')
+        i += 1
+      }
+      Files.writeString(dir.resolve(f"part-$written%09d.json"), sb.result())
+      written += count
+    }
+    val vecs = spark.readStream
+      .schema("vec_id LONG, ts_sec LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .json(dir.toString)
+      .select(col("vec_id"), col("embedding"),
+        timestamp_seconds(col("ts_sec")).as("ts"))
+    val centroids = (0 until graft.queries.SimilarityOps.NumCells)
+      .map(c => (0 until dim)
+        .map(graft.queries.SimilarityOps.centroidComponent(c, _)))
+    val t0 = System.nanoTime()
+    val q = graft.streaming.SemDedupStream
+      .screen(vecs, centroids, threshold = 0.9, idleTtl = Some("1 hour"))
+      .writeStream.format("memory").queryName("sd_bench")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sdbench-ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    val flagged = spark.table("sd_bench")
+      .select("vec_id").distinct().count()
+    q.stop()
+    val line =
+      s"""{"metric":"stream_semdedup_vecs_per_sec","value":${f1(nVecs / wall)},"unit":"rows/sec","n_vecs":$nVecs,"wall_sec":${f1(wall)},"micro_batches":$batches,"flagged_vecs":$flagged}"""
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/stream_bench.json"), line + "\n")
+    println(line)
+    spark.stop()
+    if (flagged == 0L) {
+      System.err.println("SANITY FAIL: planted vector copies were not flagged")
+      sys.exit(1)
+    }
+  }
+
+  /** `SPARK_GRAFT_STREAM_MODE=scrub` — throughput probe for the
+    * phrase-bank boundary stages ([[graft.streaming.CorpusStream
+    * .noveltyGate]] and [[graft.streaming.CorpusStream.phraseScrub]]):
+    * a sealed bank is built once from synthetic base docs, then the
+    * same doc stream (fixed seed; ~20% verbatim re-fetches of sealed
+    * docs, the rest novel 40-token docs) runs through BOTH stages.
+    * Reports docs/sec per stage plus the reject/excision counts
+    * (sanity: the planted re-fetches must be rejected and scrubbed). */
+  private def scrubMode(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "100000").trim.toInt
+    val filesPerTrigger =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "5").trim.toInt
+    val rnd = new scala.util.Random(42)
+    val vocab = Array.tabulate(5000)(i => s"v$i")
+    // the sealed corpus: 2000 base docs -> one phrase bank, built once
+    val baseDocs = (1 to 2000).map { i =>
+      (1000000L + i, Array.fill(40)(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }
+    val idxPath = Files.createTempDirectory("graft-scrubbench-idx").toString
+    graft.queries.DedupOps.writePhraseIndex(
+      baseDocs.toDF("doc_id", "text"), idxPath)
+    val dir = Files.createTempDirectory("graft-scrubbench")
+    val perFile = 10000
+    var id = 0L
+    var written = 0
+    while (written < nDocs) {
+      val count = math.min(perFile, nDocs - written)
+      val sb = new StringBuilder(count * 320)
+      var i = 0
+      while (i < count) {
+        id += 1
+        val text =
+          if (rnd.nextInt(5) == 0) baseDocs(rnd.nextInt(baseDocs.size))._2
+          else Array.fill(40)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+        sb.append(s"""{"doc_id":$id,"ts_sec":${id / EventsPerSecond},"text":"$text"}""")
+          .append('\n')
+        i += 1
+      }
+      Files.writeString(dir.resolve(f"part-$written%09d.json"), sb.result())
+      written += count
+    }
+    def source() = spark.readStream
+      .schema("doc_id LONG, ts_sec LONG, text STRING")
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .json(dir.toString)
+      .select(col("doc_id"), col("text"))
+    // stage 1: the novelty gate (score + admit)
+    val gateOut = Files.createTempDirectory("graft-scrubbench-g").toString + "/out"
+    val t0 = System.nanoTime()
+    val gq = graft.streaming.CorpusStream.noveltyGate(
+      source(), idxPath, gateOut,
+      Files.createTempDirectory("graft-scrubbench-gck").toString)
+    gq.processAllAvailable()
+    val gateWall = (System.nanoTime() - t0) / 1e9
+    val gateBatches = gq.recentProgress.count(_.numInputRows > 0)
+    gq.stop()
+    val admitted = spark.read.parquet(gateOut).count()
+    // stage 2: the full scrub (excision rewrite)
+    val scrubOut = Files.createTempDirectory("graft-scrubbench-s").toString + "/out"
+    val t1 = System.nanoTime()
+    val sq = graft.streaming.CorpusStream.phraseScrub(
+      source(), idxPath, scrubOut,
+      Files.createTempDirectory("graft-scrubbench-sck").toString)
+    sq.processAllAvailable()
+    val scrubWall = (System.nanoTime() - t1) / 1e9
+    sq.stop()
+    val excised = spark.read.parquet(scrubOut)
+      .filter(col("n_removed") > 0).count()
+    val line =
+      s"""{"metric":"stream_gate_docs_per_sec","value":${f1(nDocs / gateWall)},"unit":"rows/sec","n_docs":$nDocs,"gate_wall_sec":${f1(gateWall)},"micro_batches":$gateBatches,"admitted":$admitted,"scrub_docs_per_sec":${f1(nDocs / scrubWall)},"scrub_wall_sec":${f1(scrubWall)},"excised_docs":$excised}"""
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/stream_bench.json"), line + "\n")
+    println(line)
+    spark.stop()
+    if (admitted == nDocs || admitted == 0L || excised == 0L) {
+      System.err.println("SANITY FAIL: gate rejected nothing/everything " +
+        "or scrub excised nothing")
+      sys.exit(1)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val nTweets =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "400000").trim.toInt
@@ -232,6 +389,14 @@ object StreamBench {
     }
     if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("corpus")) {
       corpusMode(spark)
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("semdedup")) {
+      semDedupMode(spark)
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("scrub")) {
+      scrubMode(spark)
       return
     }
 
