@@ -638,13 +638,29 @@ object RetrievalOps {
     * territory). Rebuilt per call at fixture scale; a deployment
     * builds once per compact generation and serves many. */
   def q83HybridIndexed(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
     val path = SimilarityOps.tempIndexDir("graft-hybrid-ivfpq")
+    q83BuildIndex(spark, dir, path)
+    q83ServeHybrid(spark, dir, path)
+  }
+
+  /** Build half of [[q83HybridIndexed]]: persist the fixed-constant
+    * non-residual IVF-PQ index the dense leg serves from. Split out so
+    * the bench can pay it once per run (`phases`) instead of once per
+    * timed sample — a deployment builds once per compact generation. */
+  def q83BuildIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    val emb = Tables.embeddings(spark, dir)
     val centroids = (0 until SimilarityOps.NumCells).map(c =>
       (0 until SimilarityOps.Dim).map(SimilarityOps.centroidComponent(c, _)))
     SimilarityOps.writeIvfPqIndex(
       emb, path, centroids, SimilarityOps.defaultPqCodebooks, residual = false)
+  }
+
+  /** Serve half of [[q83HybridIndexed]] against an already-built dense
+    * index: sparse BM25 leg + index-served dense leg, fused by RRF. */
+  def q83ServeHybrid(
+      spark: SparkSession, dir: String, path: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
     val probes = emb
       .filter($"vec_id".isInCollection(DenseProbeIds.map(_.toLong)))
       .select($"vec_id", $"embedding")
