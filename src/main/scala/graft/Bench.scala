@@ -46,6 +46,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bound diagnostic plan strings (the CorpusPipeline all-stages
+      // lesson: AQE explain of a deep composed plan OOMed a JVM)
+      .config("spark.sql.maxPlanStringLength", "8000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -135,6 +135,11 @@ object SparkEntry {
     "q100_novelty_score"   -> ((s, d) => DedupOps.q100NoveltyScore(s, d)),
     "q101_patch_pool"      -> ((s, d) => MultimodalOps.q101PatchPool(s, d)),
     "q102_bpe_train"       -> ((s, d) => TextOps.q102BpeTrain(s, d)),
+    // q103 is EAGER by construction (the q97 class): the yield report
+    // counts each pipeline stage boundary and returns a <= 10-row
+    // local relation; all audit persists are released before return.
+    "q103_pipeline_yield"  -> ((s, d) =>
+      CorpusPipeline.yieldReport(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -564,5 +569,12 @@ object SparkEntry {
     // BPE training loop: the Spark loop unrolled into chained CTEs —
     // per-round argmax as a 1-row CTE feeding the next rewrite.
     "q102_bpe_train" -> TextOps.q102OracleSql(),
+
+    // End-to-end pipeline yield: every default stage re-derived as a
+    // CTE chain (q09 keep-min, lang set, q17 floor, q13 all-pairs
+    // verified neardup with the pairwise drop rule, q41 keep) and
+    // counted at its boundary — the whole composed pipeline under one
+    // hash compare.
+    "q103_pipeline_yield" -> CorpusPipeline.yieldOracleSql(),
   )
 }

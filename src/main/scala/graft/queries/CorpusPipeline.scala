@@ -188,10 +188,107 @@ object CorpusPipeline {
       .mode("overwrite")
       .parquet(path)
 
+  /** Per-stage yield table over the composed pipeline — the q53 report
+    * shape (`stage, n_in, n_dropped, n_out`, one row per stage that
+    * RAN) computed on the REAL chain, not a re-derivation: [[build]]
+    * hands back its stage-boundary frames and this counts them in
+    * order, persisting each boundary so every stage's work executes
+    * exactly once (stage k's count reuses stage k−1's cache). An AUDIT
+    * op — the persists are the price of per-stage observability and
+    * are all released before returning; the result itself is a local
+    * relation of ≤ 10 rows, so nothing corpus-sized outlives the call.
+    * [[yieldOracleSql]] is the DuckDB twin for the DEFAULT config. */
+  def yieldReport(
+      docs: DataFrame, cfg: Config = Config(),
+      evalDocs: Option[DataFrame] = None): DataFrame = {
+    val trace = scala.collection.mutable.Buffer.empty[(String, DataFrame)]
+    val (_, handles) = build(docs, cfg, evalDocs, Some(trace))
+    try {
+      trace.foreach(_._2.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val counts = ("00_raw", docs.count()) +:
+        trace.toSeq.map { case (n, df) => (n, df.count()) }
+      val rows = counts.sliding(2).collect {
+        case Seq((_, nIn), (stage, nOut)) => (stage, nIn, nIn - nOut, nOut)
+      }.toSeq
+      import docs.sparkSession.implicits._
+      rows.toDF("stage", "n_in", "n_dropped", "n_out").orderBy("stage")
+    } finally {
+      trace.foreach(_._2.unpersist())
+      handles.foreach(_.unpersist())
+    }
+  }
+
+  /** DuckDB twin of [[yieldReport]] under the DEFAULT [[Config]]: the
+    * q09 keep-min-id rule, the lang set, the q17 token floor, the
+    * q13 all-pairs Jaccard pairwise drop (drop the higher id of every
+    * verified pair — the oracle computes TRUE pairs where the engine
+    * verifies LSH candidates, the q13 equivalence), and the q41
+    * stratified keep, each counted at its boundary. */
+  def yieldOracleSql(cfg: Config = Config()): String = {
+    val langs = cfg.keepLangs.toSeq.sorted.map(l => s"'$l'").mkString(", ")
+    val cases = cfg.stratRates
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+    s"""WITH ex AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+       |), lg AS (
+       |  SELECT * FROM ex WHERE lang IN ($langs)
+       |), fl AS (
+       |  SELECT * FROM lg
+       |  WHERE len(list_filter(string_split(lower(text), ' '),
+       |            x -> len(x) > 0)) >= ${cfg.minTokens}
+       |), t AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(
+       |           generate_series(1, greatest(len(toks) - 2, 0)),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split(lower(text), ' '),
+       |                 x -> len(x) > 0) AS toks
+       |        FROM fl)
+       |), losers AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |    AND len(list_intersect(a.sh, b.sh)) >=
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |          * ${cfg.neardupThreshold}
+       |), nd AS (
+       |  SELECT * FROM fl
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+       |), st AS (
+       |  SELECT * FROM nd
+       |  WHERE ${RelationalOps.contentHashModSql(RelationalOps.PerMille)} <
+       |        (CASE $cases ELSE ${cfg.defaultPerMille} END)
+       |), c AS (
+       |  SELECT (SELECT count(*) FROM documents) AS n0,
+       |         (SELECT count(*) FROM ex) AS n1,
+       |         (SELECT count(*) FROM lg) AS n2,
+       |         (SELECT count(*) FROM fl) AS n3,
+       |         (SELECT count(*) FROM nd) AS n4,
+       |         (SELECT count(*) FROM st) AS n5
+       |)
+       |SELECT stage, n_in, n_in - n_out AS n_dropped, n_out FROM (
+       |  SELECT '01_exact' AS stage, n0 AS n_in, n1 AS n_out FROM c
+       |  UNION ALL SELECT '02_lang', n1, n2 FROM c
+       |  UNION ALL SELECT '05_floor', n2, n3 FROM c
+       |  UNION ALL SELECT '09_neardup', n3, n4 FROM c
+       |  UNION ALL SELECT '10_rebalance', n4, n5 FROM c
+       |) ORDER BY stage""".stripMargin
+  }
+
   private def build(
       docs: DataFrame, cfg: Config,
-      evalDocs: Option[DataFrame] = None): (DataFrame, Seq[DataFrame]) = {
+      evalDocs: Option[DataFrame] = None,
+      trace: Option[scala.collection.mutable.Buffer[(String, DataFrame)]] =
+        None): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
+    // stage-boundary hook for [[yieldReport]]: identity on the frame,
+    // records (name, frame) when a trace rides along
+    def mark(name: String, df: DataFrame): DataFrame = {
+      trace.foreach(_ += name -> df); df
+    }
 
     // 1. exact dedup: lowest doc_id wins per identical text. The window
     // partitions on xxhash64(text) — an 8-byte shuffle key — not on the
@@ -217,6 +314,7 @@ object CorpusPipeline {
             lit("xxhash64 collision in exact-dedup stage on content hash "),
             col("content_hash").cast("string")))))
       .drop("rn", "content_hash", "_tmin", "_tmax")
+    mark("01_exact", exact)
 
     // 2. language gate (narrow), then the OPTIONAL passage-level
     // rewrite (q56 core — RefinedWeb's span dedup): placed after the
@@ -226,29 +324,49 @@ object CorpusPipeline {
     // gate). Pure-duplicate docs (every passage already seen) leave
     // here entirely; the exact-dedup stage upstream stays — byte-dups
     // are cheaper to kill on the whole-doc hash than per passage.
-    val langGated = exact.filter(col("lang").isInCollection(cfg.keepLangs))
+    val langGated = mark("02_lang",
+      exact.filter(col("lang").isInCollection(cfg.keepLangs)))
     // 2a. OPTIONAL keep-first phrase excision (q96 core — Lee et al.'s
     // ExactSubstr training-dedup rule) BEFORE the coarser passage
     // stage: phrase granularity edits inside passages, so running it
     // first leaves the passage stage only whole-chunk dups; docs
     // excised to pure repetition leave here, and the token floor below
     // judges the REWRITTEN doc (same argument as the passage stage).
+    // Each REWRITE stage ends in a LAZY lineage break
+    // (localCheckpoint(false)): its output `text` is a computed column,
+    // and every downstream reference (the token floor, the model gate's
+    // hashed features, the next rewrite's window generate) would
+    // otherwise re-inline the whole rewrite expression tree — stacking
+    // both rewrites with the gates multiplied the composed plan past
+    // what Catalyst (and the AQE explain string) can hold. The break
+    // restarts the plan from a leaf; blocks materialize once at first
+    // downstream use (exactly the run that was re-deriving the rewrite
+    // per consumer before) and are reclaimed by the context cleaner. A
+    // 100 TB deployment checkpoints these mega-stage boundaries to
+    // durable storage instead ([[write]]); same idea, different medium.
     val phraseClean =
-      if (cfg.phraseExcise) DedupOps.exciseRewrite(langGated, cfg.exciseTokens)
+      if (cfg.phraseExcise)
+        mark("03_phrase",
+          DedupOps.exciseRewrite(langGated, cfg.exciseTokens)
+            .localCheckpoint(false))
       else langGated
     val passageClean =
-      if (cfg.passageDedup) DedupOps.passageRewrite(phraseClean, cfg.passageTokens)
+      if (cfg.passageDedup)
+        mark("04_passage",
+          DedupOps.passageRewrite(phraseClean, cfg.passageTokens)
+            .localCheckpoint(false))
       else phraseClean
     // heuristics first (cheap floor), then the OPTIONAL model gate
     // (q68's hashed linear classifier, score ≥ 0 keeps) — the
     // heuristics→model order every production pipeline uses; both are
     // narrow maps, so gate order costs nothing and the model never
     // scores docs the floor already killed.
-    val floorGated = passageClean
-      .filter(size(TextOps.toks(col("text"))) >= cfg.minTokens)
+    val floorGated = mark("05_floor", passageClean
+      .filter(size(TextOps.toks(col("text"))) >= cfg.minTokens))
     val narrowGated =
       if (cfg.modelGate)
-        floorGated.filter(TextOps.linearScoreMicro(col("text")) >= 0)
+        mark("06_model",
+          floorGated.filter(TextOps.linearScoreMicro(col("text")) >= 0))
       else floorGated
 
     // 2a'. optional LM-perplexity BAND gate (q79 core — the CCNet
@@ -267,7 +385,7 @@ object CorpusPipeline {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val (kept, xentHandles) =
           TextOps.perplexityGate(shared, lo, hi, cfg.perplexityPerMille)
-        (kept, xentHandles :+ shared)
+        (mark("07_perplexity", kept), xentHandles :+ shared)
       case None => (narrowGated, Seq.empty[DataFrame])
     }
 
@@ -287,10 +405,10 @@ object CorpusPipeline {
       (perpGated, Seq.empty[DataFrame])) { ev =>
       val shared = perpGated
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (shared.join(
+      (mark("08_decontam", shared.join(
         broadcast(PipelineOps.decontamReport(shared, ev)
           .select(col("doc_id"))),
-        Seq("doc_id"), "left_anti"),
+        Seq("doc_id"), "left_anti")),
         Seq(shared))
     }
 
@@ -311,7 +429,8 @@ object CorpusPipeline {
           dedupHandles :+ labels)
       } else
         (pairs.select(col("doc_b").as("doc_id")).distinct(), dedupHandles)
-    val neardupFree = gated.join(losers, Seq("doc_id"), "left_anti")
+    val neardupFree =
+      mark("09_neardup", gated.join(losers, Seq("doc_id"), "left_anti"))
 
     // 4. rebalance (content-keyed, reproducible). Two modes:
     //    - FIXED rates (default): q41's per-language stratified keep,
@@ -344,8 +463,8 @@ object CorpusPipeline {
           RelationalOps.stratifiedKeep(cfg.stratRates, cfg.defaultPerMille)),
           Seq.empty[DataFrame])
     }
-    val balanced = rebalanced
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val balanced = mark("10_rebalance", rebalanced
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val handles =
       (dedupHandles2 ++ gateHandles ++ perpHandles ++ mixHandles) :+ balanced
 

@@ -459,4 +459,95 @@ class CorpusPipelineSpec extends SparkSuite {
       }
     }
   }
+
+  test("ALL optional stages composed: yield accounting + closure on the output") {
+    import spark.implicits._
+    import graft.queries.{PipelineOps, TextOps}
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf)
+
+    // self-calibrating perplexity band: 10th/90th percentile of the
+    // mean bigram xent over the gate's OWN input (reconstructed via the
+    // public stage functions), so both tails cut at any fixture scale
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy($"h").orderBy($"doc_id")
+    val exact = docs.withColumn("h", xxhash64($"text"))
+      .withColumn("rn", row_number().over(byHash))
+      .filter($"rn" === 1).drop("h", "rn")
+    val keepLangs = CorpusPipeline.Config().keepLangs
+    // lineage breaks between the rewrites — the same plan-size rule the
+    // pipeline itself applies (each rewrite's text is a computed column
+    // every downstream expression would re-inline)
+    val gateInput = DedupOps.passageRewrite(
+      DedupOps.exciseRewrite(
+        exact.filter($"lang".isInCollection(keepLangs)))
+        .localCheckpoint(false))
+      .localCheckpoint(false)
+      .filter(size(TextOps.toks($"text")) >= CorpusPipeline.Config().minTokens)
+      .filter(TextOps.linearScoreMicro($"text") >= 0)
+    val (scores, xh) = TextOps.bigramXentBuild(gateInput, 10)
+    val means = scores.collect()
+      .map(r => r.getLong(2).toDouble / r.getLong(1)).sorted
+    xh.foreach(_.unpersist())
+    val lo = math.ceil(means(means.length / 10)).toLong
+    val hi = math.floor(means(means.length * 9 / 10)).toLong
+    assert(lo <= hi, s"degenerate band [$lo, $hi] on ${means.length} docs")
+
+    val noEval = CorpusPipeline.Config(
+      phraseExcise = true, passageDedup = true, modelGate = true,
+      perplexityBand = Some((lo, hi)), clusterNeardups = true,
+      mixWeights = Some(PipelineOps.MixWeights))
+
+    // benchmark frame drawn from the pipeline's OWN survivors (longest
+    // texts, so they carry 4-gram shingles) => guaranteed contamination
+    val evalDocs = CorpusPipeline.withPrepared(docs, noEval) { df =>
+      df.select($"doc_id", $"text").collect()
+        .sortBy(-_.getString(1).length).take(3)
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    }.toDF("doc_id", "text")
+    val evalIds = evalDocs.collect().map(_.getLong(0)).toSet
+
+    // --- yield accounting over the composed chain --------------------
+    val yld = CorpusPipeline
+      .yieldReport(docs, noEval, Some(evalDocs)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(yld.map(_._1).toSeq == Seq("01_exact", "02_lang", "03_phrase",
+      "04_passage", "05_floor", "06_model", "07_perplexity", "08_decontam",
+      "09_neardup", "10_rebalance"), s"stage set: ${yld.map(_._1).toSeq}")
+    assert(yld.head._2 == docs.count(), "raw n_in")
+    yld.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 == b._2, s"chain broken ${a._1} -> ${b._1}")
+    }
+    yld.foreach { case (st, nIn, nDrop, nOut) =>
+      assert(nDrop >= 0 && nOut == nIn - nDrop && nOut >= 0, s"$st arithmetic")
+    }
+    val drops = yld.map(t => t._1 -> t._3).toMap
+    assert(drops("07_perplexity") > 0, "perplexity band did not bite")
+    assert(drops("08_decontam") >= evalIds.size,
+      s"decontam must drop at least the ${evalIds.size} planted docs")
+
+    // --- closure on the final output ---------------------------------
+    val out = CorpusPipeline.withPrepared(docs, noEval, Some(evalDocs))(_.collect())
+    assert(out.length.toLong == yld.last._4,
+      "prepared count != yield's final n_out")
+    val texts = out.map(_.getString(3))
+    assert(texts.distinct.length == texts.length, "exact dups left")
+    out.foreach { r =>
+      assert(keepLangs(r.getString(1)))
+      val nToks = r.getString(3).toLowerCase.split(" ").count(_.nonEmpty)
+      assert(nToks >= CorpusPipeline.Config().minTokens)
+    }
+    assert(out.map(_.getLong(0)).toSet.intersect(evalIds).isEmpty,
+      "planted benchmark docs survived decontamination")
+    val outDf = out.map(r => (r.getLong(0), r.getString(3)))
+      .toSeq.toDF("doc_id", "text")
+    assert(outDf.filter(TextOps.linearScoreMicro($"text") < 0).count() == 0L,
+      "model-gate-negative doc survived")
+    assert(DedupOps.neardupPairs(outDf, noEval.neardupThreshold).count() == 0L,
+      "near-dup pairs survived the composed pipeline")
+    spark.catalog.clearCache() // neardupPairs persist: test-owned
+    assert(PipelineOps.decontamReport(outDf, evalDocs).count() == 0L,
+      "shared benchmark grams survived")
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
 }

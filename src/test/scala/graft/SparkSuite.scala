@@ -15,6 +15,11 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // explain strings are diagnostics, not results: a deep composed
+    // plan (CorpusPipeline all-stages) once OOMed the test JVM purely
+    // from AQE's plan-change string — bound it (Spark truncates with a
+    // marker past the cap)
+    .config("spark.sql.maxPlanStringLength", "8000000")
     .getOrCreate()
 
   override protected def beforeAll(): Unit = {
