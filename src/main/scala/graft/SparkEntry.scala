@@ -140,6 +140,8 @@ object SparkEntry {
     // local relation; all audit persists are released before return.
     "q103_pipeline_yield"  -> ((s, d) =>
       CorpusPipeline.yieldReport(Tables.documents(s, d))),
+    "q104_leak_split"      -> (DedupOps.q104LeakSafeSplit _),
+    "q105_token_entropy"   -> ((s, d) => TextOps.q105TokenEntropy(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -576,5 +578,13 @@ object SparkEntry {
     // counted at its boundary — the whole composed pipeline under one
     // hash compare.
     "q103_pipeline_yield" -> CorpusPipeline.yieldOracleSql(),
+
+    // Leakage-free split: q43's recursive-closure labels extended to
+    // singletons, one md5 bucket per duplicate family.
+    "q104_leak_split" -> DedupOps.q104OracleSql,
+
+    // Unigram entropy: the same distinct-token loop over DuckDB lists,
+    // 6-dp rounded (the q12 float rule).
+    "q105_token_entropy" -> TextOps.q105OracleSql,
   )
 }

@@ -1825,4 +1825,74 @@ object DedupOps {
        |      len(a.gs) * $ContainNum
        |ORDER BY doc_in, doc_out""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q104
+
+  /** Split-bucket denominator and per-mille cut points of the q104
+    * train/val/test assignment (800/100/100). */
+  val SplitTrainPerMille = 800
+  val SplitValPerMille = 100
+
+  /** q104 — LEAKAGE-FREE train/val/test split: assignment at NEAR-DUP
+    * FAMILY granularity, not per document. A per-doc hash split leaks
+    * evaluation data whenever two near-duplicates land on opposite
+    * sides of the cut — the textbook contamination path. Here every
+    * q43 duplicate family (transitive closure of the verified
+    * near-dup relation; docs in no verified pair are their own
+    * family) draws ONE deterministic bucket from its cluster id (the
+    * q41 md5 rule applied to the id), so a verified near-dup pair can
+    * never straddle a split — pinned by the spec along with the
+    * 800/100/100 proportions landing within binomial noise.
+    *
+    * Plan shape: the shared q43 build (LSH-bucketed candidate pairs,
+    * exact verify, O(log² n) closure) is the entire cost; the
+    * assignment adds one doc_id-keyed left join of the corpus against
+    * the label relation and a narrow md5 bucket — no new text
+    * shuffle, labels are two longs per PAIRED doc only. Cache
+    * lifecycle follows q43's loan convention ([[withQ104LeakSafeSplit]]).
+    */
+  def q104LeakSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    q104Build(spark, dir)._1
+
+  /** Loan form of [[q104LeakSafeSplit]] — releases the shared q43
+    * build's persisted frames after `f` returns. */
+  def withQ104LeakSafeSplit[T](
+      spark: SparkSession, dir: String)(f: DataFrame => T): T = {
+    val (result, handles) = q104Build(spark, dir)
+    try f(result) finally handles.foreach(_.unpersist())
+  }
+
+  private def q104Build(
+      spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    val (labels, handles) = q43Build(spark, dir, 0.6, 16, 4)
+    val result = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket",
+        conv(substring(md5(col("cluster_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % RelationalOps.PerMille)
+      .withColumn("split",
+        when(col("bucket") < SplitTrainPerMille, "train")
+          .when(col("bucket") < SplitTrainPerMille + SplitValPerMille, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy(col("doc_id"))
+    (result, handles)
+  }
+
+  /** Ground truth for [[q104LeakSafeSplit]]: q43's recursive-CTE
+    * labels extended to singletons, then the same md5 bucket CASE. */
+  def q104OracleSql: String = {
+    val bucket = "('0x' || substr(md5(cluster_id::VARCHAR), 1, 4))::BIGINT % 1000"
+    s"""WITH RECURSIVE $q43LabelsCteSql, f AS (
+       |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+       |)
+       |SELECT doc_id, cluster_id,
+       |       CASE WHEN $bucket < $SplitTrainPerMille THEN 'train'
+       |            WHEN $bucket < ${SplitTrainPerMille + SplitValPerMille}
+       |              THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1855,4 +1855,60 @@ object TextOps {
        |  $sel
        |) ORDER BY rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q105
+
+  /** q105 — per-document unigram Shannon entropy (nats, rounded 6 dp)
+    * plus token/distinct counts: the repetitiveness signal quality
+    * pipelines band on (low entropy = looping boilerplate, high =
+    * token soup — the distribution-level sibling of q44's bigram
+    * repetition ratio, which only sees ADJACENT repeats).
+    *
+    * Narrow-map formulation: entropy is a per-row property of the
+    * token array, so it computes inside one whole-stage-codegen'd
+    * projection with NO shuffle and no exploded token relation —
+    * O(d·n) per doc via the distinct-token counting loop (d ≪ n for
+    * real text). The explode→groupBy(doc,token)→groupBy(doc)
+    * alternative shuffles every token occurrence twice; at 100 TB
+    * that is the corpus re-keyed two times for a quantity each row
+    * already holds locally. Sum order is the array's first-occurrence
+    * order on both engines, and 6-dp rounding absorbs last-ulp
+    * differences (the q12 cosine rule).
+    */
+  def q105TokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", toks($"text").as("t"))
+      .select($"doc_id",
+        size($"t").cast("long").as("n_tokens"),
+        size(array_distinct($"t")).cast("long").as("n_distinct"),
+        round(
+          when(size($"t") === 0, lit(0.0d)).otherwise(
+            aggregate(array_distinct($"t"), lit(0.0d), (acc, x) => {
+              val p = size(filter($"t", y => y === x)).cast("double") /
+                size($"t").cast("double")
+              acc - p * log(p)
+            })), 6).as("entropy"))
+      .orderBy($"doc_id")
+  }
+
+  /** Ground truth for [[q105TokenEntropy]] — the same
+    * distinct-token loop over DuckDB lists (list_distinct preserves
+    * first-occurrence order like array_distinct, so the float sum
+    * accumulates in the same order). */
+  def q105OracleSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       len(t)::BIGINT AS n_tokens,
+      |       len(list_distinct(t))::BIGINT AS n_distinct,
+      |       round(CASE WHEN len(t) = 0 THEN 0.0 ELSE
+      |         list_sum(list_transform(list_distinct(t),
+      |           x -> -(len(list_filter(t, y -> y = x))::DOUBLE / len(t)) *
+      |                ln(len(list_filter(t, y -> y = x))::DOUBLE / len(t))))
+      |         END, 6) AS entropy
+      |FROM m ORDER BY doc_id""".stripMargin
 }

@@ -719,4 +719,55 @@ class DedupOpsSpec extends SparkSuite {
     Files.walk(Path.of(path)).sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(p => Files.deleteIfExists(p))
   }
+
+  test("q104 leak-safe split: no verified near-dup pair straddles a split") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    DedupOps.withQ104LeakSafeSplit(spark, sf) { df =>
+      val rows = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      // total cover: one assignment per corpus doc
+      val nDocs = Tables.documents(spark, sf).count()
+      assert(rows.length.toLong == nDocs)
+      assert(rows.map(_._1).distinct.length == rows.length)
+      val split = rows.map(r => r._1 -> r._3).toMap
+      val cluster = rows.map(r => r._1 -> r._2).toMap
+
+      // THE property: every verified near-dup pair shares cluster and
+      // split — leakage across the cut is impossible by construction
+      val pairs = DedupOps.neardupPairs(Tables.documents(spark, sf))
+        .select($"doc_a", $"doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.nonEmpty, "fixture has no near-dup pairs; spec is vacuous")
+      pairs.foreach { case (a, b) =>
+        assert(cluster(a) == cluster(b), s"pair ($a,$b) in different families")
+        assert(split(a) == split(b), s"LEAK: near-dup pair ($a,$b) straddles " +
+          s"${split(a)}/${split(b)}")
+      }
+      spark.catalog.clearCache() // neardupPairs persist above: test-owned
+
+      // proportions: buckets are drawn per FAMILY, so expect 800/100/100
+      // per mille at family granularity within binomial noise
+      val fams = rows.groupBy(_._2).view.mapValues(_.head._3).toMap
+      val n = fams.size.toDouble
+      val frac = fams.values.groupBy(identity).view.mapValues(_.size / n).toMap
+      assert(frac.keySet == Set("train", "val", "test"), s"splits: $frac")
+      assert(frac("train") > 0.7 && frac("train") < 0.9, s"train frac: $frac")
+      assert(frac("val") > 0.03 && frac("val") < 0.2, s"val frac: $frac")
+      assert(frac("test") > 0.03 && frac("test") < 0.2, s"test frac: $frac")
+
+      // determinism is the md5 rule itself: recompute one bucket
+      rows.take(20).foreach { case (_, cid, sp) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(cid.toString.getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString
+        val b = java.lang.Long.parseLong(hex, 16) % 1000
+        val expect = if (b < DedupOps.SplitTrainPerMille) "train"
+          else if (b < DedupOps.SplitTrainPerMille + DedupOps.SplitValPerMille) "val"
+          else "test"
+        assert(sp == expect, s"bucket rule drifted for family $cid")
+      }
+    }
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
 }
