@@ -142,6 +142,7 @@ object SparkEntry {
       CorpusPipeline.yieldReport(Tables.documents(s, d))),
     "q104_leak_split"      -> (DedupOps.q104LeakSafeSplit _),
     "q105_token_entropy"   -> ((s, d) => TextOps.q105TokenEntropy(s, d)),
+    "q106_matryoshka"      -> ((s, d) => SimilarityOps.q106MatryoshkaTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -586,5 +587,10 @@ object SparkEntry {
     // Unigram entropy: the same distinct-token loop over DuckDB lists,
     // 6-dp rounded (the q12 float rule).
     "q105_token_entropy" -> TextOps.q105OracleSql,
+
+    // Matryoshka two-stage: both the prefix-dim shortlist and the
+    // full-dim rerank replayed exactly on DuckDB list slices — the one
+    // ANN ladder rung that is fully hash-verifiable end to end.
+    "q106_matryoshka" -> SimilarityOps.q106OracleSql(),
   )
 }

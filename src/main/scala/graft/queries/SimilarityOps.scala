@@ -2643,4 +2643,95 @@ object SimilarityOps {
        |FROM r JOIN c ON r.cell = c.cell
        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q106
+
+  /** Prefix length (dims) of the q106 matryoshka shortlist stage. */
+  val MatryoshkaPrefixDim = 16
+
+  /** Shortlist size of the q106 first stage. */
+  val MatryoshkaShortlist = 50
+
+  /** q106 — MATRYOSHKA (prefix-dimension) two-stage retrieval:
+    * shortlist every probe's candidates by cosine over the FIRST
+    * [[MatryoshkaPrefixDim]] of [[Dim]] dimensions, then rerank only
+    * the shortlist by full-dimension cosine. The dimension ladder is
+    * the third axis of the ANN ladder alongside cells (q28/q50) and
+    * codes (q54..q74): matryoshka-style training packs a usable
+    * coarse embedding into each prefix, so stage 1 pays
+    * `PrefixDim/Dim` of the FLOPs — and, stored column-pruned (a
+    * prefix column next to the full vector), that fraction of the
+    * scan bytes too.
+    *
+    * Scale shape: the probe set is bounded and broadcast (q12's
+    * rule); `row_number <= shortlist` over the scored scan compiles
+    * to a partial WindowGroupLimit BELOW the exchange (the q06
+    * parallel-top-N machinery, spec-pinned there), so the shuffle
+    * carries at most partitions × probes × shortlist fixed-width
+    * rows — never the corpus; stage 2 touches shortlist rows only.
+    * Both similarities are 6-dp rounded with vec_id tie-break, so
+    * the shortlist membership and final ranks are engine-stable
+    * (the q12 rule), making the WHOLE two-stage plan DuckDB-
+    * verifiable — unlike the quantized ladder, no recall argument is
+    * needed: [[q106OracleSql]] replays both stages exactly.
+    */
+  def q106MatryoshkaTopK(
+      spark: SparkSession, dir: String,
+      k: Int = 10, numProbes: Int = 10,
+      prefix: Int = MatryoshkaPrefixDim,
+      shortlist: Int = MatryoshkaShortlist): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter($"vec_id" < numProbes)
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"))
+    val byPrefix = Window.partitionBy($"probe_id")
+      .orderBy($"sim_p".desc, $"vec_id")
+    val byFull = Window.partitionBy($"probe_id")
+      .orderBy($"sim".desc, $"vec_id")
+    emb.crossJoin(broadcast(probes))
+      .withColumn("sim_p", round(PipelineOps.cosine(
+        slice($"embedding", 1, prefix), slice($"p_emb", 1, prefix)), 6))
+      .withColumn("rank_p", row_number().over(byPrefix))
+      .filter($"rank_p" <= shortlist)
+      .withColumn("sim", round(PipelineOps.cosine($"embedding", $"p_emb"), 6))
+      .withColumn("rank", row_number().over(byFull))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"vec_id", $"label", $"sim", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** Ground truth for [[q106MatryoshkaTopK]]: both stages replayed on
+    * DuckDB list slices with the same rounding and tie-breaks. */
+  def q106OracleSql(
+      k: Int = 10, numProbes: Int = 10,
+      prefix: Int = MatryoshkaPrefixDim,
+      shortlist: Int = MatryoshkaShortlist): String =
+    s"""WITH p AS (
+       |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
+       |  FROM embeddings WHERE vec_id < $numProbes
+       |), s AS (
+       |  SELECT p.probe_id, e.vec_id, e.label,
+       |         e.embedding::DOUBLE[] AS ee, p.pe,
+       |         round(list_dot_product((e.embedding::DOUBLE[])[1:$prefix], pe[1:$prefix]) /
+       |               (sqrt(list_dot_product((e.embedding::DOUBLE[])[1:$prefix],
+       |                                      (e.embedding::DOUBLE[])[1:$prefix])) *
+       |                sqrt(list_dot_product(pe[1:$prefix], pe[1:$prefix]))), 6) AS sim_p
+       |  FROM embeddings e, p
+       |), r AS (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY probe_id ORDER BY sim_p DESC, vec_id) AS rank_p
+       |  FROM s
+       |), f AS (
+       |  SELECT probe_id, vec_id, label,
+       |         round(list_dot_product(ee, pe) /
+       |               (sqrt(list_dot_product(ee, ee)) *
+       |                sqrt(list_dot_product(pe, pe))), 6) AS sim
+       |  FROM r WHERE rank_p <= $shortlist
+       |), rr AS (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM f
+       |)
+       |SELECT probe_id, vec_id, label, sim, rank FROM rr WHERE rank <= $k
+       |ORDER BY probe_id, rank""".stripMargin
 }

@@ -1875,9 +1875,15 @@ object TextOps {
     * order on both engines, and 6-dp rounding absorbs last-ulp
     * differences (the q12 cosine rule).
     */
-  def q105TokenEntropy(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
+  def q105TokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    tokenEntropy(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+
+  /** Frame-level core of [[q105TokenEntropy]] over any `(doc_id,
+    * text)` frame — unordered (the query contract adds the sort). */
+  private[graft] def tokenEntropy(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", toks($"text").as("t"))
       .select($"doc_id",
         size($"t").cast("long").as("n_tokens"),
@@ -1889,7 +1895,6 @@ object TextOps {
                 size($"t").cast("double")
               acc - p * log(p)
             })), 6).as("entropy"))
-      .orderBy($"doc_id")
   }
 
   /** Ground truth for [[q105TokenEntropy]] — the same

@@ -340,6 +340,14 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), s"no rank-limit pushdown:\n$p")
   }
 
+  test("q106 matryoshka: both rank-limits push WindowGroupLimits; probes broadcast; codegen'd kernel") {
+    val p = plan(SimilarityOps.q106MatryoshkaTopK(spark, sf))
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      s"expected a group-limit per stage:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-shuffling join:\n$p")
+    assert(p.contains("dot_product"), s"kernel not the custom expression:\n$p")
+  }
+
   test("q07/q14/q28: small sides broadcast, never sort-merge") {
     Seq(
       plan(ReferenceOps.q07SemiJoin(spark, sf)),

@@ -1602,4 +1602,42 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(rows.map(_._1).distinct.length == rows.length, "duplicate decisions")
     assert(rows.forall(r => r._2 == 0 || r._2 == 1))
   }
+
+  test("q106 matryoshka: stages replay driver-side; recall@10 vs full-dim brute") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double], d: Int) = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.rint(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val k = 10
+    val pd = SimilarityOps.MatryoshkaPrefixDim
+    val sl = SimilarityOps.MatryoshkaShortlist
+    val got = SimilarityOps.q106MatryoshkaTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+    val byProbe = got.groupBy(_._1)
+    assert(byProbe.keySet == (0L until 10L).toSet)
+    var hits = 0; var total = 0
+    (0L until 10L).foreach { pid =>
+      val p = emb(pid)
+      // driver replay of the two stages
+      val short = emb.toSeq.map { case (id, v) => (id, cos(v, p, pd)) }
+        .sortBy { case (id, s) => (-s, id) }.take(sl).map(_._1).toSet
+      val expect = short.toSeq.map(id => (id, cos(emb(id), p, SimilarityOps.Dim)))
+        .sortBy { case (id, s) => (-s, id) }.take(k)
+      val gotP = byProbe(pid).sortBy(_._4).map(t => (t._2, t._3)).toSeq
+      assert(gotP == expect, s"probe $pid two-stage replay mismatch")
+      // recall@10 against the FULL-dim brute top-k (the q12 ladder
+      // baseline): prefix dims carry most of the signal on the fixture
+      val brute = emb.toSeq.map { case (id, v) => (id, cos(v, p, SimilarityOps.Dim)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+      hits += gotP.map(_._1).count(brute); total += k
+    }
+    val recall = hits.toDouble / total
+    assert(recall >= 0.5, s"matryoshka recall@10 = $recall below floor")
+    info(f"q106 recall@10 vs full-dim brute: $recall%.2f")
+  }
 }

@@ -637,4 +637,43 @@ class TextOpsSpec extends SparkSuite {
     assert(got.map(_._2) == got.map(_._2).sorted)
     assert(got.last._2 <= ranked.size)
   }
+
+  test("q105 entropy: planted analytic cases + fixture recount") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "a b c d"),          // uniform: H = ln 4
+      (2L, "a a a a"),          // constant: H = 0
+      (3L, ""),                 // empty: defined 0
+      (4L, "a a b")             // mixed: -(2/3)ln(2/3)-(1/3)ln(1/3)
+    ).toDF("doc_id", "text")
+    val got = TextOps.tokenEntropy(planted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    assert(got(1L) == ((4L, 4L, r6(math.log(4)))))
+    assert(got(2L) == ((4L, 1L, 0.0)))
+    assert(got(3L) == ((0L, 0L, 0.0)))
+    val h4 = -(2.0 / 3) * math.log(2.0 / 3) - (1.0 / 3) * math.log(1.0 / 3)
+    assert(got(4L) == ((3L, 2L, r6(h4))))
+
+    // fixture: recount independently and pin the analytic bounds
+    val rows = TextOps.q105TokenEntropy(spark, sf).collect()
+    val texts = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).toLowerCase.split(" ").filter(_.nonEmpty)
+      val n = toks.length.toDouble
+      val expect =
+        if (n == 0) 0.0
+        else toks.groupBy(identity).values
+          .map(g => -(g.length / n) * math.log(g.length / n)).sum
+      assert(r.getLong(1) == toks.length && r.getLong(2) == toks.distinct.length)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-6,
+        s"doc ${r.getLong(0)}: ${r.getDouble(3)} vs $expect")
+      assert(r.getDouble(3) >= 0 &&
+        r.getDouble(3) <= math.log(math.max(r.getLong(2), 1)) + 1e-6,
+        "entropy outside [0, ln d]")
+    }
+  }
 }
