@@ -143,6 +143,7 @@ object SparkEntry {
     "q104_leak_split"      -> (DedupOps.q104LeakSafeSplit _),
     "q105_token_entropy"   -> ((s, d) => TextOps.q105TokenEntropy(s, d)),
     "q106_matryoshka"      -> ((s, d) => SimilarityOps.q106MatryoshkaTopK(s, d)),
+    "q107_pii_audit"       -> ((s, d) => TextOps.q107PiiAudit(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -592,5 +593,10 @@ object SparkEntry {
     // full-dim rerank replayed exactly on DuckDB list slices — the one
     // ANN ladder rung that is fully hash-verifiable end to end.
     "q106_matryoshka" -> SimilarityOps.q106OracleSql(),
+
+    // PII audit: the ordered count-then-replace regex chain on both
+    // engines; the fixture's zeros ARE the no-false-positive property
+    // (planted positives live in the spec).
+    "q107_pii_audit" -> TextOps.q107OracleSql,
   )
 }

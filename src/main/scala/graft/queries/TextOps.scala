@@ -1916,4 +1916,85 @@ object TextOps {
       |                ln(len(list_filter(t, y -> y = x))::DOUBLE / len(t))))
       |         END, 6) AS entropy
       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q107
+
+  /** Redaction patterns of the q107 PII scrub, applied IN ORDER (each
+    * later pattern runs on the previous pattern's output): emails
+    * first (their local parts can contain digit runs a phone pattern
+    * would eat), then IPv4 (dotted digit runs that the looser phone
+    * pattern would also match), then phones. Both engines' regex
+    * dialects (Java util.regex, RE2) read these identically —
+    * character classes, bounded repetition, and ASCII word
+    * boundaries only, no backrefs or lookaround. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhoneRe = "\\+?\\d[\\d\\s().-]{7,}\\d"
+
+  /** PII scrub over any `(…, text, …)` frame: emails, IPv4 addresses,
+    * and phone-shaped digit runs replaced by typed placeholders, with
+    * per-doc match counts as audit columns — the pre-training
+    * redaction pass corpora run before anything tokenizes. Schema-
+    * preserving like `phraseScrub`: `text` is REPLACED in place (the
+    * output feeds any documents-schema consumer), `n_email`/`n_ip`/
+    * `n_phone` append. One narrow codegen'd projection — no shuffle,
+    * no UDF, stream-compatible (a `CorpusStream` stage can apply it
+    * per micro-batch unchanged). Counts are taken on the stage each
+    * pattern actually scans (post-upstream-replacement), so
+    * `n_phone` never double-counts digits inside a redacted email. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val e1 = regexp_replace(col("text"), PiiEmailRe, "[EMAIL]")
+    val e2 = regexp_replace(e1, PiiIpRe, "[IP]")
+    docs
+      .withColumn("n_email", regexp_count(col("text"), lit(PiiEmailRe)))
+      .withColumn("n_ip", regexp_count(e1, lit(PiiIpRe)))
+      .withColumn("n_phone", regexp_count(e2, lit(PiiPhoneRe)))
+      .withColumn("text", regexp_replace(e2, PiiPhoneRe, "[PHONE]"))
+  }
+
+  /** q107 — corpus PII audit: the [[piiScrub]] counters reduced to one
+    * summary row (docs scanned, matches per category, docs touched).
+    * One scan, map-side partial aggregation, 5 longs to the driver —
+    * the q53 report shape. On the synthetic fixture every count is 0;
+    * that zero IS the oracle-checked property (no false positives on
+    * clean text — both engines' dialects agree nothing matches), and
+    * the planted-fixture spec pins the positive semantics the corpus
+    * cannot exercise. */
+  def q107PiiAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    piiScrub(Tables.documents(spark, dir))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_email").cast("long").as("n_email"),
+        sum($"n_ip").cast("long").as("n_ip"),
+        sum($"n_phone").cast("long").as("n_phone"),
+        sum(when($"n_email" + $"n_ip" + $"n_phone" > 0, 1L).otherwise(0L))
+          .as("n_docs_redacted"))
+  }
+
+  /** Ground truth for [[q107PiiAudit]]: the same ordered
+    * count-then-replace chain in DuckDB's RE2. */
+  def q107OracleSql: String = {
+    // the patterns contain no single quotes; SQL standard strings keep
+    // backslashes literal, so the runtime pattern embeds verbatim
+    s"""WITH c AS (
+       |  SELECT len(regexp_extract_all(text, '$PiiEmailRe')) AS ne,
+       |         regexp_replace(text, '$PiiEmailRe', '[EMAIL]', 'g') AS t1
+       |  FROM documents
+       |), c2 AS (
+       |  SELECT ne, len(regexp_extract_all(t1, '$PiiIpRe')) AS ni,
+       |         regexp_replace(t1, '$PiiIpRe', '[IP]', 'g') AS t2
+       |  FROM c
+       |), c3 AS (
+       |  SELECT ne, ni, len(regexp_extract_all(t2, '$PiiPhoneRe')) AS np
+       |  FROM c2
+       |)
+       |SELECT count(*) AS n_docs,
+       |       sum(ne)::BIGINT AS n_email,
+       |       sum(ni)::BIGINT AS n_ip,
+       |       sum(np)::BIGINT AS n_phone,
+       |       sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END)::BIGINT
+       |         AS n_docs_redacted
+       |FROM c3""".stripMargin
+  }
 }

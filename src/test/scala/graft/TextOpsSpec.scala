@@ -676,4 +676,47 @@ class TextOpsSpec extends SparkSuite {
         "entropy outside [0, ln d]")
     }
   }
+
+  test("q107 PII scrub: planted positives redact in order; clean text untouched") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "contact jane.doe+spam@sub.example.co.uk today"),
+      (2L, "server at 10.0.0.1 and 192.168.255.3 rebooted"),
+      (3L, "call +1 (555) 123-4567 or 020 7946 0958 now"),
+      (4L, "mail bob@host.org from 127.0.0.1 tel 555-123-9876"),
+      (5L, "plain words only no identifiers here"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiScrub(planted).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toMap
+
+    assert(got(1L) == (("contact [EMAIL] today", 1, 0, 0)))
+    assert(got(2L) == (("server at [IP] and [IP] rebooted", 0, 2, 0)))
+    assert(got(3L) == (("call [PHONE] or [PHONE] now", 0, 0, 2)))
+    assert(got(4L) == (("mail [EMAIL] from [IP] tel [PHONE]", 1, 1, 1)))
+    assert(got(5L) == (("plain words only no identifiers here", 0, 0, 0)))
+    assert(got(6L) == (("", 0, 0, 0)))
+
+    // ordering property: the digits inside an email's host or an IP
+    // must never be re-counted as a phone (each pattern scans the
+    // PREVIOUS stage's output)
+    val tricky = Seq((7L, "x 123456789@example.com y 11.22.33.44 z"))
+      .toDF("doc_id", "text")
+    val t = TextOps.piiScrub(tricky).collect().head
+    assert(t.getString(1) == "x [EMAIL] y [IP] z")
+    assert((t.getInt(2), t.getInt(3), t.getInt(4)) == ((1, 1, 0)))
+
+    // fixture: the word-soup corpus is clean — zero matches in every
+    // category, text bit-identical (the q107 oracle's zeros)
+    val audit = TextOps.q107PiiAudit(spark, sf).collect().head
+    assert(audit.getLong(1) == 0 && audit.getLong(2) == 0 &&
+      audit.getLong(3) == 0 && audit.getLong(4) == 0,
+      s"false positives on clean corpus: $audit")
+    val docs = Tables.documents(spark, sf)
+    assert(TextOps.piiScrub(docs).select("text").collect().map(_.getString(0))
+      .sameElements(docs.select("text").collect().map(_.getString(0))),
+      "scrub rewrote clean text")
+  }
 }
