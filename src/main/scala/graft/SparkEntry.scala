@@ -144,6 +144,9 @@ object SparkEntry {
     "q105_token_entropy"   -> ((s, d) => TextOps.q105TokenEntropy(s, d)),
     "q106_matryoshka"      -> ((s, d) => SimilarityOps.q106MatryoshkaTopK(s, d)),
     "q107_pii_audit"       -> ((s, d) => TextOps.q107PiiAudit(s, d)),
+    // q108 is EAGER (the q97 class): bounded bucket-alphabet result,
+    // internal pair-relation cache released before returning.
+    "q108_novelty_curve"   -> ((s, d) => TextOps.q108NoveltyCurve(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -598,5 +601,9 @@ object SparkEntry {
     // engines; the fixture's zeros ARE the no-false-positive property
     // (planted positives live in the spec).
     "q107_pii_audit" -> TextOps.q107OracleSql,
+
+    // Novelty curve: distinct textual grams vs the engine's distinct
+    // 8-byte gram hashes (q09 collision-probability acceptance).
+    "q108_novelty_curve" -> TextOps.q108OracleSql,
   )
 }

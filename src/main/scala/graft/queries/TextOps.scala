@@ -1997,4 +1997,88 @@ object TextOps {
        |         AS n_docs_redacted
        |FROM c3""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q108
+
+  /** Documents per bucket of the q108 novelty curve (buckets are
+    * `doc_id div` this, so the curve is reproducible under any
+    * partitioning/arrival order). */
+  val NoveltyBucketDocs = 50L
+
+  /** q108 — GRAM-NOVELTY CURVE (Heaps-law audit): for each
+    * [[NoveltyBucketDocs]]-doc slice of the corpus in doc_id order,
+    * how many distinct 3-gram shingles appear in the slice and how
+    * many appear there FIRST. The curve is the dataset-diversity
+    * instrument corpus owners watch while a crawl grows: a healthy
+    * corpus keeps minting new grams (Heaps-law power tail); a curve
+    * that flatlines says additional data is re-paying for the same
+    * phrases — crawl the long tail or stop; a sudden novelty SPIKE
+    * says an extractor started emitting garbage (every gram "new").
+    * q94 measures coverage against a FIXED vocabulary; this measures
+    * the corpus against its own growing gram space.
+    *
+    * Plan: one narrow generate to `(gram_hash, bucket)` (8-byte
+    * xxhash64 of the textual gram — text never shuffles; the q09
+    * collision-probability acceptance), one distinct on the pair,
+    * then two hash aggregates over the deduped pair relation (per
+    * bucket: distinct grams present; per gram: min bucket → counted
+    * at its first bucket) joined on the bucket-alphabet-sized result.
+    * Everything after the generate is fixed-width; shuffles carry
+    * 16-byte rows keyed by hash.
+    */
+  def q108NoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.documents(spark, dir)
+      .select(($"doc_id" / NoveltyBucketDocs).cast("long").as("bucket"),
+        explode(gramHashes($"text", 3)).as("gh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seen = g.groupBy($"bucket").agg(count(lit(1)).as("n_grams"))
+    val fresh = g.groupBy($"gh").agg(min($"bucket").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n_new"))
+    val out = seen.join(fresh, Seq("bucket"), "left_outer")
+      .select($"bucket", $"n_grams", coalesce($"n_new", lit(0L)).as("n_new"))
+      .orderBy($"bucket")
+    // bounded: one row per NoveltyBucketDocs docs — eager so the
+    // pair-relation cache (two consumers above) releases before return
+    try out.localCheckpoint(true) finally g.unpersist()
+  }
+
+  /** 8-byte hashes of the n-token shingles of `text` (the q13
+    * shingle set, hashed so downstream never shuffles text). */
+  private[graft] def gramHashes(text: Column, n: Int): Column = {
+    val t = toks(text)
+    // guarded: sequence(0, -1) would step BACKWARDS (the DedupOps
+    // window-generate rule); len-n+1 grams when len >= n, else none
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => xxhash64(
+          concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Ground truth for [[q108NoveltyCurve]] — the same two aggregates
+    * over DISTINCT TEXTUAL grams (the engine counts distinct 8-byte
+    * hashes; equality is the q09 collision-probability acceptance:
+    * ~n²/2⁶⁴ for n distinct grams). */
+  def q108OracleSql: String =
+    s"""WITH g AS (
+       |  SELECT DISTINCT doc_id // $NoveltyBucketDocs AS bucket,
+       |         unnest(list_transform(
+       |           generate_series(1, greatest(len(toks) - 2, 0)),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split(lower(text), ' '),
+       |                 x -> len(x) > 0) AS toks
+       |        FROM documents)
+       |), seen AS (
+       |  SELECT bucket, count(*) AS n_grams FROM g GROUP BY bucket
+       |), fresh AS (
+       |  SELECT first_b AS bucket, count(*) AS n_new
+       |  FROM (SELECT gram, min(bucket) AS first_b FROM g GROUP BY gram)
+       |  GROUP BY first_b
+       |)
+       |SELECT s.bucket, s.n_grams, coalesce(f.n_new, 0) AS n_new
+       |FROM seen s LEFT JOIN fresh f ON s.bucket = f.bucket
+       |ORDER BY s.bucket""".stripMargin
 }

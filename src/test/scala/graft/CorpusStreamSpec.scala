@@ -628,4 +628,37 @@ class CorpusStreamSpec extends SparkSuite {
       assert(post(930001L) > 0, "refreshed bank scrubbed nothing")
     } finally q2.stop()
   }
+
+  test("piiScrub applies to a stream unchanged: stream rows == batch scrub; stateless") {
+    import graft.queries.TextOps
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // planted PII rides a stream through the SAME narrow projection the
+    // batch op runs — no wrapper needed, which is the point: the scrub
+    // is a stage any CorpusStream pipeline can insert per micro-batch
+    val rows = Seq(
+      (1L, "mail bob@host.org from 127.0.0.1 tel 555-123-9876"),
+      (2L, "server at 10.0.0.1 rebooted"),
+      (3L, "plain words only"),
+      (4L, "call +1 (555) 123-4567 now"))
+    val expected = TextOps.piiScrub(rows.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).toSet
+    assert(expected.exists(t => t._3 + t._4 + t._5 > 0), "vacuous fixture")
+
+    val in = MemoryStream[(Long, String)]
+    val q = TextOps.piiScrub(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(2)); q.processAllAvailable()
+      in.addData(rows.drop(2)); q.processAllAvailable()
+      val got = spark.table("pii_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+          r.getInt(4))).toSet
+      assert(got == expected, s"stream scrub diverges: $got vs $expected")
+      assert(stateRowsTotal(q) == 0, "piiScrub must not hold state")
+    } finally q.stop()
+  }
 }

@@ -719,4 +719,33 @@ class TextOpsSpec extends SparkSuite {
       .sameElements(docs.select("text").collect().map(_.getString(0))),
       "scrub rewrote clean text")
   }
+
+  test("q108 novelty curve: exact driver recount over textual grams") {
+    import spark.implicits._
+    val rows = TextOps.q108NoveltyCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def grams(t: String): Set[String] = {
+      val toks = t.toLowerCase.split(" ").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val byBucket = docs.groupBy(_._1 / TextOps.NoveltyBucketDocs).view
+      .mapValues(_.flatMap(d => grams(d._2)).toSet).toMap
+    assert(rows.map(_._1).toSet == byBucket.keySet)
+    val seenBefore = collection.mutable.Set.empty[String]
+    rows.sortBy(_._1).foreach { case (b, nGrams, nNew) =>
+      val g = byBucket(b)
+      assert(nGrams == g.size.toLong, s"bucket $b n_grams")
+      assert(nNew == (g -- seenBefore).size.toLong, s"bucket $b n_new")
+      seenBefore ++= g
+    }
+    // conservation: every distinct gram is minted exactly once
+    assert(rows.map(_._3).sum == seenBefore.size.toLong)
+    // bucket 0 mints everything it sees
+    val b0 = rows.find(_._1 == rows.map(_._1).min).get
+    assert(b0._2 == b0._3)
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
 }
