@@ -147,6 +147,7 @@ object SparkEntry {
     // q108 is EAGER (the q97 class): bounded bucket-alphabet result,
     // internal pair-relation cache released before returning.
     "q108_novelty_curve"   -> ((s, d) => TextOps.q108NoveltyCurve(s, d)),
+    "q109_bpe_fertility"   -> ((s, d) => TextOps.q109BpeFertility(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -605,5 +606,9 @@ object SparkEntry {
     // Novelty curve: distinct textual grams vs the engine's distinct
     // 8-byte gram hashes (q09 collision-probability acceptance).
     "q108_novelty_curve" -> TextOps.q108OracleSql,
+
+    // Tokenizer fertility: the shared q89 encode CTE with lang riding
+    // through, alphabet-sized rollup, exact integer division.
+    "q109_bpe_fertility" -> TextOps.q109OracleSql(),
   )
 }

@@ -2081,4 +2081,52 @@ object TextOps {
        |SELECT s.bucket, s.n_grams, coalesce(f.n_new, 0) AS n_new
        |FROM seen s LEFT JOIN fresh f ON s.bucket = f.bucket
        |ORDER BY s.bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q109
+
+  /** q109 — TOKENIZER FERTILITY per language: BPE tokens per word and
+    * characters per BPE token (exact per-mille integers), by `lang`.
+    * Fertility is THE cross-lingual tokenizer-equity metric: a merge
+    * table trained on one language's statistics fragments the others
+    * (fertility ≫ 1000‰ of the dominant language's), which inflates
+    * their effective sequence lengths and training cost — this report
+    * is how a corpus owner catches that before training. Composes the
+    * q89 encode (same merge table, same arithmetic) into a per-lang
+    * rollup, so the BPE family now audits itself: q86/q102 induce,
+    * q89 encodes, q90 budgets, q94 covers, q109 judges equity.
+    *
+    * Plan: q89's narrow per-doc encode projection (no shuffle) + ONE
+    * alphabet-sized hash aggregate; integer division keeps the oracle
+    * hash exact. */
+  def q109BpeFertility(
+      spark: SparkSession, dir: String,
+      merges: Seq[(String, String)] = BpeMerges): DataFrame = {
+    import spark.implicits._
+    bpeEncodeCounts(Tables.documents(spark, dir), merges,
+      passThrough = Seq("lang"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_words").as("n_words"),
+        sum($"n_chars").as("n_chars"),
+        sum($"n_tokens").as("n_tokens"))
+      .select($"lang", $"n_docs", $"n_words", $"n_chars", $"n_tokens",
+        expr("n_tokens * 1000 div n_words").as("fertility_pm"),
+        expr("n_chars * 1000 div n_tokens").as("chars_per_token_pm"))
+      .orderBy($"lang")
+  }
+
+  /** Ground truth for [[q109BpeFertility]]: the shared q89 encode CTE
+    * with `lang` riding through, same rollup and integer division. */
+  def q109OracleSql(merges: Seq[(String, String)] = BpeMerges): String =
+    s"""WITH ${bpeEncCteSql(merges, " lang,")}
+       |SELECT lang, count(*) AS n_docs,
+       |       sum(n_words)::BIGINT AS n_words,
+       |       sum(n_chars)::BIGINT AS n_chars,
+       |       sum(n_tokens)::BIGINT AS n_tokens,
+       |       (sum(n_tokens)::BIGINT * 1000 // sum(n_words)::BIGINT)
+       |         AS fertility_pm,
+       |       (sum(n_chars)::BIGINT * 1000 // sum(n_tokens)::BIGINT)
+       |         AS chars_per_token_pm
+       |FROM m GROUP BY lang ORDER BY lang""".stripMargin
 }

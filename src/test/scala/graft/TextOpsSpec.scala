@@ -748,4 +748,23 @@ class TextOpsSpec extends SparkSuite {
     assert(b0._2 == b0._3)
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
   }
+
+  test("q109 fertility: per-lang rollup == driver recount of q89 per-doc counts") {
+    import spark.implicits._
+    val lang = Tables.documents(spark, sf).select($"doc_id", $"lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val per = TextOps.q89BpeEncode(spark, sf).collect()
+      .map(r => (lang(r.getLong(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = per.groupBy(_._1).view.mapValues { g =>
+      val (w, c, t) = (g.map(_._2).sum, g.map(_._3).sum, g.map(_._4).sum)
+      (g.size.toLong, w, c, t, t * 1000 / w, c * 1000 / t)
+    }.toMap
+    val got = TextOps.q109BpeFertility(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got == expect, s"fertility rollup drifted: $got vs $expect")
+    // equity reading is possible: every lang has a defined fertility
+    assert(got.values.forall(_._5 >= 1000L),
+      "BPE cannot emit fewer tokens than words")
+  }
 }
