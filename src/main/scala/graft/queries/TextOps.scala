@@ -2029,8 +2029,15 @@ object TextOps {
   def q108NoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val g = Tables.documents(spark, dir)
+      // tokens materialize as an ATTRIBUTE first: the gram expression
+      // references them ~4× per gram, and through the HOF boundary
+      // each reference would re-run split+filter over the whole text —
+      // O(len²) per doc, measured 10 s for 260k grams before the split
+      // projection (the q74 lesson; CollapseProject keeps the boundary
+      // because the reference is non-cheap and multi-use)
       .select(($"doc_id" / NoveltyBucketDocs).cast("long").as("bucket"),
-        explode(gramHashes($"text", 3)).as("gh"))
+        toks($"text").as("t"))
+      .select($"bucket", explode(gramHashes($"t", 3)).as("gh"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seen = g.groupBy($"bucket").agg(count(lit(1)).as("n_grams"))
@@ -2044,10 +2051,13 @@ object TextOps {
     try out.localCheckpoint(true) finally g.unpersist()
   }
 
-  /** 8-byte hashes of the n-token shingles of `text` (the q13
-    * shingle set, hashed so downstream never shuffles text). */
-  private[graft] def gramHashes(text: Column, n: Int): Column = {
-    val t = toks(text)
+  /** 8-byte hashes of the n-token shingles of token-array column `t`
+    * (the q13 shingle set, hashed so downstream never shuffles text).
+    * `t` MUST be a materialized attribute, not a computed expression —
+    * it is referenced ~`n`+1 times per gram and a computed column
+    * would re-evaluate through the HOF boundary every time (see the
+    * q108 call site). */
+  private[graft] def gramHashes(t: Column, n: Int): Column =
     // guarded: sequence(0, -1) would step BACKWARDS (the DedupOps
     // window-generate rule); len-n+1 grams when len >= n, else none
     when(size(t) >= n,
@@ -2055,7 +2065,6 @@ object TextOps {
         i => xxhash64(
           concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
       .otherwise(array().cast("array<bigint>"))
-  }
 
   /** Ground truth for [[q108NoveltyCurve]] — the same two aggregates
     * over DISTINCT TEXTUAL grams (the engine counts distinct 8-byte
