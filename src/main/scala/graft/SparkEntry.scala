@@ -148,6 +148,9 @@ object SparkEntry {
     // internal pair-relation cache released before returning.
     "q108_novelty_curve"   -> ((s, d) => TextOps.q108NoveltyCurve(s, d)),
     "q109_bpe_fertility"   -> ((s, d) => TextOps.q109BpeFertility(s, d)),
+    // q110 is EAGER (the q97 class): <= 11-row bin histogram, shingle
+    // cache released before returning.
+    "q110_threshold_hist"  -> ((s, d) => DedupOps.q110ThresholdHistogram(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -610,5 +613,10 @@ object SparkEntry {
     // Tokenizer fertility: the shared q89 encode CTE with lang riding
     // through, alphabet-sized rollup, exact integer division.
     "q109_bpe_fertility" -> TextOps.q109OracleSql(),
+
+    // Threshold sensitivity: exact all-pairs Jaccard at floor 0.5
+    // under the same integer binning (recall-1 argument re-established
+    // for 32x2 banding on the q110 scaladoc).
+    "q110_threshold_hist" -> DedupOps.q110OracleSql,
   )
 }

@@ -1895,4 +1895,53 @@ object DedupOps {
        |            ELSE 'test' END AS split
        |FROM f ORDER BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q110
+
+  /** q110 — NEAR-DUP THRESHOLD SENSITIVITY: the histogram of verified
+    * pair Jaccard over [0.5, 1] in 0.05 bins — the report a pipeline
+    * owner reads BEFORE setting `CorpusPipeline.Config
+    * .neardupThreshold`: a natural gap in the distribution is where
+    * the threshold belongs; a fat band just under the current cut is
+    * exactly the data a small threshold change would start dropping.
+    * (The Config scaladoc documents the banding/threshold coupling;
+    * this query is the instrument that makes choosing them empirical.)
+    *
+    * Plan: ONE [[neardupBuild]] at floor 0.5 under 32×2 banding
+    * (candidate P = 1−(1−j²)³² ≥ 0.9999 at j = 0.5 — the recall-1
+    * margin argument q13 makes at 0.6 with 16×4, re-established for
+    * the lower floor), then an integer bin projection and a
+    * bin-alphabet-sized aggregate: `n_common·20 div n_union` ∈
+    * [10, 20], reported as the bin's lower edge in per-mille. Integer
+    * arithmetic end to end — the oracle hash is exact. Eager (the q97
+    * class): ≤ 11-row result, shingle cache released before return.
+    */
+  def q110ThresholdHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, handles) =
+      neardupBuild(Tables.documents(spark, dir), 0.5, 32, 2)
+    try {
+      pairs
+        .select(expr("n_common * 20 div n_union").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select((col("bin") * 50).cast("long").as("j_lo_pm"), col("n_pairs"))
+        .orderBy(col("j_lo_pm"))
+        .localCheckpoint(true)
+    } finally handles.foreach(_.unpersist())
+  }
+
+  /** Ground truth for [[q110ThresholdHistogram]]: exact all-pairs
+    * Jaccard (the q13 oracle's relation at floor 0.5) under the same
+    * integer binning. */
+  def q110OracleSql: String =
+    s"""WITH $q13ShingleCteSql, p AS (
+       |  SELECT len(list_intersect(a.sh, b.sh)) AS n_common,
+       |         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |)
+       |SELECT (n_common * 20 // n_union) * 50 AS j_lo_pm,
+       |       count(*) AS n_pairs
+       |FROM p WHERE n_common >= n_union * 0.5
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

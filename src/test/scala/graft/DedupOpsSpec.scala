@@ -770,4 +770,24 @@ class DedupOpsSpec extends SparkSuite {
     }
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
   }
+
+  test("q110 threshold histogram: bins recount from the verified pair relation") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val pairs = DedupOps.neardupPairs(Tables.documents(spark, sf), 0.5, 32, 2)
+      .select($"n_common", $"n_union").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.clearCache() // neardupPairs persist: test-owned
+    assert(pairs.nonEmpty, "no pairs at floor 0.5 — vacuous")
+    val expect = pairs.groupBy { case (c, u) => c * 20 / u * 50 }.view
+      .mapValues(_.length.toLong).toMap
+
+    val got = DedupOps.q110ThresholdHistogram(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"histogram drifted: $got vs $expect")
+    // conservation + bin sanity
+    assert(got.values.sum == pairs.length.toLong)
+    got.keys.foreach(b => assert(b >= 500 && b <= 1000 && b % 50 == 0))
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
 }
