@@ -151,6 +151,9 @@ object SparkEntry {
     // q110 is EAGER (the q97 class): <= 11-row bin histogram, shingle
     // cache released before returning.
     "q110_threshold_hist"  -> ((s, d) => DedupOps.q110ThresholdHistogram(s, d)),
+    // q111 is EAGER by construction (the q102 class): the training
+    // loop runs inside, returning the epochs+1-row local trajectory.
+    "q111_gate_distill"    -> ((s, d) => TextOps.q111GateDistill(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -618,5 +621,10 @@ object SparkEntry {
     // under the same integer binning (recall-1 argument re-established
     // for 32x2 banding on the q110 scaladoc).
     "q110_threshold_hist" -> DedupOps.q110OracleSql,
+
+    // Gate distillation: the batch-perceptron loop unrolled into
+    // chained CTEs (the q102 pattern) — per-epoch delta sums
+    // re-assembled into the next weight list, every quantity integer.
+    "q111_gate_distill" -> TextOps.q111OracleSql(),
   )
 }

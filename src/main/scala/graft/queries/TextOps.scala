@@ -2138,4 +2138,160 @@ object TextOps {
        |       (sum(n_chars)::BIGINT * 1000 // sum(n_tokens)::BIGINT)
        |         AS chars_per_token_pm
        |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q111
+
+  /** Hashed feature-space size and epoch count of the q111 trainer
+    * (fixture-scale; a deployment raises both at train time). */
+  val DistillFeatDim = 16
+  val DistillEpochs = 3
+
+  /** q111 — GATE DISTILLATION: train a hashed-feature linear model
+    * IN-ENGINE to mimic the q53 heuristic cascade's verdict, and
+    * report the per-epoch confusion matrix. This closes the trainer
+    * story the same way q102 closed BPE's: q68 SCORES with fixed
+    * weights, q111 produces weights from data — the
+    * heuristics→model distillation step production pipelines run so
+    * the cheap model can replace the full cascade at the front door.
+    *
+    * The learner is a BATCH perceptron with unit rate over integer
+    * token-count features: per epoch, every doc scores against the
+    * CURRENT weights (a typedlit literal — the q69 pattern), the
+    * misclassified docs' `y·x` sum in ONE map-side-combined aggregate
+    * (4 confusion counters + FeatDim delta sums, one row to the
+    * driver), and the weights advance. Batch (not online) updates
+    * make the fixed point partition-order-FREE and all-integer, so
+    * the whole training trajectory — not just the final model — is
+    * exact on both engines; epoch rows 1..T score with the
+    * PRE-update weights (epoch 1 = all-zero: every doc predicted
+    * keep) and row T+1 scores the final model. `err`/`is_pocket`
+    * columns apply the POCKET rule — ship the minimum-training-error
+    * epoch (earliest tie) — which is what a deployment does when the
+    * target is not linearly separable: the q53 cascade is an AND of
+    * four half-planes, so NO linear model represents it exactly and
+    * the raw perceptron may oscillate (it provably converges only on
+    * separable targets); the verified contract here is the
+    * distributed training LOOP itself — the same
+    * aggregate-to-driver/update/re-broadcast shape as Lloyd (q28) and
+    * BPE induction (q102) — with its full trajectory exact on both
+    * engines. Corpus passes:
+    * epochs+1 scans of the persisted feature frame (8+FeatDim longs
+    * per doc — the feature EXTRACTION runs once; hashed tokens
+    * materialize as an attribute before the bucket counts, the q108
+    * HOF-boundary rule).
+    */
+  def q111GateDistill(
+      spark: SparkSession, dir: String,
+      epochs: Int = DistillEpochs, featDim: Int = DistillFeatDim): DataFrame = {
+    import spark.implicits._
+    val t = toks($"text")
+    val nTok = size(t).cast("long")
+    val g1 = $"lang".isInCollection(YieldLangs)
+    val g2 = g1 && nTok.between(YieldMinTokens, YieldMaxTokens)
+    val g3 = g2 &&
+      size(array_distinct(t)).cast("long") * 100 >= nTok * YieldMinDistinctPct
+    val g4 = g3 &&
+      size(filter(t, x => x.isInCollection(Stopwords))).cast("long") * 100 >=
+        nTok * YieldMinStopPct
+    val feat = Tables.documents(spark, dir)
+      .select(when(g4, 1L).otherwise(-1L).as("y"),
+        transform(t, tok => (h32(tok) % featDim).cast("int")).as("th"))
+      .select($"y", transform(sequence(lit(0), lit(featDim - 1)),
+        i => size(filter($"th", h => h === i)).cast("long")).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var w = Seq.fill(featDim)(0L)
+      val rows = (1 to epochs + 1).map { epoch =>
+        val wl = typedlit(w)
+        val score = aggregate(
+          zip_with($"x", wl, (xi, wi) => xi * wi), lit(0L), _ + _)
+        val miscl = $"y" * score <= 0
+        def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+        val confCols = Seq(
+          cnt($"y" === 1L && score >= 0).as("tp"),
+          cnt($"y" === -1L && score >= 0).as("fp"),
+          cnt($"y" === -1L && score < 0).as("tn"),
+          cnt($"y" === 1L && score < 0).as("fn"))
+        val deltaCols = (0 until featDim).map(i =>
+          sum(when(miscl, $"y" * element_at($"x", i + 1)).otherwise(0L))
+            .as(s"d$i"))
+        val r = feat.agg(confCols.head, (confCols.tail ++ deltaCols): _*)
+          .collect().head
+        if (epoch <= epochs)
+          w = w.zipWithIndex.map { case (wi, i) => wi + r.getLong(4 + i) }
+        (epoch.toLong, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      // pocket rule: a deployment ships the epoch with minimum training
+      // error (earliest on ties) — the standard fix for a perceptron on
+      // a non-separable target, and derivable entirely from the
+      // trajectory the oracle already verifies
+      val pocket = rows.minBy { case (e, _, fp, _, fn) => (fp + fn, e) }._1
+      rows.map { case (e, tp, fp, tn, fn) =>
+        (e, tp, fp, tn, fn, fp + fn, if (e == pocket) 1L else 0L)
+      }.toDF("epoch", "tp", "fp", "tn", "fn", "err", "is_pocket")
+        .orderBy("epoch")
+    } finally feat.unpersist()
+  }
+
+  /** Ground truth for [[q111GateDistill]] — the training loop
+    * unrolled into chained CTEs (the q102 pattern): per-epoch delta
+    * sums re-assemble into the next weight list via an ordered list
+    * aggregate, every quantity integer. */
+  def q111OracleSql(
+      epochs: Int = DistillEpochs, featDim: Int = DistillFeatDim): String = {
+    val langs = YieldLangs.map(l => s"'$l'").mkString(", ")
+    val stops = Stopwords.map(w => s"'$w'").mkString(", ")
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH f AS (
+         |  SELECT CASE WHEN lang IN ($langs)
+         |              AND len(toks) BETWEEN $YieldMinTokens AND $YieldMaxTokens
+         |              AND len(list_distinct(toks))::BIGINT * 100 >=
+         |                  len(toks)::BIGINT * $YieldMinDistinctPct
+         |              AND len(list_filter(toks, x -> x IN ($stops)))::BIGINT * 100 >=
+         |                  len(toks)::BIGINT * $YieldMinStopPct
+         |         THEN 1 ELSE -1 END AS y,
+         |         list_transform(range($featDim), i ->
+         |           len(list_filter(toks,
+         |             tok -> ${h32Sql("tok")} % $featDim = i))::BIGINT) AS x
+         |  FROM (SELECT lang,
+         |               list_filter(string_split(lower(text), ' '),
+         |                 x -> len(x) > 0) AS toks
+         |        FROM documents)
+         |)""".stripMargin)
+    val dot = (w: String) =>
+      s"list_sum(list_transform(range($featDim), i -> x[i+1] * $w[i+1]))::BIGINT"
+    // s1..s{T+1}: scored frames; d_t/w_t: delta + next weights
+    sb.append(s",\ns1 AS (SELECT y, x, 0::BIGINT AS s FROM f)")
+    for (t <- 1 to epochs) {
+      sb.append(
+        s""",
+           |d$t AS (
+           |  SELECT i, coalesce(sum(CASE WHEN y * s <= 0 THEN y * x[i+1] END), 0)::BIGINT AS dv
+           |  FROM range($featDim) r(i) LEFT JOIN s$t ON true GROUP BY i
+           |),
+           |w$t AS (${
+             if (t == 1) s"SELECT list(dv ORDER BY i) AS w FROM d1"
+             else s"SELECT list(w[i+1] + dv ORDER BY i) AS w FROM d$t, w${t - 1}"
+           }),
+           |s${t + 1} AS (SELECT y, x, ${dot("w")} AS s FROM s$t, w$t)""".stripMargin)
+    }
+    val conf = (t: Int) =>
+      s"""SELECT $t AS epoch,
+         |  sum(CASE WHEN y = 1 AND s >= 0 THEN 1 ELSE 0 END)::BIGINT AS tp,
+         |  sum(CASE WHEN y = -1 AND s >= 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+         |  sum(CASE WHEN y = -1 AND s < 0 THEN 1 ELSE 0 END)::BIGINT AS tn,
+         |  sum(CASE WHEN y = 1 AND s < 0 THEN 1 ELSE 0 END)::BIGINT AS fn
+         |FROM s$t""".stripMargin
+    sb.append(",\nu AS (\n" +
+      (1 to epochs + 1).map(conf).mkString("\nUNION ALL\n") + "\n)")
+    sb.append(
+      """,
+        |m AS (SELECT min(fp + fn) AS me FROM u),
+        |p AS (SELECT min(epoch) AS pe FROM u, m WHERE fp + fn = me)
+        |SELECT epoch, tp, fp, tn, fn, fp + fn AS err,
+        |       CASE WHEN epoch = pe THEN 1 ELSE 0 END::BIGINT AS is_pocket
+        |FROM u, p ORDER BY epoch""".stripMargin)
+    sb.toString
+  }
 }

@@ -767,4 +767,55 @@ class TextOpsSpec extends SparkSuite {
     assert(got.values.forall(_._5 >= 1000L),
       "BPE cannot emit fewer tokens than words")
   }
+
+  test("q111 gate distillation: trajectory == driver perceptron; pocket rule") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val featDim = TextOps.DistillFeatDim
+    def h32(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val feat = docs.map { case (lang, text) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val n = toks.length; val d = toks.distinct.length
+      val stp = toks.count(TextOps.Stopwords.contains)
+      val keep = TextOps.YieldLangs.contains(lang) &&
+        n >= TextOps.YieldMinTokens && n <= TextOps.YieldMaxTokens &&
+        d.toLong * 100 >= n.toLong * TextOps.YieldMinDistinctPct &&
+        stp.toLong * 100 >= n.toLong * TextOps.YieldMinStopPct
+      val x = Array.fill(featDim)(0L)
+      toks.foreach(t => x((h32(t) % featDim).toInt) += 1)
+      (if (keep) 1L else -1L, x)
+    }
+    var w = Array.fill(featDim)(0L)
+    val expect = (1 to TextOps.DistillEpochs + 1).map { epoch =>
+      var tp = 0L; var fp = 0L; var tn = 0L; var fn = 0L
+      val delta = Array.fill(featDim)(0L)
+      feat.foreach { case (y, x) =>
+        val sc = (0 until featDim).map(i => w(i) * x(i)).sum
+        if (sc >= 0) { if (y == 1) tp += 1 else fp += 1 }
+        else { if (y == -1) tn += 1 else fn += 1 }
+        if (y * sc <= 0) (0 until featDim).foreach(i => delta(i) += y * x(i))
+      }
+      if (epoch <= TextOps.DistillEpochs)
+        w = w.zip(delta).map { case (a, b) => a + b }
+      (epoch.toLong, tp, fp, tn, fn)
+    }
+    val pocket = expect.minBy { case (e, _, fp, _, fn) => (fp + fn, e) }._1
+    val expectRows = expect.map { case (e, tp, fp, tn, fn) =>
+      (e, tp, fp, tn, fn, fp + fn, if (e == pocket) 1L else 0L) }
+
+    val got = TextOps.q111GateDistill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expectRows, s"trajectory drifted:\n$got\nvs\n$expectRows")
+    assert(got.map(_._7).sum == 1L, "exactly one pocket epoch")
+    assert(got.map(t => t._2 + t._3 + t._4 + t._5).distinct.size == 1,
+      "confusion rows must partition the corpus")
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
 }
