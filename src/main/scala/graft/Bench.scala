@@ -86,33 +86,59 @@ object Bench {
     }
     val serveOnly = scala.collection.mutable.Map
       .empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+    // The per-run build dirs are deleted EXPLICITLY once the sampling
+    // loop ends (round-13 ADVICE): tempIndexDir's shutdown hook only
+    // fires at JVM exit, so in a long-lived JVM repeated runs would
+    // stack index trees in /tmp until then.
+    val buildDirs = scala.collection.mutable.Buffer.empty[String]
+    def buildDir(prefix: String): String = {
+      val p = queries.SimilarityOps.tempIndexDir(prefix)
+      buildDirs += p
+      p
+    }
     val selNames = registered.map(_._1).toSet
     if (selNames("q77_bm25_indexed")) {
-      val p = queries.SimilarityOps.tempIndexDir("graft-bench-inverted")
+      val p = buildDir("graft-bench-inverted")
       phase("q77_build")(
         queries.RetrievalOps.writeInvertedIndex(Tables.documents(spark, sfDir), p))
       serveOnly("q77_bm25_indexed") =
         (s, _) => queries.RetrievalOps.bm25SearchIndex(s, p)
     }
     if (selNames("q87_passage_indexed")) {
-      val p = queries.SimilarityOps.tempIndexDir("graft-bench-passage")
+      val p = buildDir("graft-bench-passage")
       phase("q87_build")(
         queries.RetrievalOps.writePassageIndex(Tables.documents(spark, sfDir), p))
       serveOnly("q87_passage_indexed") =
         (s, _) => queries.RetrievalOps.passageSearchIndex(s, p)
     }
     if (selNames("q83_hybrid_indexed")) {
-      val p = queries.SimilarityOps.tempIndexDir("graft-bench-hybrid")
+      val p = buildDir("graft-bench-hybrid")
       phase("q83_build")(queries.RetrievalOps.q83BuildIndex(spark, sfDir, p))
       serveOnly("q83_hybrid_indexed") =
         (s, d) => queries.RetrievalOps.q83ServeHybrid(s, d, p)
     }
     if (selNames("q84_trained_ann")) {
-      val p = queries.SimilarityOps.tempIndexDir("graft-bench-trained")
+      val p = buildDir("graft-bench-trained")
       phase("q84_train")(queries.SimilarityOps.trainIvfPq(
         Tables.embeddings(spark, sfDir), p, ivfIters = 3, pqIters = 3))
       serveOnly("q84_trained_ann") =
         (s, d) => queries.SimilarityOps.q84ServeTrained(s, d, p)
+    }
+    if (selNames("q112_labels_indexed")) {
+      val p = buildDir("graft-bench-labels")
+      phase("q112_build") {
+        import spark.implicits._
+        val docs = Tables.documents(spark, sfDir)
+        queries.DedupOps.writeLabelIndex(
+          docs.filter($"doc_id" % queries.DedupOps.DeltaMod =!=
+            queries.DedupOps.DeltaRem), p)
+        queries.DedupOps.appendLabelIndex(
+          docs.filter($"doc_id" % queries.DedupOps.DeltaMod ===
+            queries.DedupOps.DeltaRem), p)
+      }
+      serveOnly("q112_labels_indexed") =
+        (s, _) => queries.DedupOps.labelsServe(s, p)
+          .orderBy(org.apache.spark.sql.functions.col("doc_id"))
     }
     val selected = registered.map { case (n, fn) =>
       (n, serveOnly.getOrElse(n, fn))
@@ -143,6 +169,13 @@ object Bench {
     val results = selected.map { case (name, _) =>
       Res(name, samplesByName.getOrElse(name, Vector.empty),
         errByName.get(name))
+    }
+    // last sample taken — reclaim the per-run index trees now
+    buildDirs.foreach { d =>
+      val root = Paths.get(d)
+      if (Files.exists(root))
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
     }
 
     def esc(s: String): String =

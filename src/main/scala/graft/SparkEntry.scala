@@ -154,6 +154,9 @@ object SparkEntry {
     // q111 is EAGER by construction (the q102 class): the training
     // loop runs inside, returning the epochs+1-row local trajectory.
     "q111_gate_distill"    -> ((s, d) => TextOps.q111GateDistill(s, d)),
+    // q112 re-pays build+append into a temp dir per call (the q50/q62
+    // convention); the bench times the serving path under a build phase.
+    "q112_labels_indexed"  -> ((s, d) => DedupOps.q112LabelsIndexed(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -626,5 +629,8 @@ object SparkEntry {
     // chained CTEs (the q102 pattern) — per-epoch delta sums
     // re-assembled into the next weight list, every quantity integer.
     "q111_gate_distill" -> TextOps.q111OracleSql(),
+    // append == rebuild exactly: the served labels after base-build +
+    // delta-append must hash-match the FULL-corpus q43 closure.
+    "q112_labels_indexed" -> DedupOps.q112OracleSql,
   )
 }

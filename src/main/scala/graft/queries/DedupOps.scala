@@ -211,12 +211,24 @@ object DedupOps {
     // once at 100 TB too.
     val ex = shingleHashes(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (verifiedPairsFrom(ex, threshold, bands, rows)
+      .orderBy(col("doc_a"), col("doc_b")), Seq(ex))
+  }
+
+  /** LSH candidates exact-verified at `threshold` Jaccard over an
+    * already-persisted shingle frame `ex` — the core [[neardupBuild]]
+    * wraps, factored out so the label index's append path can reuse
+    * ONE delta shingle cache for both its within-delta pair pass and
+    * its against-the-sealed-base screen. Unordered (callers that
+    * publish add the sort). */
+  private def verifiedPairsFrom(
+      ex: DataFrame, threshold: Double, bands: Int, rows: Int): DataFrame = {
     val cand = candidatesWithCounts(ex, bands, rows)
     // Exact verify on hashed shingles: |A ∩ B| = matching hs rows between
     // the pair's docs (64-bit hashes make cross-shingle collisions
     // negligible, and deterministically so). Work is bounded by
     // |candidates| × shingles-per-doc — never all-pairs.
-    val result = cand
+    cand
       .join(ex.select(col("doc_id").as("doc_a"), col("hs")), "doc_a")
       .join(ex.select(col("doc_id").as("doc_b"), col("hs")), Seq("doc_b", "hs"))
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
@@ -224,8 +236,6 @@ object DedupOps {
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
       .filter(col("n_common") >= col("n_union") * threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"))
-      .orderBy(col("doc_a"), col("doc_b"))
-    (result, Seq(ex))
   }
 
   /** Token n-gram size for [[q27NgramJaccard]]. Word grams, not char
@@ -581,9 +591,12 @@ object DedupOps {
     * pairwise and cluster modes of [[CorpusPipeline]], and
     * `sum((size-1) × n)` is exactly the row count cluster-dedup would
     * remove. Plan: two tiny aggregates over the label relation — the
-    * heavy lifting is the shared q43 build. */
+    * heavy lifting is the shared q43 build. The histogram is bounded by
+    * the distinct cluster sizes, so the plain form is EAGER
+    * ([[Eager.materializeAndRelease]], the q58/q71 rule): the shared
+    * build's persisted frames are released before returning. */
   def q47ClusterSizes(spark: SparkSession, dir: String): DataFrame =
-    q47Build(spark, dir)._1
+    Eager.materializeAndRelease(q47Build(spark, dir))
 
   /** Loan form of [[q47ClusterSizes]] — releases the shared q43 build's
     * persisted frames after `f` returns. */
@@ -596,12 +609,24 @@ object DedupOps {
   private def q47Build(
       spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val (labels, handles) = q43Build(spark, dir, 0.6, 16, 4)
-    val result = labels
+    (clusterSizesFrom(labels), handles)
+  }
+
+  /** The q47 histogram over ANY `(doc_id, cluster_id)` label relation —
+    * the seam the label index's served twin shares with the recomputing
+    * form (spec-pinned row-identical). */
+  def clusterSizesFrom(labels: DataFrame): DataFrame =
+    labels
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("cluster_size"))
-    (result, handles)
-  }
+
+  /** [[q47ClusterSizes]] SERVED from a sealed [[writeLabelIndex]] index
+    * — the closure is never recomputed; at 100 TB this is the form a
+    * deployment runs (the audit reads sealed state, it does not
+    * re-close the corpus). */
+  def clusterSizesServed(spark: SparkSession, indexPath: String): DataFrame =
+    clusterSizesFrom(labelsServe(spark, indexPath))
 
   /** Ground truth for [[q47ClusterSizes]] — the shared q43 labels CTE,
     * histogrammed. */
@@ -791,9 +816,12 @@ object DedupOps {
     * 8-byte doc id against the column-pruned `(doc_id, source)`
     * projection — the docs scan reads two columns, never the text. The
     * final rollup groups on the bounded source alphabet, map-side
-    * combined. */
+    * combined. The matrix is source-alphabet-bounded, so the plain form
+    * is EAGER ([[Eager.materializeAndRelease]], the q58/q71 rule): the
+    * shared pair build's persisted shingle frame is released before
+    * returning. */
   def q57DupProvenance(spark: SparkSession, dir: String): DataFrame =
-    q57Build(spark, dir)._1
+    Eager.materializeAndRelease(q57Build(spark, dir))
 
   /** Loan form of [[q57DupProvenance]] — releases the shared pair
     * build's persisted shingle frame after `f` returns. */
@@ -1189,6 +1217,238 @@ object DedupOps {
        |SELECT delta_id, base_id, n_common, n_union FROM p
        |WHERE n_common >= n_union * 0.6
        |ORDER BY delta_id, base_id""".stripMargin
+
+  // ------------------------------------------- duplicate-family label index
+
+  /** Artifact roots of the LABEL index: the dedup index's
+    * buckets+shingles pair (so the NEXT delta can be screened against
+    * everything sealed so far) plus the closed family labels and the
+    * root-remap journal. All four live under one [[GenerationManifest]]
+    * window — a label visible without its bucket rows (or vice versa)
+    * would let a later append silently miss a merge. */
+  private val LabelIndexRoots = Seq("buckets", "shingles", "labels", "remaps")
+
+  private def emptyRemaps(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("old_root", "new_root")
+  }
+
+  /** Build the persisted DUPLICATE-FAMILY LABEL index for a sealed
+    * corpus — the round-14 member of the index family (inverted,
+    * passage, dedup, IVF/PQ, phrase bank), closing the one gap the
+    * round-13 audit named: q43's transitive-closure labels were the
+    * most expensive relation in the engine to recompute, yet q47, q80,
+    * q104 and the pipeline's cluster-dedup stage each re-closed the
+    * corpus from scratch. A deployment closes ONCE per seal, appends
+    * each day's delta, and every consumer reads [[labelsServe]].
+    *
+    * Artifacts (generation-partitioned parquet, window-scoped reads):
+    *
+    *   - `buckets/`, `shingles/` — exactly [[writeDedupIndex]]'s pair,
+    *     here so an append can find delta-vs-sealed candidate pairs
+    *     without re-touching sealed text;
+    *   - `labels/` `(doc_id, cluster_id)` — q43's closure output: one
+    *     row per doc that appears in some verified near-dup pair,
+    *     cluster id = the component's minimum doc id;
+    *   - `remaps/` `(old_root, new_root)` — the MERGE JOURNAL: when a
+    *     delta doc bridges existing families, the append records the
+    *     dethroned roots instead of rewriting the sealed base's label
+    *     rows (O(merge events), never O(base)).
+    *
+    * Scale shape: the build is q43's (LSH candidates + exact verify +
+    * O(log² n) alternating-star closure — ids and 8-byte hashes on
+    * every exchange, text never shuffles); appends are bounded by the
+    * delta's candidate set; serve is one window-scoped scan plus a
+    * broadcast map over the (tiny) folded remap journal. */
+  def writeLabelIndex(
+      baseDocs: DataFrame, path: String,
+      threshold: Double = 0.6, bands: Int = 16, rows: Int = 4): Unit = {
+    val spark = baseDocs.sparkSession
+    val ex = shingleHashes(baseDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val labels = connectedComponents(
+        verifiedPairsFrom(ex, threshold, bands, rows)
+          .select(col("doc_a"), col("doc_b")))
+      try {
+        bandedBuckets(ex, bands, rows).withColumn("gen", lit(1L))
+          .write.partitionBy("gen").mode("overwrite").parquet(s"$path/buckets")
+        ex.withColumn("gen", lit(1L))
+          .write.partitionBy("gen").mode("overwrite").parquet(s"$path/shingles")
+        // labels/remaps write into an EXPLICIT gen dir (not partitionBy):
+        // a zero-row partitioned write emits no files at all, and the
+        // serve-side read could then never infer a schema — the empty
+        // part file of a direct write still carries one in its footer
+        // (remaps are empty by definition at build; labels are empty on
+        // a dup-free corpus)
+        labels.write.mode("overwrite").parquet(s"$path/labels/gen=1")
+        emptyRemaps(spark).write.mode("overwrite").parquet(s"$path/remaps/gen=1")
+        GenerationManifest.commit(path, 1L, 1L)
+      } finally labels.unpersist()
+    } finally ex.unpersist()
+  }
+
+  /** APPEND a delta to a sealed label index — the daily-crawl merge
+    * contract no recomputing form offers: the delta's pairs fold into
+    * the existing components WITHOUT re-closing the sealed base.
+    *
+    *   1. screen the delta against the sealed buckets+shingles
+    *      ([[deltaScreen]]'s core) → delta-vs-sealed verified pairs;
+    *   2. verify pairs WITHIN the delta (the q13 core over the same
+    *      one persisted delta shingle frame);
+    *   3. contract every sealed endpoint to its CURRENT served root
+    *      (sealed docs in no prior pair root themselves) and run the
+    *      closure over this edge set alone — nodes are delta ids plus
+    *      the involved roots, so the iterative work is bounded by the
+    *      DELTA's candidates, never the base;
+    *   4. emit fresh label rows for newly-labeled docs, and a remap row
+    *      `(old_root → new_root)` for each sealed root whose family
+    *      gained a smaller minimum — the sealed base's rows are never
+    *      rewritten.
+    *
+    * Append ≡ rebuild EXACTLY (spec-pinned, and the registered
+    * [[q112LabelsIndexed]] proves it against q43's full-corpus oracle):
+    * banding is per-doc deterministic, so the union of base-build,
+    * screen, and within-delta candidates is precisely the full-corpus
+    * candidate set; contracting a component to its minimum preserves
+    * the global minimum, so the mini-closure's roots equal the
+    * full-corpus closure's. The remap journal stays acyclic because a
+    * new root is always strictly smaller than the root it dethrones,
+    * and an old_root never recurs (a dethroned root is no longer a
+    * served root, so no later append can dethrone it again). */
+  def appendLabelIndex(
+      deltaDocs: DataFrame, path: String,
+      threshold: Double = 0.6, bands: Int = 16, rows: Int = 4): Unit =
+    appendLabelStaged(deltaDocs, path, threshold, bands, rows,
+      crashAfterStage = Int.MaxValue)
+
+  /** [[appendLabelIndex]] with a crash hook after stage
+    * 1 (buckets) / 2 (shingles) / 3 (labels) / 4 (remaps) — the
+    * atomicity spec's lever (the [[appendDedupIndex]] pattern): any
+    * crash before the manifest flip must leave serves bit-identical to
+    * the pre-append state. */
+  private[graft] def appendLabelStaged(
+      deltaDocs: DataFrame, path: String,
+      threshold: Double, bands: Int, rows: Int,
+      crashAfterStage: Int): Unit = {
+    val spark = deltaDocs.sparkSession
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, LabelIndexRoots, lo, hi)
+    val ex = shingleHashes(deltaDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cross = deltaScreenFrom(spark, path, ex, threshold, bands, rows)
+        .select(col("delta_id"), col("base_id"))
+      val within = verifiedPairsFrom(ex, threshold, bands, rows)
+        .select(col("doc_a"), col("doc_b"))
+      val served = labelsServe(spark, path)
+      val crossRooted = cross
+        .join(served
+          .withColumnRenamed("doc_id", "base_id")
+          .withColumnRenamed("cluster_id", "base_root"),
+          Seq("base_id"), "left_outer")
+        .select(col("delta_id").as("doc_a"),
+          coalesce(col("base_root"), col("base_id")).as("doc_b"))
+      val miniLabels = connectedComponents(within.unionByName(crossRooted))
+      try {
+        val priorIds = served.select(col("doc_id"))
+        val priorRoots = served.select(col("cluster_id").as("doc_id")).distinct()
+        val remaps = miniLabels.join(priorRoots, "doc_id")
+          .filter(col("cluster_id") =!= col("doc_id"))
+          .select(col("doc_id").as("old_root"), col("cluster_id").as("new_root"))
+        val fresh = miniLabels.join(priorIds, Seq("doc_id"), "left_anti")
+        bandedBuckets(ex, bands, rows).withColumn("gen", lit(hi + 1))
+          .write.partitionBy("gen").mode("append").parquet(s"$path/buckets")
+        if (crashAfterStage <= 1) return
+        ex.withColumn("gen", lit(hi + 1))
+          .write.partitionBy("gen").mode("append").parquet(s"$path/shingles")
+        if (crashAfterStage <= 2) return
+        fresh.write.mode("overwrite").parquet(s"$path/labels/gen=${hi + 1}")
+        if (crashAfterStage <= 3) return
+        remaps.write.mode("overwrite").parquet(s"$path/remaps/gen=${hi + 1}")
+        if (crashAfterStage <= 4) return
+        GenerationManifest.commit(path, lo, hi + 1)
+      } finally miniLabels.unpersist()
+    } finally ex.unpersist()
+  }
+
+  /** Serve the CURRENT family labels from a sealed index: the
+    * window-scoped label rows with the remap journal's chains folded
+    * in. The journal is collected to the driver and path-compressed
+    * there — it is bounded by the number of family-merge events (each
+    * old_root occurs exactly once, ever), the same documented
+    * bounded-driver-reduction class as the k-means trainers; a
+    * deployment that accretes a long journal folds it away with
+    * [[compactLabelIndex]]. Labels not touched by any merge pass
+    * through a broadcast left join + coalesce. */
+  def labelsServe(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val (lo, hi) = GenerationManifest.window(path)
+    val labels = spark.read.parquet(s"$path/labels")
+      .filter(col("gen").between(lo, hi))
+      .select(col("doc_id"), col("cluster_id"))
+    val remapRows = spark.read.parquet(s"$path/remaps")
+      .filter(col("gen").between(lo, hi))
+      .select(col("old_root"), col("new_root"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    if (remapRows.isEmpty) labels
+    else {
+      val m = remapRows.toMap
+      // acyclic by construction (new_root < old_root): compress chains
+      def resolve(x: Long): Long = m.get(x).map(resolve).getOrElse(x)
+      val flat = m.keys.map(k => (k, resolve(k))).toSeq
+        .toDF("old_root", "new_root")
+      labels
+        .join(broadcast(flat), col("cluster_id") === col("old_root"),
+          "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("new_root"), col("cluster_id")).as("cluster_id"))
+    }
+  }
+
+  /** Compact a label index: rewrite buckets/shingles as one fresh
+    * generation, FOLD the remap journal into the label rows (so serves
+    * stop paying the broadcast map), reset the journal to empty, and
+    * flip the window — [[compactDedupIndex]]'s contract extended to
+    * the four-artifact family. Serves are row-identical across the
+    * flip; replaced generations stay on disk for in-flight readers
+    * until the next mutation's leading purge. */
+  def compactLabelIndex(spark: SparkSession, path: String): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, LabelIndexRoots, lo, hi)
+    if (lo == hi) return
+    Seq("buckets", "shingles").foreach { sub =>
+      val root = s"$path/$sub"
+      spark.read.parquet(root)
+        .filter(col("gen").between(lo, hi)).drop("gen")
+        .withColumn("gen", lit(hi + 1))
+        .write.partitionBy("gen").mode("append").parquet(root)
+    }
+    labelsServe(spark, path)
+      .write.mode("overwrite").parquet(s"$path/labels/gen=${hi + 1}")
+    emptyRemaps(spark)
+      .write.mode("overwrite").parquet(s"$path/remaps/gen=${hi + 1}")
+    GenerationManifest.commit(path, hi + 1, hi + 1)
+  }
+
+  /** q112 — the label index END TO END, oracle-proven: build the index
+    * on q62's sealed base split, APPEND the delta split, serve. The
+    * oracle is q43's full-corpus recursive-CTE closure — so the driver
+    * itself verifies append ≡ rebuild exactly (not just on the spec
+    * fixture). Like q50/q62, the registered form re-pays build+append
+    * into a temp dir per call; a deployment builds once per seal. */
+  def q112LabelsIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val path = SimilarityOps.tempIndexDir("graft-label-index")
+    writeLabelIndex(docs.filter($"doc_id" % DeltaMod =!= DeltaRem), path)
+    appendLabelIndex(docs.filter($"doc_id" % DeltaMod === DeltaRem), path)
+    labelsServe(spark, path).orderBy(col("doc_id"))
+  }
+
+  /** Ground truth for [[q112LabelsIndexed]]: the FULL-corpus q43
+    * closure — equality IS the append ≡ rebuild theorem. */
+  def q112OracleSql: String = q43OracleSql
 
   // ---------------------------------------------------------------- q91
 
@@ -1865,7 +2125,14 @@ object DedupOps {
   private def q104Build(
       spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val (labels, handles) = q43Build(spark, dir, 0.6, 16, 4)
-    val result = Tables.documents(spark, dir).select(col("doc_id"))
+    (leakSplitFrom(Tables.documents(spark, dir), labels), handles)
+  }
+
+  /** The q104 family-granular split over ANY `(doc_id, cluster_id)`
+    * label relation — the served-twin seam (docs in no family root
+    * themselves, one md5 bucket per family). */
+  def leakSplitFrom(docs: DataFrame, labels: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left_outer")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("bucket",
@@ -1877,8 +2144,14 @@ object DedupOps {
           .otherwise("test"))
       .select(col("doc_id"), col("cluster_id"), col("split"))
       .orderBy(col("doc_id"))
-    (result, handles)
-  }
+
+  /** [[q104LeakSafeSplit]] SERVED from a sealed [[writeLabelIndex]]
+    * index — split assignment without re-closing the corpus; the form
+    * a deployment re-runs whenever the corpus (and its sealed index)
+    * gains a delta. */
+  def leakSplitServed(
+      spark: SparkSession, dir: String, indexPath: String): DataFrame =
+    leakSplitFrom(Tables.documents(spark, dir), labelsServe(spark, indexPath))
 
   /** Ground truth for [[q104LeakSafeSplit]]: q43's recursive-CTE
     * labels extended to singletons, then the same md5 bucket CASE. */

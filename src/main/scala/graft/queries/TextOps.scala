@@ -686,11 +686,15 @@ object TextOps {
     * without the persist Catalyst re-scans the corpus per branch
     * (observed — 4 scans) instead of reusing one exchange; the cached
     * frame is vocab×sources rows, exactly what you'd persist at 100 TB
-    * too. Lifecycle is caller-owned (q13's convention) — prefer the
-    * loan form [[withQ58SourceDrift]] in long-lived sessions. ANSI
-    * overflow headroom: all products sit under 2·N·N_s·10⁶ ≈ 10¹⁸ at
-    * sf1; beyond that swap the three sums to DECIMAL(38,0) (exact,
-    * associative) — noted, not needed here. */
+    * too. The RESULT is one row per source (20 on the fixture), so the
+    * plain forms belong to the engine's "eager class" (q71/q79's rule):
+    * they run the query once via [[materializeAndRelease]] and hand
+    * back a pinned bounded frame with the diamond already unpersisted —
+    * leak-free by construction. Callers needing the live plan (plan
+    * pins, controlled release) use [[withQ58SourceDrift]] /
+    * [[sourceDriftBuild]]. ANSI overflow headroom: all products sit
+    * under 2·N·N_s·10⁶ ≈ 10¹⁸ at sf1; beyond that swap the three sums
+    * to DECIMAL(38,0) (exact, associative) — noted, not needed here. */
   def q58SourceDrift(spark: SparkSession, dir: String): DataFrame =
     sourceDrift(Tables.documents(spark, dir))
 
@@ -703,9 +707,11 @@ object TextOps {
   }
 
   /** Frame-level core of [[q58SourceDrift]] over any `(source, text)`
-    * frame — spec-testable on synthetic corpora. */
+    * frame — spec-testable on synthetic corpora. Eager (the q71/q79
+    * pattern): the per-source result is alphabet-bounded, so the build's
+    * persisted (source, token) diamond is released before returning. */
   def sourceDrift(docs: DataFrame): DataFrame =
-    sourceDriftBuild(docs)._1
+    materializeAndRelease(sourceDriftBuild(docs))
 
   private[queries] def sourceDriftBuild(
       docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
@@ -932,24 +938,13 @@ object TextOps {
     try f(result) finally handles.foreach(_.unpersist())
   }
 
-  /** Run a build-form (result, persisted-handles) pair to completion
-    * and release the handles before returning. The plain q71/q72
-    * entry points must hand back a frame whose lifetime is the
-    * caller's, yet the builds persist small diamonds (summaries, the
-    * hh vocabulary) — returning the lazy plan would leak those into
-    * the session cache for its lifetime (the repo's cache-empty
-    * discipline, CorpusPipelineSpec). `localCheckpoint(eager)` runs
-    * the query ONCE, pins the (bounded-by-construction — ≤ cap·parts
-    * candidates / ≤ |V|² pairs) RESULT as block-manager RDD blocks
-    * outside the cache manager, and truncates lineage so the
-    * diamonds can be unpersisted immediately; the blocks free when
-    * the frame is GC'd. Callers needing the live plan (plan pins,
-    * controlled release) use the loan/build forms. */
+  /** The shared eager-class lifecycle ([[Eager.materializeAndRelease]]
+    * — see its scaladoc): plain q58/q71/q72 entry points hand back a
+    * pinned bounded result with the build's persisted diamonds already
+    * released. */
   private def materializeAndRelease(
-      built: (DataFrame, Seq[DataFrame])): DataFrame = {
-    val (result, handles) = built
-    try result.localCheckpoint(true) finally handles.foreach(_.unpersist())
-  }
+      built: (DataFrame, Seq[DataFrame])): DataFrame =
+    Eager.materializeAndRelease(built)
 
   private[graft] def heavyHittersBuild(
       docs: DataFrame, perMille: Int): (DataFrame, Seq[DataFrame]) = {
@@ -1871,9 +1866,14 @@ object TextOps {
     * real text). The explode→groupBy(doc,token)→groupBy(doc)
     * alternative shuffles every token occurrence twice; at 100 TB
     * that is the corpus re-keyed two times for a quantity each row
-    * already holds locally. Sum order is the array's first-occurrence
-    * order on both engines, and 6-dp rounding absorbs last-ulp
-    * differences (the q12 cosine rule).
+    * already holds locally. Sum order is made DETERMINISTIC on both
+    * engines by sorting the distinct-token list before the fold
+    * (array_sort / list_sort): DuckDB documents `list_distinct` as NOT
+    * order-preserving, so relying on first-occurrence order would let
+    * a reordered float fold land on a 6-dp rounding boundary and flip
+    * the hash compare (round-13 ADVICE); with both folds sorted the
+    * accumulation order is identical and 6-dp rounding absorbs
+    * last-ulp differences (the q12 cosine rule).
     */
   def q105TokenEntropy(spark: SparkSession, dir: String): DataFrame =
     tokenEntropy(Tables.documents(spark, dir))
@@ -1890,7 +1890,7 @@ object TextOps {
         size(array_distinct($"t")).cast("long").as("n_distinct"),
         round(
           when(size($"t") === 0, lit(0.0d)).otherwise(
-            aggregate(array_distinct($"t"), lit(0.0d), (acc, x) => {
+            aggregate(array_sort(array_distinct($"t")), lit(0.0d), (acc, x) => {
               val p = size(filter($"t", y => y === x)).cast("double") /
                 size($"t").cast("double")
               acc - p * log(p)
@@ -1898,9 +1898,10 @@ object TextOps {
   }
 
   /** Ground truth for [[q105TokenEntropy]] — the same
-    * distinct-token loop over DuckDB lists (list_distinct preserves
-    * first-occurrence order like array_distinct, so the float sum
-    * accumulates in the same order). */
+    * distinct-token loop over DuckDB lists, with the distinct list
+    * SORTED before the fold on both engines so the float accumulation
+    * order is identical by construction (DuckDB's list_distinct does
+    * not promise first-occurrence order). */
   def q105OracleSql: String =
     """WITH m AS (
       |  SELECT doc_id,
@@ -1911,7 +1912,7 @@ object TextOps {
       |       len(t)::BIGINT AS n_tokens,
       |       len(list_distinct(t))::BIGINT AS n_distinct,
       |       round(CASE WHEN len(t) = 0 THEN 0.0 ELSE
-      |         list_sum(list_transform(list_distinct(t),
+      |         list_sum(list_transform(list_sort(list_distinct(t)),
       |           x -> -(len(list_filter(t, y -> y = x))::DOUBLE / len(t)) *
       |                ln(len(list_filter(t, y -> y = x))::DOUBLE / len(t))))
       |         END, 6) AS entropy
@@ -1926,10 +1927,15 @@ object TextOps {
     * pattern would also match), then phones. Both engines' regex
     * dialects (Java util.regex, RE2) read these identically —
     * character classes, bounded repetition, and ASCII word
-    * boundaries only, no backrefs or lookaround. */
+    * boundaries only, no backrefs or lookaround. The phone class
+    * spells its whitespace EXPLICITLY (space, tab, NL, CR, FF)
+    * instead of `\s`, whose class differs between the dialects (Java
+    * includes vertical tab \x0B, RE2 does not — round-13 ADVICE): a
+    * VT inside a digit run would otherwise match on Spark but not the
+    * oracle. */
   val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val PiiPhoneRe = "\\+?\\d[\\d\\s().-]{7,}\\d"
+  val PiiPhoneRe = "\\+?\\d[\\d \\t\\n\\r\\f().-]{7,}\\d"
 
   /** PII scrub over any `(…, text, …)` frame: emails, IPv4 addresses,
     * and phone-shaped digit runs replaced by typed placeholders, with

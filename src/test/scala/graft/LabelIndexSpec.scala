@@ -1,0 +1,158 @@
+package graft
+
+import graft.queries.{DedupOps, SimilarityOps}
+import org.apache.spark.sql.functions._
+
+/** The duplicate-family LABEL index (round 14): build/append/serve/
+  * compact under the shared GenerationManifest protocol, served twins
+  * row-identical to the recomputing q47/q80/q104 forms, and the merge
+  * journal's remap semantics (the one contract no other index needs:
+  * an append can REWRITE history — two sealed families merging — and
+  * must do it in O(delta), not O(base)). */
+class LabelIndexSpec extends SparkSuite {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def servedRows(path: String): Seq[(Long, Long)] =
+    DedupOps.labelsServe(spark, path)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("append == rebuild on the fixture: base build + delta append serves the full-corpus q43 closure") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val idx = tmp("graft-label-append")
+    DedupOps.writeLabelIndex(
+      docs.filter($"doc_id" % DedupOps.DeltaMod =!= DedupOps.DeltaRem), idx)
+    DedupOps.appendLabelIndex(
+      docs.filter($"doc_id" % DedupOps.DeltaMod === DedupOps.DeltaRem), idx)
+    val got = servedRows(idx)
+    val want = DedupOps.withQ43DupClusters(spark, sf)(_.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(want.nonEmpty, "fixture closure is vacuous")
+    assert(got == want, "append diverged from the full-corpus rebuild")
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark),
+      "label index mutations leaked cached frames")
+  }
+
+  test("merge journal: a delta bridge merges two sealed families via remap, O(merge-events) rows") {
+    import spark.implicits._
+    // two sealed families A = {10, 11}, B = {20, 21} — within-family
+    // 3-shingle Jaccard 5/7 ≈ 0.71, cross-family 0. At threshold 0.4
+    // the bridge doc (halves of one A text and one B text) verifies
+    // against both families but A and B never verify against each other.
+    // banding: 64 bands x 1 row — at the bridge's J = 6/14 ≈ 0.43 the
+    // default 16x4 misses the candidate outright (P(band) = J⁴ ≈ 0.03);
+    // with 1-row bands a candidate needs only ONE of 64 minhashes to
+    // agree (miss probability (1−J)⁶⁴ ≈ 4·10⁻¹⁶, and deterministic for
+    // these fixed strings/hashes). Exact verify keeps the output
+    // semantics identical regardless of banding.
+    val t = 0.4
+    val (bandsN, rowsN) = (64, 1)
+    val a1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val a2 = "a1 a2 a3 a4 a5 a6 a7 x8"
+    val b1 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val b2 = "b1 b2 b3 b4 b5 b6 b7 y8"
+    val base = Seq((10L, a1), (11L, a2), (20L, b1), (21L, b2))
+      .toDF("doc_id", "text")
+    val idx = tmp("graft-label-merge")
+    DedupOps.writeLabelIndex(base, idx, threshold = t, bands = bandsN, rows = rowsN)
+    assert(servedRows(idx) ==
+      Seq((10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L)))
+
+    // the bridge: J(bridge, a1) = 6/13, J(bridge, b1) = 6/13 — both
+    // >= 0.4; its junction shingle "a8 b1 b2" etc. match nothing else
+    val bridge = Seq((30L, s"$a1 $b1")).toDF("doc_id", "text")
+    DedupOps.appendLabelIndex(bridge, idx, threshold = t, bands = bandsN, rows = rowsN)
+    // rebuild semantics: one family rooted at min(10, 20, 30) = 10
+    assert(servedRows(idx) ==
+      Seq((10L, 10L), (11L, 10L), (20L, 10L), (21L, 10L), (30L, 10L)))
+    // the sealed base rows were NOT rewritten: exactly one remap row
+    // (20 -> 10) carries the merge
+    val (lo, hi) = graft.queries.GenerationManifest.window(idx)
+    val journal = spark.read.parquet(s"$idx/remaps")
+      .filter(col("gen").between(lo, hi))
+      .select(col("old_root"), col("new_root")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(journal == Seq((20L, 10L)), s"unexpected journal: $journal")
+
+    // chain across a second append: doc 5 (id < every root) near-dups
+    // doc 10's text, dethroning root 10 -> 5; serve must resolve the
+    // 20 -> 10 -> 5 chain transitively
+    DedupOps.appendLabelIndex(
+      Seq((5L, a1)).toDF("doc_id", "text"), idx,
+      threshold = t, bands = bandsN, rows = rowsN)
+    assert(servedRows(idx) ==
+      Seq((5L, 5L), (10L, 5L), (11L, 5L), (20L, 5L), (21L, 5L), (30L, 5L)))
+
+    // compaction folds the journal into the rows and empties it;
+    // serves identical across the flip
+    val before = servedRows(idx)
+    DedupOps.compactLabelIndex(spark, idx)
+    assert(servedRows(idx) == before, "compaction changed served labels")
+    val (lo2, hi2) = graft.queries.GenerationManifest.window(idx)
+    assert(spark.read.parquet(s"$idx/remaps")
+      .filter(col("gen").between(lo2, hi2)).count() == 0L,
+      "compaction left journal rows in the window")
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
+
+  test("crash windows invisible: every staged append state serves the pre-append labels") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter($"doc_id" % 4 === 1 || $"doc_id" % 4 === 2)
+    val d1 = docs.filter($"doc_id" % 4 === 3)
+    val idx = tmp("graft-label-crash")
+    DedupOps.writeLabelIndex(base, idx)
+    val baseOnly = servedRows(idx)
+    (1 to 4).foreach { stage =>
+      DedupOps.appendLabelStaged(d1, idx, 0.6, 16, 4, crashAfterStage = stage)
+      assert(graft.queries.GenerationManifest.window(idx) == ((1L, 1L)),
+        s"stage-$stage crash flipped the manifest")
+      assert(servedRows(idx) == baseOnly,
+        s"stage-$stage crash leaked uncommitted state into serves")
+    }
+    // the retried append completes and matches a from-scratch rebuild
+    DedupOps.appendLabelIndex(d1, idx)
+    val rebuilt = tmp("graft-label-crash-rebuild")
+    DedupOps.writeLabelIndex(base.unionByName(d1), rebuilt)
+    assert(servedRows(idx) == servedRows(rebuilt),
+      "retried append diverged from rebuild")
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
+
+  test("served twins are row-identical to the recomputing q47/q80/q104 forms") {
+    val docs = Tables.documents(spark, sf)
+    val idx = tmp("graft-label-twins")
+    DedupOps.writeLabelIndex(docs, idx)
+
+    val q47 = DedupOps.q47ClusterSizes(spark, sf).collect().map(_.toSeq).toSeq
+    val q47Served = DedupOps.clusterSizesServed(spark, idx)
+      .collect().map(_.toSeq).toSeq
+    assert(q47Served == q47, "q47 served twin diverged")
+
+    val q104 = DedupOps.withQ104LeakSafeSplit(spark, sf)(
+      _.collect().map(_.toSeq).toSeq)
+    val q104Served = DedupOps.leakSplitServed(spark, sf, idx)
+      .collect().map(_.toSeq).toSeq
+    assert(q104Served == q104, "q104 served twin diverged")
+
+    val q80 = SimilarityOps.q80ContrastivePairs(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val q80Served = SimilarityOps.contrastiveServed(spark, sf, idx)
+      .collect().map(_.toSeq).toSeq
+    assert(q80Served == q80, "q80 served twin diverged")
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark),
+      "served twins leaked cached frames")
+  }
+
+  test("q112 registered form: serve equals the q43 closure (the driver oracle's property)") {
+    val got = DedupOps.q112LabelsIndexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = DedupOps.withQ43DupClusters(spark, sf)(_.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(got == want)
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
+}

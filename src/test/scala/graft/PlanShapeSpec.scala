@@ -149,17 +149,22 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("q58: tf/totals derive from the persisted (source, token) aggregate — one corpus scan") {
-    val p = plan(TextOps.q58SourceDrift(spark, sf))
-    // the global-tf, per-source, and grand-total branches must read the
-    // cached stf frame, not re-scan the corpus (observed without the
-    // persist: 4 full scans — the branches differ by pushed isnotnull
-    // filters, so exchange reuse never fires)
-    // (each InMemoryTableScan PRINTS the cached plan's FileScan again,
-    // so count cache reads, not FileScan lines)
-    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
-      s"derived aggregates re-scan the corpus:\n$p")
-    // the only nested-loop join is the broadcast 1-row grand total
-    assert(!p.contains("CartesianProduct"), s"grid materialized:\n$p")
+    // the registered form is eager (localCheckpoint truncates the plan),
+    // so pin the LIVE plan through the loan form — same query, handles
+    // released on exit
+    TextOps.withQ58SourceDrift(spark, sf) { df =>
+      val p = plan(df)
+      // the global-tf, per-source, and grand-total branches must read the
+      // cached stf frame, not re-scan the corpus (observed without the
+      // persist: 4 full scans — the branches differ by pushed isnotnull
+      // filters, so exchange reuse never fires)
+      // (each InMemoryTableScan PRINTS the cached plan's FileScan again,
+      // so count cache reads, not FileScan lines)
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"derived aggregates re-scan the corpus:\n$p")
+      // the only nested-loop join is the broadcast 1-row grand total
+      assert(!p.contains("CartesianProduct"), s"grid materialized:\n$p")
+    }
   }
 
   test("q59: ranking is shard-parallel — the only single-partition stage is the bounded offset sum") {

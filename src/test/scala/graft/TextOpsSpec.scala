@@ -135,9 +135,11 @@ class TextOpsSpec extends SparkSuite {
     val fp = TextOps.q15Simhash(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
-    // near-dup pairs straight from the verified q13 output
-    val nearPairs = graft.queries.DedupOps.q13NeardupPairs(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // near-dup pairs straight from the verified q13 output — loan form:
+    // the plain form's persist is caller-owned and would outlive this
+    // test in the shared suite session (the round-13 red-board lesson)
+    val nearPairs = graft.queries.DedupOps.withQ13NeardupPairs(spark, sf)(
+      _.collect().map(r => (r.getLong(0), r.getLong(1))))
     assert(nearPairs.nonEmpty)
     val nearAvg = nearPairs.map(p => hamming(fp(p._1), fp(p._2))).sum.toDouble / nearPairs.length
     val ids = fp.keys.toSeq.sorted
