@@ -524,6 +524,45 @@ class TextOpsSpec extends SparkSuite {
     assert(r1 == q86r1, s"round 1 != q86 rank 1: $r1 vs $q86r1")
   }
 
+  test("batched BPE trainer == sequential loop, merge for merge (exhaustion included)") {
+    import spark.implicits._
+    // deep enough that several multi-merge batches fire AND the
+    // trainer hits vocabulary exhaustion (every word fully merged) —
+    // both the guard logic and the stop rule face the sequential spec
+    val docs = Tables.documents(spark, sf)
+    for (m <- Seq(1, 5, 30, 500)) {
+      val seqRows = TextOps.bpeTrain(docs, m).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      val batRows = TextOps.bpeTrainBatched(docs, m).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      assert(batRows == seqRows,
+        s"batched trainer diverged from the sequential loop at merges=$m:\n" +
+          s"batched: ${batRows.take(20)}\nsequential: ${seqRows.take(20)}")
+      val autoRows = TextOps.bpeTrainAuto(docs, m).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      assert(autoRows == seqRows,
+        s"two-phase trainer diverged from the sequential loop at merges=$m:\n" +
+          s"auto: ${autoRows.take(20)}\nsequential: ${seqRows.take(20)}")
+    }
+    // the driver-side loop on a cascade-heavy vocabulary (shared
+    // prefixes + digit runs — the self-overlap cases the incremental
+    // bookkeeping must survive) against the distributed sequential spec
+    import spark.implicits._
+    val cascade = Tables.customer(spark, sf)
+      .select($"c_name".as("text")).limit(200)
+    val cSeq = TextOps.bpeTrain(cascade, 60).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val cAuto = TextOps.bpeTrainAuto(cascade, 60).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(cAuto == cSeq, "driver loop diverged on the cascade vocabulary")
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
+
   test("q89 == exact driver-side BPE encode recount; merges fire") {
     def encCount(w: String): Long = {
       var s = w.map(c => s"($c)").mkString
