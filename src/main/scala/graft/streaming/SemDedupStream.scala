@@ -69,6 +69,77 @@ object SemDedupStream extends Serializable {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  /** Dimensions of the prescreen HEAD (see [[Screened]]): the bound
+    * costs `PrescreenHead` multiplies per rep instead of the full
+    * width, so the slope of the fills-up decay drops by ~dim/head. */
+  private[graft] val PrescreenHead = 16
+
+  /** Prune margin of the prescreen: a pair is skipped only when its
+    * UPPER BOUND sits below `threshold − PrescreenMargin`. The margin
+    * covers (a) the exact path's HALF_UP 1e-6 rounding (a raw cosine
+    * up to 5·10⁻⁷ under the threshold still rounds up to it) and (b)
+    * floating-point slack in the bound arithmetic — so no pair the
+    * exact screen would emit can ever be pruned. */
+  private[graft] val PrescreenMargin = 1e-6
+
+  /** A vector with its prescreen structure: exact squared norm (so the
+    * exact cosine never recomputes it), the NORMALIZED head prefix,
+    * and the normalized tail norm. By Cauchy-Schwarz,
+    * `cos(a, b) = ĥ_a·ĥ_b + t̂_a·t̂_b ≤ ĥ_a·ĥ_b + |t̂_a||t̂_b|` — a sound
+    * upper bound costing [[PrescreenHead]] multiplies. Random
+    * cell-mates (cosine near 0) bound at ≈ |t̂_a||t̂_b| ≈ tail/dim < any
+    * real threshold and are pruned without touching the full width;
+    * true near-dups bound near 1 and fall through to the EXACT cosine,
+    * whose emitted value is bit-identical to [[cos]] (same dot
+    * accumulation order, same norms, same rounding). Computed ONCE per
+    * vector per micro-batch — state still stores plain
+    * `(id, vector)` pairs, so the state schema and its encoder are
+    * untouched. This is q93's compressed-domain screen idea applied to
+    * the in-cell rep scan — the decay-curve fix round-13's verdict
+    * named (3,240 → 2,290 rows/s as cells filled). */
+  private[graft] final class Screened(
+      val id: Long, val v: Array[Float]) {
+    val normSq: Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      s
+    }
+    private val inv = if (normSq == 0.0) 0.0 else 1.0 / math.sqrt(normSq)
+    val head: Array[Double] = {
+      val k = math.min(PrescreenHead, v.length)
+      val h = new Array[Double](k)
+      var i = 0
+      while (i < k) { h(i) = v(i).toDouble * inv; i += 1 }
+      h
+    }
+    val tailNorm: Double = {
+      var s = 0.0; var i = head.length
+      while (i < v.length) {
+        val x = v(i).toDouble * inv; s += x * x; i += 1
+      }
+      math.sqrt(s)
+    }
+  }
+
+  /** Upper bound on `cos(a.v, b.v)` — sound up to [[PrescreenMargin]]. */
+  private[graft] def cosUpperBound(a: Screened, b: Screened): Double = {
+    var d = 0.0; var i = 0
+    val n = math.min(a.head.length, b.head.length)
+    while (i < n) { d += a.head(i) * b.head(i); i += 1 }
+    d + a.tailNorm * b.tailNorm
+  }
+
+  /** Exact cosine reusing the precomputed squared norms — bit-identical
+    * to [[cos]] on the same pair (the dot accumulates left to right on
+    * its own, exactly as in the fused loop; the norms are the same
+    * sums; the rounding is the same HALF_UP 1e-6). */
+  private def cosExact(a: Screened, b: Screened): Double = {
+    var dot = 0.0; var i = 0
+    while (i < a.v.length) { dot += a.v(i).toDouble * b.v(i).toDouble; i += 1 }
+    BigDecimal(dot / (math.sqrt(a.normSq) * math.sqrt(b.normSq)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** Pure cell transition — factored out so the matching/cap/keep
     * logic unit-tests without a stream harness. Returns (emitted
     * `(vec_id, dup_of, sim)` rows, new reps). `incoming` must already
@@ -79,18 +150,31 @@ object SemDedupStream extends Serializable {
       threshold: Double,
       maxPerCell: Int,
       storeFlagged: Boolean): (Seq[(Long, Long, Double)], Reps) = {
-    var rs = reps
+    val cutoff = threshold - PrescreenMargin
+    var rsScreened = reps.map { case (rid, rv) => new Screened(rid, rv) }
+    var appended = List.empty[Screened]
+    var size = reps.size
     val out = Seq.newBuilder[(Long, Long, Double)]
     incoming.foreach { case (id, v) =>
-      val matches = rs.flatMap { case (rid, rv) =>
-        val c = cos(v, rv)
-        if (c >= threshold) Some((id, rid, c)) else None
+      val q = new Screened(id, v)
+      val matches = rsScreened.flatMap { r =>
+        if (cosUpperBound(q, r) < cutoff) None
+        else {
+          val c = cosExact(q, r)
+          if (c >= threshold) Some((id, r.id, c)) else None
+        }
       }
       if (matches.nonEmpty) out ++= matches
-      if ((matches.isEmpty || storeFlagged) && rs.size < maxPerCell)
-        rs = rs :+ ((id, v))
+      if ((matches.isEmpty || storeFlagged) && size < maxPerCell) {
+        rsScreened = rsScreened :+ q
+        appended = q :: appended
+        size += 1
+      }
     }
-    (out.result(), rs)
+    val newReps =
+      if (appended.isEmpty) reps
+      else reps ++ appended.reverse.map(s => (s.id, s.v))
+    (out.result(), newReps)
   }
 
   /** The screen. `vecs` is a STREAMING frame with `vec_id: long,
