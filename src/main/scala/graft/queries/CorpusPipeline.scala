@@ -89,7 +89,8 @@ object CorpusPipeline {
       perplexityBand: Option[(Long, Long)] = None,
       perplexityPerMille: Int = TextOps.HeavyHitterPerMille,
       mixWeights: Option[Seq[(String, Int)]] = None,
-      defaultMixWeight: Int = PipelineOps.DefaultMixWeight) {
+      defaultMixWeight: Int = PipelineOps.DefaultMixWeight,
+      labelIndexPath: Option[String] = None) {
     require(passageTokens > 0, s"passageTokens must be > 0, got $passageTokens")
     require(exciseTokens > 0, s"exciseTokens must be > 0, got $exciseTokens")
     require(defaultMixWeight > 0,
@@ -415,20 +416,40 @@ object CorpusPipeline {
     // 3. near-dup removal: pairwise-greedy or cluster keep-min (see
     // the object doc). Cluster mode's closure runs its driver-side
     // fixpoint loop eagerly here; its labels frame comes back persisted
-    // and joins the handle set.
-    val (pairs, dedupHandles) =
-      DedupOps.neardupBuild(gated, cfg.neardupThreshold, cfg.lshBands, cfg.lshRows)
-    val (losers, dedupHandles2) =
-      if (cfg.clusterNeardups) {
-        // the closure runs eagerly BEFORE build returns its handles to
-        // the loan — release the pair-stage caches ourselves if it throws
-        val labels =
-          try DedupOps.connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
-          catch { case t: Throwable => dedupHandles.foreach(_.unpersist()); throw t }
-        (labels.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id")),
-          dedupHandles :+ labels)
-      } else
-        (pairs.select(col("doc_b").as("doc_id")).distinct(), dedupHandles)
+    // and joins the handle set. With `cfg.labelIndexPath` set (cluster
+    // mode only), the stage SERVES the sealed duplicate-family labels
+    // instead of re-closing the corpus — the round-14 label-index
+    // consumer path: no pair build, no closure, one label join + a
+    // family-keyed min window. Semantics note: sealed families were
+    // closed over the WHOLE corpus, so two gated survivors whose only
+    // connecting path was gated away still share a family (the index
+    // drops ≥ the recomputing stage — family identity does not depend
+    // on today's gates, which is exactly why a deployment seals it);
+    // the keep-min is evaluated among the GATED survivors of each
+    // family, so every family that reaches this stage keeps a row.
+    val (losers, dedupHandles2) = cfg.labelIndexPath match {
+      case Some(path) if cfg.clusterNeardups =>
+        val labels = DedupOps.labelsServe(gated.sparkSession, path)
+        val fam = Window.partitionBy(col("cluster_id"))
+        (gated.select(col("doc_id")).join(labels, Seq("doc_id"))
+          .withColumn("mn", min(col("doc_id")).over(fam))
+          .filter(col("doc_id") =!= col("mn"))
+          .select(col("doc_id")),
+          Seq.empty[DataFrame])
+      case _ =>
+        val (pairs, dedupHandles) = DedupOps.neardupBuild(
+          gated, cfg.neardupThreshold, cfg.lshBands, cfg.lshRows)
+        if (cfg.clusterNeardups) {
+          // the closure runs eagerly BEFORE build returns its handles to
+          // the loan — release the pair-stage caches ourselves if it throws
+          val labels =
+            try DedupOps.connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+            catch { case t: Throwable => dedupHandles.foreach(_.unpersist()); throw t }
+          (labels.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id")),
+            dedupHandles :+ labels)
+        } else
+          (pairs.select(col("doc_b").as("doc_id")).distinct(), dedupHandles)
+    }
     val neardupFree =
       mark("09_neardup", gated.join(losers, Seq("doc_id"), "left_anti"))
 

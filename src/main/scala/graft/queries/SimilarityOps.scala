@@ -2228,6 +2228,20 @@ object SimilarityOps {
       (0 until NumCells).map(c => (0 until Dim).map(centroidComponent(c, _))),
       threshold)
 
+  /** DEPLOYMENT DEFAULT (the q84 rule, written down once per seam —
+    * round-14 verdict item 7): the REGISTERED q88 stays on the fixed
+    * LCG centroids because that is what keeps the DuckDB oracle EXACT
+    * (hash-green beats rows-only wherever both are possible); a
+    * deployment serves the SAME core through the quantizer its sealed
+    * ANN index already persists — this wrapper. Blocking recall then
+    * adapts to the data (the spec-measured trained-vs-fixed recall
+    * gain) with zero plan change. */
+  def semDedupServed(
+      spark: SparkSession, dir: String, indexPath: String,
+      threshold: Double = NeardupCosine): DataFrame =
+    semDedup(Tables.embeddings(spark, dir),
+      readQuantizer(spark, indexPath), threshold)
+
   /** Frame-level core of [[q88SemDedup]] over any `(vec_id, embedding)`
     * frame and ANY centroid set — feed [[trainCentroids]]' output for
     * the deployment (trained-quantizer) path, same plan shape. */
@@ -2324,6 +2338,18 @@ object SimilarityOps {
   def q92KnnLabel(
       spark: SparkSession, dir: String, k: Int = KnnK): DataFrame =
     knnLabel(Tables.embeddings(spark, dir), k)
+
+  /** DEPLOYMENT DEFAULT (the q84 rule — see [[semDedupServed]]): the
+    * registered q92 keeps the measured brute/IVF gate on fixed
+    * centroids (brute is the oracle's twin; the fixed-centroid IVF is
+    * what the agreement spec pins). A deployment past the pair budget
+    * labels through the quantizer its sealed index persists — the
+    * candidate stage adapts, the shared vote layer is untouched. */
+  def knnLabelServed(
+      spark: SparkSession, dir: String, indexPath: String,
+      k: Int = KnnK): DataFrame =
+    knnLabelIvf(Tables.embeddings(spark, dir),
+      readQuantizer(spark, indexPath), k)
 
   /** Scored-pair budget above which [[knnLabel]]'s candidate stage
     * swaps from brute to IVF-bucketed: 10⁸ pairs of codegen'd cosines
@@ -2587,6 +2613,15 @@ object SimilarityOps {
   def q97CellBalance(spark: SparkSession, dir: String): DataFrame =
     cellBalance(Tables.embeddings(spark, dir),
       (0 until NumCells).map(c => (0 until Dim).map(centroidComponent(c, _))))
+
+  /** DEPLOYMENT DEFAULT (the q84 rule — see [[semDedupServed]]): the
+    * registered q97 keeps the fixed centroids for oracle exactness; a
+    * deployment balances the cells of the quantizer it actually
+    * serves, read from the sealed index. */
+  def cellBalanceServed(
+      spark: SparkSession, dir: String, indexPath: String): DataFrame =
+    cellBalance(Tables.embeddings(spark, dir),
+      readQuantizer(spark, indexPath))
 
   /** Frame-level core of [[q97CellBalance]] over any `(vec_id,
     * embedding)` frame and ANY centroid set ([[trainCentroids]]' output

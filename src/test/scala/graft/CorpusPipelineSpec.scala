@@ -364,6 +364,42 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(cluster == Set(1L, 7L))
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark),
       "cluster-mode loan leaked cached frames")
+
+    // cluster mode SERVED from a sealed label index: same fixture, no
+    // pair build / closure inside the pipeline — identical output when
+    // no family bridge is gated away
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-pipeline-labels").toString
+    DedupOps.writeLabelIndex(docs, idx)
+    val servedCfg = noSampling.copy(
+      clusterNeardups = true, labelIndexPath = Some(idx))
+    val served = CorpusPipeline.withPrepared(docs, servedCfg)(
+      _.collect().map(_.getLong(0)).toSet)
+    assert(served == cluster, "served labels diverged from the recompute")
+
+    // the DOCUMENTED semantic difference: gate the hub (5) away via its
+    // language. The recomputing stage closes pairs over GATED docs only
+    // — no hub, no pairs, both satellites survive. The sealed index
+    // still families {1,3,5}, so keep-min among the gated survivors
+    // keeps 1 and drops 3 (family identity does not depend on today's
+    // gates — what a deployment wants from a sealed artifact).
+    val gatedHub = docs.withColumn("lang",
+      when(col("doc_id") === 5L, lit("xx")).otherwise(col("lang")))
+    val recomputeGated = CorpusPipeline.withPrepared(
+      gatedHub, noSampling.copy(clusterNeardups = true))(
+      _.collect().map(_.getLong(0)).toSet)
+    assert(recomputeGated == Set(1L, 3L, 7L))
+    val idx2 = java.nio.file.Files
+      .createTempDirectory("graft-pipeline-labels2").toString
+    DedupOps.writeLabelIndex(gatedHub, idx2)
+    val servedGated = CorpusPipeline.withPrepared(
+      gatedHub, noSampling.copy(
+        clusterNeardups = true, labelIndexPath = Some(idx2)))(
+      _.collect().map(_.getLong(0)).toSet)
+    assert(servedGated == Set(1L, 7L),
+      "sealed-family keep-min must not depend on the gate set")
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark),
+      "served-label mode leaked cached frames")
   }
 
   test("decontamination gate drops exactly the benchmark-overlapping docs") {

@@ -1640,4 +1640,36 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(recall >= 0.5, s"matryoshka recall@10 = $recall below floor")
     info(f"q106 recall@10 vs full-dim brute: $recall%.2f")
   }
+  test("served quantizer wrappers: q88/q92/q97 cores through the sealed index's quantizer") {
+    import spark.implicits._
+    // the q84 rule made the deployment default: registered queries keep
+    // fixed centroids (exact oracle), deployments route the SAME cores
+    // through readQuantizer of a trained sealed index — pin that the
+    // wrappers equal the cores on the round-tripped quantizer, and that
+    // the decision artifacts stay structurally sound
+    val emb = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files
+      .createTempDirectory("served-quantizer").toString
+    val centroids = SimilarityOps.trainIvfPq(
+      emb, path, ivfIters = 2, pqIters = 1)._1
+    val q = SimilarityOps.readQuantizer(spark, path)
+    assert(q == centroids, "quantizer round-trip drifted")
+
+    val served = SimilarityOps.semDedupServed(spark, sf, path).collect()
+    val core = SimilarityOps.semDedup(
+      emb, centroids, SimilarityOps.NeardupCosine).collect()
+    assert(served.map(_.toSeq).toSeq == core.map(_.toSeq).toSeq,
+      "semDedupServed diverged from the core on the same quantizer")
+    assert(served.length == emb.count(), "decision table must cover every vector")
+
+    val bal = SimilarityOps.cellBalanceServed(spark, sf, path).collect()
+    assert(bal.nonEmpty && bal.forall(r => r.getLong(3) <= r.getLong(1)),
+      "cellBalanceServed kept more than a cell holds")
+
+    val knn = SimilarityOps.knnLabelServed(spark, sf, path).collect()
+    assert(knn.nonEmpty, "knnLabelServed returned no probes")
+    // the vote layer's contract: one row per probe, correctness flag 0/1
+    assert(knn.map(_.getLong(0)).distinct.length == knn.length)
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
 }
