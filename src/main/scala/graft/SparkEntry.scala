@@ -157,6 +157,7 @@ object SparkEntry {
     // q112 re-pays build+append into a temp dir per call (the q50/q62
     // convention); the bench times the serving path under a build phase.
     "q112_labels_indexed"  -> ((s, d) => DedupOps.q112LabelsIndexed(s, d)),
+    "q113_gate_roc"        -> ((s, d) => TextOps.q113GateRoc(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -632,5 +633,6 @@ object SparkEntry {
     // append == rebuild exactly: the served labels after base-build +
     // delta-append must hash-match the FULL-corpus q43 closure.
     "q112_labels_indexed" -> DedupOps.q112OracleSql,
+    "q113_gate_roc" -> TextOps.q113OracleSql,
   )
 }

@@ -1271,16 +1271,16 @@ object DedupOps {
         verifiedPairsFrom(ex, threshold, bands, rows)
           .select(col("doc_a"), col("doc_b")))
       try {
-        bandedBuckets(ex, bands, rows).withColumn("gen", lit(1L))
-          .write.partitionBy("gen").mode("overwrite").parquet(s"$path/buckets")
-        ex.withColumn("gen", lit(1L))
-          .write.partitionBy("gen").mode("overwrite").parquet(s"$path/shingles")
-        // labels/remaps write into an EXPLICIT gen dir (not partitionBy):
-        // a zero-row partitioned write emits no files at all, and the
-        // serve-side read could then never infer a schema — the empty
-        // part file of a direct write still carries one in its footer
-        // (remaps are empty by definition at build; labels are empty on
-        // a dup-free corpus)
+        // every artifact writes into an EXPLICIT gen dir (not
+        // partitionBy): a zero-row partitioned write emits no files at
+        // all, and a later read could then never infer a schema — the
+        // empty part file of a direct write still carries one in its
+        // footer (remaps are empty by definition at build; labels on a
+        // dup-free corpus; buckets/shingles on an empty base — the
+        // LabelIndexStream start-from-nothing case)
+        bandedBuckets(ex, bands, rows)
+          .write.mode("overwrite").parquet(s"$path/buckets/gen=1")
+        ex.write.mode("overwrite").parquet(s"$path/shingles/gen=1")
         labels.write.mode("overwrite").parquet(s"$path/labels/gen=1")
         emptyRemaps(spark).write.mode("overwrite").parquet(s"$path/remaps/gen=1")
         GenerationManifest.commit(path, 1L, 1L)
@@ -1334,7 +1334,19 @@ object DedupOps {
     val spark = deltaDocs.sparkSession
     val (lo, hi) = GenerationManifest.window(path)
     GenerationManifest.purgeOutside(path, LabelIndexRoots, lo, hi)
-    val ex = shingleHashes(deltaDocs)
+    // IDEMPOTENT per doc_id (stricter than writeDedupIndex's
+    // caller-owned disjointness): docs already sealed are dropped from
+    // the delta, so a replayed append — foreachBatch's at-least-once
+    // redelivery after a crash between commit and checkpoint, the
+    // [[graft.streaming.LabelIndexStream]] case — is a no-op instead
+    // of double-writing shingle rows (duplicated shingles would DOUBLE
+    // n_common in every later screen: inflated Jaccard, false merges).
+    // Cost: one doc_id-keyed left-anti against the sealed shingles'
+    // pruned id projection.
+    val sealedIds = spark.read.parquet(s"$path/shingles")
+      .filter(col("gen").between(lo, hi))
+      .select(col("doc_id")).distinct()
+    val ex = shingleHashes(deltaDocs.join(sealedIds, Seq("doc_id"), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cross = deltaScreenFrom(spark, path, ex, threshold, bands, rows)

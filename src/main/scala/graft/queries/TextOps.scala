@@ -2535,4 +2535,98 @@ object TextOps {
         |FROM u, p ORDER BY epoch""".stripMargin)
     sb.toString
   }
+  // ---------------------------------------------------------------- q113
+
+  /** q113 — gate CALIBRATION sweep: the textbook ROC/precision-recall
+    * table of the q68 hashed-linear gate scored against the q53 rule
+    * cascade's verdicts, one row per DISTINCT score threshold. Closes
+    * the model-gate loop the engine built across rounds: q53 defines
+    * the rules, q68 evaluates the cheap model, q111 trains it, q113 is
+    * the EVALUATION a deployment reads to pick the ship threshold
+    * (precision at the recall it needs — the fastText/DCLM-style gate
+    * is useless without this table). All integer: cumulative tp/fp
+    * from the top score down, precision/recall in exact ppm via
+    * integer division.
+    *
+    * Scale shape: one narrow codegen'd pass computes (score, label)
+    * per row — q68's zero-shuffle arithmetic plus q53's gate
+    * conjunction, no joins; ONE hash aggregate keys the corpus down to
+    * the distinct-score relation; the cumulative windows then run over
+    * THAT bounded relation (the q94 rule: the only single-partition
+    * stage is a distinct-values window, never the corpus — a
+    * deployment with adversarially many distinct scores buckets them
+    * first, same table one knob coarser). */
+  def q113GateRoc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val t = toks($"text")
+    val nTok = size(t).cast("long")
+    val keep = $"lang".isInCollection(YieldLangs) &&
+      nTok.between(YieldMinTokens, YieldMaxTokens) &&
+      size(array_distinct(t)).cast("long") * 100 >=
+        nTok * YieldMinDistinctPct &&
+      size(filter(t, x => x.isInCollection(Stopwords))).cast("long") * 100 >=
+        nTok * YieldMinStopPct
+    val perScore = Tables.documents(spark, dir)
+      .select(linearScoreMicro($"text").as("thr_micro"),
+        when(keep, 1L).otherwise(0L).as("y"))
+      .groupBy($"thr_micro")
+      .agg(count(lit(1)).as("n"), sum($"y").as("npos"))
+    val down = Window.orderBy($"thr_micro".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perScore
+      .withColumn("n_ge", sum($"n").over(down))
+      .withColumn("tp", sum($"npos").over(down))
+      .withColumn("total_pos", sum($"npos").over(whole))
+      .select($"thr_micro", $"n_ge", $"tp", ($"n_ge" - $"tp").as("fp"),
+        expr("tp * 1000000 div n_ge").as("precision_ppm"),
+        when($"total_pos" === 0L, 0L)
+          .otherwise(expr("tp * 1000000 div total_pos")).as("recall_ppm"))
+      .orderBy($"thr_micro".desc)
+  }
+
+  /** Ground truth for [[q113GateRoc]] — q68's score list-fold and
+    * q53's cascade conjunction per row, the same per-score aggregate,
+    * the same ROWS-cumulative windows (distinct keys make RANGE and
+    * ROWS agree), all-integer ppm division. */
+  def q113OracleSql: String = {
+    val langs = YieldLangs.map(l => s"'$l'").mkString(", ")
+    val stops = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (SELECT $weightSql AS wa),
+       |m AS (
+       |  SELECT lang,
+       |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+       |  FROM documents
+       |), s AS (
+       |  SELECT CAST(coalesce(list_sum(list_transform(toks,
+       |           x -> wa[(${h32Sql("x")} % $HashDim)::INT + 1])), 0) AS BIGINT)
+       |           AS thr_micro,
+       |         CASE WHEN lang IN ($langs)
+       |              AND len(toks) BETWEEN $YieldMinTokens AND $YieldMaxTokens
+       |              AND len(list_distinct(toks))::BIGINT * 100 >=
+       |                  len(toks)::BIGINT * $YieldMinDistinctPct
+       |              AND len(list_filter(toks, x -> x IN ($stops)))::BIGINT * 100 >=
+       |                  len(toks)::BIGINT * $YieldMinStopPct
+       |         THEN 1 ELSE 0 END AS y
+       |  FROM m, w
+       |), g AS (
+       |  SELECT thr_micro, count(*) AS n, CAST(sum(y) AS BIGINT) AS npos
+       |  FROM s GROUP BY thr_micro
+       |), c AS (
+       |  SELECT thr_micro,
+       |         CAST(sum(n) OVER (ORDER BY thr_micro DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_ge,
+       |         CAST(sum(npos) OVER (ORDER BY thr_micro DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+       |         CAST(sum(npos) OVER () AS BIGINT) AS total_pos
+       |  FROM g
+       |)
+       |SELECT thr_micro, n_ge, tp, n_ge - tp AS fp,
+       |       tp * 1000000 // n_ge AS precision_ppm,
+       |       CASE WHEN total_pos = 0 THEN 0
+       |            ELSE tp * 1000000 // total_pos END AS recall_ppm
+       |FROM c ORDER BY thr_micro DESC""".stripMargin
+  }
 }

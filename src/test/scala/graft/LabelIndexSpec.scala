@@ -147,6 +147,44 @@ class LabelIndexSpec extends SparkSuite {
       "served twins leaked cached frames")
   }
 
+  test("streaming sink: per-batch appends converge to the batch rebuild; replay is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val all = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    // start from an EMPTY base (the crawl-from-day-one case), stream
+    // the corpus in three batches
+    val idx = tmp("graft-label-stream")
+    DedupOps.writeLabelIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), idx)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.LabelIndexStream.sink(
+      in.toDF().toDF("doc_id", "text"), idx, tmp("graft-label-stream-ck"))
+    try {
+      all.grouped((all.size + 2) / 3).foreach { batch =>
+        in.addData(batch)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val want = DedupOps.withQ43DupClusters(spark, sf)(_.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(servedRows(idx) == want,
+      "streamed appends diverged from the batch closure")
+
+    // at-least-once replay: re-appending an already-sealed batch must
+    // change nothing — not the labels, and (the silent killer) not the
+    // shingle rows later screens verify against
+    val shinglesBefore = spark.read.parquet(s"$idx/shingles").count()
+    DedupOps.appendLabelIndex(
+      all.take(50).toDF("doc_id", "text"), idx)
+    assert(servedRows(idx) == want, "replayed append changed served labels")
+    assert(spark.read.parquet(s"$idx/shingles").count() == shinglesBefore,
+      "replayed append duplicated shingle rows")
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
+
   test("q112 registered form: serve equals the q43 closure (the driver oracle's property)") {
     val got = DedupOps.q112LabelsIndexed(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq

@@ -790,6 +790,51 @@ class TextOpsSpec extends SparkSuite {
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
   }
 
+  test("q113 gate ROC == driver recount; monotone cumulative structure") {
+    import spark.implicits._
+    // independent driver recount: q68 score + q53 cascade verdict per
+    // doc, grouped by distinct score, cumulative from the top
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val rows = Tables.documents(spark, sf)
+      .select($"lang", $"text").collect().map { r =>
+        val toks = r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+        val score = toks.map(t => TextOps.weightComponent(
+          (h32(t) % TextOps.HashDim).toInt)).sum
+        val n = toks.length.toLong
+        val keep = TextOps.YieldLangs.contains(r.getString(0)) &&
+          n >= TextOps.YieldMinTokens && n <= TextOps.YieldMaxTokens &&
+          toks.distinct.length * 100 >= n * TextOps.YieldMinDistinctPct &&
+          toks.count(TextOps.Stopwords.contains) * 100 >= n * TextOps.YieldMinStopPct
+        (score, if (keep) 1L else 0L)
+      }
+    val totalPos = rows.map(_._2).sum
+    val grouped = rows.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toSeq
+      .sortBy(-_._1)
+    var (cumN, cumTp) = (0L, 0L)
+    val expected = grouped.map { case (thr, (n, npos)) =>
+      cumN += n; cumTp += npos
+      (thr, cumN, cumTp, cumN - cumTp,
+        cumTp * 1000000L / cumN,
+        if (totalPos == 0) 0L else cumTp * 1000000L / totalPos)
+    }
+    val got = TextOps.q113GateRoc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // structure: thresholds strictly descending, n_ge strictly
+    // ascending, recall non-decreasing, last row covers the corpus
+    assert(got.map(_._1) == got.map(_._1).sorted.reverse)
+    assert(got.last._2 == rows.length.toLong)
+    assert(got.map(_._6) == got.map(_._6).sorted)
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
+
   test("q109 fertility: per-lang rollup == driver recount of q89 per-doc counts") {
     import spark.implicits._
     val lang = Tables.documents(spark, sf).select($"doc_id", $"lang").collect()
