@@ -37,7 +37,9 @@ class DedupOpsSpec extends SparkSuite {
   }
 
   test("q13 on sf0.001 matches exact all-pairs ground truth") {
-    val rows = DedupOps.q13NeardupPairs(spark, sf).collect()
+    // loan form: the plain form's persist is caller-owned and would
+    // leak into the shared suite session (the round-13/14 lesson)
+    val rows = DedupOps.withQ13NeardupPairs(spark, sf)(_.collect())
     assert(rows.length == 28) // DuckDB exact all-pairs count at >= 0.6
     rows.foreach { r =>
       val (a, b, common, union) =
@@ -231,10 +233,11 @@ class DedupOpsSpec extends SparkSuite {
   }
 
   test("q13 plan has no cartesian/all-pairs join") {
-    val plan = DedupOps.q13NeardupPairs(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+    DedupOps.withQ13NeardupPairs(spark, sf) { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+    }
   }
 
   test("q45 reconciles the lexical and embedding pair relations exactly") {

@@ -27,6 +27,19 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     super.beforeAll()
   }
 
+  /** Suite ISOLATION on the shared session: a test that exercises a
+    * caller-owned plain form (q13's persist convention) without the
+    * loan wrapper leaves its cache behind, and with one JVM-wide
+    * session that leak lands on whichever LATER suite asserts
+    * `cacheIsEmpty` — the round-14 full-run failure mode (DedupOpsSpec
+    * plain forms → every LabelIndexSpec hygiene assert red, all green
+    * in isolation). Per-test asserts still catch intra-suite leaks;
+    * this hook only stops them from crossing suite boundaries. */
+  override protected def afterAll(): Unit = {
+    try spark.catalog.clearCache()
+    finally super.afterAll()
+  }
+
   /** Smallest fixture scale — expected values in the specs were computed
     * independently with DuckDB over the same parquet. */
   val sf = "/root/testdata/sf0.001"
