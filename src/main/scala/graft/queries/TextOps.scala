@@ -2572,9 +2572,12 @@ object TextOps {
         when(keep, 1L).otherwise(0L).as("y"))
       .groupBy($"thr_micro")
       .agg(count(lit(1)).as("n"), sum($"y").as("npos"))
+    // both windows UNPARTITIONED so they stack over one single-partition
+    // exchange of the bounded per-score relation (a partitionBy(lit(1))
+    // variant planned a second, constant-keyed hash exchange)
     val down = Window.orderBy($"thr_micro".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.partitionBy(lit(1))
+    val whole = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     perScore
       .withColumn("n_ge", sum($"n").over(down))

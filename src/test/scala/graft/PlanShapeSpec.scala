@@ -636,6 +636,24 @@ class PlanShapeSpec extends SparkSuite {
     } finally handles.foreach(_.unpersist())
   }
 
+  test("q113: zero joins; one corpus aggregate; windows only over the distinct-score relation") {
+    // un-settled plan string on purpose: the adaptive final-plan string
+    // re-prints the initial plan and double-counts every exchange
+    val p = plan(TextOps.q113GateRoc(spark, sf))
+    // the (score, label) pass is pure narrow arithmetic — any join here
+    // means the gate conjunction or the score picked up a relation
+    assert(!p.contains("Join"), s"q113 must not join:\n$p")
+    // exactly one hash exchange: the corpus -> distinct-score aggregate;
+    // the cumulative windows and output sort run AFTER it, over the
+    // bounded per-score relation only (the q94 rule)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"score aggregate shuffled more than once:\n$p")
+    // the two cumulative windows stack over ONE single-partition pass
+    // of the bounded per-score relation
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) <= 1,
+      s"windows split into multiple single-partition stages:\n$p")
+  }
+
   test("q48: the funnel scan is a single hash shuffle") {
     // the claimed advantage over the k-self-join shape — pin it
     val p = plan(AnalyticsOps.q48Funnel(spark, sf))
