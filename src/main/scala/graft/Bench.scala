@@ -117,6 +117,21 @@ object Bench {
       serveOnly("q83_hybrid_indexed") =
         (s, d) => queries.RetrievalOps.q83ServeHybrid(s, d, p)
     }
+    if (selNames("q62_delta_dedup")) {
+      val p = buildDir("graft-bench-dedup")
+      phase("q62_build") {
+        import spark.implicits._
+        queries.DedupOps.writeDedupIndex(Tables.documents(spark, sfDir)
+          .filter($"doc_id" % queries.DedupOps.DeltaMod =!=
+            queries.DedupOps.DeltaRem), p)
+      }
+      serveOnly("q62_delta_dedup") = (s, d) => {
+        import s.implicits._
+        queries.DedupOps.deltaScreen(s, p, Tables.documents(s, d)
+          .filter($"doc_id" % queries.DedupOps.DeltaMod ===
+            queries.DedupOps.DeltaRem))
+      }
+    }
     if (selNames("q84_trained_ann")) {
       val p = buildDir("graft-bench-trained")
       phase("q84_train")(queries.SimilarityOps.trainIvfPq(

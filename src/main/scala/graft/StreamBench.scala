@@ -283,6 +283,72 @@ object StreamBench {
     * docs, the rest novel 40-token docs) runs through BOTH stages.
     * Reports docs/sec per stage plus the reject/excision counts
     * (sanity: the planted re-fetches must be rejected and scrubbed). */
+  /** `SPARK_GRAFT_STREAM_MODE=labels` — throughput probe for
+    * [[graft.streaming.LabelIndexStream]]: the neardup generator's
+    * corpus (5000-token vocabulary, ~10% one-token-edit near-dups of
+    * an earlier doc) streamed through the label-index maintenance sink
+    * from an EMPTY base. Reports docs/sec end to end (screen +
+    * mini-closure + four artifact writes + manifest flip per
+    * micro-batch) and the served family-label count (sanity > 0). */
+  private def labelsMode(spark: SparkSession): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "50000").trim.toInt
+    val filesPerTrigger =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "5").trim.toInt
+    val dir = Files.createTempDirectory("graft-lbbench")
+    val rnd = new scala.util.Random(42)
+    val vocab = Array.tabulate(5000)(i => s"v$i")
+    val recent = new scala.collection.mutable.ArrayBuffer[Array[String]]
+    val perFile = 10000
+    var id = 0L
+    var written = 0
+    while (written < nDocs) {
+      val count = math.min(perFile, nDocs - written)
+      val sb = new StringBuilder(count * 300)
+      var i = 0
+      while (i < count) {
+        id += 1
+        val toks =
+          if (recent.nonEmpty && rnd.nextInt(10) == 0) {
+            val base = recent(rnd.nextInt(recent.size)).clone()
+            base(rnd.nextInt(base.length)) = vocab(rnd.nextInt(vocab.length))
+            base
+          } else {
+            val t = Array.fill(40)(vocab(rnd.nextInt(vocab.length)))
+            if (recent.size < 4096) recent += t
+            t
+          }
+        sb.append(s"""{"doc_id":$id,"text":"${toks.mkString(" ")}"}""")
+          .append('\n')
+        i += 1
+      }
+      Files.writeString(dir.resolve(f"part-$written%09d.json"), sb.result())
+      written += count
+    }
+    val idx = Files.createTempDirectory("graft-lbbench-idx").toString
+    locally {
+      import spark.implicits._
+      graft.queries.DedupOps.writeLabelIndex(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), idx)
+    }
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .json(dir.toString)
+    val t0 = System.nanoTime()
+    val q = graft.streaming.LabelIndexStream.sink(docs, idx,
+      Files.createTempDirectory("graft-lbbench-ckpt").toString)
+    q.processAllAvailable()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    val labels = graft.queries.DedupOps.labelsServe(spark, idx).count()
+    val line =
+      s"""{"metric":"stream_labels_docs_per_sec","value":${f1(nDocs / wall)},"unit":"rows/sec","n_docs":$nDocs,"wall_sec":${f1(wall)},"micro_batches":$batches,"family_labels":$labels}"""
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/stream_bench.json"), line + "\n")
+    println(line)
+  }
+
   private def scrubMode(spark: SparkSession): Unit = {
     import spark.implicits._
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "100000").trim.toInt
@@ -397,6 +463,10 @@ object StreamBench {
     }
     if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("scrub")) {
       scrubMode(spark)
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("labels")) {
+      labelsMode(spark)
       return
     }
 
