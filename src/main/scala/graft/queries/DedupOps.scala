@@ -1393,14 +1393,34 @@ object DedupOps {
     * deployment that accretes a long journal folds it away with
     * [[compactLabelIndex]]. Labels not touched by any merge pass
     * through a broadcast left join + coalesce. */
-  def labelsServe(spark: SparkSession, path: String): DataFrame = {
+  def labelsServe(spark: SparkSession, path: String): DataFrame =
+    labelsServeAt(spark, path, Long.MaxValue)
+
+  /** TIME-TRAVEL serve: the family labels exactly as [[labelsServe]]
+    * returned them when generation `asOfGen` was the committed head —
+    * the reproducibility read a training pipeline needs to answer
+    * "which labels (and therefore which q104 split) did the run that
+    * trained model X use?". Appends are monotone (label rows and remap
+    * rows only accrue, never rewrite), so truncating both artifacts at
+    * `asOfGen` reconstructs the historical state bit for bit
+    * (spec-pinned against serves captured between appends). History
+    * reaches back to the window's floor: a compaction folds everything
+    * at or below its flip into one generation, so earlier points are
+    * no longer addressable — the documented trade of reclaiming
+    * replaced generations. */
+  def labelsServeAt(
+      spark: SparkSession, path: String, asOfGen: Long): DataFrame = {
     import spark.implicits._
     val (lo, hi) = GenerationManifest.window(path)
+    require(asOfGen >= lo,
+      s"asOfGen=$asOfGen predates the window floor $lo — generations " +
+        "before a compaction flip are reclaimed and not addressable")
+    val g = math.min(asOfGen, hi)
     val labels = spark.read.parquet(s"$path/labels")
-      .filter(col("gen").between(lo, hi))
+      .filter(col("gen").between(lo, g))
       .select(col("doc_id"), col("cluster_id"))
     val remapRows = spark.read.parquet(s"$path/remaps")
-      .filter(col("gen").between(lo, hi))
+      .filter(col("gen").between(lo, g))
       .select(col("old_root"), col("new_root"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     if (remapRows.isEmpty) labels

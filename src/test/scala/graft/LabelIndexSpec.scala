@@ -185,6 +185,38 @@ class LabelIndexSpec extends SparkSuite {
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
   }
 
+  test("time-travel serve: labelsServeAt reconstructs every historical head bit for bit") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val thirds = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .grouped(167).toSeq
+    val idx = tmp("graft-label-asof")
+    DedupOps.writeLabelIndex(thirds(0).toSeq.toDF("doc_id", "text"), idx)
+    val snapshots = scala.collection.mutable.Buffer(servedRows(idx))
+    thirds.drop(1).foreach { b =>
+      DedupOps.appendLabelIndex(b.toSeq.toDF("doc_id", "text"), idx)
+      snapshots += servedRows(idx)
+    }
+    // merges must actually have happened for the probe to bite
+    val (lo, hi) = graft.queries.GenerationManifest.window(idx)
+    assert(hi - lo >= 2, "fixture produced too few generations")
+    snapshots.zipWithIndex.foreach { case (snap, i) =>
+      val got = DedupOps.labelsServeAt(spark, idx, lo + i)
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == snap, s"as-of generation ${lo + i} drifted from the live capture")
+    }
+    // beyond-head clamps to the current serve; pre-floor refuses loudly
+    assert(DedupOps.labelsServeAt(spark, idx, 999L)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == snapshots.last)
+    DedupOps.compactLabelIndex(spark, idx)
+    intercept[IllegalArgumentException] {
+      DedupOps.labelsServeAt(spark, idx, lo)
+    }
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
+
   test("q112 registered form: serve equals the q43 closure (the driver oracle's property)") {
     val got = DedupOps.q112LabelsIndexed(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
