@@ -2443,9 +2443,16 @@ object TextOps {
     try {
       var w = Seq.fill(featDim)(0L)
       val rows = (1 to epochs + 1).map { epoch =>
-        val wl = typedlit(w)
+        // weights arrive as a BROADCAST 1-row parameter table, not a
+        // literal: a typedlit(w) bakes each epoch's weights into the
+        // generated code, so every epoch compiles a FRESH wide
+        // aggregate (measured: warm bench samples stuck at ~5 s — no
+        // JIT benefit across calls). With a parameter column the plan
+        // and its generated source are identical across epochs and the
+        // codegen cache hits; only the 1-row broadcast changes.
+        val wDf = Seq(Tuple1(w)).toDF("w")
         val score = aggregate(
-          zip_with($"x", wl, (xi, wi) => xi * wi), lit(0L), _ + _)
+          zip_with($"x", $"w", (xi, wi) => xi * wi), lit(0L), _ + _)
         val miscl = $"y" * score <= 0
         def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
         val confCols = Seq(
@@ -2456,7 +2463,8 @@ object TextOps {
         val deltaCols = (0 until featDim).map(i =>
           sum(when(miscl, $"y" * element_at($"x", i + 1)).otherwise(0L))
             .as(s"d$i"))
-        val r = feat.agg(confCols.head, (confCols.tail ++ deltaCols): _*)
+        val r = feat.crossJoin(broadcast(wDf))
+          .agg(confCols.head, (confCols.tail ++ deltaCols): _*)
           .collect().head
         if (epoch <= epochs)
           w = w.zipWithIndex.map { case (wi, i) => wi + r.getLong(4 + i) }
