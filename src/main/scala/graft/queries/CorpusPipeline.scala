@@ -115,6 +115,12 @@ object CorpusPipeline {
       s"neardupThreshold=$neardupThreshold is below the recall knee of " +
         "the default 16x4 LSH banding (candidate P = 1-(1-j^rows)^bands); " +
         "supply lshBands/lshRows tuned for the lower threshold")
+    // the label index only replaces the CLUSTER-mode dedup stage; the
+    // pairwise path would silently recompute the corpus-wide pair build
+    // while the caller believes the sealed index is serving
+    require(labelIndexPath.isEmpty || clusterNeardups,
+      "labelIndexPath is only consumed by the cluster-dedup stage — " +
+        "set clusterNeardups = true (the pairwise path never reads it)")
   }
 
   /** Run `f` over the prepared corpus, then release the pipeline's

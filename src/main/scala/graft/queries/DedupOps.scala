@@ -1426,8 +1426,19 @@ object DedupOps {
     if (remapRows.isEmpty) labels
     else {
       val m = remapRows.toMap
-      // acyclic by construction (new_root < old_root): compress chains
-      def resolve(x: Long): Long = m.get(x).map(resolve).getOrElse(x)
+      // acyclic by construction (new_root < old_root): compress chains.
+      // Iterative + memoized — a recursive fold would stack-overflow on
+      // an adversarially long uncompacted dethronement chain, and
+      // without memoization chain folding is O(chain²) across keys.
+      val resolved = scala.collection.mutable.HashMap.empty[Long, Long]
+      def resolve(x0: Long): Long = {
+        var x = x0
+        val path = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (!resolved.contains(x) && m.contains(x)) { path += x; x = m(x) }
+        val root = resolved.getOrElse(x, x)
+        path.foreach(resolved.update(_, root))
+        root
+      }
       val flat = m.keys.map(k => (k, resolve(k))).toSeq
         .toDF("old_root", "new_root")
       labels

@@ -711,9 +711,12 @@ object SimilarityOps {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
-      if (Files.exists(dir))
-        Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+      if (Files.exists(dir)) {
+        val s = Files.walk(dir)
+        try s.sorted(Comparator.reverseOrder[Path]())
           .forEach(p => Files.deleteIfExists(p))
+        finally s.close()
+      }
     }))
     dir.toString
   }

@@ -1800,14 +1800,18 @@ object TextOps {
     * counting) with the standard incremental bookkeeping: a pair →
     * word-ids index confines each merge's recount to the words that
     * contain it, so a merge costs O(affected words), not O(vocab).
-    * Initial symbols are per-character (the `(.)` wrapper rule; BMP
-    * text — the fixture and `toks` output are ASCII). */
+    * Initial symbols are per CODE POINT — the `(.)` wrapper rule both
+    * Spark paths apply (Java regex `.` consumes a whole surrogate
+    * pair), so non-BMP text (emoji, rare CJK) trains the same merge
+    * table on every path; a per-`char` split would shear surrogate
+    * pairs here and only here. */
   private[graft] def bpeTrainLocal(
       words: Seq[(String, Long)],
       merges: Int): Seq[(Int, String, String, Long)] = {
     import scala.collection.mutable
     val syms = words.map { case (w, _) =>
-      w.map(_.toString).toVector }.toArray
+      w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toVector }.toArray
     val freq = words.map(_._2).toArray
     val counts = mutable.Map.empty[(String, String), Long]
     val where = mutable.Map.empty[(String, String), mutable.Set[Int]]
