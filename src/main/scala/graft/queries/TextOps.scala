@@ -2549,6 +2549,12 @@ object TextOps {
   }
   // ---------------------------------------------------------------- q113
 
+  /** Score-axis shard count for [[q113GateRoc]]'s two-phase prefix
+    * sums. 32 matches the fixture parallelism; a 1000-executor
+    * deployment raises it — balance, never correctness, is at stake
+    * (any contiguous cut yields the identical table). */
+  val RocShards = 32
+
   /** q113 — gate CALIBRATION sweep: the textbook ROC/precision-recall
     * table of the q68 hashed-linear gate scored against the q53 rule
     * cascade's verdicts, one row per DISTINCT score threshold. Closes
@@ -2560,15 +2566,26 @@ object TextOps {
     * from the top score down, precision/recall in exact ppm via
     * integer division.
     *
-    * Scale shape: one narrow codegen'd pass computes (score, label)
-    * per row — q68's zero-shuffle arithmetic plus q53's gate
-    * conjunction, no joins; ONE hash aggregate keys the corpus down to
-    * the distinct-score relation; the cumulative windows then run over
-    * THAT bounded relation (the q94 rule: the only single-partition
-    * stage is a distinct-values window, never the corpus — a
-    * deployment with adversarially many distinct scores buckets them
-    * first, same table one knob coarser). */
-  def q113GateRoc(spark: SparkSession, dir: String): DataFrame = {
+    * Scale shape — the round-15 TWO-PHASE form (the r14 audit showed
+    * the distinct-score relation is NOT bounded for this score
+    * function: integer micro-unit sums are effectively one per
+    * document, so the previous unpartitioned windows funneled
+    * ~corpus-cardinality rows through one partition). One narrow
+    * codegen'd pass computes (score, label) per row — q68's
+    * zero-shuffle arithmetic plus q53's gate conjunction; ONE hash
+    * aggregate keys the corpus down to the distinct-score relation
+    * (materialized once, lineage broken); then the q59 prefix-sum
+    * decomposition: approximate quantiles cut the score axis into
+    * [[RocShards]] contiguous ranges, each shard's cumulative sums run
+    * under a SHARD-PARTITIONED window, and the exclusive per-shard
+    * offsets — a ≤[[RocShards]]-row relation, the only
+    * single-partition stage — broadcast back. The output is IDENTICAL
+    * for ANY contiguous cut of the axis (offsets re-add exactly what
+    * partitioning removed), so boundary placement affects balance
+    * only, never the table — the oracle needs no matching shard
+    * logic. */
+  def q113GateRoc(
+      spark: SparkSession, dir: String, shards: Int = RocShards): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val t = toks($"text")
@@ -2579,22 +2596,46 @@ object TextOps {
         nTok * YieldMinDistinctPct &&
       size(filter(t, x => x.isInCollection(Stopwords))).cast("long") * 100 >=
         nTok * YieldMinStopPct
+    // localCheckpoint, not persist: three consumers (boundaries, shard
+    // totals, ranked output) must not re-pay the corpus pass, and the
+    // registered form returns a live frame — caller-owned unpersist
+    // has no seam here (the q111 eager class)
     val perScore = Tables.documents(spark, dir)
       .select(linearScoreMicro($"text").as("thr_micro"),
         when(keep, 1L).otherwise(0L).as("y"))
       .groupBy($"thr_micro")
       .agg(count(lit(1)).as("n"), sum($"y").as("npos"))
-    // both windows UNPARTITIONED so they stack over one single-partition
-    // exchange of the bounded per-score relation (a partitionBy(lit(1))
-    // variant planned a second, constant-keyed hash exchange)
-    val down = Window.orderBy($"thr_micro".desc)
+      .localCheckpoint(true)
+    // shard boundaries: S−1 approximate quantiles of the distinct-score
+    // relation (balanced in expectation; ANY values would be correct)
+    val probs = (1 until shards).map(_.toDouble / shards)
+    val bounds: Seq[Long] = Option(
+      perScore.select(expr(
+        s"approx_percentile(thr_micro, array(${probs.mkString(", ")}), 10000)"))
+        .collect().head.getSeq[Long](0)).getOrElse(Seq.empty)
+    // shard index monotone DECREASING in score: top scores in shard 0,
+    // so ascending-shard exclusive offsets are exactly the mass ABOVE
+    val shardOf = size(filter(
+      typedlit(bounds.distinct.sorted), b => $"thr_micro" < b))
+    val down = Window.partitionBy($"shard").orderBy($"thr_micro".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perScore.withColumn("shard", shardOf)
+      .withColumn("cn", sum($"n").over(down))
+      .withColumn("cp", sum($"npos").over(down))
+    val upTo = Window.orderBy($"shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val whole = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    perScore
-      .withColumn("n_ge", sum($"n").over(down))
-      .withColumn("tp", sum($"npos").over(down))
-      .withColumn("total_pos", sum($"npos").over(whole))
+    val offsets = perScore.withColumn("shard", shardOf)
+      .groupBy($"shard")
+      .agg(sum($"n").as("sn"), sum($"npos").as("sp"))
+      .withColumn("off_n", coalesce(sum($"sn").over(upTo), lit(0L)))
+      .withColumn("off_p", coalesce(sum($"sp").over(upTo), lit(0L)))
+      .withColumn("total_pos", sum($"sp").over(whole))
+      .select($"shard", $"off_n", $"off_p", $"total_pos")
+    ranked.join(broadcast(offsets), "shard")
+      .withColumn("n_ge", $"off_n" + $"cn")
+      .withColumn("tp", $"off_p" + $"cp")
       .select($"thr_micro", $"n_ge", $"tp", ($"n_ge" - $"tp").as("fp"),
         expr("tp * 1000000 div n_ge").as("precision_ppm"),
         when($"total_pos" === 0L, 0L)

@@ -636,22 +636,23 @@ class PlanShapeSpec extends SparkSuite {
     } finally handles.foreach(_.unpersist())
   }
 
-  test("q113: zero joins; one corpus aggregate; windows only over the distinct-score relation") {
+  test("q113: sharded cumulative windows; single-partition only for the shard-offset relation") {
     // un-settled plan string on purpose: the adaptive final-plan string
     // re-prints the initial plan and double-counts every exchange
     val p = plan(TextOps.q113GateRoc(spark, sf))
-    // the (score, label) pass is pure narrow arithmetic — any join here
-    // means the gate conjunction or the score picked up a relation
-    assert(!p.contains("Join"), s"q113 must not join:\n$p")
-    // exactly one hash exchange: the corpus -> distinct-score aggregate;
-    // the cumulative windows and output sort run AFTER it, over the
-    // bounded per-score relation only (the q94 rule)
-    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
-      s"score aggregate shuffled more than once:\n$p")
-    // the two cumulative windows stack over ONE single-partition pass
-    // of the bounded per-score relation
+    // the r14 audit's scale defect: the distinct-score relation is
+    // ~one row per document, so its cumulative sums must run SHARDED —
+    // a shard-keyed window exchange proves the two-phase form is live
+    assert(p.contains("hashpartitioning(shard"),
+      s"q113 cumulative windows are not shard-partitioned:\n$p")
+    // the only single-partition stage is the <=RocShards-row offset
+    // prefix sum (plus nothing else — the corpus never funnels)
     assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) <= 1,
-      s"windows split into multiple single-partition stages:\n$p")
+      s"more than the bounded offset stage runs single-partition:\n$p")
+    // offsets rejoin by BROADCAST — a sort-merge here would shuffle the
+    // per-score relation a second time for a <=RocShards-row dimension
+    assert(p.contains("BroadcastHashJoin"), s"q113 lost the offsets broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q113 offsets degraded to sort-merge:\n$p")
   }
 
   test("q48: the funnel scan is a single hash shuffle") {
