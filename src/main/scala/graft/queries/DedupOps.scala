@@ -1120,10 +1120,18 @@ object DedupOps {
     * candidate count, never |delta| × |base|. Within-delta dups are out
     * of scope by design — that's [[neardupPairs]] over the delta (batch)
     * or the streaming screen; the incremental question this answers is
-    * "which NEW docs already exist in the sealed corpus". */
+    * "which NEW docs already exist in the sealed corpus".
+    *
+    * `asOfGen` (default: the head) screens against the index EXACTLY
+    * as it stood when that generation was the committed head
+    * ([[GenerationManifest.windowAt]]) — "would this doc have been
+    * flagged by the run that sealed generation g?" is one partition
+    * filter, the same protocol-level time travel as `labelsServeAt`
+    * and `bm25SearchIndex`. */
   def deltaScreen(
       spark: SparkSession, indexPath: String, deltaDocs: DataFrame,
-      threshold: Double = 0.6, bands: Int = 16, rows: Int = 4): DataFrame = {
+      threshold: Double = 0.6, bands: Int = 16, rows: Int = 4,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
     // Same diamond as neardupBuild: the delta's shingle frame feeds the
     // signature aggregate AND the verify join — persist or re-scan the
     // delta text per consumer. The cache lives until the session drops
@@ -1131,7 +1139,7 @@ object DedupOps {
     // [[withDeltaScreen]] so each batch's cache is released eagerly.
     val exD = shingleHashes(deltaDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    deltaScreenFrom(spark, indexPath, exD, threshold, bands, rows)
+    deltaScreenFrom(spark, indexPath, exD, threshold, bands, rows, asOfGen)
   }
 
   /** Loan form of [[deltaScreen]]: run `use` over the screen result,
@@ -1152,11 +1160,13 @@ object DedupOps {
 
   private def deltaScreenFrom(
       spark: SparkSession, indexPath: String, exD: DataFrame,
-      threshold: Double, bands: Int, rows: Int): DataFrame = {
-    // scope both artifact scans to the committed window (partition
-    // filters): an in-flight append's uncommitted generation and a
-    // committed compaction's replaced history are never even listed
-    val (lo, hi) = GenerationManifest.window(indexPath)
+      threshold: Double, bands: Int, rows: Int,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
+    // scope both artifact scans to the committed window truncated at
+    // the as-of point (partition filters): an in-flight append's
+    // uncommitted generation, a committed compaction's replaced
+    // history, and any post-as-of generation are never even listed
+    val (lo, hi) = GenerationManifest.windowAt(indexPath, asOfGen)
     val bucketsB = spark.read.parquet(s"$indexPath/buckets")
       .filter(col("gen").between(lo, hi))
       .select(col("pos"), col("bh"),
@@ -1411,11 +1421,7 @@ object DedupOps {
   def labelsServeAt(
       spark: SparkSession, path: String, asOfGen: Long): DataFrame = {
     import spark.implicits._
-    val (lo, hi) = GenerationManifest.window(path)
-    require(asOfGen >= lo,
-      s"asOfGen=$asOfGen predates the window floor $lo — generations " +
-        "before a compaction flip are reclaimed and not addressable")
-    val g = math.min(asOfGen, hi)
+    val (lo, g) = GenerationManifest.windowAt(path, asOfGen)
     val labels = spark.read.parquet(s"$path/labels")
       .filter(col("gen").between(lo, g))
       .select(col("doc_id"), col("cluster_id"))
@@ -1751,9 +1757,12 @@ object DedupOps {
 
   /** The served phrase relation: window-scoped scan + the associative
     * min/mx merge across generations (a phrase appended twice must
-    * present ONE row with holders from both). */
-  private def phraseBank(spark: SparkSession, path: String): DataFrame = {
-    val (lo, hi) = GenerationManifest.window(path)
+    * present ONE row with holders from both). `asOfGen` truncates to
+    * the historical head (the protocol-level time travel). */
+  private def phraseBank(
+      spark: SparkSession, path: String,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
+    val (lo, hi) = GenerationManifest.windowAt(path, asOfGen)
     spark.read.parquet(s"$path/phrases")
       .filter(col("gen").between(lo, hi))
       .groupBy(col("gh"))
@@ -1785,10 +1794,11 @@ object DedupOps {
     * precedent). */
   def scrubAgainst(
       spark: SparkSession, indexPath: String, docs: DataFrame,
-      l: Int = ExciseTokens, selfExclude: Boolean = true): DataFrame = {
+      l: Int = ExciseTokens, selfExclude: Boolean = true,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
     val toks = docTokens(docs)
     val hits = windowHashes(toks, l)
-      .join(phraseBank(spark, indexPath), "gh")
+      .join(phraseBank(spark, indexPath, asOfGen), "gh")
     val marked = (if (selfExclude)
       hits.filter(!(col("mn") === col("doc_id") && col("mx") === col("doc_id")))
     else hits)

@@ -58,6 +58,25 @@ private[graft] object GenerationManifest {
     }
   }
 
+  /** The committed window truncated at `asOfGen` — the TIME-TRAVEL
+    * read shared by every generation family (round 15 generalizes the
+    * label index's `labelsServeAt` to protocol level): appends are
+    * monotone (generations only accrue below the head, never rewrite),
+    * so scoping a serve to `[lo, min(asOfGen, hi)]` reconstructs the
+    * result any reader saw when `asOfGen` was the committed head, bit
+    * for bit. History reaches back to the window's floor: a compaction
+    * folds everything at or below its flip into one generation, so
+    * earlier points are no longer addressable — the documented trade
+    * of reclaiming replaced generations. */
+  def windowAt(path: String, asOfGen: Long): (Long, Long) = {
+    val (lo, hi) = window(path)
+    require(asOfGen >= lo,
+      s"asOfGen=$asOfGen predates the window floor $lo at $path — " +
+        "generations before a compaction flip are reclaimed and not " +
+        "addressable")
+    (lo, math.min(asOfGen, hi))
+  }
+
   /** Atomically flip the manifest: write `_GENERATION.tmp`, rename
     * over `_GENERATION` (`FileContext` rename with OVERWRITE — atomic
     * on the local FS and on HDFS). The rename is the ONLY point a

@@ -426,9 +426,18 @@ object RetrievalOps {
     * index, so the second scan is noise next to the corpus scan it
     * replaces; a serving deployment pins the pruned buckets in memory
     * anyway.
+    *
+    * `asOfGen` (default: the head) is the protocol-level TIME-TRAVEL
+    * read ([[GenerationManifest.windowAt]]): postings truncate to the
+    * historical window and the cumulative `_stats` row is read AT
+    * that generation, so the serve replays bit for bit what a reader
+    * saw when `asOfGen` was the committed head — `labelsServeAt`'s
+    * reproducibility contract generalized to retrieval (round 15).
     */
-  def bm25SearchIndex(spark: SparkSession, path: String): DataFrame = {
-    val pruned = prunedPostings(spark, path)
+  def bm25SearchIndex(
+      spark: SparkSession, path: String,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
+    val pruned = prunedPostings(spark, path, asOfGen)
     val perDoc = pruned.groupBy(col("doc_id"), col("dl"))
       .agg(
         sum(when(col("token") === AllTerms.head, col("tf")).otherwise(0L))
@@ -436,7 +445,7 @@ object RetrievalOps {
         AllTerms.tail.map(t =>
           sum(when(col("token") === t, col("tf")).otherwise(0L))
             .as(s"tf_$t")): _*)
-    scoreAndRank(perDoc, indexStats(spark, path))
+    scoreAndRank(perDoc, indexStats(spark, path, asOfGen))
   }
 
   /** The query terms' postings, partition-pruned to their buckets and
@@ -444,13 +453,17 @@ object RetrievalOps {
     * hi` — also partition filters, so an in-flight append's
     * uncommitted files AND a committed compaction's replaced
     * generations are never even listed into the scan). */
-  private def prunedPostings(spark: SparkSession, path: String): DataFrame = {
+  private def prunedPostings(
+      spark: SparkSession, path: String,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
     val bucketPred = AllTerms
       .map(t => col("bucket") === pmod(xxhash64(lit(t)), lit(IndexBuckets)))
       .reduce(_ || _)
-    val (lo, hi) = generationWindow(path)
+    // truncated at the as-of point: generations after it are never
+    // even listed into the scan (time travel is one partition filter)
+    val (lo, g) = GenerationManifest.windowAt(path, asOfGen)
     spark.read.parquet(path)
-      .filter(col("gen").between(lo, hi) &&
+      .filter(col("gen").between(lo, g) &&
         bucketPred && col("token").isin(AllTerms: _*))
   }
 
@@ -458,8 +471,10 @@ object RetrievalOps {
     * totals × per-term df derived from the pruned postings — the
     * frozen-statistics relation both the batch serving path and the
     * streaming standing-query scorer read. */
-  private[graft] def indexStats(spark: SparkSession, path: String): DataFrame = {
-    val pruned = prunedPostings(spark, path)
+  private[graft] def indexStats(
+      spark: SparkSession, path: String,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
+    val pruned = prunedPostings(spark, path, asOfGen)
     val dfRow = pruned.agg(
       sum((col("token") === AllTerms.head).cast("long"))
         .as(s"df_${AllTerms.head}"),
@@ -468,10 +483,12 @@ object RetrievalOps {
       // absent terms aggregate to NULL on an empty slice; df 0 is the
       // correct value and keeps the idf finite
       .na.fill(0L)
-    // stats are cumulative totals — exactly the committed generation's
-    // row is current (older rows are the pre-append history)
+    // stats are cumulative totals — exactly the AS-OF generation's row
+    // is current (older rows are the pre-append history, newer ones
+    // the post-as-of future)
     spark.read.parquet(s"$path/_stats")
-      .filter(col("gen") === currentGeneration(path)).drop("gen")
+      .filter(col("gen") === GenerationManifest.windowAt(path, asOfGen)._2)
+      .drop("gen")
       .crossJoin(broadcast(dfRow))
   }
 
@@ -889,9 +906,12 @@ object RetrievalOps {
     * tf reassembly, df derived from the pruned postings — keyed by
     * (doc_id, chunk_idx), scored through the SHARED
     * [[passageScoreAndRank]]: row-identical to q85 on the same corpus
-    * by construction. */
-  def passageSearchIndex(spark: SparkSession, path: String): DataFrame = {
-    val pruned = prunedPostings(spark, path)
+    * by construction. `asOfGen` time-travels exactly as
+    * [[bm25SearchIndex]]'s does. */
+  def passageSearchIndex(
+      spark: SparkSession, path: String,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
+    val pruned = prunedPostings(spark, path, asOfGen)
     val perChunk = pruned
       .groupBy(col("doc_id"), col("chunk_idx"), col("dl"))
       .agg(
@@ -900,7 +920,7 @@ object RetrievalOps {
         AllTerms.tail.map(t =>
           sum(when(col("token") === t, col("tf")).otherwise(0L))
             .as(s"tf_$t")): _*)
-    passageScoreAndRank(perChunk, indexStats(spark, path))
+    passageScoreAndRank(perChunk, indexStats(spark, path, asOfGen))
   }
 
   /** q87 — q85's passage retrieval served from the on-disk passage

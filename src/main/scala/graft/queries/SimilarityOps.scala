@@ -381,14 +381,17 @@ object SimilarityOps {
       probes: Seq[(Long, Seq[Double])],
       centroids: Seq[Seq[Double]],
       k: Int = 10,
-      numProbedCells: Int = NumProbedCells): DataFrame = {
+      numProbedCells: Int = NumProbedCells,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val probeRows = probes.flatMap { case (id, e) =>
       probeCells(e, centroids, numProbedCells).map(c => (id, e, c))
     }
     val wantedCells = probeRows.map(_._3).distinct.sorted
     val probesDf = probeRows.toDF("probe_id", "p_emb", "cell")
-    val (lo, hi) = GenerationManifest.window(indexPath)
+    // asOfGen: serve the index as it stood at that committed head —
+    // the protocol-level time travel (GenerationManifest.windowAt)
+    val (lo, hi) = GenerationManifest.windowAt(indexPath, asOfGen)
     val idx = spark.read.parquet(indexPath)
       .filter($"cell".isin(wantedCells: _*) && $"gen".between(lo, hi))
     val scored = idx
@@ -1499,7 +1502,8 @@ object SimilarityOps {
       path: String,
       probes: Seq[(Long, Seq[Double])],
       k: Int = 10,
-      numProbedCells: Int = NumProbedCells): DataFrame = {
+      numProbedCells: Int = NumProbedCells,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val centroids = readQuantizer(spark, path)
     val books = readPqQuantizer(spark, s"$path/_pq")
@@ -1524,7 +1528,9 @@ object SimilarityOps {
     }
     val wantedCells = probeRows.map(_._2).distinct.sorted
     val probesDf = probeRows.toDF("probe_id", "cell", "adc_off", "t")
-    val (winLo, winHi) = GenerationManifest.window(path)
+    // asOfGen: serve the index as it stood at that committed head —
+    // the protocol-level time travel (GenerationManifest.windowAt)
+    val (winLo, winHi) = GenerationManifest.windowAt(path, asOfGen)
     val idx = spark.read.parquet(path)
       .filter($"cell".isin(wantedCells: _*) && $"gen".between(winLo, winHi))
     // left-associated fold STARTING at the offset — the same grouping
