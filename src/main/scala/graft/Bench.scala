@@ -169,6 +169,29 @@ object Bench {
       serveOnly("q80_contrastive") =
         (s, d) => queries.SimilarityOps.contrastiveServed(s, d, p)
     }
+    // The gate model serves TWO queries off one train (q114 scoring +
+    // q116 calibration); the BPE model serves q115's encode. The
+    // registered forms re-pay train+persist per call for the oracle;
+    // a deployment trains once per seal (the q112 argument applied to
+    // models). Serving paths are the same functions the registered
+    // forms compose, spec-pinned identical in ModelStoreSpec.
+    val gateConsumers = Set("q114_gate_served", "q116_roc_served")
+    if (gateConsumers.exists(selNames)) {
+      val p = buildDir("graft-bench-gate-model")
+      phase("q114_train")(
+        queries.TextOps.writeGateModel(Tables.documents(spark, sfDir), p))
+      serveOnly("q114_gate_served") =
+        (s, d) => queries.TextOps.gateScoreServed(s, d, p)
+      serveOnly("q116_roc_served") =
+        (s, d) => queries.TextOps.gateRocServed(s, d, p)
+    }
+    if (selNames("q115_bpe_served")) {
+      val p = buildDir("graft-bench-bpe-model")
+      phase("q115_train")(
+        queries.TextOps.writeBpeModel(Tables.documents(spark, sfDir), p))
+      serveOnly("q115_bpe_served") =
+        (s, d) => queries.TextOps.bpeEncodeServed(s, d, p)
+    }
     val selected = registered.map { case (n, fn) =>
       (n, serveOnly.getOrElse(n, fn))
     }

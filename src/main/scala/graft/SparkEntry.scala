@@ -158,6 +158,14 @@ object SparkEntry {
     // convention); the bench times the serving path under a build phase.
     "q112_labels_indexed"  -> ((s, d) => DedupOps.q112LabelsIndexed(s, d)),
     "q113_gate_roc"        -> ((s, d) => TextOps.q113GateRoc(s, d)),
+    // q114/q115/q116 are EAGER and re-pay train+persist into a temp
+    // dir per call (the q112 convention for MODELS): train in-engine,
+    // write the artifact, reload it, score/encode/calibrate with the
+    // LOADED model — the oracle retrains independently in SQL, so the
+    // driver verifies train = persist = load = serve end to end.
+    "q114_gate_served"     -> ((s, d) => TextOps.q114GateServed(s, d)),
+    "q115_bpe_served"      -> ((s, d) => TextOps.q115BpeServed(s, d)),
+    "q116_roc_served"      -> ((s, d) => TextOps.q116RocServed(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -634,5 +642,13 @@ object SparkEntry {
     // delta-append must hash-match the FULL-corpus q43 closure.
     "q112_labels_indexed" -> DedupOps.q112OracleSql,
     "q113_gate_roc" -> TextOps.q113OracleSql,
+    // The model loop through the artifact: the oracle RETRAINS in SQL
+    // (the shared training CTEs) and reads the same deploy point —
+    // pocket-weight scoring (q114), trained-table encode via a
+    // list_reduce fold (q115), served calibration (q116). Equality is
+    // the train = persist = load = serve theorem.
+    "q114_gate_served" -> TextOps.q114OracleSql(),
+    "q115_bpe_served" -> TextOps.q115OracleSql(),
+    "q116_roc_served" -> TextOps.q116OracleSql(),
   )
 }

@@ -787,8 +787,6 @@ object TextOps {
     val v2 = (a * v1 + c) % m
     math.floor((v2.toDouble / m - 0.5) * 2e6).toLong
   }
-  private def weightLit: Column =
-    typedlit((0 until HashDim).map(weightComponent))
   private def weightSql: String =
     (0 until HashDim).map(weightComponent).mkString("[", ", ", "]::BIGINT[]")
 
@@ -819,17 +817,38 @@ object TextOps {
     * column — the reusable GATE form ([[CorpusPipeline]]'s model-gate
     * stage filters on it directly, keeping the stage a narrow map). */
   def linearScoreMicro(text: Column): Column =
+    linearScoreMicroWith(text, (0 until HashDim).map(weightComponent))
+
+  /** [[linearScoreMicro]] generalized over ANY weight vector (its
+    * length is the hashed feature dim): the scorer is `Σ_tok
+    * w[h32(tok) % dim]` — exactly the dot product `w·x` of q111's
+    * bucket-count features, so a TRAINED pocket vector plugs straight
+    * in ([[gateScoreServed]]). Weights ride as one literal array into
+    * every task: model size is the only thing that changes between
+    * the 2¹⁰ fixture constant and a trained 2²⁰ production gate. */
+  private[graft] def linearScoreMicroWith(
+      text: Column, weights: Seq[Long]): Column = {
+    val dim = weights.length
     aggregate(
       transform(toks(text),
-        t => element_at(weightLit, (h32(t) % HashDim).cast("int") + 1)),
+        t => element_at(typedlit(weights), (h32(t) % dim).cast("int") + 1)),
       lit(0L), (acc, x) => acc + x)
+  }
 
-  def q68LinearScore(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
+  def q68LinearScore(spark: SparkSession, dir: String): DataFrame =
+    gateScoresWith(Tables.documents(spark, dir),
+      (0 until HashDim).map(weightComponent))
+
+  /** The q68 scoring table over any `(doc_id, text)` frame and weight
+    * vector — ONE definition for the fixed-constant q68 and the
+    * trained-model q114 serve. */
+  private[graft] def gateScoresWith(
+      docs: DataFrame, weights: Seq[Long]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id",
         size(toks($"text")).as("n_tokens"),
-        linearScoreMicro($"text").as("score_micro"))
+        linearScoreMicroWith($"text", weights).as("score_micro"))
       .withColumn("keep", when($"score_micro" >= 0, 1).otherwise(0))
       .orderBy($"doc_id")
   }
@@ -2049,6 +2068,21 @@ object TextOps {
     * subqueries — the same wrapper encoding, apply rule, and
     * (n desc, lhs, rhs) tie-break as the Spark loop. */
   def q102OracleSql(rounds: Int = BpeTrainRounds): String = {
+    val sel = (1 to rounds)
+      .map(r => s"SELECT $r AS rank, lhs, rhs, n FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeTrainCteSql(rounds)}
+       |SELECT * FROM (
+       |  $sel
+       |) ORDER BY rank""".stripMargin
+  }
+
+  /** The BPE-training CTE chain shared by the q102 and q115 oracles:
+    * word-frequency table `vocab`, encoded frames `e0..eR`, per-round
+    * argmax merges `m1..mR`. One definition — the two oracles verify
+    * ONE training computation at two read-out points (the merge
+    * table; the encode under it). */
+  private def bpeTrainCteSql(rounds: Int): String = {
     val head =
       """vocab AS MATERIALIZED (
         |  SELECT token, count(*) AS tok_n
@@ -2081,13 +2115,122 @@ object TextOps {
          |  FROM e${r - 1}
          |)""".stripMargin
     }
-    val sel = (1 to rounds)
-      .map(r => s"SELECT $r AS rank, lhs, rhs, n FROM m$r")
+    (head +: blocks).mkString(", ")
+  }
+
+  // ---------------------------------------------- BPE model artifact
+
+  /** Artifact root of the persisted BPE MODEL (the gate model's
+    * sibling — see [[writeGateModel]]'s family scaladoc): the ordered
+    * merge table `merges/gen=N` `(rank, lhs, rhs, n)` a tokenizer
+    * build ships. Every generation is a complete model; retrains
+    * append one; serves read exactly `min(asOfGen, hi)` — so q89/q90/
+    * q109-style consumers can pin WHICH tokenizer encoded a given
+    * run's corpus (token budgets are not comparable across merge
+    * tables). */
+  private val BpeModelRoots = Seq("merges")
+
+  /** Train on `docs` ([[bpeTrainAuto]] — the q102 two-phase trainer,
+    * merge-for-merge identical on every path) and persist the merge
+    * table as generation 1. */
+  def writeBpeModel(
+      docs: DataFrame, path: String, merges: Int = BpeTrainRounds): Unit = {
+    bpeTrainAuto(docs, merges)
+      .coalesce(1) // |merges| rows — one tiny file
+      .write.mode("overwrite").parquet(s"$path/merges/gen=1")
+    GenerationManifest.commit(path, 1L, 1L)
+  }
+
+  /** RETRAIN into the next generation (crash-atomic: the write lands
+    * outside the committed window, the manifest rename publishes). */
+  def retrainBpeModel(
+      docs: DataFrame, path: String, merges: Int = BpeTrainRounds): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, BpeModelRoots, lo, hi)
+    bpeTrainAuto(docs, merges)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/merges/gen=${hi + 1}")
+    GenerationManifest.commit(path, lo, hi + 1)
+  }
+
+  /** The persisted merge table at `asOfGen` (default: the head),
+    * rank-ordered — the model card AND the model (BPE's artifact is
+    * its own documentation). */
+  def bpeModelCard(
+      spark: SparkSession, path: String,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
+    val g = GenerationManifest.windowAt(path, asOfGen)._2
+    spark.read.parquet(s"$path/merges/gen=$g").orderBy(col("rank"))
+  }
+
+  /** The LOADED merge list in apply order — a |merges|-row collect
+    * (a 32k-merge production table is still KBs: the bounded model
+    * load, like [[gateWeightsAt]]). Feeds [[bpeEncodeCounts]]'s
+    * literal replace chain exactly as the fixed [[BpeMerges]] does. */
+  def bpeMergesAt(
+      spark: SparkSession, path: String,
+      asOfGen: Long = Long.MaxValue): Seq[(String, String)] =
+    bpeModelCard(spark, path, asOfGen)
+      .select(col("lhs"), col("rhs")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** q89's encode under the LOADED model — the deploy step. */
+  def bpeEncodeServed(
+      spark: SparkSession, dir: String, modelPath: String,
+      asOfGen: Long = Long.MaxValue): DataFrame =
+    bpeEncodeCounts(Tables.documents(spark, dir),
+      bpeMergesAt(spark, modelPath, asOfGen))
+
+  /** q115 — the TOKENIZER loop closed through the artifact: train the
+    * q102 merge table on the corpus, PERSIST it ([[writeBpeModel]]),
+    * reload, and encode every document with the LOADED table (q89's
+    * counts under the trained tokenizer instead of the fixed
+    * [[BpeMerges]]). The oracle retrains in SQL (the shared
+    * [[bpeTrainCteSql]] chain) and applies ITS merge table with a
+    * `list_reduce` fold — so the driver verifies
+    * train ≡ persist ≡ load ≡ encode end to end without either engine
+    * seeing the other's table. Same eager temp-dir convention as
+    * q114. */
+  def q115BpeServed(spark: SparkSession, dir: String): DataFrame = {
+    val path = SimilarityOps.tempIndexDir("graft-bpe-model")
+    writeBpeModel(Tables.documents(spark, dir), path)
+    bpeEncodeServed(spark, dir, path)
+  }
+
+  /** Ground truth for [[q115BpeServed]]: the shared training CTEs →
+    * the rank-ordered replacement list (rendered `(l)(r)(lr)`,
+    * split inside the fold — chr(1) cannot occur in a whitespace-split
+    * token) → q89's wrapper-count arithmetic under the folded
+    * encode. */
+  def q115OracleSql(rounds: Int = BpeTrainRounds): String = {
+    val allm = (1 to rounds)
+      .map(r => s"SELECT $r AS rank, lhs, rhs FROM m$r")
       .mkString("\n  UNION ALL ")
-    s"""WITH ${(head +: blocks).mkString(", ")}
-       |SELECT * FROM (
-       |  $sel
-       |) ORDER BY rank""".stripMargin
+    s"""WITH ${bpeTrainCteSql(rounds)},
+       |allm AS (
+       |  $allm
+       |), ms AS (
+       |  SELECT coalesce(list('(' || lhs || ')(' || rhs || ')' || chr(1) ||
+       |                       '(' || lhs || rhs || ')' ORDER BY rank), []) AS reps
+       |  FROM allm
+       |), dt AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+       |  FROM documents
+       |), de AS (
+       |  SELECT doc_id, toks,
+       |         list_transform(toks, w -> list_reduce(
+       |           list_prepend(regexp_replace(w, '(.)', '(\\1)', 'g'), reps),
+       |           (acc, x) -> replace(acc, string_split(x, chr(1))[1],
+       |                                    string_split(x, chr(1))[2]))) AS enc
+       |  FROM dt, ms
+       |)
+       |SELECT doc_id,
+       |       CAST(len(toks) AS BIGINT) AS n_words,
+       |       CAST(coalesce(list_sum(list_transform(toks, w -> len(w))), 0) AS BIGINT) AS n_chars,
+       |       CAST(coalesce(list_sum(list_transform(enc,
+       |              s -> len(s) - len(replace(s, '(', '')))), 0) AS BIGINT) AS n_tokens
+       |FROM de ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- q105
@@ -2429,6 +2572,27 @@ object TextOps {
       spark: SparkSession, dir: String,
       epochs: Int = DistillEpochs, featDim: Int = DistillFeatDim): DataFrame = {
     import spark.implicits._
+    val (rows, _) = gateTrainCore(Tables.documents(spark, dir), epochs, featDim)
+    val pocket = gatePocketEpoch(rows)
+    rows.map { case (e, tp, fp, tn, fn) =>
+      (e, tp, fp, tn, fn, fp + fn, if (e == pocket) 1L else 0L)
+    }.toDF("epoch", "tp", "fp", "tn", "fn", "err", "is_pocket")
+      .orderBy("epoch")
+  }
+
+  /** The q111 training loop as a reusable core (round 15 splits it out
+    * so [[writeGateModel]] can PERSIST what q111 only reported):
+    * returns the per-epoch confusion trajectory `(epoch, tp, fp, tn,
+    * fn)` for epochs `1..epochs+1` AND the weight snapshots `w₀..w_T`
+    * — `snapshots(e-1)` is the PRE-update vector epoch `e` scored
+    * with, so the pocket epoch's model is `snapshots(pocket-1)`.
+    * Trajectory semantics unchanged from round 14 (all-integer batch
+    * updates, partition-order-free, exact on both engines). */
+  private[graft] def gateTrainCore(
+      docs: DataFrame, epochs: Int, featDim: Int)
+    : (Seq[(Long, Long, Long, Long, Long)], IndexedSeq[Seq[Long]]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val t = toks($"text")
     val nTok = size(t).cast("long")
     val g1 = $"lang".isInCollection(YieldLangs)
@@ -2438,7 +2602,7 @@ object TextOps {
     val g4 = g3 &&
       size(filter(t, x => x.isInCollection(Stopwords))).cast("long") * 100 >=
         nTok * YieldMinStopPct
-    val feat = Tables.documents(spark, dir)
+    val feat = docs
       .select(when(g4, 1L).otherwise(-1L).as("y"),
         transform(t, tok => (h32(tok) % featDim).cast("int")).as("th"))
       .select($"y", transform(sequence(lit(0), lit(featDim - 1)),
@@ -2446,7 +2610,9 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var w = Seq.fill(featDim)(0L)
+      val snaps = IndexedSeq.newBuilder[Seq[Long]]
       val rows = (1 to epochs + 1).map { epoch =>
+        snaps += w
         // weights arrive as a BROADCAST 1-row parameter table, not a
         // literal: a typedlit(w) bakes each epoch's weights into the
         // generated code, so every epoch compiles a FRESH wide
@@ -2474,29 +2640,41 @@ object TextOps {
           w = w.zipWithIndex.map { case (wi, i) => wi + r.getLong(4 + i) }
         (epoch.toLong, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       }
-      // pocket rule: a deployment ships the epoch with minimum training
-      // error (earliest on ties) — the standard fix for a perceptron on
-      // a non-separable target, and derivable entirely from the
-      // trajectory the oracle already verifies
-      val pocket = rows.minBy { case (e, _, fp, _, fn) => (fp + fn, e) }._1
-      rows.map { case (e, tp, fp, tn, fn) =>
-        (e, tp, fp, tn, fn, fp + fn, if (e == pocket) 1L else 0L)
-      }.toDF("epoch", "tp", "fp", "tn", "fn", "err", "is_pocket")
-        .orderBy("epoch")
+      (rows, snaps.result())
     } finally feat.unpersist()
   }
+
+  /** The pocket rule over a training trajectory: a deployment ships
+    * the epoch with minimum training error (earliest on ties) — the
+    * standard fix for a perceptron on a non-separable target, and
+    * derivable entirely from the trajectory the oracle verifies. */
+  private[graft] def gatePocketEpoch(
+      rows: Seq[(Long, Long, Long, Long, Long)]): Long =
+    rows.minBy { case (e, _, fp, _, fn) => (fp + fn, e) }._1
 
   /** Ground truth for [[q111GateDistill]] — the training loop
     * unrolled into chained CTEs (the q102 pattern): per-epoch delta
     * sums re-assemble into the next weight list via an ordered list
     * aggregate, every quantity integer. */
   def q111OracleSql(
-      epochs: Int = DistillEpochs, featDim: Int = DistillFeatDim): String = {
+      epochs: Int = DistillEpochs, featDim: Int = DistillFeatDim): String =
+    s"""WITH ${gateTrainCteSql(epochs, featDim)}
+       |SELECT epoch, tp, fp, tn, fn, fp + fn AS err,
+       |       CASE WHEN epoch = pe THEN 1 ELSE 0 END::BIGINT AS is_pocket
+       |FROM u, p ORDER BY epoch""".stripMargin
+
+  /** The gate-training CTE chain SHARED by the q111/q114/q116 oracles:
+    * feature frame `f`, scored frames `s1..s{T+1}`, per-epoch deltas
+    * and weights `d_t`/`w_t`, confusion rows `u`, minimum error `m`,
+    * pocket epoch `p(pe)`. One definition — the three oracles verify
+    * ONE training computation at three read-out points (trajectory,
+    * served scores, served calibration). */
+  private def gateTrainCteSql(epochs: Int, featDim: Int): String = {
     val langs = YieldLangs.map(l => s"'$l'").mkString(", ")
     val stops = Stopwords.map(w => s"'$w'").mkString(", ")
     val sb = new StringBuilder
     sb.append(
-      s"""WITH f AS (
+      s"""f AS (
          |  SELECT CASE WHEN lang IN ($langs)
          |              AND len(toks) BETWEEN $YieldMinTokens AND $YieldMaxTokens
          |              AND len(list_distinct(toks))::BIGINT * 100 >=
@@ -2541,12 +2719,186 @@ object TextOps {
     sb.append(
       """,
         |m AS (SELECT min(fp + fn) AS me FROM u),
-        |p AS (SELECT min(epoch) AS pe FROM u, m WHERE fp + fn = me)
-        |SELECT epoch, tp, fp, tn, fn, fp + fn AS err,
-        |       CASE WHEN epoch = pe THEN 1 ELSE 0 END::BIGINT AS is_pocket
-        |FROM u, p ORDER BY epoch""".stripMargin)
+        |p AS (SELECT min(epoch) AS pe FROM u, m WHERE fp + fn = me)""".stripMargin)
     sb.toString
   }
+
+  /** The POCKET weight list as a CTE over [[gateTrainCteSql]]'s `p`:
+    * epoch `e` scores with the PRE-update vector, so pocket epoch `e`
+    * ships `w_{e-1}` (`w₀` = all-zero). */
+  private def gatePocketWeightsCteSql(epochs: Int, featDim: Int): String = {
+    val zeros = Seq.fill(featDim)("0").mkString("[", ", ", "]::BIGINT[]")
+    val cases = (2 to epochs + 1)
+      .map(e => s"WHEN $e THEN (SELECT w FROM w${e - 1})")
+      .mkString("\n         ")
+    s"""pw AS (
+       |  SELECT CASE pe
+       |         WHEN 1 THEN $zeros
+       |         $cases
+       |         END AS wa
+       |  FROM p
+       |)""".stripMargin
+  }
+
+  // --------------------------------------------- gate model artifact
+
+  /** Artifact roots of the persisted GATE MODEL — the round-15 member
+    * of the artifact family, and the first MODEL in it: every
+    * index-shaped relation already had a write/serve contract, but
+    * q111 trained pocket weights and THREW THEM AWAY in the driver
+    * loop while q68/q113 scored a fixed constant array — the
+    * train → calibrate → deploy loop closed on paper, never through
+    * an artifact. Layout (generation-partitioned parquet under one
+    * [[GenerationManifest]]):
+    *
+    *   - `weights/gen=N` `(feature, weight)` — the POCKET vector, the
+    *     deployable model ([[DistillFeatDim]] rows; a 2²⁰-dim
+    *     production gate is still a few MB);
+    *   - `card/gen=N` — q111's full confusion trajectory (the MODEL
+    *     CARD a deployment audits: which epoch shipped and why).
+    *
+    * Unlike index generations (deltas composing under a window),
+    * every model generation is a COMPLETE snapshot: serving reads
+    * exactly generation `min(asOfGen, hi)` — retrains append a
+    * generation, so `gateWeightsAt(path, g)` answers "which model did
+    * the run that sealed generation g deploy" (the labelsServeAt
+    * question for models). */
+  private val GateModelRoots = Seq("weights", "card")
+
+  /** Train on `docs` (the q111 loop, bit for bit) and persist the
+    * pocket model as generation 1. */
+  def writeGateModel(
+      docs: DataFrame, path: String,
+      epochs: Int = DistillEpochs, featDim: Int = DistillFeatDim): Unit = {
+    trainIntoGen(docs, path, 1L, epochs, featDim)
+    GenerationManifest.commit(path, 1L, 1L)
+  }
+
+  /** RETRAIN into the next generation (the model family's "append"):
+    * the old model stays addressable for as-of reads until a caller
+    * compacts by starting a fresh path. Crash-atomic like every
+    * family member: both artifacts land outside the committed window
+    * and one manifest rename publishes them jointly. */
+  def retrainGateModel(
+      docs: DataFrame, path: String,
+      epochs: Int = DistillEpochs, featDim: Int = DistillFeatDim): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, GateModelRoots, lo, hi)
+    trainIntoGen(docs, path, hi + 1, epochs, featDim)
+    GenerationManifest.commit(path, lo, hi + 1)
+  }
+
+  private def trainIntoGen(
+      docs: DataFrame, path: String, gen: Long,
+      epochs: Int, featDim: Int): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (rows, snaps) = gateTrainCore(docs, epochs, featDim)
+    val pocket = gatePocketEpoch(rows)
+    snaps((pocket - 1).toInt).zipWithIndex
+      .map { case (wi, i) => (i, wi) }
+      .toDF("feature", "weight")
+      .coalesce(1) // featDim longs — one tiny file
+      .write.mode("overwrite").parquet(s"$path/weights/gen=$gen")
+    rows.map { case (e, tp, fp, tn, fn) =>
+      (e, tp, fp, tn, fn, fp + fn, if (e == pocket) 1L else 0L)
+    }.toDF("epoch", "tp", "fp", "tn", "fn", "err", "is_pocket")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/card/gen=$gen")
+  }
+
+  /** The deployed weight vector at `asOfGen` (default: the head) —
+    * a featDim-long collect, the bounded driver-reduction class every
+    * model load is. */
+  def gateWeightsAt(
+      spark: SparkSession, path: String,
+      asOfGen: Long = Long.MaxValue): Seq[Long] = {
+    val g = GenerationManifest.windowAt(path, asOfGen)._2
+    spark.read.parquet(s"$path/weights/gen=$g")
+      .orderBy(col("feature")).collect().map(_.getLong(1)).toSeq
+  }
+
+  /** The persisted model card (q111's trajectory) at `asOfGen`. */
+  def gateModelCard(
+      spark: SparkSession, path: String,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
+    val g = GenerationManifest.windowAt(path, asOfGen)._2
+    spark.read.parquet(s"$path/card/gen=$g").orderBy(col("epoch"))
+  }
+
+  /** q68's scoring table under the LOADED model — the deploy step. */
+  def gateScoreServed(
+      spark: SparkSession, dir: String, modelPath: String,
+      asOfGen: Long = Long.MaxValue): DataFrame =
+    gateScoresWith(Tables.documents(spark, dir),
+      gateWeightsAt(spark, modelPath, asOfGen))
+
+  /** q113's calibration table under the LOADED model — the threshold
+    * pick a deployment reads AFTER training, finally computed from
+    * the artifact it will actually ship. */
+  def gateRocServed(
+      spark: SparkSession, dir: String, modelPath: String,
+      asOfGen: Long = Long.MaxValue, shards: Int = RocShards): DataFrame =
+    gateRocWith(Tables.documents(spark, dir),
+      linearScoreMicroWith(col("text"),
+        gateWeightsAt(spark, modelPath, asOfGen)), shards)
+
+  /** q114 — the MODEL LOOP closed through the artifact: train the
+    * q111 gate on the corpus, PERSIST the pocket model
+    * ([[writeGateModel]]), reload it, and score every document with
+    * the LOADED weights (q68's table shape under the trained model).
+    * The oracle retrains in SQL ([[gateTrainCteSql]]), extracts the
+    * pocket vector, and scores — so the driver verifies
+    * train ≡ persist ≡ load ≡ score end to end, the q112 theorem for
+    * models. Like q50/q112, the registered form re-pays train+persist
+    * into a temp dir per call; a deployment trains once per seal. */
+  def q114GateServed(spark: SparkSession, dir: String): DataFrame = {
+    val path = SimilarityOps.tempIndexDir("graft-gate-model")
+    writeGateModel(Tables.documents(spark, dir), path)
+    gateScoreServed(spark, dir, path)
+  }
+
+  /** Ground truth for [[q114GateServed]]: the shared training CTEs →
+    * pocket weights → the q68 scoring shape under them. */
+  def q114OracleSql(
+      epochs: Int = DistillEpochs, featDim: Int = DistillFeatDim): String =
+    s"""WITH ${gateTrainCteSql(epochs, featDim)},
+       |${gatePocketWeightsCteSql(epochs, featDim)},
+       |tok AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS token
+       |  FROM documents
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n,
+       |         sum(wa[(${h32Sql("token")} % $featDim)::INT + 1]) AS sc
+       |  FROM tok, pw
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(a.sc, 0) AS BIGINT) AS score_micro,
+       |       CASE WHEN coalesce(a.sc, 0) >= 0 THEN 1 ELSE 0 END AS keep
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q116 — SERVED calibration: train, persist, reload, and compute
+    * q113's ROC table under the LOADED pocket model — the actual
+    * "pick the ship threshold for the model we just trained" read,
+    * which round 14 could only run against the fixed constant. Same
+    * eager temp-dir convention as q114. */
+  def q116RocServed(spark: SparkSession, dir: String): DataFrame = {
+    val path = SimilarityOps.tempIndexDir("graft-gate-model")
+    writeGateModel(Tables.documents(spark, dir), path)
+    gateRocServed(spark, dir, path)
+  }
+
+  /** Ground truth for [[q116RocServed]]: the shared training CTEs →
+    * pocket weights → the shared ROC tail under them. */
+  def q116OracleSql(
+      epochs: Int = DistillEpochs, featDim: Int = DistillFeatDim): String =
+    s"""WITH ${gateTrainCteSql(epochs, featDim)},
+       |${gatePocketWeightsCteSql(epochs, featDim)},
+       |""".stripMargin + gateRocTailSql(featDim, weightsFrom = "pw")
   // ---------------------------------------------------------------- q113
 
   /** Score-axis shard count for [[q113GateRoc]]'s two-phase prefix
@@ -2585,7 +2937,17 @@ object TextOps {
     * only, never the table — the oracle needs no matching shard
     * logic. */
   def q113GateRoc(
-      spark: SparkSession, dir: String, shards: Int = RocShards): DataFrame = {
+      spark: SparkSession, dir: String, shards: Int = RocShards): DataFrame =
+    gateRocWith(Tables.documents(spark, dir),
+      linearScoreMicro(col("text")), shards)
+
+  /** The ROC/PR table over any `(lang, text)` frame and micro-score
+    * column — ONE definition for the fixed-constant q113 and the
+    * trained-model q116 serve (the labels are always the q53 cascade:
+    * calibration measures the MODEL against the rules it distills). */
+  private[graft] def gateRocWith(
+      docs: DataFrame, scoreMicro: Column, shards: Int): DataFrame = {
+    val spark = docs.sparkSession
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val t = toks($"text")
@@ -2600,8 +2962,8 @@ object TextOps {
     // totals, ranked output) must not re-pay the corpus pass, and the
     // registered form returns a live frame — caller-owned unpersist
     // has no seam here (the q111 eager class)
-    val perScore = Tables.documents(spark, dir)
-      .select(linearScoreMicro($"text").as("thr_micro"),
+    val perScore = docs
+      .select(scoreMicro.as("thr_micro"),
         when(keep, 1L).otherwise(0L).as("y"))
       .groupBy($"thr_micro")
       .agg(count(lit(1)).as("n"), sum($"y").as("npos"))
@@ -2647,17 +3009,24 @@ object TextOps {
     * q53's cascade conjunction per row, the same per-score aggregate,
     * the same ROWS-cumulative windows (distinct keys make RANGE and
     * ROWS agree), all-integer ppm division. */
-  def q113OracleSql: String = {
+  def q113OracleSql: String =
+    s"WITH w AS (SELECT $weightSql AS wa),\n" +
+      gateRocTailSql(HashDim, weightsFrom = "w")
+
+  /** The ROC CTE chain from a weight-list CTE (`waCte` must expose a
+    * single `wa` BIGINT list) to the final ROC table — shared by the
+    * q113 (fixed constant) and q116 (trained, from the training CTEs)
+    * oracles, so both verify ONE calibration computation. */
+  private def gateRocTailSql(dim: Int, weightsFrom: String): String = {
     val langs = YieldLangs.map(l => s"'$l'").mkString(", ")
     val stops = Stopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH w AS (SELECT $weightSql AS wa),
-       |m AS (
+    s"""rm AS (
        |  SELECT lang,
        |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
        |  FROM documents
-       |), s AS (
+       |), rs AS (
        |  SELECT CAST(coalesce(list_sum(list_transform(toks,
-       |           x -> wa[(${h32Sql("x")} % $HashDim)::INT + 1])), 0) AS BIGINT)
+       |           x -> wa[(${h32Sql("x")} % $dim)::INT + 1])), 0) AS BIGINT)
        |           AS thr_micro,
        |         CASE WHEN lang IN ($langs)
        |              AND len(toks) BETWEEN $YieldMinTokens AND $YieldMaxTokens
@@ -2666,23 +3035,23 @@ object TextOps {
        |              AND len(list_filter(toks, x -> x IN ($stops)))::BIGINT * 100 >=
        |                  len(toks)::BIGINT * $YieldMinStopPct
        |         THEN 1 ELSE 0 END AS y
-       |  FROM m, w
-       |), g AS (
+       |  FROM rm, $weightsFrom
+       |), rg AS (
        |  SELECT thr_micro, count(*) AS n, CAST(sum(y) AS BIGINT) AS npos
-       |  FROM s GROUP BY thr_micro
-       |), c AS (
+       |  FROM rs GROUP BY thr_micro
+       |), rc AS (
        |  SELECT thr_micro,
        |         CAST(sum(n) OVER (ORDER BY thr_micro DESC
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_ge,
        |         CAST(sum(npos) OVER (ORDER BY thr_micro DESC
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
        |         CAST(sum(npos) OVER () AS BIGINT) AS total_pos
-       |  FROM g
+       |  FROM rg
        |)
        |SELECT thr_micro, n_ge, tp, n_ge - tp AS fp,
        |       tp * 1000000 // n_ge AS precision_ppm,
        |       CASE WHEN total_pos = 0 THEN 0
        |            ELSE tp * 1000000 // total_pos END AS recall_ppm
-       |FROM c ORDER BY thr_micro DESC""".stripMargin
+       |FROM rc ORDER BY thr_micro DESC""".stripMargin
   }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import graft.queries.TextOps
+import org.apache.spark.sql.functions._
+
+/** The persisted MODEL artifact family (round 15): the gate model
+  * (pocket perceptron weights + trajectory card) and the BPE model
+  * (ordered merge table) under the shared GenerationManifest. The
+  * contracts under test: round-trip identity (persist → load returns
+  * exactly what training produced), served twins bit-identical to an
+  * in-session train-then-score, retrain-appends with as-of reads, and
+  * the model card carrying the full trajectory. */
+class ModelStoreSpec extends SparkSuite {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("gate model: persist -> load returns the in-session pocket vector bit for bit") {
+    val docs = Tables.documents(spark, sf)
+    val (rows, snaps) = TextOps.gateTrainCore(
+      docs, TextOps.DistillEpochs, TextOps.DistillFeatDim)
+    val pocket = TextOps.gatePocketEpoch(rows)
+    val want = snaps((pocket - 1).toInt)
+    val path = tmp("graft-gate-model")
+    TextOps.writeGateModel(docs, path)
+    assert(TextOps.gateWeightsAt(spark, path) == want,
+      "loaded weights diverged from the in-session pocket vector")
+    // the card IS q111's trajectory (same rows, same pocket flag)
+    val card = TextOps.gateModelCard(spark, path)
+      .select(col("epoch"), col("err"), col("is_pocket")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(card.length == TextOps.DistillEpochs + 1)
+    assert(card.filter(_._3 == 1L).map(_._1) == Seq(pocket),
+      s"card pocket flag wrong: $card")
+  }
+
+  test("gate model: served score and ROC twins == in-session train-then-score") {
+    val docs = Tables.documents(spark, sf)
+    val (rows, snaps) = TextOps.gateTrainCore(
+      docs, TextOps.DistillEpochs, TextOps.DistillFeatDim)
+    val w = snaps((TextOps.gatePocketEpoch(rows) - 1).toInt)
+    val path = tmp("graft-gate-model")
+    TextOps.writeGateModel(docs, path)
+    val servedScores = TextOps.gateScoreServed(spark, sf, path)
+      .collect().map(_.toString).toSeq
+    val inSession = TextOps.gateScoresWith(docs, w)
+      .collect().map(_.toString).toSeq
+    assert(servedScores == inSession, "served scoring twin diverged")
+    val servedRoc = TextOps.gateRocServed(spark, sf, path)
+      .collect().map(_.toString).toSeq
+    val rocInSession = TextOps.gateRocWith(
+      docs, TextOps.linearScoreMicroWith(col("text"), w), TextOps.RocShards)
+      .collect().map(_.toString).toSeq
+    assert(servedRoc == rocInSession, "served ROC twin diverged")
+  }
+
+  test("gate model: retrain appends a generation; as-of reads answer 'which model did run g deploy'") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val path = tmp("graft-gate-retrain")
+    TextOps.writeGateModel(docs, path)
+    val w1 = TextOps.gateWeightsAt(spark, path)
+    // retrain on a shifted corpus -> a different model at gen 2
+    TextOps.retrainGateModel(docs.filter($"doc_id" % 2 === 0), path)
+    val w2 = TextOps.gateWeightsAt(spark, path)
+    assert(w2 != w1, "retrain fixture vacuous: same model")
+    assert(TextOps.gateWeightsAt(spark, path, asOfGen = 1L) == w1,
+      "as-of read lost the generation-1 model")
+    assert(TextOps.gateWeightsAt(spark, path, asOfGen = 2L) == w2)
+  }
+
+  test("bpe model: persist -> load returns the trained merge table in apply order") {
+    val docs = Tables.documents(spark, sf)
+    val want = TextOps.q102BpeTrain(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val path = tmp("graft-bpe-model")
+    TextOps.writeBpeModel(docs, path)
+    assert(TextOps.bpeMergesAt(spark, path) == want,
+      "loaded merge table diverged from the in-session trainer")
+    // served encode == q89's core under the same table
+    val served = TextOps.bpeEncodeServed(spark, sf, path)
+      .collect().map(_.toString).toSeq
+    val inSession = TextOps.q89BpeEncode(spark, sf, want)
+      .collect().map(_.toString).toSeq
+    assert(served == inSession, "served encode twin diverged")
+  }
+
+  test("bpe model: retrain appends; as-of serves the historical tokenizer") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val path = tmp("graft-bpe-retrain")
+    TextOps.writeBpeModel(docs, path, merges = 4)
+    val m1 = TextOps.bpeMergesAt(spark, path)
+    TextOps.retrainBpeModel(docs.filter($"doc_id" % 3 === 0), path, merges = 4)
+    val m2 = TextOps.bpeMergesAt(spark, path)
+    assert(m1.nonEmpty && m2.nonEmpty)
+    assert(TextOps.bpeMergesAt(spark, path, asOfGen = 1L) == m1,
+      "as-of read lost the generation-1 tokenizer")
+    assert(graft.queries.GenerationManifest.window(path) == (1L, 2L))
+  }
+}
