@@ -294,53 +294,71 @@ object StreamBench {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "50000").trim.toInt
     val filesPerTrigger =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "5").trim.toInt
-    val dir = Files.createTempDirectory("graft-lbbench")
-    val rnd = new scala.util.Random(42)
-    val vocab = Array.tabulate(5000)(i => s"v$i")
-    val recent = new scala.collection.mutable.ArrayBuffer[Array[String]]
-    val perFile = 10000
-    var id = 0L
-    var written = 0
-    while (written < nDocs) {
-      val count = math.min(perFile, nDocs - written)
-      val sb = new StringBuilder(count * 300)
-      var i = 0
-      while (i < count) {
-        id += 1
-        val toks =
-          if (recent.nonEmpty && rnd.nextInt(10) == 0) {
-            val base = recent(rnd.nextInt(recent.size)).clone()
-            base(rnd.nextInt(base.length)) = vocab(rnd.nextInt(vocab.length))
-            base
-          } else {
-            val t = Array.fill(40)(vocab(rnd.nextInt(vocab.length)))
-            if (recent.size < 4096) recent += t
-            t
-          }
-        sb.append(s"""{"doc_id":$id,"text":"${toks.mkString(" ")}"}""")
-          .append('\n')
-        i += 1
+    def writeCorpus(n: Int, seed: Int): java.nio.file.Path = {
+      val dir = Files.createTempDirectory("graft-lbbench")
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array.tabulate(5000)(i => s"v$i")
+      val recent = new scala.collection.mutable.ArrayBuffer[Array[String]]
+      val perFile = 10000
+      var id = 0L
+      var written = 0
+      while (written < n) {
+        val count = math.min(perFile, n - written)
+        val sb = new StringBuilder(count * 300)
+        var i = 0
+        while (i < count) {
+          id += 1
+          val toks =
+            if (recent.nonEmpty && rnd.nextInt(10) == 0) {
+              val base = recent(rnd.nextInt(recent.size)).clone()
+              base(rnd.nextInt(base.length)) = vocab(rnd.nextInt(vocab.length))
+              base
+            } else {
+              val t = Array.fill(40)(vocab(rnd.nextInt(vocab.length)))
+              if (recent.size < 4096) recent += t
+              t
+            }
+          sb.append(s"""{"doc_id":$id,"text":"${toks.mkString(" ")}"}""")
+            .append('\n')
+          i += 1
+        }
+        Files.writeString(dir.resolve(f"part-$written%09d.json"), sb.result())
+        written += count
       }
-      Files.writeString(dir.resolve(f"part-$written%09d.json"), sb.result())
-      written += count
+      dir
     }
-    val idx = Files.createTempDirectory("graft-lbbench-idx").toString
-    locally {
+    def emptyIndex(): String = {
       import spark.implicits._
+      val idx = Files.createTempDirectory("graft-lbbench-idx").toString
       graft.queries.DedupOps.writeLabelIndex(
         Seq.empty[(Long, String)].toDF("doc_id", "text"), idx)
+      idx
     }
-    val docs = spark.readStream
-      .schema("doc_id LONG, text STRING")
-      .option("maxFilesPerTrigger", filesPerTrigger)
-      .json(dir.toString)
-    val t0 = System.nanoTime()
-    val q = graft.streaming.LabelIndexStream.sink(docs, idx,
-      Files.createTempDirectory("graft-lbbench-ckpt").toString)
-    q.processAllAvailable()
-    val wall = (System.nanoTime() - t0) / 1e9
-    val batches = q.recentProgress.count(_.numInputRows > 0)
-    q.stop()
+    def runStream(dir: java.nio.file.Path, idx: String): (Double, Int) = {
+      val docs = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .json(dir.toString)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.LabelIndexStream.sink(docs, idx,
+        Files.createTempDirectory("graft-lbbench-ckpt").toString)
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      (wall, batches)
+    }
+    // UNTIMED warmup (the Bench.scala discipline applied to the stream
+    // probe): a maintenance stream is a long-lived process — its
+    // steady-state docs/sec is the deployment number, and a fresh JVM's
+    // first batch pays session + codegen + committer init once
+    // (measured: ~7 s fixed at N=2000, i.e. the cold costs dominated
+    // the old single-batch reading). 2k docs into a throwaway index
+    // compiles every plan the sink runs.
+    runStream(writeCorpus(2000, seed = 7), emptyIndex())
+    val dir = writeCorpus(nDocs, seed = 42)
+    val idx = emptyIndex()
+    val (wall, batches) = runStream(dir, idx)
     val labels = graft.queries.DedupOps.labelsServe(spark, idx).count()
     val line =
       s"""{"metric":"stream_labels_docs_per_sec","value":${f1(nDocs / wall)},"unit":"rows/sec","n_docs":$nDocs,"wall_sec":${f1(wall)},"micro_batches":$batches,"family_labels":$labels}"""

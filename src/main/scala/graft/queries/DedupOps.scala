@@ -89,8 +89,18 @@ object DedupOps {
     * needs no extra per-doc join. */
   private def candidatesWithCounts(
       ex: DataFrame, bands: Int, rows: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
+    candidatesFromBanded(bandedBuckets(ex, bands, rows), maxBucketSize)
+
+  /** [[candidatesWithCounts]] over an already-built (possibly CACHED)
+    * banded-bucket frame — the seam that lets the label-index append
+    * pay the minhash signature aggregate ONCE for its three consumers
+    * (screen, within-delta verify, artifact write) instead of three
+    * times (round-15 measurement: the aggregate was the append's
+    * dominant cost). */
+  private def candidatesFromBanded(
+      banded0: DataFrame,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val banded0 = bandedBuckets(ex, bands, rows)
     // Optional skew guard: a bucket of size s yields s² candidate rows,
     // so ONE boilerplate-heavy bucket (same header on a million docs)
     // can dominate the whole job. The guard anti-joins the (tiny)
@@ -222,8 +232,14 @@ object DedupOps {
     * its against-the-sealed-base screen. Unordered (callers that
     * publish add the sort). */
   private def verifiedPairsFrom(
-      ex: DataFrame, threshold: Double, bands: Int, rows: Int): DataFrame = {
-    val cand = candidatesWithCounts(ex, bands, rows)
+      ex: DataFrame, threshold: Double, bands: Int, rows: Int): DataFrame =
+    verifiedFromBanded(ex, bandedBuckets(ex, bands, rows), threshold)
+
+  /** The verify core over a prebuilt banded frame — see
+    * [[candidatesFromBanded]] for why the seam exists. */
+  private def verifiedFromBanded(
+      ex: DataFrame, banded: DataFrame, threshold: Double): DataFrame = {
+    val cand = candidatesFromBanded(banded)
     // Exact verify on hashed shingles: |A ∩ B| = matching hs rows between
     // the pair's docs (64-bit hashes make cross-shingle collisions
     // negligible, and deterministically so). Work is bounded by
@@ -399,6 +415,57 @@ object DedupOps {
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame =
     ccWithRounds(pairs, maxRounds)._1
+
+  /** Driver budget (canonical edge rows) under which an APPEND's
+    * mini-closure folds driver-side ([[boundedComponents]]): 2²² edges
+    * = 64 MB of long pairs — the documented bounded-driver-reduction
+    * class (the remap-journal fold, the k-means reductions, the BPE
+    * word table). The append's edge set is bounded by the DELTA's
+    * candidates, so a daily increment almost always fits; a backfill
+    * that exceeds the cap falls back to the distributed closure
+    * untruncated. The FULL-corpus closure (q43, `writeLabelIndex`)
+    * never takes this path — its edge relation grows with the corpus. */
+  val AppendClosureEdgeCap: Int = 1 << 22
+
+  /** [[connectedComponents]] with a size gate: collect the canonical
+    * edge set if it fits [[AppendClosureEdgeCap]] and run union-find
+    * on the driver (exact same output: every participating node labeled
+    * with its component MINIMUM, roots included), else the distributed
+    * alternating-star closure. Round-15 measurement: the distributed
+    * closure costs ~8 driver round-trips of fixed overhead per append
+    * — on a 50k-doc micro-batch (8k edges) that was ~3 s of pure
+    * iteration overhead for msec of actual work. */
+  private[graft] def boundedComponents(
+      pairs: DataFrame, cap: Int = AppendClosureEdgeCap): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val canon = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .limit(cap + 1).collect()
+    if (canon.length > cap)
+      connectedComponents(pairs)
+    else {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) x = parent(x)
+        var y = x0 // path compression
+        while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = x; y = n }
+        x
+      }
+      canon.foreach { r =>
+        val (ru, rv) = (find(r.getLong(0)), find(r.getLong(1)))
+        // union by MIN: the smaller root stays root, so find() IS the
+        // component minimum — the distributed closure's label rule
+        if (ru < rv) parent(rv) = ru
+        else if (rv < ru) parent(ru) = rv
+      }
+      val nodes = canon.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
+    }
+  }
 
   /** [[connectedComponents]] plus the alternating-round count it took
     * to converge — the O(log² n) bound is CLAIMED in the scaladoc, so
@@ -1161,6 +1228,15 @@ object DedupOps {
   private def deltaScreenFrom(
       spark: SparkSession, indexPath: String, exD: DataFrame,
       threshold: Double, bands: Int, rows: Int,
+      asOfGen: Long = Long.MaxValue): DataFrame =
+    deltaScreenFromBanded(spark, indexPath, exD,
+      bandedBuckets(exD, bands, rows), threshold, asOfGen)
+
+  /** The screen core over a prebuilt delta banded frame — see
+    * [[candidatesFromBanded]] for why the seam exists. */
+  private def deltaScreenFromBanded(
+      spark: SparkSession, indexPath: String, exD: DataFrame,
+      banded: DataFrame, threshold: Double,
       asOfGen: Long = Long.MaxValue): DataFrame = {
     // scope both artifact scans to the committed window truncated at
     // the as-of point (partition filters): an in-flight append's
@@ -1171,7 +1247,7 @@ object DedupOps {
       .filter(col("gen").between(lo, hi))
       .select(col("pos"), col("bh"),
         col("doc_id").as("base_id"), col("n").as("n_b"))
-    val cand = bandedBuckets(exD, bands, rows)
+    val cand = banded
       .select(col("pos"), col("bh"),
         col("doc_id").as("delta_id"), col("n").as("n_d"))
       .join(bucketsB, Seq("pos", "bh"))
@@ -1276,9 +1352,14 @@ object DedupOps {
     val spark = baseDocs.sparkSession
     val ex = shingleHashes(baseDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE minhash signature aggregate for both consumers (the verify
+    // pass and the buckets artifact): 4 longs per (doc, band), the
+    // cheapest of the append's relations to pin
+    val banded = bandedBuckets(ex, bands, rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val labels = connectedComponents(
-        verifiedPairsFrom(ex, threshold, bands, rows)
+        verifiedFromBanded(ex, banded, threshold)
           .select(col("doc_a"), col("doc_b")))
       try {
         // every artifact writes into an EXPLICIT gen dir (not
@@ -1288,14 +1369,14 @@ object DedupOps {
         // footer (remaps are empty by definition at build; labels on a
         // dup-free corpus; buckets/shingles on an empty base — the
         // LabelIndexStream start-from-nothing case)
-        bandedBuckets(ex, bands, rows)
+        banded
           .write.mode("overwrite").parquet(s"$path/buckets/gen=1")
         ex.write.mode("overwrite").parquet(s"$path/shingles/gen=1")
         labels.write.mode("overwrite").parquet(s"$path/labels/gen=1")
         emptyRemaps(spark).write.mode("overwrite").parquet(s"$path/remaps/gen=1")
         GenerationManifest.commit(path, 1L, 1L)
       } finally labels.unpersist()
-    } finally ex.unpersist()
+    } finally { banded.unpersist(); ex.unpersist() }
   }
 
   /** APPEND a delta to a sealed label index — the daily-crawl merge
@@ -1358,10 +1439,22 @@ object DedupOps {
       .select(col("doc_id")).distinct()
     val ex = shingleHashes(deltaDocs.join(sealedIds, Seq("doc_id"), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE minhash signature aggregate for the append's THREE banded
+    // consumers — the sealed-base screen, the within-delta verify, and
+    // the buckets artifact write (round-15 measurement: recomputing it
+    // per consumer was the streaming maintenance path's dominant cost)
+    val banded = bandedBuckets(ex, bands, rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cross = deltaScreenFrom(spark, path, ex, threshold, bands, rows)
+      // EMPTY-delta early-out (the isEmpty action also materializes the
+      // persisted ex for the non-empty path): a fully-replayed batch or
+      // a trailing no-data trigger must not pay the screen/closure/
+      // write machinery — and must not grow the generation count per
+      // replay (idempotency already made the CONTENT a no-op).
+      if (ex.isEmpty) return
+      val cross = deltaScreenFromBanded(spark, path, ex, banded, threshold)
         .select(col("delta_id"), col("base_id"))
-      val within = verifiedPairsFrom(ex, threshold, bands, rows)
+      val within = verifiedFromBanded(ex, banded, threshold)
         .select(col("doc_a"), col("doc_b"))
       val served = labelsServe(spark, path)
       val crossRooted = cross
@@ -1371,7 +1464,9 @@ object DedupOps {
           Seq("base_id"), "left_outer")
         .select(col("delta_id").as("doc_a"),
           coalesce(col("base_root"), col("base_id")).as("doc_b"))
-      val miniLabels = connectedComponents(within.unionByName(crossRooted))
+      // the mini-closure's edges are bounded by the DELTA's candidates
+      // — the size-gated driver fold, distributed fallback over the cap
+      val miniLabels = boundedComponents(within.unionByName(crossRooted))
       try {
         val priorIds = served.select(col("doc_id"))
         val priorRoots = served.select(col("cluster_id").as("doc_id")).distinct()
@@ -1379,7 +1474,7 @@ object DedupOps {
           .filter(col("cluster_id") =!= col("doc_id"))
           .select(col("doc_id").as("old_root"), col("cluster_id").as("new_root"))
         val fresh = miniLabels.join(priorIds, Seq("doc_id"), "left_anti")
-        bandedBuckets(ex, bands, rows).withColumn("gen", lit(hi + 1))
+        banded.withColumn("gen", lit(hi + 1))
           .write.partitionBy("gen").mode("append").parquet(s"$path/buckets")
         if (crashAfterStage <= 1) return
         ex.withColumn("gen", lit(hi + 1))
@@ -1391,7 +1486,7 @@ object DedupOps {
         if (crashAfterStage <= 4) return
         GenerationManifest.commit(path, lo, hi + 1)
       } finally miniLabels.unpersist()
-    } finally ex.unpersist()
+    } finally { banded.unpersist(); ex.unpersist() }
   }
 
   /** Serve the CURRENT family labels from a sealed index: the
@@ -1402,7 +1497,14 @@ object DedupOps {
     * bounded-driver-reduction class as the k-means trainers; a
     * deployment that accretes a long journal folds it away with
     * [[compactLabelIndex]]. Labels not touched by any merge pass
-    * through a broadcast left join + coalesce. */
+    * through a broadcast left join + coalesce.
+    *
+    * Journal SIZING (ProfR15, bench/NOTES.md): the fold is iterative
+    * and memoized, so serve wall grows linearly — measured 0.31 s at 0
+    * journal rows to 1.04 s at 100k rows of a WORST-CASE single chain.
+    * Rule: compact when the journal exceeds ~10⁵ rows (~0.7 s added
+    * serve wall); real journals are bounded by family-merge events and
+    * sit orders of magnitude below that after a year of daily appends. */
   def labelsServe(spark: SparkSession, path: String): DataFrame =
     labelsServeAt(spark, path, Long.MaxValue)
 
