@@ -1935,49 +1935,189 @@ object TextOps {
     // stage (the initial token count) is a plain hash aggregate that
     // plans identically either way.
     val aqeKey = "spark.sql.adaptive.enabled"
+    // CollectLimit's incremental partition scale-up turns every overlay
+    // fetch into 2-4 jobs; scanning all partitions at once makes it ONE
+    // (the fetched relation is a filtered vocabulary — tiny either way)
+    val limitKey = "spark.sql.limit.initialNumPartitions"
     val aqeBefore = spark.conf.getOption(aqeKey)
+    val limitBefore = spark.conf.getOption(limitKey)
     spark.conf.set(aqeKey, "false")
+    spark.conf.set(limitKey, "10000")
     try bpeTrainBatchedLoop(docs, merges)
-    finally aqeBefore match {
-      case Some(v) => spark.conf.set(aqeKey, v)
-      case None    => spark.conf.unset(aqeKey)
+    finally {
+      aqeBefore match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None    => spark.conf.unset(aqeKey)
+      }
+      limitBefore match {
+        case Some(v) => spark.conf.set(limitKey, v)
+        case None    => spark.conf.unset(limitKey)
+      }
     }
   }
 
+  /** Driver budget (rows) for [[bpeTrainBatchedLoop]]'s affected-word
+    * overlay and fetches: 2¹⁸ `(token, enc, tok_n)` rows — the bounded
+    * driver-reduction class. A batch whose affected set exceeds it
+    * falls back to the fully distributed delta round untruncated. */
+  private val BpeOverlayCap: Int = 1 << 18
+
+  /** The symbol extraction mirrored EXACTLY from the Spark paths'
+    * `regexp_extract_all(enc, "\\(([^)]*)\\)", 1)` (same java.util.regex
+    * engine Spark executes) — the overlay's local trigram accounting
+    * must agree with the distributed aggregate bit for bit. */
+  private val BpeSymRe = java.util.regex.Pattern.compile("\\(([^)]*)\\)")
+  private def bpeSyms(e: String): Array[String] = {
+    val m = BpeSymRe.matcher(e)
+    val b = Array.newBuilder[String]
+    while (m.find()) b += m.group(1)
+    b.result()
+  }
+
+  /** Round-15 incremental form (VERDICT r14 #5: the r14 loop re-counted
+    * the FULL vocabulary every round — 479 jobs for 400 merges on the
+    * cascade-heavy customer-name corpus, because prefix cascades admit
+    * one merge per round). Three pieces, all EXACT (the spec still pins
+    * merge-for-merge identity with the sequential loop):
+    *
+    *   - the `(a, b, c?)` adjacency stats live in a DRIVER map
+    *     (vocabulary-adjacency-bounded — the same relation the r14
+    *     loop collected every round anyway), updated by DELTAS instead
+    *     of re-aggregated;
+    *   - an affected-word OVERLAY: the words a batch rewrites are
+    *     fetched to the driver (≤ [[BpeOverlayCap]]), rewritten and
+    *     re-counted LOCALLY; the distributed frame goes stale for
+    *     overlay keys and is reconciled by a broadcast-join flush only
+    *     when the overlay grows past the cap or a too-big batch needs
+    *     the distributed path;
+    *   - the CASCADE short-circuit that makes jobs SUBLINEAR in
+    *     merges: a merge whose lhs or rhs was CREATED since the last
+    *     flush can only occur inside overlay words (a word contains
+    *     symbol `lr` only if some applied merge `(l, r)` rewrote it —
+    *     and every rewrite since the flush landed in the overlay), so
+    *     the whole cascade round runs driver-side with ZERO Spark
+    *     jobs. Measured on the customer-name corpus: 234 jobs → a
+    *     handful (bench/NOTES.md ProfR15). */
   private def bpeTrainBatchedLoop(docs: DataFrame, merges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     var enc = docs
       .select(explode(toks(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("tok_n"))
-      .select(regexp_replace(col("token"), "(.)", "($1)").as("enc"),
+      .select(col("token"),
+        regexp_replace(col("token"), "(.)", "($1)").as("enc"),
         col("tok_n"))
       .localCheckpoint(true)
-    val out = Seq.newBuilder[(Int, String, String, Long)]
-    var rank = 1
-    var sinceCheckpoint = 0
-    var exhausted = false
-    while (rank <= merges && !exhausted) {
-      val syms = regexp_extract_all(col("enc"), lit("\\(([^)]*)\\)"), lit(1))
-      val stats = enc
-        .select(col("tok_n"), syms.as("s"))
+
+    // ---- exact driver stats: (a, b, Some(c)|None) -> summed tok_n
+    val stats = scala.collection.mutable
+      .HashMap.empty[(String, String, Option[String]), Long]
+    def foldInto(k: (String, String, Option[String]), d: Long): Unit = {
+      val n = stats.getOrElse(k, 0L) + d
+      if (n == 0L) stats.remove(k) else stats(k) = n
+    }
+    def triLocal(e: String, w: Long, sign: Long): Unit = {
+      val s = bpeSyms(e)
+      var i = 0
+      while (i < s.length - 1) {
+        foldInto((s(i), s(i + 1),
+          if (i + 2 < s.length) Some(s(i + 2)) else None), sign * w)
+        i += 1
+      }
+    }
+    def triDeltaDf(frame: DataFrame, encCol: Column, sign: Long): DataFrame = {
+      val syms = regexp_extract_all(encCol, lit("\\(([^)]*)\\)"), lit(1))
+      frame
+        .select((col("tok_n") * sign).as("w"), syms.as("s"))
         .filter(size(col("s")) >= 2)
-        .select(col("tok_n"),
+        .select(col("w"),
           explode(transform(sequence(lit(1), size(col("s")) - 1), i =>
             struct(element_at(col("s"), i).as("a"),
               element_at(col("s"), i + 1).as("b"),
               try_element_at(col("s"), i + 2).as("c")))).as("g"))
-        .groupBy(col("g.a").as("a"), col("g.b").as("b"), col("g.c").as("c"))
-        .agg(sum(col("tok_n")).as("n"))
-        .collect()
+        .select(col("g.a").as("a"), col("g.b").as("b"),
+          col("g.c").as("c"), col("w"))
+    }
+    def foldJob(df: DataFrame): Unit =
+      df.groupBy(col("a"), col("b"), col("c")).agg(sum(col("w")).as("n"))
+        .filter(col("n") =!= 0L).collect()
+        .foreach(r => foldInto(
+          (r.getString(0), r.getString(1), Option(r.getString(2))),
+          r.getLong(3)))
+    foldJob(triDeltaDf(enc, col("enc"), 1L)) // the one full count
+    // distinct-word count: with the WHOLE vocabulary in the overlay
+    // (common once one wide pattern touches every word, e.g. a shared
+    // prefix) no distributed word can match anything — fetches skip
+    val vocabSize = enc.count()
+
+    // ---- overlay of driver-authoritative words (distributed rows stale)
+    val overlay = scala.collection.mutable.HashMap.empty[String, (String, Long)]
+    val createdSinceFlush = scala.collection.mutable.HashSet.empty[String]
+    var sinceCheckpoint = 0
+    def flushOverlay(): Unit = if (overlay.nonEmpty) {
+      val ovl = overlay.toSeq.map { case (t, (e, _)) => (t, e) }
+        .toDF("token", "enc2")
+      enc = enc.join(broadcast(ovl), Seq("token"), "left_outer")
+        .select(col("token"),
+          coalesce(col("enc2"), col("enc")).as("enc"), col("tok_n"))
+        .localCheckpoint(true)
+      sinceCheckpoint = 0
+      overlay.clear()
+      createdSinceFlush.clear()
+    }
+    def applyLocally(applied: Seq[(String, String)]): Unit = {
+      val pats = applied.map { case (l, r) => (s"($l)($r)", s"($l$r)") }
+      overlay.foreach { case (t, (e, w)) =>
+        if (pats.exists(p => e.contains(p._1))) {
+          triLocal(e, w, -1L)
+          var ne = e
+          // batch merges are symbol-disjoint (the admission guard), so
+          // ordered literal replaces mirror the Spark fold exactly
+          pats.foreach { case (from, to) => ne = ne.replace(from, to) }
+          triLocal(ne, w, 1L)
+          overlay(t) = (ne, w)
+        }
+      }
+      applied.foreach { case (l, r) => createdSinceFlush += (l + r) }
+    }
+    def applyDistributed(applied: Seq[(String, String)]): Unit = {
+      // caller flushed: enc is current, overlay empty
+      val rewritten = applied.foldLeft(col("enc")) {
+        case (e, (l, r)) => replace(e, lit(s"($l)($r)"), lit(s"($l$r)"))
+      }
+      val affectedPred = applied
+        .map { case (l, r) => col("enc").contains(s"($l)($r)") }
+        .reduce(_ || _)
+      val affected = enc.filter(affectedPred)
+      foldJob(triDeltaDf(affected, col("enc"), -1L)
+        .unionByName(triDeltaDf(affected, rewritten, 1L)))
+      val next = enc.select(col("token"), rewritten.as("enc"), col("tok_n"))
+      sinceCheckpoint += 1
+      enc =
+        if (sinceCheckpoint >= BpeCheckpointEvery) {
+          sinceCheckpoint = 0
+          next.localCheckpoint(true)
+        } else next
+      createdSinceFlush.clear() // creations landed distributively
+    }
+
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= merges && !exhausted) {
       if (stats.isEmpty) exhausted = true
       else {
-        val pairs = stats
-          .groupBy(r => (r.getString(0), r.getString(1)))
-          .view.mapValues(_.map(_.getLong(3)).sum).toSeq
-          .sortBy { case ((l, r), n) => (-n, l, r) }
-        val tri = stats.filter(!_.isNullAt(2)).map(r =>
-          ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3)))
+        // the r14 admission logic verbatim — only the SOURCE of the
+        // counts changed (incrementally exact instead of re-counted)
+        val pairsMap = scala.collection.mutable
+          .HashMap.empty[(String, String), Long]
+        stats.foreach { case ((a, b, _), n) =>
+          pairsMap((a, b)) = pairsMap.getOrElse((a, b), 0L) + n
+        }
+        val pairs = pairsMap.toSeq.sortBy { case ((l, r), n) => (-n, l, r) }
+        val tri = stats.iterator.collect {
+          case ((a, b, Some(c)), n) => ((a, b, c), n)
+        }.toArray
         val touched = scala.collection.mutable.Set.empty[String]
         var guard = 0L
         val batch = Seq.newBuilder[(String, String)]
@@ -2002,16 +2142,36 @@ object TextOps {
         val applied = batch.result()
         if (applied.isEmpty) exhausted = true
         else if (rank <= merges) {
-          val rewritten = applied.foldLeft(col("enc")) {
-            case (e, (l, r)) => replace(e, lit(s"($l)($r)"), lit(s"($l$r)"))
+          val nonBound = applied.filterNot { case (l, r) =>
+            createdSinceFlush(l) || createdSinceFlush(r)
           }
-          val next = enc.select(rewritten.as("enc"), col("tok_n"))
-          sinceCheckpoint += 1
-          enc =
-            if (sinceCheckpoint >= BpeCheckpointEvery) {
-              sinceCheckpoint = 0
-              next.localCheckpoint(true)
-            } else next
+          // zero-job paths: a pure cascade (every pattern touches a
+          // created symbol), or the overlay already holds every word
+          if (nonBound.isEmpty || overlay.size == vocabSize)
+            applyLocally(applied)
+          else {
+            // fetch the stale rows the non-overlay-bound patterns can
+            // touch; created-bound patterns only occur in overlay words
+            val pred = nonBound
+              .map { case (l, r) => col("enc").contains(s"($l)($r)") }
+              .reduce(_ || _)
+            val fetched = enc.filter(pred)
+              .limit(BpeOverlayCap + 1).collect()
+            if (fetched.length > BpeOverlayCap) {
+              flushOverlay()
+              applyDistributed(applied)
+            } else {
+              fetched.foreach { r =>
+                val t = r.getString(0)
+                // overlay stays authoritative: a stale row's pattern
+                // match may no longer hold for its overlay version
+                if (!overlay.contains(t))
+                  overlay(t) = (r.getString(1), r.getLong(2))
+              }
+              applyLocally(applied)
+              if (overlay.size > BpeOverlayCap) flushOverlay()
+            }
+          }
         }
       }
     }
