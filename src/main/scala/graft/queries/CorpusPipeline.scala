@@ -90,7 +90,8 @@ object CorpusPipeline {
       perplexityPerMille: Int = TextOps.HeavyHitterPerMille,
       mixWeights: Option[Seq[(String, Int)]] = None,
       defaultMixWeight: Int = PipelineOps.DefaultMixWeight,
-      labelIndexPath: Option[String] = None) {
+      labelIndexPath: Option[String] = None,
+      gateModelPath: Option[String] = None) {
     require(passageTokens > 0, s"passageTokens must be > 0, got $passageTokens")
     require(exciseTokens > 0, s"exciseTokens must be > 0, got $exciseTokens")
     require(defaultMixWeight > 0,
@@ -121,6 +122,26 @@ object CorpusPipeline {
     require(labelIndexPath.isEmpty || clusterNeardups,
       "labelIndexPath is only consumed by the cluster-dedup stage — " +
         "set clusterNeardups = true (the pairwise path never reads it)")
+    // same misconfiguration class as labelIndexPath: a trained model
+    // path with the gate off would silently score nothing
+    require(gateModelPath.isEmpty || modelGate,
+      "gateModelPath is only consumed by the model-gate stage — " +
+        "set modelGate = true (no other stage scores)")
+  }
+
+  /** The model-gate score column under `cfg`: the TRAINED pocket
+    * vector loaded from `gateModelPath` when set (the round-15 model
+    * artifact — the pipeline finally gates with the model it trained,
+    * not the fixture constant), else q68's fixed-weight scorer. The
+    * load is a featDim-row driver read at plan-construction time, so
+    * a batch run (and a stream, at start) pins ONE model generation
+    * for its lifetime — reproducible by `gateWeightsAt(path, gen)`. */
+  private[graft] def gateScoreColumn(
+      spark: org.apache.spark.sql.SparkSession, cfg: Config)
+    : org.apache.spark.sql.Column = cfg.gateModelPath match {
+    case Some(p) =>
+      TextOps.linearScoreMicroWith(col("text"), TextOps.gateWeightsAt(spark, p))
+    case None => TextOps.linearScoreMicro(col("text"))
   }
 
   /** Run `f` over the prepared corpus, then release the pipeline's
@@ -372,8 +393,8 @@ object CorpusPipeline {
       .filter(size(TextOps.toks(col("text"))) >= cfg.minTokens))
     val narrowGated =
       if (cfg.modelGate)
-        mark("06_model",
-          floorGated.filter(TextOps.linearScoreMicro(col("text")) >= 0))
+        mark("06_model", floorGated.filter(
+          gateScoreColumn(floorGated.sparkSession, cfg) >= 0))
       else floorGated
 
     // 2a'. optional LM-perplexity BAND gate (q79 core — the CCNet

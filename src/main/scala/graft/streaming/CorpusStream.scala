@@ -72,8 +72,11 @@ object CorpusStream {
   /** The narrow admission gates (batch stage 2, verbatim): language
     * allow-list, minimum token count, and — when `cfg.modelGate` —
     * the q68 linear-classifier score (heuristics first, model second,
-    * the batch pipeline's order). All stateless, codegen'd, run FIRST
-    * so neither state store ever holds a discarded doc. */
+    * the batch pipeline's order; with `cfg.gateModelPath` the TRAINED
+    * pocket vector loads once at stream construction, pinning one
+    * model generation for the stream's lifetime — restart to roll).
+    * All stateless, codegen'd, run FIRST so neither state store ever
+    * holds a discarded doc. */
   def gate(
       docs: DataFrame,
       cfg: CorpusPipeline.Config = CorpusPipeline.Config()): DataFrame = {
@@ -81,7 +84,8 @@ object CorpusStream {
       .filter(col("lang").isInCollection(cfg.keepLangs))
       .filter(size(TextOps.toks(col("text"))) >= cfg.minTokens)
     if (cfg.modelGate)
-      floorGated.filter(TextOps.linearScoreMicro(col("text")) >= 0)
+      floorGated.filter(
+        CorpusPipeline.gateScoreColumn(docs.sparkSession, cfg) >= 0)
     else floorGated
   }
 

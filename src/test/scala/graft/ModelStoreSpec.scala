@@ -85,6 +85,27 @@ class ModelStoreSpec extends SparkSuite {
     assert(served == inSession, "served encode twin diverged")
   }
 
+  test("pipeline gate consumes the trained model: gateModelPath == in-session loaded-weight filter") {
+    import graft.queries.CorpusPipeline
+    val docs = Tables.documents(spark, sf)
+    val path = tmp("graft-gate-pipeline")
+    TextOps.writeGateModel(docs, path)
+    val w = TextOps.gateWeightsAt(spark, path)
+    val cfg = CorpusPipeline.Config(
+      modelGate = true, gateModelPath = Some(path))
+    val got = graft.streaming.CorpusStream.gate(docs, cfg)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val want = graft.streaming.CorpusStream
+      .gate(docs, CorpusPipeline.Config(modelGate = false))
+      .filter(TextOps.linearScoreMicroWith(col("text"), w) >= 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, "gateModelPath gate diverged from loaded-weight filter")
+    // the misconfiguration fails at construction, not silently
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.Config(gateModelPath = Some(path))
+    }
+  }
+
   test("bpe model: retrain appends; as-of serves the historical tokenizer") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
