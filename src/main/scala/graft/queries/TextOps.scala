@@ -1894,12 +1894,15 @@ object TextOps {
     * merge (round-13 verdict #4: 12 merges were fine; 32k-merge builds
     * are not 32k jobs).
     *
-    * Round = ONE aggregate job over the encoded vocabulary collecting
-    * adjacent PAIR counts and TRIGRAM counts together (each bigram
-    * position emits `(a, b, try_element_at(i+2))` — the null-c rows
-    * sum to exactly the pair counts, the non-null rows are the trigram
-    * counts; both are vocabulary-adjacency-bounded, the documented
-    * driver-reduction class). The driver then admits merges GREEDILY
+    * The adjacency statistics (PAIR counts plus TRIGRAM counts — each
+    * bigram position contributes `(a, b, try_element_at(i+2))`: the
+    * null-c rows sum to exactly the pair counts, the non-null rows are
+    * the trigram counts; both vocabulary-adjacency-bounded, the
+    * documented driver-reduction class) are counted in full ONCE and
+    * then maintained INCREMENTALLY on the driver — see
+    * [[bpeTrainBatchedLoop]] for the round-15 delta/overlay/cascade
+    * machinery that makes Spark jobs independent of the merge budget
+    * on cascade-heavy vocabularies. The driver admits merges GREEDILY
     * in the sequential order (n desc, lhs, rhs) while admission is
     * PROVABLY equivalent to running the one-at-a-time loop:
     *
@@ -1923,8 +1926,10 @@ object TextOps {
     * rule as [[bpeTrain]] (disjoint merges commute, so batch-order
     * application ≡ one-at-a-time). Batch sizes grow as training walks
     * down the Zipf tail (cascades like t+h → th+e inherently
-    * serialize — the guard is what makes that CORRECT, not slow);
-    * ProfR14 records the measured merges-per-job curve. */
+    * serialize — the guard is what makes that CORRECT; since round 15
+    * a serialized cascade costs a DRIVER round over the overlay, not a
+    * Spark job); bench/NOTES.md records the measured jobs: 200 merges
+    * 234 jobs/80 s (r14) → 4 jobs/3.4 s (r15). */
   private[graft] def bpeTrainBatched(docs: DataFrame, merges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
