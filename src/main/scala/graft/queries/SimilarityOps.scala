@@ -321,6 +321,23 @@ object SimilarityOps {
   def annIndexWindow(path: String): (Long, Long) =
     GenerationManifest.window(path)
 
+  /** Compact a FLAT-table code index (SQ8 or PQ — one root, `gen`
+    * partitions, `_quantizer` sidecar untouched): rewrite the
+    * committed window into ONE fresh generation and flip the window
+    * to it — [[compactAnnIndex]]'s contract without the cell key.
+    * Serving is row-identical across the flip; replaced generations
+    * are reclaimed by the next mutation's leading purge. */
+  def compactFlatIndex(spark: SparkSession, path: String): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, Seq(""), lo, hi)
+    if (lo == hi) return
+    spark.read.parquet(path)
+      .filter(col("gen").between(lo, hi)).drop("gen")
+      .withColumn("gen", lit(hi + 1))
+      .write.partitionBy("gen").mode("append").parquet(path)
+    GenerationManifest.commit(path, hi + 1, hi + 1)
+  }
+
   def compactAnnIndex(spark: SparkSession, path: String): Unit = {
     val (lo, hi) = GenerationManifest.window(path)
     GenerationManifest.purgeOutside(path, Seq(""), lo, hi)
@@ -631,9 +648,13 @@ object SimilarityOps {
     emb.crossJoin(broadcast(stats))
       .select(col("vec_id"), col("label"),
         sq8ByteCodes(col("embedding"), col("mn"), col("mx")).as("codes"))
-      .write.mode("overwrite").parquet(path)
+      .withColumn("gen", lit(1L))
+      .write.partitionBy("gen").mode("overwrite").parquet(path)
     stats.coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_quantizer")
+    // round 15 brings the last two index families (SQ8, PQ) under the
+    // shared generation protocol: crash-atomic appends + as-of serves
+    GenerationManifest.commit(path, 1L, 1L)
   }
 
   /** Saturating byte encoding shared by build and append: quantize,
@@ -654,11 +675,15 @@ object SimilarityOps {
     * scheduled retrain+rebuild, and append ≡ rebuild-with-same-
     * quantizer exactly (spec-pinned). */
   def appendSq8Index(delta: DataFrame, path: String): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, Seq(""), lo, hi)
     val quantizer = delta.sparkSession.read.parquet(s"$path/_quantizer")
     delta.crossJoin(broadcast(quantizer))
       .select(col("vec_id"), col("label"),
         sq8ByteCodes(col("embedding"), col("mn"), col("mx")).as("codes"))
-      .write.mode("append").parquet(path)
+      .withColumn("gen", lit(hi + 1))
+      .write.partitionBy("gen").mode("append").parquet(path)
+    GenerationManifest.commit(path, lo, hi + 1)
   }
 
   /** Search the PERSISTED SQ8 table: reload the quantizer, dequantize
@@ -674,10 +699,13 @@ object SimilarityOps {
       spark: SparkSession,
       path: String,
       probeId: Long = 0,
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val quantizer = spark.read.parquet(s"$path/_quantizer")
-    val codes = spark.read.parquet(path)
+    // asOfGen: serve the codes as they stood at that committed head
+    val (lo, g) = GenerationManifest.windowAt(path, asOfGen)
+    val codes = spark.read.parquet(path).filter($"gen".between(lo, g))
     def reconstruct(df: DataFrame) = df.crossJoin(broadcast(quantizer))
       .withColumn("xhat", sq8Dequantize(
         transform($"codes", c => (c.cast("double") + lit(128.0))),
@@ -1145,12 +1173,14 @@ object SimilarityOps {
     import spark.implicits._
     emb.select(col("vec_id"), col("label"),
         pqPack(pqCodeColsFor(col("embedding"), books)).as("packed"))
-      .write.mode("overwrite").parquet(path)
+      .withColumn("gen", lit(1L))
+      .write.partitionBy("gen").mode("overwrite").parquet(path)
     (for (m <- 0 until PqSubspaces; j <- 0 until PqCodes)
       yield (m, j, books(m)(j)))
       .toDF("m", "j", "codebook")
       .coalesce(1) // M×K×subDim doubles — one tiny file
       .write.mode("overwrite").parquet(s"$path/_quantizer")
+    GenerationManifest.commit(path, 1L, 1L)
   }
 
   /** The full PQ train→build loop: train codebooks on the corpus,
@@ -1178,11 +1208,15 @@ object SimilarityOps {
     * a scheduled retrain+rebuild; the quantizer-versioning any
     * production PQ deployment runs. */
   def appendPqIndex(delta: DataFrame, path: String): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, Seq(""), lo, hi)
     val booksArr = readPqQuantizer(delta.sparkSession, path)
     val books = booksArr.map(_.map(_.toSeq).toSeq).toSeq
     delta.select(col("vec_id"), col("label"),
         pqPack(pqCodeColsFor(col("embedding"), books)).as("packed"))
-      .write.mode("append").parquet(path)
+      .withColumn("gen", lit(hi + 1))
+      .write.partitionBy("gen").mode("append").parquet(path)
+    GenerationManifest.commit(path, lo, hi + 1)
   }
 
   /** Reload the PQ codebooks persisted by [[writePqIndex]] — the
@@ -1213,7 +1247,8 @@ object SimilarityOps {
       path: String,
       probes: Seq[(Long, Seq[Double])],
       books: Array[Array[Array[Double]]],
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val tables = probes.map { case (id, e) =>
       val t = Array.tabulate(PqSubspaces, PqCodes) { (m, j) =>
@@ -1226,7 +1261,9 @@ object SimilarityOps {
     }
     val probesDf = tables.map { case (id, t) => (id, t) }
       .toDF("probe_id", "t")
-    val codes = spark.read.parquet(path)
+    // asOfGen: serve the codes as they stood at that committed head
+    val (winLo, winG) = GenerationManifest.windowAt(path, asOfGen)
+    val codes = spark.read.parquet(path).filter($"gen".between(winLo, winG))
     val adc = round(
       (0 until PqSubspaces)
         .map(m => element_at(element_at($"t", m + 1),

@@ -455,7 +455,9 @@ class SimilarityOpsSpec extends SparkSuite {
     // the stored representation: 1-byte codes, and NO float embedding
     // column exists in the table at all
     val idx = spark.read.parquet(path)
-    assert(idx.columns.toSet == Set("vec_id", "label", "codes"),
+    // gen: the shared generation protocol (round 15) — a partition
+    // column, zero bytes in the data files
+    assert(idx.columns.toSet == Set("vec_id", "label", "codes", "gen"),
       s"unexpected index schema: ${idx.columns.toSeq}")
     assert(idx.schema("codes").dataType == ArrayType(ByteType),
       s"codes not 1-byte: ${idx.schema("codes").dataType}")
@@ -782,7 +784,7 @@ class SimilarityOpsSpec extends SparkSuite {
     // the table stores vec_id, label, and ONE int column — floats are
     // physically absent, the serving scan cannot read them
     val idx = spark.read.parquet(path)
-    assert(idx.columns.toSet == Set("vec_id", "label", "packed"))
+    assert(idx.columns.toSet == Set("vec_id", "label", "packed", "gen"))
     assert(idx.schema("packed").dataType == IntegerType)
 
     // quantizer round-trips bit-exact

@@ -104,6 +104,70 @@ class TimeTravelSpec extends SparkSuite {
       "IVF as-of search diverged from the captured serve")
   }
 
+  test("SQ8 + PQ (round 15 joins the protocol): as-of search replays the pre-append codes") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter($"vec_id" % 4 =!= 0)
+    val delta = emb.filter($"vec_id" % 4 === 0)
+    // SQ8 — note vec_id 0 (the probe) is IN the delta, so the as-of
+    // serve must refuse... no: probeId reads from the index; use a
+    // base-resident probe instead
+    val sq8 = tmp("graft-tt-sq8")
+    SimilarityOps.writeSq8Index(base, sq8)
+    val s1 = rows(SimilarityOps.sq8SearchIndex(spark, sq8, probeId = 1))
+    SimilarityOps.appendSq8Index(delta, sq8)
+    val s2 = rows(SimilarityOps.sq8SearchIndex(spark, sq8, probeId = 1))
+    assert(s2 != s1, "SQ8 fixture vacuous")
+    assert(rows(SimilarityOps.sq8SearchIndex(spark, sq8, probeId = 1,
+      asOfGen = 1L)) == s1, "SQ8 as-of search diverged")
+    // compaction: identical serve at the head, floor refusal below
+    SimilarityOps.compactFlatIndex(spark, sq8)
+    assert(rows(SimilarityOps.sq8SearchIndex(spark, sq8, probeId = 1)) == s2,
+      "SQ8 compaction changed the serve")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.sq8SearchIndex(spark, sq8, probeId = 1, asOfGen = 1L)
+    }
+    // PQ
+    val pq = tmp("graft-tt-pq")
+    val books = SimilarityOps.trainPqCodebooks(base, iters = 2)
+    SimilarityOps.writePqIndex(base, pq, books)
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq
+    val loaded = SimilarityOps.readPqQuantizer(spark, pq)
+    val p1 = rows(SimilarityOps.pqSearchIndex(spark, pq, probes, loaded))
+    SimilarityOps.appendPqIndex(delta, pq)
+    val p2 = rows(SimilarityOps.pqSearchIndex(spark, pq, probes, loaded))
+    assert(p2 != p1, "PQ fixture vacuous")
+    assert(rows(SimilarityOps.pqSearchIndex(spark, pq, probes, loaded,
+      asOfGen = 1L)) == p1, "PQ as-of search diverged")
+  }
+
+  test("phrase bank: as-of scrub excises only what generation g had sealed") {
+    import spark.implicits._
+    // base seals phrase A (8 tokens); the append seals phrase B. A
+    // probe containing BOTH must lose only A as of gen 1, both at head.
+    val pA = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val pB = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val idx = tmp("graft-tt-phrase")
+    // two holders each so the phrases count as duplicated
+    DedupOps.writePhraseIndex(
+      Seq((1L, s"$pA x1"), (2L, s"$pA x2")).toDF("doc_id", "text"), idx)
+    DedupOps.appendPhraseIndex(
+      Seq((3L, s"$pB y1"), (4L, s"$pB y2")).toDF("doc_id", "text"), idx)
+    val probe = Seq((99L, s"$pA $pB")).toDF("doc_id", "text")
+    def scrubbed(asOf: Long): String =
+      DedupOps.scrubAgainst(spark, idx, probe, asOfGen = asOf)
+        .select(col("clean_text")).head().getString(0)
+    val atHead = scrubbed(Long.MaxValue)
+    val at1 = scrubbed(1L)
+    assert(!at1.contains("a1") && at1.contains("b1"),
+      s"as-of scrub wrong: '$at1' (must excise A only)")
+    assert(!atHead.contains("a1") && !atHead.contains("b1"),
+      s"head scrub wrong: '$atHead' (must excise both)")
+  }
+
   test("compaction reclaims history: as-of below the window floor refuses loudly") {
     val (base, delta) = split(sf)
     val idx = tmp("graft-tt-floor")
