@@ -144,6 +144,32 @@ class TimeTravelSpec extends SparkSuite {
       asOfGen = 1L)) == p1, "PQ as-of search diverged")
   }
 
+  test("SQ8 append crash window: pre-commit debris is invisible; the retry purges and repairs") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter($"vec_id" % 4 =!= 0)
+    val delta = emb.filter($"vec_id" % 4 === 0)
+    val idx = tmp("graft-tt-sq8-crash")
+    SimilarityOps.writeSq8Index(base, idx)
+    val preAppend = rows(SimilarityOps.sq8SearchIndex(spark, idx, probeId = 1))
+    // complete append, then REWIND the manifest — byte-for-byte the
+    // state a crash between the data write and the commit leaves
+    SimilarityOps.appendSq8Index(delta, idx)
+    val committed = rows(SimilarityOps.sq8SearchIndex(spark, idx, probeId = 1))
+    GenerationManifest.commit(idx, 1L, 1L)
+    assert(rows(SimilarityOps.sq8SearchIndex(spark, idx, probeId = 1))
+      == preAppend, "uncommitted generation leaked into the serve")
+    // the retry's leading purge removes the debris; no double-append
+    SimilarityOps.appendSq8Index(delta, idx)
+    assert(rows(SimilarityOps.sq8SearchIndex(spark, idx, probeId = 1))
+      == committed, "retry after crash diverged from the clean append")
+    val gens = new java.io.File(idx).listFiles()
+      .map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
+    assert(gens == Seq("gen=1", "gen=2"), s"debris not repaired: $gens")
+    assert(spark.read.parquet(idx).count() == emb.count(),
+      "retry double-appended")
+  }
+
   test("phrase bank: as-of scrub excises only what generation g had sealed") {
     import spark.implicits._
     // base seals phrase A (8 tokens); the append seals phrase B. A
