@@ -655,6 +655,20 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"q113 offsets degraded to sort-merge:\n$p")
   }
 
+  test("q114 served scoring: a trained model is still a zero-shuffle narrow map") {
+    // the hashing-trick claim must survive the weights' provenance: a
+    // LOADED pocket vector rides as a literal exactly like the fixed
+    // constant, so served scoring stays map-only (the single exchange
+    // is the doc_id output-contract sort)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-plan-gate").toString
+    TextOps.writeGateModel(Tables.documents(spark, sf), path)
+    val p = plan(TextOps.gateScoreServed(spark, sf, path))
+    assert(!p.contains("Join"), s"served scoring picked up a relation:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"served scoring shuffles data:\n$p")
+  }
+
   test("q48: the funnel scan is a single hash shuffle") {
     // the claimed advantage over the k-self-join shape — pin it
     val p = plan(AnalyticsOps.q48Funnel(spark, sf))
