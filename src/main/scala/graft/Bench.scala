@@ -223,18 +223,8 @@ object Bench {
         errByName.get(name))
     }
     // last sample taken — reclaim the per-run index trees now
-    buildDirs.foreach { d =>
-      val root = Paths.get(d)
-      if (Files.exists(root)) {
-        // Files.walk holds a directory stream open until closed — in
-        // this long-lived JVM an unclosed walk leaks descriptors
-        val s = Files.walk(root)
-        try
-          s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => Files.deleteIfExists(p))
-        finally s.close()
-      }
-    }
+    buildDirs.foreach(d =>
+      queries.SimilarityOps.deleteRecursively(Paths.get(d)))
 
     def esc(s: String): String =
       s.flatMap {

@@ -29,6 +29,32 @@ import java.nio.file.{Files, Paths}
   */
 object StreamBench {
 
+  /** The synthetic labels corpus (5000-token vocabulary, ~10%
+    * one-token-edit near-dups of an earlier doc) — ONE definition
+    * shared by the StreamBench labels row and the ProfR15 append
+    * decomposition, so the probe measures exactly the distribution
+    * the bench reports (a review catch: two hand-synced copies would
+    * silently diverge). */
+  private[graft] def labelsCorpusRows(
+      n: Int, seed: Int): IndexedSeq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Array.tabulate(5000)(i => s"v$i")
+    val recent = new scala.collection.mutable.ArrayBuffer[Array[String]]
+    (1 to n).map { id =>
+      val toks =
+        if (recent.nonEmpty && rnd.nextInt(10) == 0) {
+          val base = recent(rnd.nextInt(recent.size)).clone()
+          base(rnd.nextInt(base.length)) = vocab(rnd.nextInt(vocab.length))
+          base
+        } else {
+          val t = Array.fill(40)(vocab(rnd.nextInt(vocab.length)))
+          if (recent.size < 4096) recent += t
+          t
+        }
+      (id.toLong, toks.mkString(" "))
+    }
+  }
+
   /** Locale-independent fixed-point format: the emitted line is JSON,
     * and `f"$d%.1f"` renders with the JVM default locale — on a
     * comma-decimal locale (de_DE, fr_FR, …) the metric line would stop
@@ -296,35 +322,15 @@ object StreamBench {
       sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "5").trim.toInt
     def writeCorpus(n: Int, seed: Int): java.nio.file.Path = {
       val dir = Files.createTempDirectory("graft-lbbench")
-      val rnd = new scala.util.Random(seed)
-      val vocab = Array.tabulate(5000)(i => s"v$i")
-      val recent = new scala.collection.mutable.ArrayBuffer[Array[String]]
-      val perFile = 10000
-      var id = 0L
-      var written = 0
-      while (written < n) {
-        val count = math.min(perFile, n - written)
-        val sb = new StringBuilder(count * 300)
-        var i = 0
-        while (i < count) {
-          id += 1
-          val toks =
-            if (recent.nonEmpty && rnd.nextInt(10) == 0) {
-              val base = recent(rnd.nextInt(recent.size)).clone()
-              base(rnd.nextInt(base.length)) = vocab(rnd.nextInt(vocab.length))
-              base
-            } else {
-              val t = Array.fill(40)(vocab(rnd.nextInt(vocab.length)))
-              if (recent.size < 4096) recent += t
-              t
-            }
-          sb.append(s"""{"doc_id":$id,"text":"${toks.mkString(" ")}"}""")
-            .append('\n')
-          i += 1
+      StreamBench.labelsCorpusRows(n, seed).grouped(10000).zipWithIndex
+        .foreach { case (chunk, i) =>
+          val sb = new StringBuilder(chunk.size * 300)
+          chunk.foreach { case (id, text) =>
+            sb.append(s"""{"doc_id":$id,"text":"$text"}""").append('\n')
+          }
+          Files.writeString(
+            dir.resolve(f"part-${i * 10000}%09d.json"), sb.result())
         }
-        Files.writeString(dir.resolve(f"part-$written%09d.json"), sb.result())
-        written += count
-      }
       dir
     }
     def emptyIndex(): String = {

@@ -417,15 +417,17 @@ object DedupOps {
     ccWithRounds(pairs, maxRounds)._1
 
   /** Driver budget (canonical edge rows) under which an APPEND's
-    * mini-closure folds driver-side ([[boundedComponents]]): 2²² edges
-    * = 64 MB of long pairs — the documented bounded-driver-reduction
-    * class (the remap-journal fold, the k-means reductions, the BPE
-    * word table). The append's edge set is bounded by the DELTA's
+    * mini-closure folds driver-side ([[boundedComponents]]): 2²⁰
+    * edges, collected as primitive tuple pairs ≈ 50 MB boxed — the
+    * documented bounded-driver-reduction class (the remap-journal
+    * fold, the k-means reductions, the BPE word table; a review catch
+    * sized the budget on the COLLECTED representation, not the raw
+    * 16 bytes/edge). The append's edge set is bounded by the DELTA's
     * candidates, so a daily increment almost always fits; a backfill
     * that exceeds the cap falls back to the distributed closure
     * untruncated. The FULL-corpus closure (q43, `writeLabelIndex`)
     * never takes this path — its edge relation grows with the corpus. */
-  val AppendClosureEdgeCap: Int = 1 << 22
+  val AppendClosureEdgeCap: Int = 1 << 20
 
   /** [[connectedComponents]] with a size gate: collect the canonical
     * edge set if it fits [[AppendClosureEdgeCap]] and run union-find
@@ -443,6 +445,7 @@ object DedupOps {
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
+      .as[(Long, Long)] // typed collect: tuples, not GenericRows
       .limit(cap + 1).collect()
     if (canon.length > cap)
       connectedComponents(pairs)
@@ -455,14 +458,14 @@ object DedupOps {
         while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = x; y = n }
         x
       }
-      canon.foreach { r =>
-        val (ru, rv) = (find(r.getLong(0)), find(r.getLong(1)))
+      canon.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
         // union by MIN: the smaller root stays root, so find() IS the
         // component minimum — the distributed closure's label rule
         if (ru < rv) parent(rv) = ru
         else if (rv < ru) parent(ru) = rv
       }
-      val nodes = canon.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      val nodes = canon.flatMap { case (u, v) => Seq(u, v) }.distinct
       nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
     }
   }

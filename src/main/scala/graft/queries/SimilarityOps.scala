@@ -737,18 +737,23 @@ object SimilarityOps {
     * JVM exit — repeated correctness/bench runs must not leak disk.
     * Deployments pass their own stable path to the write/search pair;
     * this is only the fixture-scale "rebuild per call" convenience. */
+  /** Recursively delete a directory tree, closing the walk stream
+    * (descriptor hygiene in long-lived JVMs) — ONE definition for the
+    * bench's per-run cleanup and the [[tempIndexDir]] shutdown hook. */
+  private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (Files.exists(root)) {
+      val s = Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+
   private[graft] def tempIndexDir(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      if (Files.exists(dir)) {
-        val s = Files.walk(dir)
-        try s.sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-        finally s.close()
-      }
-    }))
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(dir)))
     dir.toString
   }
 

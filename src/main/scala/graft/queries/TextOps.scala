@@ -2057,6 +2057,23 @@ object TextOps {
 
     // ---- overlay of driver-authoritative words (distributed rows stale)
     val overlay = scala.collection.mutable.HashMap.empty[String, (String, Long)]
+    // adjacent-pair -> overlay tokens that contained it when indexed —
+    // bpeTrainLocal's `where` structure, so a batch touches only its
+    // own words instead of scanning the whole overlay (a review catch:
+    // the scan made cascades O(|overlay| × merges) of driver CPU).
+    // Entries go stale when a word rewrites (harmless: the contains()
+    // check filters, exactly the local trainer's stale-id rule).
+    val whereIdx = scala.collection.mutable
+      .HashMap.empty[(String, String), scala.collection.mutable.Set[String]]
+    def indexWord(t: String, e: String): Unit = {
+      val s = bpeSyms(e)
+      var i = 0
+      while (i < s.length - 1) {
+        whereIdx.getOrElseUpdate((s(i), s(i + 1)),
+          scala.collection.mutable.Set.empty) += t
+        i += 1
+      }
+    }
     val createdSinceFlush = scala.collection.mutable.HashSet.empty[String]
     var sinceCheckpoint = 0
     def flushOverlay(): Unit = if (overlay.nonEmpty) {
@@ -2068,11 +2085,15 @@ object TextOps {
         .localCheckpoint(true)
       sinceCheckpoint = 0
       overlay.clear()
+      whereIdx.clear()
       createdSinceFlush.clear()
     }
     def applyLocally(applied: Seq[(String, String)]): Unit = {
       val pats = applied.map { case (l, r) => (s"($l)($r)", s"($l$r)") }
-      overlay.foreach { case (t, (e, w)) =>
+      val candidates = applied.iterator
+        .flatMap(p => whereIdx.getOrElse(p, Nil)).toArray.distinct
+      candidates.foreach { t =>
+        val (e, w) = overlay(t)
         if (pats.exists(p => e.contains(p._1))) {
           triLocal(e, w, -1L)
           var ne = e
@@ -2081,8 +2102,11 @@ object TextOps {
           pats.foreach { case (from, to) => ne = ne.replace(from, to) }
           triLocal(ne, w, 1L)
           overlay(t) = (ne, w)
+          indexWord(t, ne)
         }
       }
+      // a merged pair no longer exists in any word — drop its entry
+      applied.foreach(whereIdx.remove)
       applied.foreach { case (l, r) => createdSinceFlush += (l + r) }
     }
     def applyDistributed(applied: Seq[(String, String)]): Unit = {
@@ -2170,8 +2194,10 @@ object TextOps {
                 val t = r.getString(0)
                 // overlay stays authoritative: a stale row's pattern
                 // match may no longer hold for its overlay version
-                if (!overlay.contains(t))
+                if (!overlay.contains(t)) {
                   overlay(t) = (r.getString(1), r.getLong(2))
+                  indexWord(t, r.getString(1))
+                }
               }
               applyLocally(applied)
               if (overlay.size > BpeOverlayCap) flushOverlay()
@@ -2363,10 +2389,11 @@ object TextOps {
   }
 
   /** Ground truth for [[q115BpeServed]]: the shared training CTEs →
-    * the rank-ordered replacement list (rendered `(l)(r)(lr)`,
-    * split inside the fold — chr(1) cannot occur in a whitespace-split
-    * token) → q89's wrapper-count arithmetic under the folded
-    * encode. */
+    * the rank-ordered replacement FROM/TO lists, two PARALLEL lists
+    * indexed inside the fold — no separator byte to collide with
+    * token content (a review catch: U+0001 is not whitespace, so a
+    * token could legitimately contain any single-char delimiter) →
+    * q89's wrapper-count arithmetic under the folded encode. */
   def q115OracleSql(rounds: Int = BpeTrainRounds): String = {
     val allm = (1 to rounds)
       .map(r => s"SELECT $r AS rank, lhs, rhs FROM m$r")
@@ -2375,8 +2402,8 @@ object TextOps {
        |allm AS (
        |  $allm
        |), ms AS (
-       |  SELECT coalesce(list('(' || lhs || ')(' || rhs || ')' || chr(1) ||
-       |                       '(' || lhs || rhs || ')' ORDER BY rank), []) AS reps
+       |  SELECT coalesce(list('(' || lhs || ')(' || rhs || ')' ORDER BY rank), []) AS fs,
+       |         coalesce(list('(' || lhs || rhs || ')' ORDER BY rank), []) AS ts
        |  FROM allm
        |), dt AS (
        |  SELECT doc_id,
@@ -2385,9 +2412,9 @@ object TextOps {
        |), de AS (
        |  SELECT doc_id, toks,
        |         list_transform(toks, w -> list_reduce(
-       |           list_prepend(regexp_replace(w, '(.)', '(\\1)', 'g'), reps),
-       |           (acc, x) -> replace(acc, string_split(x, chr(1))[1],
-       |                                    string_split(x, chr(1))[2]))) AS enc
+       |           list_prepend(regexp_replace(w, '(.)', '(\\1)', 'g'),
+       |                        list_transform(range(len(fs)), i -> i::VARCHAR)),
+       |           (acc, x) -> replace(acc, fs[x::INT + 1], ts[x::INT + 1]))) AS enc
        |  FROM dt, ms
        |)
        |SELECT doc_id,

@@ -23,25 +23,10 @@ object ProfR15 {
       r
     }
 
-    // the StreamBench labels generator, verbatim scale
+    // the StreamBench labels generator — ONE shared definition
     val nDocs = sys.env.getOrElse("PROF_N", "50000").trim.toInt
-    val rnd = new scala.util.Random(42)
-    val vocab = Array.tabulate(5000)(i => s"v$i")
-    val recent = new scala.collection.mutable.ArrayBuffer[Array[String]]
-    val rows = (1 to nDocs).map { id =>
-      val toks =
-        if (recent.nonEmpty && rnd.nextInt(10) == 0) {
-          val base = recent(rnd.nextInt(recent.size)).clone()
-          base(rnd.nextInt(base.length)) = vocab(rnd.nextInt(vocab.length))
-          base
-        } else {
-          val t = Array.fill(40)(vocab(rnd.nextInt(vocab.length)))
-          if (recent.size < 4096) recent += t
-          t
-        }
-      (id.toLong, toks.mkString(" "))
-    }
-    val docs = rows.toDF("doc_id", "text").localCheckpoint(true)
+    val docs = StreamBench.labelsCorpusRows(nDocs, seed = 42)
+      .toDF("doc_id", "text").localCheckpoint(true)
 
     // stage-by-stage equivalents of one appendLabelIndex over an
     // empty base (the StreamBench single-batch shape)
