@@ -2344,6 +2344,18 @@ object TextOps {
     GenerationManifest.commit(path, lo, hi + 1)
   }
 
+  /** Compact a BPE-model store — [[compactGateModel]]'s contract for
+    * the merge-table artifact. */
+  def compactBpeModel(spark: SparkSession, path: String): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, BpeModelRoots, lo, hi)
+    if (lo == hi) return
+    spark.read.parquet(s"$path/merges/gen=$hi")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/merges/gen=${hi + 1}")
+    GenerationManifest.commit(path, hi + 1, hi + 1)
+  }
+
   /** The persisted merge table at `asOfGen` (default: the head),
     * rank-ordered — the model card AND the model (BPE's artifact is
     * its own documentation). */
@@ -2997,6 +3009,23 @@ object TextOps {
     }.toDF("epoch", "tp", "fp", "tn", "fn", "err", "is_pocket")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/card/gen=$gen")
+  }
+
+  /** Compact a gate-model store: rewrite the HEAD generation as a
+    * fresh one and flip the window to it — dropping the retrain
+    * history below the floor (the family contract: addressable
+    * history is traded for reclaimable storage; serves at the head
+    * are bit-identical across the flip). */
+  def compactGateModel(spark: SparkSession, path: String): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, GateModelRoots, lo, hi)
+    if (lo == hi) return
+    GateModelRoots.foreach { sub =>
+      spark.read.parquet(s"$path/$sub/gen=$hi")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/$sub/gen=${hi + 1}")
+    }
+    GenerationManifest.commit(path, hi + 1, hi + 1)
   }
 
   /** The deployed weight vector at `asOfGen` (default: the head) —

@@ -119,4 +119,32 @@ class ModelStoreSpec extends SparkSuite {
       "as-of read lost the generation-1 tokenizer")
     assert(graft.queries.GenerationManifest.window(path) == (1L, 2L))
   }
+
+  test("model compaction: head serves identically, history below the floor refuses") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val gate = tmp("graft-gate-compact")
+    TextOps.writeGateModel(docs, gate)
+    TextOps.retrainGateModel(docs.filter($"doc_id" % 2 === 0), gate)
+    val head = TextOps.gateWeightsAt(spark, gate)
+    val card = TextOps.gateModelCard(spark, gate).collect().map(_.toString).toSeq
+    TextOps.compactGateModel(spark, gate)
+    assert(TextOps.gateWeightsAt(spark, gate) == head,
+      "gate compaction changed the served model")
+    assert(TextOps.gateModelCard(spark, gate).collect().map(_.toString).toSeq
+      == card, "gate compaction changed the model card")
+    intercept[IllegalArgumentException] {
+      TextOps.gateWeightsAt(spark, gate, asOfGen = 1L)
+    }
+    val bpe = tmp("graft-bpe-compact")
+    TextOps.writeBpeModel(docs, bpe, merges = 4)
+    TextOps.retrainBpeModel(docs.filter($"doc_id" % 3 === 0), bpe, merges = 4)
+    val headM = TextOps.bpeMergesAt(spark, bpe)
+    TextOps.compactBpeModel(spark, bpe)
+    assert(TextOps.bpeMergesAt(spark, bpe) == headM,
+      "bpe compaction changed the served table")
+    intercept[IllegalArgumentException] {
+      TextOps.bpeMergesAt(spark, bpe, asOfGen = 1L)
+    }
+  }
 }
