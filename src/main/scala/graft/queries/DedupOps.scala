@@ -1437,9 +1437,16 @@ object DedupOps {
     // n_common in every later screen: inflated Jaccard, false merges).
     // Cost: one doc_id-keyed left-anti against the sealed shingles'
     // pruned id projection.
+    // no distinct: an anti join ignores right-side key multiplicity,
+    // and the distinct was a full exchange+aggregate over the base's
+    // shingle rows (33x its docs) paid on EVERY append. The remaining
+    // O(base) term is the column-pruned id scan itself — a deployment
+    // whose base dwarfs its deltas replaces this idempotency read with
+    // a monotone sealed-id watermark (doc_id high-water mark), the
+    // documented cheaper scheme; the scan is exact for any id space.
     val sealedIds = spark.read.parquet(s"$path/shingles")
       .filter(col("gen").between(lo, hi))
-      .select(col("doc_id")).distinct()
+      .select(col("doc_id"))
     val ex = shingleHashes(deltaDocs.join(sealedIds, Seq("doc_id"), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ONE minhash signature aggregate for the append's THREE banded

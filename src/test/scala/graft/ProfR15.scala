@@ -51,6 +51,25 @@ object ProfR15 {
       DedupOps.appendLabelIndex(docs, empty)
     }
 
+    // ---- append wall vs DELTA size onto a FIXED sealed base (the
+    // O(delta) claim as a measurement): near-linear growth in the
+    // delta, never the base, is what makes the daily loop affordable
+    locally {
+      val all = StreamBench.labelsCorpusRows(100000, seed = 7)
+      val baseDocs = all.take(50000).toDF("doc_id", "text")
+        .localCheckpoint(true)
+      for (dn <- Seq(6250, 12500, 25000, 50000)) {
+        val deltaDocs = all.slice(50000, 50000 + dn)
+          .toDF("doc_id", "text").localCheckpoint(true)
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-prof-delta").toString
+        DedupOps.writeLabelIndex(baseDocs, idx)
+        time(f"append of a $dn-doc delta onto the sealed 50k base") {
+          DedupOps.appendLabelIndex(deltaDocs, idx)
+        }
+      }
+    }
+
     // ---- serve wall vs journal length (verdict #7): fabricate a
     // journal of L remap rows directly (each old_root occurs once — the
     // journal's invariant) and measure labelsServe's driver fold + map
