@@ -192,6 +192,20 @@ object Bench {
       serveOnly("q115_bpe_served") =
         (s, d) => queries.TextOps.bpeEncodeServed(s, d, p)
     }
+    if (selNames("q117_gate_drift")) {
+      // drift needs TWO generations — its own store (gen 1 full
+      // corpus, gen 2 the drifted even-id half), trained once per run
+      val p = buildDir("graft-bench-gate-drift")
+      phase("q117_train") {
+        import spark.implicits._
+        val docs = Tables.documents(spark, sfDir)
+        queries.TextOps.writeGateModel(docs, p)
+        queries.TextOps.retrainGateModel(
+          docs.filter($"doc_id" % queries.TextOps.DriftRetrainMod === 0), p)
+      }
+      serveOnly("q117_gate_drift") =
+        (s, d) => queries.TextOps.gateDriftServed(s, d, p)
+    }
     val selected = registered.map { case (n, fn) =>
       (n, serveOnly.getOrElse(n, fn))
     }

@@ -166,6 +166,10 @@ object SparkEntry {
     "q114_gate_served"     -> ((s, d) => TextOps.q114GateServed(s, d)),
     "q115_bpe_served"      -> ((s, d) => TextOps.q115BpeServed(s, d)),
     "q116_roc_served"      -> ((s, d) => TextOps.q116RocServed(s, d)),
+    // q117 trains TWO generations (full corpus; drifted half) into a
+    // temp store and compares them through as-of reads — the rollout
+    // review the artifact family exists for. EAGER, q112 convention.
+    "q117_gate_drift"      -> ((s, d) => TextOps.q117GateDrift(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -650,5 +654,8 @@ object SparkEntry {
     "q114_gate_served" -> TextOps.q114OracleSql(),
     "q115_bpe_served" -> TextOps.q115OracleSql(),
     "q116_roc_served" -> TextOps.q116OracleSql(),
+    // model drift: TWO independent SQL retrains (prefixed chains) ->
+    // both pocket vectors -> the same keep-flip matrix
+    "q117_gate_drift" -> TextOps.q117OracleSql(),
   )
 }

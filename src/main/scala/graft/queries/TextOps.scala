@@ -2873,12 +2873,14 @@ object TextOps {
     * pocket epoch `p(pe)`. One definition — the three oracles verify
     * ONE training computation at three read-out points (trajectory,
     * served scores, served calibration). */
-  private def gateTrainCteSql(epochs: Int, featDim: Int): String = {
+  private def gateTrainCteSql(
+      epochs: Int, featDim: Int,
+      pfx: String = "", docWhere: String = ""): String = {
     val langs = YieldLangs.map(l => s"'$l'").mkString(", ")
     val stops = Stopwords.map(w => s"'$w'").mkString(", ")
     val sb = new StringBuilder
     sb.append(
-      s"""f AS (
+      s"""${pfx}f AS (
          |  SELECT CASE WHEN lang IN ($langs)
          |              AND len(toks) BETWEEN $YieldMinTokens AND $YieldMaxTokens
          |              AND len(list_distinct(toks))::BIGINT * 100 >=
@@ -2892,24 +2894,24 @@ object TextOps {
          |  FROM (SELECT lang,
          |               list_filter(string_split(lower(text), ' '),
          |                 x -> len(x) > 0) AS toks
-         |        FROM documents)
+         |        FROM documents$docWhere)
          |)""".stripMargin)
     val dot = (w: String) =>
       s"list_sum(list_transform(range($featDim), i -> x[i+1] * $w[i+1]))::BIGINT"
     // s1..s{T+1}: scored frames; d_t/w_t: delta + next weights
-    sb.append(s",\ns1 AS (SELECT y, x, 0::BIGINT AS s FROM f)")
+    sb.append(s",\n${pfx}s1 AS (SELECT y, x, 0::BIGINT AS s FROM ${pfx}f)")
     for (t <- 1 to epochs) {
       sb.append(
         s""",
-           |d$t AS (
+           |${pfx}d$t AS (
            |  SELECT i, coalesce(sum(CASE WHEN y * s <= 0 THEN y * x[i+1] END), 0)::BIGINT AS dv
-           |  FROM range($featDim) r(i) LEFT JOIN s$t ON true GROUP BY i
+           |  FROM range($featDim) r(i) LEFT JOIN ${pfx}s$t ON true GROUP BY i
            |),
-           |w$t AS (${
-             if (t == 1) s"SELECT list(dv ORDER BY i) AS w FROM d1"
-             else s"SELECT list(w[i+1] + dv ORDER BY i) AS w FROM d$t, w${t - 1}"
+           |${pfx}w$t AS (${
+             if (t == 1) s"SELECT list(dv ORDER BY i) AS w FROM ${pfx}d1"
+             else s"SELECT list(w[i+1] + dv ORDER BY i) AS w FROM ${pfx}d$t, ${pfx}w${t - 1}"
            }),
-           |s${t + 1} AS (SELECT y, x, ${dot("w")} AS s FROM s$t, w$t)""".stripMargin)
+           |${pfx}s${t + 1} AS (SELECT y, x, ${dot("w")} AS s FROM ${pfx}s$t, ${pfx}w$t)""".stripMargin)
     }
     val conf = (t: Int) =>
       s"""SELECT $t AS epoch,
@@ -2917,30 +2919,32 @@ object TextOps {
          |  sum(CASE WHEN y = -1 AND s >= 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
          |  sum(CASE WHEN y = -1 AND s < 0 THEN 1 ELSE 0 END)::BIGINT AS tn,
          |  sum(CASE WHEN y = 1 AND s < 0 THEN 1 ELSE 0 END)::BIGINT AS fn
-         |FROM s$t""".stripMargin
-    sb.append(",\nu AS (\n" +
+         |FROM ${pfx}s$t""".stripMargin
+    sb.append(s",\n${pfx}u AS (\n" +
       (1 to epochs + 1).map(conf).mkString("\nUNION ALL\n") + "\n)")
     sb.append(
-      """,
-        |m AS (SELECT min(fp + fn) AS me FROM u),
-        |p AS (SELECT min(epoch) AS pe FROM u, m WHERE fp + fn = me)""".stripMargin)
+      s""",
+         |${pfx}m AS (SELECT min(fp + fn) AS me FROM ${pfx}u),
+         |${pfx}p AS (SELECT min(epoch) AS pe FROM ${pfx}u, ${pfx}m WHERE fp + fn = me)""".stripMargin)
     sb.toString
   }
 
   /** The POCKET weight list as a CTE over [[gateTrainCteSql]]'s `p`:
     * epoch `e` scores with the PRE-update vector, so pocket epoch `e`
-    * ships `w_{e-1}` (`w₀` = all-zero). */
-  private def gatePocketWeightsCteSql(epochs: Int, featDim: Int): String = {
+    * ships `w_{e-1}` (`w₀` = all-zero). `pfx` must match the training
+    * chain's — q117's oracle runs TWO prefixed chains side by side. */
+  private def gatePocketWeightsCteSql(
+      epochs: Int, featDim: Int, pfx: String = ""): String = {
     val zeros = Seq.fill(featDim)("0").mkString("[", ", ", "]::BIGINT[]")
     val cases = (2 to epochs + 1)
-      .map(e => s"WHEN $e THEN (SELECT w FROM w${e - 1})")
+      .map(e => s"WHEN $e THEN (SELECT w FROM ${pfx}w${e - 1})")
       .mkString("\n         ")
-    s"""pw AS (
+    s"""${pfx}pw AS (
        |  SELECT CASE pe
        |         WHEN 1 THEN $zeros
        |         $cases
        |         END AS wa
-       |  FROM p
+       |  FROM ${pfx}p
        |)""".stripMargin
   }
 
@@ -3120,6 +3124,103 @@ object TextOps {
     s"""WITH ${gateTrainCteSql(epochs, featDim)},
        |${gatePocketWeightsCteSql(epochs, featDim)},
        |""".stripMargin + gateRocTailSql(featDim, weightsFrom = "pw")
+
+  /** Modulus of q117's fixture retrain split: the "new" model trains
+    * on the even-id half — a deterministic stand-in for the drifted
+    * corpus a periodic retrain actually sees. */
+  val DriftRetrainMod = 2
+
+  /** The model-drift table over any `(doc_id, text)` frame and two
+    * weight vectors: every doc scored under BOTH models in ONE narrow
+    * codegen'd pass (two literal arrays, zero joins), reduced to the
+    * five-counter flip matrix a rollout review reads — total docs,
+    * keeps under old and new, and the two flip directions (docs the
+    * new model would newly drop / newly admit). */
+  private[graft] def gateDriftWith(
+      docs: DataFrame, wOld: Seq[Long], wNew: Seq[Long]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(
+        linearScoreMicroWith($"text", wOld).as("s1"),
+        linearScoreMicroWith($"text", wNew).as("s2"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"s1" >= 0, 1L).otherwise(0L)).as("n_keep_old"),
+        sum(when($"s2" >= 0, 1L).otherwise(0L)).as("n_keep_new"),
+        sum(when($"s1" >= 0 && $"s2" < 0, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when($"s1" < 0 && $"s2" >= 0, 1L).otherwise(0L)).as("n_admitted"),
+        // score-level drift moves before flip-level drift does — the
+        // leading indicator when both models sit on one side of the
+        // cut (a non-separable target often trains that way)
+        sum(when($"s2" > $"s1", 1L).otherwise(0L)).as("n_score_up"),
+        sum(when($"s2" < $"s1", 1L).otherwise(0L)).as("n_score_down"))
+  }
+
+  /** Drift between two PERSISTED model generations (default: the
+    * previous head vs the head) — the as-of protocol composed into
+    * the rollout question "what would shipping the retrain change":
+    * two bounded weight loads, then [[gateDriftWith]]'s single pass. */
+  def gateDriftServed(
+      spark: SparkSession, dir: String, modelPath: String,
+      oldGen: Long = -1L, newGen: Long = Long.MaxValue): DataFrame = {
+    val (lo, hi) = GenerationManifest.window(modelPath)
+    val og = if (oldGen >= 0) oldGen else hi - 1
+    require(og >= lo,
+      s"drift needs two addressable generations (window [$lo, $hi])")
+    gateDriftWith(Tables.documents(spark, dir),
+      gateWeightsAt(spark, modelPath, og),
+      gateWeightsAt(spark, modelPath, newGen))
+  }
+
+  /** q117 — MODEL DRIFT between generations: train the gate on the
+    * full corpus (generation 1), RETRAIN on the even-id half
+    * (generation 2 — the drifted-corpus stand-in), and report the
+    * keep-flip matrix between the two persisted models over the whole
+    * corpus. This is the review a deployment runs BEFORE flipping a
+    * retrained gate into the serving path — the composition the
+    * round-15 artifact family exists for: retrains append generations,
+    * `gateWeightsAt` addresses both sides, and the comparison itself
+    * is one scan. The oracle retrains BOTH models independently in
+    * SQL (two prefixed training chains) and aggregates the same
+    * matrix — so the driver verifies the entire
+    * retrain → persist → address-two-generations → compare loop. */
+  def q117GateDrift(spark: SparkSession, dir: String): DataFrame = {
+    val path = SimilarityOps.tempIndexDir("graft-gate-drift")
+    val docs = Tables.documents(spark, dir)
+    writeGateModel(docs, path)
+    retrainGateModel(
+      docs.filter(col("doc_id") % DriftRetrainMod === 0), path)
+    gateDriftServed(spark, dir, path)
+  }
+
+  /** Ground truth for [[q117GateDrift]]: TWO prefixed training chains
+    * (full corpus; even-id half) → two pocket vectors → both scores
+    * per doc → the same five-counter aggregate. */
+  def q117OracleSql(
+      epochs: Int = DistillEpochs, featDim: Int = DistillFeatDim): String =
+    s"""WITH ${gateTrainCteSql(epochs, featDim, pfx = "a_")},
+       |${gatePocketWeightsCteSql(epochs, featDim, pfx = "a_")},
+       |${gateTrainCteSql(epochs, featDim, pfx = "b_",
+            docWhere = s" WHERE doc_id % $DriftRetrainMod = 0")},
+       |${gatePocketWeightsCteSql(epochs, featDim, pfx = "b_")},
+       |dt AS (
+       |  SELECT list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+       |  FROM documents
+       |), sc AS (
+       |  SELECT CAST(coalesce(list_sum(list_transform(toks,
+       |           x -> aw[(${h32Sql("x")} % $featDim)::INT + 1])), 0) AS BIGINT) AS s1,
+       |         CAST(coalesce(list_sum(list_transform(toks,
+       |           x -> bw[(${h32Sql("x")} % $featDim)::INT + 1])), 0) AS BIGINT) AS s2
+       |  FROM dt, (SELECT wa AS aw FROM a_pw), (SELECT wa AS bw FROM b_pw)
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN s1 >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_old,
+       |       CAST(sum(CASE WHEN s2 >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_new,
+       |       CAST(sum(CASE WHEN s1 >= 0 AND s2 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       CAST(sum(CASE WHEN s1 < 0 AND s2 >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       |       CAST(sum(CASE WHEN s2 > s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_score_up,
+       |       CAST(sum(CASE WHEN s2 < s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_score_down
+       |FROM sc""".stripMargin
   // ---------------------------------------------------------------- q113
 
   /** Score-axis shard count for [[q113GateRoc]]'s two-phase prefix

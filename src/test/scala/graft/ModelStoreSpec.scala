@@ -120,6 +120,31 @@ class ModelStoreSpec extends SparkSuite {
     assert(graft.queries.GenerationManifest.window(path) == (1L, 2L))
   }
 
+  test("gate drift: served matrix == in-session two-train compare; score drift non-vacuous") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val path = tmp("graft-gate-drift-spec")
+    TextOps.writeGateModel(docs, path)
+    TextOps.retrainGateModel(
+      docs.filter($"doc_id" % TextOps.DriftRetrainMod === 0), path)
+    val served = TextOps.gateDriftServed(spark, sf, path).head()
+    val w1 = TextOps.gateWeightsAt(spark, path, asOfGen = 1L)
+    val w2 = TextOps.gateWeightsAt(spark, path)
+    val want = TextOps.gateDriftWith(docs, w1, w2).head()
+    assert(served == want, s"served drift diverged: $served vs $want")
+    assert(w1 != w2, "drift fixture vacuous: identical models")
+    // the score-level counters must register the model change even
+    // when the flip counters are zero (both models on one side)
+    val up = served.getLong(5); val down = served.getLong(6)
+    assert(up + down > 0, s"score drift vacuous: up=$up down=$down")
+    // a one-generation store refuses the comparison loudly
+    val single = tmp("graft-gate-drift-single")
+    TextOps.writeGateModel(docs, single)
+    intercept[IllegalArgumentException] {
+      TextOps.gateDriftServed(spark, sf, single)
+    }
+  }
+
   test("model compaction: head serves identically, history below the floor refuses") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
