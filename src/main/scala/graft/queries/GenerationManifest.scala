@@ -28,6 +28,18 @@ import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
   * the data writes do.
   *
   * Single-number manifests (the pre-window format) read as `[1, n]`.
+  *
+  * The manifest's FIRST line is the window; later lines are optional
+  * typed records that must flip atomically WITH the window (two files
+  * cannot rename together, so anything whose visibility is tied to a
+  * commit lives here): `W gen min max` is a per-generation sealed-id
+  * WATERMARK — the committed id range of that generation's rows — the
+  * record that turns an append's idempotency check from an O(base)
+  * scan into an O(delta) range compare ([[gensNeedingScan]]). A
+  * generation WITHOUT a record has an unknown range and must be
+  * scanned — the exact fallback for legacy indexes and arbitrary id
+  * spaces. Records for generations outside the committed window are
+  * dropped at the next commit (their data is purge-eligible debris).
   */
 private[graft] object GenerationManifest {
 
@@ -36,9 +48,7 @@ private[graft] object GenerationManifest {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
-  /** The committed window `[lo, hi]`. Absent manifest = the index was
-    * never fully built: refuse loudly rather than serve torn state. */
-  def window(path: String): (Long, Long) = {
+  private def readLines(path: String): Seq[String] = {
     val root = new HPath(path)
     val fs = root.getFileSystem(conf)
     val p = new HPath(root, "_GENERATION")
@@ -46,17 +56,54 @@ private[graft] object GenerationManifest {
       s"no _GENERATION manifest at $path — index incomplete or never " +
         "committed (the index writer finishes by committing gen 1)")
     val in = fs.open(p)
-    val raw =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        .split("\\s+")
-      finally in.close()
-    raw match {
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    finally in.close()
+  }
+
+  /** The committed window `[lo, hi]`. Absent manifest = the index was
+    * never fully built: refuse loudly rather than serve torn state. */
+  def window(path: String): (Long, Long) = {
+    val lines = readLines(path)
+    val head = lines.headOption.map(_.split("\\s+")).getOrElse(Array.empty)
+    head match {
       case Array(hi)     => (1L, hi.toLong)
       case Array(lo, hi) => (lo.toLong, hi.toLong)
       case _ => sys.error(s"malformed _GENERATION manifest at $path: " +
-        raw.mkString(" "))
+        lines.mkString(" / "))
     }
   }
+
+  /** The committed per-generation sealed-id watermarks
+    * `gen -> (minId, maxId)` — empty for pre-watermark manifests. */
+  def watermarks(path: String): Map[Long, (Long, Long)] =
+    readLines(path).drop(1).flatMap { line =>
+      line.split("\\s+") match {
+        case Array("W", g, mn, mx) =>
+          Some(g.toLong -> (mn.toLong, mx.toLong))
+        case _ => None // unknown record types are forward-compatible
+      }
+    }.toMap
+
+  /** The generations in `[lo, hi]` an id-keyed idempotency check must
+    * actually SCAN for a delta whose ids span `[dMin, dMax]`: those
+    * with no watermark record (unknown range) plus those whose sealed
+    * range intersects the delta's. Exact for ANY id space — a sealed
+    * id equal to a delta id lies inside its generation's watermark
+    * range AND inside `[dMin, dMax]`, so the ranges intersect and the
+    * generation is returned; for the streaming monotone-id case this
+    * is empty (fresh batch) or the one replayed generation. */
+  def gensNeedingScan(
+      wms: Map[Long, (Long, Long)], lo: Long, hi: Long,
+      dMin: Long, dMax: Long): Seq[Long] =
+    (lo to hi).filter { g =>
+      wms.get(g) match {
+        // mn <= mx guards the inverted EMPTY-generation sentinel: an
+        // empty range intersects nothing, whatever the delta spans
+        case Some((mn, mx)) => mn <= mx && mn <= dMax && mx >= dMin
+        case None           => true
+      }
+    }
 
   /** The committed window truncated at `asOfGen` — the TIME-TRAVEL
     * read shared by every generation family (round 15 generalizes the
@@ -80,14 +127,28 @@ private[graft] object GenerationManifest {
   /** Atomically flip the manifest: write `_GENERATION.tmp`, rename
     * over `_GENERATION` (`FileContext` rename with OVERWRITE — atomic
     * on the local FS and on HDFS). The rename is the ONLY point a
-    * mutation becomes visible. */
-  def commit(path: String, lo: Long, hi: Long): Unit = {
+    * mutation becomes visible. Plain commits carry no records —
+    * families that track watermarks pass them on EVERY commit (a
+    * commit rewrites the whole manifest, so an omitted map would
+    * silently demote every generation to the must-scan fallback). */
+  def commit(path: String, lo: Long, hi: Long): Unit =
+    commit(path, lo, hi, Map.empty)
+
+  /** [[commit]] carrying per-generation watermark records; records
+    * outside `[lo, hi]` are dropped (their generations are no longer
+    * addressable, so their ranges can never matter again). */
+  def commit(
+      path: String, lo: Long, hi: Long,
+      wms: Map[Long, (Long, Long)]): Unit = {
     val c = conf
     val root = new HPath(path)
     val fs = root.getFileSystem(c)
     val tmp = new HPath(root, "_GENERATION.tmp")
+    val body = (s"$lo $hi" +:
+      wms.toSeq.filter { case (g, _) => g >= lo && g <= hi }.sortBy(_._1)
+        .map { case (g, (mn, mx)) => s"W $g $mn $mx" }).mkString("\n")
     val out = fs.create(tmp, true)
-    try out.write(s"$lo $hi".getBytes("UTF-8")) finally out.close()
+    try out.write(body.getBytes("UTF-8")) finally out.close()
     val fc = FileContext.getFileContext(fs.getUri, c)
     fc.rename(fs.makeQualified(tmp),
       fs.makeQualified(new HPath(root, "_GENERATION")),

@@ -217,6 +217,77 @@ class LabelIndexSpec extends SparkSuite {
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
   }
 
+  test("sealed-id watermark: fresh ranges skip the scan, replays prune to one generation, legacy manifests fall back exactly") {
+    import spark.implicits._
+    import graft.queries.GenerationManifest
+    // fully distinct texts: zero shared shingles, so no doc ever
+    // pairs with another — the test isolates the idempotency path
+    val mk = (ids: Seq[Long]) => ids
+      .map(i => (i, s"a$i b$i c$i d$i e$i f$i g$i h$i"))
+      .toDF("doc_id", "text")
+    val idx = tmp("graft-label-wm")
+    DedupOps.writeLabelIndex(mk(0L until 100L), idx)
+
+    // every committed generation carries its sealed range
+    val wm1 = GenerationManifest.watermarks(idx)
+    assert(wm1 == Map(1L -> (0L, 99L)), s"unexpected watermarks: $wm1")
+
+    // the pure pruning decision — the exact cases the append takes:
+    // fresh monotone batch = NO scan; replayed batch = only ITS
+    // generation; unknown-range generation = always scanned
+    assert(GenerationManifest.gensNeedingScan(wm1, 1L, 1L, 100L, 199L).isEmpty,
+      "fresh id range above every watermark must skip the sealed scan")
+    assert(GenerationManifest.gensNeedingScan(wm1, 1L, 1L, 50L, 150L) == Seq(1L))
+    assert(GenerationManifest.gensNeedingScan(Map.empty, 1L, 3L, 100L, 199L) ==
+      Seq(1L, 2L, 3L), "generations without records must fall back to the scan")
+    // the empty-generation sentinel intersects nothing
+    assert(GenerationManifest.gensNeedingScan(
+      Map(1L -> (Long.MaxValue, Long.MinValue)), 1L, 1L,
+      Long.MinValue, Long.MaxValue).isEmpty)
+
+    // fresh-range append: records its own watermark, serves correctly
+    DedupOps.appendLabelIndex(mk(100L until 150L), idx)
+    val wm2 = GenerationManifest.watermarks(idx)
+    assert(wm2 == Map(1L -> (0L, 99L), 2L -> (100L, 149L)))
+
+    // OVERLAPPING-range append with PARTLY duplicate ids (the
+    // non-monotone id space): sealed ids must drop, fresh ids seal —
+    // the range check can only widen the scan, never the output
+    val before = servedRows(idx)
+    val shinglesBefore = spark.read.parquet(s"$idx/shingles").count()
+    DedupOps.appendLabelIndex(mk(Seq(120L, 121L, 500L)), idx)
+    assert(servedRows(idx) == before, "distinct-text docs created no pairs")
+    val wm3 = GenerationManifest.watermarks(idx)
+    assert(wm3(3L) == (500L, 500L),
+      s"partially-replayed batch must record only what it sealed: $wm3")
+    assert(spark.read.parquet(s"$idx/shingles")
+      .filter(col("doc_id").isin(120L, 121L)).count() ==
+      spark.read.parquet(s"$idx/shingles")
+        .filter(col("doc_id") === 120L || col("doc_id") === 121L)
+        .filter(col("gen") === 2L).count(),
+      "replayed ids re-sealed despite the watermark scan")
+
+    // LEGACY manifest (no W records — the pre-round-16 format): the
+    // append must still be exactly idempotent via the full scan
+    val (lo, hi) = GenerationManifest.window(idx)
+    GenerationManifest.commit(idx, lo, hi) // wipes the records
+    assert(GenerationManifest.watermarks(idx).isEmpty)
+    val legacyBefore = spark.read.parquet(s"$idx/shingles").count()
+    DedupOps.appendLabelIndex(mk(Seq(100L, 101L)), idx)
+    assert(spark.read.parquet(s"$idx/shingles").count() == legacyBefore,
+      "legacy fallback failed to drop sealed ids")
+
+    // compaction folds the union range forward when every folded
+    // generation had a record
+    val idx2 = tmp("graft-label-wm-fold")
+    DedupOps.writeLabelIndex(mk(0L until 50L), idx2)
+    DedupOps.appendLabelIndex(mk(200L until 250L), idx2)
+    DedupOps.compactLabelIndex(spark, idx2)
+    val (_, hi2) = GenerationManifest.window(idx2)
+    assert(GenerationManifest.watermarks(idx2) == Map(hi2 -> (0L, 249L)))
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
+
   test("q112 registered form: serve equals the q43 closure (the driver oracle's property)") {
     val got = DedupOps.q112LabelsIndexed(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
