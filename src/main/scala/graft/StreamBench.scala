@@ -345,13 +345,14 @@ object StreamBench {
         .schema("doc_id LONG, text STRING")
         .option("maxFilesPerTrigger", filesPerTrigger)
         .json(dir.toString)
+      val ckpt = Files.createTempDirectory("graft-lbbench-ckpt")
       val t0 = System.nanoTime()
-      val q = graft.streaming.LabelIndexStream.sink(docs, idx,
-        Files.createTempDirectory("graft-lbbench-ckpt").toString)
+      val q = graft.streaming.LabelIndexStream.sink(docs, idx, ckpt.toString)
       q.processAllAvailable()
       val wall = (System.nanoTime() - t0) / 1e9
       val batches = q.recentProgress.count(_.numInputRows > 0)
       q.stop()
+      graft.queries.SimilarityOps.deleteRecursively(ckpt)
       (wall, batches)
     }
     // UNTIMED warmup (the Bench.scala discipline applied to the stream
@@ -360,12 +361,22 @@ object StreamBench {
     // first batch pays session + codegen + committer init once
     // (measured: ~7 s fixed at N=2000, i.e. the cold costs dominated
     // the old single-batch reading). 2k docs into a throwaway index
-    // compiles every plan the sink runs.
-    runStream(writeCorpus(2000, seed = 7), emptyIndex())
+    // compiles every plan the sink runs. All temp dirs are reclaimed —
+    // the Bench.scala buildDirs discipline (repeated bench invocations
+    // in a long-lived environment must not accumulate disk debris).
+    locally {
+      val wDir = writeCorpus(2000, seed = 7)
+      val wIdx = emptyIndex()
+      runStream(wDir, wIdx)
+      graft.queries.SimilarityOps.deleteRecursively(wDir)
+      graft.queries.SimilarityOps.deleteRecursively(Paths.get(wIdx))
+    }
     val dir = writeCorpus(nDocs, seed = 42)
     val idx = emptyIndex()
     val (wall, batches) = runStream(dir, idx)
     val labels = graft.queries.DedupOps.labelsServe(spark, idx).count()
+    graft.queries.SimilarityOps.deleteRecursively(dir)
+    graft.queries.SimilarityOps.deleteRecursively(Paths.get(idx))
     val line =
       s"""{"metric":"stream_labels_docs_per_sec","value":${f1(nDocs / wall)},"unit":"rows/sec","n_docs":$nDocs,"wall_sec":${f1(wall)},"micro_batches":$batches,"family_labels":$labels}"""
     Files.createDirectories(Paths.get("target"))

@@ -441,15 +441,27 @@ object DedupOps {
       pairs: DataFrame, cap: Int = AppendClosureEdgeCap): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val canon = pairs
+    // gate on a COUNT before collecting: an over-cap edge set must not
+    // pay the ~50 MB driver collect it is about to discard (a review
+    // catch — the boundary case paid both the collect and the full
+    // distributed iteration). The persist makes the under-cap path's
+    // count + collect one computation of the distinct, not two.
+    val canonDf = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .as[(Long, Long)] // typed collect: tuples, not GenericRows
-      .limit(cap + 1).collect()
-    if (canon.length > cap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val overCap =
+      try canonDf.limit(cap + 1).count() > cap
+      catch { case t: Throwable => canonDf.unpersist(); throw t }
+    if (overCap) {
+      canonDf.unpersist()
       connectedComponents(pairs)
-    else {
+    } else {
+      val canon =
+        try canonDf.collect()
+        finally canonDf.unpersist()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x0: Long): Long = {
         var x = x0

@@ -2180,12 +2180,26 @@ object TextOps {
             applyLocally(applied)
           else {
             // fetch the stale rows the non-overlay-bound patterns can
-            // touch; created-bound patterns only occur in overlay words
+            // touch; created-bound patterns only occur in overlay words.
+            // Anti-join away tokens ALREADY overlay-resident (their
+            // stale distributed copies match the pattern but would be
+            // skipped below) so the cap compare counts genuinely new
+            // words — without it a large overlay could trip the cap
+            // and force an unneeded flush + fully distributed round
             val pred = nonBound
               .map { case (l, r) => col("enc").contains(s"($l)($r)") }
               .reduce(_ || _)
-            val fetched = enc.filter(pred)
-              .limit(BpeOverlayCap + 1).collect()
+            val matched = enc.filter(pred)
+            val freshRows =
+              if (overlay.isEmpty) matched
+              else {
+                val sess = enc.sparkSession
+                import sess.implicits._
+                matched.join(
+                  broadcast(overlay.keys.toSeq.toDF("token")),
+                  Seq("token"), "left_anti")
+              }
+            val fetched = freshRows.limit(BpeOverlayCap + 1).collect()
             if (fetched.length > BpeOverlayCap) {
               flushOverlay()
               applyDistributed(applied)
@@ -3133,9 +3147,10 @@ object TextOps {
   /** The model-drift table over any `(doc_id, text)` frame and two
     * weight vectors: every doc scored under BOTH models in ONE narrow
     * codegen'd pass (two literal arrays, zero joins), reduced to the
-    * five-counter flip matrix a rollout review reads — total docs,
-    * keeps under old and new, and the two flip directions (docs the
-    * new model would newly drop / newly admit). */
+    * seven-counter flip matrix a rollout review reads — total docs,
+    * keeps under old and new, the two flip directions (docs the new
+    * model would newly drop / newly admit), and the two score-drift
+    * directions (the leading indicator when no keeps flip). */
   private[graft] def gateDriftWith(
       docs: DataFrame, wOld: Seq[Long], wNew: Seq[Long]): DataFrame = {
     import docs.sparkSession.implicits._
@@ -3165,11 +3180,20 @@ object TextOps {
       oldGen: Long = -1L, newGen: Long = Long.MaxValue): DataFrame = {
     val (lo, hi) = GenerationManifest.window(modelPath)
     val og = if (oldGen >= 0) oldGen else hi - 1
+    val ng = math.min(newGen, hi)
     require(og >= lo,
       s"drift needs two addressable generations (window [$lo, $hi])")
+    // refuse the degenerate asks as loudly as the floor check does:
+    // og above the head would silently clamp both reads to the head
+    // and return an all-zero matrix, masking a caller bug
+    require(og <= hi,
+      s"oldGen=$og is beyond the committed head $hi at $modelPath")
+    require(og != ng,
+      s"drift between generation $og and itself is vacuously zero — " +
+        s"pass two distinct generations (window [$lo, $hi])")
     gateDriftWith(Tables.documents(spark, dir),
       gateWeightsAt(spark, modelPath, og),
-      gateWeightsAt(spark, modelPath, newGen))
+      gateWeightsAt(spark, modelPath, ng))
   }
 
   /** q117 — MODEL DRIFT between generations: train the gate on the
