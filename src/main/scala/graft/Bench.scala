@@ -192,6 +192,13 @@ object Bench {
       serveOnly("q115_bpe_served") =
         (s, d) => queries.TextOps.bpeEncodeServed(s, d, p)
     }
+    if (selNames("q118_lm_served")) {
+      val p = buildDir("graft-bench-lm-model")
+      phase("q118_train")(
+        queries.TextOps.writeLmModel(Tables.documents(spark, sfDir), p))
+      serveOnly("q118_lm_served") =
+        (s, d) => queries.TextOps.lmScoreServed(s, d, p)
+    }
     if (selNames("q117_gate_drift")) {
       // drift needs TWO generations — its own store (gen 1 full
       // corpus, gen 2 the drifted even-id half), trained once per run

@@ -170,6 +170,11 @@ object SparkEntry {
     // temp store and compares them through as-of reads — the rollout
     // review the artifact family exists for. EAGER, q112 convention.
     "q117_gate_drift"      -> ((s, d) => TextOps.q117GateDrift(s, d)),
+    // q118 closes the LAST train-and-discard loop (q79's LM): train,
+    // persist vocab+costs, reload, score with the LOADED model. EAGER,
+    // q114 convention; the oracle is q79's verbatim — served scoring
+    // must reproduce the in-session model bit for bit.
+    "q118_lm_served"       -> ((s, d) => TextOps.q118LmServed(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -657,5 +662,8 @@ object SparkEntry {
     // model drift: TWO independent SQL retrains (prefixed chains) ->
     // both pocket vectors -> the same keep-flip matrix
     "q117_gate_drift" -> TextOps.q117OracleSql(),
+    // the LM loop through the artifact: q79's oracle verbatim — the
+    // SQL retrain IS the independent twin of train+persist+load+score
+    "q118_lm_served" -> TextOps.q79OracleSql(),
   )
 }

@@ -1270,8 +1270,10 @@ object TextOps {
     * sum is exact integer arithmetic, order-free.
     *
     * Plan: the corpus scans TWICE by necessity (a training pass and a
-    * scoring pass — a deployment persists the tiny model artifact and
-    * skips the first): pass 1 generates mapped bigrams narrowly (two
+    * scoring pass — a deployment persists the tiny model artifact via
+    * [[writeLmModel]] and serves the scoring pass alone through
+    * [[lmScoreServed]], the q118 loop): pass 1 generates mapped
+    * bigrams narrowly (two
     * broadcast-hh membership joins — map-side, corpus rows never
     * shuffle for them) and folds them to the bounded model (one
     * exchange of ≤ (|V|+1)² fixed-width rows, map-side combined);
@@ -1298,26 +1300,50 @@ object TextOps {
     * the pipeline threads them into its loan set. */
   private[graft] def bigramXentBuild(
       docs: DataFrame, perMille: Int): (DataFrame, Seq[DataFrame]) = {
+    val (vocab, cost, handles) = lmTrainCore(docs, perMille)
+    (lmScoreWith(docs, vocab, cost), handles)
+  }
+
+  /** The q79 bigram stream mapped through a vocabulary frame's unk
+    * rule: `(doc_id, mx, my)` for every adjacent token pair, tokens
+    * outside `vocab` replaced by [[UnkToken]]. Two broadcast
+    * membership joins — map-side, corpus rows never shuffle. Shared
+    * verbatim by the training pass, the in-session scoring pass, and
+    * the LOADED-model serve ([[lmScoreServed]]) so all three see one
+    * definition of the mapping. */
+  private def lmMappedBigrams(docs: DataFrame, vocab: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (hhRes, hhHandles) = heavyHittersBuild(docs, perMille)
-    val hh = hhRes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vp = hh.agg((count(lit(1)) + 1L).as("vp"))
-    def mappedBigrams: DataFrame = docs
+    docs
       .select($"doc_id", toks($"text").as("toks"))
       .filter(size($"toks") >= 2)
       .select($"doc_id",
         explode(transform(sequence(lit(1), size($"toks") - 1),
           i => struct(element_at($"toks", i).as("tok_x"),
             element_at($"toks", i + 1).as("tok_y")))).as("bg"))
-      .join(broadcast(hh.select($"token".as("tok_x"), lit(1).as("in_x"))),
+      .join(broadcast(vocab.select($"token".as("tok_x"), lit(1).as("in_x"))),
         $"bg.tok_x" === $"tok_x", "left")
-      .join(broadcast(hh.select($"token".as("tok_y"), lit(1).as("in_y"))),
+      .join(broadcast(vocab.select($"token".as("tok_y"), lit(1).as("in_y"))),
         $"bg.tok_y" === $"tok_y", "left")
       .select($"doc_id",
         when($"in_x".isNotNull, $"bg.tok_x").otherwise(UnkToken).as("mx"),
         when($"in_y".isNotNull, $"bg.tok_y").otherwise(UnkToken).as("my"))
-    val cxy = mappedBigrams.groupBy($"mx", $"my")
+  }
+
+  /** Training half of [[bigramXentBuild]]: the heavy-hitter vocabulary
+    * `(token)` and the add-one-smoothed integer cost table
+    * `(mx, my, icost)` — TOGETHER they are the whole model (vp folds
+    * into icost at train time). Both bounded by construction: vocab ≤
+    * 1000/perMille + 1 rows, costs ≤ (|V|+1)². Returned handles must
+    * outlive every consumer of the returned frames. */
+  private[graft] def lmTrainCore(
+      docs: DataFrame, perMille: Int): (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (hhRes, hhHandles) = heavyHittersBuild(docs, perMille)
+    val hh = hhRes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vp = hh.agg((count(lit(1)) + 1L).as("vp"))
+    val cxy = lmMappedBigrams(docs, hh).groupBy($"mx", $"my")
       .agg(count(lit(1)).as("c_xy"))
     val cx = cxy.groupBy($"mx").agg(sum($"c_xy").as("c_x"))
     val cost = cxy.join(cx, "mx").crossJoin(broadcast(vp))
@@ -1325,10 +1351,25 @@ object TextOps {
         floor(log(($"c_x" + $"vp").cast("double") /
           ($"c_xy" + lit(1L)).cast("double")) * 1e5)
           .cast("long").as("icost"))
-    val scores = mappedBigrams.join(broadcast(cost), Seq("mx", "my"))
+    (hh.select($"token"), cost, hhHandles :+ hh)
+  }
+
+  /** Scoring half of [[bigramXentBuild]] against ANY model pair (the
+    * in-session trained frames, or the LOADED `vocab`/`costs`
+    * artifacts): regenerate the mapped bigram stream under the model's
+    * vocabulary, join the broadcast cost table, collapse per doc
+    * map-side. Scoring the model's own training corpus never misses a
+    * bigram (every corpus bigram was counted); a deployment scoring a
+    * DIFFERENT corpus adds a backoff row per mx before this join —
+    * the inner join drops unseen transitions, documented rather than
+    * silently mis-scored. */
+  private[graft] def lmScoreWith(
+      docs: DataFrame, vocab: DataFrame, cost: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    lmMappedBigrams(docs, vocab).join(broadcast(cost), Seq("mx", "my"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"icost").as("xent_e5nats"))
-    (scores, hhHandles :+ hh)
   }
 
   /** CCNet-style perplexity BAND gate over any `(doc_id, …, text)`
@@ -1401,6 +1442,115 @@ object TextOps {
        |FROM mb JOIN cost USING (mx, my)
        |GROUP BY mb.doc_id
        |ORDER BY mb.doc_id""".stripMargin
+
+  // ---------------------------------------------- bigram-LM model artifact
+
+  /** Artifact roots of the persisted BIGRAM-LM MODEL — round 16 closes
+    * the LAST train-and-discard loop the r15 audit named: q79 trained
+    * its perplexity model and threw it away per call while the
+    * scaladoc promised "a deployment persists the tiny model artifact"
+    * as prose. Layout ([[writeGateModel]]'s complete-snapshot
+    * generation contract, one [[GenerationManifest]]):
+    *
+    *   - `vocab/gen=N` `(token)` — the heavy-hitter membership that
+    *     defines the unk mapping (≤ 1000/perMille rows by the
+    *     threshold pigeonhole);
+    *   - `costs/gen=N` `(mx, my, icost)` — the add-one-smoothed
+    *     integer cost table, ≤ (|V|+1)² rows BY CONSTRUCTION (vp is
+    *     folded into icost at train time, so the pair IS the model).
+    *
+    * Serving reads exactly generation `min(asOfGen, hi)`; retrains
+    * append a generation — `lmScoreServed(path, g)` answers "which LM
+    * scored the corpus that run g shipped" (the reproducibility read
+    * perplexity-banded corpora need: bands are not comparable across
+    * models). */
+  private val LmModelRoots = Seq("vocab", "costs")
+
+  /** Train on `docs` (the q79 passes, bit for bit) and persist the
+    * model as generation 1. */
+  def writeLmModel(
+      docs: DataFrame, path: String,
+      perMille: Int = HeavyHitterPerMille): Unit =
+    lmTrainIntoGen(docs, path, 1L, perMille) {
+      GenerationManifest.commit(path, 1L, 1L)
+    }
+
+  /** RETRAIN into the next generation (crash-atomic: both artifacts
+    * land outside the committed window, one manifest rename
+    * publishes them jointly). */
+  def retrainLmModel(
+      docs: DataFrame, path: String,
+      perMille: Int = HeavyHitterPerMille): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, LmModelRoots, lo, hi)
+    lmTrainIntoGen(docs, path, hi + 1, perMille) {
+      GenerationManifest.commit(path, lo, hi + 1)
+    }
+  }
+
+  private def lmTrainIntoGen(
+      docs: DataFrame, path: String, gen: Long, perMille: Int)(
+      commit: => Unit): Unit = {
+    val (vocab, cost, handles) = lmTrainCore(docs, perMille)
+    try {
+      vocab.coalesce(1) // ≤ |V| tokens — one tiny file
+        .write.mode("overwrite").parquet(s"$path/vocab/gen=$gen")
+      cost.coalesce(1) // ≤ (|V|+1)² fixed-width rows
+        .write.mode("overwrite").parquet(s"$path/costs/gen=$gen")
+      commit
+    } finally handles.foreach(_.unpersist())
+  }
+
+  /** Compact an LM-model store — [[compactGateModel]]'s contract for
+    * the vocab+costs artifact pair. */
+  def compactLmModel(spark: SparkSession, path: String): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, LmModelRoots, lo, hi)
+    if (lo == hi) return
+    LmModelRoots.foreach { sub =>
+      spark.read.parquet(s"$path/$sub/gen=$hi")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/$sub/gen=${hi + 1}")
+    }
+    GenerationManifest.commit(path, hi + 1, hi + 1)
+  }
+
+  /** The persisted cost table at `asOfGen` (default: the head),
+    * `(mx, my, icost)` ordered — the LM's model card: every transition
+    * the model knows and its exact integer cost. */
+  def lmModelCard(
+      spark: SparkSession, path: String,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
+    val g = GenerationManifest.windowAt(path, asOfGen)._2
+    spark.read.parquet(s"$path/costs/gen=$g").orderBy(col("mx"), col("my"))
+  }
+
+  /** q79's scoring table under the LOADED model — the deploy step
+    * ([[lmScoreWith]] over the persisted vocab/costs pair; both reads
+    * are tiny bounded relations that ride broadcasts). */
+  def lmScoreServed(
+      spark: SparkSession, dir: String, modelPath: String,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
+    val g = GenerationManifest.windowAt(modelPath, asOfGen)._2
+    lmScoreWith(Tables.documents(spark, dir),
+      spark.read.parquet(s"$modelPath/vocab/gen=$g"),
+      spark.read.parquet(s"$modelPath/costs/gen=$g"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q118 — the PERPLEXITY-MODEL loop closed through the artifact:
+    * train q79's bigram LM on the corpus, PERSIST it
+    * ([[writeLmModel]]), reload, and score every document with the
+    * LOADED vocab + cost table. The oracle retrains independently in
+    * SQL — it is [[q79OracleSql]] verbatim, because
+    * train ≡ persist ≡ load ≡ score must reproduce the in-session
+    * q79 bit for bit (the q114/q115 theorem for the LM). Same eager
+    * temp-dir convention as q114. */
+  def q118LmServed(spark: SparkSession, dir: String): DataFrame = {
+    val path = SimilarityOps.tempIndexDir("graft-lm-model")
+    writeLmModel(Tables.documents(spark, dir), path)
+    lmScoreServed(spark, dir, path)
+  }
 
   // ---------------------------------------------------------------- q86
 

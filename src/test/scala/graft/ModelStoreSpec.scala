@@ -120,6 +120,42 @@ class ModelStoreSpec extends SparkSuite {
     assert(graft.queries.GenerationManifest.window(path) == (1L, 2L))
   }
 
+  test("lm model: persist -> load -> serve == in-session q79 bit for bit; retrain/as-of/compact") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val path = tmp("graft-lm-model")
+    TextOps.writeLmModel(docs, path)
+    // the served twin reproduces the in-session train-then-score
+    val want = TextOps.q79BigramLm(spark, sf)
+      .collect().map(_.toString).toSeq
+    val served = TextOps.lmScoreServed(spark, sf, path)
+      .collect().map(_.toString).toSeq
+    assert(served == want, "served LM scoring diverged from in-session q79")
+    // the model card is bounded by construction: <= (|V|+1)^2 rows
+    val v = spark.read.parquet(s"$path/vocab/gen=1").count()
+    val card = TextOps.lmModelCard(spark, path)
+    assert(card.count() <= (v + 1) * (v + 1),
+      "cost table exceeded its (|V|+1)^2 bound")
+    // retrain on a shifted corpus appends gen 2; as-of serves gen 1
+    TextOps.retrainLmModel(docs.filter($"doc_id" % 2 === 0), path)
+    val headScores = TextOps.lmScoreServed(spark, sf, path)
+      .collect().map(_.toString).toSeq
+    assert(TextOps.lmScoreServed(spark, sf, path, asOfGen = 1L)
+      .collect().map(_.toString).toSeq == served,
+      "as-of read lost the generation-1 LM")
+    assert(headScores != served, "retrain fixture vacuous: same scores")
+    // compaction: head serves identically, floor refuses
+    TextOps.compactLmModel(spark, path)
+    assert(TextOps.lmScoreServed(spark, sf, path)
+      .collect().map(_.toString).toSeq == headScores,
+      "lm compaction changed the served scores")
+    intercept[IllegalArgumentException] {
+      TextOps.lmModelCard(spark, path, asOfGen = 1L)
+    }
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark),
+      "lm model store leaked cached frames")
+  }
+
   test("gate drift: served matrix == in-session two-train compare; score drift non-vacuous") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
