@@ -199,6 +199,21 @@ object Bench {
       serveOnly("q118_lm_served") =
         (s, d) => queries.TextOps.lmScoreServed(s, d, p)
     }
+    if (selNames("q119_quantizer_drift")) {
+      // quantizer drift needs a TWO-EPOCH store: gen 1 base-trained,
+      // gen 2 the retrained+re-encoded snapshot — built once per run
+      val p = buildDir("graft-bench-quant-drift")
+      phase("q119_train") {
+        import spark.implicits._
+        val emb = Tables.embeddings(spark, sfDir)
+        queries.SimilarityOps.trainIvfPq(emb, p, ivfIters = 3, pqIters = 3)
+        queries.SimilarityOps.retrainIvfPq(emb, p, ivfIters = 3, pqIters = 3,
+          trainSample = Some(emb.filter(
+            $"vec_id" % queries.SimilarityOps.QuantRetrainMod === 0)))
+      }
+      serveOnly("q119_quantizer_drift") =
+        (s, d) => queries.SimilarityOps.quantizerDriftServed(s, d, p)
+    }
     if (selNames("q117_gate_drift")) {
       // drift needs TWO generations — its own store (gen 1 full
       // corpus, gen 2 the drifted even-id half), trained once per run

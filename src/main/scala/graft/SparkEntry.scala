@@ -175,6 +175,12 @@ object SparkEntry {
     // q114 convention; the oracle is q79's verbatim — served scoring
     // must reproduce the in-session model bit for bit.
     "q118_lm_served"       -> ((s, d) => TextOps.q118LmServed(s, d)),
+    // q119 trains the composed IVF-PQ artifact, RETRAINS its
+    // quantizers into epoch generation 2, and reports the rollout
+    // drift review (assignment flips + recall@k at both generations).
+    // Rows-only like q84: trained k-means fixed points have no SQL
+    // twin; the replay/append/recall contracts are spec-pinned.
+    "q119_quantizer_drift" -> ((s, d) => SimilarityOps.q119QuantizerDrift(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -124,29 +124,45 @@ private[graft] object GenerationManifest {
     (lo, math.min(asOfGen, hi))
   }
 
+  /** The committed QUANTIZER-EPOCH bases (`E gen` records, sorted):
+    * generations that are COMPLETE re-encoded snapshots under freshly
+    * retrained quantizers ([[graft.queries.SimilarityOps.retrainIvfPq]]).
+    * A serve at generation g reads rows from the LARGEST epoch base
+    * ≤ g (everything below it was re-encoded into the snapshot) with
+    * that epoch's quantizer sidecars (`_epochs/gen=E/...`); no records = the
+    * pre-retrain index, whose quantizers live at the flat sidecar
+    * paths and whose generations all compose. Empty for families that
+    * never retrain in place. */
+  def epochs(path: String): Seq[Long] =
+    readLines(path).drop(1).flatMap { line =>
+      line.split("\\s+") match {
+        case Array("E", g) => Some(g.toLong)
+        case _             => None
+      }
+    }.sorted
+
   /** Atomically flip the manifest: write `_GENERATION.tmp`, rename
     * over `_GENERATION` (`FileContext` rename with OVERWRITE — atomic
     * on the local FS and on HDFS). The rename is the ONLY point a
     * mutation becomes visible. Plain commits carry no records —
-    * families that track watermarks pass them on EVERY commit (a
-    * commit rewrites the whole manifest, so an omitted map would
-    * silently demote every generation to the must-scan fallback). */
-  def commit(path: String, lo: Long, hi: Long): Unit =
-    commit(path, lo, hi, Map.empty)
-
-  /** [[commit]] carrying per-generation watermark records; records
-    * outside `[lo, hi]` are dropped (their generations are no longer
-    * addressable, so their ranges can never matter again). */
+    * families that track watermarks or epochs pass them on EVERY
+    * commit (a commit rewrites the whole manifest, so an omitted map
+    * would silently demote every generation to the fallback). Records
+    * outside `[lo, hi]` are dropped — their generations are no longer
+    * addressable, so their ranges/epochs can never matter again. */
   def commit(
       path: String, lo: Long, hi: Long,
-      wms: Map[Long, (Long, Long)]): Unit = {
+      wms: Map[Long, (Long, Long)] = Map.empty,
+      epochBases: Seq[Long] = Seq.empty): Unit = {
     val c = conf
     val root = new HPath(path)
     val fs = root.getFileSystem(c)
     val tmp = new HPath(root, "_GENERATION.tmp")
-    val body = (s"$lo $hi" +:
+    val body = (Seq(s"$lo $hi") ++
       wms.toSeq.filter { case (g, _) => g >= lo && g <= hi }.sortBy(_._1)
-        .map { case (g, (mn, mx)) => s"W $g $mn $mx" }).mkString("\n")
+        .map { case (g, (mn, mx)) => s"W $g $mn $mx" } ++
+      epochBases.filter(g => g >= lo && g <= hi).distinct.sorted
+        .map(g => s"E $g")).mkString("\n")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val fc = FileContext.getFileContext(fs.getUri, c)

@@ -340,14 +340,32 @@ object SimilarityOps {
 
   def compactAnnIndex(spark: SparkSession, path: String): Unit = {
     val (lo, hi) = GenerationManifest.window(path)
-    GenerationManifest.purgeOutside(path, Seq(""), lo, hi)
+    GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
     if (lo == hi) return
+    // an EPOCHED index folds only the governing epoch's rows — rows
+    // below the epoch base were re-encoded into its snapshot and are
+    // already unreadable at the head (folding them would double-count
+    // vectors under dead codebooks); the head epoch's quantizers are
+    // re-seated as the folded generation's epoch so serves stay
+    // bit-identical across the flip
+    val eps = GenerationManifest.epochs(path)
+    val foldLo = epochFloor(eps, lo, hi)
     spark.read.parquet(path)
-      .filter(col("gen").between(lo, hi)).drop("gen")
+      .filter(col("gen").between(foldLo, hi)).drop("gen")
       .withColumn("gen", lit(hi + 1))
       .repartition(col("cell"))
       .write.partitionBy("gen", "cell").mode("append").parquet(path)
-    GenerationManifest.commit(path, hi + 1, hi + 1)
+    if (eps.nonEmpty) {
+      val headRoot = quantizerRootAt(path, eps, hi)
+      writeIvfPqSidecars(spark,
+        readQuantizer(spark, headRoot),
+        readPqQuantizer(spark, s"$headRoot/_pq")
+          .map(_.map(_.toSeq).toSeq).toSeq,
+        spark.read.parquet(s"$headRoot/_meta").head().getBoolean(0),
+        s"$path/_epochs/gen=${hi + 1}")
+      GenerationManifest.commit(path, hi + 1, hi + 1,
+        epochBases = Seq(hi + 1))
+    } else GenerationManifest.commit(path, hi + 1, hi + 1)
     // replaced generations stay on disk until the next mutation's
     // leading purge — in-flight readers of the old window are safe
   }
@@ -1485,22 +1503,53 @@ object SimilarityOps {
       books: Seq[Seq[Seq[Double]]],
       residual: Boolean = false): Unit = {
     val spark = emb.sparkSession
-    import spark.implicits._
     encodeForIndex(assignCells(emb, centroids), centroids, books, residual)
       .withColumn("gen", lit(1L))
       .repartition(col("cell"))
       .write.partitionBy("gen", "cell").mode("overwrite").parquet(path)
     GenerationManifest.commit(path, 1L, 1L)
-    writeQuantizer(spark, centroids, path)
+    writeIvfPqSidecars(spark, centroids, books, residual, path)
+  }
+
+  /** The composed index's three-part quantizer state under `root`:
+    * coarse centroids (`_quantizer`), codebooks (`_pq/_quantizer`),
+    * residual flag (`_meta`). `root` is the index path for the
+    * build-time quantizers, `path/_epochs/gen=N` for a retrain
+    * epoch's (the underscore keeps the epoch tree invisible to
+    * `spark.read.parquet(path)`'s partition discovery, exactly as
+    * `_quantizer` already relies on). */
+  private def writeIvfPqSidecars(
+      spark: SparkSession,
+      centroids: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]],
+      residual: Boolean,
+      root: String): Unit = {
+    import spark.implicits._
+    writeQuantizer(spark, centroids, root)
     (for (m <- 0 until PqSubspaces; j <- 0 until PqCodes)
       yield (m, j, books(m)(j)))
       .toDF("m", "j", "codebook")
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_pq/_quantizer")
+      .write.mode("overwrite").parquet(s"$root/_pq/_quantizer")
     Seq(Tuple1(residual)).toDF("residual")
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_meta")
+      .write.mode("overwrite").parquet(s"$root/_meta")
   }
+
+  /** Quantizer sidecar ROOT serving generation `g`: the largest
+    * committed epoch base ≤ g (its `qgen=E` directory), or the index
+    * path itself when no retrain precedes g — the build-time flat
+    * sidecars, which a retrain never touches, so pre-retrain history
+    * stays addressable with the quantizers that encoded it. */
+  private def quantizerRootAt(path: String, eps: Seq[Long], g: Long): String =
+    eps.filter(_ <= g).lastOption
+      .map(e => s"$path/_epochs/gen=$e").getOrElse(path)
+
+  /** The generation floor a serve at `g` scans from: rows below the
+    * governing epoch base were re-encoded INTO its snapshot (reading
+    * them too would double-count vectors under the wrong codebooks). */
+  private def epochFloor(eps: Seq[Long], winLo: Long, g: Long): Long =
+    math.max(winLo, eps.filter(_ <= g).lastOption.getOrElse(winLo))
 
   /** The full IVF-PQ train→build loop: Lloyd-train the coarse
     * centroids, then train the codebooks ON THE RESIDUALS those
@@ -1547,9 +1596,16 @@ object SimilarityOps {
       numProbedCells: Int = NumProbedCells,
       asOfGen: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
-    val centroids = readQuantizer(spark, path)
-    val books = readPqQuantizer(spark, s"$path/_pq")
-    val residual = spark.read.parquet(s"$path/_meta")
+    // resolve the GOVERNING EPOCH first: a retrained index serves with
+    // the quantizers of the largest epoch base at or below the asked-of
+    // generation — the flat build-time sidecars when none precedes it
+    val (winLo0, winHi) = GenerationManifest.windowAt(path, asOfGen)
+    val eps = GenerationManifest.epochs(path)
+    val qRoot = quantizerRootAt(path, eps, winHi)
+    val winLo = epochFloor(eps, winLo0, winHi)
+    val centroids = readQuantizer(spark, qRoot)
+    val books = readPqQuantizer(spark, s"$qRoot/_pq")
+    val residual = spark.read.parquet(s"$qRoot/_meta")
       .head().getBoolean(0)
     val probeRows = probes.flatMap { case (id, e) =>
       probeCells(e, centroids, numProbedCells).map { c =>
@@ -1571,8 +1627,8 @@ object SimilarityOps {
     val wantedCells = probeRows.map(_._2).distinct.sorted
     val probesDf = probeRows.toDF("probe_id", "cell", "adc_off", "t")
     // asOfGen: serve the index as it stood at that committed head —
-    // the protocol-level time travel (GenerationManifest.windowAt)
-    val (winLo, winHi) = GenerationManifest.windowAt(path, asOfGen)
+    // the protocol-level time travel (GenerationManifest.windowAt),
+    // floored at the governing epoch base resolved above
     val idx = spark.read.parquet(path)
       .filter($"cell".isin(wantedCells: _*) && $"gen".between(winLo, winHi))
     // left-associated fold STARTING at the offset — the same grouping
@@ -1766,9 +1822,11 @@ object SimilarityOps {
       probes: Seq[(Long, Seq[Double])],
       k: Int = 10,
       shortlist: Int = RerankShortlist,
-      numProbedCells: Int = NumProbedCells): DataFrame = {
+      numProbedCells: Int = NumProbedCells,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
-    val short = ivfPqSearchIndex(spark, indexPath, probes, shortlist, numProbedCells)
+    val short = ivfPqSearchIndex(spark, indexPath, probes, shortlist,
+      numProbedCells, asOfGen)
       .select($"probe_id", $"vec_id")
     val probeVecs = probes.toDF("probe_id", "p_emb")
     val byProbe = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")
@@ -1840,21 +1898,181 @@ object SimilarityOps {
     * base rows never read or rewritten; append ≡ rebuild with the
     * same quantizers (spec-pinned). Drift limits are the union of
     * [[appendIvfIndex]]'s and [[appendPqIndex]]'s — both quantizers
-    * stay base-trained until a scheduled retrain+rebuild. */
+    * stay epoch-trained until the next scheduled [[retrainIvfPq]]
+    * (round 16: the retrain+rebuild is now a PROTOCOL, not prose —
+    * appends after a retrain encode with the HEAD epoch's quantizers
+    * automatically). */
   def appendIvfPqIndex(delta: DataFrame, path: String): Unit = {
     val spark = delta.sparkSession
     val (lo, hi) = GenerationManifest.window(path)
-    GenerationManifest.purgeOutside(path, Seq(""), lo, hi)
-    val centroids = readQuantizer(spark, path)
-    val books = readPqQuantizer(spark, s"$path/_pq")
+    GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
+    val eps = GenerationManifest.epochs(path)
+    val qRoot = quantizerRootAt(path, eps, hi)
+    val centroids = readQuantizer(spark, qRoot)
+    val books = readPqQuantizer(spark, s"$qRoot/_pq")
       .map(_.map(_.toSeq).toSeq).toSeq
-    val residual = spark.read.parquet(s"$path/_meta")
+    val residual = spark.read.parquet(s"$qRoot/_meta")
       .head().getBoolean(0)
     encodeForIndex(assignCells(delta, centroids), centroids, books, residual)
       .withColumn("gen", lit(hi + 1))
       .repartition(col("cell"))
       .write.partitionBy("gen", "cell").mode("append").parquet(path)
-    GenerationManifest.commit(path, lo, hi + 1)
+    GenerationManifest.commit(path, lo, hi + 1, epochBases = eps)
+  }
+
+  /** RETRAIN the composed index's quantizers and re-encode — the
+    * "scheduled retrain+rebuild" every append scaladoc in this family
+    * deferred to, now a crash-atomic protocol instead of prose. Lloyd
+    * re-trains coarse centroids and (residual) codebooks on
+    * `trainSample` (default: `emb` itself — a deployment passes a
+    * sample; k-means needs nothing more), re-encodes ALL of `emb`
+    * under them as ONE complete snapshot at `gen = hi+1`, persists the
+    * new quantizers under `_epochs/gen=hi+1/…`, and commits the
+    * generation AS AN EPOCH BASE — serves at or past it read only the
+    * snapshot (and later deltas) with the NEW quantizers, while as-of
+    * reads below it keep the OLD quantizers and the old rows: the
+    * build-time flat sidecars are never touched, so pre-retrain
+    * history replays bit for bit (spec-pinned). Crash-atomic like
+    * every family member: snapshot + epoch sidecars land outside the
+    * committed window and one manifest rename publishes rows, epoch
+    * record, and quantizers jointly. The rollout review between the
+    * outgoing and incoming quantizers is [[quantizerDriftServed]]
+    * (q119) — run it BEFORE pointing traffic at the new head. */
+  def retrainIvfPq(
+      emb: DataFrame,
+      path: String,
+      ivfIters: Int = 5,
+      pqIters: Int = 5,
+      trainSample: Option[DataFrame] = None): Unit = {
+    val spark = emb.sparkSession
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
+    val eps = GenerationManifest.epochs(path)
+    // the residual CONVENTION is index-level (search-time offsets
+    // assume it): carry it across retrains from the governing epoch
+    val residual = spark.read
+      .parquet(s"${quantizerRootAt(path, eps, hi)}/_meta")
+      .head().getBoolean(0)
+    val sample = trainSample.getOrElse(emb)
+    val centroids = trainCentroids(sample, NumCells, ivfIters)
+    val trainInput =
+      if (residual)
+        assignCells(sample, centroids).select(
+          zip_with(col("embedding"),
+            element_at(typedlit(centroids.map(_.toSeq)), col("cell") + 1),
+            (x, c) => x.cast("double") - c).as("embedding"))
+      else sample
+    val books = trainPqCodebooks(trainInput, pqIters)
+    writeIvfPqSidecars(spark, centroids, books, residual,
+      s"$path/_epochs/gen=${hi + 1}")
+    encodeForIndex(assignCells(emb, centroids), centroids, books, residual)
+      .withColumn("gen", lit(hi + 1))
+      .repartition(col("cell"))
+      .write.partitionBy("gen", "cell").mode("append").parquet(path)
+    GenerationManifest.commit(path, lo, hi + 1,
+      epochBases = eps :+ (hi + 1))
+  }
+
+  /** Retrain-split modulus for [[q119QuantizerDrift]]'s fixture: the
+    * retrained quantizers train on the even-id half — q117's
+    * deterministic drifted-corpus stand-in, for vectors. */
+  val QuantRetrainMod = 2
+
+  /** The QUANTIZER-DRIFT review between two generations of a composed
+    * index — q117's rollout question asked of [[retrainIvfPq]]: what
+    * would flipping traffic to the retrained epoch change? One row:
+    *
+    *   - `n_vecs`, `n_flipped` — corpus size and how many vectors the
+    *     OLD and NEW coarse quantizers assign to different cells (the
+    *     structural magnitude of the retrain), computed in ONE narrow
+    *     codegen'd pass — both centroid sets ride in as literals, the
+    *     corpus scans once, zero joins (the q117 shape for vectors);
+    *   - `recall_old_ppm`, `recall_new_ppm` — recall@k of the FULL
+    *     two-stage serve ([[ivfPqServe]]) at each generation against
+    *     the exact brute-force cosine top-k on the same probe set —
+    *     the number that decides the flip. Probe set, exact truth,
+    *     and both served legs are all ≤ probes×k rows: the documented
+    *     bounded-driver-reduction class.
+    *
+    * Oracle-EXEMPT like q84 (trained k-means fixed points are not
+    * re-derivable in SQL); the spec pins the contracts that matter —
+    * as-of replay across the retrain, append ≡ rebuild under the NEW
+    * quantizers, and the drift fixture being non-vacuous. */
+  def quantizerDriftServed(
+      spark: SparkSession, dir: String, indexPath: String,
+      oldGen: Long = -1L, newGen: Long = Long.MaxValue,
+      k: Int = 10, numProbes: Int = 10): DataFrame = {
+    import spark.implicits._
+    val (lo, hi) = GenerationManifest.window(indexPath)
+    val og = if (oldGen >= 0) oldGen else hi - 1
+    val ng = math.min(newGen, hi)
+    require(og >= lo,
+      s"drift needs two addressable generations (window [$lo, $hi])")
+    require(og <= hi,
+      s"oldGen=$og is beyond the committed head $hi at $indexPath")
+    require(og != ng,
+      s"drift between generation $og and itself is vacuously zero — " +
+        s"pass two distinct generations (window [$lo, $hi])")
+    val eps = GenerationManifest.epochs(indexPath)
+    val cOld = readQuantizer(spark, quantizerRootAt(indexPath, eps, og))
+    val cNew = readQuantizer(spark, quantizerRootAt(indexPath, eps, ng))
+    val emb = Tables.embeddings(spark, dir)
+    def cellOf(cs: Seq[Seq[Double]]): Column = {
+      // assignCells' argmax expression verbatim, twice in one pass
+      val dots = array(cs.map(c =>
+        PipelineOps.dot(col("embedding"), typedlit(c))): _*)
+      (array_position(dots, array_max(dots)) - 1).cast("int")
+    }
+    val probes = emb.filter($"vec_id" < numProbes)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq
+    // exact cosine ground truth: probes ride in as one literal array,
+    // the corpus expands through a generator (no join), per-probe
+    // top-k through one window — output bounded at probes×k
+    val byProbe = Window.partitionBy($"probe_id")
+      .orderBy($"sim".desc, $"vec_id")
+    val exactIds = emb
+      .select($"vec_id", $"embedding", explode(typedlit(probes)).as("p"))
+      .select($"p._1".as("probe_id"), $"vec_id",
+        round(PipelineOps.cosine($"embedding", $"p._2"), 6).as("sim"))
+      .withColumn("rank", row_number().over(byProbe))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallPpm(g: Long): Long = {
+      val served = ivfPqServe(spark, indexPath, emb, probes, k, asOfGen = g)
+        .select($"probe_id", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      served.intersect(exactIds).size.toLong * 1000000L / exactIds.size
+    }
+    val (rOld, rNew) = (recallPpm(og), recallPpm(ng))
+    emb.select(cellOf(cOld).as("c1"), cellOf(cNew).as("c2"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when($"c1" =!= $"c2", 1L).otherwise(0L)).as("n_flipped"))
+      .select($"n_vecs", $"n_flipped",
+        lit(rOld).as("recall_old_ppm"), lit(rNew).as("recall_new_ppm"))
+  }
+
+  /** q119 — QUANTIZER RETRAIN + DRIFT end to end: train the composed
+    * IVF-PQ artifact (generation 1, the q84 build), RETRAIN its
+    * quantizers on the even-id half ([[QuantRetrainMod]] — the
+    * drifted-corpus stand-in) which re-encodes the corpus as epoch
+    * generation 2, and report [[quantizerDriftServed]]'s review
+    * between the two — the table a deployment reads before flipping
+    * traffic to a retrained quantizer, closing the r15 gap ("both
+    * quantizers stay base-trained until a scheduled retrain+rebuild"
+    * had no protocol). Like q84: rows-only (trained floats), recall
+    * and replay contracts spec-pinned. */
+  def q119QuantizerDrift(
+      spark: SparkSession, dir: String,
+      ivfIters: Int = 3, pqIters: Int = 3): DataFrame = {
+    val path = tempIndexDir("graft-quant-drift")
+    val emb = Tables.embeddings(spark, dir)
+    trainIvfPq(emb, path, ivfIters, pqIters)
+    retrainIvfPq(emb, path, ivfIters, pqIters,
+      trainSample = Some(emb.filter(col("vec_id") % QuantRetrainMod === 0)))
+    quantizerDriftServed(spark, dir, path)
   }
 
   /** Shared assign→(residual-subtract)→encode projection for the

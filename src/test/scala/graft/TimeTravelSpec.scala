@@ -211,4 +211,71 @@ class TimeTravelSpec extends SparkSuite {
     assert(e.getMessage.contains("window floor"),
       s"wrong refusal: ${e.getMessage}")
   }
+
+  test("IVF-PQ retrain (round 16): epoch generations — as-of replays OLD quantizers, appends encode with NEW, compaction re-seats") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter($"vec_id" % 7 =!= 0)
+    val delta = emb.filter($"vec_id" % 7 === 0)
+    val probes = emb.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq
+
+    // retrain on IDENTICAL data + iters first: the trainer is
+    // deterministic, so the epoch-2 snapshot must serve bit-identically
+    // to generation 1 and the drift review must count ZERO flips —
+    // pins that the epoch plumbing itself changes nothing
+    val same = tmp("graft-tt-retrain-same")
+    SimilarityOps.trainIvfPq(base, same, ivfIters = 2, pqIters = 2)
+    val sameAt1 = rows(SimilarityOps.ivfPqServe(spark, same, emb, probes))
+    SimilarityOps.retrainIvfPq(base, same, ivfIters = 2, pqIters = 2)
+    assert(rows(SimilarityOps.ivfPqServe(spark, same, emb, probes)) == sameAt1,
+      "identity retrain changed the serve — the epoch plumbing leaks")
+    assert(SimilarityOps.quantizerDriftServed(spark, sf, same, 1L, 2L)
+      .head().getLong(1) == 0L,
+      "identity retrain flipped assignments")
+
+    // the real retrain: a drifted training sample -> new quantizers
+    val idx = tmp("graft-tt-retrain")
+    SimilarityOps.trainIvfPq(base, idx, ivfIters = 2, pqIters = 2)
+    val atGen1 = rows(SimilarityOps.ivfPqServe(spark, idx, emb, probes))
+    SimilarityOps.retrainIvfPq(base, idx, ivfIters = 2, pqIters = 2,
+      trainSample = Some(base.filter(
+        $"vec_id" % SimilarityOps.QuantRetrainMod === 0)))
+    assert(GenerationManifest.epochs(idx) == Seq(2L))
+    // as-of below the epoch base replays the OLD quantizers + rows
+    assert(rows(SimilarityOps.ivfPqServe(
+      spark, idx, emb, probes, asOfGen = 1L)) == atGen1,
+      "as-of serve across the retrain diverged from the capture")
+    // the drift review is non-vacuous and the retrained recall holds
+    val drift = SimilarityOps
+      .quantizerDriftServed(spark, sf, idx, oldGen = 1L, newGen = 2L).head()
+    assert(drift.getLong(1) > 0, "retrain fixture vacuous: zero flips")
+    assert(drift.getLong(3) >= 400000L,
+      s"retrained recall collapsed: ${drift.getLong(3)} ppm")
+
+    // append AFTER the retrain: the delta must encode with the HEAD
+    // epoch's quantizers — append == rebuild under the NEW quantizers
+    SimilarityOps.appendIvfPqIndex(delta, idx)
+    val appended = rows(SimilarityOps.ivfPqServe(spark, idx, emb, probes))
+    val rebuilt = tmp("graft-tt-retrain-rebuild")
+    val qRoot = s"$idx/_epochs/gen=2"
+    SimilarityOps.writeIvfPqIndex(base.unionByName(delta), rebuilt,
+      SimilarityOps.readQuantizer(spark, qRoot),
+      SimilarityOps.readPqQuantizer(spark, s"$qRoot/_pq")
+        .map(_.map(_.toSeq).toSeq).toSeq,
+      residual = true)
+    assert(rows(SimilarityOps.ivfPqServe(spark, rebuilt, emb, probes))
+      == appended, "append under the retrained epoch diverged from rebuild")
+
+    // compaction folds only the governing epoch's rows and re-seats
+    // its quantizers; serves identical across the flip, floor refuses
+    SimilarityOps.compactAnnIndex(spark, idx)
+    assert(rows(SimilarityOps.ivfPqServe(spark, idx, emb, probes))
+      == appended, "compaction of an epoched index changed the serve")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.ivfPqSearchIndex(spark, idx, probes, asOfGen = 1L)
+    }
+  }
 }
