@@ -199,6 +199,24 @@ object Bench {
       serveOnly("q118_lm_served") =
         (s, d) => queries.TextOps.lmScoreServed(s, d, p)
     }
+    if (selNames("q120_hybrid_served")) {
+      // the hybrid store: base-build + correlated delta-append once
+      // per run; timed samples measure the joint serve
+      val p = buildDir("graft-bench-hybrid-store")
+      phase("q120_build") {
+        import spark.implicits._
+        val docs = Tables.documents(spark, sfDir)
+        val emb = Tables.embeddings(spark, sfDir)
+        def baseP(c: org.apache.spark.sql.Column) =
+          c % queries.DedupOps.DeltaMod =!= queries.DedupOps.DeltaRem
+        queries.RetrievalOps.writeHybridIndex(
+          docs.filter(baseP($"doc_id")), emb.filter(baseP($"vec_id")), p)
+        queries.RetrievalOps.appendHybridIndex(
+          docs.filter(!baseP($"doc_id")), emb.filter(!baseP($"vec_id")), p)
+      }
+      serveOnly("q120_hybrid_served") =
+        (s, d) => queries.RetrievalOps.hybridServeAt(s, d, p)
+    }
     if (selNames("q119_quantizer_drift")) {
       // quantizer drift needs a TWO-EPOCH store: gen 1 base-trained,
       // gen 2 the retrained+re-encoded snapshot — built once per run

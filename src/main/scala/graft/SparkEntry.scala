@@ -181,6 +181,12 @@ object SparkEntry {
     // Rows-only like q84: trained k-means fixed points have no SQL
     // twin; the replay/append/recall contracts are spec-pinned.
     "q119_quantizer_drift" -> ((s, d) => SimilarityOps.q119QuantizerDrift(s, d)),
+    // q120 builds the CROSS-STORE hybrid (one manifest correlating the
+    // inverted + IVF-PQ legs), appends a correlated delta, serves at
+    // the head — the oracle is q83's full-corpus hybrid, so the driver
+    // proves append == rebuild across BOTH legs and the fusion; the
+    // joint as-of serve is spec-pinned. EAGER, q112 convention.
+    "q120_hybrid_served"   -> ((s, d) => RetrievalOps.q120HybridServed(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -671,5 +677,8 @@ object SparkEntry {
     // the LM loop through the artifact: q79's oracle verbatim — the
     // SQL retrain IS the independent twin of train+persist+load+score
     "q118_lm_served" -> TextOps.q79OracleSql(),
+    // hybrid store: q83's full-corpus oracle — equality proves
+    // append == rebuild across both legs and the fusion
+    "q120_hybrid_served" -> RetrievalOps.q120OracleSql(),
   )
 }

@@ -712,6 +712,115 @@ object RetrievalOps {
         |), $rrfTailSql""".stripMargin
   }
 
+  // ------------------------------- hybrid cross-store manifest (q120)
+
+  /** The composed hybrid's CROSS-STORE seal — round 16 closes the r15
+    * gap "q83 has no joint as-of" (both legs were individually
+    * time-travelable but their generations uncorrelated, so "what did
+    * the hybrid return at generation g" was ill-defined). Layout:
+    *
+    *   - `path/sparse` — the inverted index ([[writeInvertedIndex]]'s
+    *     artifacts, own leg manifest);
+    *   - `path/dense`  — the fixed-constant IVF-PQ index (q83's
+    *     correctness chain, own leg manifest);
+    *   - `path/_GENERATION` — the HYBRID window. Invariant: every
+    *     hybrid mutation appends exactly ONE generation to EACH leg,
+    *     so hybrid generation h ≡ the correlated pair (sparse gen h,
+    *     dense gen h).
+    *
+    * Cross-store atomicity WITHOUT a cross-store rename (two files
+    * cannot flip together): the hybrid manifest commits LAST, and
+    * [[hybridServeAt]] reads BOTH legs as-of the hybrid head — a crash
+    * between leg commits leaves one leg's head above the hybrid
+    * window, which no hybrid serve ever reads (the legs' as-of
+    * truncation IS the isolation). The retry's repair rule is head
+    * inspection: a leg whose head already reached `hybridHi + 1`
+    * absorbed its delta (at-least-once redelivery of the SAME batch —
+    * the stream convention) and is skipped; the other leg catches up;
+    * the hybrid flip publishes the correlated pair. */
+  def writeHybridIndex(
+      docs: DataFrame, emb: DataFrame, path: String): Unit = {
+    writeInvertedIndex(docs, s"$path/sparse")
+    val centroids = (0 until SimilarityOps.NumCells).map(c =>
+      (0 until SimilarityOps.Dim).map(SimilarityOps.centroidComponent(c, _)))
+    SimilarityOps.writeIvfPqIndex(emb, s"$path/dense", centroids,
+      SimilarityOps.defaultPqCodebooks, residual = false)
+    GenerationManifest.commit(path, 1L, 1L)
+  }
+
+  /** Append the correlated (docs, embeddings) delta to BOTH legs and
+    * flip the hybrid window once both are level — see
+    * [[writeHybridIndex]] for the crash/repair contract. */
+  def appendHybridIndex(
+      docs: DataFrame, emb: DataFrame, path: String): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    // repair rule: a leg already at hi+1 absorbed this delta on a
+    // crashed prior attempt — skip it, never double-append
+    if (GenerationManifest.window(s"$path/sparse")._2 == hi)
+      appendInvertedIndex(docs, s"$path/sparse")
+    if (GenerationManifest.window(s"$path/dense")._2 == hi)
+      SimilarityOps.appendIvfPqIndex(emb, s"$path/dense")
+    GenerationManifest.commit(path, lo, hi + 1)
+  }
+
+  /** The hybrid serve at a CORRELATED generation: both legs read
+    * as-of the hybrid window's resolution of `asOfGen`, so the fused
+    * ranking is exactly what the hybrid returned when that generation
+    * was the committed head — the joint-reproducibility read r15
+    * documented as ill-defined. (The rerank's float table is the
+    * caller's `dir` corpus: shortlisted ids are index-resident as-of
+    * the generation, and fixture floats are immutable per id — a
+    * deployment that mutates vectors in place versions the float
+    * table alongside.) */
+  def hybridServeAt(
+      spark: SparkSession, dir: String, path: String,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
+    import spark.implicits._
+    val (_, g) = GenerationManifest.windowAt(path, asOfGen)
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb
+      .filter($"vec_id".isInCollection(DenseProbeIds.map(_.toLong)))
+      .select($"vec_id", $"embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq
+    val dense = SimilarityOps.ivfPqServe(
+      spark, s"$path/dense", emb, probes, k = TopK, asOfGen = g)
+      .select($"probe_id".cast("int").as("qid"),
+        $"vec_id".as("doc_id"), $"rank".as("d_rank"))
+    val sparse = bm25SearchIndex(spark, s"$path/sparse", asOfGen = g)
+      .select($"qid", $"doc_id", $"rank".as("s_rank"))
+    fuseRrf(sparse, dense)
+  }
+
+  /** q120 — the hybrid STORE end to end, oracle-proven: build the
+    * cross-store hybrid on the sealed base split, APPEND the delta
+    * (one correlated seal advancing both legs), and serve at the
+    * head. The oracle is q83's full-corpus hybrid — so the driver
+    * itself verifies append ≡ rebuild across BOTH legs AND the fusion
+    * (the q112 theorem for the composed hybrid); `hybridServeAt`'s
+    * joint as-of is spec-pinned in TimeTravelSpec. Like q112, the
+    * registered form re-pays build+append into a temp dir per call. */
+  def q120HybridServed(spark: SparkSession, dir: String): DataFrame = {
+    val path = SimilarityOps.tempIndexDir("graft-hybrid-store")
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val baseP = (id: org.apache.spark.sql.Column) =>
+      id % DedupOps.DeltaMod =!= DedupOps.DeltaRem
+    writeHybridIndex(
+      docs.filter(baseP(col("doc_id"))), emb.filter(baseP(col("vec_id"))),
+      path)
+    appendHybridIndex(
+      docs.filter(!baseP(col("doc_id"))), emb.filter(!baseP(col("vec_id"))),
+      path)
+    hybridServeAt(spark, dir, path)
+  }
+
+  /** q120's oracle IS q83's: the served hybrid over base+delta must
+    * equal the full-corpus hybrid — append ≡ rebuild across both legs
+    * and the fusion. */
+  def q120OracleSql(): String = q83OracleSql()
+
   // ------------------------------------------------------------- q85
 
   /** q85 — PASSAGE-level BM25 retrieval, the RAG serving shape: the

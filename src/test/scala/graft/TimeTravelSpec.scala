@@ -212,6 +212,46 @@ class TimeTravelSpec extends SparkSuite {
       s"wrong refusal: ${e.getMessage}")
   }
 
+  test("hybrid cross-store (round 16): joint as-of serves BOTH legs at the correlated generation; torn leg commits invisible; repair never double-appends") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    def baseP(c: org.apache.spark.sql.Column) =
+      c % DedupOps.DeltaMod =!= DedupOps.DeltaRem
+    val idx = tmp("graft-tt-hybrid")
+    RetrievalOps.writeHybridIndex(
+      docs.filter(baseP($"doc_id")), emb.filter(baseP($"vec_id")), idx)
+    val atGen1 = rows(RetrievalOps.hybridServeAt(spark, sf, idx))
+
+    // TORN state: the sparse leg absorbs the delta and commits its OWN
+    // manifest, but the hybrid flip never lands (the crash window
+    // between leg commits) — no hybrid serve may see it
+    RetrievalOps.appendInvertedIndex(
+      docs.filter(!baseP($"doc_id")), s"$idx/sparse")
+    assert(rows(RetrievalOps.hybridServeAt(spark, sf, idx)) == atGen1,
+      "a torn leg commit leaked into the hybrid serve")
+
+    // the RETRY repairs: head inspection skips the sparse leg (already
+    // at hybridHi+1), appends the dense leg, flips the hybrid window
+    RetrievalOps.appendHybridIndex(
+      docs.filter(!baseP($"doc_id")), emb.filter(!baseP($"vec_id")), idx)
+    assert(GenerationManifest.window(s"$idx/sparse") == ((1L, 2L)),
+      "repair double-appended the sparse leg")
+    assert(GenerationManifest.window(s"$idx/dense") == ((1L, 2L)))
+    val atHead = rows(RetrievalOps.hybridServeAt(spark, sf, idx))
+    assert(atHead != atGen1, "fixture vacuous: the delta changed nothing")
+
+    // the joint-reproducibility read: both legs at the CORRELATED gen
+    assert(rows(RetrievalOps.hybridServeAt(spark, sf, idx, asOfGen = 1L))
+      == atGen1, "joint as-of diverged from the captured hybrid")
+
+    // and the head serve equals the full-corpus composed hybrid —
+    // append == rebuild across both legs AND the fusion (the q120
+    // oracle's property, pinned here in-engine too)
+    assert(atHead == rows(RetrievalOps.q83HybridIndexed(spark, sf)),
+      "hybrid append/rebuild diverged")
+  }
+
   test("IVF-PQ retrain (round 16): epoch generations — as-of replays OLD quantizers, appends encode with NEW, compaction re-seats") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
