@@ -181,6 +181,60 @@ class ModelStoreSpec extends SparkSuite {
     }
   }
 
+  test("rollout gate under concurrent retrain: a live stream keeps scoring its construction-time generation; restart rolls") {
+    import spark.implicits._
+    import graft.queries.CorpusPipeline
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+    val path = tmp("graft-gate-roll")
+    TextOps.writeGateModel(docs, path)
+    val w1 = TextOps.gateWeightsAt(spark, path)
+    val cfg = CorpusPipeline.Config(modelGate = true, gateModelPath = Some(path))
+    def keptWith(w: Seq[Long]): Seq[Long] = graft.streaming.CorpusStream
+      .gate(docs, CorpusPipeline.Config(modelGate = false))
+      .filter(TextOps.linearScoreMicroWith(col("text"), w) >= 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+
+    val rows = docs.select($"doc_id", $"lang", $"text")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val in = MemoryStream[(Long, String, String)]
+    val gated = graft.streaming.CorpusStream.gate(
+      in.toDF().toDF("doc_id", "lang", "text"), cfg)
+    val q = gated.select($"doc_id").writeStream.format("memory")
+      .queryName("gate_roll").outputMode("append").start()
+    try {
+      in.addData(b1); q.processAllAvailable()
+      // the RETRAIN lands generation 2 while the stream is live —
+      // the rollout decision (ship it or not) is q117's drift table,
+      // read between this append and any restart
+      TextOps.retrainGateModel(docs.filter($"doc_id" % 2 === 0), path)
+      assert(TextOps.gateWeightsAt(spark, path) != w1,
+        "retrain fixture vacuous: identical model")
+      in.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("gate_roll").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    // EVERY batch — including the one processed AFTER the retrain —
+    // was gated by the construction-time generation-1 model: the
+    // stream never silently rolls mid-flight
+    assert(streamed == keptWith(w1),
+      "a live stream picked up a concurrent retrain mid-flight")
+    // an explicit RESTART (a fresh plan) rolls to the head generation
+    val in2 = MemoryStream[(Long, String, String)]
+    val gated2 = graft.streaming.CorpusStream.gate(
+      in2.toDF().toDF("doc_id", "lang", "text"), cfg)
+    val q2 = gated2.select($"doc_id").writeStream.format("memory")
+      .queryName("gate_roll2").outputMode("append").start()
+    try { in2.addData(rows); q2.processAllAvailable() } finally q2.stop()
+    assert(spark.table("gate_roll2").collect()
+      .map(_.getLong(0)).sorted.toSeq ==
+      keptWith(TextOps.gateWeightsAt(spark, path)),
+      "a restarted stream did not score with the head generation")
+  }
+
   test("model compaction: head serves identically, history below the floor refuses") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
