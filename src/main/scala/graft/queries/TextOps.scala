@@ -3020,6 +3020,61 @@ object TextOps {
       rows: Seq[(Long, Long, Long, Long, Long)]): Long =
     rows.minBy { case (e, _, fp, _, fn) => (fp + fn, e) }._1
 
+  /** Default per-mille of the corpus [[gateTrainSampled]] trains on. */
+  val GateSampleMille = 200
+
+  /** The SAMPLED-epoCH trainer — the production cost lever the r15
+    * plan audit named for q111 (top of board, linear in
+    * corpus × epochs by construction: at 100 TB nobody runs full-batch
+    * epochs). A deterministic doc_id-hash subsample (`sampleMille` ‰)
+    * feeds the UNCHANGED [[gateTrainCore]] loop: feature extraction
+    * persists only the sampled slice, so every epoch's wide aggregate
+    * scans sampleMille/1000 of the corpus — epochs decouple from
+    * corpus size, which is the entire point. Deterministic (hash, not
+    * `rand()`), so the trajectory is reproducible run to run. The
+    * REGISTERED q111/q114 forms stay full-batch — they carry the
+    * DuckDB oracle; this variant's quality contract (pocket-model
+    * full-corpus error within a stated envelope of full-batch) is
+    * spec-pinned on the fixture, and the measured cost curve lives in
+    * bench/NOTES.md. */
+  private[graft] def gateTrainSampled(
+      docs: DataFrame, epochs: Int = DistillEpochs,
+      featDim: Int = DistillFeatDim, sampleMille: Int = GateSampleMille)
+    : (Seq[(Long, Long, Long, Long, Long)], IndexedSeq[Seq[Long]]) = {
+    require(sampleMille > 0 && sampleMille <= 1000,
+      s"sampleMille must be in (0, 1000], got $sampleMille")
+    gateTrainCore(docs.filter(
+      pmod(xxhash64(col("doc_id")), lit(1000)) < sampleMille),
+      epochs, featDim)
+  }
+
+  /** Full-corpus confusion of an arbitrary weight vector against the
+    * q53 cascade's labels — the evaluation read the sampled trainer's
+    * quality envelope is stated in (same label conjunction as
+    * [[gateTrainCore]]/[[gateRocWith]], same scoring arithmetic as
+    * the served q68 path). One map-side-combined aggregate to four
+    * longs. */
+  private[graft] def gateConfusionWith(
+      docs: DataFrame, w: Seq[Long]): (Long, Long, Long, Long) = {
+    import docs.sparkSession.implicits._
+    val t = toks($"text")
+    val nTok = size(t).cast("long")
+    val label = $"lang".isInCollection(YieldLangs) &&
+      nTok.between(YieldMinTokens, YieldMaxTokens) &&
+      size(array_distinct(t)).cast("long") * 100 >=
+        nTok * YieldMinDistinctPct &&
+      size(filter(t, x => x.isInCollection(Stopwords))).cast("long") * 100 >=
+        nTok * YieldMinStopPct
+    val score = linearScoreMicroWith($"text", w)
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val r = docs.agg(
+      cnt(label && score >= 0).as("tp"),
+      cnt(!label && score >= 0).as("fp"),
+      cnt(!label && score < 0).as("tn"),
+      cnt(label && score < 0).as("fn")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
   /** Ground truth for [[q111GateDistill]] — the training loop
     * unrolled into chained CTEs (the q102 pattern): per-epoch delta
     * sums re-assemble into the next weight list via an ordered list

@@ -25,7 +25,21 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Scale: each batch pays the delta-bounded append cost (shared
   * buckets, never delta × base); state lives entirely in the index's
   * generation-windowed artifacts — the stream itself is stateless, so
-  * there is no state store to bound. */
+  * there is no state store to bound.
+  *
+  * TRIGGER SIZING (round 16, measured — bench/NOTES.md): every
+  * durable append carries a ~4 s fixed floor (screen plan + four
+  * artifact writes + manifest flip) on top of a ~65 µs/doc marginal
+  * cost, so throughput is `N / (floor + N·m)` in the batch size: the
+  * measured curve at 100k fixture docs runs 2.1k docs/s at 10k-doc
+  * triggers → 9.5k docs/s at one 100k-doc batch, with the SERVED
+  * LABELS IDENTICAL across every sizing (append ≡ rebuild holds
+  * inductively whatever the batching — re-batching is free). Rule:
+  * size the trigger (`maxFilesPerTrigger` × file size, or a
+  * processing-time trigger) so batches carry ≥ ~60k docs when the
+  * source can sustain it — a maintenance stream is throughput-, not
+  * latency-bound, and idempotency makes coarse batches at-least-once
+  * safe. */
 object LabelIndexStream {
 
   /** Start the maintenance sink. `docs` is a STREAMING frame with at

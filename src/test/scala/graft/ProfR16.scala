@@ -62,6 +62,23 @@ object ProfR16 {
         .foreach(p => graft.queries.SimilarityOps
           .deleteRecursively(java.nio.file.Paths.get(p)))
     }
+
+    // ---- gate trainer cost: full-batch vs sampled epochs (verdict
+    // r15 #7 — q111 tops the board because every epoch scans the
+    // corpus; the sampled trainer's epochs scan only the sample)
+    locally {
+      import graft.queries.TextOps
+      val sfDir = sys.env.getOrElse("PROF_SF_DIR", "/root/testdata/sf0.1")
+      val gdocs = Tables.documents(spark, sfDir)
+      time("gateTrainCore (full-batch epochs, sf0.1)") {
+        TextOps.gateTrainCore(gdocs, TextOps.DistillEpochs, TextOps.DistillFeatDim)
+      }
+      for (mille <- Seq(500, 200, 50)) {
+        time(s"gateTrainSampled ${mille} permille (sf0.1)") {
+          TextOps.gateTrainSampled(gdocs, sampleMille = mille)
+        }
+      }
+    }
     spark.stop()
   }
 }

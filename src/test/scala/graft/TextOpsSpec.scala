@@ -904,4 +904,34 @@ class TextOpsSpec extends SparkSuite {
       "confusion rows must partition the corpus")
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
   }
+
+  test("gateTrainSampled: deterministic subsample epochs, pocket quality within the full-batch envelope") {
+    val docs = Tables.documents(spark, sf)
+    val (rowsF, snapsF) = TextOps.gateTrainCore(
+      docs, TextOps.DistillEpochs, TextOps.DistillFeatDim)
+    val wF = snapsF((TextOps.gatePocketEpoch(rowsF) - 1).toInt)
+    val (rowsS, snapsS) = TextOps.gateTrainSampled(docs)
+    val wS = snapsS((TextOps.gatePocketEpoch(rowsS) - 1).toInt)
+    // the sample is real: epochs see strictly fewer docs
+    def corpus(rows: Seq[(Long, Long, Long, Long, Long)]): Long =
+      rows.head._2 + rows.head._3 + rows.head._4 + rows.head._5
+    assert(corpus(rowsS) < corpus(rowsF),
+      s"sampled trainer saw the whole corpus: ${corpus(rowsS)}")
+    assert(corpus(rowsS) > 0, "sample vacuous")
+    // deterministic: a re-run reproduces the trajectory bit for bit
+    assert(TextOps.gateTrainSampled(docs)._1 == rowsS,
+      "sampled trainer is not reproducible")
+    // quality envelope on the FULL corpus: the sampled pocket model's
+    // error rate within 5 points of the full-batch pocket's (the
+    // stated contract; fixture values recorded in bench/NOTES.md)
+    val (tpF, fpF, tnF, fnF) = TextOps.gateConfusionWith(docs, wF)
+    val (_, fpS, _, fnS) = TextOps.gateConfusionWith(docs, wS)
+    val n = tpF + fpF + tnF + fnF
+    val (errF, errS) = (fpF + fnF, fpS + fnS)
+    info(s"full-corpus err: full-batch $errF/$n, " +
+      s"sampled(${TextOps.GateSampleMille}permille) $errS/$n")
+    assert(errS <= errF + n / 20,
+      s"sampled pocket fell out of the envelope: $errS vs $errF of $n")
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
 }
