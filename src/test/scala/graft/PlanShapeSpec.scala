@@ -669,6 +669,55 @@ class PlanShapeSpec extends SparkSuite {
       s"served scoring shuffles data:\n$p")
   }
 
+  test("q118 served LM scoring: model relations broadcast; exchanges keyed on doc_id only") {
+    // the loaded vocab and cost table are bounded by construction
+    // ((|V|+1)² rows), so the serve's joins must all ride broadcasts —
+    // the corpus shuffles once, keyed by doc_id for the per-doc fold
+    // (plus the output-contract sort); a refactor that sort-merges a
+    // model relation against the exploded bigram stream re-keys the
+    // corpus by token pair and must fail here
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-plan-lm").toString
+    TextOps.writeLmModel(Tables.documents(spark, sf), path)
+    val p = plan(TextOps.lmScoreServed(spark, sf, path))
+    assert(!p.contains("SortMergeJoin"), s"model join degraded:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    val ex = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    ex.foreach(l => assert(l.contains("doc_id"),
+      s"exchange keyed off-contract (corpus re-keyed by a model key?):\n$l"))
+  }
+
+  test("q120 hybrid serve: no sort-merge anywhere — probe sides, offsets, and model stats all broadcast") {
+    // both legs are index-served: the sparse leg reads bucket-pruned
+    // postings, the dense leg cell-pruned 4-byte codes, and every
+    // bounded relation (probes, stats, shortlist, rerank ids) arrives
+    // by broadcast — at 100 TB the only big relations are the pruned
+    // index scans themselves
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-plan-hybrid").toString
+    RetrievalOps.writeHybridIndex(
+      Tables.documents(spark, sf), Tables.embeddings(spark, sf), path)
+    val p = plan(RetrievalOps.hybridServeAt(spark, sf, path))
+    // the ONE sanctioned sort-merge is the fusion's FULL OUTER join of
+    // the two leg outputs — both bounded at queries × k rows (a full
+    // outer cannot broadcast-hash); anything else sort-merging means a
+    // leg's big relation reached a shuffle join
+    val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).toList
+    smj.foreach(l => assert(l.contains("FullOuter"),
+      s"hybrid leg degraded to a non-fusion sort-merge:\n$l"))
+    assert(smj.size <= 1, s"unexpected extra sort-merge joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs in the hybrid:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    // the dense scan is partition-pruned to the probed cells AND the
+    // committed window — the q50 × q66 composition must survive the
+    // cross-store wrapper
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell") &&
+        l.contains("gen")),
+      s"dense scan lost its cell/gen partition pruning:\n$p")
+  }
+
   test("q48: the funnel scan is a single hash shuffle") {
     // the claimed advantage over the k-self-join shape — pin it
     val p = plan(AnalyticsOps.q48Funnel(spark, sf))
