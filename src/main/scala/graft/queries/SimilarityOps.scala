@@ -329,13 +329,25 @@ object SimilarityOps {
     * are reclaimed by the next mutation's leading purge. */
   def compactFlatIndex(spark: SparkSession, path: String): Unit = {
     val (lo, hi) = GenerationManifest.window(path)
-    GenerationManifest.purgeOutside(path, Seq(""), lo, hi)
+    GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
     if (lo == hi) return
+    // epoch-aware like compactAnnIndex: fold only the governing
+    // epoch's rows (rows below it were re-encoded into its snapshot)
+    // and re-seat the head epoch's quantizer as the folded gen's
+    val eps = GenerationManifest.epochs(path)
+    val foldLo = epochFloor(eps, lo, hi)
     spark.read.parquet(path)
-      .filter(col("gen").between(lo, hi)).drop("gen")
+      .filter(col("gen").between(foldLo, hi)).drop("gen")
       .withColumn("gen", lit(hi + 1))
       .write.partitionBy("gen").mode("append").parquet(path)
-    GenerationManifest.commit(path, hi + 1, hi + 1)
+    if (eps.nonEmpty) {
+      spark.read
+        .parquet(s"${quantizerRootAt(path, eps, hi)}/_quantizer")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/_epochs/gen=${hi + 1}/_quantizer")
+      GenerationManifest.commit(path, hi + 1, hi + 1,
+        epochBases = Seq(hi + 1))
+    } else GenerationManifest.commit(path, hi + 1, hi + 1)
   }
 
   def compactAnnIndex(spark: SparkSession, path: String): Unit = {
@@ -694,14 +706,45 @@ object SimilarityOps {
     * quantizer exactly (spec-pinned). */
   def appendSq8Index(delta: DataFrame, path: String): Unit = {
     val (lo, hi) = GenerationManifest.window(path)
-    GenerationManifest.purgeOutside(path, Seq(""), lo, hi)
-    val quantizer = delta.sparkSession.read.parquet(s"$path/_quantizer")
+    GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
+    val eps = GenerationManifest.epochs(path)
+    val quantizer = delta.sparkSession.read
+      .parquet(s"${quantizerRootAt(path, eps, hi)}/_quantizer")
     delta.crossJoin(broadcast(quantizer))
       .select(col("vec_id"), col("label"),
         sq8ByteCodes(col("embedding"), col("mn"), col("mx")).as("codes"))
       .withColumn("gen", lit(hi + 1))
       .write.partitionBy("gen").mode("append").parquet(path)
-    GenerationManifest.commit(path, lo, hi + 1)
+    GenerationManifest.commit(path, lo, hi + 1, epochBases = eps)
+  }
+
+  /** RETRAIN the SQ8 quantizer — the "scheduled retrain+rebuild" the
+    * append scaladoc's saturation story defers to, as a crash-atomic
+    * EPOCH generation ([[retrainIvfPq]]'s protocol for the flat
+    * family): re-derive `(mn, mx)` from `trainSample` (default: `emb`
+    * — the standard move when appended data escaped the trained
+    * range), re-encode ALL of `emb` as one complete snapshot at
+    * `gen = hi+1`, persist the new stats under `_epochs/gen=hi+1`, and
+    * commit rows + epoch record + quantizer with one rename. As-of
+    * reads below the epoch keep the OLD stats and rows (the flat
+    * build-time `_quantizer` is never touched); appends after it
+    * encode with the new stats automatically. */
+  def retrainSq8Index(
+      emb: DataFrame, path: String,
+      trainSample: Option[DataFrame] = None): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
+    val eps = GenerationManifest.epochs(path)
+    val stats = sq8Stats(trainSample.getOrElse(emb))
+    stats.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/_epochs/gen=${hi + 1}/_quantizer")
+    emb.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("label"),
+        sq8ByteCodes(col("embedding"), col("mn"), col("mx")).as("codes"))
+      .withColumn("gen", lit(hi + 1))
+      .write.partitionBy("gen").mode("append").parquet(path)
+    GenerationManifest.commit(path, lo, hi + 1,
+      epochBases = eps :+ (hi + 1))
   }
 
   /** Search the PERSISTED SQ8 table: reload the quantizer, dequantize
@@ -720,9 +763,14 @@ object SimilarityOps {
       k: Int = 10,
       asOfGen: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
-    val quantizer = spark.read.parquet(s"$path/_quantizer")
-    // asOfGen: serve the codes as they stood at that committed head
-    val (lo, g) = GenerationManifest.windowAt(path, asOfGen)
+    // asOfGen: serve the codes as they stood at that committed head,
+    // with the quantizer of the governing retrain epoch (flat
+    // build-time stats when none precedes it)
+    val (lo0, g) = GenerationManifest.windowAt(path, asOfGen)
+    val eps = GenerationManifest.epochs(path)
+    val quantizer = spark.read
+      .parquet(s"${quantizerRootAt(path, eps, g)}/_quantizer")
+    val lo = epochFloor(eps, lo0, g)
     val codes = spark.read.parquet(path).filter($"gen".between(lo, g))
     def reconstruct(df: DataFrame) = df.crossJoin(broadcast(quantizer))
       .withColumn("xhat", sq8Dequantize(
@@ -1232,14 +1280,60 @@ object SimilarityOps {
     * production PQ deployment runs. */
   def appendPqIndex(delta: DataFrame, path: String): Unit = {
     val (lo, hi) = GenerationManifest.window(path)
-    GenerationManifest.purgeOutside(path, Seq(""), lo, hi)
-    val booksArr = readPqQuantizer(delta.sparkSession, path)
+    GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
+    val eps = GenerationManifest.epochs(path)
+    val booksArr = readPqQuantizer(delta.sparkSession,
+      quantizerRootAt(path, eps, hi))
     val books = booksArr.map(_.map(_.toSeq).toSeq).toSeq
     delta.select(col("vec_id"), col("label"),
         pqPack(pqCodeColsFor(col("embedding"), books)).as("packed"))
       .withColumn("gen", lit(hi + 1))
       .write.partitionBy("gen").mode("append").parquet(path)
-    GenerationManifest.commit(path, lo, hi + 1)
+    GenerationManifest.commit(path, lo, hi + 1, epochBases = eps)
+  }
+
+  /** RETRAIN the PQ codebooks — [[retrainIvfPq]]'s epoch protocol for
+    * the flat packed-code family: Lloyd-retrain on `trainSample`
+    * (default: `emb`), re-encode ALL of `emb` as one complete snapshot
+    * at `gen = hi+1`, persist the new codebooks under
+    * `_epochs/gen=hi+1`, commit rows + epoch record + quantizer with
+    * one rename. Serving resolves books per generation via
+    * [[pqBooksAt]]; pre-retrain history replays with the books that
+    * encoded it. */
+  def retrainPqIndex(
+      emb: DataFrame, path: String, iters: Int = 5,
+      trainSample: Option[DataFrame] = None): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
+    val eps = GenerationManifest.epochs(path)
+    val books = trainPqCodebooks(trainSample.getOrElse(emb), iters)
+    (for (m <- 0 until PqSubspaces; j <- 0 until PqCodes)
+      yield (m, j, books(m)(j)))
+      .toDF("m", "j", "codebook")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$path/_epochs/gen=${hi + 1}/_quantizer")
+    emb.select(col("vec_id"), col("label"),
+        pqPack(pqCodeColsFor(col("embedding"), books)).as("packed"))
+      .withColumn("gen", lit(hi + 1))
+      .write.partitionBy("gen").mode("append").parquet(path)
+    GenerationManifest.commit(path, lo, hi + 1,
+      epochBases = eps :+ (hi + 1))
+  }
+
+  /** The codebooks GOVERNING generation `asOfGen` (default: the head)
+    * — the epoch-aware sibling of [[readPqQuantizer]], and the books a
+    * caller must pass to [[pqSearchIndex]] for that as-of point: the
+    * largest epoch base at or below the resolved generation, or the
+    * flat build-time books when no retrain precedes it. */
+  def pqBooksAt(
+      spark: SparkSession, path: String,
+      asOfGen: Long = Long.MaxValue): Array[Array[Array[Double]]] = {
+    val (_, g) = GenerationManifest.windowAt(path, asOfGen)
+    readPqQuantizer(spark,
+      quantizerRootAt(path, GenerationManifest.epochs(path), g))
   }
 
   /** Reload the PQ codebooks persisted by [[writePqIndex]] — the
@@ -1284,8 +1378,12 @@ object SimilarityOps {
     }
     val probesDf = tables.map { case (id, t) => (id, t) }
       .toDF("probe_id", "t")
-    // asOfGen: serve the codes as they stood at that committed head
-    val (winLo, winG) = GenerationManifest.windowAt(path, asOfGen)
+    // asOfGen: serve the codes as they stood at that committed head,
+    // floored at the governing retrain epoch (rows below it were
+    // re-encoded into its snapshot — the caller's `books` must match,
+    // via [[pqBooksAt]] when the store has epochs)
+    val (winLo0, winG) = GenerationManifest.windowAt(path, asOfGen)
+    val winLo = epochFloor(GenerationManifest.epochs(path), winLo0, winG)
     val codes = spark.read.parquet(path).filter($"gen".between(winLo, winG))
     val adc = round(
       (0 until PqSubspaces)

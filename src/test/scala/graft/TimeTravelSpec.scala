@@ -144,6 +144,65 @@ class TimeTravelSpec extends SparkSuite {
       asOfGen = 1L)) == p1, "PQ as-of search diverged")
   }
 
+  test("SQ8 + PQ retrain (round 16): epoch re-encode — as-of replays OLD quantizers, appends use the NEW, compaction re-seats") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter($"vec_id" % 6 =!= 0)
+    val delta = emb.filter($"vec_id" % 6 === 0)
+    val half = base.filter($"vec_id" % 2 === 0)
+
+    // ---- SQ8: retrain the (mn, mx) stats on the even half
+    val sq8 = tmp("graft-tt-sq8-retrain")
+    SimilarityOps.writeSq8Index(base, sq8)
+    val s1 = rows(SimilarityOps.sq8SearchIndex(spark, sq8, probeId = 1))
+    SimilarityOps.retrainSq8Index(base, sq8, trainSample = Some(half))
+    assert(GenerationManifest.epochs(sq8) == Seq(2L))
+    assert(rows(SimilarityOps.sq8SearchIndex(spark, sq8, probeId = 1,
+      asOfGen = 1L)) == s1, "SQ8 as-of across the retrain diverged")
+    // append under the NEW stats == rebuild with them
+    SimilarityOps.appendSq8Index(delta, sq8)
+    val sAppended = rows(SimilarityOps.sq8SearchIndex(spark, sq8, probeId = 1))
+    val sq8Rebuilt = tmp("graft-tt-sq8-retrain-rebuild")
+    SimilarityOps.writeSq8IndexWith(base.unionByName(delta),
+      spark.read.parquet(s"$sq8/_epochs/gen=2/_quantizer"), sq8Rebuilt)
+    assert(rows(SimilarityOps.sq8SearchIndex(spark, sq8Rebuilt, probeId = 1))
+      == sAppended, "SQ8 append under the retrained stats diverged from rebuild")
+    // compaction re-seats the epoch quantizer; head serve identical
+    SimilarityOps.compactFlatIndex(spark, sq8)
+    assert(rows(SimilarityOps.sq8SearchIndex(spark, sq8, probeId = 1))
+      == sAppended, "SQ8 compaction of an epoched index changed the serve")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.sq8SearchIndex(spark, sq8, probeId = 1, asOfGen = 1L)
+    }
+
+    // ---- PQ: retrain the codebooks on the even half
+    val pq = tmp("graft-tt-pq-retrain")
+    SimilarityOps.trainAndWritePq(base, pq, iters = 2)
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq
+    val p1 = rows(SimilarityOps.pqSearchIndex(spark, pq, probes,
+      SimilarityOps.pqBooksAt(spark, pq)))
+    SimilarityOps.retrainPqIndex(base, pq, iters = 2,
+      trainSample = Some(half))
+    assert(GenerationManifest.epochs(pq) == Seq(2L))
+    // as-of: the gen-1 books govern the gen-1 serve
+    assert(rows(SimilarityOps.pqSearchIndex(spark, pq, probes,
+      SimilarityOps.pqBooksAt(spark, pq, asOfGen = 1L), asOfGen = 1L))
+      == p1, "PQ as-of across the retrain diverged")
+    // append under the NEW books == rebuild with them
+    SimilarityOps.appendPqIndex(delta, pq)
+    val pAppended = rows(SimilarityOps.pqSearchIndex(spark, pq, probes,
+      SimilarityOps.pqBooksAt(spark, pq)))
+    val pqRebuilt = tmp("graft-tt-pq-retrain-rebuild")
+    SimilarityOps.writePqIndex(base.unionByName(delta), pqRebuilt,
+      SimilarityOps.pqBooksAt(spark, pq).map(_.map(_.toSeq).toSeq).toSeq)
+    assert(rows(SimilarityOps.pqSearchIndex(spark, pqRebuilt, probes,
+      SimilarityOps.pqBooksAt(spark, pq)))
+      == pAppended, "PQ append under the retrained books diverged from rebuild")
+  }
+
   test("SQ8 append crash window: pre-commit debris is invisible; the retry purges and repairs") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
