@@ -245,7 +245,17 @@ object RetrievalOps {
     * derivable from the pruned scan at serve time (so index appends
     * keep df consistent for free). */
   def writeInvertedIndex(docs: DataFrame, path: String): Unit = {
+    // one task per bucket directory (compactIndex's rationale, applied
+    // to the build): without it every post-aggregate partition writes
+    // into every bucket — tasks × buckets small files per generation,
+    // multiplying every pruned serving scan's file count. At fixture
+    // scale AQE coalesces the tiny aggregate output and masks the
+    // fragmentation (measured: both forms ~3.4 s, ~23 files at sf0.1);
+    // at production scale the aggregate retains hundreds of partitions
+    // and the fan-out is real — the repartition pins the layout
+    // CONTRACT for one extra exchange of fixed-width posting rows.
     postings(docs).withColumn("gen", lit(1L))
+      .repartition(col("bucket"))
       .write.partitionBy("gen", "bucket").mode("overwrite").parquet(path)
     corpusTotals(docs).withColumn("gen", lit(1L))
       .write.partitionBy("gen").mode("overwrite").parquet(s"$path/_stats")
@@ -341,6 +351,7 @@ object RetrievalOps {
     val (lo, hi) = generationWindow(path)
     purgeOutside(path, lo, hi) // a crashed predecessor's orphans
     postingsOf(docs).withColumn("gen", lit(hi + 1))
+      .repartition(col("bucket")) // one task per bucket dir (build rule)
       .write.partitionBy("gen", "bucket").mode("append").parquet(path)
     if (crashAfterStage <= 1) return
     val old = spark.read.parquet(s"$path/_stats")
@@ -972,6 +983,7 @@ object RetrievalOps {
     * the text itself). */
   def writePassageIndex(docs: DataFrame, path: String): Unit = {
     chunkPostings(docs).withColumn("gen", lit(1L))
+      .repartition(col("bucket")) // one task per bucket dir (build rule)
       .write.partitionBy("gen", "bucket").mode("overwrite").parquet(path)
     chunkTotals(docs).withColumn("gen", lit(1L))
       .write.partitionBy("gen").mode("overwrite").parquet(s"$path/_stats")
