@@ -91,7 +91,8 @@ object CorpusPipeline {
       mixWeights: Option[Seq[(String, Int)]] = None,
       defaultMixWeight: Int = PipelineOps.DefaultMixWeight,
       labelIndexPath: Option[String] = None,
-      gateModelPath: Option[String] = None) {
+      gateModelPath: Option[String] = None,
+      lmModelPath: Option[String] = None) {
     require(passageTokens > 0, s"passageTokens must be > 0, got $passageTokens")
     require(exciseTokens > 0, s"exciseTokens must be > 0, got $exciseTokens")
     require(defaultMixWeight > 0,
@@ -127,6 +128,9 @@ object CorpusPipeline {
     require(gateModelPath.isEmpty || modelGate,
       "gateModelPath is only consumed by the model-gate stage — " +
         "set modelGate = true (no other stage scores)")
+    require(lmModelPath.isEmpty || perplexityBand.nonEmpty,
+      "lmModelPath is only consumed by the perplexity-band stage — " +
+        "set perplexityBand (no other stage scores with the LM)")
   }
 
   /** The model-gate score column under `cfg`: the TRAINED pocket
@@ -407,13 +411,25 @@ object CorpusPipeline {
     // diamond (heavy-hitter pass, model pass, scoring pass, and the
     // gate join's left side) — persist it; the q79 machinery's own
     // caches ride the returned handles.
+    // with cfg.lmModelPath the band scores with the LOADED q118 model
+    // artifact instead of self-training — the gateModelPath move for
+    // the LM: the most expensive gate loses both training passes, and
+    // the run pins ONE model generation (reproducible by
+    // lmScoreServed(path, gen))
     val (perpGated, perpHandles) = cfg.perplexityBand match {
       case Some((lo, hi)) =>
         val shared = narrowGated
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val (kept, xentHandles) =
-          TextOps.perplexityGate(shared, lo, hi, cfg.perplexityPerMille)
-        (mark("07_perplexity", kept), xentHandles :+ shared)
+        cfg.lmModelPath match {
+          case Some(p) =>
+            (mark("07_perplexity",
+              TextOps.perplexityGateServed(shared, lo, hi, p)),
+              Seq(shared))
+          case None =>
+            val (kept, xentHandles) =
+              TextOps.perplexityGate(shared, lo, hi, cfg.perplexityPerMille)
+            (mark("07_perplexity", kept), xentHandles :+ shared)
+        }
       case None => (narrowGated, Seq.empty[DataFrame])
     }
 

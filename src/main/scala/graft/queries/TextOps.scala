@@ -1525,17 +1525,47 @@ object TextOps {
     spark.read.parquet(s"$path/costs/gen=$g").orderBy(col("mx"), col("my"))
   }
 
+  /** The LOADED model pair (vocab, costs) at `asOfGen` — the one
+    * resolution every served LM read shares. */
+  private def lmLoaded(
+      spark: SparkSession, modelPath: String,
+      asOfGen: Long): (DataFrame, DataFrame) = {
+    val g = GenerationManifest.windowAt(modelPath, asOfGen)._2
+    (spark.read.parquet(s"$modelPath/vocab/gen=$g"),
+      spark.read.parquet(s"$modelPath/costs/gen=$g"))
+  }
+
   /** q79's scoring table under the LOADED model — the deploy step
     * ([[lmScoreWith]] over the persisted vocab/costs pair; both reads
     * are tiny bounded relations that ride broadcasts). */
   def lmScoreServed(
       spark: SparkSession, dir: String, modelPath: String,
       asOfGen: Long = Long.MaxValue): DataFrame = {
-    val g = GenerationManifest.windowAt(modelPath, asOfGen)._2
-    lmScoreWith(Tables.documents(spark, dir),
-      spark.read.parquet(s"$modelPath/vocab/gen=$g"),
-      spark.read.parquet(s"$modelPath/costs/gen=$g"))
+    val (vocab, costs) = lmLoaded(spark, modelPath, asOfGen)
+    lmScoreWith(Tables.documents(spark, dir), vocab, costs)
       .orderBy(col("doc_id"))
+  }
+
+  /** [[perplexityGate]] under a LOADED model instead of self-training
+    * — the pipeline's `lmModelPath` consumer (the gateModelPath move
+    * for the LM): one generation pinned per run, reproducible by
+    * `lmScoreServed(path, gen)`. Served semantics on a corpus the
+    * model did not train on: a doc scores over the transitions the
+    * model KNOWS (unseen bigrams drop from its count and sum — the
+    * mean-band compare then runs on the model's support), and a doc
+    * with zero known bigrams is dropped like the <2-token case; a
+    * self-trained model reproduces [[perplexityGate]] bit for bit
+    * (spec-pinned). */
+  private[graft] def perplexityGateServed(
+      docs: DataFrame, lo: Long, hi: Long, modelPath: String,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
+    require(lo >= 0 && lo <= hi, s"band must satisfy 0 <= lo <= hi, got [$lo, $hi]")
+    val (vocab, costs) = lmLoaded(docs.sparkSession, modelPath, asOfGen)
+    val scores = lmScoreWith(docs, vocab, costs)
+    docs.join(scores, Seq("doc_id"))
+      .filter(col("xent_e5nats") >= col("n_bigrams") * lo &&
+        col("xent_e5nats") <= col("n_bigrams") * hi)
+      .drop("n_bigrams", "xent_e5nats")
   }
 
   /** q118 — the PERPLEXITY-MODEL loop closed through the artifact:

@@ -129,6 +129,23 @@ class CorpusPipelineSpec extends SparkSuite {
       docs, iso.copy(perplexityBand = Some((lo, hi))))(
       _.select($"doc_id").collect().map(_.getLong(0)).toSet)
     assert(withGate == inBand, "perplexity gate disagrees with q79's scores")
+
+    // lmModelPath (round 16): a model self-trained on the gate's input
+    // and served back must reproduce the self-training stage bit for
+    // bit — the run now pins ONE LM generation instead of retraining
+    val modelPath = java.nio.file.Files
+      .createTempDirectory("graft-pipe-lm").toString
+    TextOps.writeLmModel(gateInput, modelPath, perMille = 10)
+    val served = CorpusPipeline.withPrepared(
+      docs, iso.copy(perplexityBand = Some((lo, hi)),
+        lmModelPath = Some(modelPath)))(
+      _.select($"doc_id").collect().map(_.getLong(0)).toSet)
+    assert(served == inBand,
+      "lmModelPath band diverged from the self-training stage")
+    // the misconfiguration fails at construction, not silently
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.Config(lmModelPath = Some(modelPath))
+    }
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
   }
 
