@@ -675,12 +675,40 @@ object RetrievalOps {
     * non-residual IVF-PQ index the dense leg serves from. Split out so
     * the bench can pay it once per run (`phases`) instead of once per
     * timed sample — a deployment builds once per compact generation. */
-  def q83BuildIndex(spark: SparkSession, dir: String, path: String): Unit = {
-    val emb = Tables.embeddings(spark, dir)
+  def q83BuildIndex(spark: SparkSession, dir: String, path: String): Unit =
+    buildFixedIvfPq(Tables.embeddings(spark, dir), path)
+
+  /** q83's fixed-constant non-residual dense-leg build over an
+    * explicit frame — ONE definition shared with the hybrid store's
+    * dense leg ([[writeHybridIndex]]), so the q120 ≡ q83 oracle
+    * equality is structural, not coincidental. */
+  private def buildFixedIvfPq(emb: DataFrame, path: String): Unit = {
     val centroids = (0 until SimilarityOps.NumCells).map(c =>
       (0 until SimilarityOps.Dim).map(SimilarityOps.centroidComponent(c, _)))
     SimilarityOps.writeIvfPqIndex(
       emb, path, centroids, SimilarityOps.defaultPqCodebooks, residual = false)
+  }
+
+  /** The hybrid query set's dense probe vectors ([[DenseProbeIds]]) —
+    * the bounded collect shared by [[q83ServeHybrid]] and
+    * [[hybridServeAt]]. */
+  private def denseProbes(emb: DataFrame): Seq[(Long, Seq[Double])] =
+    emb.filter(col("vec_id").isInCollection(DenseProbeIds.map(_.toLong)))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq
+
+  /** The dense leg served from a persisted IVF-PQ index, shaped for
+    * [[fuseRrf]] — shared by q83 and the hybrid store. */
+  private def denseLegServed(
+      spark: SparkSession, path: String, emb: DataFrame,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
+    import spark.implicits._
+    SimilarityOps.ivfPqServe(
+      spark, path, emb, denseProbes(emb), k = TopK, asOfGen = asOfGen)
+      .select($"probe_id".cast("int").as("qid"),
+        $"vec_id".as("doc_id"), $"rank".as("d_rank"))
   }
 
   /** Serve half of [[q83HybridIndexed]] against an already-built dense
@@ -688,16 +716,7 @@ object RetrievalOps {
   def q83ServeHybrid(
       spark: SparkSession, dir: String, path: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-    val probes = emb
-      .filter($"vec_id".isInCollection(DenseProbeIds.map(_.toLong)))
-      .select($"vec_id", $"embedding")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
-      .toSeq
-    val dense = SimilarityOps.ivfPqServe(spark, path, emb, probes, k = TopK)
-      .select($"probe_id".cast("int").as("qid"),
-        $"vec_id".as("doc_id"), $"rank".as("d_rank"))
+    val dense = denseLegServed(spark, path, Tables.embeddings(spark, dir))
     val sparse = q76Bm25TopK(spark, dir)
       .select($"qid", $"doc_id", $"rank".as("s_rank"))
     fuseRrf(sparse, dense)
@@ -744,34 +763,92 @@ object RetrievalOps {
     * [[hybridServeAt]] reads BOTH legs as-of the hybrid head — a crash
     * between leg commits leaves one leg's head above the hybrid
     * window, which no hybrid serve ever reads (the legs' as-of
-    * truncation IS the isolation). The retry's repair rule is head
-    * inspection: a leg whose head already reached `hybridHi + 1`
-    * absorbed its delta (at-least-once redelivery of the SAME batch —
-    * the stream convention) and is skipped; the other leg catches up;
-    * the hybrid flip publishes the correlated pair. */
+    * truncation IS the isolation). Crash recovery is two rules:
+    *
+    *   - PRE-flip crash (a leg committed, the hybrid manifest did
+    *     not): the retry inspects leg windows — a leg already at
+    *     `(hybridLo, hybridHi+1)` absorbed its delta and is skipped,
+    *     the other catches up, the hybrid flip publishes the pair. A
+    *     leg window in ANY other off-sync state is an out-of-band
+    *     mutation (someone compacted or appended a leg directly) and
+    *     the append REFUSES loudly — skipping would silently lose the
+    *     delta in that leg forever. Legs are mutated only through the
+    *     hybrid ops.
+    *   - POST-flip crash (the hybrid flip committed, the source
+    *     checkpoint did not — foreachBatch's at-least-once window):
+    *     the hybrid manifest carries the label index's SEALED-ID
+    *     WATERMARK per generation (combined doc/vec id range), so the
+    *     redelivered batch prunes to the generations its range
+    *     overlaps, anti-joins against exactly those, and a full
+    *     replay degrades to a NO-OP instead of double-writing posting
+    *     rows (which would double tf and df) and vectors. */
   def writeHybridIndex(
       docs: DataFrame, emb: DataFrame, path: String): Unit = {
     writeInvertedIndex(docs, s"$path/sparse")
-    val centroids = (0 until SimilarityOps.NumCells).map(c =>
-      (0 until SimilarityOps.Dim).map(SimilarityOps.centroidComponent(c, _)))
-    SimilarityOps.writeIvfPqIndex(emb, s"$path/dense", centroids,
-      SimilarityOps.defaultPqCodebooks, residual = false)
-    GenerationManifest.commit(path, 1L, 1L)
+    buildFixedIvfPq(emb, s"$path/dense")
+    GenerationManifest.commit(path, 1L, 1L,
+      Map(1L -> combinedRange(docs, "doc_id", emb, "vec_id")))
+  }
+
+  /** `[min, max]` over BOTH legs' id columns — the hybrid generation's
+    * sealed-id watermark (inverted sentinel when both frames are
+    * empty, like the label index's). */
+  private def combinedRange(
+      docs: DataFrame, docId: String,
+      emb: DataFrame, vecId: String): (Long, Long) = {
+    def r(df: DataFrame, c: String): (Long, Long) = {
+      val row = df.agg(min(col(c)), max(col(c))).head()
+      if (row.isNullAt(0)) (Long.MaxValue, Long.MinValue)
+      else (row.getLong(0), row.getLong(1))
+    }
+    val (a, b) = (r(docs, docId), r(emb, vecId))
+    (math.min(a._1, b._1), math.max(a._2, b._2))
   }
 
   /** Append the correlated (docs, embeddings) delta to BOTH legs and
     * flip the hybrid window once both are level — see
-    * [[writeHybridIndex]] for the crash/repair contract. */
+    * [[writeHybridIndex]] for the crash/repair contract. Idempotent
+    * per id (the watermark scheme), so at-least-once redelivery after
+    * a committed flip is a no-op. */
   def appendHybridIndex(
       docs: DataFrame, emb: DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
     val (lo, hi) = GenerationManifest.window(path)
-    // repair rule: a leg already at hi+1 absorbed this delta on a
-    // crashed prior attempt — skip it, never double-append
-    if (GenerationManifest.window(s"$path/sparse")._2 == hi)
-      appendInvertedIndex(docs, s"$path/sparse")
-    if (GenerationManifest.window(s"$path/dense")._2 == hi)
-      SimilarityOps.appendIvfPqIndex(emb, s"$path/dense")
-    GenerationManifest.commit(path, lo, hi + 1)
+    // post-flip-replay idempotency: prune the sealed-id check to the
+    // generations the delta's range overlaps (fresh monotone batches
+    // scan NOTHING; a replay scans only the generation it wrote)
+    val wms = GenerationManifest.watermarks(path)
+    val (dMin, dMax) = combinedRange(docs, "doc_id", emb, "vec_id")
+    val scanGens =
+      if (dMin > dMax) Seq.empty
+      else GenerationManifest.gensNeedingScan(wms, lo, hi, dMin, dMax)
+    val (keptDocs, keptEmb) =
+      if (scanGens.isEmpty) (docs, emb)
+      else (
+        docs.join(spark.read.parquet(s"$path/sparse")
+          .filter(col("gen").isin(scanGens: _*)).select(col("doc_id")),
+          Seq("doc_id"), "left_anti"),
+        emb.join(spark.read.parquet(s"$path/dense")
+          .filter(col("gen").isin(scanGens: _*)).select(col("vec_id")),
+          Seq("vec_id"), "left_anti"))
+    if (scanGens.nonEmpty && keptDocs.isEmpty && keptEmb.isEmpty) return
+    // pre-flip-crash repair vs out-of-band mutation: absorbed is
+    // EXACTLY (lo, hi+1); in-sync is exactly (lo, hi); anything else
+    // means a leg was mutated outside the hybrid ops — refuse loudly
+    def legState(name: String): Boolean = {
+      val w = GenerationManifest.window(s"$path/$name")
+      require(w == ((lo, hi)) || w == ((lo, hi + 1)),
+        s"hybrid leg '$name' window $w is out of sync with the hybrid " +
+          s"window [$lo, $hi] at $path — legs must only be mutated " +
+          "through the hybrid ops (a direct append or compaction would " +
+          "silently decorrelate the generations)")
+      w == ((lo, hi))
+    }
+    if (legState("sparse")) appendInvertedIndex(keptDocs, s"$path/sparse")
+    if (legState("dense"))
+      SimilarityOps.appendIvfPqIndex(keptEmb, s"$path/dense")
+    GenerationManifest.commit(path, lo, hi + 1,
+      wms + ((hi + 1) -> ((dMin, dMax))))
   }
 
   /** The hybrid serve at a CORRELATED generation: both legs read
@@ -788,17 +865,8 @@ object RetrievalOps {
       asOfGen: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val (_, g) = GenerationManifest.windowAt(path, asOfGen)
-    val emb = Tables.embeddings(spark, dir)
-    val probes = emb
-      .filter($"vec_id".isInCollection(DenseProbeIds.map(_.toLong)))
-      .select($"vec_id", $"embedding")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
-      .toSeq
-    val dense = SimilarityOps.ivfPqServe(
-      spark, s"$path/dense", emb, probes, k = TopK, asOfGen = g)
-      .select($"probe_id".cast("int").as("qid"),
-        $"vec_id".as("doc_id"), $"rank".as("d_rank"))
+    val dense = denseLegServed(
+      spark, s"$path/dense", Tables.embeddings(spark, dir), asOfGen = g)
     val sparse = bm25SearchIndex(spark, s"$path/sparse", asOfGen = g)
       .select($"qid", $"doc_id", $"rank".as("s_rank"))
     fuseRrf(sparse, dense)

@@ -735,7 +735,10 @@ object SimilarityOps {
     val (lo, hi) = GenerationManifest.window(path)
     GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
     val eps = GenerationManifest.epochs(path)
-    val stats = sq8Stats(trainSample.getOrElse(emb))
+    // materialize the one-row stats aggregate ONCE: it feeds both the
+    // sidecar write and the re-encode's broadcast side (a lazy frame
+    // would re-run the full min/max pass for each)
+    val stats = sq8Stats(trainSample.getOrElse(emb)).localCheckpoint(true)
     stats.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/_epochs/gen=${hi + 1}/_quantizer")
     emb.crossJoin(broadcast(stats))
@@ -1241,16 +1244,11 @@ object SimilarityOps {
       emb: DataFrame, path: String,
       books: Seq[Seq[Seq[Double]]] = defaultPqCodebooks): Unit = {
     val spark = emb.sparkSession
-    import spark.implicits._
     emb.select(col("vec_id"), col("label"),
         pqPack(pqCodeColsFor(col("embedding"), books)).as("packed"))
       .withColumn("gen", lit(1L))
       .write.partitionBy("gen").mode("overwrite").parquet(path)
-    (for (m <- 0 until PqSubspaces; j <- 0 until PqCodes)
-      yield (m, j, books(m)(j)))
-      .toDF("m", "j", "codebook")
-      .coalesce(1) // M×K×subDim doubles — one tiny file
-      .write.mode("overwrite").parquet(s"$path/_quantizer")
+    writePqBooks(spark, books, path)
     GenerationManifest.commit(path, 1L, 1L)
   }
 
@@ -1309,12 +1307,7 @@ object SimilarityOps {
     GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
     val eps = GenerationManifest.epochs(path)
     val books = trainPqCodebooks(trainSample.getOrElse(emb), iters)
-    (for (m <- 0 until PqSubspaces; j <- 0 until PqCodes)
-      yield (m, j, books(m)(j)))
-      .toDF("m", "j", "codebook")
-      .coalesce(1)
-      .write.mode("overwrite")
-      .parquet(s"$path/_epochs/gen=${hi + 1}/_quantizer")
+    writePqBooks(spark, books, s"$path/_epochs/gen=${hi + 1}")
     emb.select(col("vec_id"), col("label"),
         pqPack(pqCodeColsFor(col("embedding"), books)).as("packed"))
       .withColumn("gen", lit(hi + 1))
@@ -1380,10 +1373,21 @@ object SimilarityOps {
       .toDF("probe_id", "t")
     // asOfGen: serve the codes as they stood at that committed head,
     // floored at the governing retrain epoch (rows below it were
-    // re-encoded into its snapshot — the caller's `books` must match,
-    // via [[pqBooksAt]] when the store has epochs)
+    // re-encoded into its snapshot). On an EPOCHED store the caller's
+    // `books` must be the governing epoch's — require it (a
+    // cold-start that followed readPqQuantizer's flat-path recipe
+    // after a retrain would otherwise score epoch codes with dead
+    // books: wrong rankings, no error); the compare is the bounded
+    // M×K×subDim table, exact doubles through parquet.
     val (winLo0, winG) = GenerationManifest.windowAt(path, asOfGen)
-    val winLo = epochFloor(GenerationManifest.epochs(path), winLo0, winG)
+    val eps = GenerationManifest.epochs(path)
+    val winLo = epochFloor(eps, winLo0, winG)
+    if (eps.nonEmpty) {
+      val govern = readPqQuantizer(spark, quantizerRootAt(path, eps, winG))
+      require(books.flatten.flatten.toSeq == govern.flatten.flatten.toSeq,
+        s"the supplied codebooks do not govern generation $winG of the " +
+          s"retrained store at $path — load them with pqBooksAt(path, asOfGen)")
+    }
     val codes = spark.read.parquet(path).filter($"gen".between(winLo, winG))
     val adc = round(
       (0 until PqSubspaces)
@@ -1624,15 +1628,41 @@ object SimilarityOps {
       root: String): Unit = {
     import spark.implicits._
     writeQuantizer(spark, centroids, root)
-    (for (m <- 0 until PqSubspaces; j <- 0 until PqCodes)
-      yield (m, j, books(m)(j)))
-      .toDF("m", "j", "codebook")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/_pq/_quantizer")
+    writePqBooks(spark, books, s"$root/_pq")
     Seq(Tuple1(residual)).toDF("residual")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$root/_meta")
   }
+
+  /** The PQ codebook sidecar layout `(m, j, codebook)` under
+    * `root/_quantizer` — ONE definition for the flat PQ build/retrain
+    * and the composed index's `_pq` sidecar, so
+    * [[readPqQuantizer]]'s round-trip contract has a single writer to
+    * agree with. */
+  private def writePqBooks(
+      spark: SparkSession, books: Seq[Seq[Seq[Double]]],
+      root: String): Unit = {
+    import spark.implicits._
+    (for (m <- 0 until PqSubspaces; j <- 0 until PqCodes)
+      yield (m, j, books(m)(j)))
+      .toDF("m", "j", "codebook")
+      .coalesce(1) // M×K×subDim doubles — one tiny file
+      .write.mode("overwrite").parquet(s"$root/_quantizer")
+  }
+
+  /** The (residual) training input for the composed index's codebook
+    * trainer — shared VERBATIM by [[trainIvfPq]] and [[retrainIvfPq]]:
+    * the identity-retrain theorem (retrain on identical data ≡ train)
+    * depends on the two paths staying bit-identical. */
+  private def residualTrainInput(
+      sample: DataFrame, centroids: Seq[Seq[Double]],
+      residual: Boolean): DataFrame =
+    if (residual)
+      assignCells(sample, centroids).select(
+        zip_with(col("embedding"),
+          element_at(typedlit(centroids.map(_.toSeq)), col("cell") + 1),
+          (x, c) => x.cast("double") - c).as("embedding"))
+    else sample
 
   /** Quantizer sidecar ROOT serving generation `g`: the largest
     * committed epoch base ≤ g (its `qgen=E` directory), or the index
@@ -1662,14 +1692,8 @@ object SimilarityOps {
       pqIters: Int = 5,
       residual: Boolean = true): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
     val centroids = trainCentroids(emb, NumCells, ivfIters)
-    val trainInput =
-      if (residual)
-        assignCells(emb, centroids).select(
-          zip_with(col("embedding"),
-            element_at(typedlit(centroids.map(_.toSeq)), col("cell") + 1),
-            (x, c) => x.cast("double") - c).as("embedding"))
-      else emb
-    val books = trainPqCodebooks(trainInput, pqIters)
+    val books = trainPqCodebooks(
+      residualTrainInput(emb, centroids, residual), pqIters)
     writeIvfPqIndex(emb, path, centroids, books, residual)
     (centroids, books)
   }
@@ -2053,14 +2077,8 @@ object SimilarityOps {
       .head().getBoolean(0)
     val sample = trainSample.getOrElse(emb)
     val centroids = trainCentroids(sample, NumCells, ivfIters)
-    val trainInput =
-      if (residual)
-        assignCells(sample, centroids).select(
-          zip_with(col("embedding"),
-            element_at(typedlit(centroids.map(_.toSeq)), col("cell") + 1),
-            (x, c) => x.cast("double") - c).as("embedding"))
-      else sample
-    val books = trainPqCodebooks(trainInput, pqIters)
+    val books = trainPqCodebooks(
+      residualTrainInput(sample, centroids, residual), pqIters)
     writeIvfPqSidecars(spark, centroids, books, residual,
       s"$path/_epochs/gen=${hi + 1}")
     encodeForIndex(assignCells(emb, centroids), centroids, books, residual)
@@ -2125,6 +2143,9 @@ object SimilarityOps {
       .select($"vec_id", $"embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
       .toSeq
+    require(probes.nonEmpty,
+      s"no probe vectors with vec_id < $numProbes in $dir — the recall " +
+        "legs would divide by an empty ground truth")
     // exact cosine ground truth: probes ride in as one literal array,
     // the corpus expands through a generator (no join), per-probe
     // top-k through one window — output bounded at probes×k

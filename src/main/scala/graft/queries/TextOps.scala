@@ -538,17 +538,29 @@ object TextOps {
     * summary row into the 4-row report. No joins, no windows, no
     * second pass — at 100 TB this costs exactly one read.
     */
-  def q53GateYield(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val t = toks($"text")
+  /** The q53 rule cascade's STAGE conjunctions `g1..g4` over a `lang`
+    * column and the tokenized text — the ONE definition of the yield
+    * labels every consumer shares: the q53 report, the trainer's
+    * target ([[gateTrainCore]]), the calibration labels
+    * ([[gateRocWith]]), and the evaluation read
+    * ([[gateConfusionWith]]). A threshold change lands everywhere or
+    * nowhere — the sampled-trainer quality envelope and the
+    * train-vs-calibrate agreement are structural, not copy-paste. */
+  private[graft] def yieldStages(lang: Column, t: Column): Seq[Column] = {
     val nTok = size(t).cast("long")
-    val g1 = $"lang".isInCollection(YieldLangs)
+    val g1 = lang.isInCollection(YieldLangs)
     val g2 = g1 && nTok.between(YieldMinTokens, YieldMaxTokens)
     val g3 = g2 &&
       size(array_distinct(t)).cast("long") * 100 >= nTok * YieldMinDistinctPct
     val g4 = g3 &&
       size(filter(t, x => x.isInCollection(Stopwords))).cast("long") * 100 >=
         nTok * YieldMinStopPct
+    Seq(g1, g2, g3, g4)
+  }
+
+  def q53GateYield(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Seq(g1, g2, g3, g4) = yieldStages($"lang", toks($"text"))
     def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
     Tables.documents(spark, dir)
       .agg(count(lit(1)).as("n0"), cnt(g1).as("n1"), cnt(g2).as("n2"),
@@ -2992,16 +3004,9 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val t = toks($"text")
-    val nTok = size(t).cast("long")
-    val g1 = $"lang".isInCollection(YieldLangs)
-    val g2 = g1 && nTok.between(YieldMinTokens, YieldMaxTokens)
-    val g3 = g2 &&
-      size(array_distinct(t)).cast("long") * 100 >= nTok * YieldMinDistinctPct
-    val g4 = g3 &&
-      size(filter(t, x => x.isInCollection(Stopwords))).cast("long") * 100 >=
-        nTok * YieldMinStopPct
+    val label = yieldStages($"lang", t).last
     val feat = docs
-      .select(when(g4, 1L).otherwise(-1L).as("y"),
+      .select(when(label, 1L).otherwise(-1L).as("y"),
         transform(t, tok => (h32(tok) % featDim).cast("int")).as("th"))
       .select($"y", transform(sequence(lit(0), lit(featDim - 1)),
         i => size(filter($"th", h => h === i)).cast("long")).as("x"))
@@ -3087,14 +3092,7 @@ object TextOps {
   private[graft] def gateConfusionWith(
       docs: DataFrame, w: Seq[Long]): (Long, Long, Long, Long) = {
     import docs.sparkSession.implicits._
-    val t = toks($"text")
-    val nTok = size(t).cast("long")
-    val label = $"lang".isInCollection(YieldLangs) &&
-      nTok.between(YieldMinTokens, YieldMaxTokens) &&
-      size(array_distinct(t)).cast("long") * 100 >=
-        nTok * YieldMinDistinctPct &&
-      size(filter(t, x => x.isInCollection(Stopwords))).cast("long") * 100 >=
-        nTok * YieldMinStopPct
+    val label = yieldStages($"lang", toks($"text")).last
     val score = linearScoreMicroWith($"text", w)
     def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
     val r = docs.agg(
@@ -3531,14 +3529,7 @@ object TextOps {
     val spark = docs.sparkSession
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val t = toks($"text")
-    val nTok = size(t).cast("long")
-    val keep = $"lang".isInCollection(YieldLangs) &&
-      nTok.between(YieldMinTokens, YieldMaxTokens) &&
-      size(array_distinct(t)).cast("long") * 100 >=
-        nTok * YieldMinDistinctPct &&
-      size(filter(t, x => x.isInCollection(Stopwords))).cast("long") * 100 >=
-        nTok * YieldMinStopPct
+    val keep = yieldStages($"lang", toks($"text")).last
     // localCheckpoint, not persist: three consumers (boundaries, shard
     // totals, ranked output) must not re-pay the corpus pass, and the
     // registered form returns a live frame — caller-owned unpersist

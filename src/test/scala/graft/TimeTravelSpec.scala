@@ -309,6 +309,27 @@ class TimeTravelSpec extends SparkSuite {
     // oracle's property, pinned here in-engine too)
     assert(atHead == rows(RetrievalOps.q83HybridIndexed(spark, sf)),
       "hybrid append/rebuild diverged")
+
+    // POST-flip replay (crash between the hybrid flip and the source
+    // checkpoint): redelivering the same batch must be a NO-OP — the
+    // sealed-id watermark prunes it away before any leg is touched
+    val windowBefore = GenerationManifest.window(idx)
+    RetrievalOps.appendHybridIndex(
+      docs.filter(!baseP($"doc_id")), emb.filter(!baseP($"vec_id")), idx)
+    assert(GenerationManifest.window(idx) == windowBefore,
+      "replayed hybrid append advanced the window")
+    assert(rows(RetrievalOps.hybridServeAt(spark, sf, idx)) == atHead,
+      "replayed hybrid append changed the serve (double-counted postings?)")
+
+    // OUT-OF-BAND leg mutation (someone compacts a leg directly):
+    // the next hybrid append must refuse loudly, not silently lose
+    // the delta in that leg
+    RetrievalOps.compactIndex(spark, s"$idx/sparse")
+    val e = intercept[IllegalArgumentException] {
+      RetrievalOps.appendHybridIndex(
+        docs.limit(0), emb.limit(0), idx)
+    }
+    assert(e.getMessage.contains("out of sync"), s"wrong refusal: ${e.getMessage}")
   }
 
   test("IVF-PQ retrain (round 16): epoch generations — as-of replays OLD quantizers, appends encode with NEW, compaction re-seats") {
