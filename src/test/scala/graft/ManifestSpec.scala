@@ -1,0 +1,87 @@
+package graft
+
+import graft.queries.GenerationManifest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `_GENERATION` manifest FILE FORMAT (round 16 extends it with
+  * typed records): first line = the window, `W gen min max` = sealed-id
+  * watermarks, `E gen` = quantizer-epoch bases, unknown record types
+  * ignored (forward compatibility). These behaviors are exercised
+  * indirectly by every index family's spec; this suite pins the
+  * format itself — a parser change that breaks an on-disk manifest
+  * written by an older build must fail HERE, not in production
+  * reads. Pure local-FS, no Spark session needed. */
+class ManifestSpec extends AnyFunSuite {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-manifest").toString
+
+  private def writeRaw(path: String, body: String): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_GENERATION"),
+      body.getBytes("UTF-8"))
+
+  test("format round trip: window + watermarks + epochs survive commit/read") {
+    val p = tmp()
+    GenerationManifest.commit(p, 2L, 5L,
+      wms = Map(3L -> (10L, 99L), 5L -> (100L, 149L)),
+      epochBases = Seq(4L))
+    assert(GenerationManifest.window(p) == ((2L, 5L)))
+    assert(GenerationManifest.watermarks(p) ==
+      Map(3L -> (10L, 99L), 5L -> (100L, 149L)))
+    assert(GenerationManifest.epochs(p) == Seq(4L))
+  }
+
+  test("records outside the committed window are dropped at commit") {
+    val p = tmp()
+    GenerationManifest.commit(p, 3L, 4L,
+      wms = Map(1L -> (0L, 9L), 3L -> (10L, 19L), 9L -> (90L, 99L)),
+      epochBases = Seq(1L, 4L, 9L))
+    assert(GenerationManifest.watermarks(p) == Map(3L -> (10L, 19L)))
+    assert(GenerationManifest.epochs(p) == Seq(4L))
+  }
+
+  test("legacy formats read correctly: single number and bare window") {
+    val p1 = tmp(); writeRaw(p1, "7")
+    assert(GenerationManifest.window(p1) == ((1L, 7L)))
+    assert(GenerationManifest.watermarks(p1).isEmpty)
+    assert(GenerationManifest.epochs(p1).isEmpty)
+    val p2 = tmp(); writeRaw(p2, "2 9")
+    assert(GenerationManifest.window(p2) == ((2L, 9L)))
+  }
+
+  test("unknown record types are ignored — forward compatibility") {
+    val p = tmp()
+    writeRaw(p, "1 3\nW 2 5 10\nX 9 something future\nE 3\nZ 1")
+    assert(GenerationManifest.window(p) == ((1L, 3L)))
+    assert(GenerationManifest.watermarks(p) == Map(2L -> (5L, 10L)))
+    assert(GenerationManifest.epochs(p) == Seq(3L))
+  }
+
+  test("absent manifest refuses loudly; malformed first line errors") {
+    val p = tmp()
+    val e = intercept[IllegalArgumentException] {
+      GenerationManifest.window(p)
+    }
+    assert(e.getMessage.contains("no _GENERATION manifest"))
+    val p2 = tmp(); writeRaw(p2, "1 2 3")
+    intercept[RuntimeException] { GenerationManifest.window(p2) }
+  }
+
+  test("gensNeedingScan: intersection pruning, unknown-range fallback, empty sentinel") {
+    val wms = Map(
+      1L -> (0L, 99L),
+      2L -> (100L, 199L),
+      4L -> (Long.MaxValue, Long.MinValue)) // empty generation
+    // gen 3 has no record -> always scanned; gen 4's empty range never
+    assert(GenerationManifest.gensNeedingScan(wms, 1L, 4L, 150L, 300L) ==
+      Seq(2L, 3L))
+    assert(GenerationManifest.gensNeedingScan(wms, 1L, 4L, 200L, 300L) ==
+      Seq(3L))
+    assert(GenerationManifest.gensNeedingScan(
+      wms, 1L, 4L, Long.MinValue, Long.MaxValue) == Seq(1L, 2L, 3L))
+    // boundary inclusivity: touching ranges intersect
+    assert(GenerationManifest.gensNeedingScan(wms, 1L, 2L, 99L, 99L) ==
+      Seq(1L))
+  }
+}
