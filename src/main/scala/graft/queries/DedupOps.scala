@@ -1160,7 +1160,7 @@ object DedupOps {
       ex.withColumn("gen", lit(hi + 1))
         .write.partitionBy("gen").mode("append").parquet(s"$path/shingles")
       if (crashAfterStage <= 2) return
-      GenerationManifest.commit(path, lo, hi + 1)
+      GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
     } finally ex.unpersist()
   }
 
@@ -1531,12 +1531,12 @@ object DedupOps {
         if (crashAfterStage <= 3) return
         remaps.write.mode("overwrite").parquet(s"$path/remaps/gen=${hi + 1}")
         if (crashAfterStage <= 4) return
-        // re-assert the sealed generations' records and add the new
-        // one's (range of the KEPT delta — post-idempotency, so a
-        // partially-replayed batch records only what it actually
-        // sealed); a commit rewrites the whole manifest
-        GenerationManifest.commit(path, lo, hi + 1,
-          wms + ((hi + 1) -> idRange(ex)))
+        // amend preserves the sealed generations' records
+        // structurally and adds the new one's (range of the KEPT
+        // delta — post-idempotency, so a partially-replayed batch
+        // records only what it actually sealed)
+        GenerationManifest.amend(path)(s =>
+          s.copy(hi = hi + 1, wms = s.wms + ((hi + 1) -> idRange(ex))))
       } finally miniLabels.unpersist()
     } finally { banded.unpersist(); ex.unpersist() }
   }
@@ -1897,7 +1897,7 @@ object DedupOps {
     phraseTable(delta, l).withColumn("gen", lit(hi + 1))
       .write.partitionBy("gen").mode("append").parquet(s"$path/phrases")
     if (crashAfterStage <= 1) return
-    GenerationManifest.commit(path, lo, hi + 1)
+    GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
   }
 
   /** Compact the accreted generations into one ([[compactDedupIndex]]'s

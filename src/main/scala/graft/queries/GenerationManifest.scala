@@ -141,15 +141,60 @@ private[graft] object GenerationManifest {
       }
     }.sorted
 
+  /** The full typed state of a committed manifest — window plus every
+    * record family — parsed in ONE manifest read. The unit [[amend]]
+    * transforms. */
+  final case class State(
+      lo: Long, hi: Long,
+      wms: Map[Long, (Long, Long)] = Map.empty,
+      epochBases: Seq[Long] = Seq.empty)
+
+  /** Parse the committed manifest into a [[State]] (one file read). */
+  def state(path: String): State = {
+    val lines = readLines(path)
+    val head = lines.headOption.map(_.split("\\s+")).getOrElse(Array.empty)
+    val (lo, hi) = head match {
+      case Array(h)     => (1L, h.toLong)
+      case Array(l, h)  => (l.toLong, h.toLong)
+      case _ => sys.error(s"malformed _GENERATION manifest at $path: " +
+        lines.mkString(" / "))
+    }
+    val recs = lines.drop(1).map(_.split("\\s+"))
+    State(lo, hi,
+      wms = recs.collect { case Array("W", g, mn, mx) =>
+        g.toLong -> ((mn.toLong, mx.toLong)) }.toMap,
+      epochBases = recs.collect { case Array("E", g) => g.toLong }.sorted)
+  }
+
+  /** Read-modify-write commit — the record-PRESERVING form every
+    * append-shaped mutation uses: load the committed [[State]], apply
+    * `f`, flip the result atomically. Unlike a bare [[commit]], a
+    * caller that only advances the window CANNOT silently drop another
+    * family's records (the r16 foot-gun: commit rewrites the whole
+    * file, so every record-carrying family had to re-pass its records
+    * on every call — one forgotten site demoted generations to the
+    * fallback scan forever). Records `f` leaves outside the new window
+    * are still dropped by [[commit]]'s scoping, as before. Same
+    * single-writer assumption as every mutation in the protocol.
+    * Compactions keep calling [[commit]] directly — resetting the
+    * records is their intent, and it should read as such. */
+  def amend(path: String)(f: State => State): State = {
+    val s = f(state(path))
+    commit(path, s.lo, s.hi, s.wms, s.epochBases)
+    s
+  }
+
   /** Atomically flip the manifest: write `_GENERATION.tmp`, rename
     * over `_GENERATION` (`FileContext` rename with OVERWRITE — atomic
     * on the local FS and on HDFS). The rename is the ONLY point a
     * mutation becomes visible. Plain commits carry no records —
-    * families that track watermarks or epochs pass them on EVERY
-    * commit (a commit rewrites the whole manifest, so an omitted map
-    * would silently demote every generation to the fallback). Records
-    * outside `[lo, hi]` are dropped — their generations are no longer
-    * addressable, so their ranges/epochs can never matter again. */
+    * append-shaped mutations go through [[amend]], which re-passes
+    * records structurally; direct callers that carry records must pass
+    * them on EVERY commit (a commit rewrites the whole manifest, so an
+    * omitted map would silently demote every generation to the
+    * fallback). Records outside `[lo, hi]` are dropped — their
+    * generations are no longer addressable, so their ranges/epochs can
+    * never matter again. */
   def commit(
       path: String, lo: Long, hi: Long,
       wms: Map[Long, (Long, Long)] = Map.empty,

@@ -364,7 +364,7 @@ object RetrievalOps {
       .toDF("n", "sumdl").withColumn("gen", lit(hi + 1))
       .write.partitionBy("gen").mode("append").parquet(s"$path/_stats")
     if (crashAfterStage <= 2) return
-    commitGeneration(path, lo, hi + 1)
+    GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
   }
 
   /** Compact a persisted (document- or passage-level) index: rewrite
@@ -822,33 +822,48 @@ object RetrievalOps {
     val scanGens =
       if (dMin > dMax) Seq.empty
       else GenerationManifest.gensNeedingScan(wms, lo, hi, dMin, dMax)
-    val (keptDocs, keptEmb) =
-      if (scanGens.isEmpty) (docs, emb)
-      else (
-        docs.join(spark.read.parquet(s"$path/sparse")
+    // persist the anti-joined frames: one sealed-generation scan per
+    // leg feeds the sealed-range aggregate AND both leg appends (a
+    // lazy frame would re-pay the scan for each consumer)
+    val (keptDocs, keptEmb, release) =
+      if (scanGens.isEmpty) (docs, emb, () => ())
+      else {
+        val kd = docs.join(spark.read.parquet(s"$path/sparse")
           .filter(col("gen").isin(scanGens: _*)).select(col("doc_id")),
-          Seq("doc_id"), "left_anti"),
-        emb.join(spark.read.parquet(s"$path/dense")
+          Seq("doc_id"), "left_anti").persist()
+        val ke = emb.join(spark.read.parquet(s"$path/dense")
           .filter(col("gen").isin(scanGens: _*)).select(col("vec_id")),
-          Seq("vec_id"), "left_anti"))
-    if (scanGens.nonEmpty && keptDocs.isEmpty && keptEmb.isEmpty) return
-    // pre-flip-crash repair vs out-of-band mutation: absorbed is
-    // EXACTLY (lo, hi+1); in-sync is exactly (lo, hi); anything else
-    // means a leg was mutated outside the hybrid ops — refuse loudly
-    def legState(name: String): Boolean = {
-      val w = GenerationManifest.window(s"$path/$name")
-      require(w == ((lo, hi)) || w == ((lo, hi + 1)),
-        s"hybrid leg '$name' window $w is out of sync with the hybrid " +
-          s"window [$lo, $hi] at $path — legs must only be mutated " +
-          "through the hybrid ops (a direct append or compaction would " +
-          "silently decorrelate the generations)")
-      w == ((lo, hi))
-    }
-    if (legState("sparse")) appendInvertedIndex(keptDocs, s"$path/sparse")
-    if (legState("dense"))
-      SimilarityOps.appendIvfPqIndex(keptEmb, s"$path/dense")
-    GenerationManifest.commit(path, lo, hi + 1,
-      wms + ((hi + 1) -> ((dMin, dMax))))
+          Seq("vec_id"), "left_anti").persist()
+        (kd, ke, () => { kd.unpersist(); ke.unpersist(); () })
+      }
+    try {
+      // record only what this generation actually SEALS (the label
+      // index's discipline): a partial replay's watermark covers the
+      // surviving rows, not the raw delta, so future deltas never
+      // over-scan a generation for ids it dropped. With no overlap the
+      // kept frames ARE the delta and this equals (dMin, dMax).
+      val keptRange =
+        if (scanGens.isEmpty) (dMin, dMax)
+        else combinedRange(keptDocs, "doc_id", keptEmb, "vec_id")
+      if (scanGens.nonEmpty && keptRange._1 > keptRange._2) return
+      // pre-flip-crash repair vs out-of-band mutation: absorbed is
+      // EXACTLY (lo, hi+1); in-sync is exactly (lo, hi); anything else
+      // means a leg was mutated outside the hybrid ops — refuse loudly
+      def legState(name: String): Boolean = {
+        val w = GenerationManifest.window(s"$path/$name")
+        require(w == ((lo, hi)) || w == ((lo, hi + 1)),
+          s"hybrid leg '$name' window $w is out of sync with the hybrid " +
+            s"window [$lo, $hi] at $path — legs must only be mutated " +
+            "through the hybrid ops (a direct append or compaction would " +
+            "silently decorrelate the generations)")
+        w == ((lo, hi))
+      }
+      if (legState("sparse")) appendInvertedIndex(keptDocs, s"$path/sparse")
+      if (legState("dense"))
+        SimilarityOps.appendIvfPqIndex(keptEmb, s"$path/dense")
+      GenerationManifest.amend(path)(s =>
+        s.copy(hi = hi + 1, wms = s.wms + ((hi + 1) -> keptRange)))
+    } finally release()
   }
 
   /** The hybrid serve at a CORRELATED generation: both legs read

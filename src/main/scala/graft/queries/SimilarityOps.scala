@@ -307,7 +307,7 @@ object SimilarityOps {
       .mode("append")
       .parquet(path)
     if (crashAfterStage <= 1) return
-    GenerationManifest.commit(path, lo, hi + 1)
+    GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
   }
 
   /** Compact a cell-partitioned ANN index (IVF or IVF-PQ — one root,
@@ -715,7 +715,7 @@ object SimilarityOps {
         sq8ByteCodes(col("embedding"), col("mn"), col("mx")).as("codes"))
       .withColumn("gen", lit(hi + 1))
       .write.partitionBy("gen").mode("append").parquet(path)
-    GenerationManifest.commit(path, lo, hi + 1, epochBases = eps)
+    GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
   }
 
   /** RETRAIN the SQ8 quantizer — the "scheduled retrain+rebuild" the
@@ -734,20 +734,21 @@ object SimilarityOps {
       trainSample: Option[DataFrame] = None): Unit = {
     val (lo, hi) = GenerationManifest.window(path)
     GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
-    val eps = GenerationManifest.epochs(path)
     // materialize the one-row stats aggregate ONCE: it feeds both the
     // sidecar write and the re-encode's broadcast side (a lazy frame
     // would re-run the full min/max pass for each)
     val stats = sq8Stats(trainSample.getOrElse(emb)).localCheckpoint(true)
-    stats.coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/_epochs/gen=${hi + 1}/_quantizer")
-    emb.crossJoin(broadcast(stats))
-      .select(col("vec_id"), col("label"),
-        sq8ByteCodes(col("embedding"), col("mn"), col("mx")).as("codes"))
-      .withColumn("gen", lit(hi + 1))
-      .write.partitionBy("gen").mode("append").parquet(path)
-    GenerationManifest.commit(path, lo, hi + 1,
-      epochBases = eps :+ (hi + 1))
+    try {
+      stats.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/_epochs/gen=${hi + 1}/_quantizer")
+      emb.crossJoin(broadcast(stats))
+        .select(col("vec_id"), col("label"),
+          sq8ByteCodes(col("embedding"), col("mn"), col("mx")).as("codes"))
+        .withColumn("gen", lit(hi + 1))
+        .write.partitionBy("gen").mode("append").parquet(path)
+      GenerationManifest.amend(path)(s =>
+        s.copy(hi = hi + 1, epochBases = s.epochBases :+ (hi + 1)))
+    } finally stats.unpersist()
   }
 
   /** Search the PERSISTED SQ8 table: reload the quantizer, dequantize
@@ -1287,7 +1288,7 @@ object SimilarityOps {
         pqPack(pqCodeColsFor(col("embedding"), books)).as("packed"))
       .withColumn("gen", lit(hi + 1))
       .write.partitionBy("gen").mode("append").parquet(path)
-    GenerationManifest.commit(path, lo, hi + 1, epochBases = eps)
+    GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
   }
 
   /** RETRAIN the PQ codebooks — [[retrainIvfPq]]'s epoch protocol for
@@ -1305,15 +1306,14 @@ object SimilarityOps {
     import spark.implicits._
     val (lo, hi) = GenerationManifest.window(path)
     GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
-    val eps = GenerationManifest.epochs(path)
     val books = trainPqCodebooks(trainSample.getOrElse(emb), iters)
     writePqBooks(spark, books, s"$path/_epochs/gen=${hi + 1}")
     emb.select(col("vec_id"), col("label"),
         pqPack(pqCodeColsFor(col("embedding"), books)).as("packed"))
       .withColumn("gen", lit(hi + 1))
       .write.partitionBy("gen").mode("append").parquet(path)
-    GenerationManifest.commit(path, lo, hi + 1,
-      epochBases = eps :+ (hi + 1))
+    GenerationManifest.amend(path)(s =>
+      s.copy(hi = hi + 1, epochBases = s.epochBases :+ (hi + 1)))
   }
 
   /** The codebooks GOVERNING generation `asOfGen` (default: the head)
@@ -1665,7 +1665,7 @@ object SimilarityOps {
     else sample
 
   /** Quantizer sidecar ROOT serving generation `g`: the largest
-    * committed epoch base ≤ g (its `qgen=E` directory), or the index
+    * committed epoch base ≤ g (its `_epochs/gen=E` directory), or the index
     * path itself when no retrain precedes g — the build-time flat
     * sidecars, which a retrain never touches, so pre-retrain history
     * stays addressable with the quantizers that encoded it. */
@@ -2039,7 +2039,7 @@ object SimilarityOps {
       .withColumn("gen", lit(hi + 1))
       .repartition(col("cell"))
       .write.partitionBy("gen", "cell").mode("append").parquet(path)
-    GenerationManifest.commit(path, lo, hi + 1, epochBases = eps)
+    GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
   }
 
   /** RETRAIN the composed index's quantizers and re-encode — the
@@ -2085,8 +2085,8 @@ object SimilarityOps {
       .withColumn("gen", lit(hi + 1))
       .repartition(col("cell"))
       .write.partitionBy("gen", "cell").mode("append").parquet(path)
-    GenerationManifest.commit(path, lo, hi + 1,
-      epochBases = eps :+ (hi + 1))
+    GenerationManifest.amend(path)(s =>
+      s.copy(hi = hi + 1, epochBases = s.epochBases :+ (hi + 1)))
   }
 
   /** Retrain-split modulus for [[q119QuantizerDrift]]'s fixture: the

@@ -1496,7 +1496,7 @@ object TextOps {
     val (lo, hi) = GenerationManifest.window(path)
     GenerationManifest.purgeOutside(path, LmModelRoots, lo, hi)
     lmTrainIntoGen(docs, path, hi + 1, perMille) {
-      GenerationManifest.commit(path, lo, hi + 1)
+      GenerationManifest.amend(path)(s => s.copy(hi = hi + 1)); ()
     }
   }
 
@@ -2547,7 +2547,7 @@ object TextOps {
     bpeTrainAuto(docs, merges)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/merges/gen=${hi + 1}")
-    GenerationManifest.commit(path, lo, hi + 1)
+    GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
   }
 
   /** Compact a BPE-model store — [[compactGateModel]]'s contract for
@@ -3240,7 +3240,7 @@ object TextOps {
     val (lo, hi) = GenerationManifest.window(path)
     GenerationManifest.purgeOutside(path, GateModelRoots, lo, hi)
     trainIntoGen(docs, path, hi + 1, epochs, featDim)
-    GenerationManifest.commit(path, lo, hi + 1)
+    GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
   }
 
   private def trainIntoGen(

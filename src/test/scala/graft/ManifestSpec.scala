@@ -68,6 +68,35 @@ class ManifestSpec extends AnyFunSuite {
     intercept[RuntimeException] { GenerationManifest.window(p2) }
   }
 
+  test("amend preserves records structurally — the omitted-records foot-gun is gone") {
+    val p = tmp()
+    GenerationManifest.commit(p, 1L, 3L,
+      wms = Map(2L -> (10L, 19L), 3L -> (20L, 29L)),
+      epochBases = Seq(2L))
+    // the r16 foot-gun shape: an append that only advances the window.
+    // Through amend, the other families' records survive untouched.
+    GenerationManifest.amend(p)(s => s.copy(hi = s.hi + 1))
+    assert(GenerationManifest.window(p) == ((1L, 4L)))
+    assert(GenerationManifest.watermarks(p) ==
+      Map(2L -> (10L, 19L), 3L -> (20L, 29L)))
+    assert(GenerationManifest.epochs(p) == Seq(2L))
+    // an amend that ADDS a record keeps the rest
+    GenerationManifest.amend(p)(s =>
+      s.copy(hi = s.hi + 1, wms = s.wms + ((5L, (30L, 39L)))))
+    assert(GenerationManifest.watermarks(p) ==
+      Map(2L -> (10L, 19L), 3L -> (20L, 29L), 5L -> (30L, 39L)))
+    assert(GenerationManifest.epochs(p) == Seq(2L))
+    // state() is the one-read parse of everything commit wrote
+    assert(GenerationManifest.state(p) == GenerationManifest.State(
+      1L, 5L, Map(2L -> (10L, 19L), 3L -> (20L, 29L), 5L -> (30L, 39L)),
+      Seq(2L)))
+    // window-scoping still applies to what f returns: a compaction-
+    // shaped amend drops out-of-window records exactly like commit
+    GenerationManifest.amend(p)(s => s.copy(lo = s.hi + 1, hi = s.hi + 1))
+    assert(GenerationManifest.state(p) ==
+      GenerationManifest.State(6L, 6L, Map.empty, Seq.empty))
+  }
+
   test("gensNeedingScan: intersection pruning, unknown-range fallback, empty sentinel") {
     val wms = Map(
       1L -> (0L, 99L),
