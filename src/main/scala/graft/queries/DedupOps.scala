@@ -1541,6 +1541,17 @@ object DedupOps {
     } finally { banded.unpersist(); ex.unpersist() }
   }
 
+  /** One-shot watermark BACKFILL for a pre-r16 label index
+    * ([[GenerationManifest.backfillWatermarks]] over the shingles'
+    * sealed doc_ids): pays the unknown-range scan ONCE per legacy
+    * generation, records the ranges, and every subsequent append
+    * prunes exactly like a watermark-native index. Idempotent —
+    * generations already carrying records are skipped. */
+  def backfillLabelWatermarks(spark: SparkSession, path: String): Unit =
+    GenerationManifest.backfillWatermarks(path,
+      spark.read.parquet(s"$path/shingles")
+        .select(col("gen"), col("doc_id").as("id")))
+
   /** Serve the CURRENT family labels from a sealed index: the
     * window-scoped label rows with the remap journal's chains folded
     * in. The journal is collected to the driver and path-compressed

@@ -184,6 +184,38 @@ private[graft] object GenerationManifest {
     s
   }
 
+  /** One-shot WATERMARK BACKFILL for a legacy (pre-watermark) index:
+    * compute the sealed-id range of every committed generation MISSING
+    * a `W` record and [[amend]] the records in — after this, no append
+    * ever pays the unknown-range fallback scan again (a pre-r16 index
+    * otherwise pays it on every append forever). `idsByGen` is the
+    * family's sealed-id relation as `(gen, id)` — the label index
+    * passes its shingles' doc_ids, the hybrid the union of both legs'
+    * ids. ONE partition-pruned, column-pruned pass over exactly the
+    * recordless generations (generations already carrying a record are
+    * skipped, so re-running is an idempotent no-op); the collect is
+    * bounded by the generation count. A committed generation with no
+    * rows records the inverted EMPTY sentinel — "known empty", which
+    * intersects nothing, where omitting the record would read as
+    * "unknown, must scan" forever. */
+  def backfillWatermarks(
+      path: String, idsByGen: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val s0 = state(path)
+    val missing = (s0.lo to s0.hi).filterNot(s0.wms.contains)
+    if (missing.isEmpty) return
+    val found = idsByGen
+      .select(col("gen").cast("long").as("gen"), col("id").cast("long").as("id"))
+      .filter(col("gen").isin(missing: _*))
+      .groupBy(col("gen"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val add = missing.map(g =>
+      g -> found.getOrElse(g, (Long.MaxValue, Long.MinValue))).toMap
+    amend(path)(s => s.copy(wms = s.wms ++ add))
+  }
+
   /** Atomically flip the manifest: write `_GENERATION.tmp`, rename
     * over `_GENERATION` (`FileContext` rename with OVERWRITE — atomic
     * on the local FS and on HDFS). The rename is the ONLY point a

@@ -866,6 +866,18 @@ object RetrievalOps {
     } finally release()
   }
 
+  /** One-shot watermark BACKFILL for a pre-r16 hybrid store
+    * ([[GenerationManifest.backfillWatermarks]] over the UNION of both
+    * legs' sealed ids — the combined range [[appendHybridIndex]]
+    * records natively): after it, replays prune instead of paying the
+    * two-leg fallback scan per append. Idempotent. */
+  def backfillHybridWatermarks(spark: SparkSession, path: String): Unit =
+    GenerationManifest.backfillWatermarks(path,
+      spark.read.parquet(s"$path/sparse")
+        .select(col("gen"), col("doc_id").as("id"))
+        .unionByName(spark.read.parquet(s"$path/dense")
+          .select(col("gen"), col("vec_id").as("id"))))
+
   /** The hybrid serve at a CORRELATED generation: both legs read
     * as-of the hybrid window's resolution of `asOfGen`, so the fused
     * ranking is exactly what the hybrid returned when that generation

@@ -277,6 +277,37 @@ class LabelIndexSpec extends SparkSuite {
     assert(spark.read.parquet(s"$idx/shingles").count() == legacyBefore,
       "legacy fallback failed to drop sealed ids")
 
+    // BACKFILL: one scan per recordless generation, then a fresh-range
+    // append prunes to ZERO sealed scans — the legacy index stops
+    // paying the fallback forever (round 17)
+    DedupOps.backfillLabelWatermarks(spark, idx)
+    val (blo, bhi) = GenerationManifest.window(idx)
+    val bwm = GenerationManifest.watermarks(idx)
+    assert((blo to bhi).forall(bwm.contains),
+      s"backfill left recordless generations: $bwm")
+    assert(bwm(1L) == (0L, 99L) && bwm(2L) == (100L, 149L)
+        && bwm(3L) == (500L, 500L),
+      s"backfilled ranges drifted from the sealed ids: $bwm")
+    assert(GenerationManifest.gensNeedingScan(
+      bwm, blo, bhi, 1000L, 1999L).isEmpty,
+      "fresh range must scan nothing after backfill")
+    // idempotent: re-running changes nothing
+    DedupOps.backfillLabelWatermarks(spark, idx)
+    assert(GenerationManifest.watermarks(idx) == bwm)
+    // and the backfilled index still appends exactly idempotently
+    DedupOps.appendLabelIndex(mk(Seq(101L, 1000L)), idx)
+    assert(GenerationManifest.watermarks(idx)(bhi + 1) == (1000L, 1000L),
+      "post-backfill append must seal only the fresh id")
+
+    // a committed generation with NO rows backfills to the known-empty
+    // sentinel (intersects nothing) — not left "unknown, scan forever"
+    val idx3 = tmp("graft-label-wm-empty")
+    GenerationManifest.commit(idx3, 1L, 2L)
+    GenerationManifest.backfillWatermarks(idx3,
+      Seq((1L, 7L)).toDF("gen", "id"))
+    assert(GenerationManifest.watermarks(idx3) ==
+      Map(1L -> (7L, 7L), 2L -> (Long.MaxValue, Long.MinValue)))
+
     // compaction folds the union range forward when every folded
     // generation had a record
     val idx2 = tmp("graft-label-wm-fold")

@@ -321,6 +321,21 @@ class TimeTravelSpec extends SparkSuite {
     assert(rows(RetrievalOps.hybridServeAt(spark, sf, idx)) == atHead,
       "replayed hybrid append changed the serve (double-counted postings?)")
 
+    // LEGACY BACKFILL (round 17): wipe the watermark records (the
+    // pre-r16 manifest shape), backfill from both legs' sealed ids,
+    // and the recovered records must equal what the native appends
+    // recorded — then the replay stays a pruned no-op
+    val nativeWms = GenerationManifest.watermarks(idx)
+    GenerationManifest.commit(idx, windowBefore._1, windowBefore._2)
+    assert(GenerationManifest.watermarks(idx).isEmpty)
+    RetrievalOps.backfillHybridWatermarks(spark, idx)
+    assert(GenerationManifest.watermarks(idx) == nativeWms,
+      "backfilled hybrid watermarks drifted from the native records")
+    RetrievalOps.appendHybridIndex(
+      docs.filter(!baseP($"doc_id")), emb.filter(!baseP($"vec_id")), idx)
+    assert(GenerationManifest.window(idx) == windowBefore,
+      "replay after backfill advanced the window")
+
     // OUT-OF-BAND leg mutation (someone compacts a leg directly):
     // the next hybrid append must refuse loudly, not silently lose
     // the delta in that leg
