@@ -199,6 +199,16 @@ object Bench {
       serveOnly("q118_lm_served") =
         (s, d) => queries.TextOps.lmScoreServed(s, d, p)
     }
+    if (selNames("q121_lm_foreign")) {
+      val p = buildDir("graft-bench-lm-foreign")
+      phase("q121_train") {
+        import spark.implicits._
+        queries.TextOps.writeLmModel(
+          Tables.documents(spark, sfDir).filter($"doc_id" % 2 === 0), p)
+      }
+      serveOnly("q121_lm_foreign") =
+        (s, d) => queries.TextOps.lmForeignServed(s, d, p)
+    }
     if (selNames("q120_hybrid_served")) {
       // the hybrid store: base-build + correlated delta-append once
       // per run; timed samples measure the joint serve

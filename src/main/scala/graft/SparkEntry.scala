@@ -187,6 +187,12 @@ object SparkEntry {
     // proves append == rebuild across BOTH legs and the fusion; the
     // joint as-of serve is spec-pinned. EAGER, q112 convention.
     "q120_hybrid_served"   -> ((s, d) => RetrievalOps.q120HybridServed(s, d)),
+    // q121 scores a FOREIGN corpus with the persisted LM (train on the
+    // even half, score the odd half) — the backoff artifact makes
+    // every bigram score; the oracle retrains in SQL with the same
+    // coalesce(cost, backoff), so the driver verifies the
+    // unseen-transition semantics cross-engine. EAGER, q114 convention.
+    "q121_lm_foreign"      -> ((s, d) => TextOps.q121LmForeign(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -680,5 +686,9 @@ object SparkEntry {
     // hybrid store: q83's full-corpus oracle — equality proves
     // append == rebuild across both legs and the fusion
     "q120_hybrid_served" -> RetrievalOps.q120OracleSql(),
+    // foreign-corpus LM scoring: the SQL retrains on the even half and
+    // scores the odd half through the SAME coalesce(cost, backoff) —
+    // equality proves the unseen-transition backoff cross-engine
+    "q121_lm_foreign" -> TextOps.q121OracleSql(),
   )
 }

@@ -1312,7 +1312,7 @@ object TextOps {
     * the pipeline threads them into its loan set. */
   private[graft] def bigramXentBuild(
       docs: DataFrame, perMille: Int): (DataFrame, Seq[DataFrame]) = {
-    val (vocab, cost, handles) = lmTrainCore(docs, perMille)
+    val (vocab, cost, _, handles) = lmTrainCore(docs, perMille)
     (lmScoreWith(docs, vocab, cost), handles)
   }
 
@@ -1343,13 +1343,21 @@ object TextOps {
   }
 
   /** Training half of [[bigramXentBuild]]: the heavy-hitter vocabulary
-    * `(token)` and the add-one-smoothed integer cost table
-    * `(mx, my, icost)` — TOGETHER they are the whole model (vp folds
-    * into icost at train time). Both bounded by construction: vocab ≤
-    * 1000/perMille + 1 rows, costs ≤ (|V|+1)². Returned handles must
-    * outlive every consumer of the returned frames. */
+    * `(token)`, the add-one-smoothed integer cost table
+    * `(mx, my, icost)`, and the per-mx BACKOFF table `(mx, icost)` —
+    * the add-one cost of a transition training never saw
+    * (`c_xy = 0 ⇒ icost = floor(ln(c_x + vp)·1e5)`, with `c_x = 0` for
+    * an mx never seen as a left context), one row for every
+    * `vocab ∪ unk` member, so a FOREIGN corpus scores every bigram
+    * instead of dropping unseen transitions. vp folds into both tables
+    * at train time. All bounded by construction: vocab ≤
+    * 1000/perMille + 1 rows, costs ≤ (|V|+1)², backoff = |V|+1; the
+    * bigram-count aggregate `cxy` is persisted (bounded rows) so cost,
+    * cx, and backoff derive from ONE corpus pass. Returned handles
+    * must outlive every consumer of the returned frames. */
   private[graft] def lmTrainCore(
-      docs: DataFrame, perMille: Int): (DataFrame, DataFrame, Seq[DataFrame]) = {
+      docs: DataFrame, perMille: Int)
+      : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val (hhRes, hhHandles) = heavyHittersBuild(docs, perMille)
@@ -1357,13 +1365,21 @@ object TextOps {
     val vp = hh.agg((count(lit(1)) + 1L).as("vp"))
     val cxy = lmMappedBigrams(docs, hh).groupBy($"mx", $"my")
       .agg(count(lit(1)).as("c_xy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cx = cxy.groupBy($"mx").agg(sum($"c_xy").as("c_x"))
     val cost = cxy.join(cx, "mx").crossJoin(broadcast(vp))
       .select($"mx", $"my",
         floor(log(($"c_x" + $"vp").cast("double") /
           ($"c_xy" + lit(1L)).cast("double")) * 1e5)
           .cast("long").as("icost"))
-    (hh.select($"token"), cost, hhHandles :+ hh)
+    val backoff = hh.select($"token".as("mx"))
+      .unionByName(spark.range(1).select(lit(UnkToken).as("mx")))
+      .join(cx, Seq("mx"), "left")
+      .crossJoin(broadcast(vp))
+      .select($"mx",
+        floor(log((coalesce($"c_x", lit(0L)) + $"vp").cast("double")) * 1e5)
+          .cast("long").as("icost"))
+    (hh.select($"token"), cost, backoff, hhHandles :+ hh :+ cxy)
   }
 
   /** Scoring half of [[bigramXentBuild]] against ANY model pair (the
@@ -1371,16 +1387,29 @@ object TextOps {
     * artifacts): regenerate the mapped bigram stream under the model's
     * vocabulary, join the broadcast cost table, collapse per doc
     * map-side. Scoring the model's own training corpus never misses a
-    * bigram (every corpus bigram was counted); a deployment scoring a
-    * DIFFERENT corpus adds a backoff row per mx before this join —
-    * the inner join drops unseen transitions, documented rather than
-    * silently mis-scored. */
+    * bigram (every corpus bigram was counted), and there the two
+    * branches are value-identical: without `backoff` the join is
+    * inner; with it (round 17 — the served path), unseen transitions
+    * COALESCE onto the per-mx add-one backoff cost, so a FOREIGN
+    * corpus scores every bigram (`n_bigrams` is the true count) —
+    * every mapped mx is in `vocab ∪ unk` by construction, exactly the
+    * backoff table's key set, so the mx join never drops a row. */
   private[graft] def lmScoreWith(
-      docs: DataFrame, vocab: DataFrame, cost: DataFrame): DataFrame = {
+      docs: DataFrame, vocab: DataFrame, cost: DataFrame,
+      backoff: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    lmMappedBigrams(docs, vocab).join(broadcast(cost), Seq("mx", "my"))
-      .groupBy($"doc_id")
+    val scored = backoff match {
+      case None =>
+        lmMappedBigrams(docs, vocab).join(broadcast(cost), Seq("mx", "my"))
+      case Some(bo) =>
+        lmMappedBigrams(docs, vocab)
+          .join(broadcast(cost), Seq("mx", "my"), "left")
+          .join(broadcast(bo.select($"mx", $"icost".as("bo_icost"))),
+            Seq("mx"))
+          .withColumn("icost", coalesce($"icost", $"bo_icost"))
+    }
+    scored.groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"icost").as("xent_e5nats"))
   }
 
@@ -1469,14 +1498,18 @@ object TextOps {
     *     threshold pigeonhole);
     *   - `costs/gen=N` `(mx, my, icost)` — the add-one-smoothed
     *     integer cost table, ≤ (|V|+1)² rows BY CONSTRUCTION (vp is
-    *     folded into icost at train time, so the pair IS the model).
+    *     folded into icost at train time);
+    *   - `backoff/gen=N` `(mx, icost)` — round 17: the add-one cost of
+    *     an UNSEEN transition out of mx (`c_xy = 0`), one row per
+    *     `vocab ∪ unk` member, so a foreign corpus scores every bigram
+    *     — the three together ARE the model.
     *
     * Serving reads exactly generation `min(asOfGen, hi)`; retrains
     * append a generation — `lmScoreServed(path, g)` answers "which LM
     * scored the corpus that run g shipped" (the reproducibility read
     * perplexity-banded corpora need: bands are not comparable across
     * models). */
-  private val LmModelRoots = Seq("vocab", "costs")
+  private val LmModelRoots = Seq("vocab", "costs", "backoff")
 
   /** Train on `docs` (the q79 passes, bit for bit) and persist the
     * model as generation 1. */
@@ -1503,12 +1536,14 @@ object TextOps {
   private def lmTrainIntoGen(
       docs: DataFrame, path: String, gen: Long, perMille: Int)(
       commit: => Unit): Unit = {
-    val (vocab, cost, handles) = lmTrainCore(docs, perMille)
+    val (vocab, cost, backoff, handles) = lmTrainCore(docs, perMille)
     try {
       vocab.coalesce(1) // ≤ |V| tokens — one tiny file
         .write.mode("overwrite").parquet(s"$path/vocab/gen=$gen")
       cost.coalesce(1) // ≤ (|V|+1)² fixed-width rows
         .write.mode("overwrite").parquet(s"$path/costs/gen=$gen")
+      backoff.coalesce(1) // |V|+1 rows — the unseen-transition floor
+        .write.mode("overwrite").parquet(s"$path/backoff/gen=$gen")
       commit
     } finally handles.foreach(_.unpersist())
   }
@@ -1520,9 +1555,12 @@ object TextOps {
     GenerationManifest.purgeOutside(path, LmModelRoots, lo, hi)
     if (lo == hi) return
     LmModelRoots.foreach { sub =>
-      spark.read.parquet(s"$path/$sub/gen=$hi")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/$sub/gen=${hi + 1}")
+      // a pre-r17 store has no backoff artifact — skip, don't refuse
+      val d = new org.apache.hadoop.fs.Path(s"$path/$sub/gen=$hi")
+      if (d.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(d))
+        spark.read.parquet(d.toString)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/$sub/gen=${hi + 1}")
     }
     GenerationManifest.commit(path, hi + 1, hi + 1)
   }
@@ -1537,14 +1575,23 @@ object TextOps {
     spark.read.parquet(s"$path/costs/gen=$g").orderBy(col("mx"), col("my"))
   }
 
-  /** The LOADED model pair (vocab, costs) at `asOfGen` — the one
-    * resolution every served LM read shares. */
+  /** The LOADED model triple (vocab, costs, backoff) at `asOfGen` —
+    * the one resolution every served LM read shares. A pre-r17 store
+    * has no backoff artifact: the serve falls back to the old
+    * inner-join semantics (None) rather than refusing — retraining
+    * (or rewriting) the store upgrades it. */
   private def lmLoaded(
       spark: SparkSession, modelPath: String,
-      asOfGen: Long): (DataFrame, DataFrame) = {
+      asOfGen: Long): (DataFrame, DataFrame, Option[DataFrame]) = {
     val g = GenerationManifest.windowAt(modelPath, asOfGen)._2
+    val boDir = new org.apache.hadoop.fs.Path(s"$modelPath/backoff/gen=$g")
+    val bo =
+      if (boDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(boDir))
+        Some(spark.read.parquet(boDir.toString))
+      else None
     (spark.read.parquet(s"$modelPath/vocab/gen=$g"),
-      spark.read.parquet(s"$modelPath/costs/gen=$g"))
+      spark.read.parquet(s"$modelPath/costs/gen=$g"), bo)
   }
 
   /** q79's scoring table under the LOADED model — the deploy step
@@ -1553,8 +1600,8 @@ object TextOps {
   def lmScoreServed(
       spark: SparkSession, dir: String, modelPath: String,
       asOfGen: Long = Long.MaxValue): DataFrame = {
-    val (vocab, costs) = lmLoaded(spark, modelPath, asOfGen)
-    lmScoreWith(Tables.documents(spark, dir), vocab, costs)
+    val (vocab, costs, backoff) = lmLoaded(spark, modelPath, asOfGen)
+    lmScoreWith(Tables.documents(spark, dir), vocab, costs, backoff)
       .orderBy(col("doc_id"))
   }
 
@@ -1562,18 +1609,19 @@ object TextOps {
     * — the pipeline's `lmModelPath` consumer (the gateModelPath move
     * for the LM): one generation pinned per run, reproducible by
     * `lmScoreServed(path, gen)`. Served semantics on a corpus the
-    * model did not train on: a doc scores over the transitions the
-    * model KNOWS (unseen bigrams drop from its count and sum — the
-    * mean-band compare then runs on the model's support), and a doc
-    * with zero known bigrams is dropped like the <2-token case; a
-    * self-trained model reproduces [[perplexityGate]] bit for bit
-    * (spec-pinned). */
+    * model did not train on (round 17 — the backoff artifact): every
+    * bigram scores — transitions training never saw take the per-mx
+    * add-one backoff cost, so `n_bigrams` is the true count and the
+    * mean-band compare runs over the WHOLE doc, not the model's
+    * support; only <2-token docs drop. A self-trained model reproduces
+    * [[perplexityGate]] bit for bit (spec-pinned) — on the training
+    * corpus the backoff row is never hit. */
   private[graft] def perplexityGateServed(
       docs: DataFrame, lo: Long, hi: Long, modelPath: String,
       asOfGen: Long = Long.MaxValue): DataFrame = {
     require(lo >= 0 && lo <= hi, s"band must satisfy 0 <= lo <= hi, got [$lo, $hi]")
-    val (vocab, costs) = lmLoaded(docs.sparkSession, modelPath, asOfGen)
-    val scores = lmScoreWith(docs, vocab, costs)
+    val (vocab, costs, backoff) = lmLoaded(docs.sparkSession, modelPath, asOfGen)
+    val scores = lmScoreWith(docs, vocab, costs, backoff)
     docs.join(scores, Seq("doc_id"))
       .filter(col("xent_e5nats") >= col("n_bigrams") * lo &&
         col("xent_e5nats") <= col("n_bigrams") * hi)
@@ -1593,6 +1641,105 @@ object TextOps {
     writeLmModel(Tables.documents(spark, dir), path)
     lmScoreServed(spark, dir, path)
   }
+
+  /** q121 — FOREIGN-corpus LM scoring, the artifact's primary use case
+    * (round 17 makes the backoff row real instead of prose): train the
+    * bigram LM on the EVEN-id half, persist + reload
+    * ([[writeLmModel]]/[[lmLoaded]]), and score the ODD half — a
+    * corpus the model never saw. Every bigram scores: transitions
+    * outside the model's support coalesce onto the per-mx add-one
+    * BACKOFF cost (`c_xy = 0`), so `n_bigrams` is the true count. The
+    * oracle retrains in SQL with the identical backoff coalesce —
+    * hash-green means the unseen-transition semantics match DuckDB
+    * exactly, not just the support scoring. EAGER, q114 temp-dir
+    * convention. */
+  def q121LmForeign(spark: SparkSession, dir: String): DataFrame = {
+    val path = SimilarityOps.tempIndexDir("graft-lm-foreign")
+    writeLmModel(
+      Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0), path)
+    lmForeignServed(spark, dir, path)
+  }
+
+  /** q121's serving half against an EXISTING store (the bench
+    * build/serve split): load the model triple, score the odd half. */
+  def lmForeignServed(
+      spark: SparkSession, dir: String, modelPath: String,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
+    val (vocab, costs, backoff) = lmLoaded(spark, modelPath, asOfGen)
+    lmScoreWith(Tables.documents(spark, dir).filter(col("doc_id") % 2 =!= 0),
+      vocab, costs, backoff)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Ground truth for [[q121LmForeign]]: [[q79OracleSql]]'s training
+    * CTEs restricted to the even half, a backoff CTE with the same
+    * `ln(c_x + vp)` floor over `vocab ∪ unk`, and the odd half scored
+    * through `coalesce(cost, backoff)`. */
+  def q121OracleSql(perMille: Int = HeavyHitterPerMille): String =
+    s"""WITH tr AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+       |  FROM documents WHERE doc_id % 2 = 0
+       |), tok AS (
+       |  SELECT unnest(toks) AS token FROM tr
+       |), n AS (SELECT count(*) AS n_tok FROM tok),
+       |hh AS (
+       |  SELECT token, count(*) AS c
+       |  FROM tok, n GROUP BY token, n_tok
+       |  HAVING count(*) * 1000 >= $perMille * n_tok
+       |), v AS (SELECT count(*) + 1 AS vp FROM hh),
+       |big AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(
+       |           generate_series(1, greatest(len(toks) - 1, 0)),
+       |           i -> toks[i] || ' ' || toks[i + 1])) AS bg
+       |  FROM tr WHERE len(toks) >= 2
+       |), mb AS (
+       |  SELECT doc_id,
+       |         CASE WHEN string_split(bg, ' ')[1] IN (SELECT token FROM hh)
+       |              THEN string_split(bg, ' ')[1] ELSE '$UnkToken' END AS mx,
+       |         CASE WHEN string_split(bg, ' ')[2] IN (SELECT token FROM hh)
+       |              THEN string_split(bg, ' ')[2] ELSE '$UnkToken' END AS my
+       |  FROM big
+       |), cxy AS (
+       |  SELECT mx, my, count(*) AS c_xy FROM mb GROUP BY mx, my
+       |), cx AS (
+       |  SELECT mx, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cxy GROUP BY mx
+       |), cost AS (
+       |  SELECT mx, my,
+       |         CAST(floor(ln((c_x + vp)::DOUBLE / (c_xy + 1)::DOUBLE) * 1e5) AS BIGINT) AS icost
+       |  FROM cxy JOIN cx USING (mx), v
+       |), backoff AS (
+       |  SELECT m.mx,
+       |         CAST(floor(ln((coalesce(c_x, 0) + vp)::DOUBLE) * 1e5) AS BIGINT) AS bo_icost
+       |  FROM (SELECT token AS mx FROM hh
+       |        UNION ALL SELECT '$UnkToken') m
+       |  LEFT JOIN cx USING (mx), v
+       |), ft AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+       |  FROM documents WHERE doc_id % 2 <> 0
+       |), fbig AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(
+       |           generate_series(1, greatest(len(toks) - 1, 0)),
+       |           i -> toks[i] || ' ' || toks[i + 1])) AS bg
+       |  FROM ft WHERE len(toks) >= 2
+       |), fmb AS (
+       |  SELECT doc_id,
+       |         CASE WHEN string_split(bg, ' ')[1] IN (SELECT token FROM hh)
+       |              THEN string_split(bg, ' ')[1] ELSE '$UnkToken' END AS mx,
+       |         CASE WHEN string_split(bg, ' ')[2] IN (SELECT token FROM hh)
+       |              THEN string_split(bg, ' ')[2] ELSE '$UnkToken' END AS my
+       |  FROM fbig
+       |)
+       |SELECT fmb.doc_id, count(*) AS n_bigrams,
+       |       CAST(sum(coalesce(cost.icost, backoff.bo_icost)) AS BIGINT) AS xent_e5nats
+       |FROM fmb
+       |LEFT JOIN cost USING (mx, my)
+       |JOIN backoff USING (mx)
+       |GROUP BY fmb.doc_id
+       |ORDER BY fmb.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q86
 

@@ -156,6 +156,49 @@ class ModelStoreSpec extends SparkSuite {
       "lm model store leaked cached frames")
   }
 
+  test("lm backoff (round 17): a foreign corpus scores EVERY bigram; self-trained scoring unchanged; legacy stores fall back") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val train = docs.filter($"doc_id" % 2 === 0)
+    val path = tmp("graft-lm-backoff")
+    TextOps.writeLmModel(train, path)
+    val servedAll = TextOps.lmScoreServed(spark, sf, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the artifact's primary use case: n_bigrams on the FOREIGN half
+    // is the TRUE bigram count of every >=2-token doc — nothing drops
+    val wantN = docs.filter($"doc_id" % 2 =!= 0)
+      .select($"doc_id",
+        (size(TextOps.toks($"text")) - 1).cast("long").as("want"))
+      .filter($"want" >= 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotN = servedAll.filter(_._1 % 2 != 0).map(t => t._1 -> t._2).toMap
+    assert(gotN.keySet == wantN.keySet,
+      "foreign docs dropped from the served scoring")
+    assert(gotN == wantN,
+      "foreign n_bigrams under-counted despite the backoff row")
+    // self-trained scoring is bit-identical: on the training corpus
+    // the backoff row is never hit (q118's oracle-level theorem,
+    // pinned here per doc against the in-session score)
+    val (selfScores, handles) =
+      TextOps.bigramXentBuild(train, TextOps.HeavyHitterPerMille)
+    val want = try selfScores.orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    finally handles.foreach(_.unpersist())
+    assert(servedAll.filter(_._1 % 2 == 0).toSeq == want,
+      "backoff branch changed self-trained scoring")
+    // legacy (pre-r17) store: no backoff artifact -> the serve falls
+    // back to the inner join (model-support scoring), not an error
+    val boDir = new org.apache.hadoop.fs.Path(s"$path/backoff")
+    boDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(boDir, true)
+    val legacy = TextOps.lmScoreServed(spark, sf, path)
+      .agg(sum($"n_bigrams")).head().getLong(0)
+    assert(legacy < servedAll.map(_._2).sum,
+      "fixture vacuous: no foreign bigram ever hit the backoff row")
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark),
+      "lm backoff test leaked cached frames")
+  }
+
   test("gate drift: served matrix == in-session two-train compare; score drift non-vacuous") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
