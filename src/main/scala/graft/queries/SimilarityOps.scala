@@ -296,8 +296,12 @@ object SimilarityOps {
   private[graft] def appendIvfStaged(
       delta: DataFrame, path: String, crashAfterStage: Int): Unit = {
     val (lo, hi) = GenerationManifest.window(path)
-    GenerationManifest.purgeOutside(path, Seq(""), lo, hi)
-    val centroids = readQuantizer(delta.sparkSession, path)
+    GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
+    // assign with the GOVERNING quantizer: the head epoch's when a
+    // retrain preceded this append, the build-time one otherwise
+    val eps = GenerationManifest.epochs(path)
+    val centroids =
+      readQuantizer(delta.sparkSession, quantizerRootAt(path, eps, hi))
     assignCells(delta, centroids)
       .drop("dots")
       .withColumn("gen", lit(hi + 1))
@@ -308,6 +312,60 @@ object SimilarityOps {
       .parquet(path)
     if (crashAfterStage <= 1) return
     GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
+  }
+
+  /** RETRAIN the flat IVF's coarse quantizer — [[retrainSq8Index]]'s
+    * epoch protocol for the one remaining quantizer-bearing family
+    * without it (round 17): Lloyd-retrain the centroids on
+    * `trainSample` (default: `emb` — the standard move when appended
+    * data drifted from the trained cells), re-ASSIGN all of `emb` as
+    * one complete snapshot at `gen = hi+1`, persist the new centroids
+    * under `_epochs/gen=hi+1/_quantizer`, and commit rows + epoch
+    * record jointly. As-of reads below the epoch keep the OLD
+    * centroids and rows (the flat build-time `_quantizer` is never
+    * touched — [[ivfServeAt]] resolves the governing epoch); appends
+    * after it assign with the new centroids automatically. */
+  def retrainIvfIndex(
+      emb: DataFrame, path: String,
+      k: Int = NumCells, iters: Int = 5,
+      trainSample: Option[DataFrame] = None): Seq[Seq[Double]] = {
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
+    val centroids = trainCentroids(trainSample.getOrElse(emb), k, iters)
+    writeQuantizer(emb.sparkSession, centroids,
+      s"$path/_epochs/gen=${hi + 1}")
+    assignCells(emb, centroids)
+      .drop("dots")
+      .withColumn("gen", lit(hi + 1))
+      .repartition(col("cell"))
+      .write
+      .partitionBy("gen", "cell")
+      .mode("append")
+      .parquet(path)
+    GenerationManifest.amend(path)(s =>
+      s.copy(hi = hi + 1, epochBases = s.epochBases :+ (hi + 1)))
+    centroids
+  }
+
+  /** Serve the flat IVF at `asOfGen` under its GOVERNING quantizer —
+    * the cold-start read an epoched index needs (passing stale
+    * centroids to [[ivfSearchIndex]] would rank probes against cells
+    * the rows were not assigned under): resolve the epoch, load its
+    * centroids, delegate. For a never-retrained index this is exactly
+    * `readQuantizer(path)` + [[ivfSearchIndex]]. */
+  def ivfServeAt(
+      spark: SparkSession,
+      indexPath: String,
+      probes: Seq[(Long, Seq[Double])],
+      k: Int = 10,
+      numProbedCells: Int = NumProbedCells,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
+    val (_, g) = GenerationManifest.windowAt(indexPath, asOfGen)
+    val eps = GenerationManifest.epochs(indexPath)
+    val centroids =
+      readQuantizer(spark, quantizerRootAt(indexPath, eps, g))
+    ivfSearchIndex(spark, indexPath, probes, centroids, k,
+      numProbedCells, asOfGen)
   }
 
   /** Compact a cell-partitioned ANN index (IVF or IVF-PQ — one root,
@@ -369,12 +427,21 @@ object SimilarityOps {
       .write.partitionBy("gen", "cell").mode("append").parquet(path)
     if (eps.nonEmpty) {
       val headRoot = quantizerRootAt(path, eps, hi)
-      writeIvfPqSidecars(spark,
-        readQuantizer(spark, headRoot),
-        readPqQuantizer(spark, s"$headRoot/_pq")
-          .map(_.map(_.toSeq).toSeq).toSeq,
-        spark.read.parquet(s"$headRoot/_meta").head().getBoolean(0),
-        s"$path/_epochs/gen=${hi + 1}")
+      // composed (IVF-PQ) epochs carry centroids+codebooks+meta; a
+      // flat IVF epoch (round 17's retrainIvfIndex) carries only the
+      // coarse quantizer — re-seat whichever sidecar set exists
+      val pqDir = new org.apache.hadoop.fs.Path(s"$headRoot/_pq")
+      if (pqDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(pqDir))
+        writeIvfPqSidecars(spark,
+          readQuantizer(spark, headRoot),
+          readPqQuantizer(spark, s"$headRoot/_pq")
+            .map(_.map(_.toSeq).toSeq).toSeq,
+          spark.read.parquet(s"$headRoot/_meta").head().getBoolean(0),
+          s"$path/_epochs/gen=${hi + 1}")
+      else
+        writeQuantizer(spark, readQuantizer(spark, headRoot),
+          s"$path/_epochs/gen=${hi + 1}")
       GenerationManifest.commit(path, hi + 1, hi + 1,
         epochBases = Seq(hi + 1))
     } else GenerationManifest.commit(path, hi + 1, hi + 1)
@@ -437,8 +504,12 @@ object SimilarityOps {
     val wantedCells = probeRows.map(_._3).distinct.sorted
     val probesDf = probeRows.toDF("probe_id", "p_emb", "cell")
     // asOfGen: serve the index as it stood at that committed head —
-    // the protocol-level time travel (GenerationManifest.windowAt)
-    val (lo, hi) = GenerationManifest.windowAt(indexPath, asOfGen)
+    // the protocol-level time travel (GenerationManifest.windowAt).
+    // An epoched index additionally floors at the governing epoch
+    // base: rows below it were re-assigned into its snapshot (reading
+    // them too would return each vector twice, once per quantizer).
+    val (lo0, hi) = GenerationManifest.windowAt(indexPath, asOfGen)
+    val lo = epochFloor(GenerationManifest.epochs(indexPath), lo0, hi)
     val idx = spark.read.parquet(indexPath)
       .filter($"cell".isin(wantedCells: _*) && $"gen".between(lo, hi))
     val scored = idx

@@ -203,6 +203,49 @@ class TimeTravelSpec extends SparkSuite {
       == pAppended, "PQ append under the retrained books diverged from rebuild")
   }
 
+  test("flat IVF retrain (round 17): epoch re-assign — as-of replays OLD centroids, appends assign with NEW, compaction re-seats") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter($"vec_id" % 6 =!= 0)
+    val delta = emb.filter($"vec_id" % 6 === 0)
+    val half = base.filter($"vec_id" % 2 === 0)
+    val idx = tmp("graft-tt-ivf-retrain")
+    val oldCents = SimilarityOps.trainAndWriteIvf(base, idx, iters = 2)
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq
+    // tight probing (2 cells) so the serve is sensitive to WHICH
+    // quantizer assigned the rows — flat-IVF sims are exact cosines,
+    // only the candidate set moves under a retrain
+    val v1 = rows(SimilarityOps.ivfServeAt(spark, idx, probes,
+      numProbedCells = 2))
+    val newCents = SimilarityOps.retrainIvfIndex(base, idx, iters = 2,
+      trainSample = Some(half))
+    assert(newCents != oldCents, "retrain fixture vacuous: same centroids")
+    assert(GenerationManifest.epochs(idx) == Seq(2L))
+    assert(rows(SimilarityOps.ivfServeAt(spark, idx, probes,
+      numProbedCells = 2, asOfGen = 1L)) == v1,
+      "flat-IVF as-of across the retrain diverged")
+    // append assigns under the NEW centroids == rebuild with them
+    SimilarityOps.appendIvfIndex(delta, idx)
+    val appended = rows(SimilarityOps.ivfServeAt(spark, idx, probes,
+      numProbedCells = 2))
+    val rebuilt = tmp("graft-tt-ivf-retrain-rebuild")
+    SimilarityOps.writeIvfIndex(base.unionByName(delta), newCents, rebuilt)
+    assert(rows(SimilarityOps.ivfSearchIndex(spark, rebuilt, probes,
+      newCents, numProbedCells = 2)) == appended,
+      "flat-IVF append under the retrained centroids diverged from rebuild")
+    // compaction re-seats the epoch's coarse quantizer; head identical
+    SimilarityOps.compactAnnIndex(spark, idx)
+    assert(rows(SimilarityOps.ivfServeAt(spark, idx, probes,
+      numProbedCells = 2)) == appended,
+      "flat-IVF compaction of an epoched index changed the serve")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.ivfServeAt(spark, idx, probes, asOfGen = 1L)
+    }
+  }
+
   test("SQ8 append crash window: pre-commit debris is invisible; the retry purges and repairs") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
