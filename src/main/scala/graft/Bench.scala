@@ -225,7 +225,7 @@ object Bench {
           docs.filter(!baseP($"doc_id")), emb.filter(!baseP($"vec_id")), p)
       }
       serveOnly("q120_hybrid_served") =
-        (s, d) => queries.RetrievalOps.hybridServeAt(s, d, p)
+        (s, _) => queries.RetrievalOps.hybridServeAt(s, p)
     }
     if (selNames("q119_quantizer_drift")) {
       // quantizer drift needs a TWO-EPOCH store: gen 1 base-trained,

@@ -786,9 +786,24 @@ object RetrievalOps {
       docs: DataFrame, emb: DataFrame, path: String): Unit = {
     writeInvertedIndex(docs, s"$path/sparse")
     buildFixedIvfPq(emb, s"$path/dense")
+    writeHybridFloats(emb, path, 1L)
     GenerationManifest.commit(path, 1L, 1L,
       Map(1L -> combinedRange(docs, "doc_id", emb, "vec_id")))
   }
+
+  /** The rerank FLOAT sidecar, versioned per hybrid generation
+    * (round 17 — closes r16's "the rerank vectors are unversioned"
+    * external invariant): `path/_floats/gen=N` carries exactly the
+    * float rows this generation sealed, so [[hybridServeAt]]'s
+    * rerank (and its probe vectors) read as-of the hybrid window and
+    * the joint seal is SELF-CONTAINED — no caller corpus, no
+    * floats-immutable-per-id assumption. Explicit gen-dir write (the
+    * label-index convention) so an empty delta still leaves a schema
+    * footer; governed by the hybrid manifest like the legs. */
+  private def writeHybridFloats(
+      emb: DataFrame, path: String, gen: Long): Unit =
+    emb.select(col("vec_id"), col("label"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/_floats/gen=$gen")
 
   /** `[min, max]` over BOTH legs' id columns — the hybrid generation's
     * sealed-id watermark (inverted sentinel when both frames are
@@ -814,6 +829,9 @@ object RetrievalOps {
       docs: DataFrame, emb: DataFrame, path: String): Unit = {
     val spark = docs.sparkSession
     val (lo, hi) = GenerationManifest.window(path)
+    // a crashed append's float debris sits above the window — purge at
+    // the start of the retry (the protocol's standard leading purge)
+    GenerationManifest.purgeOutside(path, Seq("_floats"), lo, hi)
     // post-flip-replay idempotency: prune the sealed-id check to the
     // generations the delta's range overlaps (fresh monotone batches
     // scan NOTHING; a replay scans only the generation it wrote)
@@ -861,6 +879,9 @@ object RetrievalOps {
       if (legState("sparse")) appendInvertedIndex(keptDocs, s"$path/sparse")
       if (legState("dense"))
         SimilarityOps.appendIvfPqIndex(keptEmb, s"$path/dense")
+      // version the generation's rerank floats with it (overwrite of
+      // the explicit gen dir = idempotent under pre-flip retries)
+      writeHybridFloats(keptEmb, path, hi + 1)
       GenerationManifest.amend(path)(s =>
         s.copy(hi = hi + 1, wms = s.wms + ((hi + 1) -> keptRange)))
     } finally release()
@@ -882,18 +903,29 @@ object RetrievalOps {
     * as-of the hybrid window's resolution of `asOfGen`, so the fused
     * ranking is exactly what the hybrid returned when that generation
     * was the committed head — the joint-reproducibility read r15
-    * documented as ill-defined. (The rerank's float table is the
-    * caller's `dir` corpus: shortlisted ids are index-resident as-of
-    * the generation, and fixture floats are immutable per id — a
-    * deployment that mutates vectors in place versions the float
-    * table alongside.) */
+    * documented as ill-defined. SELF-CONTAINED since round 17: the
+    * rerank floats AND the probe vectors come from the store's own
+    * versioned `_floats` sidecar scoped to the same window — no caller
+    * corpus, so the seal holds with no external invariant (r16 leaned
+    * on "floats immutable per id" prose). A pre-r17 store has no
+    * sidecar and is refused loudly: serving its rerank from an
+    * unversioned corpus could silently break as-of reproducibility —
+    * rebuild the store (or re-append) to version it. */
   def hybridServeAt(
-      spark: SparkSession, dir: String, path: String,
+      spark: SparkSession, path: String,
       asOfGen: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
-    val (_, g) = GenerationManifest.windowAt(path, asOfGen)
-    val dense = denseLegServed(
-      spark, s"$path/dense", Tables.embeddings(spark, dir), asOfGen = g)
+    val (lo, g) = GenerationManifest.windowAt(path, asOfGen)
+    val fDir = new org.apache.hadoop.fs.Path(s"$path/_floats")
+    require(
+      fDir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(fDir),
+      s"no _floats sidecar at $path — a pre-r17 hybrid store serves its " +
+        "rerank from an unversioned corpus, which breaks joint as-of " +
+        "reproducibility; rebuild the store to version its floats")
+    val floats = spark.read.parquet(s"$path/_floats")
+      .filter($"gen".between(lo, g))
+      .select($"vec_id", $"label", $"embedding")
+    val dense = denseLegServed(spark, s"$path/dense", floats, asOfGen = g)
     val sparse = bm25SearchIndex(spark, s"$path/sparse", asOfGen = g)
       .select($"qid", $"doc_id", $"rank".as("s_rank"))
     fuseRrf(sparse, dense)
@@ -919,7 +951,7 @@ object RetrievalOps {
     appendHybridIndex(
       docs.filter(!baseP(col("doc_id"))), emb.filter(!baseP(col("vec_id"))),
       path)
-    hybridServeAt(spark, dir, path)
+    hybridServeAt(spark, path)
   }
 
   /** q120's oracle IS q83's: the served hybrid over base+delta must

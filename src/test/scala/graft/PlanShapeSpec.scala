@@ -698,7 +698,7 @@ class PlanShapeSpec extends SparkSuite {
       .createTempDirectory("graft-plan-hybrid").toString
     RetrievalOps.writeHybridIndex(
       Tables.documents(spark, sf), Tables.embeddings(spark, sf), path)
-    val p = plan(RetrievalOps.hybridServeAt(spark, sf, path))
+    val p = plan(RetrievalOps.hybridServeAt(spark, path))
     // the ONE sanctioned sort-merge is the fusion's FULL OUTER join of
     // the two leg outputs — both bounded at queries × k rows (a full
     // outer cannot broadcast-hash); anything else sort-merging means a

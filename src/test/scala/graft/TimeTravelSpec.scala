@@ -323,14 +323,14 @@ class TimeTravelSpec extends SparkSuite {
     val idx = tmp("graft-tt-hybrid")
     RetrievalOps.writeHybridIndex(
       docs.filter(baseP($"doc_id")), emb.filter(baseP($"vec_id")), idx)
-    val atGen1 = rows(RetrievalOps.hybridServeAt(spark, sf, idx))
+    val atGen1 = rows(RetrievalOps.hybridServeAt(spark, idx))
 
     // TORN state: the sparse leg absorbs the delta and commits its OWN
     // manifest, but the hybrid flip never lands (the crash window
     // between leg commits) — no hybrid serve may see it
     RetrievalOps.appendInvertedIndex(
       docs.filter(!baseP($"doc_id")), s"$idx/sparse")
-    assert(rows(RetrievalOps.hybridServeAt(spark, sf, idx)) == atGen1,
+    assert(rows(RetrievalOps.hybridServeAt(spark, idx)) == atGen1,
       "a torn leg commit leaked into the hybrid serve")
 
     // the RETRY repairs: head inspection skips the sparse leg (already
@@ -340,11 +340,11 @@ class TimeTravelSpec extends SparkSuite {
     assert(GenerationManifest.window(s"$idx/sparse") == ((1L, 2L)),
       "repair double-appended the sparse leg")
     assert(GenerationManifest.window(s"$idx/dense") == ((1L, 2L)))
-    val atHead = rows(RetrievalOps.hybridServeAt(spark, sf, idx))
+    val atHead = rows(RetrievalOps.hybridServeAt(spark, idx))
     assert(atHead != atGen1, "fixture vacuous: the delta changed nothing")
 
     // the joint-reproducibility read: both legs at the CORRELATED gen
-    assert(rows(RetrievalOps.hybridServeAt(spark, sf, idx, asOfGen = 1L))
+    assert(rows(RetrievalOps.hybridServeAt(spark, idx, asOfGen = 1L))
       == atGen1, "joint as-of diverged from the captured hybrid")
 
     // and the head serve equals the full-corpus composed hybrid —
@@ -361,7 +361,7 @@ class TimeTravelSpec extends SparkSuite {
       docs.filter(!baseP($"doc_id")), emb.filter(!baseP($"vec_id")), idx)
     assert(GenerationManifest.window(idx) == windowBefore,
       "replayed hybrid append advanced the window")
-    assert(rows(RetrievalOps.hybridServeAt(spark, sf, idx)) == atHead,
+    assert(rows(RetrievalOps.hybridServeAt(spark, idx)) == atHead,
       "replayed hybrid append changed the serve (double-counted postings?)")
 
     // LEGACY BACKFILL (round 17): wipe the watermark records (the
@@ -378,6 +378,18 @@ class TimeTravelSpec extends SparkSuite {
       docs.filter(!baseP($"doc_id")), emb.filter(!baseP($"vec_id")), idx)
     assert(GenerationManifest.window(idx) == windowBefore,
       "replay after backfill advanced the window")
+
+    // SELF-CONTAINED rerank (round 17): the serve reads its own
+    // versioned _floats sidecar — a pre-r17 store (no sidecar) is
+    // refused loudly instead of silently reranking against whatever
+    // corpus the caller happens to hold
+    val fDir = new org.apache.hadoop.fs.Path(s"$idx/_floats")
+    fDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(fDir, true)
+    val fe = intercept[IllegalArgumentException] {
+      RetrievalOps.hybridServeAt(spark, idx)
+    }
+    assert(fe.getMessage.contains("_floats"), s"wrong refusal: ${fe.getMessage}")
 
     // OUT-OF-BAND leg mutation (someone compacts a leg directly):
     // the next hybrid append must refuse loudly, not silently lose
