@@ -270,6 +270,54 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming PERPLEXITY BAND gate — round 17 gives the one batch
+    * quality gate without a streaming twin its `lmModelPath` consumer:
+    * every arriving document is scored under the LOADED q118 bigram-LM
+    * artifact ([[TextOps.perplexityGateServed]] per batch) and only
+    * docs whose mean bigram cost sits in `[lo, hi]` 10-µnat units land
+    * in `outDir` — a new crawl's noise is bandable AT INGEST, not only
+    * at the next batch rebuild. The round-17 backoff artifact is what
+    * makes this correct on a live crawl: stream docs the model never
+    * trained on score over EVERY bigram (unseen transitions take the
+    * per-mx add-one backoff cost), so `n_bigrams` is the true count
+    * and nothing is silently dropped from the band compare.
+    *
+    * `foreachBatch` by [[baseScreen]]'s argument: the band is a
+    * multi-join scoring pass (bigram explode → broadcast cost/backoff
+    * joins → per-doc aggregate → integer band filter), not a row-local
+    * transform — and each doc's verdict depends only on (doc, loaded
+    * model), never on other stream docs, so per-batch application is
+    * EXACTLY the batch gate's semantics regardless of arrival chunking
+    * (spec-pinned). Stateless: no state store, no watermark.
+    *
+    * The model GENERATION is pinned at stream construction (the
+    * `gateModelPath` rollout rule, ModelStoreSpec's "a live stream
+    * keeps scoring its construction-time generation"): a concurrent
+    * [[TextOps.retrainLmModel]] never changes what a live stream
+    * admits mid-flight — perplexity bands are not comparable across
+    * models — and a RESTART rolls onto the new head deliberately.
+    * Restart replays at least once; replayed docs re-score to
+    * byte-identical rows, absorbed by downstream exact dedup. */
+  def lmBandGate(
+      docs: DataFrame,
+      lo: Long,
+      hi: Long,
+      modelPath: String,
+      outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val pinnedGen = graft.queries.GenerationManifest
+      .windowAt(modelPath, Long.MaxValue)._2
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TextOps.perplexityGateServed(batch, lo, hi, modelPath,
+            asOfGen = pinnedGen)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
   /** Exact streaming dedup — q09's content-hash rule on an unbounded
     * stream: state keys are `xxhash64(text)` (8 bytes), eviction is
     * watermark-driven, first arrival within the horizon wins. */

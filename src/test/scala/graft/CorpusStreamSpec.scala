@@ -538,6 +538,72 @@ class CorpusStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("lmBandGate: stream kept set == perplexityGateServed; generation pinned under concurrent retrain; stateless") {
+    import graft.queries.TextOps
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // train the LM on the sealed base; the stream feeds the DELTA — a
+    // corpus the model never saw, so the round-17 backoff is on the
+    // scoring path (unseen transitions must cost, not drop)
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % 4 =!= 0L)
+    val delta = docs.filter(col("doc_id") % 4 === 0L)
+    val modelPath = java.nio.file.Files
+      .createTempDirectory("graft-lmband-model").toString
+    TextOps.writeLmModel(base, modelPath, perMille = 10)
+
+    // pick the band FROM the served score distribution so it bites:
+    // lo = 0, hi = the median mean bigram cost
+    val served = TextOps.lmScoreServed(spark, sf, modelPath)
+      .filter(col("doc_id") % 4 === 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val meanCosts = served.map(t => t._3 / t._2).sorted
+    val lo = 0L; val hi = meanCosts(meanCosts.length / 2)
+    val expected = served
+      .filter(t => t._3 >= lo * t._2 && t._3 <= hi * t._2)
+      .map(_._1).toSet
+    assert(expected.nonEmpty && expected.size < served.length,
+      "band is vacuous on the fixture")
+
+    val deltaRows = delta.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toIndexedSeq
+    val (b1, b2) = deltaRows.splitAt(deltaRows.length / 2)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-lmband-out").toString + "/banded"
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-lmband-ck").toString
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusStream.lmBandGate(
+      in.toDF().toDF("doc_id", "text"), lo, hi, modelPath, outDir, ckDir)
+    try {
+      in.addData(b1); q.processAllAvailable()
+      // CONCURRENT RETRAIN between batches: the live stream must keep
+      // banding with its construction-time generation (bands are not
+      // comparable across models) — a skewed gen-2 model that WOULD
+      // change the verdicts proves the pin is load-bearing
+      TextOps.retrainLmModel(
+        docs.filter(col("doc_id") < 50), modelPath, perMille = 10)
+      val gen2Kept = TextOps
+        .perplexityGateServed(delta.select($"doc_id", $"text"), lo, hi,
+          modelPath)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(gen2Kept != expected,
+        "retrain fixture vacuous: gen-2 model bands identically")
+      in.addData(b2); q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expected,
+        s"stream band diverges from the pinned-generation batch gate; " +
+          s"only-stream=${(got -- expected).take(3)} " +
+          s"only-batch=${(expected -- got).take(3)}")
+      assert(stateRowsTotal(q) == 0, "lmBandGate must not hold state")
+      assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark),
+        "lmBandGate leaked cached frames across batches")
+    } finally q.stop()
+  }
+
   test("phrase-bank refresh handshake: a generation flip mid-stream lands at the next batch") {
     import graft.queries.DedupOps
     import org.apache.spark.sql.functions.col
