@@ -1655,6 +1655,31 @@ object DedupOps {
     GenerationManifest.commit(path, hi + 1, hi + 1, folded)
   }
 
+  /** The ProfR15 journal-sizing rule as CODE (round 17): compact when
+    * the window-scoped remap journal exceeds `maxRemapRows` (default
+    * 10⁵ — the measured ~+0.7 s serve-wall knee, bench/NOTES.md) or
+    * the window spans more than `maxGens` generations. The decision is
+    * one manifest read plus, only when the generation check alone does
+    * not fire, one column-pruned count of the journal (fixed-width
+    * rows, orders of magnitude smaller than the corpus). Idempotent to
+    * call at any maintenance cadence — e.g. the LabelIndexStream
+    * owner's post-batch hook; returns whether it compacted. */
+  def maybeCompactLabelIndex(
+      spark: SparkSession, path: String,
+      maxRemapRows: Long = 100000L,
+      maxGens: Long = Long.MaxValue): Boolean = {
+    require(maxRemapRows >= 0 && maxGens >= 1,
+      s"thresholds must satisfy maxRemapRows >= 0, maxGens >= 1, " +
+        s"got ($maxRemapRows, $maxGens)")
+    val (lo, hi) = GenerationManifest.window(path)
+    val past = (hi - lo + 1) > maxGens || {
+      spark.read.parquet(s"$path/remaps")
+        .filter(col("gen").between(lo, hi)).count() > maxRemapRows
+    }
+    if (past) compactLabelIndex(spark, path)
+    past
+  }
+
   /** q112 — the label index END TO END, oracle-proven: build the index
     * on q62's sealed base split, APPEND the delta split, serve. The
     * oracle is q43's full-corpus recursive-CTE closure — so the driver

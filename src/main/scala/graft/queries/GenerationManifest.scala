@@ -184,6 +184,21 @@ private[graft] object GenerationManifest {
     s
   }
 
+  /** The operational "compact when it grows" rule as CODE (round 17 —
+    * the r16 verdict's prose-to-API ask): run `compact` iff the
+    * committed window spans MORE than `maxGens` generations, returning
+    * whether it ran. The decision is one manifest read; callers put
+    * this at their maintenance cadence point (a stream's foreachBatch
+    * tail, a nightly job) instead of encoding the threshold in a
+    * scaladoc. Families with their own growth metric (the label
+    * index's remap journal) wrap this with their measured rule
+    * ([[DedupOps.maybeCompactLabelIndex]]). */
+  def compactIfPast(path: String, maxGens: Long)(compact: => Unit): Boolean = {
+    require(maxGens >= 1, s"maxGens must be >= 1, got $maxGens")
+    val (lo, hi) = window(path)
+    if (hi - lo + 1 > maxGens) { compact; true } else false
+  }
+
   /** One-shot WATERMARK BACKFILL for a legacy (pre-watermark) index:
     * compute the sealed-id range of every committed generation MISSING
     * a `W` record and [[amend]] the records in — after this, no append

@@ -1565,6 +1565,32 @@ object TextOps {
     GenerationManifest.commit(path, hi + 1, hi + 1)
   }
 
+  /** The model stores' generation-growth rule as CODE (round 17 —
+    * [[GenerationManifest.compactIfPast]] bound to each store's
+    * compaction): compact when the committed window spans more than
+    * `maxGens` retrain generations. One shared rule for the gate, BPE,
+    * and LM stores — retrains are deliberate, so growth is slow, but a
+    * retrain-per-crawl deployment calls this at its maintenance cadence
+    * instead of reading a scaladoc. Returns whether it compacted;
+    * remember compaction trades addressable history for the fold
+    * ([[GenerationManifest.windowAt]]'s documented floor). */
+  def maybeCompactLmModel(
+      spark: SparkSession, path: String, maxGens: Long): Boolean =
+    GenerationManifest.compactIfPast(path, maxGens)(
+      compactLmModel(spark, path))
+
+  /** [[maybeCompactLmModel]]'s rule for the gate store. */
+  def maybeCompactGateModel(
+      spark: SparkSession, path: String, maxGens: Long): Boolean =
+    GenerationManifest.compactIfPast(path, maxGens)(
+      compactGateModel(spark, path))
+
+  /** [[maybeCompactLmModel]]'s rule for the BPE store. */
+  def maybeCompactBpeModel(
+      spark: SparkSession, path: String, maxGens: Long): Boolean =
+    GenerationManifest.compactIfPast(path, maxGens)(
+      compactBpeModel(spark, path))
+
   /** The persisted cost table at `asOfGen` (default: the head),
     * `(mx, my, icost)` ordered — the LM's model card: every transition
     * the model knows and its exact integer cost. */

@@ -87,14 +87,27 @@ class LabelIndexSpec extends SparkSuite {
       Seq((5L, 5L), (10L, 5L), (11L, 5L), (20L, 5L), (21L, 5L), (30L, 5L)))
 
     // compaction folds the journal into the rows and empties it;
-    // serves identical across the flip
+    // serves identical across the flip. Exercised through the round-17
+    // threshold API: the journal has exactly 2 merge rows, so the rule
+    // stays quiet at maxRemapRows = 2 and fires at 1 — the ProfR15
+    // "compact past the knee" prose is now this call
     val before = servedRows(idx)
-    DedupOps.compactLabelIndex(spark, idx)
+    val winBefore = graft.queries.GenerationManifest.window(idx)
+    assert(!DedupOps.maybeCompactLabelIndex(spark, idx, maxRemapRows = 2),
+      "threshold rule fired below the knob")
+    assert(graft.queries.GenerationManifest.window(idx) == winBefore)
+    assert(DedupOps.maybeCompactLabelIndex(spark, idx, maxRemapRows = 1),
+      "threshold rule failed to fire past the knob")
     assert(servedRows(idx) == before, "compaction changed served labels")
     val (lo2, hi2) = graft.queries.GenerationManifest.window(idx)
     assert(spark.read.parquet(s"$idx/remaps")
       .filter(col("gen").between(lo2, hi2)).count() == 0L,
       "compaction left journal rows in the window")
+    // post-compaction the journal is empty: even maxRemapRows = 0
+    // stays quiet (the count rule is strict-greater), and the
+    // generation rule needs a window wider than maxGens
+    assert(!DedupOps.maybeCompactLabelIndex(spark, idx, maxRemapRows = 0))
+    assert(!DedupOps.maybeCompactLabelIndex(spark, idx, maxGens = 1))
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
   }
 

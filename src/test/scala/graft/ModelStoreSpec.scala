@@ -144,8 +144,13 @@ class ModelStoreSpec extends SparkSuite {
       .collect().map(_.toString).toSeq == served,
       "as-of read lost the generation-1 LM")
     assert(headScores != served, "retrain fixture vacuous: same scores")
-    // compaction: head serves identically, floor refuses
-    TextOps.compactLmModel(spark, path)
+    // compaction through the round-17 threshold rule: quiet at
+    // maxGens = 2 (the window spans exactly 2), fires at 1; head
+    // serves identically, floor refuses
+    assert(!TextOps.maybeCompactLmModel(spark, path, maxGens = 2),
+      "generation rule fired below the knob")
+    assert(TextOps.maybeCompactLmModel(spark, path, maxGens = 1),
+      "generation rule failed to fire past the knob")
     assert(TextOps.lmScoreServed(spark, sf, path)
       .collect().map(_.toString).toSeq == headScores,
       "lm compaction changed the served scores")
