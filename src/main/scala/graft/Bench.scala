@@ -227,6 +227,13 @@ object Bench {
       serveOnly("q120_hybrid_served") =
         (s, _) => queries.RetrievalOps.hybridServeAt(s, p)
     }
+    if (selNames("q122_hybrid_trained")) {
+      val p = buildDir("graft-bench-hybrid-trained")
+      phase("q122_train")(queries.RetrievalOps.writeTrainedHybridIndex(
+        Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir), p))
+      serveOnly("q122_hybrid_trained") =
+        (s, _) => queries.RetrievalOps.hybridServeAt(s, p)
+    }
     if (selNames("q119_quantizer_drift")) {
       // quantizer drift needs a TWO-EPOCH store: gen 1 base-trained,
       // gen 2 the retrained+re-encoded snapshot — built once per run

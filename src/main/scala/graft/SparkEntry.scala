@@ -193,6 +193,11 @@ object SparkEntry {
     // coalesce(cost, backoff), so the driver verifies the
     // unseen-transition semantics cross-engine. EAGER, q114 convention.
     "q121_lm_foreign"      -> ((s, d) => TextOps.q121LmForeign(s, d)),
+    // q122 is the TRAINED hybrid — q84's IVF-PQ leg inside the q120
+    // cross-store seal, the production serve. Rows-only (q84's
+    // trained-k-means waiver); the spec pins the fusion contract and
+    // a rank-agreement floor vs the oracle-verified q83 hybrid.
+    "q122_hybrid_trained"  -> ((s, d) => RetrievalOps.q122HybridTrained(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -959,6 +959,43 @@ object RetrievalOps {
     * and the fusion. */
   def q120OracleSql(): String = q83OracleSql()
 
+  /** TRAINED-dense-leg hybrid BUILD — q84's leg in the q120 store, the
+    * actual production serve (the fixed-constant q120/q83 legs exist
+    * for the DuckDB oracle chain, not as the recommended
+    * configuration): same layout, lockstep invariant, float sidecar,
+    * and watermark as [[writeHybridIndex]], with the dense leg built
+    * by [[SimilarityOps.trainIvfPq]] (Lloyd coarse centroids +
+    * residual-trained codebooks). [[appendHybridIndex]] and
+    * [[hybridServeAt]] work UNCHANGED — the dense append reads the
+    * persisted trained quantizers, the serve resolves them through the
+    * same epoch-aware root — so the whole q120 crash/repair/as-of
+    * contract carries over structurally. */
+  def writeTrainedHybridIndex(
+      docs: DataFrame, emb: DataFrame, path: String,
+      ivfIters: Int = 3, pqIters: Int = 3): Unit = {
+    writeInvertedIndex(docs, s"$path/sparse")
+    SimilarityOps.trainIvfPq(emb, s"$path/dense", ivfIters, pqIters)
+    writeHybridFloats(emb, path, 1L)
+    GenerationManifest.commit(path, 1L, 1L,
+      Map(1L -> combinedRange(docs, "doc_id", emb, "vec_id")))
+  }
+
+  /** q122 — the TRAINED hybrid: [[writeTrainedHybridIndex]] + the
+    * unchanged [[hybridServeAt]]. Rows-only (the q84 waiver — trained
+    * k-means fixed points have no SQL twin); the spec pins the fusion
+    * contract (exact integer RRF arithmetic, every fused row retrieved
+    * by some leg) and a fused-rank-agreement floor against the
+    * oracle-verified fixed-constant hybrid (the q83-vs-q78 0.7
+    * precedent — the trained leg serves an approximation of the SAME
+    * metric, not a different ranking). EAGER, q112 temp-dir
+    * convention. */
+  def q122HybridTrained(spark: SparkSession, dir: String): DataFrame = {
+    val path = SimilarityOps.tempIndexDir("graft-hybrid-trained")
+    writeTrainedHybridIndex(
+      Tables.documents(spark, dir), Tables.embeddings(spark, dir), path)
+    hybridServeAt(spark, path)
+  }
+
   // ------------------------------------------------------------- q85
 
   /** q85 — PASSAGE-level BM25 retrieval, the RAG serving shape: the

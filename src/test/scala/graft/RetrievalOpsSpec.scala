@@ -295,6 +295,35 @@ class RetrievalOpsSpec extends SparkSuite {
       f"indexed dense leg moved the fused set too far: $agreement%.3f")
   }
 
+  test("q122 (trained hybrid): fusion contract holds; rank agreement with the oracle-verified q83 hybrid") {
+    val fixed = RetrievalOps.q83HybridIndexed(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getLong(2)), r.getInt(1))).toMap
+    val trained = RetrievalOps.q122HybridTrained(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+    assert(trained.nonEmpty)
+    // the same exact integer-fusion contract (shared fuseRrf)
+    trained.foreach { case (_, _, _, rrf, sRank, dRank) =>
+      val expect =
+        (if (sRank > 0) 1000000L / (60 + sRank) else 0L) +
+          (if (dRank > 0) 1000000L / (60 + dRank) else 0L)
+      assert(rrf == expect, s"rrf=$rrf expect=$expect s=$sRank d=$dRank")
+      assert(sRank > 0 || dRank > 0, "fused row retrieved by neither leg")
+    }
+    // the sparse leg is identical in both hybrids; the dense legs
+    // differ only in WHICH quantizers shortlist (trained vs fixed) —
+    // both rerank by the same exact cosine, so the fused sets must
+    // mostly agree (the q83-vs-q78 floor argument, one level up)
+    val common = trained.count { case (qid, _, docId, _, _, _) =>
+      fixed.contains((qid, docId))
+    }
+    val agreement = common.toDouble / trained.length
+    info(f"q122 vs q83 fused top-k (qid, doc_id) agreement: $agreement%.3f " +
+      s"($common of ${trained.length})")
+    assert(agreement >= 0.7,
+      f"trained dense leg moved the fused set too far: $agreement%.3f")
+  }
+
   test("q85 passage retrieval: one best passage per (query, doc); chunk text stays out of exchanges") {
     val rows = RetrievalOps.q85PassageBm25(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
