@@ -64,26 +64,14 @@ private[graft] object GenerationManifest {
   /** The committed window `[lo, hi]`. Absent manifest = the index was
     * never fully built: refuse loudly rather than serve torn state. */
   def window(path: String): (Long, Long) = {
-    val lines = readLines(path)
-    val head = lines.headOption.map(_.split("\\s+")).getOrElse(Array.empty)
-    head match {
-      case Array(hi)     => (1L, hi.toLong)
-      case Array(lo, hi) => (lo.toLong, hi.toLong)
-      case _ => sys.error(s"malformed _GENERATION manifest at $path: " +
-        lines.mkString(" / "))
-    }
+    val s = state(path)
+    (s.lo, s.hi)
   }
 
   /** The committed per-generation sealed-id watermarks
     * `gen -> (minId, maxId)` — empty for pre-watermark manifests. */
   def watermarks(path: String): Map[Long, (Long, Long)] =
-    readLines(path).drop(1).flatMap { line =>
-      line.split("\\s+") match {
-        case Array("W", g, mn, mx) =>
-          Some(g.toLong -> (mn.toLong, mx.toLong))
-        case _ => None // unknown record types are forward-compatible
-      }
-    }.toMap
+    state(path).wms
 
   /** The generations in `[lo, hi]` an id-keyed idempotency check must
     * actually SCAN for a delta whose ids span `[dMin, dMax]`: those
@@ -133,17 +121,13 @@ private[graft] object GenerationManifest {
     * pre-retrain index, whose quantizers live at the flat sidecar
     * paths and whose generations all compose. Empty for families that
     * never retrain in place. */
-  def epochs(path: String): Seq[Long] =
-    readLines(path).drop(1).flatMap { line =>
-      line.split("\\s+") match {
-        case Array("E", g) => Some(g.toLong)
-        case _             => None
-      }
-    }.sorted
+  def epochs(path: String): Seq[Long] = state(path).epochBases
 
   /** The full typed state of a committed manifest — window plus every
     * record family — parsed in ONE manifest read. The unit [[amend]]
-    * transforms. */
+    * transforms, and THE one parser of the `_GENERATION` format:
+    * [[window]]/[[watermarks]]/[[epochs]] all delegate here, so a
+    * format change has exactly one read path to update. */
   final case class State(
       lo: Long, hi: Long,
       wms: Map[Long, (Long, Long)] = Map.empty,

@@ -907,21 +907,33 @@ object RetrievalOps {
     * rerank floats AND the probe vectors come from the store's own
     * versioned `_floats` sidecar scoped to the same window — no caller
     * corpus, so the seal holds with no external invariant (r16 leaned
-    * on "floats immutable per id" prose). A pre-r17 store has no
-    * sidecar and is refused loudly: serving its rerank from an
-    * unversioned corpus could silently break as-of reproducibility —
-    * rebuild the store (or re-append) to version it. */
+    * on "floats immutable per id" prose). The guard is PER-GENERATION
+    * coverage of the served window, not bare directory existence: a
+    * pre-r17 store upgraded by a single append would carry floats for
+    * only the new generation (PQ codes cannot reconstruct the base's
+    * floats), and serving it would silently degrade the dense leg to
+    * empty — refused loudly instead; REBUILD the store to version
+    * it. */
   def hybridServeAt(
       spark: SparkSession, path: String,
       asOfGen: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val (lo, g) = GenerationManifest.windowAt(path, asOfGen)
-    val fDir = new org.apache.hadoop.fs.Path(s"$path/_floats")
-    require(
-      fDir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(fDir),
-      s"no _floats sidecar at $path — a pre-r17 hybrid store serves its " +
-        "rerank from an unversioned corpus, which breaks joint as-of " +
-        "reproducibility; rebuild the store to version its floats")
+    val fRoot = new org.apache.hadoop.fs.Path(s"$path/_floats")
+    val fs = fRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val covered: Set[Long] =
+      if (!fs.exists(fRoot)) Set.empty
+      else fs.listStatus(fRoot).map(_.getPath.getName)
+        .filter(_.startsWith("gen="))
+        .map(_.stripPrefix("gen=").toLong).toSet
+    val missing = (lo to g).filterNot(covered)
+    require(missing.isEmpty,
+      s"_floats sidecar at $path does not cover generation(s) " +
+        s"${missing.mkString(", ")} of the served window [$lo, $g] — a " +
+        "pre-r17 hybrid store (or one upgraded by appends alone) serves " +
+        "its rerank from an unversioned corpus, which breaks joint as-of " +
+        "reproducibility, and PQ codes cannot reconstruct the missing " +
+        "floats; REBUILD the store to version them")
     val floats = spark.read.parquet(s"$path/_floats")
       .filter($"gen".between(lo, g))
       .select($"vec_id", $"label", $"embedding")

@@ -1555,9 +1555,14 @@ object TextOps {
     GenerationManifest.purgeOutside(path, LmModelRoots, lo, hi)
     if (lo == hi) return
     LmModelRoots.foreach { sub =>
-      // a pre-r17 store has no backoff artifact — skip, don't refuse
+      // the skip applies to the legacy-absent BACKOFF root ONLY: a
+      // missing vocab/costs artifact is corruption, and skipping it
+      // would commit a head whose next purge destroys the last
+      // recoverable copies — fail loudly at the read instead
       val d = new org.apache.hadoop.fs.Path(s"$path/$sub/gen=$hi")
-      if (d.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(d))
+      val present =
+        d.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(d)
+      if (sub != "backoff" || present)
         spark.read.parquet(d.toString)
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$path/$sub/gen=${hi + 1}")

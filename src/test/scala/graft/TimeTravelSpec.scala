@@ -380,12 +380,20 @@ class TimeTravelSpec extends SparkSuite {
       "replay after backfill advanced the window")
 
     // SELF-CONTAINED rerank (round 17): the serve reads its own
-    // versioned _floats sidecar — a pre-r17 store (no sidecar) is
-    // refused loudly instead of silently reranking against whatever
-    // corpus the caller happens to hold
+    // versioned _floats sidecar, and the guard is PER-GENERATION
+    // coverage — a store with floats for only SOME served generations
+    // (the pre-r17-upgraded-by-append shape, whose dense leg would
+    // silently come back empty) is refused just like one with no
+    // sidecar at all
     val fDir = new org.apache.hadoop.fs.Path(s"$idx/_floats")
-    fDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(fDir, true)
+    val ffs = fDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ffs.delete(new org.apache.hadoop.fs.Path(s"$idx/_floats/gen=1"), true)
+    val pe = intercept[IllegalArgumentException] {
+      RetrievalOps.hybridServeAt(spark, idx)
+    }
+    assert(pe.getMessage.contains("does not cover generation"),
+      s"wrong partial-coverage refusal: ${pe.getMessage}")
+    ffs.delete(fDir, true)
     val fe = intercept[IllegalArgumentException] {
       RetrievalOps.hybridServeAt(spark, idx)
     }
