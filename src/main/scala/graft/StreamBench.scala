@@ -459,6 +459,86 @@ object StreamBench {
     }
   }
 
+  /** `SPARK_GRAFT_STREAM_MODE=lmband` — throughput probe for the
+    * round-17 streaming perplexity gate: a bigram-LM store trained on
+    * a synthetic sealed base (Zipf-ish 64-token common vocabulary +
+    * 20% rare-token noise, so the heavy-hitter vocab is non-trivial
+    * and mean costs spread), then `nDocs` synthetic docs streamed
+    * through [[graft.streaming.CorpusStream.lmBandGate]] with a band
+    * derived from the served score distribution (lo = 0, hi ≈ the
+    * median mean cost — keeps about half). Reports docs/sec and the
+    * kept count (sanity: strictly between 0 and nDocs — a band that
+    * keeps nothing or everything measured nothing). */
+  private def lmBandMode(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "100000").trim.toInt
+    val rnd = new scala.util.Random(42)
+    val common = Array.tabulate(64)(i => s"c$i")
+    val rare = Array.tabulate(5000)(i => s"r$i")
+    def tok(): String =
+      if (rnd.nextInt(5) == 0) rare(rnd.nextInt(rare.length))
+      else common(math.min(63,
+        math.floor(math.pow(64.0, rnd.nextDouble()) - 1).toInt))
+    def doc(): String = Array.fill(40)(tok()).mkString(" ")
+    // the sealed base trains the artifact once (untimed)
+    val modelPath = Files.createTempDirectory("graft-lmband-model").toString
+    graft.queries.TextOps.writeLmModel(
+      (1 to 2000).map(i => (1000000L + i, doc())).toDF("doc_id", "text"),
+      modelPath)
+    // the stream input files
+    val dir = Files.createTempDirectory("graft-lmbandbench")
+    val perFile = 10000
+    var id = 0L
+    var written = 0
+    while (written < nDocs) {
+      val count = math.min(perFile, nDocs - written)
+      val sb = new StringBuilder(count * 320)
+      var i = 0
+      while (i < count) {
+        id += 1
+        sb.append(s"""{"doc_id":$id,"ts_sec":${id / EventsPerSecond},"text":"${doc()}"}""")
+          .append('\n')
+        i += 1
+      }
+      Files.writeString(dir.resolve(f"part-$written%09d.json"), sb.result())
+      written += count
+    }
+    val filesPerTrigger =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "5").trim.toInt
+    def source() = spark.readStream
+      .schema("doc_id LONG, ts_sec LONG, text STRING")
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .json(dir.toString)
+      .select(col("doc_id"), col("text"))
+    // band from the served score distribution (untimed)
+    val hi = graft.queries.TextOps.lmScoreFrame(
+      spark.read.schema("doc_id LONG, ts_sec LONG, text STRING")
+        .json(dir.toString).select(col("doc_id"), col("text")), modelPath)
+      .select((col("xent_e5nats").cast("double") / col("n_bigrams")).as("m"))
+      .stat.approxQuantile("m", Array(0.5), 0.001)(0).toLong
+    // timed: the streaming gate end to end
+    val outDir = Files.createTempDirectory("graft-lmband-out").toString + "/banded"
+    val t0 = System.nanoTime()
+    val q = graft.streaming.CorpusStream.lmBandGate(
+      source(), 0L, hi, modelPath, outDir,
+      Files.createTempDirectory("graft-lmband-ck").toString)
+    q.processAllAvailable()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    val kept = spark.read.parquet(outDir).count()
+    val line =
+      s"""{"metric":"stream_lmband_docs_per_sec","value":${f1(nDocs / wall)},"unit":"rows/sec","n_docs":$nDocs,"wall_sec":${f1(wall)},"micro_batches":$batches,"kept":$kept,"band_hi":$hi}"""
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/stream_bench.json"), line + "\n")
+    println(line)
+    spark.stop()
+    if (kept == 0L || kept == nDocs.toLong) {
+      System.err.println("SANITY FAIL: the band kept nothing or everything")
+      sys.exit(1)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val nTweets =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "400000").trim.toInt
@@ -502,6 +582,10 @@ object StreamBench {
     }
     if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("labels")) {
       labelsMode(spark)
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("lmband")) {
+      lmBandMode(spark)
       return
     }
 

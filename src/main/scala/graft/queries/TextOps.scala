@@ -1630,10 +1630,21 @@ object TextOps {
     * are tiny bounded relations that ride broadcasts). */
   def lmScoreServed(
       spark: SparkSession, dir: String, modelPath: String,
-      asOfGen: Long = Long.MaxValue): DataFrame = {
-    val (vocab, costs, backoff) = lmLoaded(spark, modelPath, asOfGen)
-    lmScoreWith(Tables.documents(spark, dir), vocab, costs, backoff)
+      asOfGen: Long = Long.MaxValue): DataFrame =
+    lmScoreFrame(Tables.documents(spark, dir), modelPath, asOfGen)
       .orderBy(col("doc_id"))
+
+  /** [[lmScoreServed]] over an EXPLICIT `(doc_id, …, text)` frame —
+    * the artifact's generic consumer (score ANY corpus with the
+    * stored model; round 17's backoff makes that well-defined for
+    * corpora the model never saw). Unordered, like the other frame
+    * cores. */
+  def lmScoreFrame(
+      docs: DataFrame, modelPath: String,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
+    val (vocab, costs, backoff) =
+      lmLoaded(docs.sparkSession, modelPath, asOfGen)
+    lmScoreWith(docs, vocab, costs, backoff)
   }
 
   /** [[perplexityGate]] under a LOADED model instead of self-training
