@@ -263,6 +263,21 @@ object Bench {
       serveOnly("q117_gate_drift") =
         (s, d) => queries.TextOps.gateDriftServed(s, d, p)
     }
+    if (selNames("q123_lm_drift")) {
+      // LM drift needs TWO generations — gen 1 the full corpus, gen 2
+      // the drifted even-id half, trained once per run; timed samples
+      // measure the two-generation scoring compare
+      val p = buildDir("graft-bench-lm-drift")
+      phase("q123_train") {
+        import spark.implicits._
+        val docs = Tables.documents(spark, sfDir)
+        queries.TextOps.writeLmModel(docs, p)
+        queries.TextOps.retrainLmModel(
+          docs.filter($"doc_id" % queries.TextOps.DriftRetrainMod === 0), p)
+      }
+      serveOnly("q123_lm_drift") =
+        (s, d) => queries.TextOps.lmDriftServed(s, d, p)
+    }
     val selected = registered.map { case (n, fn) =>
       (n, serveOnly.getOrElse(n, fn))
     }

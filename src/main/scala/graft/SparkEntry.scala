@@ -198,6 +198,12 @@ object SparkEntry {
     // trained-k-means waiver); the spec pins the fusion contract and
     // a rank-agreement floor vs the oracle-verified q83 hybrid.
     "q122_hybrid_trained"  -> ((s, d) => RetrievalOps.q122HybridTrained(s, d)),
+    // q123 is q117's rollout review for the LM family: train gen 1 on
+    // the full corpus, retrain gen 2 on the even half, score the whole
+    // corpus under BOTH as-of generations (the backoff makes the
+    // retrained model well-defined on docs it never saw) and reduce to
+    // the keep-flip + cost-drift matrix. EAGER, q114 convention.
+    "q123_lm_drift"        -> ((s, d) => TextOps.q123LmDrift(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -695,5 +701,9 @@ object SparkEntry {
     // scores the odd half through the SAME coalesce(cost, backoff) —
     // equality proves the unseen-transition backoff cross-engine
     "q121_lm_foreign" -> TextOps.q121OracleSql(),
+    // LM drift: TWO independent SQL retrains (full corpus; even half),
+    // the full corpus scored through EACH model's coalesce(cost,
+    // backoff), the same integer-division keep rule -> one matrix
+    "q123_lm_drift" -> TextOps.q123OracleSql(),
   )
 }

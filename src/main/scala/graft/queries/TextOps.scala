@@ -1783,6 +1783,200 @@ object TextOps {
        |GROUP BY fmb.doc_id
        |ORDER BY fmb.doc_id""".stripMargin
 
+  /** The LM rollout review between two persisted generations —
+    * [[gateDriftServed]]'s read applied to the LM family: score the
+    * corpus under BOTH as-of generations ([[lmScoreFrame]] twice; the
+    * round-17 backoff makes the retrained model's scores well-defined
+    * on docs it never trained on) and reduce to the one-row keep-flip
+    * + cost-drift matrix a deployment reads before flipping a
+    * retrained LM into the perplexity band.
+    *
+    * "Kept" under a model is SELF-CALIBRATING — doc mean cost at or
+    * below that model's corpus mean (`x DIV n ≤ X DIV N`, integer
+    * floor division on both engines) — because absolute band
+    * constants are not comparable across models (the store scaladoc's
+    * rule); the review asks how the below-mean half RESHUFFLES, which
+    * is exactly the admissions change a mean-anchored band would see.
+    * Integer DIV keeps the compare exact at any scale (a cross-multiply
+    * `x·N ≤ X·n` overflows long once corpus-total cost × max doc
+    * length passes 2⁶³ — real at 100 TB). Raw-total compares
+    * (`x2 > x1`) need no division: `n` is model-independent (every
+    * bigram scores under both models, backoff included), so comparing
+    * totals IS comparing means, exactly.
+    *
+    * Scale shape: two q79 scoring passes (bounded broadcast model
+    * relations, one doc_id exchange each), ONE doc_id-keyed join, a
+    * one-row totals broadcast, one final aggregate. */
+  def lmDriftServed(
+      spark: SparkSession, dir: String, modelPath: String,
+      oldGen: Long = -1L, newGen: Long = Long.MaxValue): DataFrame = {
+    import spark.implicits._
+    val (lo, hi) = GenerationManifest.window(modelPath)
+    val og = if (oldGen >= 0) oldGen else hi - 1
+    val ng = math.min(newGen, hi)
+    require(og >= lo,
+      s"drift needs two addressable generations (window [$lo, $hi])")
+    require(og <= hi,
+      s"oldGen=$og is beyond the committed head $hi at $modelPath")
+    require(og != ng,
+      s"drift between generation $og and itself is vacuously zero — " +
+        s"pass two distinct generations (window [$lo, $hi])")
+    val docs = Tables.documents(spark, dir)
+    val a = lmScoreFrame(docs, modelPath, og)
+      .select($"doc_id", $"n_bigrams".as("n"), $"xent_e5nats".as("x1"))
+    val b = lmScoreFrame(docs, modelPath, ng)
+      .select($"doc_id", $"xent_e5nats".as("x2"))
+    // localCheckpoint, not persist: two consumers (totals, matrix) must
+    // not re-pay the two scoring passes, and the registered form
+    // returns a live frame — caller-owned unpersist has no seam here
+    // (the q113/gateRocWith eager class). One slim row per doc.
+    val per = a.join(b, Seq("doc_id")).localCheckpoint()
+    val tot = per.agg(sum($"n").as("nn"),
+      sum($"x1").as("xx1"), sum($"x2").as("xx2"))
+    per.crossJoin(broadcast(tot))
+      .select(expr("x1 div n").as("m1"), expr("x2 div n").as("m2"),
+        expr("xx1 div nn").as("g1"), expr("xx2 div nn").as("g2"),
+        $"x1", $"x2")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"m1" <= $"g1", 1L).otherwise(0L)).as("n_keep_old"),
+        sum(when($"m2" <= $"g2", 1L).otherwise(0L)).as("n_keep_new"),
+        sum(when($"m1" <= $"g1" && $"m2" > $"g2", 1L).otherwise(0L))
+          .as("n_dropped"),
+        sum(when($"m1" > $"g1" && $"m2" <= $"g2", 1L).otherwise(0L))
+          .as("n_admitted"),
+        sum(when($"x2" > $"x1", 1L).otherwise(0L)).as("n_cost_up"),
+        sum(when($"x2" < $"x1", 1L).otherwise(0L)).as("n_cost_down"))
+  }
+
+  /** q123 — LM MODEL DRIFT between persisted generations (q117's
+    * rollout review for the LM family, closing the drift-review
+    * asymmetry: gate q117, quantizer q119, LM — this): train on the
+    * full corpus (generation 1), RETRAIN on the even-id half
+    * (generation 2 — the drifted-crawl stand-in), and report
+    * [[lmDriftServed]]'s matrix over the whole corpus. The oracle
+    * retrains BOTH models independently in SQL — two q79/q121
+    * training chains, the full corpus scored through each model's
+    * `coalesce(cost, backoff)` — so hash equality proves the entire
+    * retrain → persist → address-two-generations → compare loop
+    * cross-engine, INCLUDING the backoff semantics on the odd half
+    * the retrained model never saw. EAGER, q114 temp-dir
+    * convention. */
+  def q123LmDrift(spark: SparkSession, dir: String): DataFrame = {
+    val path = SimilarityOps.tempIndexDir("graft-lm-drift")
+    val docs = Tables.documents(spark, dir)
+    writeLmModel(docs, path)
+    retrainLmModel(docs.filter(col("doc_id") % DriftRetrainMod === 0), path)
+    lmDriftServed(spark, dir, path)
+  }
+
+  /** Ground truth for [[q123LmDrift]]: chain A trains on the full
+    * corpus ([[q79OracleSql]]'s CTEs), chain B on the even half
+    * ([[q121OracleSql]]'s), each with its backoff; the full corpus is
+    * mapped and scored under EACH model's vocabulary, the per-doc
+    * frames join on doc_id, and the same integer-division keep rule
+    * (`x // n <= X // N`) and raw-total cost compares aggregate the
+    * matrix. */
+  def q123OracleSql(perMille: Int = HeavyHitterPerMille): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+       |  FROM documents
+       |), big AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(
+       |           generate_series(1, greatest(len(toks) - 1, 0)),
+       |           i -> toks[i] || ' ' || toks[i + 1])) AS bg
+       |  FROM t WHERE len(toks) >= 2
+       |), atok AS (
+       |  SELECT unnest(toks) AS token FROM t
+       |), an AS (SELECT count(*) AS n_tok FROM atok),
+       |ahh AS (
+       |  SELECT token, count(*) AS c
+       |  FROM atok, an GROUP BY token, n_tok
+       |  HAVING count(*) * 1000 >= $perMille * n_tok
+       |), av AS (SELECT count(*) + 1 AS vp FROM ahh),
+       |amb AS (
+       |  SELECT doc_id,
+       |         CASE WHEN string_split(bg, ' ')[1] IN (SELECT token FROM ahh)
+       |              THEN string_split(bg, ' ')[1] ELSE '$UnkToken' END AS mx,
+       |         CASE WHEN string_split(bg, ' ')[2] IN (SELECT token FROM ahh)
+       |              THEN string_split(bg, ' ')[2] ELSE '$UnkToken' END AS my
+       |  FROM big
+       |), acxy AS (
+       |  SELECT mx, my, count(*) AS c_xy FROM amb GROUP BY mx, my
+       |), acx AS (
+       |  SELECT mx, CAST(sum(c_xy) AS BIGINT) AS c_x FROM acxy GROUP BY mx
+       |), acost AS (
+       |  SELECT mx, my,
+       |         CAST(floor(ln((c_x + vp)::DOUBLE / (c_xy + 1)::DOUBLE) * 1e5) AS BIGINT) AS icost
+       |  FROM acxy JOIN acx USING (mx), av
+       |), abo AS (
+       |  SELECT m.mx,
+       |         CAST(floor(ln((coalesce(c_x, 0) + vp)::DOUBLE) * 1e5) AS BIGINT) AS bo_icost
+       |  FROM (SELECT token AS mx FROM ahh
+       |        UNION ALL SELECT '$UnkToken') m
+       |  LEFT JOIN acx USING (mx), av
+       |), btok AS (
+       |  SELECT unnest(toks) AS token FROM t WHERE doc_id % $DriftRetrainMod = 0
+       |), bn AS (SELECT count(*) AS n_tok FROM btok),
+       |bhh AS (
+       |  SELECT token, count(*) AS c
+       |  FROM btok, bn GROUP BY token, n_tok
+       |  HAVING count(*) * 1000 >= $perMille * n_tok
+       |), bv AS (SELECT count(*) + 1 AS vp FROM bhh),
+       |bmb AS (
+       |  SELECT doc_id,
+       |         CASE WHEN string_split(bg, ' ')[1] IN (SELECT token FROM bhh)
+       |              THEN string_split(bg, ' ')[1] ELSE '$UnkToken' END AS mx,
+       |         CASE WHEN string_split(bg, ' ')[2] IN (SELECT token FROM bhh)
+       |              THEN string_split(bg, ' ')[2] ELSE '$UnkToken' END AS my
+       |  FROM big
+       |), bcxy AS (
+       |  SELECT mx, my, count(*) AS c_xy FROM bmb
+       |  WHERE doc_id % $DriftRetrainMod = 0 GROUP BY mx, my
+       |), bcx AS (
+       |  SELECT mx, CAST(sum(c_xy) AS BIGINT) AS c_x FROM bcxy GROUP BY mx
+       |), bcost AS (
+       |  SELECT mx, my,
+       |         CAST(floor(ln((c_x + vp)::DOUBLE / (c_xy + 1)::DOUBLE) * 1e5) AS BIGINT) AS icost
+       |  FROM bcxy JOIN bcx USING (mx), bv
+       |), bbo AS (
+       |  SELECT m.mx,
+       |         CAST(floor(ln((coalesce(c_x, 0) + vp)::DOUBLE) * 1e5) AS BIGINT) AS bo_icost
+       |  FROM (SELECT token AS mx FROM bhh
+       |        UNION ALL SELECT '$UnkToken') m
+       |  LEFT JOIN bcx USING (mx), bv
+       |), da AS (
+       |  SELECT amb.doc_id, count(*) AS n,
+       |         CAST(sum(coalesce(acost.icost, abo.bo_icost)) AS BIGINT) AS x1
+       |  FROM amb
+       |  LEFT JOIN acost USING (mx, my)
+       |  JOIN abo USING (mx)
+       |  GROUP BY amb.doc_id
+       |), db AS (
+       |  SELECT bmb.doc_id,
+       |         CAST(sum(coalesce(bcost.icost, bbo.bo_icost)) AS BIGINT) AS x2
+       |  FROM bmb
+       |  LEFT JOIN bcost USING (mx, my)
+       |  JOIN bbo USING (mx)
+       |  GROUP BY bmb.doc_id
+       |), p AS (
+       |  SELECT n, x1, x2 FROM da JOIN db USING (doc_id)
+       |), tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+       |         CAST(sum(x1) AS BIGINT) AS xx1,
+       |         CAST(sum(x2) AS BIGINT) AS xx2
+       |  FROM p
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN x1 // n <= xx1 // nn THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_old,
+       |       CAST(sum(CASE WHEN x2 // n <= xx2 // nn THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_new,
+       |       CAST(sum(CASE WHEN x1 // n <= xx1 // nn AND x2 // n > xx2 // nn THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       CAST(sum(CASE WHEN x1 // n > xx1 // nn AND x2 // n <= xx2 // nn THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       |       CAST(sum(CASE WHEN x2 > x1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cost_up,
+       |       CAST(sum(CASE WHEN x2 < x1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cost_down
+       |FROM p, tot""".stripMargin
+
   // ---------------------------------------------------------------- q86
 
   /** Merge-table size for [[q86BpePairs]]. */

@@ -229,6 +229,37 @@ class ModelStoreSpec extends SparkSuite {
     }
   }
 
+  test("lm drift (round 17): matrix is total over the corpus (backoff covers the foreign half), non-vacuous, and guarded") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val path = tmp("graft-lm-drift-spec")
+    TextOps.writeLmModel(docs, path)
+    TextOps.retrainLmModel(
+      docs.filter($"doc_id" % TextOps.DriftRetrainMod === 0), path)
+    val m = TextOps.lmDriftServed(spark, sf, path).head()
+    val nDocs = m.getLong(0)
+    // TOTALITY: the matrix covers every >=2-token doc — the backoff is
+    // what makes the retrained (even-half) model well-defined on the
+    // odd half it never trained on; without it the inner support join
+    // would silently shrink n_docs
+    val want = docs.filter(size(TextOps.toks(col("text"))) >= 2).count()
+    assert(nDocs == want,
+      s"drift matrix covers $nDocs docs, corpus has $want scoreable")
+    // sanity: flips are a partition of the keep deltas; cost drift must
+    // register the model change (the fixture is non-vacuous)
+    val (keepOld, keepNew) = (m.getLong(1), m.getLong(2))
+    val (dropped, admitted) = (m.getLong(3), m.getLong(4))
+    assert(keepNew == keepOld - dropped + admitted, s"flip arithmetic: $m")
+    assert(m.getLong(5) + m.getLong(6) > 0,
+      s"cost drift vacuous: up=${m.getLong(5)} down=${m.getLong(6)}")
+    // a one-generation store refuses the comparison loudly
+    val single = tmp("graft-lm-drift-single")
+    TextOps.writeLmModel(docs, single)
+    intercept[IllegalArgumentException] {
+      TextOps.lmDriftServed(spark, sf, single)
+    }
+  }
+
   test("rollout gate under concurrent retrain: a live stream keeps scoring its construction-time generation; restart rolls") {
     import spark.implicits._
     import graft.queries.CorpusPipeline
