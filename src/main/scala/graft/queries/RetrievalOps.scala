@@ -899,6 +899,48 @@ object RetrievalOps {
         .unionByName(spark.read.parquet(s"$path/dense")
           .select(col("gen"), col("vec_id").as("id"))))
 
+  /** One-shot FLOAT-sidecar backfill for a pre-r17 hybrid store —
+    * the upgrade path [[hybridServeAt]]'s coverage guard names rebuild
+    * for, made cheaper when the caller still holds the corpus the old
+    * store leaned on: `emb` DECLARES the historical float truth
+    * (exactly the external floats-immutable-per-id invariant the
+    * pre-r17 serve assumed), and each uncovered committed generation
+    * gets `_floats/gen=N` sealed with the floats of exactly the
+    * vec_ids its dense leg sealed. REFUSES loudly if `emb` does not
+    * cover every sealed vec_id of an uncovered generation — PQ codes
+    * cannot reconstruct missing floats, and a silent partial sidecar
+    * would quietly shrink the served rerank (the failure mode the
+    * coverage guard exists to stop). Idempotent: covered generations
+    * are skipped; a crash mid-backfill leaves debris only in gen dirs
+    * the retry overwrites (no manifest write — the sidecar is data,
+    * the window is unchanged). One dense-leg scan and one broadcast-or
+    * shuffle join per missing generation, all delta-bounded. */
+  def backfillHybridFloats(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val (lo, hi) = GenerationManifest.window(path)
+    val fRoot = new org.apache.hadoop.fs.Path(s"$path/_floats")
+    val fs = fRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val covered: Set[Long] =
+      if (!fs.exists(fRoot)) Set.empty
+      else fs.listStatus(fRoot).map(_.getPath.getName)
+        .filter(_.startsWith("gen="))
+        .map(_.stripPrefix("gen=").toLong).toSet
+    (lo to hi).filterNot(covered).foreach { g =>
+      val sealedIds = spark.read.parquet(s"$path/dense")
+        .filter(col("gen") === g).select(col("vec_id")).distinct()
+      val sealedEmb = emb.join(sealedIds, Seq("vec_id"))
+      val counts = sealedEmb.agg(count(lit(1)).as("have"))
+        .crossJoin(broadcast(sealedIds.agg(count(lit(1)).as("need"))))
+        .head()
+      require(counts.getLong(0) == counts.getLong(1),
+        s"backfill corpus covers ${counts.getLong(0)} of " +
+          s"${counts.getLong(1)} vec_ids sealed by generation $g at " +
+          s"$path — PQ codes cannot reconstruct the missing floats; " +
+          "supply the full historical corpus or REBUILD the store")
+      writeHybridFloats(sealedEmb, path, g)
+    }
+  }
+
   /** The hybrid serve at a CORRELATED generation: both legs read
     * as-of the hybrid window's resolution of `asOfGen`, so the fused
     * ranking is exactly what the hybrid returned when that generation

@@ -399,6 +399,27 @@ class TimeTravelSpec extends SparkSuite {
     }
     assert(fe.getMessage.contains("_floats"), s"wrong refusal: ${fe.getMessage}")
 
+    // FLOAT BACKFILL (round 17): the store is now exactly the pre-r17
+    // shape (no sidecar at all). A partial corpus must be REFUSED —
+    // PQ codes cannot reconstruct the missing floats, and a silent
+    // partial sidecar would quietly shrink the served rerank
+    val be = intercept[IllegalArgumentException] {
+      RetrievalOps.backfillHybridFloats(emb.filter($"vec_id" % 7 === 0), idx)
+    }
+    assert(be.getMessage.contains("cannot reconstruct"),
+      s"wrong backfill refusal: ${be.getMessage}")
+    // the full historical corpus backfills every committed generation
+    // with exactly the floats its dense leg sealed — the serve comes
+    // back bit-identical to the natively-versioned store's
+    RetrievalOps.backfillHybridFloats(emb, idx)
+    assert(rows(RetrievalOps.hybridServeAt(spark, idx)) == atHead,
+      "float backfill diverged from the native sidecar's serve")
+    // idempotent: a second pass skips covered generations and changes
+    // nothing
+    RetrievalOps.backfillHybridFloats(emb, idx)
+    assert(rows(RetrievalOps.hybridServeAt(spark, idx)) == atHead,
+      "re-running the float backfill changed the serve")
+
     // OUT-OF-BAND leg mutation (someone compacts a leg directly):
     // the next hybrid append must refuse loudly, not silently lose
     // the delta in that leg
