@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.queries.RetrievalOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** STREAMING maintenance of the cross-store HYBRID index —
+  * [[LabelIndexStream]]'s loop applied to the composed retrieval
+  * store (the one persisted index family that had no streaming twin):
+  * each micro-batch of arriving documents is appended to a sealed
+  * [[RetrievalOps.writeHybridIndex]] store through ONE correlated
+  * seal — both legs advance in lockstep, the rerank floats version
+  * with the generation, the hybrid manifest flips last. After any
+  * prefix of batches, [[RetrievalOps.hybridServeAt]] equals the batch
+  * rebuild over every document seen (the q120 append ≡ rebuild
+  * theorem applied inductively, spec-pinned).
+  *
+  * INPUT CONTRACT — one correlated row per document:
+  * `(doc_id: long, text: string, label: string,
+  * embedding: array<float>)`. The row carries the doc's text AND its
+  * embedding so the two legs can never skew: a split-source design
+  * (text stream here, vectors there) would reintroduce exactly the
+  * decorrelation the cross-store seal exists to prevent. The sparse
+  * leg ingests `(doc_id, text)`, the dense leg
+  * `(vec_id = doc_id, label, embedding)` — q120's id-space
+  * convention.
+  *
+  * Shape: `foreachBatch`, the [[LabelIndexStream]] mechanics — the
+  * append is a multi-join batch mutation (two leg appends, a float
+  * sidecar write, one manifest flip) that the incremental planner
+  * cannot express. Delivery is at-least-once: a crash between the
+  * hybrid flip and the checkpoint commit replays the batch — safe,
+  * because [[RetrievalOps.appendHybridIndex]] is IDEMPOTENT per id
+  * (the sealed-id watermark prunes a full replay to a no-op before
+  * any leg is touched), and a crash BETWEEN leg commits is repaired
+  * by the retry's head inspection (pre-flip torn states are invisible
+  * to serves by the flip-last rule). Empty micro-batches are skipped
+  * — an append of nothing would still seal a junk generation, growing
+  * the window for no content.
+  *
+  * Scale: each batch pays the delta-bounded append cost (bucketed
+  * posting rows + cell-keyed codes, never delta × base); state lives
+  * entirely in the store's generation-windowed artifacts — the stream
+  * itself is stateless, so there is no state store to bound. TRIGGER
+  * SIZING: every durable append carries a fixed floor (two leg plans,
+  * a float write, the manifest flip) on top of a per-doc marginal
+  * cost, so the [[LabelIndexStream]] rule applies verbatim — size
+  * triggers so batches carry tens of thousands of docs when the
+  * source can sustain it; idempotency makes coarse batches
+  * at-least-once safe, and re-batching cannot change the served
+  * ranking (spec-pinned). */
+object HybridIndexStream {
+
+  /** Start the maintenance sink. `corpus` is a STREAMING frame with
+    * the correlated row contract above; the store at `indexPath` must
+    * already be built ([[RetrievalOps.writeHybridIndex]] or
+    * [[RetrievalOps.writeTrainedHybridIndex]] — appends encode with
+    * the head epoch's quantizers either way). */
+  def sink(
+      corpus: DataFrame,
+      indexPath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    corpus.writeStream
+      .queryName("graft-hybrid-index-sink")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          RetrievalOps.appendHybridIndex(
+            batch.select(col("doc_id"), col("text")),
+            batch.select(col("doc_id").as("vec_id"), col("label"),
+              col("embedding")),
+            indexPath)
+      }
+      .start()
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.queries.{DedupOps, GenerationManifest, RetrievalOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** One correlated row per document — [[graft.streaming.HybridIndexStream]]'s
+  * input contract: the text AND the embedding travel together so the
+  * two legs can never skew. */
+case class HybridDoc(
+    doc_id: Long, text: String, label: String, embedding: Array[Float])
+
+/** Specs for the streaming hybrid-store maintenance loop: per-batch
+  * correlated seals must converge to the batch rebuild (the q120
+  * append ≡ rebuild theorem applied inductively over micro-batches),
+  * and at-least-once redelivery must be a pruned no-op. */
+class HybridStreamSpec extends SparkSuite {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("hybrid maintenance stream: per-batch correlated seals converge to the full-corpus rebuild; replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .join(Tables.embeddings(spark, sf).withColumnRenamed("vec_id", "doc_id"),
+        Seq("doc_id"))
+      .select($"doc_id", $"text", $"label", $"embedding")
+      .as[HybridDoc].collect().toSeq.sortBy(_.doc_id)
+    val (base, delta) = corpus.partition(d =>
+      d.doc_id % DedupOps.DeltaMod != DedupOps.DeltaRem)
+    assert(delta.nonEmpty, "fixture vacuous: empty delta split")
+
+    // build on the sealed base (q120's split), stream the delta in
+    // three micro-batches through the maintenance sink
+    val idx = tmp("graft-hybrid-stream")
+    val baseDf = spark.createDataset(base).toDF()
+    RetrievalOps.writeHybridIndex(
+      baseDf.select($"doc_id", $"text"),
+      baseDf.select($"doc_id".as("vec_id"), $"label", $"embedding"), idx)
+    val in = MemoryStream[HybridDoc]
+    val q = graft.streaming.HybridIndexStream.sink(
+      in.toDF(), idx, tmp("graft-hybrid-stream-ck"))
+    try {
+      delta.grouped((delta.size + 2) / 3).foreach { b =>
+        in.addData(b)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // every micro-batch sealed one correlated generation (legs in
+    // lockstep with the hybrid window), and the served ranking equals
+    // the full-corpus composed hybrid — append ≡ rebuild inductively
+    val (lo, hi) = GenerationManifest.window(idx)
+    assert((lo, hi) == ((1L, 4L)), s"expected 3 streamed seals, got [$lo, $hi]")
+    assert(GenerationManifest.window(s"$idx/sparse") == ((lo, hi)),
+      "sparse leg fell out of lockstep")
+    assert(GenerationManifest.window(s"$idx/dense") == ((lo, hi)),
+      "dense leg fell out of lockstep")
+    val atHead = rows(RetrievalOps.hybridServeAt(spark, idx))
+    assert(atHead == rows(RetrievalOps.q83HybridIndexed(spark, sf)),
+      "stream-maintained hybrid diverged from the batch rebuild")
+
+    // at-least-once: redelivering an already-sealed batch (the crash
+    // window between the hybrid flip and the checkpoint commit) must
+    // be a pruned no-op — window unchanged, serve unchanged
+    val replay = spark.createDataset(delta.take(20)).toDF()
+    RetrievalOps.appendHybridIndex(
+      replay.select($"doc_id", $"text"),
+      replay.select($"doc_id".as("vec_id"), $"label", $"embedding"), idx)
+    assert(GenerationManifest.window(idx) == ((lo, hi)),
+      "replayed batch advanced the hybrid window")
+    assert(rows(RetrievalOps.hybridServeAt(spark, idx)) == atHead,
+      "replayed batch changed the served ranking")
+  }
+}
