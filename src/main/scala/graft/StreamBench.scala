@@ -539,6 +539,102 @@ object StreamBench {
     }
   }
 
+  /** Deterministic per-(id, component) synthetic embedding in
+    * [-1, 1) at [[graft.queries.SimilarityOps.Dim]] — shared by the
+    * hybrid probe's sealed base (driver-built frame) and its streamed
+    * JSON corpus so both halves of the store index the same vectors. */
+  private def hybridEmb(id: Long): Array[Float] = {
+    Array.tabulate(graft.queries.SimilarityOps.Dim) { d =>
+      val h = (id * 2654435761L + d.toLong * 40503L + 12345L) & 0xffffffL
+      ((h.toDouble / 0x800000L) - 1.0).toFloat
+    }
+  }
+
+  /** `SPARK_GRAFT_STREAM_MODE=hybrid` — throughput probe for
+    * [[graft.streaming.HybridIndexStream]]: the labels corpus paired
+    * with [[hybridEmb]] vectors, streamed through the correlated
+    * maintenance sink onto a 2k-doc sealed base. Reports docs/sec end
+    * to end (two leg appends + float sidecar + hybrid flip per
+    * micro-batch), the served fused row count (sanity > 0), and the
+    * wall of the closing [[graft.queries.RetrievalOps.maybeCompactHybridIndex]]
+    * — the probe prices the WHOLE maintenance cadence, since every
+    * batch seals a generation and the joint fold is what reclaims
+    * them. */
+  private def hybridMode(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "50000").trim.toInt
+    val filesPerTrigger =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "5").trim.toInt
+    val baseN = 2000
+    def writeCorpus(rows: IndexedSeq[(Long, String)]): java.nio.file.Path = {
+      val dir = Files.createTempDirectory("graft-hybench")
+      rows.grouped(10000).zipWithIndex.foreach { case (chunk, i) =>
+        val sb = new StringBuilder(chunk.size * 1100)
+        chunk.foreach { case (id, text) =>
+          sb.append(s"""{"doc_id":$id,"text":"$text","label":"L${id % 7}","embedding":[""")
+            .append(hybridEmb(id).mkString(","))
+            .append("]}").append('\n')
+        }
+        Files.writeString(
+          dir.resolve(f"part-${i * 10000}%09d.json"), sb.result())
+      }
+      dir
+    }
+    def baseStore(rows: IndexedSeq[(Long, String)]): String = {
+      val idx = Files.createTempDirectory("graft-hybench-idx").toString
+      val base = rows.map { case (id, t) => (id, t, s"L${id % 7}", hybridEmb(id)) }
+        .toDF("doc_id", "text", "label", "embedding")
+      graft.queries.RetrievalOps.writeHybridIndex(
+        base.select($"doc_id", $"text"),
+        base.select($"doc_id".as("vec_id"), $"label", $"embedding"), idx)
+      idx
+    }
+    def runStream(dir: java.nio.file.Path, idx: String): (Double, Int) = {
+      val corpus = spark.readStream
+        .schema("doc_id LONG, text STRING, label STRING, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .json(dir.toString)
+      val ckpt = Files.createTempDirectory("graft-hybench-ckpt")
+      val t0 = System.nanoTime()
+      val q = graft.streaming.HybridIndexStream.sink(corpus, idx, ckpt.toString)
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      graft.queries.SimilarityOps.deleteRecursively(ckpt)
+      (wall, batches)
+    }
+    // untimed warmup (labelsMode's rationale): compile every plan the
+    // sink runs into a throwaway store; reclaim all temp dirs
+    locally {
+      val all = StreamBench.labelsCorpusRows(baseN + 1000, seed = 7)
+      val wIdx = baseStore(all.take(baseN))
+      val wDir = writeCorpus(all.drop(baseN))
+      runStream(wDir, wIdx)
+      graft.queries.SimilarityOps.deleteRecursively(wDir)
+      graft.queries.SimilarityOps.deleteRecursively(Paths.get(wIdx))
+    }
+    val all = StreamBench.labelsCorpusRows(baseN + nDocs, seed = 42)
+    val idx = baseStore(all.take(baseN))
+    val dir = writeCorpus(all.drop(baseN))
+    val (wall, batches) = runStream(dir, idx)
+    val fused = graft.queries.RetrievalOps.hybridServeAt(spark, idx).count()
+    val t1 = System.nanoTime()
+    val compacted =
+      graft.queries.RetrievalOps.maybeCompactHybridIndex(spark, idx, 1L)
+    val compactSec = (System.nanoTime() - t1) / 1e9
+    val fusedAfter = graft.queries.RetrievalOps.hybridServeAt(spark, idx).count()
+    graft.queries.SimilarityOps.deleteRecursively(dir)
+    graft.queries.SimilarityOps.deleteRecursively(Paths.get(idx))
+    require(!compacted || fusedAfter == fused,
+      s"compaction changed the fused row count: $fused -> $fusedAfter")
+    val line =
+      s"""{"metric":"stream_hybrid_docs_per_sec","value":${f1(nDocs / wall)},"unit":"rows/sec","n_docs":$nDocs,"wall_sec":${f1(wall)},"micro_batches":$batches,"fused_rows":$fused,"compact_sec":${f1(compactSec)}}"""
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/stream_bench.json"), line + "\n")
+    println(line)
+  }
+
   def main(args: Array[String]): Unit = {
     val nTweets =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "400000").trim.toInt
@@ -586,6 +682,10 @@ object StreamBench {
     }
     if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("lmband")) {
       lmBandMode(spark)
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("hybrid")) {
+      hybridMode(spark)
       return
     }
 

@@ -941,6 +941,85 @@ object RetrievalOps {
     }
   }
 
+  /** Compact the hybrid store JOINTLY — the one mutation the
+    * out-of-band guard forbids doing per leg (a direct leg compaction
+    * would decorrelate the generations, which is exactly why
+    * [[appendHybridIndex]] refuses it): both legs fold their committed
+    * window into one fresh generation, the float sidecar folds with
+    * them, and the hybrid manifest flips LAST to `(hi+1, hi+1)` with
+    * the folded generation's recomputed sealed-id range. Without this
+    * the window grows one generation per append forever — a
+    * [[graft.streaming.HybridIndexStream]] deployment seals one per
+    * micro-batch, so compaction is its required maintenance cadence
+    * ([[maybeCompactHybridIndex]] is the threshold form).
+    *
+    * CRASH CONTRACT — weaker than the append's and documented
+    * honestly: compaction destroys history below the new floor, so a
+    * crash BETWEEN a leg compaction and the hybrid flip cannot be
+    * invisible (the compacted leg's floor is already above the hybrid
+    * head). In that window serves and appends REFUSE LOUDLY (the leg
+    * as-of read hits its window floor; the append's leg-state guard
+    * rejects the off-sync window) — a brief maintenance outage, never
+    * a misserve. The RETRY rolls forward: a leg already at
+    * `(hi+1, hi+1)` was compacted by the crashed attempt and is
+    * skipped, the other catches up, the flip publishes the pair
+    * (the [[appendHybridIndex]] head-inspection discipline applied to
+    * compaction). Like the leg compactions, serving is row-identical
+    * across the flip and replaced generations are reclaimed by the
+    * next mutation's leading purge. */
+  def compactHybridIndex(spark: SparkSession, path: String): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    if (lo == hi) return
+    val fRoot = new org.apache.hadoop.fs.Path(s"$path/_floats")
+    require(fRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(fRoot),
+      s"hybrid store at $path has no _floats sidecar — a pre-r17 store " +
+        "cannot fold what it never versioned; run backfillHybridFloats " +
+        "(or rebuild) before compacting")
+    def legCompact(name: String)(compact: => Unit): Unit = {
+      val w = GenerationManifest.window(s"$path/$name")
+      if (w == ((hi + 1, hi + 1))) return // crashed attempt already did it
+      require(w == ((lo, hi)),
+        s"hybrid leg '$name' window $w is out of sync with the hybrid " +
+          s"window [$lo, $hi] at $path — legs must only be mutated " +
+          "through the hybrid ops")
+      compact
+    }
+    legCompact("sparse")(compactIndex(spark, s"$path/sparse"))
+    legCompact("dense")(SimilarityOps.compactAnnIndex(spark, s"$path/dense"))
+    // fold the float sidecar into the new generation (explicit gen-dir
+    // overwrite = idempotent under retries); until the flip the folded
+    // dir is debris above the hybrid window, invisible to serves
+    writeHybridFloats(
+      spark.read.parquet(s"$path/_floats")
+        .filter(col("gen").between(lo, hi))
+        .select(col("vec_id"), col("label"), col("embedding")),
+      path, hi + 1)
+    // the folded generation seals every id the window sealed — recompute
+    // the range from the compacted legs (exact even for legacy windows
+    // whose generations predate the watermark records)
+    val range = combinedRange(
+      spark.read.parquet(s"$path/sparse")
+        .filter(col("gen") === hi + 1).select(col("doc_id")),
+      "doc_id",
+      spark.read.parquet(s"$path/dense")
+        .filter(col("gen") === hi + 1).select(col("vec_id")),
+      "vec_id")
+    // commit, not amend: resetting the per-generation records to the
+    // one folded entry is the compaction's intent
+    GenerationManifest.commit(path, hi + 1, hi + 1, Map((hi + 1) -> range))
+  }
+
+  /** The window-growth rule as code ([[GenerationManifest.compactIfPast]]
+    * bound to the joint compaction — the round-17 threshold-API family):
+    * compact when the committed window spans more than `maxGens`
+    * generations. A streaming-maintenance deployment calls this at its
+    * checkpoint cadence. Returns whether it compacted. */
+  def maybeCompactHybridIndex(
+      spark: SparkSession, path: String, maxGens: Long): Boolean =
+    GenerationManifest.compactIfPast(path, maxGens)(
+      compactHybridIndex(spark, path))
+
   /** The hybrid serve at a CORRELATED generation: both legs read
     * as-of the hybrid window's resolution of `asOfGen`, so the fused
     * ranking is exactly what the hybrid returned when that generation

@@ -49,7 +49,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * triggers so batches carry tens of thousands of docs when the
   * source can sustain it; idempotency makes coarse batches
   * at-least-once safe, and re-batching cannot change the served
-  * ranking (spec-pinned). */
+  * ranking (spec-pinned). Every batch seals one generation, so pair
+  * the sink with [[RetrievalOps.maybeCompactHybridIndex]] at a
+  * maintenance cadence — the joint fold is the ONLY sanctioned
+  * compaction (direct leg compaction is refused as an out-of-band
+  * mutation), and its crash contract is a loud brief outage rolled
+  * forward by the retry, never a misserve. */
 object HybridIndexStream {
 
   /** Start the maintenance sink. `corpus` is a STREAMING frame with

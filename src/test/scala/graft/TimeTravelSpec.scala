@@ -431,6 +431,71 @@ class TimeTravelSpec extends SparkSuite {
     assert(e.getMessage.contains("out of sync"), s"wrong refusal: ${e.getMessage}")
   }
 
+  test("hybrid compaction (round 17): joint fold serves bit-identically; a crashed half-compaction refuses loudly then rolls forward") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    def baseP(c: org.apache.spark.sql.Column) =
+      c % DedupOps.DeltaMod =!= DedupOps.DeltaRem
+    val idx = tmp("graft-tt-hybrid-compact")
+    RetrievalOps.writeHybridIndex(
+      docs.filter(baseP($"doc_id")), emb.filter(baseP($"vec_id")), idx)
+    RetrievalOps.appendHybridIndex(
+      docs.filter(!baseP($"doc_id")), emb.filter(!baseP($"vec_id")), idx)
+    val atHead = rows(RetrievalOps.hybridServeAt(spark, idx))
+
+    // CRASH SIMULATION: the sparse leg compacted (window (3,3)) but
+    // the attempt died before touching the dense leg or the flip. The
+    // documented maintenance outage: serves and appends refuse loudly
+    // — never a misserve, never a silent decorrelation
+    RetrievalOps.compactIndex(spark, s"$idx/sparse")
+    intercept[IllegalArgumentException] {
+      RetrievalOps.hybridServeAt(spark, idx).collect()
+    }
+    intercept[IllegalArgumentException] {
+      RetrievalOps.appendHybridIndex(docs.limit(0), emb.limit(0), idx)
+    }
+
+    // the RETRY rolls forward: skips the already-compacted sparse leg,
+    // compacts the dense leg, folds the floats, flips the pair — and
+    // the serve is row-identical across the whole maneuver
+    RetrievalOps.compactHybridIndex(spark, idx)
+    assert(GenerationManifest.window(idx) == ((3L, 3L)),
+      "joint compaction did not flip to the folded generation")
+    assert(GenerationManifest.window(s"$idx/sparse") == ((3L, 3L)))
+    assert(GenerationManifest.window(s"$idx/dense") == ((3L, 3L)))
+    assert(rows(RetrievalOps.hybridServeAt(spark, idx)) == atHead,
+      "serve changed across the compaction flip")
+
+    // history below the folded floor is reclaimed, not misserved
+    val e = intercept[IllegalArgumentException] {
+      RetrievalOps.hybridServeAt(spark, idx, asOfGen = 1L).collect()
+    }
+    assert(e.getMessage.contains("window floor"), s"wrong refusal: ${e.getMessage}")
+
+    // the folded watermark still prunes: replaying sealed ids after
+    // the compaction is a no-op against the ONE folded generation
+    RetrievalOps.appendHybridIndex(
+      docs.filter(!baseP($"doc_id")), emb.filter(!baseP($"vec_id")), idx)
+    assert(GenerationManifest.window(idx) == ((3L, 3L)),
+      "post-compaction replay advanced the window")
+    assert(rows(RetrievalOps.hybridServeAt(spark, idx)) == atHead,
+      "post-compaction replay changed the serve")
+
+    // the threshold form: a 1-gen window is under any cadence; force
+    // a 2-gen window and maxGens=1 fires
+    assert(!RetrievalOps.maybeCompactHybridIndex(spark, idx, maxGens = 4))
+    RetrievalOps.appendHybridIndex(
+      docs.filter(baseP($"doc_id") && $"doc_id" % 97 === 0)
+        .withColumn("doc_id", $"doc_id" + 1000000L),
+      emb.filter(baseP($"vec_id") && $"vec_id" % 97 === 0)
+        .withColumn("vec_id", $"vec_id" + 1000000L),
+      idx)
+    assert(GenerationManifest.window(idx) == ((3L, 4L)))
+    assert(RetrievalOps.maybeCompactHybridIndex(spark, idx, maxGens = 1))
+    assert(GenerationManifest.window(idx) == ((5L, 5L)))
+  }
+
   test("IVF-PQ retrain (round 16): epoch generations — as-of replays OLD quantizers, appends encode with NEW, compaction re-seats") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
