@@ -278,6 +278,20 @@ object Bench {
       serveOnly("q123_lm_drift") =
         (s, d) => queries.TextOps.lmDriftServed(s, d, p)
     }
+    if (selNames("q124_bpe_drift")) {
+      // tokenizer drift needs TWO generations — gen 1 the full corpus,
+      // gen 2 the drifted even-id half, trained once per run
+      val p = buildDir("graft-bench-bpe-drift")
+      phase("q124_train") {
+        import spark.implicits._
+        val docs = Tables.documents(spark, sfDir)
+        queries.TextOps.writeBpeModel(docs, p)
+        queries.TextOps.retrainBpeModel(
+          docs.filter($"doc_id" % queries.TextOps.DriftRetrainMod === 0), p)
+      }
+      serveOnly("q124_bpe_drift") =
+        (s, d) => queries.TextOps.bpeDriftServed(s, d, p)
+    }
     val selected = registered.map { case (n, fn) =>
       (n, serveOnly.getOrElse(n, fn))
     }

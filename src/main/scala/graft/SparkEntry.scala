@@ -204,6 +204,12 @@ object SparkEntry {
     // retrained model well-defined on docs it never saw) and reduce to
     // the keep-flip + cost-drift matrix. EAGER, q114 convention.
     "q123_lm_drift"        -> ((s, d) => TextOps.q123LmDrift(s, d)),
+    // q124 completes the pre-flip rollout review across all four
+    // persisted model families (gate q117, quantizer q119, LM q123,
+    // tokenizer — this): retrain the merge table on the even half,
+    // encode the whole corpus under both as-of generations, report
+    // the token-count drift matrix. EAGER, q114 convention.
+    "q124_bpe_drift"       -> ((s, d) => TextOps.q124BpeDrift(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -705,5 +711,9 @@ object SparkEntry {
     // the full corpus scored through EACH model's coalesce(cost,
     // backoff), the same integer-division keep rule -> one matrix
     "q123_lm_drift" -> TextOps.q123OracleSql(),
+    // BPE drift: TWO independent SQL merge-table retrains (full
+    // corpus; even half), the full corpus folded through EACH table,
+    // the same integer fertility arithmetic -> one matrix
+    "q124_bpe_drift" -> TextOps.q124OracleSql(),
   )
 }

@@ -2857,42 +2857,46 @@ object TextOps {
        |) ORDER BY rank""".stripMargin
   }
 
-  /** The BPE-training CTE chain shared by the q102 and q115 oracles:
-    * word-frequency table `vocab`, encoded frames `e0..eR`, per-round
-    * argmax merges `m1..mR`. One definition — the two oracles verify
-    * ONE training computation at two read-out points (the merge
-    * table; the encode under it). */
-  private def bpeTrainCteSql(rounds: Int): String = {
+  /** The BPE-training CTE chain shared by the q102, q115, and q124
+    * oracles: word-frequency table `vocab`, encoded frames `e0..eR`,
+    * per-round argmax merges `m1..mR`. One definition — the oracles
+    * verify ONE training computation at different read-out points
+    * (the merge table; the encode under it; the drift between two).
+    * `pfx` namespaces every CTE so two independent chains coexist in
+    * one statement (the q117 gateTrainCteSql pattern); `docWhere`
+    * restricts the training corpus. */
+  private def bpeTrainCteSql(
+      rounds: Int, pfx: String = "", docWhere: String = ""): String = {
     val head =
-      """vocab AS MATERIALIZED (
-        |  SELECT token, count(*) AS tok_n
-        |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
-        |                                  x -> len(x) > 0)) AS token
-        |        FROM documents)
-        |  GROUP BY token
-        |), e0 AS MATERIALIZED (
-        |  SELECT regexp_replace(token, '(.)', '(\1)', 'g') AS enc, tok_n
-        |  FROM vocab
-        |)""".stripMargin
+      s"""${pfx}vocab AS MATERIALIZED (
+         |  SELECT token, count(*) AS tok_n
+         |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+         |                                  x -> len(x) > 0)) AS token
+         |        FROM documents$docWhere)
+         |  GROUP BY token
+         |), ${pfx}e0 AS MATERIALIZED (
+         |  SELECT regexp_replace(token, '(.)', '(\\1)', 'g') AS enc, tok_n
+         |  FROM ${pfx}vocab
+         |)""".stripMargin
     val blocks = (1 to rounds).map { r =>
-      s"""p$r AS MATERIALIZED (
+      s"""${pfx}p$r AS MATERIALIZED (
          |  SELECT s[i] AS lhs, s[i+1] AS rhs, tok_n
          |  FROM (SELECT regexp_extract_all(enc, '\\(([^)]*)\\)', 1) AS s,
          |               tok_n
-         |        FROM e${r - 1}),
+         |        FROM ${pfx}e${r - 1}),
          |       LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
          |  WHERE len(s) >= 2
-         |), m$r AS MATERIALIZED (
+         |), ${pfx}m$r AS MATERIALIZED (
          |  SELECT lhs, rhs, CAST(sum(tok_n) AS BIGINT) AS n
-         |  FROM p$r GROUP BY lhs, rhs
+         |  FROM ${pfx}p$r GROUP BY lhs, rhs
          |  ORDER BY n DESC, lhs, rhs LIMIT 1
-         |), e$r AS MATERIALIZED (
+         |), ${pfx}e$r AS MATERIALIZED (
          |  SELECT replace(enc,
-         |           '(' || (SELECT lhs FROM m$r) || ')(' ||
-         |                  (SELECT rhs FROM m$r) || ')',
-         |           '(' || (SELECT lhs FROM m$r) ||
-         |                  (SELECT rhs FROM m$r) || ')') AS enc, tok_n
-         |  FROM e${r - 1}
+         |           '(' || (SELECT lhs FROM ${pfx}m$r) || ')(' ||
+         |                  (SELECT rhs FROM ${pfx}m$r) || ')',
+         |           '(' || (SELECT lhs FROM ${pfx}m$r) ||
+         |                  (SELECT rhs FROM ${pfx}m$r) || ')') AS enc, tok_n
+         |  FROM ${pfx}e${r - 1}
          |)""".stripMargin
     }
     (head +: blocks).mkString(", ")
@@ -3024,6 +3028,124 @@ object TextOps {
        |       CAST(coalesce(list_sum(list_transform(enc,
        |              s -> len(s) - len(replace(s, '(', '')))), 0) AS BIGINT) AS n_tokens
        |FROM de ORDER BY doc_id""".stripMargin
+  }
+
+  /** The BPE rollout review between two persisted generations —
+    * [[gateDriftServed]]/[[lmDriftServed]]'s read for the tokenizer
+    * family: encode the corpus under BOTH as-of merge tables
+    * ([[bpeEncodeServed]] twice) and reduce to the one-row token-count
+    * drift matrix a deployment reads before flipping a retrained
+    * tokenizer into the serving path — token budgets (q90), packing
+    * (q51), and fertility equity (q109) all move when the merge table
+    * does, so the flip review is "how much does every document's
+    * token count shift". Word and char counts are model-independent;
+    * corpus fertility (tokens per 1000 words) is exact integer floor
+    * division on both engines. Scale shape: two narrow encode
+    * projections (the q89 zero-shuffle replace chain under broadcast
+    * literal tables), ONE doc_id join, one aggregate. */
+  def bpeDriftServed(
+      spark: SparkSession, dir: String, modelPath: String,
+      oldGen: Long = -1L, newGen: Long = Long.MaxValue): DataFrame = {
+    import spark.implicits._
+    val (lo, hi) = GenerationManifest.window(modelPath)
+    val og = if (oldGen >= 0) oldGen else hi - 1
+    val ng = math.min(newGen, hi)
+    require(og >= lo,
+      s"drift needs two addressable generations (window [$lo, $hi])")
+    require(og <= hi,
+      s"oldGen=$og is beyond the committed head $hi at $modelPath")
+    require(og != ng,
+      s"drift between generation $og and itself is vacuously zero — " +
+        s"pass two distinct generations (window [$lo, $hi])")
+    val a = bpeEncodeServed(spark, dir, modelPath, og)
+      .select($"doc_id", $"n_words", $"n_tokens".as("t1"))
+    val b = bpeEncodeServed(spark, dir, modelPath, ng)
+      .select($"doc_id", $"n_tokens".as("t2"))
+    a.join(b, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("w"),
+        sum($"t1").as("tok_old"), sum($"t2").as("tok_new"),
+        sum(when($"t2" > $"t1", 1L).otherwise(0L)).as("n_up"),
+        sum(when($"t2" < $"t1", 1L).otherwise(0L)).as("n_down"))
+      .select($"n_docs", $"tok_old", $"tok_new", $"n_up", $"n_down",
+        expr("tok_old * 1000 div w").as("fert_old_pm"),
+        expr("tok_new * 1000 div w").as("fert_new_pm"))
+  }
+
+  /** q124 — BPE MODEL DRIFT between persisted generations, completing
+    * the pre-flip rollout review across ALL FOUR persisted model
+    * families (gate q117, quantizer q119, LM q123, tokenizer — this):
+    * train the merge table on the full corpus (generation 1), RETRAIN
+    * on the even-id half (generation 2 — the drifted-crawl stand-in),
+    * and report [[bpeDriftServed]]'s matrix over the whole corpus.
+    * The oracle retrains BOTH merge tables independently in SQL (two
+    * prefixed [[bpeTrainCteSql]] chains) and folds the full corpus
+    * through EACH — hash equality proves the entire
+    * retrain → persist → address-two-generations → compare loop
+    * cross-engine. EAGER, q114 temp-dir convention. */
+  def q124BpeDrift(spark: SparkSession, dir: String): DataFrame = {
+    val path = SimilarityOps.tempIndexDir("graft-bpe-drift")
+    val docs = Tables.documents(spark, dir)
+    writeBpeModel(docs, path)
+    retrainBpeModel(docs.filter(col("doc_id") % DriftRetrainMod === 0), path)
+    bpeDriftServed(spark, dir, path)
+  }
+
+  /** Ground truth for [[q124BpeDrift]]: chain A trains on the full
+    * corpus, chain B on the even half (prefixed CTEs), the full
+    * corpus folds through EACH table (q115's parallel-list
+    * `list_reduce`), and the same integer arithmetic aggregates the
+    * matrix. */
+  def q124OracleSql(rounds: Int = BpeTrainRounds): String = {
+    def msFor(pfx: String): String = {
+      val allm = (1 to rounds)
+        .map(r => s"SELECT $r AS rank, lhs, rhs FROM ${pfx}m$r")
+        .mkString("\n  UNION ALL ")
+      s"""${pfx}allm AS (
+         |  $allm
+         |), ${pfx}ms AS (
+         |  SELECT coalesce(list('(' || lhs || ')(' || rhs || ')' ORDER BY rank), []) AS fs,
+         |         coalesce(list('(' || lhs || rhs || ')' ORDER BY rank), []) AS ts
+         |  FROM ${pfx}allm
+         |)""".stripMargin
+    }
+    def encExpr(fs: String, ts: String): String =
+      s"""list_transform(toks, w -> list_reduce(
+         |           list_prepend(regexp_replace(w, '(.)', '(\\1)', 'g'),
+         |                        list_transform(range(len($fs)), i -> i::VARCHAR)),
+         |           (acc, x) -> replace(acc, $fs[x::INT + 1], $ts[x::INT + 1])))""".stripMargin
+    s"""WITH ${bpeTrainCteSql(rounds, pfx = "a_")},
+       |${bpeTrainCteSql(rounds, pfx = "b_",
+            docWhere = s" WHERE doc_id % $DriftRetrainMod = 0")},
+       |${msFor("a_")},
+       |${msFor("b_")},
+       |dt AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+       |  FROM documents
+       |), de AS (
+       |  SELECT doc_id, toks,
+       |         ${encExpr("afs", "ats")} AS enc_a,
+       |         ${encExpr("bfs", "bts")} AS enc_b
+       |  FROM dt,
+       |       (SELECT fs AS afs, ts AS ats FROM a_ms) am,
+       |       (SELECT fs AS bfs, ts AS bts FROM b_ms) bm
+       |), p AS (
+       |  SELECT CAST(len(toks) AS BIGINT) AS n_words,
+       |         CAST(coalesce(list_sum(list_transform(enc_a,
+       |                s -> len(s) - len(replace(s, '(', '')))), 0) AS BIGINT) AS t1,
+       |         CAST(coalesce(list_sum(list_transform(enc_b,
+       |                s -> len(s) - len(replace(s, '(', '')))), 0) AS BIGINT) AS t2
+       |  FROM de
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(t1) AS BIGINT) AS tok_old,
+       |       CAST(sum(t2) AS BIGINT) AS tok_new,
+       |       CAST(sum(CASE WHEN t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       |       CAST(sum(CASE WHEN t2 < t1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+       |       CAST(sum(t1) * 1000 // sum(n_words) AS BIGINT) AS fert_old_pm,
+       |       CAST(sum(t2) * 1000 // sum(n_words) AS BIGINT) AS fert_new_pm
+       |FROM p""".stripMargin
   }
 
   // ---------------------------------------------------------------- q105

@@ -260,6 +260,36 @@ class ModelStoreSpec extends SparkSuite {
     }
   }
 
+  test("bpe drift (round 17): matrix is total, the fixture models genuinely differ, and the guards hold") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val path = tmp("graft-bpe-drift-spec")
+    TextOps.writeBpeModel(docs, path)
+    TextOps.retrainBpeModel(
+      docs.filter($"doc_id" % TextOps.DriftRetrainMod === 0), path)
+    // the fixture must be non-vacuous: the half-corpus retrain picks a
+    // genuinely different merge table, and the differing merges fire
+    // in at least one document's encode
+    assert(TextOps.bpeMergesAt(spark, path, asOfGen = 1L)
+      != TextOps.bpeMergesAt(spark, path),
+      "drift fixture vacuous: identical merge tables")
+    val m = TextOps.bpeDriftServed(spark, sf, path).head()
+    // TOTALITY: every document encodes under any merge table (no
+    // support join to shrink the matrix — zero-word docs count too)
+    assert(m.getLong(0) == docs.count(),
+      s"drift matrix covers ${m.getLong(0)} docs")
+    assert(m.getLong(3) + m.getLong(4) > 0,
+      s"token drift vacuous: up=${m.getLong(3)} down=${m.getLong(4)}")
+    // fertility is floor(total tokens * 1000 / total words) per table
+    assert(m.getLong(5) > 0 && m.getLong(6) > 0)
+    // a one-generation store refuses the comparison loudly
+    val single = tmp("graft-bpe-drift-single")
+    TextOps.writeBpeModel(docs, single)
+    intercept[IllegalArgumentException] {
+      TextOps.bpeDriftServed(spark, sf, single)
+    }
+  }
+
   test("rollout gate under concurrent retrain: a live stream keeps scoring its construction-time generation; restart rolls") {
     import spark.implicits._
     import graft.queries.CorpusPipeline
