@@ -494,6 +494,20 @@ class TimeTravelSpec extends SparkSuite {
     assert(GenerationManifest.window(idx) == ((3L, 4L)))
     assert(RetrievalOps.maybeCompactHybridIndex(spark, idx, maxGens = 1))
     assert(GenerationManifest.window(idx) == ((5L, 5L)))
+
+    // the TRAINED store composes with the same fold: the dense leg's
+    // trained quantizers survive the compaction (compactAnnIndex
+    // re-seats epoch sidecars; a gen-1-trained root is untouched), so
+    // the served ranking is bit-identical across the flip
+    val tidx = tmp("graft-tt-hybrid-trained-compact")
+    RetrievalOps.writeTrainedHybridIndex(
+      docs.filter(baseP($"doc_id")), emb.filter(baseP($"vec_id")), tidx)
+    RetrievalOps.appendHybridIndex(
+      docs.filter(!baseP($"doc_id")), emb.filter(!baseP($"vec_id")), tidx)
+    val tHead = rows(RetrievalOps.hybridServeAt(spark, tidx))
+    RetrievalOps.compactHybridIndex(spark, tidx)
+    assert(rows(RetrievalOps.hybridServeAt(spark, tidx)) == tHead,
+      "trained-hybrid compaction changed the serve")
   }
 
   test("IVF-PQ retrain (round 16): epoch generations — as-of replays OLD quantizers, appends encode with NEW, compaction re-seats") {
