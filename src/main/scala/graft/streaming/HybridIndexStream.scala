@@ -49,29 +49,48 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * triggers so batches carry tens of thousands of docs when the
   * source can sustain it; idempotency makes coarse batches
   * at-least-once safe, and re-batching cannot change the served
-  * ranking (spec-pinned). Every batch seals one generation, so pair
-  * the sink with [[RetrievalOps.maybeCompactHybridIndex]] at a
-  * maintenance cadence — the joint fold is the ONLY sanctioned
-  * compaction (direct leg compaction is refused as an out-of-band
-  * mutation), and its crash contract is a loud brief outage rolled
-  * forward by the retry, never a misserve. */
+  * ranking (spec-pinned). Every batch seals one generation, so the
+  * sink carries its compaction cadence in-loop (`compactPastGens` —
+  * [[RetrievalOps.maybeCompactHybridIndex]] at the head of each
+  * batch, self-healing across fold crashes; see [[sink]]) — the joint
+  * fold is the ONLY sanctioned compaction (direct leg compaction is
+  * refused as an out-of-band mutation), and its crash contract is a
+  * loud brief outage rolled forward by the retry, never a
+  * misserve. */
 object HybridIndexStream {
 
   /** Start the maintenance sink. `corpus` is a STREAMING frame with
     * the correlated row contract above; the store at `indexPath` must
     * already be built ([[RetrievalOps.writeHybridIndex]] or
     * [[RetrievalOps.writeTrainedHybridIndex]] — appends encode with
-    * the head epoch's quantizers either way). */
+    * the head epoch's quantizers either way).
+    *
+    * `compactPastGens` is the in-loop compaction cadence
+    * ([[RetrievalOps.maybeCompactHybridIndex]] at the head of every
+    * micro-batch): the check is one manifest read when under
+    * threshold, and running it BEFORE the append makes the loop
+    * SELF-HEALING — a crash inside a previous batch's fold leaves the
+    * hybrid window un-flipped (still spanning > threshold), so the
+    * next batch's check re-fires and rolls the compaction forward by
+    * head inspection before the append would hit the off-sync leg
+    * refusal. Compact-after-append would wedge the stream instead:
+    * the replayed batch's APPEND meets the half-compacted legs first
+    * and refuses forever. None disables the cadence (run the fold
+    * out-of-band). */
   def sink(
       corpus: DataFrame,
       indexPath: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      compactPastGens: Option[Long] = None): StreamingQuery =
     corpus.writeStream
       .queryName("graft-hybrid-index-sink")
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        compactPastGens.foreach(g =>
+          RetrievalOps.maybeCompactHybridIndex(
+            batch.sparkSession, indexPath, g))
         if (!batch.isEmpty)
           RetrievalOps.appendHybridIndex(
             batch.select(col("doc_id"), col("text")),

@@ -76,4 +76,39 @@ class HybridStreamSpec extends SparkSuite {
     assert(rows(RetrievalOps.hybridServeAt(spark, idx)) == atHead,
       "replayed batch changed the served ranking")
   }
+
+  test("in-loop compaction cadence: the window stays folded across batches and the serve still equals the rebuild") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .join(Tables.embeddings(spark, sf).withColumnRenamed("vec_id", "doc_id"),
+        Seq("doc_id"))
+      .select($"doc_id", $"text", $"label", $"embedding")
+      .as[HybridDoc].collect().toSeq.sortBy(_.doc_id)
+    val (base, delta) = corpus.partition(d =>
+      d.doc_id % DedupOps.DeltaMod != DedupOps.DeltaRem)
+    val idx = tmp("graft-hybrid-stream-cadence")
+    val baseDf = spark.createDataset(base).toDF()
+    RetrievalOps.writeHybridIndex(
+      baseDf.select($"doc_id", $"text"),
+      baseDf.select($"doc_id".as("vec_id"), $"label", $"embedding"), idx)
+    val in = MemoryStream[HybridDoc]
+    // cadence 1: every batch head past a 1-gen window folds first —
+    // batch k sees (n, n+1), compacts to (m, m), appends to (m, m+1)
+    val q = graft.streaming.HybridIndexStream.sink(
+      in.toDF(), idx, tmp("graft-hybrid-stream-cadence-ck"),
+      compactPastGens = Some(1L))
+    try {
+      delta.grouped((delta.size + 2) / 3).foreach { b =>
+        in.addData(b)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val (lo, hi) = GenerationManifest.window(idx)
+    assert(hi - lo + 1 <= 2,
+      s"cadence did not hold the window down: [$lo, $hi]")
+    assert(rows(RetrievalOps.hybridServeAt(spark, idx))
+      == rows(RetrievalOps.q83HybridIndexed(spark, sf)),
+      "cadence-folded stream diverged from the batch rebuild")
+  }
 }
