@@ -918,27 +918,52 @@ object RetrievalOps {
   def backfillHybridFloats(emb: DataFrame, path: String): Unit = {
     val spark = emb.sparkSession
     val (lo, hi) = GenerationManifest.window(path)
+    val covered = floatGens(spark, path)
+    (lo to hi).filterNot(covered).foreach { g =>
+      // persist both frames: each feeds two consumers (the coverage
+      // stats and the join/write) — a lazy frame would re-pay the
+      // dense-leg scan and the corpus join per consumer (the
+      // appendHybridIndex discipline)
+      val sealedIds = spark.read.parquet(s"$path/dense")
+        .filter(col("gen") === g).select(col("vec_id")).distinct().persist()
+      val sealedEmb = emb.join(sealedIds, Seq("vec_id")).persist()
+      try {
+        // ONE stats pass proves both invariants: distinct coverage
+        // (every sealed vec_id has a float row — a raw row-count
+        // compare would let duplicate rows mask missing ids) and
+        // unambiguity (no vec_id arrives with more than one row — the
+        // historical truth must be unique to be a truth)
+        val s = sealedEmb
+          .agg(count(lit(1)).as("have"),
+            count_distinct(col("vec_id")).as("dhave"))
+          .crossJoin(broadcast(sealedIds.agg(count(lit(1)).as("need"))))
+          .head()
+        val (have, dhave, need) = (s.getLong(0), s.getLong(1), s.getLong(2))
+        require(dhave == need,
+          s"backfill corpus covers $dhave of $need vec_ids sealed by " +
+            s"generation $g at $path — PQ codes cannot reconstruct the " +
+            "missing floats; supply the full historical corpus or " +
+            "REBUILD the store")
+        require(have == dhave,
+          s"backfill corpus carries duplicate rows for ${have - dhave} " +
+            s"sealed vec_id(s) of generation $g at $path — the float " +
+            "truth must be unique per id; dedup the corpus first")
+        writeHybridFloats(sealedEmb, path, g)
+      } finally { sealedIds.unpersist(); sealedEmb.unpersist(); () }
+    }
+  }
+
+  /** The generations the `_floats` sidecar covers (one dir listing) —
+    * the coverage ground truth shared by [[hybridServeAt]]'s guard,
+    * [[backfillHybridFloats]]'s skip set, and [[compactHybridIndex]]'s
+    * pre-fold check. */
+  private def floatGens(spark: SparkSession, path: String): Set[Long] = {
     val fRoot = new org.apache.hadoop.fs.Path(s"$path/_floats")
     val fs = fRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val covered: Set[Long] =
-      if (!fs.exists(fRoot)) Set.empty
-      else fs.listStatus(fRoot).map(_.getPath.getName)
-        .filter(_.startsWith("gen="))
-        .map(_.stripPrefix("gen=").toLong).toSet
-    (lo to hi).filterNot(covered).foreach { g =>
-      val sealedIds = spark.read.parquet(s"$path/dense")
-        .filter(col("gen") === g).select(col("vec_id")).distinct()
-      val sealedEmb = emb.join(sealedIds, Seq("vec_id"))
-      val counts = sealedEmb.agg(count(lit(1)).as("have"))
-        .crossJoin(broadcast(sealedIds.agg(count(lit(1)).as("need"))))
-        .head()
-      require(counts.getLong(0) == counts.getLong(1),
-        s"backfill corpus covers ${counts.getLong(0)} of " +
-          s"${counts.getLong(1)} vec_ids sealed by generation $g at " +
-          s"$path — PQ codes cannot reconstruct the missing floats; " +
-          "supply the full historical corpus or REBUILD the store")
-      writeHybridFloats(sealedEmb, path, g)
-    }
+    if (!fs.exists(fRoot)) Set.empty
+    else fs.listStatus(fRoot).map(_.getPath.getName)
+      .filter(_.startsWith("gen="))
+      .map(_.stripPrefix("gen=").toLong).toSet
   }
 
   /** Compact the hybrid store JOINTLY — the one mutation the
@@ -970,12 +995,18 @@ object RetrievalOps {
   def compactHybridIndex(spark: SparkSession, path: String): Unit = {
     val (lo, hi) = GenerationManifest.window(path)
     if (lo == hi) return
-    val fRoot = new org.apache.hadoop.fs.Path(s"$path/_floats")
-    require(fRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(fRoot),
-      s"hybrid store at $path has no _floats sidecar — a pre-r17 store " +
-        "cannot fold what it never versioned; run backfillHybridFloats " +
-        "(or rebuild) before compacting")
+    // PER-GENERATION coverage, exactly hybridServeAt's guard: a bare
+    // existence check would fold a PARTIAL sidecar (a pre-r17 store
+    // upgraded by one append, or a crashed backfill) into the new
+    // generation — laundering the gap past the serve guard into a
+    // silent rerank shrink
+    val floatMissing = (lo to hi).filterNot(floatGens(spark, path))
+    require(floatMissing.isEmpty,
+      s"_floats sidecar at $path does not cover generation(s) " +
+        s"${floatMissing.mkString(", ")} of the committed window " +
+        s"[$lo, $hi] — folding a partial sidecar would silently shrink " +
+        "the served rerank; run backfillHybridFloats (or rebuild) " +
+        "before compacting")
     def legCompact(name: String)(compact: => Unit): Unit = {
       val w = GenerationManifest.window(s"$path/$name")
       if (w == ((hi + 1, hi + 1))) return // crashed attempt already did it
@@ -1040,14 +1071,7 @@ object RetrievalOps {
       asOfGen: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val (lo, g) = GenerationManifest.windowAt(path, asOfGen)
-    val fRoot = new org.apache.hadoop.fs.Path(s"$path/_floats")
-    val fs = fRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val covered: Set[Long] =
-      if (!fs.exists(fRoot)) Set.empty
-      else fs.listStatus(fRoot).map(_.getPath.getName)
-        .filter(_.startsWith("gen="))
-        .map(_.stripPrefix("gen=").toLong).toSet
-    val missing = (lo to g).filterNot(covered)
+    val missing = (lo to g).filterNot(floatGens(spark, path))
     require(missing.isEmpty,
       s"_floats sidecar at $path does not cover generation(s) " +
         s"${missing.mkString(", ")} of the served window [$lo, $g] — a " +

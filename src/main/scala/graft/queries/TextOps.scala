@@ -1811,16 +1811,24 @@ object TextOps {
       spark: SparkSession, dir: String, modelPath: String,
       oldGen: Long = -1L, newGen: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
-    val (lo, hi) = GenerationManifest.window(modelPath)
-    val og = if (oldGen >= 0) oldGen else hi - 1
-    val ng = math.min(newGen, hi)
-    require(og >= lo,
-      s"drift needs two addressable generations (window [$lo, $hi])")
-    require(og <= hi,
-      s"oldGen=$og is beyond the committed head $hi at $modelPath")
-    require(og != ng,
-      s"drift between generation $og and itself is vacuously zero — " +
-        s"pass two distinct generations (window [$lo, $hi])")
+    val (og, ng) = driftGens(modelPath, oldGen, newGen)
+    // BOTH generations must carry the backoff artifact: without it
+    // lmLoaded falls back to support-only (inner-join) scoring, so
+    // n_bigrams stops being model-independent and unsupported docs
+    // silently vanish from the matrix — the exact wrong-denominator
+    // drift this review exists to prevent. A pre-r17 generation
+    // refuses loudly instead (retrain or rewrite the store).
+    Seq(og, ng).foreach { gIn =>
+      val g = GenerationManifest.windowAt(modelPath, gIn)._2
+      val d = new org.apache.hadoop.fs.Path(s"$modelPath/backoff/gen=$g")
+      require(
+        d.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(d),
+        s"generation $g of the LM store at $modelPath has no backoff " +
+          "artifact — a pre-r17 model scores only its own support, so " +
+          "n_bigrams would not be model-independent and the drift matrix " +
+          "would silently drop docs; retrain (or rewrite) the store " +
+          "before comparing it")
+    }
     val docs = Tables.documents(spark, dir)
     val a = lmScoreFrame(docs, modelPath, og)
       .select($"doc_id", $"n_bigrams".as("n"), $"xent_e5nats".as("x1"))
@@ -3047,16 +3055,7 @@ object TextOps {
       spark: SparkSession, dir: String, modelPath: String,
       oldGen: Long = -1L, newGen: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
-    val (lo, hi) = GenerationManifest.window(modelPath)
-    val og = if (oldGen >= 0) oldGen else hi - 1
-    val ng = math.min(newGen, hi)
-    require(og >= lo,
-      s"drift needs two addressable generations (window [$lo, $hi])")
-    require(og <= hi,
-      s"oldGen=$og is beyond the committed head $hi at $modelPath")
-    require(og != ng,
-      s"drift between generation $og and itself is vacuously zero — " +
-        s"pass two distinct generations (window [$lo, $hi])")
+    val (og, ng) = driftGens(modelPath, oldGen, newGen)
     val a = bpeEncodeServed(spark, dir, modelPath, og)
       .select($"doc_id", $"n_words", $"n_tokens".as("t1"))
     val b = bpeEncodeServed(spark, dir, modelPath, ng)
@@ -3882,6 +3881,29 @@ object TextOps {
     * corpus a periodic retrain actually sees. */
   val DriftRetrainMod = 2
 
+  /** Resolve and guard the two generations of a drift comparison —
+    * ONE definition shared by the gate ([[gateDriftServed]]), LM
+    * ([[lmDriftServed]]), and BPE ([[bpeDriftServed]]) rollout
+    * reviews, so the guard semantics cannot diverge per family:
+    * `oldGen < 0` defaults to head−1, `newGen` clamps to the head,
+    * and the degenerate asks (below the floor, above the head,
+    * self-comparison) refuse loudly instead of silently clamping into
+    * a vacuous all-zero matrix. */
+  private[graft] def driftGens(
+      modelPath: String, oldGen: Long, newGen: Long): (Long, Long) = {
+    val (lo, hi) = GenerationManifest.window(modelPath)
+    val og = if (oldGen >= 0) oldGen else hi - 1
+    val ng = math.min(newGen, hi)
+    require(og >= lo,
+      s"drift needs two addressable generations (window [$lo, $hi])")
+    require(og <= hi,
+      s"oldGen=$og is beyond the committed head $hi at $modelPath")
+    require(og != ng,
+      s"drift between generation $og and itself is vacuously zero — " +
+        s"pass two distinct generations (window [$lo, $hi])")
+    (og, ng)
+  }
+
   /** The model-drift table over any `(doc_id, text)` frame and two
     * weight vectors: every doc scored under BOTH models in ONE narrow
     * codegen'd pass (two literal arrays, zero joins), reduced to the
@@ -3916,19 +3938,7 @@ object TextOps {
   def gateDriftServed(
       spark: SparkSession, dir: String, modelPath: String,
       oldGen: Long = -1L, newGen: Long = Long.MaxValue): DataFrame = {
-    val (lo, hi) = GenerationManifest.window(modelPath)
-    val og = if (oldGen >= 0) oldGen else hi - 1
-    val ng = math.min(newGen, hi)
-    require(og >= lo,
-      s"drift needs two addressable generations (window [$lo, $hi])")
-    // refuse the degenerate asks as loudly as the floor check does:
-    // og above the head would silently clamp both reads to the head
-    // and return an all-zero matrix, masking a caller bug
-    require(og <= hi,
-      s"oldGen=$og is beyond the committed head $hi at $modelPath")
-    require(og != ng,
-      s"drift between generation $og and itself is vacuously zero — " +
-        s"pass two distinct generations (window [$lo, $hi])")
+    val (og, ng) = driftGens(modelPath, oldGen, newGen)
     gateDriftWith(Tables.documents(spark, dir),
       gateWeightsAt(spark, modelPath, og),
       gateWeightsAt(spark, modelPath, ng))

@@ -258,6 +258,16 @@ class ModelStoreSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       TextOps.lmDriftServed(spark, sf, single)
     }
+    // a pre-r17 generation (no backoff artifact) must refuse, not
+    // silently score support-only with a model-dependent denominator
+    val boDir = new org.apache.hadoop.fs.Path(s"$path/backoff/gen=1")
+    boDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(boDir, true)
+    val be = intercept[IllegalArgumentException] {
+      TextOps.lmDriftServed(spark, sf, path)
+    }
+    assert(be.getMessage.contains("no backoff"),
+      s"wrong legacy refusal: ${be.getMessage}")
   }
 
   test("bpe drift (round 17): matrix is total, the fixture models genuinely differ, and the guards hold") {

@@ -408,6 +408,14 @@ class TimeTravelSpec extends SparkSuite {
     }
     assert(be.getMessage.contains("cannot reconstruct"),
       s"wrong backfill refusal: ${be.getMessage}")
+    // a corpus with duplicate rows per vec_id is AMBIGUOUS history —
+    // refused too (and a raw row-count check would have let duplicates
+    // mask missing ids)
+    val de = intercept[IllegalArgumentException] {
+      RetrievalOps.backfillHybridFloats(emb.unionByName(emb.limit(5)), idx)
+    }
+    assert(de.getMessage.contains("duplicate"),
+      s"wrong duplicate refusal: ${de.getMessage}")
     // the full historical corpus backfills every committed generation
     // with exactly the floats its dense leg sealed — the serve comes
     // back bit-identical to the natively-versioned store's
@@ -505,6 +513,18 @@ class TimeTravelSpec extends SparkSuite {
     RetrievalOps.appendHybridIndex(
       docs.filter(!baseP($"doc_id")), emb.filter(!baseP($"vec_id")), tidx)
     val tHead = rows(RetrievalOps.hybridServeAt(spark, tidx))
+    // a PARTIAL float sidecar must refuse the fold: compacting it
+    // would launder the gap past the serve guard into a silent rerank
+    // shrink — backfill first, then the fold proceeds
+    val tfs = new org.apache.hadoop.fs.Path(s"$tidx/_floats/gen=1")
+    tfs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(tfs, true)
+    val pce = intercept[IllegalArgumentException] {
+      RetrievalOps.compactHybridIndex(spark, tidx)
+    }
+    assert(pce.getMessage.contains("does not cover generation"),
+      s"wrong partial-fold refusal: ${pce.getMessage}")
+    RetrievalOps.backfillHybridFloats(emb, tidx)
     RetrievalOps.compactHybridIndex(spark, tidx)
     assert(rows(RetrievalOps.hybridServeAt(spark, tidx)) == tHead,
       "trained-hybrid compaction changed the serve")
