@@ -1186,6 +1186,14 @@ object DedupOps {
     // leading purge — in-flight readers of the old window are safe
   }
 
+  /** [[compactDedupIndex]]'s window-growth rule as code (the round-17
+    * `compactIfPast` threshold family): compact past `maxGens`
+    * committed generations. Returns whether it compacted. */
+  def maybeCompactDedupIndex(
+      spark: SparkSession, path: String, maxGens: Long): Boolean =
+    GenerationManifest.compactIfPast(path, maxGens)(
+      compactDedupIndex(spark, path))
+
   private val DedupIndexRoots = Seq("buckets", "shingles")
 
   /** Screen a DELTA frame against a sealed [[writeDedupIndex]] index:

@@ -395,6 +395,17 @@ object RetrievalOps {
   def compactIndex(spark: SparkSession, path: String): Unit =
     compactStaged(spark, path, crashAfterStage = Int.MaxValue)
 
+  /** [[compactIndex]]'s window-growth rule as code — the round-17
+    * `compactIfPast` threshold family applied to the inverted and
+    * passage indexes (both share `compactIndex`): compact when the
+    * committed window spans more than `maxGens` generations. A
+    * daily-append deployment calls this at its maintenance cadence.
+    * Returns whether it compacted. */
+  def maybeCompactIndex(
+      spark: SparkSession, path: String, maxGens: Long): Boolean =
+    GenerationManifest.compactIfPast(path, maxGens)(
+      compactIndex(spark, path))
+
   /** [[compactIndex]] with a failpoint for the crash-window spec. */
   private[graft] def compactStaged(
       spark: SparkSession, path: String, crashAfterStage: Int): Unit = {
@@ -1071,6 +1082,20 @@ object RetrievalOps {
       asOfGen: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val (lo, g) = GenerationManifest.windowAt(path, asOfGen)
+    // the one state the flip-last rule cannot hide: a crashed JOINT
+    // COMPACTION left a leg's window floor above the hybrid head (leg
+    // history below the fold is destroyed, so as-of truncation cannot
+    // serve it). Name the state and its repair instead of letting the
+    // leg read surface a bare "window floor" refusal
+    Seq("sparse", "dense").foreach { n =>
+      val legLo = GenerationManifest.window(s"$path/$n")._1
+      require(legLo <= g,
+        s"hybrid leg '$n' window floor $legLo is above the served " +
+          s"generation $g at $path — a joint compaction is in flight " +
+          "(or crashed between the leg folds and the hybrid flip); run " +
+          "compactHybridIndex to roll it forward, then serve at the " +
+          "new head")
+    }
     val missing = (lo to g).filterNot(floatGens(spark, path))
     require(missing.isEmpty,
       s"_floats sidecar at $path does not cover generation(s) " +

@@ -408,6 +408,17 @@ object SimilarityOps {
     } else GenerationManifest.commit(path, hi + 1, hi + 1)
   }
 
+  /** [[compactAnnIndex]]/[[compactFlatIndex]]'s window-growth rule as
+    * code (the round-17 `compactIfPast` threshold family): compact
+    * past `maxGens` committed generations. `flat = true` routes to the
+    * SQ8/PQ layout. Returns whether it compacted. */
+  def maybeCompactAnnIndex(
+      spark: SparkSession, path: String, maxGens: Long,
+      flat: Boolean = false): Boolean =
+    GenerationManifest.compactIfPast(path, maxGens)(
+      if (flat) compactFlatIndex(spark, path)
+      else compactAnnIndex(spark, path))
+
   def compactAnnIndex(spark: SparkSession, path: String): Unit = {
     val (lo, hi) = GenerationManifest.window(path)
     GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)

@@ -302,7 +302,9 @@ class TimeTravelSpec extends SparkSuite {
     RetrievalOps.writeInvertedIndex(base, idx)
     RetrievalOps.appendInvertedIndex(delta, idx)
     val atHead = rows(RetrievalOps.bm25SearchIndex(spark, idx))
-    RetrievalOps.compactIndex(spark, idx)
+    // the threshold form: a 2-gen window is under maxGens=2, past 1
+    assert(!RetrievalOps.maybeCompactIndex(spark, idx, maxGens = 2))
+    assert(RetrievalOps.maybeCompactIndex(spark, idx, maxGens = 1))
     // the snapshot generation still serves, identically
     assert(rows(RetrievalOps.bm25SearchIndex(spark, idx)) == atHead,
       "compaction changed the serve")
@@ -457,9 +459,11 @@ class TimeTravelSpec extends SparkSuite {
     // documented maintenance outage: serves and appends refuse loudly
     // — never a misserve, never a silent decorrelation
     RetrievalOps.compactIndex(spark, s"$idx/sparse")
-    intercept[IllegalArgumentException] {
+    val se = intercept[IllegalArgumentException] {
       RetrievalOps.hybridServeAt(spark, idx).collect()
     }
+    assert(se.getMessage.contains("compaction is in flight"),
+      s"mid-compaction serve refusal should name the state: ${se.getMessage}")
     intercept[IllegalArgumentException] {
       RetrievalOps.appendHybridIndex(docs.limit(0), emb.limit(0), idx)
     }
