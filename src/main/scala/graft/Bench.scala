@@ -292,6 +292,23 @@ object Bench {
       serveOnly("q124_bpe_drift") =
         (s, d) => queries.TextOps.bpeDriftServed(s, d, p)
     }
+    if (selNames("q125_decontam_served")) {
+      // the eval bank is sealed once per run (two generations — the
+      // new-release append loop); timed samples measure the screen
+      val p = buildDir("graft-bench-eval-bank")
+      phase("q125_build") {
+        import spark.implicits._
+        val eval = Tables.documents(spark, sfDir).filter($"doc_id" % 97 === 0)
+        queries.PipelineOps.writeEvalBank(eval.filter($"doc_id" % 2 === 0), p)
+        queries.PipelineOps.appendEvalBank(eval.filter($"doc_id" % 2 =!= 0), p)
+      }
+      serveOnly("q125_decontam_served") = (s, d) => {
+        import s.implicits._
+        queries.PipelineOps.decontamServed(
+          Tables.documents(s, d).filter($"doc_id" % 97 =!= 0), p)
+          .orderBy($"doc_id")
+      }
+    }
     val selected = registered.map { case (n, fn) =>
       (n, serveOnly.getOrElse(n, fn))
     }

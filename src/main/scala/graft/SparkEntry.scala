@@ -210,6 +210,12 @@ object SparkEntry {
     // encode the whole corpus under both as-of generations, report
     // the token-count drift matrix. EAGER, q114 convention.
     "q124_bpe_drift"       -> ((s, d) => TextOps.q124BpeDrift(s, d)),
+    // q125 persists q52's last unversioned dependency — the eval-gram
+    // bank: seal half the suite, append the other half (the
+    // new-benchmark-release loop), screen the corpus at the head. The
+    // oracle is q52's verbatim, so hash equality proves
+    // write == append == load == screen. EAGER, q114 convention.
+    "q125_decontam_served" -> ((s, d) => PipelineOps.q125DecontamServed(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -715,5 +721,8 @@ object SparkEntry {
     // corpus; even half), the full corpus folded through EACH table,
     // the same integer fertility arithmetic -> one matrix
     "q124_bpe_drift" -> TextOps.q124OracleSql(),
+    // served decontamination: q52's oracle verbatim — the screen from
+    // the persisted bank must equal the in-session report
+    "q125_decontam_served" -> PipelineOps.q52OracleSql,
   )
 }

@@ -471,17 +471,8 @@ object PipelineOps {
     * benchmark suites are small by nature). [[CorpusPipeline]]'s
     * decontamination gate consumes only the flagged ids. */
   private[graft] def decontamReport(
-      docs: DataFrame, evalDocs: DataFrame): DataFrame = {
-    def grams(df: DataFrame) = df.select(col("doc_id"),
-      graft.functions.HashedShingles
-        .hashedShingles(col("text"), DedupOps.NgramTokens).as("g"))
-    grams(docs)
-      .join(broadcast(grams(evalDocs).withColumnRenamed("doc_id", "eval_id")), "g")
-      .groupBy(col("doc_id"))
-      .agg(
-        countDistinct(col("g")).as("n_shared"),
-        countDistinct(col("eval_id")).as("n_eval_docs"))
-  }
+      docs: DataFrame, evalDocs: DataFrame): DataFrame =
+    decontamAgainst(docs, evalGramRel(evalDocs))
 
   def q52Decontam(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -489,6 +480,117 @@ object PipelineOps {
     decontamReport(
       docs.filter($"doc_id" % 97 =!= 0),
       docs.filter($"doc_id" % 97 === 0))
+      .orderBy($"doc_id")
+  }
+
+  // -------------------------------------------- eval-gram bank (q125)
+
+  /** The distinct `(g, eval_id)` gram-hash relation of an eval suite —
+    * ONE definition shared by the in-session report and the persisted
+    * bank so the two cannot drift. */
+  private def evalGramRel(evalDocs: DataFrame): DataFrame =
+    evalDocs.select(col("doc_id").as("eval_id"),
+      graft.functions.HashedShingles
+        .hashedShingles(col("text"), DedupOps.NgramTokens).as("g"))
+      .distinct()
+
+  /** Overlap report of `docs` against an explicit `(g, eval_id)`
+    * relation (broadcast — eval suites are small by nature): the core
+    * both [[decontamReport]] and [[decontamServed]] reduce to. */
+  private def decontamAgainst(
+      docs: DataFrame, evalRel: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.HashedShingles
+        .hashedShingles(col("text"), DedupOps.NgramTokens).as("g"))
+      .join(broadcast(evalRel), "g")
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("g")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+
+  /** Persist the EVAL-GRAM BANK — round 17 closes q52's last
+    * unversioned dependency: the decontamination gate rebuilt its eval
+    * gram set from the raw suite per call, so "which eval-set version
+    * was this corpus decontaminated against" (the question every
+    * contamination dispute starts with) had no addressable answer.
+    * Layout under the shared [[GenerationManifest]] window:
+    * `grams/gen=N` `(g, eval_id)` distinct gram-hash rows — bounded by
+    * the suite (benchmarks are fixed suites, not corpora), so every
+    * generation is one tiny file and serves ride a broadcast. New
+    * benchmark releases APPEND a generation ([[appendEvalBank]] —
+    * caller owns eval_id disjointness, the inverted-index convention);
+    * [[decontamServed]] at `asOfGen` reproduces exactly the screen any
+    * historical run applied. */
+  def writeEvalBank(evalDocs: DataFrame, path: String): Unit = {
+    evalGramRel(evalDocs).withColumn("gen", lit(1L))
+      .coalesce(1)
+      .write.partitionBy("gen").mode("overwrite").parquet(s"$path/grams")
+    GenerationManifest.commit(path, 1L, 1L)
+  }
+
+  /** Append a new eval-suite release as the next generation
+    * (crash-atomic: the write lands outside the committed window, the
+    * manifest rename publishes; retries purge debris first). */
+  def appendEvalBank(evalDocs: DataFrame, path: String): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, Seq("grams"), lo, hi)
+    evalGramRel(evalDocs).withColumn("gen", lit(hi + 1))
+      .coalesce(1)
+      .write.partitionBy("gen").mode("append").parquet(s"$path/grams")
+    GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
+  }
+
+  /** Fold the committed window into one generation —
+    * [[graft.queries.RetrievalOps.compactIndex]]'s contract for the
+    * bank (distinct pairs merge by union). */
+  def compactEvalBank(spark: SparkSession, path: String): Unit = {
+    val (lo, hi) = GenerationManifest.window(path)
+    GenerationManifest.purgeOutside(path, Seq("grams"), lo, hi)
+    if (lo == hi) return
+    spark.read.parquet(s"$path/grams")
+      .filter(col("gen").between(lo, hi)).drop("gen").distinct()
+      .withColumn("gen", lit(hi + 1))
+      .coalesce(1)
+      .write.partitionBy("gen").mode("append").parquet(s"$path/grams")
+    GenerationManifest.commit(path, hi + 1, hi + 1)
+  }
+
+  /** [[compactEvalBank]]'s growth rule as code (the `compactIfPast`
+    * threshold family). */
+  def maybeCompactEvalBank(
+      spark: SparkSession, path: String, maxGens: Long): Boolean =
+    GenerationManifest.compactIfPast(path, maxGens)(
+      compactEvalBank(spark, path))
+
+  /** q52's report under the LOADED bank — the deploy step: screen any
+    * corpus frame against the eval-gram bank as-of a generation,
+    * without the raw suite in hand. */
+  def decontamServed(
+      docs: DataFrame, bankPath: String,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
+    val spark = docs.sparkSession
+    val (lo, g) = GenerationManifest.windowAt(bankPath, asOfGen)
+    decontamAgainst(docs,
+      spark.read.parquet(s"$bankPath/grams")
+        .filter(col("gen").between(lo, g))
+        .select(col("g"), col("eval_id")))
+  }
+
+  /** q125 — DECONTAMINATION SERVED from the persisted eval bank: seal
+    * half the fixture eval suite as generation 1, APPEND the other
+    * half as generation 2 (the new-benchmark-release loop), and screen
+    * the corpus at the head. The oracle is [[q52OracleSql]] VERBATIM —
+    * hash equality proves write ≡ append ≡ load ≡ screen against the
+    * in-session report over the whole suite (the q118/q120 theorem for
+    * the decontamination gate). EAGER, q114 temp-dir convention. */
+  def q125DecontamServed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = SimilarityOps.tempIndexDir("graft-eval-bank")
+    val docs = Tables.documents(spark, dir)
+    val eval = docs.filter($"doc_id" % 97 === 0)
+    writeEvalBank(eval.filter($"doc_id" % 2 === 0), path)
+    appendEvalBank(eval.filter($"doc_id" % 2 =!= 0), path)
+    decontamServed(docs.filter($"doc_id" % 97 =!= 0), path)
       .orderBy($"doc_id")
   }
 

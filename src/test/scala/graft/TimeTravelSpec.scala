@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{DedupOps, GenerationManifest, RetrievalOps, SimilarityOps}
+import graft.queries.{DedupOps, GenerationManifest, PipelineOps, RetrievalOps, SimilarityOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -532,6 +532,39 @@ class TimeTravelSpec extends SparkSuite {
     RetrievalOps.compactHybridIndex(spark, tidx)
     assert(rows(RetrievalOps.hybridServeAt(spark, tidx)) == tHead,
       "trained-hybrid compaction changed the serve")
+  }
+
+  test("eval-gram bank (round 17): as-of reproduces the historical screen; compaction serves identically") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val eval = docs.filter($"doc_id" % 97 === 0)
+    val corpus = docs.filter($"doc_id" % 97 =!= 0)
+    val bank = tmp("graft-tt-eval-bank")
+    PipelineOps.writeEvalBank(eval.filter($"doc_id" % 2 === 0), bank)
+    PipelineOps.appendEvalBank(eval.filter($"doc_id" % 2 =!= 0), bank)
+    // head serve == the in-session report over the whole suite (q125's
+    // oracle property, pinned in-engine too)
+    val atHead =
+      rows(PipelineOps.decontamServed(corpus, bank).orderBy($"doc_id"))
+    assert(atHead == rows(PipelineOps.q52Decontam(spark, sf)),
+      "served screen diverged from the in-session report")
+    // generation 1 reproduces EXACTLY the screen the half-suite run
+    // applied — the "which eval-set version did run g use" read
+    val atGen1 = rows(
+      PipelineOps.decontamServed(corpus, bank, asOfGen = 1L)
+        .orderBy($"doc_id"))
+    assert(atGen1 == rows(
+      PipelineOps.decontamReport(corpus, eval.filter($"doc_id" % 2 === 0))
+        .orderBy($"doc_id")),
+      "as-of screen diverged from the half-suite report")
+    assert(atGen1 != atHead,
+      "fixture vacuous: the appended suite half changed nothing")
+    // compaction folds the window without moving the head serve
+    PipelineOps.compactEvalBank(spark, bank)
+    assert(rows(PipelineOps.decontamServed(corpus, bank).orderBy($"doc_id"))
+      == atHead, "bank compaction changed the screen")
+    // and the threshold form fires only past the cadence
+    assert(!PipelineOps.maybeCompactEvalBank(spark, bank, maxGens = 1))
   }
 
   test("IVF-PQ retrain (round 16): epoch generations — as-of replays OLD quantizers, appends encode with NEW, compaction re-seats") {
