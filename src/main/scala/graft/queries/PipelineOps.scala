@@ -530,7 +530,13 @@ object PipelineOps {
 
   /** Append a new eval-suite release as the next generation
     * (crash-atomic: the write lands outside the committed window, the
-    * manifest rename publishes; retries purge debris first). */
+    * manifest rename publishes; retries purge debris first). A
+    * `(g, eval_id)` pair re-released in a later generation is harmless
+    * — the served report aggregates with `countDistinct` on both
+    * columns, and [[compactEvalBank]] folds duplicates away — so
+    * "disjointness" here is an efficiency convention, not a
+    * correctness precondition (unlike the posting/code indexes, where
+    * a replayed row double-counts). */
   def appendEvalBank(evalDocs: DataFrame, path: String): Unit = {
     val (lo, hi) = GenerationManifest.window(path)
     GenerationManifest.purgeOutside(path, Seq("grams"), lo, hi)

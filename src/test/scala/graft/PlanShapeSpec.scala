@@ -32,6 +32,23 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("hashed_shingles"), s"gram generator not the custom one:\n$p")
   }
 
+  test("q125: the LOADED eval bank broadcasts exactly like q52's in-session eval side") {
+    import spark.implicits._
+    // the serve reads (g, eval_id) rows from parquet instead of
+    // shingling the raw suite — the plan must keep q52's shape: the
+    // bank rides a broadcast, the corpus gram stream is filtered
+    // map-side, nothing sort-merges or re-keys the corpus by gram
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-plan-eval-bank").toString
+    val docs = Tables.documents(spark, sf)
+    PipelineOps.writeEvalBank(docs.filter($"doc_id" % 97 === 0), path)
+    val p = plan(PipelineOps.decontamServed(
+      docs.filter($"doc_id" % 97 =!= 0), path))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+    assert(p.contains("hashed_shingles"), s"gram generator not the custom one:\n$p")
+  }
+
   test("q54: quantizer stats broadcast in-plan; scoring is the codegen'd kernel") {
     val p = plan(SimilarityOps.q54Sq8TopK(spark, sf))
     assert(p.contains("dot_product"), s"kernel not the custom expression:\n$p")
