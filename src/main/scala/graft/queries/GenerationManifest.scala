@@ -40,6 +40,19 @@ import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
   * scanned — the exact fallback for legacy indexes and arbitrary id
   * spaces. Records for generations outside the committed window are
   * dropped at the next commit (their data is purge-eligible debris).
+  *
+  * `P kind gen` (round 18) is a PENDING-MUTATION INTENT: a
+  * multi-artifact mutation (the hybrid store's two-leg append/retrain)
+  * commits it BEFORE touching any sub-artifact and clears it with the
+  * publishing flip, so crash repair is POSITIVELY identified — a
+  * sub-artifact found one generation ahead of the governing window is
+  * a crashed attempt's half-done work iff the matching intent record
+  * exists; without it the state is an out-of-band mutation and the
+  * retry refuses loudly instead of "repairing" (and thereby silently
+  * skipping) someone else's change. At most one intent at a time (the
+  * protocol's single-writer assumption); unlike `W`/`E` records its
+  * generation points one PAST the window by construction, so it is
+  * exempt from the commit's window scoping.
   */
 private[graft] object GenerationManifest {
 
@@ -131,7 +144,8 @@ private[graft] object GenerationManifest {
   final case class State(
       lo: Long, hi: Long,
       wms: Map[Long, (Long, Long)] = Map.empty,
-      epochBases: Seq[Long] = Seq.empty)
+      epochBases: Seq[Long] = Seq.empty,
+      pending: Option[(String, Long)] = None)
 
   /** Parse the committed manifest into a [[State]] (one file read). */
   def state(path: String): State = {
@@ -147,7 +161,9 @@ private[graft] object GenerationManifest {
     State(lo, hi,
       wms = recs.collect { case Array("W", g, mn, mx) =>
         g.toLong -> ((mn.toLong, mx.toLong)) }.toMap,
-      epochBases = recs.collect { case Array("E", g) => g.toLong }.sorted)
+      epochBases = recs.collect { case Array("E", g) => g.toLong }.sorted,
+      pending = recs.collectFirst { case Array("P", k, g) =>
+        (k, g.toLong) })
   }
 
   /** Read-modify-write commit — the record-PRESERVING form every
@@ -164,7 +180,7 @@ private[graft] object GenerationManifest {
     * records is their intent, and it should read as such. */
   def amend(path: String)(f: State => State): State = {
     val s = f(state(path))
-    commit(path, s.lo, s.hi, s.wms, s.epochBases)
+    commit(path, s.lo, s.hi, s.wms, s.epochBases, s.pending)
     s
   }
 
@@ -229,16 +245,27 @@ private[graft] object GenerationManifest {
   def commit(
       path: String, lo: Long, hi: Long,
       wms: Map[Long, (Long, Long)] = Map.empty,
-      epochBases: Seq[Long] = Seq.empty): Unit = {
+      epochBases: Seq[Long] = Seq.empty,
+      pending: Option[(String, Long)] = None): Unit = {
     val c = conf
     val root = new HPath(path)
     val fs = root.getFileSystem(c)
     val tmp = new HPath(root, "_GENERATION.tmp")
+    pending.foreach { case (k, g) =>
+      require(!k.contains(" ") && k.nonEmpty,
+        s"pending-intent kind must be a bare token, got '$k'")
+      // an intent always names the NEXT generation a mutation is
+      // building — committing one inside the window would read as a
+      // crashed attempt at already-published history
+      require(g == hi + 1,
+        s"pending-intent generation $g must be hi+1 (${hi + 1}) at $path")
+    }
     val body = (Seq(s"$lo $hi") ++
       wms.toSeq.filter { case (g, _) => g >= lo && g <= hi }.sortBy(_._1)
         .map { case (g, (mn, mx)) => s"W $g $mn $mx" } ++
       epochBases.filter(g => g >= lo && g <= hi).distinct.sorted
-        .map(g => s"E $g")).mkString("\n")
+        .map(g => s"E $g") ++
+      pending.map { case (k, g) => s"P $k $g" }).mkString("\n")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val fc = FileContext.getFileContext(fs.getUri, c)

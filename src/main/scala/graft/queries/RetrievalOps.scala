@@ -835,11 +835,44 @@ object RetrievalOps {
     * flip the hybrid window once both are level — see
     * [[writeHybridIndex]] for the crash/repair contract. Idempotent
     * per id (the watermark scheme), so at-least-once redelivery after
-    * a committed flip is a no-op. */
+    * a committed flip is a no-op.
+    *
+    * Crash repair is POSITIVELY identified since round 18: the append
+    * commits a PENDING-APPEND INTENT (`P A hi+1`,
+    * [[GenerationManifest.State.pending]]) into the hybrid manifest
+    * BEFORE touching any leg, cleared by the publishing flip — so a
+    * leg found one generation ahead is a crashed attempt's half-done
+    * work iff the intent exists. Without it the same window shape is
+    * an OUT-OF-BAND mutation and the append refuses loudly: the r17
+    * guard accepted `(lo, hi+1)` unconditionally, which a direct
+    * `retrainIvfPq` on the dense leg spoofs exactly — the next append
+    * would then silently SKIP the dense leg, sealing the delta's
+    * vec_ids in the watermark and floats while never indexing them
+    * (silent loss dressed as crash repair). A drifted dense leg
+    * retrains through [[retrainHybridDense]], which keeps the legs
+    * correlated. */
   def appendHybridIndex(
-      docs: DataFrame, emb: DataFrame, path: String): Unit = {
+      docs: DataFrame, emb: DataFrame, path: String): Unit =
+    appendHybridStaged(docs, emb, path, crashAfterLeg = Int.MaxValue)
+
+  /** [[appendHybridIndex]] with a failpoint for the crash-window spec
+    * (the [[appendStaged]] convention): stop after the intent commit
+    * (0), the sparse leg (1), the dense leg (2), or the float sidecar
+    * (3) — every such state must be invisible to serves and rolled
+    * forward by the retry. */
+  private[graft] def appendHybridStaged(
+      docs: DataFrame, emb: DataFrame, path: String,
+      crashAfterLeg: Int): Unit = {
     val spark = docs.sparkSession
-    val (lo, hi) = GenerationManifest.window(path)
+    val st0 = GenerationManifest.state(path)
+    val (lo, hi) = (st0.lo, st0.hi)
+    // a half-done RETRAIN has its own roll-forward; appending through
+    // it would interleave two multi-leg mutations
+    require(!st0.pending.exists(_._1 == "R"),
+      s"a dense-leg retrain is in flight at $path (pending intent " +
+        s"${st0.pending.get}) — run retrainHybridDense to roll it " +
+        "forward, then append")
+    val pendingAppend = st0.pending.contains(("A", hi + 1))
     // a crashed append's float debris sits above the window — purge at
     // the start of the retry (the protocol's standard leading purge)
     GenerationManifest.purgeOutside(path, Seq("_floats"), lo, hi)
@@ -875,26 +908,54 @@ object RetrievalOps {
         if (scanGens.isEmpty) (dMin, dMax)
         else combinedRange(keptDocs, "doc_id", keptEmb, "vec_id")
       if (scanGens.nonEmpty && keptRange._1 > keptRange._2) return
-      // pre-flip-crash repair vs out-of-band mutation: absorbed is
-      // EXACTLY (lo, hi+1); in-sync is exactly (lo, hi); anything else
-      // means a leg was mutated outside the hybrid ops — refuse loudly
+      // pre-flip-crash repair vs out-of-band mutation, POSITIVELY
+      // identified: a leg at (lo, hi+1) absorbed its delta in a
+      // crashed attempt IFF the pending-append intent exists — the
+      // same window shape WITHOUT the intent is someone else's
+      // mutation (a direct leg append, or a direct retrainIvfPq whose
+      // epoch snapshot lands at exactly (lo, hi+1)) and skipping
+      // "past" it would silently lose the delta in that leg forever
       def legState(name: String): Boolean = {
         val w = GenerationManifest.window(s"$path/$name")
-        require(w == ((lo, hi)) || w == ((lo, hi + 1)),
-          s"hybrid leg '$name' window $w is out of sync with the hybrid " +
-            s"window [$lo, $hi] at $path — legs must only be mutated " +
-            "through the hybrid ops (a direct append or compaction would " +
-            "silently decorrelate the generations)")
-        w == ((lo, hi))
+        if (w == ((lo, hi))) false
+        else if (w == ((lo, hi + 1)) && pendingAppend) true
+        else {
+          val why =
+            if (w == ((lo, hi + 1)))
+              "is one generation ahead with NO pending-append intent " +
+                "in the hybrid manifest — an out-of-band mutation (a " +
+                "direct leg append, or a direct retrain: a drifted " +
+                "dense leg rolls through retrainHybridDense, which " +
+                "keeps the legs correlated)"
+            else "is out of sync with the hybrid window"
+          throw new IllegalArgumentException(
+            s"requirement failed: hybrid leg '$name' window $w $why " +
+              s"[$lo, $hi] at $path — legs must only be mutated through " +
+              "the hybrid ops (a direct append, retrain or compaction " +
+              "would silently decorrelate the generations)")
+        }
       }
-      if (legState("sparse")) appendInvertedIndex(keptDocs, s"$path/sparse")
-      if (legState("dense"))
-        SimilarityOps.appendIvfPqIndex(keptEmb, s"$path/dense")
+      // inspect BOTH legs before mutating either — a refusal must land
+      // before any work, and under one intent record
+      val sparseDone = legState("sparse")
+      val denseDone = legState("dense")
+      // commit the intent BEFORE the first leg mutation (cleared by
+      // the flip): this is what makes the one-ahead state unspoofable
+      if (!pendingAppend)
+        GenerationManifest.amend(path)(s =>
+          s.copy(pending = Some(("A", hi + 1))))
+      if (crashAfterLeg <= 0) return
+      if (!sparseDone) appendInvertedIndex(keptDocs, s"$path/sparse")
+      if (crashAfterLeg <= 1) return
+      if (!denseDone) SimilarityOps.appendIvfPqIndex(keptEmb, s"$path/dense")
+      if (crashAfterLeg <= 2) return
       // version the generation's rerank floats with it (overwrite of
       // the explicit gen dir = idempotent under pre-flip retries)
       writeHybridFloats(keptEmb, path, hi + 1)
+      if (crashAfterLeg <= 3) return
       GenerationManifest.amend(path)(s =>
-        s.copy(hi = hi + 1, wms = s.wms + ((hi + 1) -> keptRange)))
+        s.copy(hi = hi + 1, wms = s.wms + ((hi + 1) -> keptRange),
+          pending = None))
     } finally release()
   }
 
@@ -1004,7 +1065,37 @@ object RetrievalOps {
     * across the flip and replaced generations are reclaimed by the
     * next mutation's leading purge. */
   def compactHybridIndex(spark: SparkSession, path: String): Unit = {
-    val (lo, hi) = GenerationManifest.window(path)
+    val st0 = GenerationManifest.state(path)
+    val (lo, hi) = (st0.lo, st0.hi)
+    // pending-intent interactions (round 18):
+    //   - a crashed APPEND that already advanced a leg must be rolled
+    //     forward by ITS retry (the stream appends right after this
+    //     cadence point) — folding now would orphan the half-done
+    //     generation in a state neither roll-forward recognizes, so
+    //     SKIP the fold and let the next cadence catch up;
+    //   - a crashed append that touched NOTHING left a vacuous intent
+    //     — the fold proceeds and its commit clears it;
+    //   - a crashed RETRAIN refuses loudly: its roll-forward is
+    //     retrainHybridDense's, and compacting around a half-built
+    //     epoch snapshot would wedge the store.
+    st0.pending match {
+      case Some(("A", g)) =>
+        if (Seq("sparse", "dense").exists(n =>
+          GenerationManifest.window(s"$path/$n") == ((lo, g)))) return
+      case Some(("R", _)) =>
+        throw new IllegalArgumentException(
+          s"requirement failed: a dense-leg retrain is in flight at " +
+            s"$path (pending intent ${st0.pending.get}) — run " +
+            "retrainHybridDense to roll it forward before compacting")
+      case _ => ()
+    }
+    // leading purge (the appendHybridIndex discipline): a crash MID
+    // float-fold leaves torn parquet under _floats/gen=hi+1, and the
+    // fold below reads the whole _floats tree before overwriting —
+    // schema/footer inference over the debris would wedge the retry.
+    // In the HybridIndexStream cadence this compaction runs BEFORE the
+    // append's purge ever executes, so the purge must be local
+    GenerationManifest.purgeOutside(path, Seq("_floats"), lo, hi)
     if (lo == hi) return
     // PER-GENERATION coverage, exactly hybridServeAt's guard: a bare
     // existence check would fold a PARTIAL sidecar (a pre-r17 store
@@ -1061,6 +1152,210 @@ object RetrievalOps {
       spark: SparkSession, path: String, maxGens: Long): Boolean =
     GenerationManifest.compactIfPast(path, maxGens)(
       compactHybridIndex(spark, path))
+
+  /** RETRAIN the hybrid store's DENSE-LEG quantizers — the one
+    * quantizer-bearing family that had no epoch-retrain path (round 18
+    * closes the r17 `weak`): a q122 deployment whose corpus drifts
+    * could previously only rebuild, losing the store's generation
+    * history, while a direct `retrainIvfPq` on the leg is exactly the
+    * out-of-band mutation [[appendHybridIndex]]'s guard refuses (and
+    * pre-r18 silently mis-repaired). The retrain is SELF-CONTAINED:
+    * the training corpus is the store's own versioned `_floats`
+    * sidecar (every committed generation's float truth — no external
+    * corpus parameter, no coverage invariant to trust), re-encoded by
+    * [[SimilarityOps.retrainIvfPq]] as the dense leg's epoch-base
+    * generation `hi+1`. The sparse leg's CONTENT is untouched by a
+    * dense retrain, but the lockstep invariant (hybrid generation h ≡
+    * the pair (sparse h, dense h)) requires it to advance: it seals an
+    * EMPTY generation — no postings, the cumulative `_stats` row
+    * carried verbatim (the compaction discipline) — so every serve at
+    * or past the flip ranks identically on the sparse side and
+    * re-encodes only the dense side. The hybrid manifest records the
+    * generation as an EPOCH base, the inverted-EMPTY watermark ("seals
+    * no new ids"), and an empty `_floats/gen=hi+1` footer (the serve
+    * guard's per-generation coverage).
+    *
+    * Crash contract — the [[appendHybridIndex]] intent protocol, kind
+    * `R`: the intent commits BEFORE the dense retrain and clears with
+    * the flip; a retry positively identifies the half-done legs (the
+    * dense leg one-ahead must also be an epoch base) and rolls
+    * forward; appends and compactions meeting the intent refuse loudly
+    * with the roll-forward named. As-of serves BELOW the flip replay
+    * the OLD quantizers bit for bit ([[SimilarityOps.ivfPqSearchIndex]]'s
+    * epoch resolution); appends after it encode with the NEW
+    * (spec-pinned). Run [[hybridDriftServed]] — the q119 review for
+    * the composed store — before pointing traffic at the new head. */
+  def retrainHybridDense(
+      spark: SparkSession, path: String,
+      ivfIters: Int = 5, pqIters: Int = 5,
+      trainSample: Option[DataFrame] = None): Unit = {
+    val st0 = GenerationManifest.state(path)
+    val (lo, hi) = (st0.lo, st0.hi)
+    require(!st0.pending.exists(_._1 == "A"),
+      s"an append is in flight at $path (pending intent " +
+        s"${st0.pending.get}) — redeliver its batch through " +
+        "appendHybridIndex to roll it forward, then retrain")
+    val resuming = st0.pending.contains(("R", hi + 1))
+    GenerationManifest.purgeOutside(path, Seq("_floats"), lo, hi)
+    // the sidecar IS the training corpus — its per-generation coverage
+    // guard is therefore a precondition here, not just at serve time
+    val missing = (lo to hi).filterNot(floatGens(spark, path))
+    require(missing.isEmpty,
+      s"_floats sidecar at $path does not cover generation(s) " +
+        s"${missing.mkString(", ")} of the committed window [$lo, $hi] " +
+        "— the retrain re-encodes from the sidecar's float truth; run " +
+        "backfillHybridFloats (or rebuild) first")
+    def legState(name: String): Boolean = {
+      val w = GenerationManifest.window(s"$path/$name")
+      if (w == ((lo, hi))) false
+      else if (w == ((lo, hi + 1)) && resuming) true
+      else throw new IllegalArgumentException(
+        s"requirement failed: hybrid leg '$name' window $w is out of " +
+          s"sync with the hybrid window [$lo, $hi] at $path — legs " +
+          "must only be mutated through the hybrid ops")
+    }
+    val sparseDone = legState("sparse")
+    val denseDone = legState("dense")
+    // positive identification of the crashed attempt's dense half: a
+    // one-ahead dense leg under an R intent must be the epoch snapshot
+    // the attempt was building
+    if (denseDone)
+      require(GenerationManifest.epochs(s"$path/dense").contains(hi + 1),
+        s"dense leg at $path is one generation ahead under a retrain " +
+          s"intent but generation ${hi + 1} is not an epoch base — " +
+          "the store was mutated outside the hybrid ops; rebuild")
+    if (!resuming)
+      GenerationManifest.amend(path)(s =>
+        s.copy(pending = Some(("R", hi + 1))))
+    if (!denseDone) {
+      val floats = spark.read.parquet(s"$path/_floats")
+        .filter(col("gen").between(lo, hi))
+        .select(col("vec_id"), col("label"), col("embedding"))
+      SimilarityOps.retrainIvfPq(
+        floats, s"$path/dense", ivfIters, pqIters, trainSample)
+    }
+    if (!sparseDone) {
+      // leading purge (the appendGeneric discipline): a crash between
+      // the stats carry and the leg flip would otherwise double-append
+      // the carried row on retry
+      GenerationManifest.purgeOutside(s"$path/sparse", Seq("", "_stats"),
+        lo, hi)
+      spark.read.parquet(s"$path/sparse/_stats")
+        .filter(col("gen") === hi).drop("gen")
+        .withColumn("gen", lit(hi + 1))
+        .write.partitionBy("gen").mode("append").parquet(s"$path/sparse/_stats")
+      GenerationManifest.amend(s"$path/sparse")(s => s.copy(hi = hi + 1))
+    }
+    // the retrain seals no NEW ids: empty float footer (coverage
+    // guard), inverted-EMPTY watermark (idempotency scans skip it)
+    writeHybridFloats(
+      spark.read.parquet(s"$path/_floats").limit(0)
+        .select(col("vec_id"), col("label"), col("embedding")),
+      path, hi + 1)
+    GenerationManifest.amend(path)(s => s.copy(
+      hi = hi + 1,
+      wms = s.wms + ((hi + 1) -> ((Long.MaxValue, Long.MinValue))),
+      epochBases = s.epochBases :+ (hi + 1),
+      pending = None))
+  }
+
+  /** The HYBRID DRIFT review between two generations of the store —
+    * the q117/q119/q123/q124 pre-flip question asked of the SERVING
+    * ENDPOINT: what would pointing traffic at the retrained head
+    * change in the fused ranking? Both generations serve through the
+    * unchanged [[hybridServeAt]] (joint as-of — each leg, the fusion,
+    * and the rerank floats all at the correlated generation), then ONE
+    * full-outer join over the two ≤ k·|Q| fused relations reduces to
+    * the one-row flip matrix:
+    *
+    *   - `n_queries`, `n_old`, `n_new` — query count and fused-set
+    *     sizes at each generation;
+    *   - `n_common`, `agreement_ppm` — (qid, doc_id) pairs retrieved
+    *     by BOTH, and their share of the new serve (the q122 spec's
+    *     fused-rank-agreement metric, in ppm — the number that decides
+    *     the flip, with the q83-vs-q78 0.7 precedent as the floor);
+    *   - `n_rank_same` — common pairs whose FUSED rank is unchanged;
+    *   - `n_sparse_flips`, `n_dense_flips` — common pairs whose
+    *     per-leg rank moved. A dense-only retrain must show
+    *     `n_sparse_flips = 0` (the sparse leg's empty generation
+    *     changes nothing) — a nonzero value means the legs were not
+    *     actually correlated, which is the review's loudest alarm.
+    *
+    * Everything is rank arithmetic on two bounded relations — corpus
+    * cost is the two serves themselves, each index-pruned. Rows-only
+    * under the q84 waiver when registered (trained k-means legs);
+    * the spec pins the agreement floor and the zero-sparse-flip
+    * invariant on the fixture. */
+  def hybridDriftServed(
+      spark: SparkSession, path: String,
+      oldGen: Long = -1L, newGen: Long = Long.MaxValue): DataFrame = {
+    val (lo, hi) = GenerationManifest.window(path)
+    val og = if (oldGen >= 0) oldGen else hi - 1
+    val ng = math.min(newGen, hi)
+    // the shared driftGens guard semantics (TextOps.driftGens), stated
+    // here against the hybrid window: degenerate asks refuse loudly
+    require(og >= lo,
+      s"drift needs two addressable generations (window [$lo, $hi])")
+    require(og <= hi,
+      s"oldGen=$og is beyond the committed head $hi at $path")
+    require(ng >= lo,
+      s"newGen=$ng predates the window floor $lo at $path")
+    require(og != ng,
+      s"drift between generation $og and itself is vacuously zero — " +
+        s"pass two distinct generations (window [$lo, $hi])")
+    require(og < ng,
+      s"oldGen=$og is not older than newGen=$ng at $path — the drift " +
+        "review reads old → new; swap the arguments")
+    val o = hybridServeAt(spark, path, asOfGen = og)
+      .select(col("qid"), col("doc_id"), col("rank").as("r1"),
+        col("s_rank").as("s1"), col("d_rank").as("d1"))
+    val n = hybridServeAt(spark, path, asOfGen = ng)
+      .select(col("qid"), col("doc_id"), col("rank").as("r2"),
+        col("s_rank").as("s2"), col("d_rank").as("d2"))
+    o.join(n, Seq("qid", "doc_id"), "full_outer")
+      .agg(
+        countDistinct(col("qid")).as("n_queries"),
+        count(col("r1")).as("n_old"),
+        count(col("r2")).as("n_new"),
+        sum(when(col("r1").isNotNull && col("r2").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"),
+        sum(when(col("r1") === col("r2"), 1L).otherwise(0L))
+          .as("n_rank_same"),
+        sum(when(col("r1").isNotNull && col("r2").isNotNull &&
+          col("s1") =!= col("s2"), 1L).otherwise(0L)).as("n_sparse_flips"),
+        sum(when(col("r1").isNotNull && col("r2").isNotNull &&
+          col("d1") =!= col("d2"), 1L).otherwise(0L)).as("n_dense_flips"))
+      .select(col("n_queries"), col("n_old"), col("n_new"), col("n_common"),
+        when(col("n_new") > 0,
+          expr("n_common * 1000000 div n_new")).otherwise(0L)
+          .as("agreement_ppm"),
+        col("n_rank_same"), col("n_sparse_flips"), col("n_dense_flips"))
+  }
+
+  /** q126 — HYBRID RETRAIN + DRIFT end to end (the q119 loop for the
+    * composed store, closing the r17 `weak`): seal the TRAINED hybrid
+    * on the full corpus (generation 1), RETRAIN its dense leg from the
+    * store's own `_floats` sidecar with the even-id training sample
+    * ([[SimilarityOps.QuantRetrainMod]] — the drifted-corpus stand-in)
+    * which seals epoch generation 2 across BOTH legs in lockstep, and
+    * report [[hybridDriftServed]]'s review between the two — the table
+    * a q122 deployment reads before flipping traffic to the retrained
+    * quantizers. Rows-only (the q84 waiver); the agreement floor,
+    * zero-sparse-flip invariant, as-of replay, and append-after-
+    * retrain contracts are spec-pinned. EAGER, q112 temp-dir
+    * convention. */
+  def q126HybridDrift(
+      spark: SparkSession, dir: String,
+      ivfIters: Int = 3, pqIters: Int = 3): DataFrame = {
+    val path = SimilarityOps.tempIndexDir("graft-hybrid-drift")
+    val emb = Tables.embeddings(spark, dir)
+    writeTrainedHybridIndex(
+      Tables.documents(spark, dir), emb, path, ivfIters, pqIters)
+    retrainHybridDense(spark, path, ivfIters, pqIters,
+      trainSample = Some(emb.filter(
+        col("vec_id") % SimilarityOps.QuantRetrainMod === 0)))
+    hybridDriftServed(spark, path)
+  }
 
   /** The hybrid serve at a CORRELATED generation: both legs read
     * as-of the hybrid window's resolution of `asOfGen`, so the fused

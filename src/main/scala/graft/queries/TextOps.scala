@@ -3898,9 +3898,19 @@ object TextOps {
       s"drift needs two addressable generations (window [$lo, $hi])")
     require(og <= hi,
       s"oldGen=$og is beyond the committed head $hi at $modelPath")
+    require(ng >= lo,
+      s"newGen=$ng predates the window floor $lo at $modelPath — " +
+        "generations before a compaction flip are reclaimed and not " +
+        "addressable")
     require(og != ng,
       s"drift between generation $og and itself is vacuously zero — " +
         s"pass two distinct generations (window [$lo, $hi])")
+    // a reversed pair would compute a silently TRANSPOSED flip matrix
+    // (n_dropped/n_admitted swapped under their labels) — refuse at
+    // the shared guard instead of mislabeling the review
+    require(og < ng,
+      s"oldGen=$og is not older than newGen=$ng at $modelPath — the " +
+        "drift review reads old → new; swap the arguments")
     (og, ng)
   }
 

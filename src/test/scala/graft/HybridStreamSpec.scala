@@ -44,8 +44,12 @@ class HybridStreamSpec extends SparkSuite {
     val in = MemoryStream[HybridDoc]
     val q = graft.streaming.HybridIndexStream.sink(
       in.toDF(), idx, tmp("graft-hybrid-stream-ck"))
+    // grouped() may yield fewer groups than the nominal 3 for small
+    // fixtures (size 4 → 2 groups) — derive the expected window from
+    // the ACTUAL batch count instead of hard-coding it
+    val batches = delta.grouped((delta.size + 2) / 3).toSeq
     try {
-      delta.grouped((delta.size + 2) / 3).foreach { b =>
+      batches.foreach { b =>
         in.addData(b)
         q.processAllAvailable()
       }
@@ -55,7 +59,9 @@ class HybridStreamSpec extends SparkSuite {
     // lockstep with the hybrid window), and the served ranking equals
     // the full-corpus composed hybrid — append ≡ rebuild inductively
     val (lo, hi) = GenerationManifest.window(idx)
-    assert((lo, hi) == ((1L, 4L)), s"expected 3 streamed seals, got [$lo, $hi]")
+    assert((lo, hi) == ((1L, 1L + batches.size)),
+      s"expected ${batches.size} streamed seals, got [$lo, $hi]")
+    assert(batches.size >= 2, "fixture vacuous: a single streamed batch")
     assert(GenerationManifest.window(s"$idx/sparse") == ((lo, hi)),
       "sparse leg fell out of lockstep")
     assert(GenerationManifest.window(s"$idx/dense") == ((lo, hi)),

@@ -4,9 +4,11 @@ import graft.queries.GenerationManifest
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The `_GENERATION` manifest FILE FORMAT (round 16 extends it with
-  * typed records): first line = the window, `W gen min max` = sealed-id
-  * watermarks, `E gen` = quantizer-epoch bases, unknown record types
-  * ignored (forward compatibility). These behaviors are exercised
+  * typed records, round 18 with the pending-mutation intent): first
+  * line = the window, `W gen min max` = sealed-id watermarks, `E gen`
+  * = quantizer-epoch bases, `P kind gen` = a multi-artifact mutation's
+  * pending intent, unknown record types ignored (forward
+  * compatibility). These behaviors are exercised
   * indirectly by every index family's spec; this suite pins the
   * format itself — a parser change that breaks an on-disk manifest
   * written by an older build must fail HERE, not in production
@@ -95,6 +97,33 @@ class ManifestSpec extends AnyFunSuite {
     GenerationManifest.amend(p)(s => s.copy(lo = s.hi + 1, hi = s.hi + 1))
     assert(GenerationManifest.state(p) ==
       GenerationManifest.State(6L, 6L, Map.empty, Seq.empty))
+  }
+
+  test("pending-mutation intent (round 18): round-trips, rides amends, cleared by the flip, guarded to hi+1") {
+    val p = tmp()
+    GenerationManifest.commit(p, 1L, 3L, wms = Map(3L -> (0L, 9L)))
+    GenerationManifest.amend(p)(s => s.copy(pending = Some(("A", 4L))))
+    assert(GenerationManifest.state(p).pending.contains(("A", 4L)))
+    // the other record families read through unaffected
+    assert(GenerationManifest.watermarks(p) == Map(3L -> (0L, 9L)))
+    assert(GenerationManifest.window(p) == ((1L, 3L)))
+    // an unrelated amend carries the intent structurally (the W/E rule)
+    GenerationManifest.amend(p)(s => s.copy(wms = s.wms + ((2L, (20L, 29L)))))
+    assert(GenerationManifest.state(p).pending.contains(("A", 4L)))
+    // the publishing flip clears it
+    GenerationManifest.amend(p)(s => s.copy(hi = 4L, pending = None))
+    assert(GenerationManifest.state(p).pending.isEmpty)
+    // an intent names the generation BEING BUILT — exactly hi+1;
+    // anything else is a protocol bug, refused at commit
+    intercept[IllegalArgumentException] {
+      GenerationManifest.amend(p)(s => s.copy(pending = Some(("A", 99L))))
+    }
+    // a direct commit (the compaction shape) drops a vacuous intent —
+    // resetting the records is a compaction's documented intent
+    GenerationManifest.amend(p)(s => s.copy(pending = Some(("R", 5L))))
+    assert(GenerationManifest.state(p).pending.contains(("R", 5L)))
+    GenerationManifest.commit(p, 5L, 5L)
+    assert(GenerationManifest.state(p).pending.isEmpty)
   }
 
   test("gensNeedingScan: intersection pruning, unknown-range fallback, empty sentinel") {

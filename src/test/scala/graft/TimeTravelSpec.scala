@@ -327,18 +327,28 @@ class TimeTravelSpec extends SparkSuite {
       docs.filter(baseP($"doc_id")), emb.filter(baseP($"vec_id")), idx)
     val atGen1 = rows(RetrievalOps.hybridServeAt(spark, idx))
 
-    // TORN state: the sparse leg absorbs the delta and commits its OWN
-    // manifest, but the hybrid flip never lands (the crash window
-    // between leg commits) — no hybrid serve may see it
-    RetrievalOps.appendInvertedIndex(
-      docs.filter(!baseP($"doc_id")), s"$idx/sparse")
+    // TORN state — simulated through the REAL failpoint (round 18: a
+    // crashed append leaves its pending-intent record, so a faithful
+    // simulation must run the actual code path): the intent commits
+    // and the sparse leg absorbs the delta, but the crash lands before
+    // the dense leg and the hybrid flip — no hybrid serve may see it
+    RetrievalOps.appendHybridStaged(
+      docs.filter(!baseP($"doc_id")), emb.filter(!baseP($"vec_id")), idx,
+      crashAfterLeg = 1)
+    assert(GenerationManifest.window(s"$idx/sparse") == ((1L, 2L)),
+      "failpoint did not leave the torn one-leg state")
+    assert(GenerationManifest.state(idx).pending.contains(("A", 2L)),
+      "crashed append left no pending-intent record")
     assert(rows(RetrievalOps.hybridServeAt(spark, idx)) == atGen1,
       "a torn leg commit leaked into the hybrid serve")
 
-    // the RETRY repairs: head inspection skips the sparse leg (already
-    // at hybridHi+1), appends the dense leg, flips the hybrid window
+    // the RETRY repairs: the intent positively identifies the one-ahead
+    // sparse leg as the crashed attempt's work — skip it, append the
+    // dense leg, flip the hybrid window (clearing the intent)
     RetrievalOps.appendHybridIndex(
       docs.filter(!baseP($"doc_id")), emb.filter(!baseP($"vec_id")), idx)
+    assert(GenerationManifest.state(idx).pending.isEmpty,
+      "the publishing flip did not clear the pending intent")
     assert(GenerationManifest.window(s"$idx/sparse") == ((1L, 2L)),
       "repair double-appended the sparse leg")
     assert(GenerationManifest.window(s"$idx/dense") == ((1L, 2L)))
@@ -532,6 +542,133 @@ class TimeTravelSpec extends SparkSuite {
     RetrievalOps.compactHybridIndex(spark, tidx)
     assert(rows(RetrievalOps.hybridServeAt(spark, tidx)) == tHead,
       "trained-hybrid compaction changed the serve")
+  }
+
+  test("hybrid dense-leg retrain (round 18): lockstep epoch flip; as-of replays OLD quantizers; crashed retrain rolls forward; out-of-band retrain refused") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    def baseP(c: org.apache.spark.sql.Column) =
+      c % DedupOps.DeltaMod =!= DedupOps.DeltaRem
+    val idx = tmp("graft-tt-hybrid-retrain")
+    RetrievalOps.writeTrainedHybridIndex(
+      docs.filter(baseP($"doc_id")), emb.filter(baseP($"vec_id")), idx,
+      ivfIters = 2, pqIters = 2)
+    RetrievalOps.appendHybridIndex(
+      docs.filter(!baseP($"doc_id")), emb.filter(!baseP($"vec_id")), idx)
+    val atGen1 = rows(RetrievalOps.hybridServeAt(spark, idx, asOfGen = 1L))
+    val atGen2 = rows(RetrievalOps.hybridServeAt(spark, idx))
+
+    // JOINT RETRAIN: the dense leg re-trains + re-encodes from the
+    // store's OWN _floats sidecar (no external corpus), the sparse leg
+    // seals an empty generation, the pair flips in lockstep as an
+    // epoch base — no rebuild, history preserved
+    RetrievalOps.retrainHybridDense(spark, idx, ivfIters = 2, pqIters = 2,
+      trainSample = Some(emb.filter(
+        $"vec_id" % SimilarityOps.QuantRetrainMod === 0)))
+    assert(GenerationManifest.window(idx) == ((1L, 3L)))
+    assert(GenerationManifest.window(s"$idx/sparse") == ((1L, 3L)),
+      "sparse leg fell out of lockstep across the retrain")
+    assert(GenerationManifest.window(s"$idx/dense") == ((1L, 3L)))
+    assert(GenerationManifest.epochs(s"$idx/dense") == Seq(3L),
+      "dense leg did not seal the retrain as an epoch base")
+    assert(GenerationManifest.epochs(idx) == Seq(3L),
+      "hybrid manifest did not record the epoch")
+    assert(GenerationManifest.state(idx).pending.isEmpty,
+      "the retrain flip did not clear its intent")
+
+    // as-of BELOW the epoch replays the OLD quantizers bit for bit —
+    // the whole point of epoching instead of rebuilding
+    assert(rows(RetrievalOps.hybridServeAt(spark, idx, asOfGen = 2L))
+      == atGen2, "as-of below the epoch diverged from the old serve")
+    assert(rows(RetrievalOps.hybridServeAt(spark, idx, asOfGen = 1L))
+      == atGen1)
+
+    // the DRIFT review a deployment reads before the flip: the sparse
+    // leg must be untouched (zero rank flips — its empty generation
+    // changes nothing), and the fused sets must stay close (the q122
+    // agreement-floor precedent: both legs approximate the SAME metric)
+    val drift = RetrievalOps.hybridDriftServed(spark, idx).head()
+    assert(drift.getAs[Long]("n_sparse_flips") == 0L,
+      s"a dense-only retrain flipped sparse ranks: $drift")
+    assert(drift.getAs[Long]("agreement_ppm") >= 700000L,
+      s"retrain moved the fused set past the floor: $drift")
+    assert(drift.getAs[Long]("n_queries") > 0L, s"vacuous review: $drift")
+
+    // an append AFTER the retrain encodes with the NEW quantizers
+    // (protocol-automatic) and never disturbs sealed history
+    RetrievalOps.appendHybridIndex(
+      docs.filter(baseP($"doc_id") && $"doc_id" % 97 === 0)
+        .withColumn("doc_id", $"doc_id" + 1000000L),
+      emb.filter(baseP($"vec_id") && $"vec_id" % 97 === 0)
+        .withColumn("vec_id", $"vec_id" + 1000000L),
+      idx)
+    assert(GenerationManifest.window(idx) == ((1L, 4L)))
+    assert(GenerationManifest.window(s"$idx/sparse") == ((1L, 4L)))
+    assert(GenerationManifest.window(s"$idx/dense") == ((1L, 4L)))
+    val atGen3 = rows(RetrievalOps.hybridServeAt(spark, idx, asOfGen = 3L))
+    val atGen4 = rows(RetrievalOps.hybridServeAt(spark, idx))
+    assert(rows(RetrievalOps.hybridServeAt(spark, idx, asOfGen = 2L))
+      == atGen2, "post-retrain append disturbed pre-epoch history")
+
+    // CRASHED RETRAIN roll-forward: the on-disk state after a crash
+    // between the dense retrain and the sparse seal — pending R intent,
+    // dense one-ahead as an epoch base — refuses appends and
+    // compactions LOUDLY (naming the roll-forward), then the retry
+    // completes the flip
+    GenerationManifest.amend(idx)(s => s.copy(pending = Some(("R", 5L))))
+    SimilarityOps.retrainIvfPq(
+      spark.read.parquet(s"$idx/_floats").filter($"gen".between(1L, 4L))
+        .select($"vec_id", $"label", $"embedding"),
+      s"$idx/dense", ivfIters = 2, pqIters = 2)
+    val ae = intercept[IllegalArgumentException] {
+      RetrievalOps.appendHybridIndex(docs.limit(0), emb.limit(0), idx)
+    }
+    assert(ae.getMessage.contains("retrain is in flight"),
+      s"mid-retrain append refusal should name the state: ${ae.getMessage}")
+    val ce = intercept[IllegalArgumentException] {
+      RetrievalOps.compactHybridIndex(spark, idx)
+    }
+    assert(ce.getMessage.contains("retrain is in flight"),
+      s"mid-retrain compact refusal should name the state: ${ce.getMessage}")
+    // serves at the committed head stay live and unchanged — a pending
+    // retrain is a maintenance state, never an outage (the flip-last
+    // rule: the half-built epoch is above the window, invisible)
+    assert(rows(RetrievalOps.hybridServeAt(spark, idx)) == atGen4,
+      "a pending retrain leaked into the head serve")
+    RetrievalOps.retrainHybridDense(spark, idx, ivfIters = 2, pqIters = 2)
+    assert(GenerationManifest.window(idx) == ((1L, 5L)),
+      "retrain roll-forward did not complete the flip")
+    assert(GenerationManifest.epochs(idx) == Seq(3L, 5L))
+    assert(GenerationManifest.state(idx).pending.isEmpty)
+    assert(rows(RetrievalOps.hybridServeAt(spark, idx, asOfGen = 3L))
+      == atGen3, "roll-forward disturbed sealed history")
+
+    // THE SPOOF (the r17 verdict's weak): a direct retrainIvfPq on the
+    // dense leg leaves EXACTLY the one-ahead window a crashed append
+    // used to claim as its own repair state — with no intent record it
+    // must now refuse loudly instead of silently skipping the dense
+    // append (sealing vec_ids that were never indexed)
+    SimilarityOps.retrainIvfPq(
+      spark.read.parquet(s"$idx/_floats").filter($"gen".between(1L, 5L))
+        .select($"vec_id", $"label", $"embedding"),
+      s"$idx/dense", ivfIters = 2, pqIters = 2)
+    assert(GenerationManifest.window(s"$idx/dense") == ((1L, 6L)),
+      "spoof setup did not leave the one-ahead dense window")
+    // the delta must be FRESH ids: an already-sealed delta would be
+    // pruned to a no-op by the watermark before the guard even runs
+    val se = intercept[IllegalArgumentException] {
+      RetrievalOps.appendHybridIndex(
+        docs.filter($"doc_id" % 97 === 1)
+          .withColumn("doc_id", $"doc_id" + 2000000L),
+        emb.filter($"vec_id" % 97 === 1)
+          .withColumn("vec_id", $"vec_id" + 2000000L),
+        idx)
+    }
+    assert(se.getMessage.contains("NO pending-append intent"),
+      s"out-of-band retrain was not refused: ${se.getMessage}")
+    assert(se.getMessage.contains("retrainHybridDense"),
+      s"refusal should name the sanctioned path: ${se.getMessage}")
   }
 
   test("eval-gram bank (round 17): as-of reproduces the historical screen; compaction serves identically") {
