@@ -249,6 +249,25 @@ object Bench {
       serveOnly("q119_quantizer_drift") =
         (s, d) => queries.SimilarityOps.quantizerDriftServed(s, d, p)
     }
+    if (selNames("q126_hybrid_drift")) {
+      // hybrid drift needs a TWO-GENERATION store: gen 1 the trained
+      // build, gen 2 the dense-leg epoch retrain from the store's own
+      // float sidecar — sealed once per run; timed samples measure the
+      // two joint as-of serves + the one-join review
+      val p = buildDir("graft-bench-hybrid-drift")
+      phase("q126_train") {
+        import spark.implicits._
+        val emb = Tables.embeddings(spark, sfDir)
+        queries.RetrievalOps.writeTrainedHybridIndex(
+          Tables.documents(spark, sfDir), emb, p)
+        queries.RetrievalOps.retrainHybridDense(spark, p,
+          ivfIters = 3, pqIters = 3,
+          trainSample = Some(emb.filter(
+            $"vec_id" % queries.SimilarityOps.QuantRetrainMod === 0)))
+      }
+      serveOnly("q126_hybrid_drift") =
+        (s, _) => queries.RetrievalOps.hybridDriftServed(s, p)
+    }
     if (selNames("q117_gate_drift")) {
       // drift needs TWO generations — its own store (gen 1 full
       // corpus, gen 2 the drifted even-id half), trained once per run

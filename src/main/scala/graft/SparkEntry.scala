@@ -216,6 +216,15 @@ object SparkEntry {
     // oracle is q52's verbatim, so hash equality proves
     // write == append == load == screen. EAGER, q114 convention.
     "q125_decontam_served" -> ((s, d) => PipelineOps.q125DecontamServed(s, d)),
+    // q126 completes the hybrid store's lifecycle (the r17 weak): seal
+    // the TRAINED hybrid, retrain its dense leg from the store's own
+    // _floats sidecar (epoch flip in lockstep across both legs), and
+    // report the pre-flip drift review — fused-set agreement and
+    // per-leg rank flips between the two generations. Rows-only (q84's
+    // trained-k-means waiver); the agreement floor, zero-sparse-flip
+    // invariant, as-of replay, and out-of-band-retrain refusal are
+    // spec-pinned. EAGER, q112 convention.
+    "q126_hybrid_drift"    -> ((s, d) => RetrievalOps.q126HybridDrift(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

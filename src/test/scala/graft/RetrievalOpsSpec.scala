@@ -324,6 +324,31 @@ class RetrievalOpsSpec extends SparkSuite {
       f"trained dense leg moved the fused set too far: $agreement%.3f")
   }
 
+  test("q126 (hybrid drift): one-row review; dense-only retrain flips no sparse ranks; agreement holds the q122 floor") {
+    val rows = RetrievalOps.q126HybridDrift(spark, sf).collect()
+    assert(rows.length == 1, s"review must be one row, got ${rows.length}")
+    val r = rows.head
+    def l(name: String): Long = r.getAs[Long](name)
+    assert(l("n_queries") > 0L, s"vacuous review: $r")
+    assert(l("n_old") > 0L && l("n_new") > 0L, s"empty fused sets: $r")
+    // the sparse leg's empty retrain generation changes NOTHING on its
+    // side — a nonzero flip count means the legs were not correlated
+    assert(l("n_sparse_flips") == 0L,
+      s"dense-only retrain flipped sparse ranks: $r")
+    // arithmetic consistency of the matrix itself
+    assert(l("n_common") <= math.min(l("n_old"), l("n_new")), s"$r")
+    assert(l("n_rank_same") <= l("n_common"), s"$r")
+    assert(l("agreement_ppm") == l("n_common") * 1000000L / l("n_new"),
+      s"$r")
+    // both generations approximate the SAME metric (trained vs
+    // retrained quantizers shortlisting for the same exact-cosine
+    // rerank) — the fused sets must mostly agree (q122's floor, one
+    // retrain up)
+    info(s"q126 drift review: $r")
+    assert(l("agreement_ppm") >= 700000L,
+      s"retrain moved the fused set past the floor: $r")
+  }
+
   test("q85 passage retrieval: one best passage per (query, doc); chunk text stays out of exchanges") {
     val rows = RetrievalOps.q85PassageBm25(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),

@@ -52,12 +52,13 @@ class SurveyDriftSpec extends AnyFunSuite {
 
   test("every query has an oracle or a documented rows-only waiver") {
     // the correctness gate is oracle SQL; the rows-only queries are
-    // a DOCUMENTED design decision (q33 HLL++ estimates, q84/q119/q122
-    // trained k-means fixed points) — anything else missing an oracle
-    // is drift
+    // a DOCUMENTED design decision (q33 HLL++ estimates, q84/q119/
+    // q122/q126 trained k-means fixed points) — anything else missing
+    // an oracle is drift
     val waived =
       Set("q33_approx_distinct", "q84_trained_ann",
-        "q119_quantizer_drift", "q122_hybrid_trained")
+        "q119_quantizer_drift", "q122_hybrid_trained",
+        "q126_hybrid_drift")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- waived
     assert(missing.isEmpty,
       s"registered without oracle SQL (and not waived): ${missing.toSeq.sorted.mkString(", ")}")
