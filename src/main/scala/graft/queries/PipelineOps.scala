@@ -525,7 +525,21 @@ object PipelineOps {
     evalGramRel(evalDocs).withColumn("gen", lit(1L))
       .coalesce(1)
       .write.partitionBy("gen").mode("overwrite").parquet(s"$path/grams")
-    GenerationManifest.commit(path, 1L, 1L)
+    GenerationManifest.commit(path, 1L, 1L,
+      wms = Map(1L -> evalIdRange(evalDocs)))
+  }
+
+  /** The sealed eval_id range of a suite frame — the bank's `W` record
+    * (round 18: the bank was the one generation-windowed store outside
+    * the watermark discipline; no idempotency scan reads it today, but
+    * the asymmetry made every "which generations seal which suites"
+    * question a data scan instead of a manifest read). One tiny agg on
+    * a suite-bounded frame; inverted sentinel when empty. */
+  private def evalIdRange(evalDocs: DataFrame): (Long, Long) = {
+    val r = evalDocs.agg(
+      min(col("doc_id").cast("long")), max(col("doc_id").cast("long"))).head()
+    if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
+    else (r.getLong(0), r.getLong(1))
   }
 
   /** Append a new eval-suite release as the next generation
@@ -543,7 +557,8 @@ object PipelineOps {
     evalGramRel(evalDocs).withColumn("gen", lit(hi + 1))
       .coalesce(1)
       .write.partitionBy("gen").mode("append").parquet(s"$path/grams")
-    GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
+    GenerationManifest.amend(path)(s =>
+      s.copy(hi = hi + 1, wms = s.wms + ((hi + 1) -> evalIdRange(evalDocs))))
   }
 
   /** Fold the committed window into one generation —
@@ -553,12 +568,20 @@ object PipelineOps {
     val (lo, hi) = GenerationManifest.window(path)
     GenerationManifest.purgeOutside(path, Seq("grams"), lo, hi)
     if (lo == hi) return
-    spark.read.parquet(s"$path/grams")
+    val folded = spark.read.parquet(s"$path/grams")
       .filter(col("gen").between(lo, hi)).drop("gen").distinct()
-      .withColumn("gen", lit(hi + 1))
+    folded.withColumn("gen", lit(hi + 1))
       .coalesce(1)
       .write.partitionBy("gen").mode("append").parquet(s"$path/grams")
-    GenerationManifest.commit(path, hi + 1, hi + 1)
+    // the folded generation seals every eval_id the window sealed —
+    // recompute from the folded rows (exact for legacy windows too);
+    // suite-bounded, so the extra action is a tiny job
+    val r = folded.agg(min(col("eval_id")), max(col("eval_id"))).head()
+    val range =
+      if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
+      else (r.getLong(0), r.getLong(1))
+    GenerationManifest.commit(path, hi + 1, hi + 1,
+      wms = Map((hi + 1) -> range))
   }
 
   /** [[compactEvalBank]]'s growth rule as code (the `compactIfPast`

@@ -818,17 +818,19 @@ object RetrievalOps {
 
   /** `[min, max]` over BOTH legs' id columns — the hybrid generation's
     * sealed-id watermark (inverted sentinel when both frames are
-    * empty, like the label index's). */
+    * empty, like the label index's). ONE action over the union (round
+    * 18 — the r17 nit: two per-frame aggregates fired four tiny jobs
+    * per append on top of the maintenance stream's ~5 s batch floor;
+    * the union scans the same rows in half the job count, and min/max
+    * over the union equal min-of-mins/max-of-maxes exactly). */
   private def combinedRange(
       docs: DataFrame, docId: String,
       emb: DataFrame, vecId: String): (Long, Long) = {
-    def r(df: DataFrame, c: String): (Long, Long) = {
-      val row = df.agg(min(col(c)), max(col(c))).head()
-      if (row.isNullAt(0)) (Long.MaxValue, Long.MinValue)
-      else (row.getLong(0), row.getLong(1))
-    }
-    val (a, b) = (r(docs, docId), r(emb, vecId))
-    (math.min(a._1, b._1), math.max(a._2, b._2))
+    val row = docs.select(col(docId).cast("long").as("id"))
+      .unionByName(emb.select(col(vecId).cast("long").as("id")))
+      .agg(min(col("id")), max(col("id"))).head()
+    if (row.isNullAt(0)) (Long.MaxValue, Long.MinValue)
+    else (row.getLong(0), row.getLong(1))
   }
 
   /** Append the correlated (docs, embeddings) delta to BOTH legs and

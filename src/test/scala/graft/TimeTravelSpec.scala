@@ -679,6 +679,18 @@ class TimeTravelSpec extends SparkSuite {
     val bank = tmp("graft-tt-eval-bank")
     PipelineOps.writeEvalBank(eval.filter($"doc_id" % 2 === 0), bank)
     PipelineOps.appendEvalBank(eval.filter($"doc_id" % 2 =!= 0), bank)
+    // round 18: the bank joins the watermark discipline — every
+    // generation records the eval_id range it sealed, so "which
+    // generations seal which suites" is a manifest read, not a scan
+    val wms = GenerationManifest.watermarks(bank)
+    assert(wms.keySet == Set(1L, 2L),
+      s"bank generations missing watermark records: $wms")
+    val Seq(half1, half2) = Seq(0, 1).map(m =>
+      eval.filter($"doc_id" % 2 === m)
+        .agg(org.apache.spark.sql.functions.min($"doc_id"),
+          org.apache.spark.sql.functions.max($"doc_id")).head())
+    assert(wms(1L) == ((half1.getLong(0), half1.getLong(1))))
+    assert(wms(2L) == ((half2.getLong(0), half2.getLong(1))))
     // head serve == the in-session report over the whole suite (q125's
     // oracle property, pinned in-engine too)
     val atHead =
@@ -696,10 +708,15 @@ class TimeTravelSpec extends SparkSuite {
       "as-of screen diverged from the half-suite report")
     assert(atGen1 != atHead,
       "fixture vacuous: the appended suite half changed nothing")
-    // compaction folds the window without moving the head serve
+    // compaction folds the window without moving the head serve, and
+    // the folded generation's watermark covers everything it sealed
     PipelineOps.compactEvalBank(spark, bank)
     assert(rows(PipelineOps.decontamServed(corpus, bank).orderBy($"doc_id"))
       == atHead, "bank compaction changed the screen")
+    val foldedWm = GenerationManifest.watermarks(bank)
+    assert(foldedWm == Map(3L -> ((
+      math.min(wms(1L)._1, wms(2L)._1), math.max(wms(1L)._2, wms(2L)._2)))),
+      s"folded bank watermark wrong: $foldedWm")
     // and the threshold form fires only past the cadence
     assert(!PipelineOps.maybeCompactEvalBank(spark, bank, maxGens = 1))
   }
