@@ -539,6 +539,70 @@ object StreamBench {
     }
   }
 
+  /** `SPARK_GRAFT_STREAM_MODE=decontam` — throughput probe for the
+    * round-18 streaming decontamination gate: a 50k-token uniform
+    * vocabulary (3-gram space ~10¹⁴, so incidental gram collisions are
+    * negligible and the flag set is EXACTLY the planted leaks), every
+    * 97th stream doc's text also sealed VERBATIM into the eval bank
+    * (the benchmark-leak shape), then `nDocs` streamed through
+    * [[graft.streaming.CorpusStream.decontamGate]]. Reports docs/sec
+    * and the kept/flagged split (sanity: flagged == the planted leak
+    * count — more means false gram collisions, fewer means the screen
+    * missed a verbatim leak). */
+  private def decontamMode(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "100000").trim.toInt
+    val rnd = new scala.util.Random(42)
+    def doc(): String =
+      Array.fill(40)(s"t${rnd.nextInt(50000)}").mkString(" ")
+    val rows = (1 to nDocs).map(i => (i.toLong, doc()))
+    val leaks = rows.filter(_._1 % 97 == 0)
+    // the sealed bank (untimed): the leak suite under fresh eval ids
+    val bank = Files.createTempDirectory("graft-decontam-bank").toString
+    graft.queries.PipelineOps.writeEvalBank(
+      leaks.zipWithIndex.map { case ((_, t), i) => (1000000L + i, t) }
+        .toDF("doc_id", "text"),
+      bank)
+    // the stream input files
+    val dir = Files.createTempDirectory("graft-decontambench")
+    rows.grouped(10000).zipWithIndex.foreach { case (chunk, i) =>
+      val sb = new StringBuilder(chunk.size * 320)
+      chunk.foreach { case (id, t) =>
+        sb.append(s"""{"doc_id":$id,"text":"$t"}""").append('\n')
+      }
+      Files.writeString(dir.resolve(f"part-${i * 10000}%09d.json"), sb.result())
+    }
+    val filesPerTrigger =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "5").trim.toInt
+    val source = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .json(dir.toString)
+    // timed: the streaming screen end to end
+    val outDir = Files.createTempDirectory("graft-decontam-out").toString +
+      "/admitted"
+    val t0 = System.nanoTime()
+    val q = graft.streaming.CorpusStream.decontamGate(
+      source, bank, outDir,
+      Files.createTempDirectory("graft-decontam-ck").toString)
+    q.processAllAvailable()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    val kept = spark.read.parquet(outDir).count()
+    val line =
+      s"""{"metric":"stream_decontam_docs_per_sec","value":${f1(nDocs / wall)},"unit":"rows/sec","n_docs":$nDocs,"wall_sec":${f1(wall)},"micro_batches":$batches,"kept":$kept,"flagged":${nDocs - kept}}"""
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/stream_bench.json"), line + "\n")
+    println(line)
+    spark.stop()
+    if (nDocs - kept != leaks.length) {
+      System.err.println(s"SANITY FAIL: flagged ${nDocs - kept} != " +
+        s"planted ${leaks.length}")
+      sys.exit(1)
+    }
+  }
+
   /** Deterministic per-(id, component) synthetic embedding in
     * [-1, 1) at [[graft.queries.SimilarityOps.Dim]] — shared by the
     * hybrid probe's sealed base (driver-built frame) and its streamed
@@ -686,6 +750,10 @@ object StreamBench {
     }
     if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("hybrid")) {
       hybridMode(spark)
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("decontam")) {
+      decontamMode(spark)
       return
     }
 

@@ -45,6 +45,11 @@ import org.apache.spark.sql.functions._
   *      default, or per-source rates DERIVED from the survivor
   *      mixture (q64's arithmetic, `Config.mixWeights`) when the run
   *      targets a composition instead of keep fractions.
+  *   4a. Optionally (`Config.piiScrub`), the q107 PII scrub rewrites
+  *      the surviving text (emails/IPv4/phones → typed placeholders)
+  *      — after the gates so only shipping docs pay the regex chain,
+  *      before tagging/packing so everything downstream tokenizes
+  *      scrubbed text.
   *   5. Keyword tagging (q42 core) — each surviving doc gets its
   *      TF-IDF top terms (computed over the FINAL corpus, so the df
   *      statistics describe what ships), as a rank-ordered array.
@@ -92,7 +97,9 @@ object CorpusPipeline {
       defaultMixWeight: Int = PipelineOps.DefaultMixWeight,
       labelIndexPath: Option[String] = None,
       gateModelPath: Option[String] = None,
-      lmModelPath: Option[String] = None) {
+      lmModelPath: Option[String] = None,
+      evalBankPath: Option[String] = None,
+      piiScrub: Boolean = false) {
     require(passageTokens > 0, s"passageTokens must be > 0, got $passageTokens")
     require(exciseTokens > 0, s"exciseTokens must be > 0, got $exciseTokens")
     require(defaultMixWeight > 0,
@@ -434,27 +441,51 @@ object CorpusPipeline {
     }
 
     // 2b. optional decontamination gate (q52 core): drop any doc
-    // sharing an n-gram with the benchmark frame. Left-anti against
-    // the flagged-id relation — the broadcast gram join filters
-    // map-side, so the gate costs one narrow pass over survivors.
-    // the flagged-id side is bounded by contamination (rare by
-    // construction) and must be BROADCAST: without the hint the static
-    // planner sizes the aggregate at its exploded-gram child and picks
-    // a sort-merge anti join — a full-corpus shuffle, text and all.
-    // narrowGated is a diamond here (the anti-join's left side AND the
-    // gram probe inside the report) — persist it so the exact-dedup
+    // sharing an n-gram with the benchmark suite. Two sources for the
+    // eval-gram relation, mutually exclusive:
+    //   - `evalDocs` — the RAW suite frame, shingled in-session
+    //     (q52's report);
+    //   - `cfg.evalBankPath` — the PERSISTED q125 eval-gram bank,
+    //     served at the generation committed when the plan is built
+    //     (the lmModelPath rollout rule: one run screens against ONE
+    //     bank version, and "which eval-set version was this corpus
+    //     decontaminated against" is answered by that pinned
+    //     generation — the question q125 exists to answer, now asked
+    //     BY the pipeline instead of only alongside it).
+    // Left-anti against the flagged-id relation — the broadcast gram
+    // join filters map-side, so the gate costs one narrow pass over
+    // survivors. The flagged-id side is bounded by contamination (rare
+    // by construction) and must be BROADCAST: without the hint the
+    // static planner sizes the aggregate at its exploded-gram child and
+    // picks a sort-merge anti join — a full-corpus shuffle, text and
+    // all. perpGated is a diamond here (the anti-join's left side AND
+    // the gram probe inside the report) — persist it so the exact-dedup
     // window (and the optional passage rewrite, which shuffles text)
     // runs once, not once per branch; released with the other handles
-    val (gated, gateHandles) = evalDocs.fold(
-      (perpGated, Seq.empty[DataFrame])) { ev =>
-      val shared = perpGated
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (mark("08_decontam", shared.join(
-        broadcast(PipelineOps.decontamReport(shared, ev)
-          .select(col("doc_id"))),
-        Seq("doc_id"), "left_anti")),
-        Seq(shared))
-    }
+    require(evalDocs.isEmpty || cfg.evalBankPath.isEmpty,
+      "pass the eval suite EITHER as a raw frame (evalDocs) OR as a " +
+        "sealed bank (cfg.evalBankPath), not both — two gram sources " +
+        "would make the screen's provenance ambiguous")
+    val (gated, gateHandles) =
+      if (evalDocs.isEmpty && cfg.evalBankPath.isEmpty)
+        (perpGated, Seq.empty[DataFrame])
+      else {
+        val shared = perpGated
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val flagged = cfg.evalBankPath match {
+          case Some(bank) =>
+            // pin the bank generation NOW (plan construction), so the
+            // whole run screens against one committed version even if
+            // a new benchmark release appends mid-run
+            PipelineOps.decontamServed(shared, bank,
+              asOfGen = GenerationManifest.window(bank)._2)
+          case None => PipelineOps.decontamReport(shared, evalDocs.get)
+        }
+        (mark("08_decontam", shared.join(
+          broadcast(flagged.select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")),
+          Seq(shared))
+      }
 
     // 3. near-dup removal: pairwise-greedy or cluster keep-min (see
     // the object doc). Cluster mode's closure runs its driver-side
@@ -527,10 +558,28 @@ object CorpusPipeline {
           RelationalOps.stratifiedKeep(cfg.stratRates, cfg.defaultPerMille)),
           Seq.empty[DataFrame])
     }
-    val balanced = mark("10_rebalance", rebalanced
+    val balanced0 = mark("10_rebalance", rebalanced
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val handles =
-      (dedupHandles2 ++ gateHandles ++ perpHandles ++ mixHandles) :+ balanced
+      (dedupHandles2 ++ gateHandles ++ perpHandles ++ mixHandles) :+ balanced0
+
+    // 4a. optional PII scrub (q107 core) — the pre-training redaction
+    // pass, placed AFTER the gates and rebalance (scrub only what
+    // ships: regexing docs the gates will drop is wasted work at
+    // 100 TB) and BEFORE keyword tagging and any packing terminal, so
+    // everything that tokenizes downstream sees the SCRUBBED text.
+    // Schema-preserving rewrite, drops nothing (its yield row recounts
+    // at n_dropped = 0); the audit counters are q107's job, so they
+    // are projected away here and the documents schema rides through.
+    // A narrow codegen'd projection over the cached rebalance frame —
+    // no shuffle, no extra persist (each downstream consumer re-runs
+    // the regex chain over cached input, cheaper than another
+    // materialization).
+    val balanced =
+      if (cfg.piiScrub)
+        mark("11_pii", TextOps.piiScrub(balanced0)
+          .drop("n_email", "n_ip", "n_phone"))
+      else balanced0
 
     // 5. keyword tagging over the FINAL corpus; rank order preserved in
     // the array via sort_array over (rank, token) structs

@@ -83,10 +83,23 @@ object CorpusStream {
     val floorGated = docs
       .filter(col("lang").isInCollection(cfg.keepLangs))
       .filter(size(TextOps.toks(col("text"))) >= cfg.minTokens)
-    if (cfg.modelGate)
-      floorGated.filter(
-        CorpusPipeline.gateScoreColumn(docs.sparkSession, cfg) >= 0)
-    else floorGated
+    val modelGated =
+      if (cfg.modelGate)
+        floorGated.filter(
+          CorpusPipeline.gateScoreColumn(docs.sparkSession, cfg) >= 0)
+      else floorGated
+    // with cfg.piiScrub the q107 redaction runs IN the gate chain — a
+    // narrow schema-preserving projection, so no foreachBatch and no
+    // state. Placement divergence from batch, documented as contract:
+    // the stream scrubs at ADMISSION (everything downstream — the
+    // exact-dedup hash included — sees scrubbed text), the batch
+    // pipeline scrubs its post-rebalance survivors; both layers emit
+    // text rewritten by the SAME transform (TextOps.piiScrub,
+    // spec-pinned per text), the same per-text-not-per-position class
+    // of divergence as the first-arrival vs min-id keep rule above.
+    if (cfg.piiScrub)
+      TextOps.piiScrub(modelGated).drop("n_email", "n_ip", "n_phone")
+    else modelGated
   }
 
   /** Streaming mixture gate — q64's derived rates applied on the
@@ -311,6 +324,51 @@ object CorpusStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         TextOps.perplexityGateServed(batch, lo, hi, modelPath,
             asOfGen = pinnedGen)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
+  /** Streaming DECONTAMINATION gate — the q125 eval-gram bank's screen
+    * at the crawl front door (round 18 — the bank finally has its
+    * stream consumer): every arriving document is screened against the
+    * SEALED bank ([[graft.queries.PipelineOps.decontamServed]] per
+    * batch) and only docs sharing NO n-gram with the pinned eval-suite
+    * version land in `outDir` — benchmark text never enters the corpus
+    * at ingest, instead of being caught at the next batch rebuild.
+    *
+    * `foreachBatch` by [[baseScreen]]'s argument: the screen is a
+    * multi-join computation (gram explode → broadcast bank join →
+    * per-doc aggregate → anti-join), and each doc's verdict depends
+    * only on (doc, sealed bank) — never on other stream docs — so
+    * per-batch application is EXACTLY the batch gate's semantics
+    * regardless of arrival chunking (spec-pinned). Stateless: no state
+    * store, no watermark. The bank relation is suite-bounded, so each
+    * batch pays one tiny parquet read + a broadcast join.
+    *
+    * The bank GENERATION is pinned at stream construction (the
+    * [[lmBandGate]] rollout rule): a new benchmark release appended
+    * mid-flight never changes what a live stream admits — "which
+    * eval-set version screened this corpus" has ONE answer per stream
+    * lifetime — and a RESTART rolls onto the new head deliberately.
+    * Restart replays at least once; replayed docs re-screen to
+    * byte-identical rows, absorbed by downstream exact dedup. */
+  def decontamGate(
+      docs: DataFrame,
+      bankPath: String,
+      outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val pinnedGen = graft.queries.GenerationManifest
+      .windowAt(bankPath, Long.MaxValue)._2
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val flagged = graft.queries.PipelineOps
+          .decontamServed(batch.select(col("doc_id"), col("text")),
+            bankPath, asOfGen = pinnedGen)
+          .select(col("doc_id"))
+        batch.join(broadcast(flagged), Seq("doc_id"), "left_anti")
           .write.mode("append").parquet(outDir)
         ()
       }

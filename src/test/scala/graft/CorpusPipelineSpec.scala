@@ -451,6 +451,96 @@ class CorpusPipelineSpec extends SparkSuite {
       "decontamination gate planned a sort-merge join")
   }
 
+  test("decontamination gate served from the sealed eval bank == the raw-suite gate; generation pinned per run") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val docs = Seq(
+      (1L, "en", "s", "alpha beta gamma delta epsilon zeta"),
+      (2L, "en", "s", (1 to 30).map(i => s"x$i").mkString(" ")),
+      (3L, "en", "s", (1 to 30).map(i => s"y$i").mkString(" "))
+    ).toDF("doc_id", "lang", "source", "text")
+    val evalDocs = Seq((100L, "question: alpha beta gamma delta ?"))
+      .toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(stratRates = Seq.empty)
+    val raw = CorpusPipeline.withPrepared(docs, cfg, Some(evalDocs))(
+      _.collect().map(_.getLong(0)).toSet)
+    assert(raw == Set(2L, 3L))
+    // the bank-served gate must keep EXACTLY the raw-suite gate's set
+    // on the same suite (round-18 Config.evalBankPath)
+    val bank = java.nio.file.Files
+      .createTempDirectory("graft-pipe-eval-bank").toString
+    graft.queries.PipelineOps.writeEvalBank(evalDocs, bank)
+    val cfgBank = cfg.copy(evalBankPath = Some(bank))
+    val served = CorpusPipeline.withPrepared(docs, cfgBank)(
+      _.collect().map(_.getLong(0)).toSet)
+    assert(served == raw, "bank-served gate diverged from the raw-suite gate")
+    // two gram sources at once is ambiguous provenance — refused
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.prepare(docs, cfgBank, Some(evalDocs))
+    }
+    // the bank generation pins at PLAN CONSTRUCTION (the lmModelPath
+    // rollout rule): a benchmark release appended mid-run must not
+    // change what an already-built plan drops — while a FRESH run sees
+    // the new head
+    val planned = CorpusPipeline.prepare(docs, cfgBank)
+    graft.queries.PipelineOps.appendEvalBank(
+      Seq((101L, (1 to 30).map(i => s"x$i").mkString(" ")))
+        .toDF("doc_id", "text"),
+      bank)
+    assert(planned.collect().map(_.getLong(0)).toSet == raw,
+      "a mid-run bank append changed a pinned plan's kept set")
+    spark.catalog.clearCache() // prepare() is the caller-owned form
+    val afterRelease = CorpusPipeline.withPrepared(docs, cfgBank)(
+      _.collect().map(_.getLong(0)).toSet)
+    assert(afterRelease == Set(3L),
+      s"a fresh run must screen at the new bank head: $afterRelease")
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
+
+  test("pii scrub stage: schema preserved, q107 transform applied, nothing dropped, keywords tokenize scrubbed text") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val docs = Seq(
+      (1L, "en", "s", "contact bob@example.com about alpha beta gamma delta"),
+      (2L, "en", "s", "host 10.0.0.1 served alpha beta gamma epsilon zeta"),
+      (3L, "en", "s", (1 to 30).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "lang", "source", "text")
+    val cfg = CorpusPipeline.Config(stratRates = Seq.empty, piiScrub = true)
+    val out = CorpusPipeline.withPrepared(docs, cfg)(_.collect())
+    // schema contract: the documents shape survives, counters dropped
+    assert(out.head.schema.fieldNames.toSeq ==
+      Seq("doc_id", "lang", "source", "text", "keywords"))
+    // a rewrite, not a gate: nothing dropped
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // the text is EXACTLY the q107 transform of the survivors
+    val expected = graft.queries.TextOps.piiScrub(docs)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      assert(r.getString(3) == expected(r.getLong(0)),
+        s"pipeline scrub diverged from TextOps.piiScrub for ${r.getLong(0)}")
+    }
+    assert(out.find(_.getLong(0) == 1L).get.getString(3).contains("[EMAIL]"))
+    assert(out.find(_.getLong(0) == 2L).get.getString(3).contains("[IP]"))
+    // scrub-before-tokenize: keyword tagging saw the SCRUBBED text
+    val kws = out.flatMap(_.getSeq[String](4))
+    assert(!kws.exists(_.contains("@")),
+      s"a raw email leaked into the keyword stage: ${kws.mkString(",")}")
+    // yield accounting: an 11_pii boundary after 10_rebalance, 0 dropped
+    val y = CorpusPipeline.yieldReport(docs, cfg).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(y.map(_._1).contains("11_pii"), s"no pii boundary: ${y.toSeq}")
+    assert(y.toMap.apply("11_pii") == 0L, "the scrub dropped rows")
+    assert(y.map(_._1).sorted.toSeq == y.map(_._1).toSeq,
+      "stage names out of execution order in the report")
+    // default chain untouched when off
+    val yOff = CorpusPipeline
+      .yieldReport(docs, CorpusPipeline.Config(stratRates = Seq.empty))
+      .collect().map(_.getString(0))
+    assert(!yOff.contains("11_pii"))
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
+
   test("pack terminal covers every surviving doc exactly once, offsets consistent") {
     import spark.implicits._
     spark.catalog.clearCache()

@@ -695,6 +695,86 @@ class CorpusStreamSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("decontamGate: stream admits == batch bank screen; generation pinned under concurrent release; stateless") {
+    import graft.queries.PipelineOps
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // seal the fixture suite as the bank (q125's split), stream the
+    // corpus through the front-door screen
+    val docs = Tables.documents(spark, sf)
+    val eval = docs.filter(col("doc_id") % 97 === 0).select($"doc_id", $"text")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val bank = java.nio.file.Files
+      .createTempDirectory("graft-decontam-bank").toString
+    PipelineOps.writeEvalBank(eval, bank)
+
+    val corpusRows = corpus.select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect().toIndexedSeq
+    val flagged = PipelineOps
+      .decontamServed(corpus.select($"doc_id", $"text"), bank)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty && flagged.size < corpusRows.length,
+      "screen fixture vacuous")
+    val expected = corpusRows.map(_._1).toSet -- flagged
+
+    val (b1, b2) = corpusRows.splitAt(corpusRows.length / 2)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-decontam-out").toString + "/admitted"
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-decontam-ck").toString
+    val in = MemoryStream[(Long, String, String)]
+    val q = CorpusStream.decontamGate(
+      in.toDF().toDF("doc_id", "lang", "text"), bank, outDir, ckDir)
+    try {
+      in.addData(b1); q.processAllAvailable()
+      // CONCURRENT RELEASE between batches: append a suite containing
+      // a to-be-admitted doc's verbatim text — the new HEAD would flag
+      // it, so the stream's verdict proves the construction-time pin
+      val victim = b2.find(r => expected(r._1)).get
+      PipelineOps.appendEvalBank(
+        Seq((9001L, victim._3)).toDF("doc_id", "text"), bank)
+      val headFlagged = PipelineOps
+        .decontamServed(corpus.select($"doc_id", $"text"), bank)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(headFlagged.contains(victim._1),
+        "release fixture vacuous: the new head does not flag the victim")
+      in.addData(b2); q.processAllAvailable()
+      val admitted = spark.read.parquet(outDir)
+      assert(admitted.columns.toSeq == Seq("doc_id", "lang", "text"),
+        "the gate must pass the batch schema through")
+      val got = admitted.select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expected,
+        s"stream screen diverges from the pinned-generation batch gate; " +
+          s"only-stream=${(got -- expected).take(3)} " +
+          s"only-batch=${(expected -- got).take(3)}")
+      assert(stateRowsTotal(q) == 0, "decontamGate must not hold state")
+      assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark),
+        "decontamGate leaked cached frames across batches")
+    } finally q.stop()
+  }
+
+  test("gate chain with piiScrub: admitted rows carry scrubbed text; schema preserved") {
+    import graft.queries.{CorpusPipeline, TextOps}
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "mail bob@host.org " + (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "xx", "dropped lang bob@host.org one two three four five"),
+      (3L, "en", "too short")
+    ).toDF("doc_id", "lang", "text")
+    val got = CorpusStream.gate(docs,
+      CorpusPipeline.Config(piiScrub = true)).collect()
+    // admission first (lang gate, token floor), scrub second — and the
+    // scrub is a schema-preserving projection (counters dropped)
+    assert(got.map(_.getLong(0)).toSet == Set(1L))
+    assert(got.head.schema.fieldNames.toSeq == Seq("doc_id", "lang", "text"))
+    val expected = TextOps.piiScrub(docs).filter($"doc_id" === 1L)
+      .select($"text").head().getString(0)
+    assert(got.head.getString(2) == expected)
+    assert(got.head.getString(2).contains("[EMAIL]"))
+  }
+
   test("piiScrub applies to a stream unchanged: stream rows == batch scrub; stateless") {
     import graft.queries.TextOps
     import spark.implicits._
