@@ -522,6 +522,12 @@ object PipelineOps {
     * [[decontamServed]] at `asOfGen` reproduces exactly the screen any
     * historical run applied. */
   def writeEvalBank(evalDocs: DataFrame, path: String): Unit = {
+    // coalesce(1): a benchmark suite's distinct grams are thousands of
+    // 16-byte rows — one file per generation is the right layout. The
+    // bank is NOT a corpus store: feeding a corpus-scale "suite" here
+    // would funnel it through one task (and break the serve-side
+    // broadcast contract) — screen corpora against each other with the
+    // q52/q62 machinery instead.
     evalGramRel(evalDocs).withColumn("gen", lit(1L))
       .coalesce(1)
       .write.partitionBy("gen").mode("overwrite").parquet(s"$path/grams")
