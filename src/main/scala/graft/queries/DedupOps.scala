@@ -1115,8 +1115,10 @@ object DedupOps {
         .write.partitionBy("gen").mode("overwrite").parquet(s"$path/buckets")
       ex.withColumn("gen", lit(1L))
         .write.partitionBy("gen").mode("overwrite").parquet(s"$path/shingles")
+      // generation 1 seals its doc_id range from birth (round 18: the
+      // watermark discipline — appends never pay the recordless scan)
+      GenerationManifest.commit(path, 1L, 1L, Map(1L -> idRange(ex)))
     } finally ex.unpersist()
-    GenerationManifest.commit(path, 1L, 1L)
   }
 
   /** The committed generation window of a persisted dedup index. */
@@ -1133,9 +1135,11 @@ object DedupOps {
     * `shingles/`), and a doc present in one but not the other would
     * silently lose recall (a bucket candidate with no shingle rows
     * verifies to zero overlap), which is exactly the torn state the
-    * joint manifest flip prevents. Caller owns id-disjointness and
-    * passes the docs that SURVIVED the screen (appending a flagged
-    * dup would make it an index anchor). */
+    * joint manifest flip prevents. IDEMPOTENT per doc_id since round
+    * 18 (the label index's sealed-id watermark prelude — a retried
+    * seal is a pruned no-op, never doubled shingles); pass the docs
+    * that SURVIVED the screen (appending a flagged dup would make it
+    * an index anchor). */
   def appendDedupIndex(
       deltaDocs: DataFrame, path: String,
       bands: Int = 16, rows: Int = 4): Unit =
@@ -1149,19 +1153,34 @@ object DedupOps {
   private[graft] def appendDedupStaged(
       deltaDocs: DataFrame, path: String,
       bands: Int, rows: Int, crashAfterStage: Int): Unit = {
-    val (lo, hi) = GenerationManifest.window(path)
+    val spark = deltaDocs.sparkSession
+    val st = GenerationManifest.state(path)
+    val (lo, hi) = (st.lo, st.hi)
     GenerationManifest.purgeOutside(path, DedupIndexRoots, lo, hi)
-    val ex = shingleHashes(deltaDocs)
+    // IDEMPOTENT per doc_id (round 18 — the label index's watermark
+    // discipline, retiring this family's "caller owns id-disjointness"
+    // contract): already-sealed docs drop from the delta, so a retried
+    // daily seal never double-writes shingle rows (duplicated shingles
+    // would double n_common in every later screen — inflated Jaccard,
+    // false flags); a fully-replayed delta does not grow the window
+    val (kept, keptRange, release) = GenerationManifest.keptDelta(
+      st, deltaDocs, "doc_id",
+      gens => spark.read.parquet(s"$path/shingles")
+        .filter(col("gen").isin(gens: _*)).select(col("doc_id")))
+    val ex = shingleHashes(kept)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // the isEmpty action also materializes ex for the non-empty path
+      if (ex.isEmpty) return
       bandedBuckets(ex, bands, rows).withColumn("gen", lit(hi + 1))
         .write.partitionBy("gen").mode("append").parquet(s"$path/buckets")
       if (crashAfterStage <= 1) return
       ex.withColumn("gen", lit(hi + 1))
         .write.partitionBy("gen").mode("append").parquet(s"$path/shingles")
       if (crashAfterStage <= 2) return
-      GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
-    } finally ex.unpersist()
+      GenerationManifest.amend(path)(s =>
+        s.copy(hi = hi + 1, wms = s.wms + ((hi + 1) -> idRange(ex))))
+    } finally { ex.unpersist(); release() }
   }
 
   /** Compact a persisted dedup index: rewrite every committed
@@ -1171,7 +1190,8 @@ object DedupOps {
     * across the flip; a crash on either side of it leaves only
     * invisible debris for the next mutation's purge. */
   def compactDedupIndex(spark: SparkSession, path: String): Unit = {
-    val (lo, hi) = GenerationManifest.window(path)
+    val st = GenerationManifest.state(path)
+    val (lo, hi) = (st.lo, st.hi)
     GenerationManifest.purgeOutside(path, DedupIndexRoots, lo, hi)
     if (lo == hi) return
     DedupIndexRoots.foreach { sub =>
@@ -1181,7 +1201,9 @@ object DedupOps {
         .withColumn("gen", lit(hi + 1))
         .write.partitionBy("gen").mode("append").parquet(root)
     }
-    GenerationManifest.commit(path, hi + 1, hi + 1)
+    GenerationManifest.commit(path, hi + 1, hi + 1,
+      wms = GenerationManifest.foldedWatermark(st)
+        .map(r => Map((hi + 1) -> r)).getOrElse(Map.empty))
     // replaced generations stay on disk until the next mutation's
     // leading purge — in-flight readers of the old window are safe
   }
@@ -1651,15 +1673,10 @@ object DedupOps {
     emptyRemaps(spark)
       .write.mode("overwrite").parquet(s"$path/remaps/gen=${hi + 1}")
     // the folded generation's watermark is the union of the folded
-    // ranges — valid only when EVERY folded generation had a record
-    // (one unknown range makes the union unknown; the omitted record
-    // is the exact must-scan fallback)
-    val wms = GenerationManifest.watermarks(path)
-    val folded =
-      if ((lo to hi).forall(wms.contains))
-        Map((hi + 1) -> ((lo to hi).map(wms(_)._1).min,
-          (lo to hi).map(wms(_)._2).max))
-      else Map.empty[Long, (Long, Long)]
+    // ranges — manifest arithmetic via the shared helper; one unknown
+    // range makes the union unknown (the must-scan fallback)
+    val folded = GenerationManifest.foldedWatermark(GenerationManifest.state(path))
+      .map(r => Map((hi + 1) -> r)).getOrElse(Map.empty[Long, (Long, Long)])
     GenerationManifest.commit(path, hi + 1, hi + 1, folded)
   }
 

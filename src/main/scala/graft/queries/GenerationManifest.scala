@@ -199,6 +199,69 @@ private[graft] object GenerationManifest {
     if (hi - lo + 1 > maxGens) { compact; true } else false
   }
 
+  /** The IDEMPOTENT-APPEND PRELUDE shared by every windowed index
+    * family (round 18 — the label/hybrid sealed-id watermark
+    * discipline generalized to protocol level, retiring the last
+    * "caller owns id-disjointness" append contracts): compute the
+    * delta's id range (ONE bounded aggregate), prune the idempotency
+    * check to the committed generations whose sealed ranges intersect
+    * it ([[gensNeedingScan]]), anti-join the delta against exactly
+    * those generations' sealed ids, and hand back the KEPT delta with
+    * the range the new generation will seal (its `W` record — the
+    * range of what SURVIVED, so a partial replay never over-claims).
+    * For a fresh monotone-id batch the scan set is empty and the kept
+    * frame IS the delta (no persist, no join — the only cost is the
+    * range aggregate that writes the watermark). With an overlap the
+    * kept frame comes back persisted (it feeds the range aggregate AND
+    * the caller's artifact writes); `release` drops the cache either
+    * way. A kept range of the inverted EMPTY sentinel means the whole
+    * delta was already sealed — the caller no-ops (or seals an empty
+    * generation, where a lockstep invariant requires one).
+    *
+    * `sealedIds` maps a generation subset to its one-column `id`
+    * relation — each family passes its own artifact read (postings
+    * doc_ids, shingle doc_ids, code vec_ids), partition-pruned to
+    * exactly the named generations. */
+  def keptDelta(
+      st: State,
+      delta: org.apache.spark.sql.DataFrame, idCol: String,
+      sealedIds: Seq[Long] => org.apache.spark.sql.DataFrame)
+    : (org.apache.spark.sql.DataFrame, (Long, Long), () => Unit) = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    def range(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(
+        min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
+      if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
+      else (r.getLong(0), r.getLong(1))
+    }
+    val (dMin, dMax) = range(delta)
+    val scanGens =
+      if (dMin > dMax) Seq.empty
+      else gensNeedingScan(st.wms, st.lo, st.hi, dMin, dMax)
+    if (scanGens.isEmpty) (delta, (dMin, dMax), () => ())
+    else {
+      val kept = delta.join(
+        sealedIds(scanGens).toDF("__sealed_id"),
+        col(idCol).cast("long") === col("__sealed_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (kept, range(kept), () => { kept.unpersist(); () })
+    }
+  }
+
+  /** The FOLDED generation's watermark, derived from the records alone
+    * (round 18): a compaction seals exactly the union of the window's
+    * sealed ids, so when EVERY windowed generation carries a record
+    * the fold's range is manifest arithmetic — no data scan (inverted
+    * EMPTY sentinels are neutral under min/max). Any recordless
+    * generation makes the union unknowable: None, and the folded
+    * generation honestly stays on the fallback-scan path (run
+    * [[backfillWatermarks]] to recover). */
+  def foldedWatermark(st: State): Option[(Long, Long)] =
+    if ((st.lo to st.hi).forall(st.wms.contains)) {
+      val rs = (st.lo to st.hi).map(st.wms)
+      Some((rs.map(_._1).min, rs.map(_._2).max))
+    } else None
+
   /** One-shot WATERMARK BACKFILL for a legacy (pre-watermark) index:
     * compute the sealed-id range of every committed generation MISSING
     * a `W` record and [[amend]] the records in — after this, no append

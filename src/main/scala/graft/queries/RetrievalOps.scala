@@ -259,7 +259,20 @@ object RetrievalOps {
       .write.partitionBy("gen", "bucket").mode("overwrite").parquet(path)
     corpusTotals(docs).withColumn("gen", lit(1L))
       .write.partitionBy("gen").mode("overwrite").parquet(s"$path/_stats")
-    commitGeneration(path, 1L, 1L)
+    // the build seals generation 1's doc_id range (round 18: every
+    // windowed generation carries its watermark from birth, so appends
+    // never pay the recordless fallback scan)
+    GenerationManifest.commit(path, 1L, 1L,
+      wms = Map(1L -> docIdRange(docs)))
+  }
+
+  /** `[min, max]` of a frame's doc_id — the build-time `W` record
+    * (inverted sentinel when empty). */
+  private def docIdRange(docs: DataFrame): (Long, Long) = {
+    val r = docs.agg(
+      min(col("doc_id").cast("long")), max(col("doc_id").cast("long"))).head()
+    if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
+    else (r.getLong(0), r.getLong(1))
   }
 
   /** The committed generation WINDOW `[lo, hi]` of a persisted index —
@@ -324,8 +337,21 @@ object RetrievalOps {
     * postings and stats still mutually consistent; the retry purges
     * the orphaned `gen=G+1` debris first, so it cannot double-append.
     * df stays exact automatically because serving derives it from the
-    * (gen-scoped) postings. Caller owns id-disjointness (same as
-    * [[SimilarityOps]] appends). */
+    * (gen-scoped) postings.
+    *
+    * IDEMPOTENT per doc_id since round 18 (the label/hybrid sealed-id
+    * watermark discipline, generalized — this retires the old "caller
+    * owns id-disjointness" contract): docs already sealed are dropped
+    * from the delta through [[GenerationManifest.keptDelta]], so a
+    * RETRIED daily append is a pruned no-op instead of silently
+    * doubling tf/df for every replayed posting. Fresh monotone-id
+    * batches pay one bounded range aggregate and no join; overlaps
+    * anti-join against exactly the intersecting generations (a
+    * recordless legacy generation falls back to its own column-pruned
+    * scan — run [[backfillIndexWatermarks]] once to end that). An id
+    * re-sent with DIFFERENT text is dropped like any replay: sealed
+    * ids are immutable identities (the label-index rule). A fully
+    * replayed delta does not seal a junk generation. */
   def appendInvertedIndex(docs: DataFrame, path: String): Unit =
     appendStaged(docs, path, crashAfterStage = Int.MaxValue)
 
@@ -339,33 +365,65 @@ object RetrievalOps {
 
   /** The generation-append protocol, shared by the document-level and
     * passage-level indexes (one crash-atomicity implementation, two
-    * posting granularities): purge uncommitted debris, land delta
-    * postings and summed stats under gen G+1, flip the manifest
-    * last. */
+    * posting granularities): purge uncommitted debris, drop
+    * already-sealed doc_ids, land kept postings and summed stats under
+    * gen G+1, flip the manifest last with the kept range's `W` record.
+    * `sealEmpty`: the hybrid's sparse leg must seal a generation even
+    * for an empty kept delta (the cross-store lockstep invariant —
+    * stats carried verbatim, EMPTY-sentinel watermark); standalone
+    * appends return instead, so replays never grow the window. */
   private def appendGeneric(
       docs: DataFrame, path: String,
       postingsOf: DataFrame => DataFrame,
       totalsOf: DataFrame => DataFrame,
-      crashAfterStage: Int): Unit = {
+      crashAfterStage: Int,
+      sealEmpty: Boolean = false): Unit = {
     val spark = docs.sparkSession
-    val (lo, hi) = generationWindow(path)
+    val st = GenerationManifest.state(path)
+    val (lo, hi) = (st.lo, st.hi)
     purgeOutside(path, lo, hi) // a crashed predecessor's orphans
-    postingsOf(docs).withColumn("gen", lit(hi + 1))
-      .repartition(col("bucket")) // one task per bucket dir (build rule)
-      .write.partitionBy("gen", "bucket").mode("append").parquet(path)
-    if (crashAfterStage <= 1) return
-    val old = spark.read.parquet(s"$path/_stats")
-      .filter(col("gen") === hi).select(col("n"), col("sumdl"))
-      .collect().head
-    val delta = totalsOf(docs).collect().head
-    import spark.implicits._
-    Seq((old.getLong(0) + delta.getLong(0),
-      old.getLong(1) + delta.getLong(1)))
-      .toDF("n", "sumdl").withColumn("gen", lit(hi + 1))
-      .write.partitionBy("gen").mode("append").parquet(s"$path/_stats")
-    if (crashAfterStage <= 2) return
-    GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
+    val (kept, keptRange, release) = GenerationManifest.keptDelta(
+      st, docs, "doc_id",
+      gens => spark.read.parquet(path)
+        .filter(col("gen").isin(gens: _*)).select(col("doc_id")))
+    try {
+      if (keptRange._1 > keptRange._2 && !sealEmpty) return
+      val emptyKept = keptRange._1 > keptRange._2
+      if (!emptyKept) {
+        postingsOf(kept).withColumn("gen", lit(hi + 1))
+          .repartition(col("bucket")) // one task per bucket dir (build rule)
+          .write.partitionBy("gen", "bucket").mode("append").parquet(path)
+      }
+      if (crashAfterStage <= 1) return
+      val old = spark.read.parquet(s"$path/_stats")
+        .filter(col("gen") === hi).select(col("n"), col("sumdl"))
+        .collect().head
+      import spark.implicits._
+      val (dn, dsum) =
+        if (emptyKept) (0L, 0L)
+        else {
+          val d = totalsOf(kept).collect().head
+          // sum over zero rows is NULL — an empty kept frame under
+          // sealEmpty carries the stats verbatim
+          (d.getLong(0), if (d.isNullAt(1)) 0L else d.getLong(1))
+        }
+      Seq((old.getLong(0) + dn, old.getLong(1) + dsum))
+        .toDF("n", "sumdl").withColumn("gen", lit(hi + 1))
+        .write.partitionBy("gen").mode("append").parquet(s"$path/_stats")
+      if (crashAfterStage <= 2) return
+      GenerationManifest.amend(path)(s =>
+        s.copy(hi = hi + 1, wms = s.wms + ((hi + 1) -> keptRange)))
+    } finally release()
   }
+
+  /** One-shot watermark BACKFILL for a legacy (pre-r18) inverted or
+    * passage index ([[GenerationManifest.backfillWatermarks]] over the
+    * postings' sealed doc_ids): after it, appends prune the
+    * idempotency check instead of paying a recordless generation's
+    * fallback scan per append. Idempotent. */
+  def backfillIndexWatermarks(spark: SparkSession, path: String): Unit =
+    GenerationManifest.backfillWatermarks(path,
+      spark.read.parquet(path).select(col("gen"), col("doc_id").as("id")))
 
   /** Compact a persisted (document- or passage-level) index: rewrite
     * every committed generation's postings into ONE fresh generation
@@ -409,7 +467,8 @@ object RetrievalOps {
   /** [[compactIndex]] with a failpoint for the crash-window spec. */
   private[graft] def compactStaged(
       spark: SparkSession, path: String, crashAfterStage: Int): Unit = {
-    val (lo, hi) = generationWindow(path)
+    val st = GenerationManifest.state(path)
+    val (lo, hi) = (st.lo, st.hi)
     purgeOutside(path, lo, hi) // a crashed predecessor's orphans
     if (lo == hi) return // already one generation — nothing to rewrite
     spark.read.parquet(path)
@@ -423,7 +482,12 @@ object RetrievalOps {
       .withColumn("gen", lit(hi + 1))
       .write.partitionBy("gen").mode("append").parquet(s"$path/_stats")
     if (crashAfterStage <= 2) return
-    commitGeneration(path, hi + 1, hi + 1)
+    // the folded generation's watermark is manifest arithmetic when
+    // every folded generation carried one (no data scan); a recordless
+    // legacy window honestly stays unknown
+    GenerationManifest.commit(path, hi + 1, hi + 1,
+      wms = GenerationManifest.foldedWatermark(st)
+        .map(r => Map((hi + 1) -> r)).getOrElse(Map.empty))
     // the replaced generations are now invisible debris; reclamation
     // is DEFERRED to the next mutating operation's leading purge so a
     // reader that resolved the old window before the flip finishes its
@@ -947,9 +1011,12 @@ object RetrievalOps {
         GenerationManifest.amend(path)(s =>
           s.copy(pending = Some(("A", hi + 1))))
       if (crashAfterLeg <= 0) return
-      if (!sparseDone) appendInvertedIndex(keptDocs, s"$path/sparse")
+      // the AsLeg forms seal a generation even for a one-sided empty
+      // kept frame — the lockstep invariant over correlated deltas
+      if (!sparseDone) appendInvertedIndexAsLeg(keptDocs, s"$path/sparse")
       if (crashAfterLeg <= 1) return
-      if (!denseDone) SimilarityOps.appendIvfPqIndex(keptEmb, s"$path/dense")
+      if (!denseDone)
+        SimilarityOps.appendIvfPqIndexAsLeg(keptEmb, s"$path/dense")
       if (crashAfterLeg <= 2) return
       // version the generation's rerank floats with it (overwrite of
       // the explicit gen dir = idempotent under pre-flip retries)
@@ -1246,7 +1313,9 @@ object RetrievalOps {
         .filter(col("gen") === hi).drop("gen")
         .withColumn("gen", lit(hi + 1))
         .write.partitionBy("gen").mode("append").parquet(s"$path/sparse/_stats")
-      GenerationManifest.amend(s"$path/sparse")(s => s.copy(hi = hi + 1))
+      GenerationManifest.amend(s"$path/sparse")(s => s.copy(hi = hi + 1,
+        // known-empty: the leg's own idempotency check skips it
+        wms = s.wms + ((hi + 1) -> ((Long.MaxValue, Long.MinValue)))))
     }
     // the retrain seals no NEW ids: empty float footer (coverage
     // guard), inverted-EMPTY watermark (idempotency scans skip it)
@@ -1630,16 +1699,26 @@ object RetrievalOps {
       .write.partitionBy("gen", "bucket").mode("overwrite").parquet(path)
     chunkTotals(docs).withColumn("gen", lit(1L))
       .write.partitionBy("gen").mode("overwrite").parquet(s"$path/_stats")
-    commitGeneration(path, 1L, 1L)
+    GenerationManifest.commit(path, 1L, 1L,
+      wms = Map(1L -> docIdRange(docs)))
   }
 
   /** Append a delta corpus's chunks to a persisted passage index —
-    * the same crash-atomic generation protocol as
-    * [[appendInvertedIndex]] (shared implementation). Caller owns
-    * id-disjointness. */
+    * the same crash-atomic generation protocol AND the same
+    * per-doc_id idempotency as [[appendInvertedIndex]] (shared
+    * implementation): a retried seal is a pruned no-op. */
   def appendPassageIndex(docs: DataFrame, path: String): Unit =
     appendGeneric(docs, path, chunkPostings, chunkTotals,
       crashAfterStage = Int.MaxValue)
+
+  /** [[appendInvertedIndex]] as a HYBRID LEG: seals a generation even
+    * when the kept delta is empty (the cross-store lockstep invariant
+    * — one hybrid mutation advances BOTH legs, even a docs-empty
+    * correlated delta). */
+  private[graft] def appendInvertedIndexAsLeg(
+      docs: DataFrame, path: String): Unit =
+    appendGeneric(docs, path, postings, corpusTotals,
+      crashAfterStage = Int.MaxValue, sealEmpty = true)
 
   /** The bucketed passage posting rows — ONE definition for build and
     * append. */

@@ -231,8 +231,31 @@ object SimilarityOps {
       .partitionBy("gen", "cell")
       .mode("overwrite")
       .parquet(path)
-    GenerationManifest.commit(path, 1L, 1L)
+    // generation 1 seals its vec_id range from birth (round 18: every
+    // windowed generation carries its watermark, so the idempotent
+    // appends never pay the recordless fallback scan)
+    GenerationManifest.commit(path, 1L, 1L,
+      wms = Map(1L -> vecIdRange(embTable)))
   }
+
+  /** `[min, max]` of a frame's vec_id — the build/retrain-time `W`
+    * record (inverted sentinel when empty). */
+  private def vecIdRange(emb: DataFrame): (Long, Long) = {
+    val r = emb.agg(
+      min(col("vec_id").cast("long")), max(col("vec_id").cast("long"))).head()
+    if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
+    else (r.getLong(0), r.getLong(1))
+  }
+
+  /** The idempotent-append prelude bound to this family's sealed-id
+    * read ([[GenerationManifest.keptDelta]] over the code tables'
+    * `vec_id`, partition-pruned to the intersecting generations). */
+  private def keptVecDelta(
+      st: GenerationManifest.State, delta: DataFrame, path: String)
+    : (DataFrame, (Long, Long), () => Unit) =
+    GenerationManifest.keptDelta(st, delta, "vec_id",
+      gens => delta.sparkSession.read.parquet(path)
+        .filter(col("gen").isin(gens: _*)).select(col("vec_id")))
 
   /** The missing half of a SERVABLE index: the inverted file alone
     * cannot answer a query after a restart — computing a probe's cells
@@ -295,23 +318,33 @@ object SimilarityOps {
   /** [[appendIvfIndex]] with a failpoint for the crash-window spec. */
   private[graft] def appendIvfStaged(
       delta: DataFrame, path: String, crashAfterStage: Int): Unit = {
-    val (lo, hi) = GenerationManifest.window(path)
+    val st = GenerationManifest.state(path)
+    val (lo, hi) = (st.lo, st.hi)
     GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
-    // assign with the GOVERNING quantizer: the head epoch's when a
-    // retrain preceded this append, the build-time one otherwise
-    val eps = GenerationManifest.epochs(path)
-    val centroids =
-      readQuantizer(delta.sparkSession, quantizerRootAt(path, eps, hi))
-    assignCells(delta, centroids)
-      .drop("dots")
-      .withColumn("gen", lit(hi + 1))
-      .repartition(col("cell"))
-      .write
-      .partitionBy("gen", "cell")
-      .mode("append")
-      .parquet(path)
-    if (crashAfterStage <= 1) return
-    GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
+    // IDEMPOTENT per vec_id (round 18 — the watermark discipline
+    // generalized): already-sealed ids are dropped, so a retried
+    // append never double-indexes a vector; a fully-replayed delta
+    // does not seal a junk generation
+    val (kept, keptRange, release) = keptVecDelta(st, delta, path)
+    try {
+      if (keptRange._1 > keptRange._2) return
+      // assign with the GOVERNING quantizer: the head epoch's when a
+      // retrain preceded this append, the build-time one otherwise
+      val eps = GenerationManifest.epochs(path)
+      val centroids =
+        readQuantizer(delta.sparkSession, quantizerRootAt(path, eps, hi))
+      assignCells(kept, centroids)
+        .drop("dots")
+        .withColumn("gen", lit(hi + 1))
+        .repartition(col("cell"))
+        .write
+        .partitionBy("gen", "cell")
+        .mode("append")
+        .parquet(path)
+      if (crashAfterStage <= 1) return
+      GenerationManifest.amend(path)(s =>
+        s.copy(hi = hi + 1, wms = s.wms + ((hi + 1) -> keptRange)))
+    } finally release()
   }
 
   /** RETRAIN the flat IVF's coarse quantizer — [[retrainSq8Index]]'s
@@ -343,7 +376,9 @@ object SimilarityOps {
       .mode("append")
       .parquet(path)
     GenerationManifest.amend(path)(s =>
-      s.copy(hi = hi + 1, epochBases = s.epochBases :+ (hi + 1)))
+      s.copy(hi = hi + 1, epochBases = s.epochBases :+ (hi + 1),
+        // the epoch snapshot re-encodes (and thus seals) every id
+        wms = s.wms + ((hi + 1) -> vecIdRange(emb))))
     centroids
   }
 
@@ -386,7 +421,10 @@ object SimilarityOps {
     * Serving is row-identical across the flip; replaced generations
     * are reclaimed by the next mutation's leading purge. */
   def compactFlatIndex(spark: SparkSession, path: String): Unit = {
-    val (lo, hi) = GenerationManifest.window(path)
+    val st = GenerationManifest.state(path)
+    val (lo, hi) = (st.lo, st.hi)
+    val foldedWms = GenerationManifest.foldedWatermark(st)
+      .map(r => Map((hi + 1) -> r)).getOrElse(Map.empty[Long, (Long, Long)])
     GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
     if (lo == hi) return
     // epoch-aware like compactAnnIndex: fold only the governing
@@ -404,8 +442,8 @@ object SimilarityOps {
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/_epochs/gen=${hi + 1}/_quantizer")
       GenerationManifest.commit(path, hi + 1, hi + 1,
-        epochBases = Seq(hi + 1))
-    } else GenerationManifest.commit(path, hi + 1, hi + 1)
+        wms = foldedWms, epochBases = Seq(hi + 1))
+    } else GenerationManifest.commit(path, hi + 1, hi + 1, wms = foldedWms)
   }
 
   /** [[compactAnnIndex]]/[[compactFlatIndex]]'s window-growth rule as
@@ -420,7 +458,14 @@ object SimilarityOps {
       else compactAnnIndex(spark, path))
 
   def compactAnnIndex(spark: SparkSession, path: String): Unit = {
-    val (lo, hi) = GenerationManifest.window(path)
+    val st = GenerationManifest.state(path)
+    val (lo, hi) = (st.lo, st.hi)
+    // the fold seals the union of the window's sealed ids — manifest
+    // arithmetic when every generation carries a record (an epoch base
+    // re-encoded everything below it, so the union over [lo, hi]
+    // equals the folded content's)
+    val foldedWms = GenerationManifest.foldedWatermark(st)
+      .map(r => Map((hi + 1) -> r)).getOrElse(Map.empty[Long, (Long, Long)])
     GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
     if (lo == hi) return
     // an EPOCHED index folds only the governing epoch's rows — rows
@@ -454,8 +499,8 @@ object SimilarityOps {
         writeQuantizer(spark, readQuantizer(spark, headRoot),
           s"$path/_epochs/gen=${hi + 1}")
       GenerationManifest.commit(path, hi + 1, hi + 1,
-        epochBases = Seq(hi + 1))
-    } else GenerationManifest.commit(path, hi + 1, hi + 1)
+        wms = foldedWms, epochBases = Seq(hi + 1))
+    } else GenerationManifest.commit(path, hi + 1, hi + 1, wms = foldedWms)
     // replaced generations stay on disk until the next mutation's
     // leading purge — in-flight readers of the old window are safe
   }
@@ -766,7 +811,8 @@ object SimilarityOps {
       .write.mode("overwrite").parquet(s"$path/_quantizer")
     // round 15 brings the last two index families (SQ8, PQ) under the
     // shared generation protocol: crash-atomic appends + as-of serves
-    GenerationManifest.commit(path, 1L, 1L)
+    GenerationManifest.commit(path, 1L, 1L,
+      wms = Map(1L -> vecIdRange(emb)))
   }
 
   /** Saturating byte encoding shared by build and append: quantize,
@@ -787,17 +833,24 @@ object SimilarityOps {
     * scheduled retrain+rebuild, and append ≡ rebuild-with-same-
     * quantizer exactly (spec-pinned). */
   def appendSq8Index(delta: DataFrame, path: String): Unit = {
-    val (lo, hi) = GenerationManifest.window(path)
+    val st = GenerationManifest.state(path)
+    val (lo, hi) = (st.lo, st.hi)
     GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
-    val eps = GenerationManifest.epochs(path)
-    val quantizer = delta.sparkSession.read
-      .parquet(s"${quantizerRootAt(path, eps, hi)}/_quantizer")
-    delta.crossJoin(broadcast(quantizer))
-      .select(col("vec_id"), col("label"),
-        sq8ByteCodes(col("embedding"), col("mn"), col("mx")).as("codes"))
-      .withColumn("gen", lit(hi + 1))
-      .write.partitionBy("gen").mode("append").parquet(path)
-    GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
+    // idempotent per vec_id (round 18 — appendIvfStaged's discipline)
+    val (kept, keptRange, release) = keptVecDelta(st, delta, path)
+    try {
+      if (keptRange._1 > keptRange._2) return
+      val eps = GenerationManifest.epochs(path)
+      val quantizer = delta.sparkSession.read
+        .parquet(s"${quantizerRootAt(path, eps, hi)}/_quantizer")
+      kept.crossJoin(broadcast(quantizer))
+        .select(col("vec_id"), col("label"),
+          sq8ByteCodes(col("embedding"), col("mn"), col("mx")).as("codes"))
+        .withColumn("gen", lit(hi + 1))
+        .write.partitionBy("gen").mode("append").parquet(path)
+      GenerationManifest.amend(path)(s =>
+        s.copy(hi = hi + 1, wms = s.wms + ((hi + 1) -> keptRange)))
+    } finally release()
   }
 
   /** RETRAIN the SQ8 quantizer — the "scheduled retrain+rebuild" the
@@ -829,7 +882,9 @@ object SimilarityOps {
         .withColumn("gen", lit(hi + 1))
         .write.partitionBy("gen").mode("append").parquet(path)
       GenerationManifest.amend(path)(s =>
-        s.copy(hi = hi + 1, epochBases = s.epochBases :+ (hi + 1)))
+        s.copy(hi = hi + 1, epochBases = s.epochBases :+ (hi + 1),
+        // the epoch snapshot re-encodes (and thus seals) every id
+        wms = s.wms + ((hi + 1) -> vecIdRange(emb))))
     } finally stats.unpersist()
   }
 
@@ -1332,7 +1387,8 @@ object SimilarityOps {
       .withColumn("gen", lit(1L))
       .write.partitionBy("gen").mode("overwrite").parquet(path)
     writePqBooks(spark, books, path)
-    GenerationManifest.commit(path, 1L, 1L)
+    GenerationManifest.commit(path, 1L, 1L,
+      wms = Map(1L -> vecIdRange(emb)))
   }
 
   /** The full PQ train→build loop: train codebooks on the corpus,
@@ -1360,17 +1416,24 @@ object SimilarityOps {
     * a scheduled retrain+rebuild; the quantizer-versioning any
     * production PQ deployment runs. */
   def appendPqIndex(delta: DataFrame, path: String): Unit = {
-    val (lo, hi) = GenerationManifest.window(path)
+    val st = GenerationManifest.state(path)
+    val (lo, hi) = (st.lo, st.hi)
     GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
-    val eps = GenerationManifest.epochs(path)
-    val booksArr = readPqQuantizer(delta.sparkSession,
-      quantizerRootAt(path, eps, hi))
-    val books = booksArr.map(_.map(_.toSeq).toSeq).toSeq
-    delta.select(col("vec_id"), col("label"),
-        pqPack(pqCodeColsFor(col("embedding"), books)).as("packed"))
-      .withColumn("gen", lit(hi + 1))
-      .write.partitionBy("gen").mode("append").parquet(path)
-    GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
+    // idempotent per vec_id (round 18 — appendIvfStaged's discipline)
+    val (kept, keptRange, release) = keptVecDelta(st, delta, path)
+    try {
+      if (keptRange._1 > keptRange._2) return
+      val eps = GenerationManifest.epochs(path)
+      val booksArr = readPqQuantizer(delta.sparkSession,
+        quantizerRootAt(path, eps, hi))
+      val books = booksArr.map(_.map(_.toSeq).toSeq).toSeq
+      kept.select(col("vec_id"), col("label"),
+          pqPack(pqCodeColsFor(col("embedding"), books)).as("packed"))
+        .withColumn("gen", lit(hi + 1))
+        .write.partitionBy("gen").mode("append").parquet(path)
+      GenerationManifest.amend(path)(s =>
+        s.copy(hi = hi + 1, wms = s.wms + ((hi + 1) -> keptRange)))
+    } finally release()
   }
 
   /** RETRAIN the PQ codebooks — [[retrainIvfPq]]'s epoch protocol for
@@ -1395,7 +1458,9 @@ object SimilarityOps {
       .withColumn("gen", lit(hi + 1))
       .write.partitionBy("gen").mode("append").parquet(path)
     GenerationManifest.amend(path)(s =>
-      s.copy(hi = hi + 1, epochBases = s.epochBases :+ (hi + 1)))
+      s.copy(hi = hi + 1, epochBases = s.epochBases :+ (hi + 1),
+        // the epoch snapshot re-encodes (and thus seals) every id
+        wms = s.wms + ((hi + 1) -> vecIdRange(emb))))
   }
 
   /** The codebooks GOVERNING generation `asOfGen` (default: the head)
@@ -1691,7 +1756,8 @@ object SimilarityOps {
       .withColumn("gen", lit(1L))
       .repartition(col("cell"))
       .write.partitionBy("gen", "cell").mode("overwrite").parquet(path)
-    GenerationManifest.commit(path, 1L, 1L)
+    GenerationManifest.commit(path, 1L, 1L,
+      wms = Map(1L -> vecIdRange(emb)))
     writeIvfPqSidecars(spark, centroids, books, residual, path)
   }
 
@@ -2106,22 +2172,46 @@ object SimilarityOps {
     * (round 16: the retrain+rebuild is now a PROTOCOL, not prose —
     * appends after a retrain encode with the HEAD epoch's quantizers
     * automatically). */
-  def appendIvfPqIndex(delta: DataFrame, path: String): Unit = {
+  def appendIvfPqIndex(delta: DataFrame, path: String): Unit =
+    appendIvfPqGeneric(delta, path, sealEmpty = false)
+
+  /** [[appendIvfPqIndex]] as a HYBRID LEG: seals a generation even
+    * when the kept delta is empty (the cross-store lockstep invariant
+    * — one hybrid mutation advances BOTH legs, even an
+    * embeddings-empty correlated delta; an empty generation writes no
+    * code files and records the known-EMPTY watermark). */
+  private[graft] def appendIvfPqIndexAsLeg(
+      delta: DataFrame, path: String): Unit =
+    appendIvfPqGeneric(delta, path, sealEmpty = true)
+
+  private def appendIvfPqGeneric(
+      delta: DataFrame, path: String, sealEmpty: Boolean): Unit = {
     val spark = delta.sparkSession
-    val (lo, hi) = GenerationManifest.window(path)
+    val st = GenerationManifest.state(path)
+    val (lo, hi) = (st.lo, st.hi)
     GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
-    val eps = GenerationManifest.epochs(path)
-    val qRoot = quantizerRootAt(path, eps, hi)
-    val centroids = readQuantizer(spark, qRoot)
-    val books = readPqQuantizer(spark, s"$qRoot/_pq")
-      .map(_.map(_.toSeq).toSeq).toSeq
-    val residual = spark.read.parquet(s"$qRoot/_meta")
-      .head().getBoolean(0)
-    encodeForIndex(assignCells(delta, centroids), centroids, books, residual)
-      .withColumn("gen", lit(hi + 1))
-      .repartition(col("cell"))
-      .write.partitionBy("gen", "cell").mode("append").parquet(path)
-    GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
+    // idempotent per vec_id (round 18 — appendIvfStaged's discipline)
+    val (kept, keptRange, release) = keptVecDelta(st, delta, path)
+    try {
+      val emptyKept = keptRange._1 > keptRange._2
+      if (emptyKept && !sealEmpty) return
+      if (!emptyKept) {
+        val eps = GenerationManifest.epochs(path)
+        val qRoot = quantizerRootAt(path, eps, hi)
+        val centroids = readQuantizer(spark, qRoot)
+        val books = readPqQuantizer(spark, s"$qRoot/_pq")
+          .map(_.map(_.toSeq).toSeq).toSeq
+        val residual = spark.read.parquet(s"$qRoot/_meta")
+          .head().getBoolean(0)
+        encodeForIndex(assignCells(kept, centroids), centroids, books,
+            residual)
+          .withColumn("gen", lit(hi + 1))
+          .repartition(col("cell"))
+          .write.partitionBy("gen", "cell").mode("append").parquet(path)
+      }
+      GenerationManifest.amend(path)(s =>
+        s.copy(hi = hi + 1, wms = s.wms + ((hi + 1) -> keptRange)))
+    } finally release()
   }
 
   /** RETRAIN the composed index's quantizers and re-encode — the
@@ -2168,7 +2258,9 @@ object SimilarityOps {
       .repartition(col("cell"))
       .write.partitionBy("gen", "cell").mode("append").parquet(path)
     GenerationManifest.amend(path)(s =>
-      s.copy(hi = hi + 1, epochBases = s.epochBases :+ (hi + 1)))
+      s.copy(hi = hi + 1, epochBases = s.epochBases :+ (hi + 1),
+        // the epoch snapshot re-encodes (and thus seals) every id
+        wms = s.wms + ((hi + 1) -> vecIdRange(emb))))
   }
 
   /** Retrain-split modulus for [[q119QuantizerDrift]]'s fixture: the

@@ -182,6 +182,16 @@ class DedupOpsSpec extends SparkSuite {
     assert(DedupOps.dedupIndexWindow(idx) == ((1L, 2L)))
     assert(screen(idx) == want, "append diverged from rebuild")
 
+    // round 18 — IDEMPOTENT per doc_id: a replay of the committed
+    // delta is a pruned no-op (window unchanged, screen identical —
+    // doubled shingles would double n_common and inflate Jaccard)
+    DedupOps.appendDedupIndex(d1, idx)
+    assert(DedupOps.dedupIndexWindow(idx) == ((1L, 2L)),
+      "replayed dedup append grew the window")
+    assert(screen(idx) == want, "replayed append changed the screen")
+    assert(graft.queries.GenerationManifest.watermarks(idx).keySet
+      == Set(1L, 2L), "build/append did not record doc_id watermarks")
+
     // compaction: window collapses, screen bit-identical; replaced
     // generations stay on disk for in-flight readers of the old window
     DedupOps.compactDedupIndex(spark, idx)

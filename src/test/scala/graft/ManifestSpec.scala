@@ -126,6 +126,25 @@ class ManifestSpec extends AnyFunSuite {
     assert(GenerationManifest.state(p).pending.isEmpty)
   }
 
+  test("foldedWatermark: union of complete records; unknown when any generation is recordless; sentinels neutral") {
+    import GenerationManifest.{State, foldedWatermark}
+    // complete records: the fold's range is the union
+    assert(foldedWatermark(State(2L, 4L, Map(
+      2L -> (10L, 19L), 3L -> (5L, 7L), 4L -> (30L, 39L))))
+      .contains((5L, 39L)))
+    // an EMPTY-sentinel generation is neutral under min/max
+    assert(foldedWatermark(State(1L, 2L, Map(
+      1L -> (10L, 19L), 2L -> (Long.MaxValue, Long.MinValue))))
+      .contains((10L, 19L)))
+    // a recordless generation makes the union unknowable
+    assert(foldedWatermark(State(1L, 3L, Map(
+      1L -> (10L, 19L), 3L -> (30L, 39L)))).isEmpty)
+    // an all-empty window folds to the empty sentinel (known empty)
+    assert(foldedWatermark(State(1L, 1L, Map(
+      1L -> (Long.MaxValue, Long.MinValue))))
+      .contains((Long.MaxValue, Long.MinValue)))
+  }
+
   test("gensNeedingScan: intersection pruning, unknown-range fallback, empty sentinel") {
     val wms = Map(
       1L -> (0L, 99L),

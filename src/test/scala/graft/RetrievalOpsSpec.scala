@@ -110,6 +110,37 @@ class RetrievalOpsSpec extends SparkSuite {
     val a = RetrievalOps.bm25SearchIndex(spark, appended).collect().toSeq
     val r = RetrievalOps.bm25SearchIndex(spark, rebuilt).collect().toSeq
     assert(a == r)
+
+    // round 18 — IDEMPOTENT per doc_id: build and append each sealed
+    // their doc_id range, and a REPLAYED delta (at-least-once retry of
+    // a committed batch) is a pruned no-op — window unchanged, serving
+    // identical, tf/df not doubled
+    import graft.queries.GenerationManifest
+    assert(GenerationManifest.watermarks(appended).keySet == Set(1L, 2L),
+      "build/append did not record their watermarks")
+    RetrievalOps.appendInvertedIndex(delta, appended)
+    assert(GenerationManifest.window(appended) == ((1L, 2L)),
+      "replayed append grew the window")
+    assert(RetrievalOps.bm25SearchIndex(spark, appended).collect().toSeq == a,
+      "replayed append changed serving (doubled tf/df?)")
+    // a PARTIAL replay (half old ids, half fresh) seals only the fresh
+    // half — and the watermark records what actually sealed
+    val fresh = delta.filter(col("doc_id") % 97 === 0)
+      .withColumn("doc_id", col("doc_id") + 5000000L)
+    RetrievalOps.appendInvertedIndex(delta.unionByName(fresh), appended)
+    assert(GenerationManifest.window(appended) == ((1L, 3L)))
+    val wm3 = GenerationManifest.watermarks(appended)(3L)
+    assert(wm3._1 >= 5000000L,
+      s"partial replay over-claimed its sealed range: $wm3")
+    // an EMPTY delta never seals a junk generation
+    RetrievalOps.appendInvertedIndex(docs.limit(0), appended)
+    assert(GenerationManifest.window(appended) == ((1L, 3L)),
+      "empty append sealed a junk generation")
+    // the compaction's folded watermark is derived from the records
+    RetrievalOps.compactIndex(spark, appended)
+    val foldedWm = GenerationManifest.watermarks(appended)
+    assert(foldedWm.contains(4L) && foldedWm(4L)._2 >= 5000000L,
+      s"fold lost the derived watermark: $foldedWm")
   }
 
   test("appendInvertedIndex crash windows: readers see the old generation until the manifest flips; retry converges") {

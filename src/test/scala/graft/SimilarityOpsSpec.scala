@@ -354,6 +354,19 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(SimilarityOps.ivfSearchIndex(spark, crashPath, probes, centroids)
       .collect().toSeq == inc.toSeq, "retried append diverged")
 
+    // round 18 — IDEMPOTENT per vec_id: a replay of the committed
+    // delta (at-least-once redelivery) is a pruned no-op — window
+    // unchanged, no duplicated vectors; and an empty delta never
+    // seals a junk generation
+    SimilarityOps.appendIvfIndex(delta, crashPath)
+    assert(SimilarityOps.annIndexWindow(crashPath) == ((1L, 2L)),
+      "replayed ANN append grew the window")
+    SimilarityOps.appendIvfIndex(emb.limit(0), crashPath)
+    assert(SimilarityOps.annIndexWindow(crashPath) == ((1L, 2L)),
+      "empty ANN append sealed a junk generation")
+    assert(graft.queries.GenerationManifest.watermarks(crashPath).keySet
+      == Set(1L, 2L), "build/append did not record vec_id watermarks")
+
     // compaction: window collapses to one generation, serving
     // row-identical; the replaced generations stay on disk (reader
     // isolation) until the next mutation's leading purge reclaims them
@@ -1011,20 +1024,28 @@ class SimilarityOpsSpec extends SparkSuite {
     val b = SimilarityOps.sq8SearchIndex(spark, fullPath, probeId = 0).collect().toSeq
     assert(a == b, "append-then-search diverged from rebuild-then-search")
 
+    // round 18 — IDEMPOTENT per vec_id: a replay of the committed
+    // delta is a pruned no-op (window unchanged, no duplicated codes —
+    // a re-sent id with DIFFERENT floats is dropped too: sealed ids
+    // are immutable identities, the label-index rule)
+    SimilarityOps.appendSq8Index(delta, incPath)
+    assert(graft.queries.GenerationManifest.window(incPath) == ((1L, 2L)),
+      "replayed SQ8 append grew the window")
+    assert(spark.read.parquet(incPath).count() == emb.count(),
+      "replayed SQ8 append duplicated codes")
+
     // saturation guard: codes stay bytes even when a delta value falls
     // outside the trained range — encode a vector 10× outside base's
-    // envelope and check every code lands on a boundary or inside
+    // envelope (under a FRESH id: a sealed id would be dropped by the
+    // idempotency rule above) and check codes land on the boundary
     val wild = emb.filter($"vec_id" === 1L)
-      .select($"vec_id", $"label",
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"label",
         transform($"embedding", x => x * lit(10.0f)).as("embedding"))
     SimilarityOps.appendSq8Index(wild, incPath)
     import org.apache.spark.sql.functions.{col => fcol}
     val wildCodes = spark.read.parquet(incPath)
-      .filter(fcol("vec_id") === 1L).collect()
+      .filter(fcol("vec_id") === 1000001L).collect()
       .map(_.getSeq[Byte](2).toSeq)
-    // two rows share vec_id 1 now (the original and the wild append);
-    // the out-of-range one must show saturated boundary codes instead
-    // of a silent byte overflow
     assert(wildCodes.exists(_.exists(c => c == -128 || c == 127)),
       s"no saturated code in the wild append: $wildCodes")
     assert(spark.read.parquet(incPath).count() == emb.count() + 1)
@@ -1119,6 +1140,11 @@ class SimilarityOpsSpec extends SparkSuite {
     val inc = SimilarityOps.ivfPqSearchIndex(spark, incPath, probes, k).collect().toSeq
     val full = SimilarityOps.ivfPqSearchIndex(spark, fullPath, probes, k).collect().toSeq
     assert(inc == full, "append-then-search diverged from same-quantizer rebuild")
+    // round 18 — idempotent per vec_id: a replayed delta is a pruned
+    // no-op (window unchanged, no duplicated codes)
+    SimilarityOps.appendIvfPqIndex(delta, incPath)
+    assert(graft.queries.GenerationManifest.window(incPath) == ((1L, 2L)),
+      "replayed IVF-PQ append grew the window")
     val ids = spark.read.parquet(incPath).select("vec_id").collect()
       .map(_.getLong(0)).sorted.toSeq
     assert(ids == vecs.keys.toSeq.sorted, "appended index lost or duplicated vectors")
