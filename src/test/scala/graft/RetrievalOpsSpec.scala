@@ -141,6 +141,22 @@ class RetrievalOpsSpec extends SparkSuite {
     val foldedWm = GenerationManifest.watermarks(appended)
     assert(foldedWm.contains(4L) && foldedWm(4L)._2 >= 5000000L,
       s"fold lost the derived watermark: $foldedWm")
+    // LEGACY BACKFILL: wipe the records (the pre-r18 manifest shape),
+    // recover them from the postings' sealed doc_ids, and the replay
+    // stays a pruned no-op
+    val (wlo, whi) = GenerationManifest.window(appended)
+    GenerationManifest.commit(appended, wlo, whi)
+    assert(GenerationManifest.watermarks(appended).isEmpty)
+    RetrievalOps.backfillIndexWatermarks(spark, appended)
+    assert(GenerationManifest.watermarks(appended) == foldedWm,
+      "backfilled watermarks drifted from the native records")
+    val serveBefore = RetrievalOps.bm25SearchIndex(spark, appended)
+      .collect().toSeq
+    RetrievalOps.appendInvertedIndex(delta, appended)
+    assert(GenerationManifest.window(appended) == ((wlo, whi)),
+      "replay after backfill advanced the window")
+    assert(RetrievalOps.bm25SearchIndex(spark, appended).collect().toSeq
+      == serveBefore)
   }
 
   test("appendInvertedIndex crash windows: readers see the old generation until the manifest flips; retry converges") {
