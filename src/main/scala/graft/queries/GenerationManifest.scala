@@ -222,18 +222,27 @@ private[graft] object GenerationManifest {
     * relation — each family passes its own artifact read (postings
     * doc_ids, shingle doc_ids, code vec_ids), partition-pruned to
     * exactly the named generations. */
+  /** `[min, max]` of a frame's long id column with the inverted EMPTY
+    * sentinel — THE watermark-range primitive (one definition for
+    * every family's build/append/fold record; the sentinel convention
+    * has exactly one home). One bounded aggregate action. */
+  def idRange(
+      df: org.apache.spark.sql.DataFrame, idCol: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val r = df.agg(
+      min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
+    if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
+    else (r.getLong(0), r.getLong(1))
+  }
+
   def keptDelta(
       st: State,
       delta: org.apache.spark.sql.DataFrame, idCol: String,
       sealedIds: Seq[Long] => org.apache.spark.sql.DataFrame)
     : (org.apache.spark.sql.DataFrame, (Long, Long), () => Unit) = {
-    import org.apache.spark.sql.functions.{col, max, min}
-    def range(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-      val r = df.agg(
-        min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
-      if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
-      else (r.getLong(0), r.getLong(1))
-    }
+    import org.apache.spark.sql.functions.col
+    def range(df: org.apache.spark.sql.DataFrame): (Long, Long) =
+      idRange(df, idCol)
     val (dMin, dMax) = range(delta)
     val scanGens =
       if (dMin > dMax) Seq.empty

@@ -571,23 +571,23 @@ object PipelineOps {
     * [[graft.queries.RetrievalOps.compactIndex]]'s contract for the
     * bank (distinct pairs merge by union). */
   def compactEvalBank(spark: SparkSession, path: String): Unit = {
-    val (lo, hi) = GenerationManifest.window(path)
+    val st = GenerationManifest.state(path)
+    val (lo, hi) = (st.lo, st.hi)
     GenerationManifest.purgeOutside(path, Seq("grams"), lo, hi)
     if (lo == hi) return
-    val folded = spark.read.parquet(s"$path/grams")
+    spark.read.parquet(s"$path/grams")
       .filter(col("gen").between(lo, hi)).drop("gen").distinct()
-    folded.withColumn("gen", lit(hi + 1))
+      .withColumn("gen", lit(hi + 1))
       .coalesce(1)
       .write.partitionBy("gen").mode("append").parquet(s"$path/grams")
-    // the folded generation seals every eval_id the window sealed —
-    // recompute from the folded rows (exact for legacy windows too);
-    // suite-bounded, so the extra action is a tiny job
-    val r = folded.agg(min(col("eval_id")), max(col("eval_id"))).head()
-    val range =
-      if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
-      else (r.getLong(0), r.getLong(1))
+    // the folded record is the UNION of the per-generation records
+    // ([[GenerationManifest.foldedWatermark]] — no data scan), NOT a
+    // recount from gram rows: append/write seal SUITE doc_id ranges
+    // (including gram-less short docs), and a recount would silently
+    // shrink the record across a content-no-op fold
     GenerationManifest.commit(path, hi + 1, hi + 1,
-      wms = Map((hi + 1) -> range))
+      wms = GenerationManifest.foldedWatermark(st)
+        .map(r => Map((hi + 1) -> r)).getOrElse(Map.empty))
   }
 
   /** [[compactEvalBank]]'s growth rule as code (the `compactIfPast`

@@ -267,13 +267,9 @@ object RetrievalOps {
   }
 
   /** `[min, max]` of a frame's doc_id — the build-time `W` record
-    * (inverted sentinel when empty). */
-  private def docIdRange(docs: DataFrame): (Long, Long) = {
-    val r = docs.agg(
-      min(col("doc_id").cast("long")), max(col("doc_id").cast("long"))).head()
-    if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
-    else (r.getLong(0), r.getLong(1))
-  }
+    * ([[GenerationManifest.idRange]]). */
+  private def docIdRange(docs: DataFrame): (Long, Long) =
+    GenerationManifest.idRange(docs, "doc_id")
 
   /** The committed generation WINDOW `[lo, hi]` of a persisted index —
     * what every reader scopes its scan to. Appends extend `hi`;
@@ -377,15 +373,22 @@ object RetrievalOps {
       postingsOf: DataFrame => DataFrame,
       totalsOf: DataFrame => DataFrame,
       crashAfterStage: Int,
-      sealEmpty: Boolean = false): Unit = {
+      sealEmpty: Boolean = false,
+      preKept: Option[(Long, Long)] = None): Unit = {
     val spark = docs.sparkSession
     val st = GenerationManifest.state(path)
     val (lo, hi) = (st.lo, st.hi)
     purgeOutside(path, lo, hi) // a crashed predecessor's orphans
-    val (kept, keptRange, release) = GenerationManifest.keptDelta(
-      st, docs, "doc_id",
-      gens => spark.read.parquet(path)
-        .filter(col("gen").isin(gens: _*)).select(col("doc_id")))
+    // preKept: the caller (the hybrid append) already pruned the delta
+    // and passes the range to seal — re-running the prelude here would
+    // only re-pay the range job and the anti-join scan
+    val (kept, keptRange, release) = preKept match {
+      case Some(r) => (docs, r, () => ())
+      case None => GenerationManifest.keptDelta(
+        st, docs, "doc_id",
+        gens => spark.read.parquet(path)
+          .filter(col("gen").isin(gens: _*)).select(col("doc_id")))
+    }
     try {
       if (keptRange._1 > keptRange._2 && !sealEmpty) return
       val emptyKept = keptRange._1 > keptRange._2
@@ -945,7 +948,7 @@ object RetrievalOps {
     // post-flip-replay idempotency: prune the sealed-id check to the
     // generations the delta's range overlaps (fresh monotone batches
     // scan NOTHING; a replay scans only the generation it wrote)
-    val wms = GenerationManifest.watermarks(path)
+    val wms = st0.wms
     val (dMin, dMax) = combinedRange(docs, "doc_id", emb, "vec_id")
     val scanGens =
       if (dMin > dMax) Seq.empty
@@ -973,7 +976,6 @@ object RetrievalOps {
       val keptRange =
         if (scanGens.isEmpty) (dMin, dMax)
         else combinedRange(keptDocs, "doc_id", keptEmb, "vec_id")
-      if (scanGens.nonEmpty && keptRange._1 > keptRange._2) return
       // pre-flip-crash repair vs out-of-band mutation, POSITIVELY
       // identified: a leg at (lo, hi+1) absorbed its delta in a
       // crashed attempt IFF the pending-append intent exists — the
@@ -1002,9 +1004,16 @@ object RetrievalOps {
         }
       }
       // inspect BOTH legs before mutating either — a refusal must land
-      // before any work, and under one intent record
+      // before any work (including for an empty delta, which is how
+      // the specs probe the guard), and under one intent record
       val sparseDone = legState("sparse")
       val denseDone = legState("dense")
+      // NOTHING to seal — an empty delta or a fully-replayed batch
+      // never grows the window (the sibling appends' rule; pre-r18
+      // this path sealed a junk generation per empty call). A dangling
+      // vacuous intent, if one exists, is cleared by the next real
+      // mutation's flip or fold.
+      if (keptRange._1 > keptRange._2) return
       // commit the intent BEFORE the first leg mutation (cleared by
       // the flip): this is what makes the one-ahead state unspoofable
       if (!pendingAppend)
@@ -1012,11 +1021,19 @@ object RetrievalOps {
           s.copy(pending = Some(("A", hi + 1))))
       if (crashAfterLeg <= 0) return
       // the AsLeg forms seal a generation even for a one-sided empty
-      // kept frame — the lockstep invariant over correlated deltas
-      if (!sparseDone) appendInvertedIndexAsLeg(keptDocs, s"$path/sparse")
+      // kept frame (the lockstep invariant over correlated deltas) and
+      // SKIP their own idempotency prelude — the joint prune above
+      // already dropped every sealed id, and legState already resolved
+      // crash repair, so a leg-level re-check would only re-pay the
+      // range jobs (the ProfR18 nit) and re-scan the dense epoch
+      // snapshot. The joint kept range rides along as the leg's
+      // (conservative, superset) W record.
+      if (!sparseDone)
+        appendInvertedIndexAsLeg(keptDocs, s"$path/sparse", keptRange)
       if (crashAfterLeg <= 1) return
       if (!denseDone)
-        SimilarityOps.appendIvfPqIndexAsLeg(keptEmb, s"$path/dense")
+        SimilarityOps.appendIvfPqIndexAsLeg(keptEmb, s"$path/dense",
+          keptRange)
       if (crashAfterLeg <= 2) return
       // version the generation's rerank floats with it (overwrite of
       // the explicit gen dir = idempotent under pre-flip retries)
@@ -1208,8 +1225,15 @@ object RetrievalOps {
         .filter(col("gen") === hi + 1).select(col("vec_id")),
       "vec_id")
     // commit, not amend: resetting the per-generation records to the
-    // one folded entry is the compaction's intent
-    GenerationManifest.commit(path, hi + 1, hi + 1, Map((hi + 1) -> range))
+    // one folded entry is the compaction's intent. An EPOCHED store
+    // keeps its epoch marker — the dense leg's compaction re-seats the
+    // head epoch's quantizers as the folded generation's, so the
+    // hybrid-level record must follow (dropping it would erase the
+    // "this store was retrained" answer while the leg still serves
+    // retrained codes)
+    GenerationManifest.commit(path, hi + 1, hi + 1, Map((hi + 1) -> range),
+      epochBases =
+        if (st0.epochBases.nonEmpty) Seq(hi + 1) else Seq.empty)
   }
 
   /** The window-growth rule as code ([[GenerationManifest.compactIfPast]]
@@ -1285,14 +1309,25 @@ object RetrievalOps {
     }
     val sparseDone = legState("sparse")
     val denseDone = legState("dense")
-    // positive identification of the crashed attempt's dense half: a
-    // one-ahead dense leg under an R intent must be the epoch snapshot
-    // the attempt was building
+    // positive identification of the crashed attempt's halves — the
+    // intent alone says "a retrain was running", the leg must also
+    // LOOK like that retrain's work (an out-of-band mutation landing
+    // inside the crash window would otherwise be laundered into the
+    // roll-forward): the dense leg's one-ahead generation must be the
+    // epoch snapshot the attempt was building; the sparse leg's must
+    // be its EMPTY seal (the known-empty watermark it writes) — a real
+    // range there means someone appended postings out-of-band
     if (denseDone)
       require(GenerationManifest.epochs(s"$path/dense").contains(hi + 1),
         s"dense leg at $path is one generation ahead under a retrain " +
           s"intent but generation ${hi + 1} is not an epoch base — " +
           "the store was mutated outside the hybrid ops; rebuild")
+    if (sparseDone)
+      require(GenerationManifest.watermarks(s"$path/sparse").get(hi + 1)
+        .contains((Long.MaxValue, Long.MinValue)),
+        s"sparse leg at $path is one generation ahead under a retrain " +
+          s"intent but generation ${hi + 1} is not the retrain's empty " +
+          "seal — the store was mutated outside the hybrid ops; rebuild")
     if (!resuming)
       GenerationManifest.amend(path)(s =>
         s.copy(pending = Some(("R", hi + 1))))
@@ -1714,11 +1749,14 @@ object RetrievalOps {
   /** [[appendInvertedIndex]] as a HYBRID LEG: seals a generation even
     * when the kept delta is empty (the cross-store lockstep invariant
     * — one hybrid mutation advances BOTH legs, even a docs-empty
-    * correlated delta). */
+    * correlated delta), and SKIPS the idempotency prelude — the hybrid
+    * already pruned the delta jointly and passes the (conservative,
+    * joint) range its generation seals. */
   private[graft] def appendInvertedIndexAsLeg(
-      docs: DataFrame, path: String): Unit =
+      docs: DataFrame, path: String, keptRange: (Long, Long)): Unit =
     appendGeneric(docs, path, postings, corpusTotals,
-      crashAfterStage = Int.MaxValue, sealEmpty = true)
+      crashAfterStage = Int.MaxValue, sealEmpty = true,
+      preKept = Some(keptRange))
 
   /** The bucketed passage posting rows — ONE definition for build and
     * append. */

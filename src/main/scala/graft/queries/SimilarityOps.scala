@@ -239,13 +239,9 @@ object SimilarityOps {
   }
 
   /** `[min, max]` of a frame's vec_id — the build/retrain-time `W`
-    * record (inverted sentinel when empty). */
-  private def vecIdRange(emb: DataFrame): (Long, Long) = {
-    val r = emb.agg(
-      min(col("vec_id").cast("long")), max(col("vec_id").cast("long"))).head()
-    if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
-    else (r.getLong(0), r.getLong(1))
-  }
+    * record ([[GenerationManifest.idRange]]). */
+  private def vecIdRange(emb: DataFrame): (Long, Long) =
+    GenerationManifest.idRange(emb, "vec_id")
 
   /** The idempotent-append prelude bound to this family's sealed-id
     * read ([[GenerationManifest.keptDelta]] over the code tables'
@@ -2181,17 +2177,23 @@ object SimilarityOps {
     * embeddings-empty correlated delta; an empty generation writes no
     * code files and records the known-EMPTY watermark). */
   private[graft] def appendIvfPqIndexAsLeg(
-      delta: DataFrame, path: String): Unit =
-    appendIvfPqGeneric(delta, path, sealEmpty = true)
+      delta: DataFrame, path: String, keptRange: (Long, Long)): Unit =
+    appendIvfPqGeneric(delta, path, sealEmpty = true,
+      preKept = Some(keptRange))
 
   private def appendIvfPqGeneric(
-      delta: DataFrame, path: String, sealEmpty: Boolean): Unit = {
+      delta: DataFrame, path: String, sealEmpty: Boolean,
+      preKept: Option[(Long, Long)] = None): Unit = {
     val spark = delta.sparkSession
     val st = GenerationManifest.state(path)
     val (lo, hi) = (st.lo, st.hi)
     GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
-    // idempotent per vec_id (round 18 — appendIvfStaged's discipline)
-    val (kept, keptRange, release) = keptVecDelta(st, delta, path)
+    // idempotent per vec_id (round 18 — appendIvfStaged's discipline);
+    // preKept = the hybrid already pruned jointly (skip the prelude)
+    val (kept, keptRange, release) = preKept match {
+      case Some(r) => (delta, r, () => ())
+      case None => keptVecDelta(st, delta, path)
+    }
     try {
       val emptyKept = keptRange._1 > keptRange._2
       if (emptyKept && !sealEmpty) return

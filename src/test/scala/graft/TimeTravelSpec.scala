@@ -375,6 +375,11 @@ class TimeTravelSpec extends SparkSuite {
       "replayed hybrid append advanced the window")
     assert(rows(RetrievalOps.hybridServeAt(spark, idx)) == atHead,
       "replayed hybrid append changed the serve (double-counted postings?)")
+    // an EMPTY delta never seals a junk generation either (round 18 —
+    // the sibling appends' rule applied to the hybrid)
+    RetrievalOps.appendHybridIndex(docs.limit(0), emb.limit(0), idx)
+    assert(GenerationManifest.window(idx) == windowBefore,
+      "empty hybrid append sealed a junk generation")
 
     // LEGACY BACKFILL (round 17): wipe the watermark records (the
     // pre-r16 manifest shape), backfill from both legs' sealed ids,
@@ -644,16 +649,52 @@ class TimeTravelSpec extends SparkSuite {
     assert(rows(RetrievalOps.hybridServeAt(spark, idx, asOfGen = 3L))
       == atGen3, "roll-forward disturbed sealed history")
 
+    // a joint COMPACTION of the retrained store keeps the hybrid-level
+    // epoch marker (the dense leg re-seats its quantizers as the
+    // folded generation's epoch; the hybrid record must follow) and
+    // serves bit-identically across the flip
+    val atGen5 = rows(RetrievalOps.hybridServeAt(spark, idx))
+    RetrievalOps.compactHybridIndex(spark, idx)
+    assert(GenerationManifest.window(idx) == ((6L, 6L)))
+    assert(GenerationManifest.epochs(idx) == Seq(6L),
+      "the fold dropped the hybrid epoch marker")
+    assert(rows(RetrievalOps.hybridServeAt(spark, idx)) == atGen5,
+      "serve changed across the retrained store's fold")
+
+    // SPARSE positive identification: a pending retrain intent plus an
+    // out-of-band sparse APPEND (a real generation, not the retrain's
+    // empty seal) must refuse the roll-forward instead of laundering
+    // the foreign postings into the retrain's "empty" generation
+    val sparseState = GenerationManifest.state(s"$idx/sparse")
+    GenerationManifest.amend(idx)(s => s.copy(pending = Some(("R", 7L))))
+    RetrievalOps.appendInvertedIndex(
+      docs.filter($"doc_id" % 97 === 2)
+        .withColumn("doc_id", $"doc_id" + 3000000L),
+      s"$idx/sparse")
+    val spe = intercept[IllegalArgumentException] {
+      RetrievalOps.retrainHybridDense(spark, idx, ivfIters = 2, pqIters = 2)
+    }
+    assert(spe.getMessage.contains("not the retrain's empty seal"),
+      s"out-of-band sparse append laundered into the retrain: ${spe.getMessage}")
+    // restore the pre-probe state (test surgery: rewind the sparse
+    // manifest, purge the probe's generation, clear the intent)
+    GenerationManifest.commit(s"$idx/sparse",
+      sparseState.lo, sparseState.hi, sparseState.wms)
+    GenerationManifest.purgeOutside(s"$idx/sparse", Seq("", "_stats"),
+      sparseState.lo, sparseState.hi)
+    GenerationManifest.amend(idx)(s => s.copy(pending = None))
+    assert(rows(RetrievalOps.hybridServeAt(spark, idx)) == atGen5)
+
     // THE SPOOF (the r17 verdict's weak): a direct retrainIvfPq on the
     // dense leg leaves EXACTLY the one-ahead window a crashed append
     // used to claim as its own repair state — with no intent record it
     // must now refuse loudly instead of silently skipping the dense
     // append (sealing vec_ids that were never indexed)
     SimilarityOps.retrainIvfPq(
-      spark.read.parquet(s"$idx/_floats").filter($"gen".between(1L, 5L))
+      spark.read.parquet(s"$idx/_floats").filter($"gen" === 6L)
         .select($"vec_id", $"label", $"embedding"),
       s"$idx/dense", ivfIters = 2, pqIters = 2)
-    assert(GenerationManifest.window(s"$idx/dense") == ((1L, 6L)),
+    assert(GenerationManifest.window(s"$idx/dense") == ((6L, 7L)),
       "spoof setup did not leave the one-ahead dense window")
     // the delta must be FRESH ids: an already-sealed delta would be
     // pruned to a no-op by the watermark before the guard even runs
