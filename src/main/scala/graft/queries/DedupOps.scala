@@ -1366,11 +1366,8 @@ object DedupOps {
     * generation (the LabelIndexStream empty-base build) never forces
     * a scan — where OMITTING the record would read as "unknown range,
     * must scan" forever. One delta-bounded two-long aggregate. */
-  private def idRange(df: DataFrame): (Long, Long) = {
-    val r = df.agg(min(col("doc_id")), max(col("doc_id"))).head()
-    if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
-    else (r.getLong(0), r.getLong(1))
-  }
+  private def idRange(df: DataFrame): (Long, Long) =
+    GenerationManifest.idRange(df, "doc_id")
 
   private def emptyRemaps(spark: SparkSession): DataFrame = {
     import spark.implicits._
