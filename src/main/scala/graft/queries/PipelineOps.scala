@@ -540,13 +540,11 @@ object PipelineOps {
     * the watermark discipline; no idempotency scan reads it today, but
     * the asymmetry made every "which generations seal which suites"
     * question a data scan instead of a manifest read). One tiny agg on
-    * a suite-bounded frame; inverted sentinel when empty. */
-  private def evalIdRange(evalDocs: DataFrame): (Long, Long) = {
-    val r = evalDocs.agg(
-      min(col("doc_id").cast("long")), max(col("doc_id").cast("long"))).head()
-    if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
-    else (r.getLong(0), r.getLong(1))
-  }
+    * a suite-bounded frame; delegates to the protocol's one
+    * range-with-EMPTY-sentinel primitive so the convention keeps
+    * exactly one home (ADVICE r18). */
+  private def evalIdRange(evalDocs: DataFrame): (Long, Long) =
+    GenerationManifest.idRange(evalDocs, "doc_id")
 
   /** Append a new eval-suite release as the next generation
     * (crash-atomic: the write lands outside the committed window, the
@@ -587,7 +585,8 @@ object PipelineOps {
     // shrink the record across a content-no-op fold
     GenerationManifest.commit(path, hi + 1, hi + 1,
       wms = GenerationManifest.foldedWatermark(st)
-        .map(r => Map((hi + 1) -> r)).getOrElse(Map.empty))
+        .map(r => Map((hi + 1) -> r)).getOrElse(Map.empty),
+      expectSeq = Some(st.seq))
   }
 
   /** [[compactEvalBank]]'s growth rule as code (the `compactIfPast`

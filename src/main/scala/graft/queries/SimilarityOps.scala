@@ -438,8 +438,10 @@ object SimilarityOps {
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/_epochs/gen=${hi + 1}/_quantizer")
       GenerationManifest.commit(path, hi + 1, hi + 1,
-        wms = foldedWms, epochBases = Seq(hi + 1))
-    } else GenerationManifest.commit(path, hi + 1, hi + 1, wms = foldedWms)
+        wms = foldedWms, epochBases = Seq(hi + 1),
+        expectSeq = Some(st.seq))
+    } else GenerationManifest.commit(path, hi + 1, hi + 1, wms = foldedWms,
+      expectSeq = Some(st.seq))
   }
 
   /** [[compactAnnIndex]]/[[compactFlatIndex]]'s window-growth rule as
@@ -495,8 +497,10 @@ object SimilarityOps {
         writeQuantizer(spark, readQuantizer(spark, headRoot),
           s"$path/_epochs/gen=${hi + 1}")
       GenerationManifest.commit(path, hi + 1, hi + 1,
-        wms = foldedWms, epochBases = Seq(hi + 1))
-    } else GenerationManifest.commit(path, hi + 1, hi + 1, wms = foldedWms)
+        wms = foldedWms, epochBases = Seq(hi + 1),
+        expectSeq = Some(st.seq))
+    } else GenerationManifest.commit(path, hi + 1, hi + 1, wms = foldedWms,
+      expectSeq = Some(st.seq))
     // replaced generations stay on disk until the next mutation's
     // leading purge — in-flight readers of the old window are safe
   }

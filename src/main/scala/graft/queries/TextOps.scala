@@ -1551,7 +1551,8 @@ object TextOps {
   /** Compact an LM-model store — [[compactGateModel]]'s contract for
     * the vocab+costs artifact pair. */
   def compactLmModel(spark: SparkSession, path: String): Unit = {
-    val (lo, hi) = GenerationManifest.window(path)
+    val st0 = GenerationManifest.state(path)
+    val (lo, hi) = (st0.lo, st0.hi)
     GenerationManifest.purgeOutside(path, LmModelRoots, lo, hi)
     if (lo == hi) return
     LmModelRoots.foreach { sub =>
@@ -1567,7 +1568,9 @@ object TextOps {
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$path/$sub/gen=${hi + 1}")
     }
-    GenerationManifest.commit(path, hi + 1, hi + 1)
+    // fenced on the head-of-fold token (round 19)
+    GenerationManifest.commit(path, hi + 1, hi + 1,
+      expectSeq = Some(st0.seq))
   }
 
   /** The model stores' generation-growth rule as CODE (round 17 —
@@ -2948,13 +2951,16 @@ object TextOps {
   /** Compact a BPE-model store — [[compactGateModel]]'s contract for
     * the merge-table artifact. */
   def compactBpeModel(spark: SparkSession, path: String): Unit = {
-    val (lo, hi) = GenerationManifest.window(path)
+    val st0 = GenerationManifest.state(path)
+    val (lo, hi) = (st0.lo, st0.hi)
     GenerationManifest.purgeOutside(path, BpeModelRoots, lo, hi)
     if (lo == hi) return
     spark.read.parquet(s"$path/merges/gen=$hi")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/merges/gen=${hi + 1}")
-    GenerationManifest.commit(path, hi + 1, hi + 1)
+    // fenced on the head-of-fold token (round 19)
+    GenerationManifest.commit(path, hi + 1, hi + 1,
+      expectSeq = Some(st0.seq))
   }
 
   /** The persisted merge table at `asOfGen` (default: the head),
@@ -3772,7 +3778,8 @@ object TextOps {
     * history is traded for reclaimable storage; serves at the head
     * are bit-identical across the flip). */
   def compactGateModel(spark: SparkSession, path: String): Unit = {
-    val (lo, hi) = GenerationManifest.window(path)
+    val st0 = GenerationManifest.state(path)
+    val (lo, hi) = (st0.lo, st0.hi)
     GenerationManifest.purgeOutside(path, GateModelRoots, lo, hi)
     if (lo == hi) return
     GateModelRoots.foreach { sub =>
@@ -3780,7 +3787,9 @@ object TextOps {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$path/$sub/gen=${hi + 1}")
     }
-    GenerationManifest.commit(path, hi + 1, hi + 1)
+    // fenced on the head-of-fold token (round 19)
+    GenerationManifest.commit(path, hi + 1, hi + 1,
+      expectSeq = Some(st0.seq))
   }
 
   /** The deployed weight vector at `asOfGen` (default: the head) —

@@ -88,6 +88,15 @@ object HybridIndexStream {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // self-healing, part 1 (round 19): a dense-leg retrain that
+        // crashed between leg flips leaves a pending `R` intent that
+        // makes BOTH the compaction and the append below refuse by
+        // design — without this resume the stream would wedge in a
+        // refuse-crash-replay loop until an operator ran
+        // retrainHybridDense by hand. One manifest read when idle.
+        // Iteration counts matter only if the dense snapshot itself
+        // was unfinished (see maybeResumeHybridRetrain's scaladoc).
+        RetrievalOps.maybeResumeHybridRetrain(batch.sparkSession, indexPath)
         compactPastGens.foreach(g =>
           RetrievalOps.maybeCompactHybridIndex(
             batch.sparkSession, indexPath, g))

@@ -83,6 +83,86 @@ class HybridStreamSpec extends SparkSuite {
       "replayed batch changed the served ranking")
   }
 
+  test("crashed dense-leg retrain: the stream rolls it forward at the batch head; serve equals the uncrashed twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .join(Tables.embeddings(spark, sf).withColumnRenamed("vec_id", "doc_id"),
+        Seq("doc_id"))
+      .select($"doc_id", $"text", $"label", $"embedding")
+      .as[HybridDoc].collect().toSeq.sortBy(_.doc_id)
+    val (base, delta) = corpus.partition(d =>
+      d.doc_id % DedupOps.DeltaMod != DedupOps.DeltaRem)
+    def docsOf(rows: Seq[HybridDoc]) =
+      spark.createDataset(rows).toDF().select($"doc_id", $"text")
+    def embOf(rows: Seq[HybridDoc]) = spark.createDataset(rows).toDF()
+      .select($"doc_id".as("vec_id"), $"label", $"embedding")
+    def build(path: String): Unit =
+      RetrievalOps.writeTrainedHybridIndex(docsOf(base), embOf(base), path)
+    // the TWIN: the same retrain runs to COMPLETION, then the same
+    // delta appends — training is deterministic (SimilarityOpsSpec
+    // pins it), so every healed store must serve bit-identically
+    val twin = tmp("graft-hybrid-heal-twin")
+    build(twin)
+    assert(!RetrievalOps.maybeResumeHybridRetrain(spark, twin),
+      "resume must be a no-op on a store with no pending retrain")
+    RetrievalOps.retrainHybridDense(spark, twin, ivfIters = 3, pqIters = 3)
+    RetrievalOps.appendHybridIndex(docsOf(delta), embOf(delta), twin)
+    val want = rows(RetrievalOps.hybridServeAt(spark, twin))
+
+    // kill the retrain at every stage boundary: after the intent (0),
+    // the dense epoch snapshot (1), the sparse empty seal (2 — BETWEEN
+    // the leg flips), and the float footer (3). Stages 1-3 heal
+    // through the STREAM's head-of-batch resume (pure roll-forward, no
+    // re-training, so iteration counts cannot diverge from the twin);
+    // stage 0 heals through the direct resume with the twin's counts
+    // (the dense snapshot itself re-runs there).
+    Seq(0, 1, 2, 3).foreach { stage =>
+      val idx = tmp(s"graft-hybrid-heal-$stage")
+      build(idx)
+      RetrievalOps.retrainHybridStaged(spark, idx, 3, 3, None,
+        crashAfterStage = stage)
+      assert(GenerationManifest.state(idx).pending.contains(("R", 2L)),
+        s"stage $stage: crash did not leave the pending intent")
+      if (stage == 1) {
+        // mid-retrain states refuse appends and folds loudly, naming
+        // the roll-forward — never a misserve, never a silent skip
+        val ea = intercept[IllegalArgumentException] {
+          RetrievalOps.appendHybridIndex(docsOf(delta), embOf(delta), idx)
+        }
+        assert(ea.getMessage.contains("retrainHybridDense"), ea.getMessage)
+        val ec = intercept[IllegalArgumentException] {
+          RetrievalOps.compactHybridIndex(spark, idx)
+        }
+        assert(ec.getMessage.contains("retrainHybridDense"), ec.getMessage)
+      }
+      if (stage == 0)
+        assert(RetrievalOps.maybeResumeHybridRetrain(spark, idx,
+          ivfIters = 3, pqIters = 3),
+          "resume must report it rolled the retrain forward")
+      val in = MemoryStream[HybridDoc]
+      val q = graft.streaming.HybridIndexStream.sink(
+        in.toDF(), idx, tmp(s"graft-hybrid-heal-ck-$stage"))
+      try {
+        in.addData(delta)
+        q.processAllAvailable()
+      } finally q.stop()
+      // healed: intent cleared, epoch recorded, legs in lockstep,
+      // the delta appended, and the serve equals the uncrashed twin
+      assert(GenerationManifest.state(idx).pending.isEmpty,
+        s"stage $stage: the stream did not clear the retrain intent")
+      assert(GenerationManifest.epochs(idx) == Seq(2L),
+        s"stage $stage: the healed retrain lost its epoch record")
+      assert(GenerationManifest.window(idx) == ((1L, 3L)),
+        s"stage $stage: heal + append sealed the wrong window")
+      Seq("sparse", "dense").foreach(n =>
+        assert(GenerationManifest.window(s"$idx/$n") == ((1L, 3L)),
+          s"stage $stage: leg '$n' fell out of lockstep"))
+      assert(rows(RetrievalOps.hybridServeAt(spark, idx)) == want,
+        s"stage $stage: healed store diverged from the uncrashed twin")
+    }
+  }
+
   test("in-loop compaction cadence: the window stays folded across batches and the serve still equals the rebuild") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

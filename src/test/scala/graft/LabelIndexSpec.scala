@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{DedupOps, SimilarityOps}
+import graft.queries.{DedupOps, GenerationManifest, SimilarityOps}
 import org.apache.spark.sql.functions._
 
 /** The duplicate-family LABEL index (round 14): build/append/serve/
@@ -34,6 +34,44 @@ class LabelIndexSpec extends SparkSuite {
     assert(got == want, "append diverged from the full-corpus rebuild")
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark),
       "label index mutations leaked cached frames")
+  }
+
+  test("writer fence (round 19): a stream append racing an out-of-band compaction refuses the fold loudly; the append survives") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val idx = tmp("graft-label-race")
+    // two sealed generations so the fold has something to do
+    DedupOps.writeLabelIndex(docs.filter($"doc_id" % 3 === 0), idx)
+    DedupOps.appendLabelIndex(docs.filter($"doc_id" % 3 === 1), idx)
+    assert(GenerationManifest.window(idx) == ((1L, 2L)))
+    // THE RACE (the r18 verdict's exactly-two-writers case): a nightly
+    // out-of-band fold reads the manifest and rewrites its artifacts;
+    // while it works, the maintenance stream's append lands in full
+    // (leading purge reclaims the fold's half-done gen-3 debris, then
+    // intent-free artifact writes + flip). The fold's publishing flip
+    // must trip the FENCE — pre-r19 it committed (3, 3) over the
+    // append's (1, 3), silently un-publishing the appended generation
+    // across every artifact at once.
+    val delta = docs.filter($"doc_id" % 3 === 2)
+    val e = intercept[IllegalStateException] {
+      DedupOps.compactLabelSeamed(spark, idx, () =>
+        DedupOps.appendLabelIndex(delta, idx))
+    }
+    assert(e.getMessage.contains("fence token"), e.getMessage)
+    // the append's generation survived — the race lost loudly, not
+    // silently: the served labels equal the full-corpus closure
+    assert(GenerationManifest.window(idx) == ((1L, 3L)))
+    val want = DedupOps.withQ43DupClusters(spark, sf)(_.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(want.nonEmpty, "fixture closure is vacuous")
+    assert(servedRows(idx) == want,
+      "the racing append's generation was damaged by the refused fold")
+    // the refused fold RETRIES cleanly on the fresh state and folds
+    // all three generations — serve unchanged across the flip
+    DedupOps.compactLabelIndex(spark, idx)
+    assert(GenerationManifest.window(idx) == ((4L, 4L)))
+    assert(servedRows(idx) == want,
+      "the retried fold changed the served labels")
   }
 
   test("merge journal: a delta bridge merges two sealed families via remap, O(merge-events) rows") {

@@ -89,14 +89,15 @@ class ManifestSpec extends AnyFunSuite {
       Map(2L -> (10L, 19L), 3L -> (20L, 29L), 5L -> (30L, 39L)))
     assert(GenerationManifest.epochs(p) == Seq(2L))
     // state() is the one-read parse of everything commit wrote
+    // (seq = 3: the build commit plus two amends)
     assert(GenerationManifest.state(p) == GenerationManifest.State(
       1L, 5L, Map(2L -> (10L, 19L), 3L -> (20L, 29L), 5L -> (30L, 39L)),
-      Seq(2L)))
+      Seq(2L), seq = 3L))
     // window-scoping still applies to what f returns: a compaction-
     // shaped amend drops out-of-window records exactly like commit
     GenerationManifest.amend(p)(s => s.copy(lo = s.hi + 1, hi = s.hi + 1))
     assert(GenerationManifest.state(p) ==
-      GenerationManifest.State(6L, 6L, Map.empty, Seq.empty))
+      GenerationManifest.State(6L, 6L, Map.empty, Seq.empty, seq = 4L))
   }
 
   test("pending-mutation intent (round 18): round-trips, rides amends, cleared by the flip, guarded to hi+1") {
@@ -124,6 +125,48 @@ class ManifestSpec extends AnyFunSuite {
     assert(GenerationManifest.state(p).pending.contains(("R", 5L)))
     GenerationManifest.commit(p, 5L, 5L)
     assert(GenerationManifest.state(p).pending.isEmpty)
+  }
+
+  test("fence token (round 19): monotonic per commit, legacy reads 0, CAS flip refuses the losing writer by name") {
+    val p = tmp()
+    // every commit advances the token; a fresh build starts at 1
+    GenerationManifest.commit(p, 1L, 1L)
+    assert(GenerationManifest.state(p).seq == 1L)
+    GenerationManifest.commit(p, 1L, 2L)
+    assert(GenerationManifest.state(p).seq == 2L)
+    // a legacy (pre-token) manifest reads as 0 and upgrades on commit
+    val legacy = tmp(); writeRaw(legacy, "1 3\nW 2 5 10")
+    assert(GenerationManifest.state(legacy).seq == 0L)
+    GenerationManifest.amend(legacy)(s => s.copy(hi = 4L))
+    assert(GenerationManifest.state(legacy).seq == 1L)
+    assert(GenerationManifest.watermarks(legacy) == Map(2L -> (5L, 10L)))
+    // TWO INTERLEAVED AMENDS — the r18 verdict's race case: writer A
+    // reads, writer B flips while A works, A's flip must refuse
+    // naming the token mismatch instead of silently un-publishing B
+    val e = intercept[IllegalStateException] {
+      GenerationManifest.amend(p) { s =>
+        // the racing writer wins while A's transform is in flight
+        GenerationManifest.amend(p)(x => x.copy(hi = x.hi + 1))
+        s.copy(hi = s.hi + 1)
+      }
+    }
+    assert(e.getMessage.contains("fence token 3 != expected 2"),
+      e.getMessage)
+    // B's flip survived; A's was refused
+    assert(GenerationManifest.window(p) == ((1L, 3L)))
+    assert(GenerationManifest.state(p).seq == 3L)
+    // a stale explicit token is refused EARLY (before the transform)
+    val stale = intercept[IllegalStateException] {
+      GenerationManifest.amend(p, Some(1L))(identity)
+    }
+    assert(stale.getMessage.contains("expected 1"), stale.getMessage)
+    // a direct fenced commit (the compaction shape) refuses the same way
+    intercept[IllegalStateException] {
+      GenerationManifest.commit(p, 4L, 4L, expectSeq = Some(2L))
+    }
+    // the matching token goes through
+    GenerationManifest.commit(p, 4L, 4L, expectSeq = Some(3L))
+    assert(GenerationManifest.window(p) == ((4L, 4L)))
   }
 
   test("foldedWatermark: union of complete records; unknown when any generation is recordless; sentinels neutral") {
