@@ -335,24 +335,54 @@ object Bench {
     val samplesByName =
       scala.collection.mutable.Map.empty[String, Vector[Double]]
     val errByName = scala.collection.mutable.Map.empty[String, String]
+    // DRIFT SENTINEL (round 19 — automates bench/NOTES.md's manual
+    // host-drift adjudication): a fixed, DATA-INDEPENDENT calibration
+    // op — a constant-size in-memory hash aggregate, no I/O, no
+    // parquet, no plan reuse with any query — timed once per pass in
+    // the same round-robin. Environmental drift (host contention, CPU
+    // steal, thermal state) moves the sentinel and the queries
+    // together; a plan regression moves only its query. Movers across
+    // boards are adjudicated against the sentinel ratio (NOTES.md
+    // rule) instead of hand-rerun archaeology.
+    val sentinelSamples = scala.collection.mutable.Buffer.empty[Double]
+    def runSentinel(pass: Int): Unit = {
+      import org.apache.spark.sql.functions.{col, shiftright, sum, xxhash64}
+      val t0 = System.nanoTime()
+      // shiftright(.., 33) bounds each term under 2^31 so the 256M-row
+      // sum stays far from long overflow (ANSI mode throws on it)
+      spark.range(0L, 256L << 20, 1L, 32)
+        .select(sum(shiftright(xxhash64(col("id")), 33))).head()
+      if (pass > 0) sentinelSamples += (System.nanoTime() - t0) / 1e9
+    }
     // pass 0 = untimed warmup; passes 1..iters timed, interleaved so one
     // environmental stall burst cannot cover all samples of one query.
-    for (pass <- 0 to iters; (name, fn) <- selected if !errByName.contains(name)) {
-      try {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Queries that persist() intermediates (q13) would otherwise hand
-        // later samples a warm cache — every sample must pay the same
-        // cost for the medians to mean anything.
-        spark.catalog.clearCache()
-        if (pass > 0)
-          samplesByName(name) = samplesByName.getOrElse(name, Vector.empty) :+ dt
-      } catch {
-        case e: Throwable =>
-          errByName(name) =
-            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    for (pass <- 0 to iters) {
+      runSentinel(pass)
+      for ((name, fn) <- selected if !errByName.contains(name)) {
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          // Queries that persist() intermediates (q13) would otherwise hand
+          // later samples a warm cache — every sample must pay the same
+          // cost for the medians to mean anything.
+          spark.catalog.clearCache()
+          if (pass > 0)
+            samplesByName(name) = samplesByName.getOrElse(name, Vector.empty) :+ dt
+        } catch {
+          case e: Throwable =>
+            errByName(name) =
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
       }
+    }
+    // the sentinel reports under phases (not a query: excluded from the
+    // total and from the oracle-facing queries map)
+    phases("sentinel") = {
+      val s = sentinelSamples.sorted
+      if (s.isEmpty) 0.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val results = selected.map { case (name, _) =>
       Res(name, samplesByName.getOrElse(name, Vector.empty),
@@ -379,9 +409,10 @@ object Bench {
         case Some(e) => s""""${r.name}":{"err":"${esc(e)}"}"""
       }
     }.mkString("{", ",", "}")
-    val samples = results.collect { case r if r.err.isEmpty =>
+    val samples = (results.collect { case r if r.err.isEmpty =>
       s""""${r.name}":[${r.samples.map(f3).mkString(",")}]"""
-    }.mkString("{", ",", "}")
+    } :+ s""""_sentinel":[${sentinelSamples.map(f3).mkString(",")}]""")
+      .mkString("{", ",", "}")
     val ok = results.filter(_.err.isEmpty)
     val total = ok.map(_.median).sum
     val phasesJson = phases

@@ -225,6 +225,13 @@ object SparkEntry {
     // invariant, as-of replay, and out-of-band-retrain refusal are
     // spec-pinned. EAGER, q112 convention.
     "q126_hybrid_drift"    -> ((s, d) => RetrievalOps.q126HybridDrift(s, d)),
+    // q127 hash-verifies the drift review's flip-matrix ARITHMETIC
+    // (q126's reduction is rows-only only because its inputs ride
+    // trained quantizers): the same driftMatrix over two deterministic
+    // fused serves — q78's fusion vs the same fusion with the dense
+    // leg on the q106 matryoshka prefix (a dense-only change, so the
+    // oracle also hash-checks the zero-sparse-flip invariant).
+    "q127_drift_matrix"    -> (RetrievalOps.q127DriftMatrix _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -733,5 +740,8 @@ object SparkEntry {
     // served decontamination: q52's oracle verbatim — the screen from
     // the persisted bank must equal the in-session report
     "q125_decontam_served" -> PipelineOps.q52OracleSql,
+    // drift flip matrix: both fusions (q76 sparse leg; full-dim and
+    // matryoshka-prefix dense legs) and the one-row matrix replayed
+    "q127_drift_matrix" -> RetrievalOps.q127OracleSql(),
   )
 }

@@ -622,8 +622,13 @@ object RetrievalOps {
     */
   /** The dense leg: q12's rounded-cosine metric per probe, ranked —
     * `(qid, doc_id, d_rank)` with d_rank ≤ [[TopK]]. Shared with the
-    * spec's driver-side fusion recomputation. */
-  private[graft] def denseRanks(spark: SparkSession, dir: String): DataFrame = {
+    * spec's driver-side fusion recomputation. `prefixDims` restricts
+    * the cosine to the embedding's first n dimensions (q106's
+    * matryoshka slice — [[q127DriftMatrix]]'s deterministic
+    * retrained-leg stand-in); None is the full-dimension default. */
+  private[graft] def denseRanks(
+      spark: SparkSession, dir: String,
+      prefixDims: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     val probes = emb
@@ -631,8 +636,11 @@ object RetrievalOps {
       .select($"vec_id".cast("int").as("p_qid"), $"embedding".as("probe"))
     val byProbe = Window.partitionBy($"p_qid")
       .orderBy($"sim".desc, $"vec_id")
+    def leg(c: Column): Column =
+      prefixDims.map(n => slice(c, 1, n)).getOrElse(c)
     emb.crossJoin(broadcast(probes))
-      .withColumn("sim", round(PipelineOps.cosine($"embedding", $"probe"), 6))
+      .withColumn("sim",
+        round(PipelineOps.cosine(leg($"embedding"), leg($"probe")), 6))
       .withColumn("rank", row_number().over(byProbe))
       .filter($"rank" <= TopK)
       .select($"p_qid".as("qid"), $"vec_id".as("doc_id"), $"rank".as("d_rank"))
@@ -1488,12 +1496,25 @@ object RetrievalOps {
     require(og < ng,
       s"oldGen=$og is not older than newGen=$ng at $path — the drift " +
         "review reads old → new; swap the arguments")
-    val o = hybridServeAt(spark, path, asOfGen = og)
-      .select(col("qid"), col("doc_id"), col("rank").as("r1"),
-        col("s_rank").as("s1"), col("d_rank").as("d1"))
-    val n = hybridServeAt(spark, path, asOfGen = ng)
-      .select(col("qid"), col("doc_id"), col("rank").as("r2"),
-        col("s_rank").as("s2"), col("d_rank").as("d2"))
+    driftMatrix(
+      hybridServeAt(spark, path, asOfGen = og),
+      hybridServeAt(spark, path, asOfGen = ng))
+  }
+
+  /** The FLIP-MATRIX arithmetic of the drift review, factored out of
+    * [[hybridDriftServed]] (round 19 — the r18 watch item: the
+    * trained quantizers are waived, but the full-outer join /
+    * agreement-ppm / flip-count arithmetic is deterministic and
+    * deserves a hash-green oracle of its own, which [[q127DriftMatrix]]
+    * provides over two deterministic fused relations). Both inputs
+    * carry `(qid, doc_id, rank, s_rank, d_rank)` — any two fused
+    * serves reduce to the one-row matrix documented at
+    * [[hybridDriftServed]]. */
+  private[graft] def driftMatrix(o0: DataFrame, n0: DataFrame): DataFrame = {
+    val o = o0.select(col("qid"), col("doc_id"), col("rank").as("r1"),
+      col("s_rank").as("s1"), col("d_rank").as("d1"))
+    val n = n0.select(col("qid"), col("doc_id"), col("rank").as("r2"),
+      col("s_rank").as("s2"), col("d_rank").as("d2"))
     o.join(n, Seq("qid", "doc_id"), "full_outer")
       .agg(
         countDistinct(col("qid")).as("n_queries"),
@@ -1537,6 +1558,119 @@ object RetrievalOps {
       trainSample = Some(emb.filter(
         col("vec_id") % SimilarityOps.QuantRetrainMod === 0)))
     hybridDriftServed(spark, path)
+  }
+
+  // ------------------------------------------------------------- q127
+
+  /** q127 — the drift review's FLIP-MATRIX arithmetic, hash-verified
+    * (round 19, the r18 watch item): q126's matrix is rows-only
+    * because its two inputs ride trained quantizers, but the
+    * [[driftMatrix]] reduction itself — full-outer join over the two
+    * fused serves, common/flip counts, integer agreement-ppm — is
+    * deterministic and DuckDB-replayable given deterministic inputs.
+    * This query feeds it exactly the kind of pair a dense-leg retrain
+    * produces: OLD = q78's fusion (BM25 sparse leg + full-dimension
+    * exact cosine), NEW = the same fusion with the dense leg scored on
+    * the first [[SimilarityOps.MatryoshkaPrefixDim]] dimensions (the
+    * q106 matryoshka slice — a deterministic stand-in for "the dense
+    * leg re-encoded under new quantizers, the sparse leg untouched").
+    * The oracle replays both fusions AND the matrix, so the
+    * zero-sparse-flip invariant (`n_sparse_flips = 0` when only the
+    * dense leg changes) is hash-checked rather than spec-asserted —
+    * shrinking the rows-only set to the queries whose inputs are
+    * genuinely un-oracle-able (q33's HLL, q84/q122/q126's trained
+    * k-means, q119's trained drift).
+    *
+    * Scale shape: both fused relations are ≤ k·|Q| fixed-width rows
+    * (all corpus cost lives in the legs, q78's argument), so the
+    * review join and the one-row aggregate are driver-trivial at any
+    * corpus size. */
+  def q127DriftMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sparse = q76Bm25TopK(spark, dir)
+      .select($"qid", $"doc_id", $"rank".as("s_rank"))
+    driftMatrix(
+      fuseRrf(sparse, denseRanks(spark, dir)),
+      fuseRrf(sparse, denseRanks(spark, dir,
+        prefixDims = Some(SimilarityOps.MatryoshkaPrefixDim))))
+  }
+
+  /** One fused relation as a SQL subquery body (columns `qid, doc_id,
+    * rank, s_rank, d_rank`) — the CTE form of [[rrfTailSql]]'s
+    * arithmetic, parameterized by the leg CTE names so q127's oracle
+    * can fuse twice in one statement. */
+  private def fusedCteSql(sparseCte: String, denseCte: String): String = {
+    val rrf =
+      s"""(CASE WHEN coalesce(s.s_rank, 0) > 0 THEN 1000000 // ($RrfK + coalesce(s.s_rank, 0)) ELSE 0 END
+         |            + CASE WHEN coalesce(d.d_rank, 0) > 0 THEN 1000000 // ($RrfK + coalesce(d.d_rank, 0)) ELSE 0 END)""".stripMargin
+    s"""|  SELECT qid, doc_id, rank, s_rank, d_rank FROM (
+        |    SELECT coalesce(s.qid, d.qid) AS qid,
+        |           coalesce(s.doc_id, d.doc_id) AS doc_id,
+        |           coalesce(s.s_rank, 0) AS s_rank,
+        |           coalesce(d.d_rank, 0) AS d_rank,
+        |           row_number() OVER (PARTITION BY coalesce(s.qid, d.qid)
+        |             ORDER BY $rrf DESC, coalesce(s.doc_id, d.doc_id)) AS rank
+        |    FROM $sparseCte s FULL OUTER JOIN $denseCte d
+        |      ON s.qid = d.qid AND s.doc_id = d.doc_id
+        |  ) WHERE rank <= $TopK""".stripMargin
+  }
+
+  /** q127's oracle: q76's sparse leg once, the exact dense leg twice
+    * (full-dimension and matryoshka-prefix cosine), both fusions via
+    * [[fusedCteSql]], then the flip matrix verbatim. */
+  def q127OracleSql(): String = {
+    val probeIds = DenseProbeIds.mkString(", ")
+    val prefix = SimilarityOps.MatryoshkaPrefixDim
+    def denseLeg(simExpr: String, name: String): String =
+      s"""|ds_$name AS (
+          |  SELECT p_qid, vec_id, round($simExpr, 6) AS sim
+          |  FROM embeddings, p
+          |), dense_$name AS (
+          |  SELECT p_qid AS qid, vec_id AS doc_id, d_rank FROM (
+          |    SELECT p_qid, vec_id,
+          |           row_number() OVER (PARTITION BY p_qid ORDER BY sim DESC, vec_id) AS d_rank
+          |    FROM ds_$name
+          |  ) WHERE d_rank <= $TopK
+          |)""".stripMargin
+    val fullSim =
+      """list_dot_product(embedding::DOUBLE[], pe) /
+        |               (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+        |                sqrt(list_dot_product(pe, pe)))""".stripMargin
+    val prefSim =
+      s"""list_dot_product((embedding::DOUBLE[])[1:$prefix], pe[1:$prefix]) /
+         |               (sqrt(list_dot_product((embedding::DOUBLE[])[1:$prefix], (embedding::DOUBLE[])[1:$prefix])) *
+         |                sqrt(list_dot_product(pe[1:$prefix], pe[1:$prefix])))""".stripMargin
+    s"""|WITH sparse AS (
+        |  SELECT qid, doc_id, rank AS s_rank FROM (
+        |${q76OracleSql().linesIterator.map("    " + _).mkString("\n")}
+        |  )
+        |), p AS (
+        |  SELECT vec_id::INT AS p_qid, embedding::DOUBLE[] AS pe
+        |  FROM embeddings WHERE vec_id IN ($probeIds)
+        |), ${denseLeg(fullSim, "o")},
+        |${denseLeg(prefSim, "n")},
+        |fused_o AS (
+        |${fusedCteSql("sparse", "dense_o")}
+        |), fused_n AS (
+        |${fusedCteSql("sparse", "dense_n")}
+        |), j AS (
+        |  SELECT qid, o.rank AS r1, o.s_rank AS s1, o.d_rank AS d1,
+        |         n.rank AS r2, n.s_rank AS s2, n.d_rank AS d2
+        |  FROM fused_o o FULL OUTER JOIN fused_n n USING (qid, doc_id)
+        |), m AS (
+        |  SELECT count(DISTINCT qid)::BIGINT AS n_queries,
+        |         count(r1)::BIGINT AS n_old,
+        |         count(r2)::BIGINT AS n_new,
+        |         sum(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_common,
+        |         sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END)::BIGINT AS n_rank_same,
+        |         sum(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL AND s1 <> s2 THEN 1 ELSE 0 END)::BIGINT AS n_sparse_flips,
+        |         sum(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL AND d1 <> d2 THEN 1 ELSE 0 END)::BIGINT AS n_dense_flips
+        |  FROM j
+        |)
+        |SELECT n_queries, n_old, n_new, n_common,
+        |       (CASE WHEN n_new > 0 THEN n_common * 1000000 // n_new ELSE 0 END)::BIGINT AS agreement_ppm,
+        |       n_rank_same, n_sparse_flips, n_dense_flips
+        |FROM m""".stripMargin
   }
 
   /** The hybrid serve at a CORRELATED generation: both legs read

@@ -2516,7 +2516,23 @@ object TextOps {
     * a serialized cascade costs a DRIVER round over the overlay, not a
     * Spark job); bench/NOTES.md records the measured jobs: 200 merges
     * 234 jobs/80 s (r14) → 4 jobs/3.4 s (r15). */
-  private[graft] def bpeTrainBatched(docs: DataFrame, merges: Int): DataFrame = {
+  /** Driver budget (rows) for the batched trainer's ADJACENCY-STATS
+    * collects ([[bpeTrainBatchedLoop]]'s `foldJob` — the initial full
+    * `(a, b, c?)` count and each round's delta fold). The stats
+    * relation is vocabulary-adjacency-bounded, not corpus-bounded, but
+    * on open-vocabulary web text "vocabulary adjacency" itself grows
+    * with the crawl — the r18 watch item: the per-round pull was
+    * unbounded in principle. The trainer REFUSES loudly past the
+    * ceiling (truncating would corrupt the exact incremental stats);
+    * the named fix is a min-frequency floor on the word table, which
+    * every production tokenizer build applies anyway. ~4M 3-string
+    * rows ≈ a few hundred MB peak — the same documented
+    * bounded-driver-reduction class as the k-means trainers. */
+  private[graft] val BpeStatsCap: Int = 1 << 22
+
+  private[graft] def bpeTrainBatched(
+      docs: DataFrame, merges: Int,
+      statsCap: Int = BpeStatsCap): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // AQE re-optimization splits each round's vocabulary-sized
@@ -2534,7 +2550,7 @@ object TextOps {
     val limitBefore = spark.conf.getOption(limitKey)
     spark.conf.set(aqeKey, "false")
     spark.conf.set(limitKey, "10000")
-    try bpeTrainBatchedLoop(docs, merges)
+    try bpeTrainBatchedLoop(docs, merges, statsCap)
     finally {
       aqeBefore match {
         case Some(v) => spark.conf.set(aqeKey, v)
@@ -2589,7 +2605,8 @@ object TextOps {
     *     the whole cascade round runs driver-side with ZERO Spark
     *     jobs. Measured on the customer-name corpus: 234 jobs → a
     *     handful (bench/NOTES.md ProfR15). */
-  private def bpeTrainBatchedLoop(docs: DataFrame, merges: Int): DataFrame = {
+  private def bpeTrainBatchedLoop(
+      docs: DataFrame, merges: Int, statsCap: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     var enc = docs
@@ -2629,12 +2646,26 @@ object TextOps {
         .select(col("g.a").as("a"), col("g.b").as("b"),
           col("g.c").as("c"), col("w"))
     }
-    def foldJob(df: DataFrame): Unit =
-      df.groupBy(col("a"), col("b"), col("c")).agg(sum(col("w")).as("n"))
-        .filter(col("n") =!= 0L).collect()
-        .foreach(r => foldInto(
-          (r.getString(0), r.getString(1), Option(r.getString(2))),
-          r.getLong(3)))
+    // BOUNDED driver pull (round 19 — the r18 watch item): the fold
+    // only ever needs vocabulary-adjacency rows, but that bound is the
+    // corpus's to break; past the ceiling the trainer refuses loudly
+    // instead of truncating (a truncated delta would silently corrupt
+    // the exact incremental stats and, through them, the merge table)
+    def foldJob(df: DataFrame): Unit = {
+      val rows = df.groupBy(col("a"), col("b"), col("c"))
+        .agg(sum(col("w")).as("n"))
+        .filter(col("n") =!= 0L)
+        .limit(statsCap + 1).collect()
+      require(rows.length <= statsCap,
+        s"BPE adjacency statistics exceed the driver ceiling $statsCap " +
+          "rows — the vocabulary's pair/trigram relation no longer fits " +
+          "the bounded-driver-reduction budget; apply a min-frequency " +
+          "floor to the word table (drop hapax tokens) before training, " +
+          "or raise the cap explicitly")
+      rows.foreach(r => foldInto(
+        (r.getString(0), r.getString(1), Option(r.getString(2))),
+        r.getLong(3)))
+    }
     foldJob(triDeltaDf(enc, col("enc"), 1L)) // the one full count
     // distinct-word count: with the WHOLE vocabulary in the overlay
     // (common once one wide pattern touches every word, e.g. a shared

@@ -755,6 +755,145 @@ class CorpusStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("fullGate: EVERY optional stage composed — stream admitted set == batch pipeline kept set, scrubbed text identical") {
+    import graft.queries.{CorpusPipeline, DedupOps, PipelineOps, TextOps}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.catalog.clearCache()
+
+    // make the BATCH-GLOBAL stages no-ops so the stateless stream can
+    // match the full pipeline exactly: drop every exact-dup family and
+    // every near-dup family member from the feed (near-dup pairs of a
+    // subset are a subset of the superset's pairs, so the pruned feed
+    // is pair-free by construction)
+    val docs = Tables.documents(spark, sf)
+    val dupTexts = docs.groupBy($"text").count()
+      .filter($"count" > 1).select($"text")
+    val noExact = docs.join(dupTexts, Seq("text"), "left_anti")
+    val ndIds = DedupOps.neardupPairs(
+      noExact.select($"doc_id", $"text"),
+      CorpusPipeline.Config().neardupThreshold)
+      .select($"doc_a".as("doc_id"))
+      .unionByName(DedupOps.neardupPairs(
+        noExact.select($"doc_id", $"text"),
+        CorpusPipeline.Config().neardupThreshold)
+        .select($"doc_b".as("doc_id")))
+      .distinct().collect().map(_.getLong(0)).toSet
+    spark.catalog.clearCache() // neardupPairs persists: test-owned
+    // q125's suite split: the eval half seals the bank, the rest feeds
+    val feed = noExact
+      .filter(!$"doc_id".isInCollection(
+        if (ndIds.isEmpty) Seq(-1L) else ndIds.toSeq))
+      .filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", $"lang", $"source", $"text")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toIndexedSeq.sortBy(_._1)
+    assert(feed.size > 100, s"fixture vacuous after pruning: ${feed.size}")
+
+    // seal EVERY optional artifact: gate model, LM model, eval bank.
+    // The gate store carries the q68 fixed weights instead of a fresh
+    // distill: on this fixture the q53 teacher keeps a 26% minority,
+    // so the distill's POCKET is legitimately the all-negative model
+    // (the q111-documented non-separable outcome) — which would zero
+    // the pipeline and make every downstream stage vacuous. The
+    // serving path (weights/gen=N + manifest + gateWeightsAt) is
+    // byte-identical either way; ModelStoreSpec pins the trained
+    // store ≡ loaded-weight filter separately.
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val gateP = tmp("graft-full-gate-model")
+    val lmP = tmp("graft-full-lm-model")
+    val bankP = tmp("graft-full-bank")
+    (0 until TextOps.HashDim).map(f => (f, TextOps.weightComponent(f)))
+      .toDF("feature", "weight").coalesce(1)
+      .write.mode("overwrite").parquet(s"$gateP/weights/gen=1")
+    graft.queries.GenerationManifest.commit(gateP, 1L, 1L)
+    TextOps.writeLmModel(docs, lmP)
+    PipelineOps.writeEvalBank(
+      docs.filter($"doc_id" % 97 === 0).select($"doc_id", $"text"), bankP)
+
+    // self-calibrating band: 10th/90th pct of the served mean bigram
+    // cost over the SURVIVORS of the earlier gates (the band stage's
+    // actual input — percentiles of the raw feed can sit entirely
+    // inside the survivors' range and never bite)
+    val feedDf = feed.toDF("doc_id", "lang", "source", "text")
+    val cfg0 = CorpusPipeline.Config(
+      modelGate = true, gateModelPath = Some(gateP))
+    val bandInput = feedDf
+      .filter($"lang".isInCollection(cfg0.keepLangs.toSeq))
+      .filter(org.apache.spark.sql.functions.size(
+        TextOps.toks($"text")) >= cfg0.minTokens)
+      .filter(CorpusPipeline.gateScoreColumn(spark, cfg0) >= 0)
+    val means = TextOps.lmScoreFrame(bandInput, lmP).collect()
+      .map(r => r.getAs[Long]("xent_e5nats").toDouble /
+        r.getAs[Long]("n_bigrams")).sorted
+    assert(means.length > 50, s"band input vacuous: ${means.length} docs")
+    val lo = math.ceil(means(means.length / 10)).toLong
+    val hi = math.floor(means(means.length * 9 / 10)).toLong
+    assert(lo <= hi, s"degenerate band [$lo, $hi]")
+
+    val cfg = CorpusPipeline.Config(
+      modelGate = true, gateModelPath = Some(gateP),
+      perplexityBand = Some((lo, hi)), lmModelPath = Some(lmP),
+      evalBankPath = Some(bankP),
+      piiScrub = true)
+
+    // --- the batch truth: composed yield boundaries + kept rows ------
+    val yld = CorpusPipeline.yieldReport(feedDf, cfg).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(yld.map(_._1).toSeq == Seq("01_exact", "02_lang", "05_floor",
+      "06_model", "07_perplexity", "08_decontam", "09_neardup",
+      "10_rebalance", "11_pii"), s"stage set: ${yld.map(_._1).toSeq}")
+    val drops = yld.map(t => t._1 -> t._3).toMap
+    assert(drops("01_exact") == 0 && drops("09_neardup") == 0,
+      s"feed pruning failed — batch-global stages bit: $drops")
+    assert(drops("06_model") > 0, "served gate model did not bite")
+    assert(drops("07_perplexity") > 0, "band did not bite")
+    assert(drops("08_decontam") > 0, "bank screen did not bite")
+    assert(drops("10_rebalance") > 0, "stratified keep did not bite")
+    assert(drops("11_pii") == 0, "the scrub must drop nothing")
+    val want = CorpusPipeline.withPrepared(feedDf, cfg)(
+      _.select($"doc_id", $"lang", $"source", $"text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3))).toSet)
+    assert(want.nonEmpty, "batch pipeline kept nothing")
+
+    // --- the stream: same rows, arbitrary chunking, one composed sink
+    val outDir = tmp("graft-full-gate-out") + "/admitted"
+    val ckDir = tmp("graft-full-gate-ck")
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = CorpusStream.fullGate(
+      in.toDF().toDF("doc_id", "lang", "source", "text"), cfg, outDir, ckDir)
+    try {
+      feed.grouped((feed.size + 2) / 3).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      val admitted = spark.read.parquet(outDir)
+      assert(admitted.columns.toSeq ==
+        Seq("doc_id", "lang", "source", "text"),
+        "the composed sink must pass the batch schema through")
+      val got = admitted.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3))).toSet
+      // kept set AND text (scrubbed, stage-ordered) identical — the
+      // composition is exactly where ordering bugs would hide, and
+      // this pins the whole chain, not each stage alone
+      assert(got == want,
+        s"composed stream diverges from the composed batch pipeline; " +
+          s"only-stream=${(got -- want).map(_._1).take(3)} " +
+          s"only-batch=${(want -- got).map(_._1).take(3)}")
+      assert(stateRowsTotal(q) == 0, "fullGate must not hold state")
+    } finally q.stop()
+    // mixture rates are batch-derived: the composed sink refuses them
+    intercept[IllegalArgumentException] {
+      CorpusStream.fullGate(in.toDF().toDF("doc_id", "lang", "source", "text"),
+        cfg.copy(mixWeights = Some(PipelineOps.MixWeights)),
+        outDir + "2", ckDir + "2")
+    }
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark),
+      "fullGate leaked cached frames")
+  }
+
   test("gate chain with piiScrub: admitted rows carry scrubbed text; schema preserved") {
     import graft.queries.{CorpusPipeline, TextOps}
     import spark.implicits._

@@ -396,6 +396,31 @@ class RetrievalOpsSpec extends SparkSuite {
       s"retrain moved the fused set past the floor: $r")
   }
 
+  test("q127 (drift matrix): the review arithmetic on deterministic fused legs — zero sparse flips, full top-k sets, exact ppm") {
+    val rows = RetrievalOps.q127DriftMatrix(spark, sf).collect()
+    assert(rows.length == 1, s"matrix must be one row, got ${rows.length}")
+    val r = rows.head
+    def l(name: String): Long = r.getAs[Long](name)
+    // every query retrieves a full fused top-k on BOTH sides — the
+    // fixture has far more than k candidates per leg
+    assert(l("n_old") == l("n_queries") * RetrievalOps.TopK, s"$r")
+    assert(l("n_new") == l("n_queries") * RetrievalOps.TopK, s"$r")
+    // only the dense leg changed (full-dim -> matryoshka prefix): the
+    // sparse ranks of common pairs are IDENTICAL by construction, and
+    // the matrix must say so — this is the q126 invariant, here
+    // hash-checked by the DuckDB oracle as well
+    assert(l("n_sparse_flips") == 0L,
+      s"dense-only change flipped sparse ranks: $r")
+    assert(l("n_dense_flips") > 0L,
+      s"vacuous fixture: the prefix cosine changed no dense ranks: $r")
+    // matrix self-consistency (q126's arithmetic contract)
+    assert(l("n_common") <= math.min(l("n_old"), l("n_new")), s"$r")
+    assert(l("n_rank_same") <= l("n_common"), s"$r")
+    assert(l("agreement_ppm") == l("n_common") * 1000000L / l("n_new"),
+      s"$r")
+    info(s"q127 drift matrix: $r")
+  }
+
   test("q85 passage retrieval: one best passage per (query, doc); chunk text stays out of exchanges") {
     val rows = RetrievalOps.q85PassageBm25(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),

@@ -99,6 +99,74 @@ class SqlFacadeSpec extends SparkSuite {
     new GraftExtensions().apply(ext) // must not throw; builders shared
   }
 
+  test("SQL-only near-dup dedup == q21's DataFrame plan, with column pruning intact") {
+    GraftFunctions.register(spark)
+    Tables.registerViews(spark, sf)
+    // the whole q21 banded SimHash screen written by a SQL user: the
+    // per-row simhash32 kernel (spec-pinned bit-identical to the
+    // aggregate form), 4×8-bit banding, band self-join, exact
+    // bit_count hamming verify — the engine's SQL surface covers the
+    // north-star dedup family, not just the reference shapes
+    val viaSql = spark.sql(
+      """WITH fp AS (
+        |  SELECT doc_id, simhash32(transform(
+        |    filter(split(lower(text), ' '), x -> length(x) > 0),
+        |    t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))) AS fp
+        |  FROM documents
+        |), banded AS (
+        |  SELECT doc_id, fp, b.pos, b.bv
+        |  FROM fp
+        |  LATERAL VIEW posexplode(array(
+        |    shiftright(fp, 0) % 256, shiftright(fp, 8) % 256,
+        |    shiftright(fp, 16) % 256, shiftright(fp, 24) % 256)) b AS pos, bv
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.fp AS fp_a, b.fp AS fp_b
+        |  FROM banded a JOIN banded b
+        |    ON a.pos = b.pos AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, CAST(bit_count(fp_a ^ fp_b) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(fp_a ^ fp_b) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin)
+    val viaDf = graft.queries.TextOps.q21SimhashPairs(spark, sf)
+    assert(viaSql.collect().toSeq == viaDf.collect().toSeq)
+    assert(viaSql.collect().nonEmpty, "fixture produced no near-dup pairs")
+    // column pruning reaches the scan through view + kernel + lateral
+    // view: only (doc_id, text) are read, never the other doc columns
+    val plan = viaSql.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"column pruning lost through the SQL dedup plan:\n$plan")
+  }
+
+  test("SQL-only brute-force ANN == q12's DataFrame plan, with probe pushdown intact") {
+    GraftFunctions.register(spark)
+    Tables.registerViews(spark, sf)
+    // q12's cosine top-k written by a SQL user over the dot_product
+    // kernel — identical rounding, tie-break, and k
+    val viaSql = spark.sql(
+      """WITH probe AS (
+        |  SELECT embedding AS p FROM embeddings WHERE vec_id = 0
+        |)
+        |SELECT vec_id, label,
+        |       round(dot_product(embedding, p) /
+        |             (sqrt(dot_product(embedding, embedding)) *
+        |              sqrt(dot_product(p, p))), 6) AS sim
+        |FROM embeddings, probe
+        |ORDER BY sim DESC, vec_id
+        |LIMIT 10""".stripMargin)
+    val viaDf = graft.queries.PipelineOps.q12SimTopK(spark, sf)
+    assert(viaSql.collect().toSeq == viaDf.collect().toSeq)
+    val plan = viaSql.queryExecution.executedPlan.toString
+    // the probe's point filter reaches ITS scan (partition-pruned
+    // probe load, never a second corpus pass)
+    assert(plan.contains("EqualTo(vec_id,0)"),
+      s"probe filter not pushed to the scan:\n$plan")
+    // the corpus side still plans the brute-force shape: local top-k
+    // merge (TakeOrderedAndProject), not a global sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q12's local-top-k shape lost in SQL:\n$plan")
+  }
+
   test("dedup skew guard drops degenerate buckets, bounded candidates") {
     import spark.implicits._
     val boiler = (0 until 40).map(i => s"same$i").mkString(" ")

@@ -296,6 +296,45 @@ class TimeTravelSpec extends SparkSuite {
       s"head scrub wrong: '$atHead' (must excise both)")
   }
 
+  test("vacuous pending intent (round 19): an already-sealed redelivery clears it; the retrain unblocks") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    def baseP(c: org.apache.spark.sql.Column) =
+      c % DedupOps.DeltaMod =!= DedupOps.DeltaRem
+    val idx = tmp("graft-tt-vacuous")
+    RetrievalOps.writeHybridIndex(
+      docs.filter(baseP($"doc_id")), emb.filter(baseP($"vec_id")), idx)
+    // crash RIGHT AFTER the intent commit — no leg touched, both level
+    RetrievalOps.appendHybridStaged(
+      docs.filter(!baseP($"doc_id")), emb.filter(!baseP($"vec_id")), idx,
+      crashAfterLeg = 0)
+    assert(GenerationManifest.state(idx).pending.contains(("A", 2L)))
+    assert(GenerationManifest.window(s"$idx/sparse") == ((1L, 1L)))
+    // the retrain refuses while the intent stands — and names BOTH
+    // unblock paths (ADVICE r18: the old message demanded a batch that
+    // may no longer exist and never mentioned the fold)
+    val e = intercept[IllegalArgumentException] {
+      RetrievalOps.retrainHybridDense(spark, idx)
+    }
+    assert(e.getMessage.contains("appendHybridIndex") &&
+      e.getMessage.contains("compactHybridIndex"), e.getMessage)
+    // a redelivery whose rows are ALL already sealed (the operator's
+    // only option when the crashed batch is gone: re-push anything
+    // known-sealed) cannot reach the publishing flip — pre-r19 the
+    // vacuous intent dangled forever; now the early-out clears it
+    RetrievalOps.appendHybridIndex(
+      docs.filter(baseP($"doc_id")), emb.filter(baseP($"vec_id")), idx)
+    assert(GenerationManifest.state(idx).pending.isEmpty,
+      "the sealed redelivery did not clear the vacuous intent")
+    assert(GenerationManifest.window(idx) == ((1L, 1L)),
+      "the vacuous clear grew the window")
+    // the retrain now proceeds and seals its epoch in lockstep
+    RetrievalOps.retrainHybridDense(spark, idx, ivfIters = 2, pqIters = 2)
+    assert(GenerationManifest.window(idx) == ((1L, 2L)))
+    assert(GenerationManifest.epochs(idx) == Seq(2L))
+  }
+
   test("compaction reclaims history: as-of below the window floor refuses loudly") {
     val (base, delta) = split(sf)
     val idx = tmp("graft-tt-floor")

@@ -162,4 +162,30 @@ class TokenizerPropsSpec extends SparkSuite {
       }
     }
   }
+
+  test("batched BPE trainer: an adversarial adjacency vocabulary trips the driver ceiling loudly; the default cap trains it fine") {
+    import spark.implicits._
+    // every word distinct, every adjacent pair distinct -> the (a,b,c)
+    // stats relation has ~3 rows per word and nothing ever merges
+    // early: the worst realistic shape for the per-round driver pull
+    val docs = (0 until 120)
+      .map(i => f"w${i}%03d${('a' + i % 26).toChar}x${('a' + (i * 7) % 26).toChar}")
+      .toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.TextOps.bpeTrainBatched(docs, merges = 4, statsCap = 64)
+    }
+    assert(e.getMessage.contains("adjacency statistics exceed"),
+      e.getMessage)
+    assert(e.getMessage.contains("min-frequency floor"), e.getMessage)
+    // the same corpus under the default ceiling trains normally and
+    // matches the exact sequential loop (the spec-pinned identity)
+    val got = graft.queries.TextOps.bpeTrainBatched(docs, merges = 4)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val words = docs.select(explode(split(lower($"text"), " ")).as("t"))
+      .filter(length($"t") > 0).groupBy($"t").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = graft.queries.TextOps.bpeTrainLocal(words, 4)
+    assert(got == want, "capped trainer diverged from the sequential loop")
+  }
 }
