@@ -344,7 +344,23 @@ object Bench {
     // together; a plan regression moves only its query. Movers across
     // boards are adjudicated against the sentinel ratio (NOTES.md
     // rule) instead of hand-rerun archaeology.
+    // TWO sentinels, because the host drifts in two modes (observed on
+    // this machine at round 18/19): CPU contention moves the in-memory
+    // aggregate; filesystem/page-cache contention moves parquet scans
+    // while barely touching pure CPU. `sentinel` calibrates the first,
+    // `sentinel_io` (a scan of a constant synthetic parquet written
+    // fresh each run — same bytes every board, zero dependence on the
+    // SF dir) the second. Scan-heavy rows normalize by sentinel_io,
+    // compute-heavy by sentinel (NOTES.md rule).
     val sentinelSamples = scala.collection.mutable.Buffer.empty[Double]
+    val sentinelIoSamples = scala.collection.mutable.Buffer.empty[Double]
+    val sentinelDir = buildDir("graft-bench-sentinel")
+    phase("sentinel_build") {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      spark.range(0L, 16L << 20, 1L, 32)
+        .select(col("id"), xxhash64(col("id")).as("h"))
+        .write.mode("overwrite").parquet(sentinelDir)
+    }
     def runSentinel(pass: Int): Unit = {
       import org.apache.spark.sql.functions.{col, shiftright, sum, xxhash64}
       val t0 = System.nanoTime()
@@ -352,7 +368,14 @@ object Bench {
       // sum stays far from long overflow (ANSI mode throws on it)
       spark.range(0L, 256L << 20, 1L, 32)
         .select(sum(shiftright(xxhash64(col("id")), 33))).head()
-      if (pass > 0) sentinelSamples += (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      spark.read.parquet(sentinelDir)
+        .select(sum(shiftright(col("h"), 33))).head()
+      val t2 = System.nanoTime()
+      if (pass > 0) {
+        sentinelSamples += (t1 - t0) / 1e9
+        sentinelIoSamples += (t2 - t1) / 1e9
+      }
     }
     // pass 0 = untimed warmup; passes 1..iters timed, interleaved so one
     // environmental stall burst cannot cover all samples of one query.
@@ -376,14 +399,16 @@ object Bench {
         }
       }
     }
-    // the sentinel reports under phases (not a query: excluded from the
+    // the sentinels report under phases (not queries: excluded from the
     // total and from the oracle-facing queries map)
-    phases("sentinel") = {
-      val s = sentinelSamples.sorted
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
       if (s.isEmpty) 0.0
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    phases("sentinel") = med(sentinelSamples.toSeq)
+    phases("sentinel_io") = med(sentinelIoSamples.toSeq)
     val results = selected.map { case (name, _) =>
       Res(name, samplesByName.getOrElse(name, Vector.empty),
         errByName.get(name))
@@ -411,7 +436,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val samples = (results.collect { case r if r.err.isEmpty =>
       s""""${r.name}":[${r.samples.map(f3).mkString(",")}]"""
-    } :+ s""""_sentinel":[${sentinelSamples.map(f3).mkString(",")}]""")
+    } :+ s""""_sentinel":[${sentinelSamples.map(f3).mkString(",")}]"""
+      :+ s""""_sentinel_io":[${sentinelIoSamples.map(f3).mkString(",")}]""")
       .mkString("{", ",", "}")
     val ok = results.filter(_.err.isEmpty)
     val total = ok.map(_.median).sum
