@@ -1178,8 +1178,10 @@ object DedupOps {
       ex.withColumn("gen", lit(hi + 1))
         .write.partitionBy("gen").mode("append").parquet(s"$path/shingles")
       if (crashAfterStage <= 2) return
-      GenerationManifest.amend(path)(s =>
+      // fenced on the operation-start token (round 19)
+      GenerationManifest.amend(path, Some(st.seq))(s =>
         s.copy(hi = hi + 1, wms = s.wms + ((hi + 1) -> idRange(ex))))
+      ()
     } finally { ex.unpersist(); release() }
   }
 
@@ -1480,9 +1482,11 @@ object DedupOps {
   private[graft] def appendLabelStaged(
       deltaDocs: DataFrame, path: String,
       threshold: Double, bands: Int, rows: Int,
-      crashAfterStage: Int): Unit = {
+      crashAfterStage: Int,
+      beforeFlip: () => Unit = () => ()): Unit = {
     val spark = deltaDocs.sparkSession
-    val (lo, hi) = GenerationManifest.window(path)
+    val st0 = GenerationManifest.state(path)
+    val (lo, hi) = (st0.lo, st0.hi)
     GenerationManifest.purgeOutside(path, LabelIndexRoots, lo, hi)
     // IDEMPOTENT per doc_id (stricter than writeDedupIndex's
     // caller-owned disjointness): docs already sealed are dropped from
@@ -1503,7 +1507,7 @@ object DedupOps {
     // column-pruned id scan, partition-pruned to just themselves.
     // No distinct on the sealed side: an anti join ignores right-side
     // key multiplicity (the r15 measurement).
-    val wms = GenerationManifest.watermarks(path)
+    val wms = st0.wms
     val (dMin, dMax) = idRange(deltaDocs)
     val scanGens =
       if (dMin > dMax) Seq.empty // empty delta — the early-out below owns it
@@ -1562,12 +1566,17 @@ object DedupOps {
         if (crashAfterStage <= 3) return
         remaps.write.mode("overwrite").parquet(s"$path/remaps/gen=${hi + 1}")
         if (crashAfterStage <= 4) return
+        beforeFlip()
         // amend preserves the sealed generations' records
         // structurally and adds the new one's (range of the KEPT
         // delta — post-idempotency, so a partially-replayed batch
-        // records only what it actually sealed)
-        GenerationManifest.amend(path)(s =>
+        // records only what it actually sealed); fenced on the
+        // operation-start token (round 19): an out-of-band fold that
+        // flipped while the artifacts staged refuses here instead of
+        // having its snapshot silently absorbed into a corrupt window
+        GenerationManifest.amend(path, Some(st0.seq))(s =>
           s.copy(hi = hi + 1, wms = s.wms + ((hi + 1) -> idRange(ex))))
+        ()
       } finally miniLabels.unpersist()
     } finally { banded.unpersist(); ex.unpersist() }
   }
@@ -1968,12 +1977,15 @@ object DedupOps {
   /** [[appendPhraseIndex]] with a failpoint for the crash-window spec. */
   private[graft] def appendPhraseStaged(
       delta: DataFrame, path: String, l: Int, crashAfterStage: Int): Unit = {
-    val (lo, hi) = GenerationManifest.window(path)
+    val st0 = GenerationManifest.state(path)
+    val (lo, hi) = (st0.lo, st0.hi)
     GenerationManifest.purgeOutside(path, PhraseIndexRoots, lo, hi)
     phraseTable(delta, l).withColumn("gen", lit(hi + 1))
       .write.partitionBy("gen").mode("append").parquet(s"$path/phrases")
     if (crashAfterStage <= 1) return
-    GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
+    // fenced on the operation-start token (round 19)
+    GenerationManifest.amend(path, Some(st0.seq))(s => s.copy(hi = hi + 1))
+    ()
   }
 
   /** Compact the accreted generations into one ([[compactDedupIndex]]'s

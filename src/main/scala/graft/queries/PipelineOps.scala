@@ -556,13 +556,16 @@ object PipelineOps {
     * correctness precondition (unlike the posting/code indexes, where
     * a replayed row double-counts). */
   def appendEvalBank(evalDocs: DataFrame, path: String): Unit = {
-    val (lo, hi) = GenerationManifest.window(path)
+    val st0 = GenerationManifest.state(path)
+    val (lo, hi) = (st0.lo, st0.hi)
     GenerationManifest.purgeOutside(path, Seq("grams"), lo, hi)
     evalGramRel(evalDocs).withColumn("gen", lit(hi + 1))
       .coalesce(1)
       .write.partitionBy("gen").mode("append").parquet(s"$path/grams")
-    GenerationManifest.amend(path)(s =>
+    // fenced on the operation-start token (round 19)
+    GenerationManifest.amend(path, Some(st0.seq))(s =>
       s.copy(hi = hi + 1, wms = s.wms + ((hi + 1) -> evalIdRange(evalDocs))))
+    ()
   }
 
   /** Fold the committed window into one generation —

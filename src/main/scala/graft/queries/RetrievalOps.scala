@@ -414,8 +414,12 @@ object RetrievalOps {
         .toDF("n", "sumdl").withColumn("gen", lit(hi + 1))
         .write.partitionBy("gen").mode("append").parquet(s"$path/_stats")
       if (crashAfterStage <= 2) return
-      GenerationManifest.amend(path)(s =>
+      // fenced on the operation-start token (round 19): a writer that
+      // flipped the manifest while the postings/stats were staged
+      // refuses here instead of being silently absorbed
+      GenerationManifest.amend(path, Some(st.seq))(s =>
         s.copy(hi = hi + 1, wms = s.wms + ((hi + 1) -> keptRange)))
+      ()
     } finally release()
   }
 

@@ -338,8 +338,10 @@ object SimilarityOps {
         .mode("append")
         .parquet(path)
       if (crashAfterStage <= 1) return
-      GenerationManifest.amend(path)(s =>
+      // fenced on the operation-start token (round 19)
+      GenerationManifest.amend(path, Some(st.seq))(s =>
         s.copy(hi = hi + 1, wms = s.wms + ((hi + 1) -> keptRange)))
+      ()
     } finally release()
   }
 
@@ -358,7 +360,8 @@ object SimilarityOps {
       emb: DataFrame, path: String,
       k: Int = NumCells, iters: Int = 5,
       trainSample: Option[DataFrame] = None): Seq[Seq[Double]] = {
-    val (lo, hi) = GenerationManifest.window(path)
+    val st0 = GenerationManifest.state(path)
+    val (lo, hi) = (st0.lo, st0.hi)
     GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
     val centroids = trainCentroids(trainSample.getOrElse(emb), k, iters)
     writeQuantizer(emb.sparkSession, centroids,
@@ -371,7 +374,8 @@ object SimilarityOps {
       .partitionBy("gen", "cell")
       .mode("append")
       .parquet(path)
-    GenerationManifest.amend(path)(s =>
+    // fenced on the operation-start token (round 19)
+    GenerationManifest.amend(path, Some(st0.seq))(s =>
       s.copy(hi = hi + 1, epochBases = s.epochBases :+ (hi + 1),
         // the epoch snapshot re-encodes (and thus seals) every id
         wms = s.wms + ((hi + 1) -> vecIdRange(emb))))
@@ -848,8 +852,10 @@ object SimilarityOps {
           sq8ByteCodes(col("embedding"), col("mn"), col("mx")).as("codes"))
         .withColumn("gen", lit(hi + 1))
         .write.partitionBy("gen").mode("append").parquet(path)
-      GenerationManifest.amend(path)(s =>
+      // fenced on the operation-start token (round 19)
+      GenerationManifest.amend(path, Some(st.seq))(s =>
         s.copy(hi = hi + 1, wms = s.wms + ((hi + 1) -> keptRange)))
+      ()
     } finally release()
   }
 
@@ -867,7 +873,8 @@ object SimilarityOps {
   def retrainSq8Index(
       emb: DataFrame, path: String,
       trainSample: Option[DataFrame] = None): Unit = {
-    val (lo, hi) = GenerationManifest.window(path)
+    val st0 = GenerationManifest.state(path)
+    val (lo, hi) = (st0.lo, st0.hi)
     GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
     // materialize the one-row stats aggregate ONCE: it feeds both the
     // sidecar write and the re-encode's broadcast side (a lazy frame
@@ -881,10 +888,12 @@ object SimilarityOps {
           sq8ByteCodes(col("embedding"), col("mn"), col("mx")).as("codes"))
         .withColumn("gen", lit(hi + 1))
         .write.partitionBy("gen").mode("append").parquet(path)
-      GenerationManifest.amend(path)(s =>
+      // fenced on the operation-start token (round 19)
+      GenerationManifest.amend(path, Some(st0.seq))(s =>
         s.copy(hi = hi + 1, epochBases = s.epochBases :+ (hi + 1),
         // the epoch snapshot re-encodes (and thus seals) every id
         wms = s.wms + ((hi + 1) -> vecIdRange(emb))))
+      ()
     } finally stats.unpersist()
   }
 
@@ -1431,8 +1440,10 @@ object SimilarityOps {
           pqPack(pqCodeColsFor(col("embedding"), books)).as("packed"))
         .withColumn("gen", lit(hi + 1))
         .write.partitionBy("gen").mode("append").parquet(path)
-      GenerationManifest.amend(path)(s =>
+      // fenced on the operation-start token (round 19)
+      GenerationManifest.amend(path, Some(st.seq))(s =>
         s.copy(hi = hi + 1, wms = s.wms + ((hi + 1) -> keptRange)))
+      ()
     } finally release()
   }
 
@@ -1449,7 +1460,8 @@ object SimilarityOps {
       trainSample: Option[DataFrame] = None): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val (lo, hi) = GenerationManifest.window(path)
+    val st0 = GenerationManifest.state(path)
+    val (lo, hi) = (st0.lo, st0.hi)
     GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
     val books = trainPqCodebooks(trainSample.getOrElse(emb), iters)
     writePqBooks(spark, books, s"$path/_epochs/gen=${hi + 1}")
@@ -1457,10 +1469,12 @@ object SimilarityOps {
         pqPack(pqCodeColsFor(col("embedding"), books)).as("packed"))
       .withColumn("gen", lit(hi + 1))
       .write.partitionBy("gen").mode("append").parquet(path)
-    GenerationManifest.amend(path)(s =>
+    // fenced on the operation-start token (round 19)
+    GenerationManifest.amend(path, Some(st0.seq))(s =>
       s.copy(hi = hi + 1, epochBases = s.epochBases :+ (hi + 1),
         // the epoch snapshot re-encodes (and thus seals) every id
         wms = s.wms + ((hi + 1) -> vecIdRange(emb))))
+    ()
   }
 
   /** The codebooks GOVERNING generation `asOfGen` (default: the head)
@@ -2215,8 +2229,10 @@ object SimilarityOps {
           .repartition(col("cell"))
           .write.partitionBy("gen", "cell").mode("append").parquet(path)
       }
-      GenerationManifest.amend(path)(s =>
+      // fenced on the operation-start token (round 19)
+      GenerationManifest.amend(path, Some(st.seq))(s =>
         s.copy(hi = hi + 1, wms = s.wms + ((hi + 1) -> keptRange)))
+      ()
     } finally release()
   }
 
@@ -2245,9 +2261,10 @@ object SimilarityOps {
       pqIters: Int = 5,
       trainSample: Option[DataFrame] = None): Unit = {
     val spark = emb.sparkSession
-    val (lo, hi) = GenerationManifest.window(path)
+    val st0 = GenerationManifest.state(path)
+    val (lo, hi) = (st0.lo, st0.hi)
     GenerationManifest.purgeOutside(path, Seq("", "_epochs"), lo, hi)
-    val eps = GenerationManifest.epochs(path)
+    val eps = st0.epochBases
     // the residual CONVENTION is index-level (search-time offsets
     // assume it): carry it across retrains from the governing epoch
     val residual = spark.read
@@ -2263,10 +2280,12 @@ object SimilarityOps {
       .withColumn("gen", lit(hi + 1))
       .repartition(col("cell"))
       .write.partitionBy("gen", "cell").mode("append").parquet(path)
-    GenerationManifest.amend(path)(s =>
+    // fenced on the operation-start token (round 19)
+    GenerationManifest.amend(path, Some(st0.seq))(s =>
       s.copy(hi = hi + 1, epochBases = s.epochBases :+ (hi + 1),
         // the epoch snapshot re-encodes (and thus seals) every id
         wms = s.wms + ((hi + 1) -> vecIdRange(emb))))
+    ()
   }
 
   /** Retrain-split modulus for [[q119QuantizerDrift]]'s fixture: the

@@ -1526,10 +1526,13 @@ object TextOps {
   def retrainLmModel(
       docs: DataFrame, path: String,
       perMille: Int = HeavyHitterPerMille): Unit = {
-    val (lo, hi) = GenerationManifest.window(path)
+    val st0 = GenerationManifest.state(path)
+    val (lo, hi) = (st0.lo, st0.hi)
     GenerationManifest.purgeOutside(path, LmModelRoots, lo, hi)
     lmTrainIntoGen(docs, path, hi + 1, perMille) {
-      GenerationManifest.amend(path)(s => s.copy(hi = hi + 1)); ()
+      // fenced on the operation-start token (round 19)
+      GenerationManifest.amend(path, Some(st0.seq))(s =>
+        s.copy(hi = hi + 1)); ()
     }
   }
 
@@ -2971,12 +2974,15 @@ object TextOps {
     * outside the committed window, the manifest rename publishes). */
   def retrainBpeModel(
       docs: DataFrame, path: String, merges: Int = BpeTrainRounds): Unit = {
-    val (lo, hi) = GenerationManifest.window(path)
+    val st0 = GenerationManifest.state(path)
+    val (lo, hi) = (st0.lo, st0.hi)
     GenerationManifest.purgeOutside(path, BpeModelRoots, lo, hi)
     bpeTrainAuto(docs, merges)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/merges/gen=${hi + 1}")
-    GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
+    // fenced on the operation-start token (round 19)
+    GenerationManifest.amend(path, Some(st0.seq))(s => s.copy(hi = hi + 1))
+    ()
   }
 
   /** Compact a BPE-model store — [[compactGateModel]]'s contract for
@@ -3778,10 +3784,13 @@ object TextOps {
   def retrainGateModel(
       docs: DataFrame, path: String,
       epochs: Int = DistillEpochs, featDim: Int = DistillFeatDim): Unit = {
-    val (lo, hi) = GenerationManifest.window(path)
+    val st0 = GenerationManifest.state(path)
+    val (lo, hi) = (st0.lo, st0.hi)
     GenerationManifest.purgeOutside(path, GateModelRoots, lo, hi)
     trainIntoGen(docs, path, hi + 1, epochs, featDim)
-    GenerationManifest.amend(path)(s => s.copy(hi = hi + 1))
+    // fenced on the operation-start token (round 19)
+    GenerationManifest.amend(path, Some(st0.seq))(s => s.copy(hi = hi + 1))
+    ()
   }
 
   private def trainIntoGen(

@@ -72,6 +72,30 @@ class LabelIndexSpec extends SparkSuite {
     assert(GenerationManifest.window(idx) == ((4L, 4L)))
     assert(servedRows(idx) == want,
       "the retried fold changed the served labels")
+
+    // THE REVERSE RACE: the fold lands while an APPEND's artifacts are
+    // staged — pre-r19 the append's flip set hi from its STALE read,
+    // silently claiming the fold's snapshot generation as its own (a
+    // corrupt window wearing a valid shape); the operation-start fence
+    // refuses it instead. The fold's leading purge reclaims the
+    // append's staged artifacts as debris, so the store is exactly the
+    // folded state and the retried append lands as the next generation.
+    val idx2 = tmp("graft-label-race-rev")
+    DedupOps.writeLabelIndex(docs.filter($"doc_id" % 3 === 0), idx2)
+    DedupOps.appendLabelIndex(docs.filter($"doc_id" % 3 === 1), idx2)
+    val e2 = intercept[IllegalStateException] {
+      DedupOps.appendLabelStaged(delta, idx2,
+        threshold = 0.6, bands = 16, rows = 4,
+        crashAfterStage = Int.MaxValue,
+        beforeFlip = () => DedupOps.compactLabelIndex(spark, idx2))
+    }
+    assert(e2.getMessage.contains("fence token"), e2.getMessage)
+    assert(GenerationManifest.window(idx2) == ((3L, 3L)),
+      "the refused append damaged the folded window")
+    DedupOps.appendLabelIndex(delta, idx2)
+    assert(GenerationManifest.window(idx2) == ((3L, 4L)))
+    assert(servedRows(idx2) == want,
+      "the retried append diverged from the full-corpus closure")
   }
 
   test("merge journal: a delta bridge merges two sealed families via remap, O(merge-events) rows") {
