@@ -400,15 +400,11 @@ object Bench {
       }
     }
     // the sentinels report under phases (not queries: excluded from the
-    // total and from the oracle-facing queries map)
-    def med(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.isEmpty) 0.0
-      else if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
-    phases("sentinel") = med(sentinelSamples.toSeq)
-    phases("sentinel_io") = med(sentinelIoSamples.toSeq)
+    // total and from the oracle-facing queries map), with the SAME
+    // statistic as the query rows (Res.median — one definition)
+    phases("sentinel") = Res("sentinel", sentinelSamples.toSeq, None).median
+    phases("sentinel_io") =
+      Res("sentinel_io", sentinelIoSamples.toSeq, None).median
     val results = selected.map { case (name, _) =>
       Res(name, samplesByName.getOrElse(name, Vector.empty),
         errByName.get(name))

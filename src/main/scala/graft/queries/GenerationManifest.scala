@@ -240,16 +240,14 @@ private[graft] object GenerationManifest {
     * scaladoc. Families with their own growth metric (the label
     * index's remap journal) wrap this with their measured rule
     * ([[DedupOps.maybeCompactLabelIndex]]). */
-  def compactIfPast(path: String, maxGens: Long)(compact: => Unit): Boolean = {
-    require(maxGens >= 1, s"maxGens must be >= 1, got $maxGens")
-    val (lo, hi) = window(path)
-    if (hi - lo + 1 > maxGens) { compact; true } else false
-  }
+  def compactIfPast(path: String, maxGens: Long)(compact: => Unit): Boolean =
+    compactIfPastStatus(path, maxGens) { compact; true }
 
   /** [[compactIfPast]] for folds that can themselves SKIP (the hybrid
     * fold defers to a crashed append's roll-forward): the reported
     * status is the fold's own, so a cadence caller never mistakes a
-    * deferred fold for a completed one (ADVICE r18). */
+    * deferred fold for a completed one (ADVICE r18). The threshold
+    * rule has ONE home — [[compactIfPast]] delegates here. */
   def compactIfPastStatus(path: String, maxGens: Long)(
       compact: => Boolean): Boolean = {
     require(maxGens >= 1, s"maxGens must be >= 1, got $maxGens")

@@ -2655,10 +2655,14 @@ object TextOps {
     // instead of truncating (a truncated delta would silently corrupt
     // the exact incremental stats and, through them, the merge table)
     def foldJob(df: DataFrame): Unit = {
+      // statsCap = Int.MaxValue is the documented "raise the cap"
+      // escape hatch — the +1 probe must not overflow to a negative
+      // limit there (Spark rejects it before reading a row)
+      val probe = if (statsCap == Int.MaxValue) statsCap else statsCap + 1
       val rows = df.groupBy(col("a"), col("b"), col("c"))
         .agg(sum(col("w")).as("n"))
         .filter(col("n") =!= 0L)
-        .limit(statsCap + 1).collect()
+        .limit(probe).collect()
       require(rows.length <= statsCap,
         s"BPE adjacency statistics exceed the driver ceiling $statsCap " +
           "rows — the vocabulary's pair/trigram relation no longer fits " +

@@ -144,6 +144,15 @@ object CorpusStream {
     require(cfg.perplexityBand.isEmpty || cfg.lmModelPath.nonEmpty,
       "a streaming perplexity band needs a served LM " +
         "(cfg.lmModelPath) — self-training is a batch-global pass")
+    // the text REWRITES are index-backed batch stages with their own
+    // stream consumers (phraseScrub, baseScreen) — silently skipping
+    // them here would break the admitted-set ≡ batch-kept-set contract
+    // for docs the rewrite would have hollowed below the token floor
+    require(!cfg.phraseExcise && !cfg.passageDedup,
+      "phraseExcise/passageDedup are index-backed rewrite stages — " +
+        "chain phraseScrub (the q95 stream consumer) before this sink " +
+        "instead; the composed gate refuses rather than silently " +
+        "diverging from the batch pipeline's kept set")
     // construction-time pins: the gate weights load once (a featDim
     // driver read), the LM and bank serve at the generation committed
     // NOW for the stream's whole lifetime
@@ -160,24 +169,35 @@ object CorpusStream {
           .filter(col("lang").isInCollection(cfg.keepLangs))
           .filter(size(TextOps.toks(col("text"))) >= cfg.minTokens)
         gateCol.foreach(c => cur = cur.filter(c >= 0))
-        (cfg.perplexityBand, cfg.lmModelPath) match {
-          case (Some((lo, hi)), Some(p)) =>
-            cur = TextOps.perplexityGateServed(cur, lo, hi, p,
-              asOfGen = lmGen.get)
-          case _ => ()
-        }
-        cfg.evalBankPath.foreach { p =>
-          val flagged = PipelineOps
-            .decontamServed(cur.select(col("doc_id"), col("text")), p,
-              asOfGen = bankGen.get)
-            .select(col("doc_id"))
-          cur = cur.join(broadcast(flagged), Seq("doc_id"), "left_anti")
-        }
-        cur = cur.filter(
-          RelationalOps.stratifiedKeep(cfg.stratRates, cfg.defaultPerMille))
-        if (cfg.piiScrub)
-          cur = TextOps.piiScrub(cur).drop("n_email", "n_ip", "n_phone")
-        cur.write.mode("append").parquet(outDir)
+        // the gate chain below this point is a DIAMOND (the LM band
+        // self-joins its input; the decontam screen feeds both the
+        // gram explode and the anti-join's left side) — persist the
+        // narrow-gated frame so the lang/floor/model chain runs once
+        // per batch, not once per branch (the batch pipeline persists
+        // at exactly these seams)
+        val shared = cur
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          cur = shared
+          (cfg.perplexityBand, cfg.lmModelPath) match {
+            case (Some((lo, hi)), Some(p)) =>
+              cur = TextOps.perplexityGateServed(cur, lo, hi, p,
+                asOfGen = lmGen.get)
+            case _ => ()
+          }
+          cfg.evalBankPath.foreach { p =>
+            val flagged = PipelineOps
+              .decontamServed(cur.select(col("doc_id"), col("text")), p,
+                asOfGen = bankGen.get)
+              .select(col("doc_id"))
+            cur = cur.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+          }
+          cur = cur.filter(
+            RelationalOps.stratifiedKeep(cfg.stratRates, cfg.defaultPerMille))
+          if (cfg.piiScrub)
+            cur = TextOps.piiScrub(cur).drop("n_email", "n_ip", "n_phone")
+          cur.write.mode("append").parquet(outDir)
+        } finally { shared.unpersist(); () }
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -76,13 +76,27 @@ object HybridIndexStream {
     * refusal. Compact-after-append would wedge the stream instead:
     * the replayed batch's APPEND meets the half-compacted legs first
     * and refuses forever. None disables the cadence (run the fold
-    * out-of-band). */
+    * out-of-band).
+    *
+    * `resumeIvfIters`/`resumePqIters`/`resumeTrainSample` parametrize
+    * the head-of-batch retrain roll-forward (round 19): they matter
+    * ONLY when a crashed retrain's dense epoch snapshot was itself
+    * unfinished — the resume then retrains FROM SCRATCH with these
+    * (after a later-stage crash the snapshot is reused verbatim and
+    * they are ignored). Default them to the deployment's retrain
+    * parameters; a stream left on the 5/5-full-sidecar defaults would
+    * otherwise silently publish differently-trained quantizers than
+    * the operator's interrupted retrainHybridDense(20, sample) asked
+    * for. */
   def sink(
       corpus: DataFrame,
       indexPath: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime(0L),
-      compactPastGens: Option[Long] = None): StreamingQuery =
+      compactPastGens: Option[Long] = None,
+      resumeIvfIters: Int = 5,
+      resumePqIters: Int = 5,
+      resumeTrainSample: Option[DataFrame] = None): StreamingQuery =
     corpus.writeStream
       .queryName("graft-hybrid-index-sink")
       .trigger(trigger)
@@ -96,7 +110,8 @@ object HybridIndexStream {
         // retrainHybridDense by hand. One manifest read when idle.
         // Iteration counts matter only if the dense snapshot itself
         // was unfinished (see maybeResumeHybridRetrain's scaladoc).
-        RetrievalOps.maybeResumeHybridRetrain(batch.sparkSession, indexPath)
+        RetrievalOps.maybeResumeHybridRetrain(batch.sparkSession, indexPath,
+          resumeIvfIters, resumePqIters, resumeTrainSample)
         compactPastGens.foreach(g =>
           RetrievalOps.maybeCompactHybridIndex(
             batch.sparkSession, indexPath, g))
