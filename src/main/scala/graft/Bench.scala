@@ -132,12 +132,18 @@ object Bench {
             queries.DedupOps.DeltaRem))
       }
     }
-    if (selNames("q84_trained_ann")) {
+    // ONE trained IVF-PQ build serves both q84 (trained top-k) and
+    // q129 (the trained recall curve sweeps the same quantizers)
+    if (selNames("q84_trained_ann") || selNames("q129_recall_trained")) {
       val p = buildDir("graft-bench-trained")
       phase("q84_train")(queries.SimilarityOps.trainIvfPq(
         Tables.embeddings(spark, sfDir), p, ivfIters = 3, pqIters = 3))
-      serveOnly("q84_trained_ann") =
-        (s, d) => queries.SimilarityOps.q84ServeTrained(s, d, p)
+      if (selNames("q84_trained_ann"))
+        serveOnly("q84_trained_ann") =
+          (s, d) => queries.SimilarityOps.q84ServeTrained(s, d, p)
+      if (selNames("q129_recall_trained"))
+        serveOnly("q129_recall_trained") =
+          (s, d) => queries.SimilarityOps.q129ServeTrained(s, d, p)
     }
     // The label index serves FOUR queries off one build: q112 (its own
     // registered form) plus the q47/q80/q104 consumers, whose served
@@ -413,6 +419,19 @@ object Bench {
     buildDirs.foreach(d =>
       queries.SimilarityOps.deleteRecursively(Paths.get(d)))
 
+    // SENTINEL-NORMALIZED BOARD COMPARISON (round 20 — bench/NOTES.md's
+    // adjudication rule as code, the r19 verdict's #8): with
+    // SPARK_GRAFT_BENCH_BASELINE naming a prior board JSON, every
+    // common query row gets a normalized ratio and the board itself
+    // carries the ≥1.5 mover list — the adjudication ships WITH the
+    // board instead of living in NOTES prose. A row's raw ratio is
+    // divided by BOTH sentinel ratios and the smaller quotient is
+    // reported: a genuine plan regression exceeds the threshold under
+    // whichever drift mode (CPU or I/O) actually moved the host, so
+    // requiring both keeps environmental drift out of the mover list
+    // without a per-query scan/compute classification table. Prior
+    // boards without sentinel rows (pre-r19) normalize by 1.0 —
+    // NOTES.md's manual untouched-row method still applies to those.
     def esc(s: String): String =
       s.flatMap {
         case '"'  => "\\\""
@@ -424,6 +443,47 @@ object Bench {
     // comma-decimal locale would corrupt the JSON metric line
     def f3(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val baselinePath = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+    val comparison: Option[(String, String, String)] = baselinePath.flatMap {
+      bp =>
+        try {
+          val txt = Files.readString(Paths.get(bp))
+          // scalar "qNN_x":1.234 entries only (samples are arrays and
+          // never match; phase keys like q77_build are filtered by the
+          // lookup against the current query set)
+          val qRe = """"(q[0-9][A-Za-z0-9_]*)":([0-9]+(?:\.[0-9]+)?)""".r
+          val prior = qRe.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          def ph(name: String): Option[Double] =
+            (s""""$name":([0-9]+(?:\\.[0-9]+)?)""").r
+              .findFirstMatchIn(txt).map(_.group(1).toDouble)
+          val sR = ph("sentinel").filter(_ > 0)
+            .map(phases("sentinel") / _).getOrElse(1.0)
+          val ioR = ph("sentinel_io").filter(_ > 0)
+            .map(phases("sentinel_io") / _).getOrElse(1.0)
+          val norm = results.filter(_.err.isEmpty).flatMap { r =>
+            prior.get(r.name).filter(_ > 0).map { old =>
+              val raw = r.median / old
+              r.name -> math.min(raw / sR, raw / ioR)
+            }
+          }
+          val normJson = norm
+            .map { case (n, v) => s""""$n":${f3(v)}""" }
+            .mkString("{", ",", "}")
+          val movers = norm.filter(_._2 >= 1.5)
+            .map { case (n, v) => s""""$n":${f3(v)}""" }
+            .mkString("{", ",", "}")
+          Some((
+            s""""baseline":"${esc(bp)}","sentinel_ratio":${f3(sR)},"sentinel_io_ratio":${f3(ioR)},"movers":$movers""",
+            normJson,
+            movers))
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[bench] baseline compare failed: $e")
+            None
+        }
+    }
+
     val qs = results.map { r =>
       r.err match {
         case None    => s""""${r.name}":${f3(r.median)}"""
@@ -439,16 +499,19 @@ object Bench {
     val total = ok.map(_.median).sum
     val phasesJson = phases
       .map { case (n, s) => s""""$n":${f3(s)}""" }.mkString("{", ",", "}")
+    val cmpCompact = comparison.map(c => "," + c._1).getOrElse("")
+    val cmpFull = comparison
+      .map(c => "," + c._1 + s""","normalized":${c._2}""").getOrElse("")
     val tail =
-      s""""phases":$phasesJson,"iters":$iters,"stat":"median","sf":"$sfDir","n_ok":${ok.size},"n_err":${results.size - ok.size}}"""
+      s""""phases":$phasesJson,"iters":$iters,"stat":"median","sf":"$sfDir","n_ok":${ok.size},"n_err":${results.size - ok.size}"""
     // stdout gets the COMPACT line (medians only): the full 26-query ×
     // iters samples blob outgrew the caller's output-tail capture in
     // round 4 ("parsed: null"), silencing the whole bench signal. Full
     // samples go to target/bench.json only.
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,$tail"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,$tail$cmpCompact}"""
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"samples":$samples,$tail"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"samples":$samples,$tail$cmpFull}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), fullLine + "\n")
     println(line)

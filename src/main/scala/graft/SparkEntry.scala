@@ -232,6 +232,14 @@ object SparkEntry {
     // leg on the q106 matryoshka prefix (a dense-only change, so the
     // oracle also hash-checks the zero-sparse-flip invariant).
     "q127_drift_matrix"    -> (RetrievalOps.q127DriftMatrix _),
+    // q128: the ANN tuning instrument — recall@k + candidate volume
+    // over the (nprobe, shortlist) grid vs the exact cosine top-k,
+    // DuckDB-verified from the fixed quantizer constants (the q67
+    // implementation-verifying pattern applied to the tuning curve);
+    // q129 is the same curve under TRAINED quantizers (rows-only —
+    // the q84 trained-k-means waiver; monotonicity spec-pinned)
+    "q128_recall_curve"    -> ((s, d) => SimilarityOps.q128RecallCurve(s, d)),
+    "q129_recall_trained"  -> ((s, d) => SimilarityOps.q129RecallTrained(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -743,5 +751,8 @@ object SparkEntry {
     // drift flip matrix: both fusions (q76 sparse leg; full-dim and
     // matryoshka-prefix dense legs) and the one-row matrix replayed
     "q127_drift_matrix" -> RetrievalOps.q127OracleSql(),
+    // the recall curve re-derived from the same fixed quantizer
+    // constants, grid axes included (q129's trained twin is rows-only)
+    "q128_recall_curve" -> SimilarityOps.q128OracleSql(),
   )
 }

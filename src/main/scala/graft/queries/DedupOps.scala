@@ -1222,6 +1222,16 @@ object DedupOps {
     GenerationManifest.compactIfPast(path, maxGens)(
       compactDedupIndex(spark, path))
 
+  /** Reclaim replaced dedup-index generations below the retention
+    * horizon ([[GenerationManifest.gc]] — the only operation that
+    * deletes committed history; mutations retain it for in-flight
+    * readers). Run at the same cadence as [[maybeCompactDedupIndex]].
+    * Returns the committed retention floor. */
+  def gcDedupIndex(
+      path: String,
+      retainGens: Long = GenerationManifest.DefaultRetainGens): Long =
+    GenerationManifest.gc(path, DedupIndexRoots, retainGens)
+
   private val DedupIndexRoots = Seq("buckets", "shingles")
 
   /** Screen a DELTA frame against a sealed [[writeDedupIndex]] index:
@@ -1268,11 +1278,13 @@ object DedupOps {
     * form's session-lifetime caches would accumulate one per batch. */
   def withDeltaScreen[T](
       spark: SparkSession, indexPath: String, deltaDocs: DataFrame,
-      threshold: Double = 0.6, bands: Int = 16, rows: Int = 4)(
+      threshold: Double = 0.6, bands: Int = 16, rows: Int = 4,
+      asOfGen: Long = Long.MaxValue)(
       use: DataFrame => T): T = {
     val exD = shingleHashes(deltaDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try use(deltaScreenFrom(spark, indexPath, exD, threshold, bands, rows))
+    try use(deltaScreenFrom(spark, indexPath, exD, threshold, bands, rows,
+      asOfGen))
     finally exD.unpersist()
   }
 
@@ -1713,6 +1725,12 @@ object DedupOps {
     * rows, orders of magnitude smaller than the corpus). Idempotent to
     * call at any maintenance cadence — e.g. the LabelIndexStream
     * owner's post-batch hook; returns whether it compacted. */
+  /** [[gcDedupIndex]] for the label index family. */
+  def gcLabelIndex(
+      path: String,
+      retainGens: Long = GenerationManifest.DefaultRetainGens): Long =
+    GenerationManifest.gc(path, LabelIndexRoots, retainGens)
+
   def maybeCompactLabelIndex(
       spark: SparkSession, path: String,
       maxRemapRows: Long = 100000L,
@@ -2006,9 +2024,15 @@ object DedupOps {
     // fenced on the head-of-fold token (round 19)
     GenerationManifest.commit(path, hi + 1, hi + 1,
       expectSeq = Some(st0.seq))
-    // replaced generations stay on disk until the next mutation's
-    // leading purge — in-flight readers of the old window are safe
+    // replaced generations stay on disk for in-flight readers until an
+    // explicit gcPhraseIndex advances the retention floor (round 20)
   }
+
+  /** [[gcDedupIndex]] for the phrase-bank family. */
+  def gcPhraseIndex(
+      path: String,
+      retainGens: Long = GenerationManifest.DefaultRetainGens): Long =
+    GenerationManifest.gc(path, PhraseIndexRoots, retainGens)
 
   /** The served phrase relation: window-scoped scan + the associative
     * min/mx merge across generations (a phrase appended twice must
@@ -2059,6 +2083,116 @@ object DedupOps {
     else hits)
       .select(col("doc_id"), col("pos"))
     exciseMarked(toks, marked, l)
+  }
+
+  // ------------------------------------------------- passage bank (r20)
+
+  private val PassageBankRoots = Seq("passages")
+
+  /** `(doc_id, pidx, phash)` — the xxhash64 of every NON-OVERLAPPING
+    * `p`-token chunk (q56's chunking, [[passageDedup]]'s generate),
+    * computed inside the scan-side projection. */
+  private def passageHashes(docs: DataFrame, p: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast((size(t) + ${p - 1}) div $p as int) - 1),
+           |          i -> xxhash64(array_join(slice(t, i * $p + 1, $p), ' ')))"""
+          .stripMargin)).as(Seq("pidx", "phash")))
+
+  /** `(phash, mn, mx)` for one corpus slice — [[writePhraseIndex]]'s
+    * phrase-table shape at PASSAGE granularity. */
+  private def passageTable(docs: DataFrame, p: Int): DataFrame =
+    passageHashes(docs, p)
+      .groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+
+  /** Write the PASSAGE BANK for a sealed corpus (round 20 — the q56
+    * rewrite's sealed-artifact form, giving the composed streaming
+    * front door its passage stage the way [[writePhraseIndex]] gives
+    * it the phrase stage): one artifact `passages/ (phash, mn, mx)` —
+    * every distinct non-overlapping `p`-token chunk hash with its
+    * min/max holder ids, associative across appends, 24 bytes per
+    * distinct chunk, never text. Same [[GenerationManifest]] window
+    * protocol as every persisted family. */
+  def writePassageBank(
+      docs: DataFrame, path: String, p: Int = PassageTokens): Unit = {
+    passageTable(docs, p).withColumn("gen", lit(1L))
+      .write.partitionBy("gen").mode("overwrite").parquet(s"$path/passages")
+    GenerationManifest.commit(path, 1, 1)
+  }
+
+  /** Append a delta's chunk table to the passage bank — the
+    * [[appendPhraseIndex]] contract (append ≡ rebuild because the
+    * serve-side merge re-aggregates min/mx across generations). */
+  def appendPassageBank(
+      delta: DataFrame, path: String, p: Int = PassageTokens): Unit = {
+    val st0 = GenerationManifest.state(path)
+    val (lo, hi) = (st0.lo, st0.hi)
+    GenerationManifest.purgeOutside(path, PassageBankRoots, lo, hi)
+    passageTable(delta, p).withColumn("gen", lit(hi + 1))
+      .write.partitionBy("gen").mode("append").parquet(s"$path/passages")
+    GenerationManifest.amend(path, Some(st0.seq))(s => s.copy(hi = hi + 1))
+    ()
+  }
+
+  /** [[gcDedupIndex]] for the passage-bank family. */
+  def gcPassageBank(
+      path: String,
+      retainGens: Long = GenerationManifest.DefaultRetainGens): Long =
+    GenerationManifest.gc(path, PassageBankRoots, retainGens)
+
+  /** The served chunk relation ([[phraseBank]]'s merge at passage
+    * granularity). */
+  private def passageBankRead(
+      spark: SparkSession, path: String,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
+    val (lo, hi) = GenerationManifest.windowAt(path, asOfGen)
+    spark.read.parquet(s"$path/passages")
+      .filter(col("gen").between(lo, hi))
+      .groupBy(col("phash"))
+      .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+  }
+
+  /** Rewrite `docs` against a sealed passage bank ([[scrubAgainst]]'s
+    * contract at chunk granularity, returned in [[passageRewrite]]'s
+    * schema-preserving form): every non-overlapping `p`-token chunk
+    * whose hash the bank holds — for some OTHER doc under
+    * `selfExclude` (shared-id spaces), for ANY holder without it (the
+    * streaming crawl scrub, where ids are unrelated) — is dropped, the
+    * kept chunks re-join in order, and docs scrubbed to NOTHING leave
+    * entirely. For a delta whose ids are all ABOVE the sealed base's
+    * and whose chunks are not duplicated within the delta, this equals
+    * [[passageRewrite]] over base ∪ delta restricted to the delta
+    * (first occurrences live in the base) — the equivalence the
+    * composed streaming front door pins (CorpusStreamSpec).
+    *
+    * Scale shape: chunk hashes join the bank on 8-byte keys; the
+    * delta's text crosses the wire once, in the doc_id-keyed rebuild
+    * join. */
+  def passageScrubAgainst(
+      spark: SparkSession, indexPath: String, docs: DataFrame,
+      p: Int = PassageTokens, selfExclude: Boolean = true,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
+    val ids = passageHashes(docs, p)
+    val hits = ids.join(passageBankRead(spark, indexPath, asOfGen), "phash")
+    val marked = (if (selfExclude)
+      hits.filter(!(col("mn") === col("doc_id") && col("mx") === col("doc_id")))
+    else hits)
+      .select(col("doc_id"), col("pidx"))
+    val kept = ids.join(marked, Seq("doc_id", "pidx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pidx"))).as("kept_pidx"))
+    val clean = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .join(kept, Seq("doc_id"))
+      .select(col("doc_id"), array_join(
+        expr(s"transform(kept_pidx, i -> array_join(slice(t, i * $p + 1, $p), ' '))"),
+        " ").as("clean_text"))
+      .filter(col("clean_text") =!= "")
+    docs.drop("text")
+      .join(clean, "doc_id")
+      .withColumn("text", col("clean_text"))
+      .drop("clean_text")
   }
 
   /** q95 — INDEX-SERVED phrase excision: q62's incremental shape for

@@ -599,6 +599,14 @@ object PipelineOps {
     GenerationManifest.compactIfPast(path, maxGens)(
       compactEvalBank(spark, path))
 
+  /** Reclaim replaced eval-bank generations below the retention
+    * horizon ([[GenerationManifest.gc]]). Run at the
+    * [[maybeCompactEvalBank]] cadence. Returns the committed floor. */
+  def gcEvalBank(
+      path: String,
+      retainGens: Long = GenerationManifest.DefaultRetainGens): Long =
+    GenerationManifest.gc(path, Seq("grams"), retainGens)
+
   /** q52's report under the LOADED bank — the deploy step: screen any
     * corpus frame against the eval-gram bank as-of a generation,
     * without the raw suite in hand. */

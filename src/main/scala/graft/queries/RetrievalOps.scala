@@ -471,6 +471,16 @@ object RetrievalOps {
     GenerationManifest.compactIfPast(path, maxGens)(
       compactIndex(spark, path))
 
+  /** Reclaim replaced inverted/passage-index generations below the
+    * retention horizon ([[GenerationManifest.gc]] — the only operation
+    * that deletes committed history; mutations retain it for in-flight
+    * readers). Run at the same cadence as [[maybeCompactIndex]].
+    * Returns the committed retention floor. */
+  def gcIndex(
+      path: String,
+      retainGens: Long = GenerationManifest.DefaultRetainGens): Long =
+    GenerationManifest.gc(path, Seq("", "_stats"), retainGens)
+
   /** [[compactIndex]] with a failpoint for the crash-window spec. */
   private[graft] def compactStaged(
       spark: SparkSession, path: String, crashAfterStage: Int): Unit = {
@@ -1287,6 +1297,19 @@ object RetrievalOps {
       spark: SparkSession, path: String, maxGens: Long): Boolean =
     GenerationManifest.compactIfPastStatus(path, maxGens)(
       compactHybridIndex(spark, path))
+
+  /** [[gcIndex]] for the hybrid store: the root's float sidecar plus
+    * BOTH legs, each under its own manifest (the legs' windows — and
+    * so their floors — stay lockstep with the root's by the hybrid
+    * invariant). Returns the root's committed retention floor. */
+  def gcHybridIndex(
+      path: String,
+      retainGens: Long = GenerationManifest.DefaultRetainGens): Long = {
+    val floor = GenerationManifest.gc(path, Seq("_floats"), retainGens)
+    GenerationManifest.gc(s"$path/sparse", Seq("", "_stats"), retainGens)
+    GenerationManifest.gc(s"$path/dense", Seq("", "_epochs"), retainGens)
+    floor
+  }
 
   /** Roll a CRASHED dense-leg retrain forward if one is pending —
     * [[retrainHybridDense]]'s resume path behind a one-manifest-read

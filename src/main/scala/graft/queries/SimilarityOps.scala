@@ -459,6 +459,16 @@ object SimilarityOps {
       if (flat) compactFlatIndex(spark, path)
       else compactAnnIndex(spark, path))
 
+  /** Reclaim replaced ANN-index generations (cells + epoch sidecars)
+    * below the retention horizon ([[GenerationManifest.gc]]). Shared
+    * by the IVF, SQ8/PQ and IVF-PQ layouts — all keep their gen dirs
+    * at the root plus `_epochs`. Run at the [[maybeCompactAnnIndex]]
+    * cadence. Returns the committed retention floor. */
+  def gcAnnIndex(
+      path: String,
+      retainGens: Long = GenerationManifest.DefaultRetainGens): Long =
+    GenerationManifest.gc(path, Seq("", "_epochs"), retainGens)
+
   def compactAnnIndex(spark: SparkSession, path: String): Unit = {
     val st = GenerationManifest.state(path)
     val (lo, hi) = (st.lo, st.hi)
@@ -2644,6 +2654,275 @@ object SimilarityOps {
        |)
        |SELECT probe_id, vec_id, label, sim, rank FROM rk WHERE rank <= $k
        |ORDER BY probe_id, rank""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q128
+
+  /** The (nprobe, shortlist) grid [[q128RecallCurve]] sweeps. The
+    * last shortlist is an effectively-UNBOUNDED sentinel (no ADC cut):
+    * its rows report pure candidate-containment recall, the axis that
+    * is GUARANTEED monotone in nprobe (probed cells are supersets).
+    * The bounded rows are the point of the instrument — they show the
+    * dip when a fixed shortlist stops scaling with nprobe (measured on
+    * the fixture: recall@10 rises 1→4 probes then FALLS at 8 under
+    * shortlist 20/50), i.e. the knee a deployment reads. */
+  val RecallNprobes: Seq[Int] = Seq(1, 2, 4, 8)
+  val RecallShortlists: Seq[Int] = Seq(20, 50, 1000000)
+  val RecallK = 10
+  val RecallNumProbes = 10
+
+  /** q128 — the ANN TUNING INSTRUMENT (round 20, the r19 verdict's
+    * #5): recall@k and candidate volume for a GRID of (nprobe,
+    * shortlist) over the IVF-PQ composition vs the exact cosine top-k
+    * — the curve whose knee a deployment reads to pick its serving
+    * parameters, where q67/q70/q84 fix them at constants. One row per
+    * grid point: `(nprobe, shortlist, n_candidates, n_hits,
+    * recall_pm)` — `n_candidates` = candidate rows scored across all
+    * probes at that nprobe (the cost axis), `n_hits` = exact-top-k
+    * members found in the ADC shortlist summed over probes, and
+    * `recall_pm` their per-mille ratio over `k × numProbes`. All
+    * integers (q110's discipline): DuckDB re-derives every value
+    * bit-identically from the same fixed quantizer constants — the
+    * q67 implementation-verifying pattern applied to the tuning
+    * curve itself.
+    *
+    * Because the rerank stage scores with the SAME exact cosine that
+    * defines the truth, an exact-top-k member reaching the shortlist
+    * always survives the rerank cut at k — so recall@k of the full
+    * two-stage pipeline equals shortlist containment, and the curve
+    * needs no per-point rerank pass.
+    *
+    * Plan shape: ONE candidate join at max(nprobe) with the probe's
+    * cell-preference RANK riding along; every smaller nprobe is a
+    * FILTER on that rank (no re-join), the shortlist axis a filter on
+    * the per-(nprobe, probe) ADC rank — the whole grid costs one
+    * candidate join + windows over fixed-width rows, broadcast grids
+    * on both axes. The truth pass is one broadcast of `numProbes`
+    * probe vectors against the corpus. Monotonicity in nprobe is
+    * spec-pinned (SimilarityOpsSpec). */
+  def q128RecallCurve(
+      spark: SparkSession, dir: String,
+      k: Int = RecallK, numProbes: Int = RecallNumProbes,
+      nprobes: Seq[Int] = RecallNprobes,
+      shortlists: Seq[Int] = RecallShortlists): DataFrame = {
+    val centroids = (0 until NumCells)
+      .map(c => (0 until Dim).map(centroidComponent(c, _)))
+    recallCurveFrame(Tables.embeddings(spark, dir), centroids,
+      defaultPqCodebooks, k, numProbes, nprobes, shortlists)
+  }
+
+  /** The grid core shared by [[q128RecallCurve]] (fixed constants,
+    * DuckDB-verified) and [[q129RecallTrained]] (trained quantizers,
+    * rows-only beside it). */
+  private[graft] def recallCurveFrame(
+      embTable: DataFrame, centroids: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]],
+      k: Int, numProbes: Int,
+      nprobes: Seq[Int], shortlists: Seq[Int]): DataFrame = {
+    val spark = embTable.sparkSession
+    import spark.implicits._
+    require(nprobes.nonEmpty && shortlists.nonEmpty && k > 0 && numProbes > 0)
+    val nCells = centroids.length
+    val maxProbe = math.min(nprobes.max, nCells)
+    val emb = assignCells(embTable, centroids)
+    val codes = emb.select(
+      col("vec_id") +: col("cell") +: pqCodeColsFor(col("embedding"), books): _*)
+    val byBest = sort_array(array((0 until nCells).map(c =>
+      struct((-$"dots" (c)).as("nd"), lit(c).as("cell"))): _*))
+    val probes = emb
+      .filter($"vec_id" < numProbes)
+      .select(
+        $"vec_id".as("probe_id") +:
+          posexplode(transform(slice(byBest, 1, maxProbe), s => s("cell")))
+            .as(Seq("cell_rank", "cell")) +:
+          (0 until PqSubspaces).map { m =>
+            val sub = slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
+            array((0 until PqCodes).map(j =>
+              PipelineOps.dot(sub, typedlit(books(m)(j)))): _*).as(s"t$m")
+          }: _*)
+    val adc = round(
+      (0 until PqSubspaces)
+        .map(m => element_at(col(s"t$m"), col(s"code$m") + 1))
+        .reduce(_ + _), 6)
+    val gridN = nprobes.map(_.toLong).toDF("nprobe")
+    val gridS = shortlists.map(_.toLong).toDF("shortlist")
+    val cand = codes.join(broadcast(probes), "cell")
+      .withColumn("adc", adc)
+      .select($"probe_id", $"cell_rank", $"vec_id", $"adc")
+    val candG = cand.join(broadcast(gridN), $"cell_rank" < $"nprobe")
+    val ranked = candG.withColumn("arank", row_number().over(
+      Window.partitionBy($"nprobe", $"probe_id")
+        .orderBy($"adc".desc, $"vec_id")))
+    val shortG = ranked.join(broadcast(gridS), $"arank" <= $"shortlist")
+    // exact cosine truth (q92's rounding and tie-break, probes incl.)
+    val probeVecs = embTable.filter($"vec_id" < numProbes)
+      .select($"vec_id".as("probe_id"), $"embedding".as("pvec"))
+    val exact = embTable.select($"vec_id", $"embedding")
+      .crossJoin(broadcast(probeVecs))
+      .withColumn("sim", round(PipelineOps.cosine($"embedding", $"pvec"), 6))
+      .withColumn("xrank", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")))
+      .filter($"xrank" <= k)
+      .select($"probe_id", $"vec_id")
+    val hits = shortG.join(exact, Seq("probe_id", "vec_id"))
+      .groupBy($"nprobe", $"shortlist").agg(count(lit(1)).as("n_hits"))
+    val candCounts = candG.groupBy($"nprobe")
+      .agg(count(lit(1)).as("n_candidates"))
+    gridN.crossJoin(gridS)
+      .join(candCounts, Seq("nprobe"), "left")
+      .join(hits, Seq("nprobe", "shortlist"), "left")
+      .select($"nprobe", $"shortlist",
+        coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        expr(s"coalesce(n_hits, 0L) * 1000 div ${k * numProbes}")
+          .as("recall_pm"))
+      .orderBy($"nprobe", $"shortlist")
+  }
+
+  /** DuckDB oracle for [[q128RecallCurve]] — q67's cell/encode/table
+    * CTEs with the probed-cell rank KEPT (the grid's nprobe axis),
+    * the ADC rank per (nprobe, probe), shortlist containment against
+    * the exact-cosine top-k (q92's rounding and tie-breaks), and the
+    * same integer per-mille arithmetic. */
+  def q128OracleSql(
+      k: Int = RecallK, numProbes: Int = RecallNumProbes,
+      nprobes: Seq[Int] = RecallNprobes,
+      shortlists: Seq[Int] = RecallShortlists): String = {
+    val maxProbe = math.min(nprobes.max, NumCells)
+    val dotsList = (0 until NumCells)
+      .map(c => s"list_dot_product(e, ${centroidSql(c)})")
+      .mkString("[\n           ", ",\n           ", "]")
+    def distList(m: Int, v: String): String =
+      (0 until PqCodes).map { j =>
+        s"${pqNorm(m, j)} - 2.0 * list_dot_product($v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}], ${pqSql(m, j)})"
+      }.mkString("[\n             ", ",\n             ", "]")
+    val codeExprs = (0 until PqSubspaces).map { m =>
+      s"""list_position(${distList(m, "e")},
+         |           list_aggregate(${distList(m, "e")}, 'min')) - 1 AS code$m"""
+        .stripMargin
+    }.mkString(",\n         ")
+    val tExprs = (0 until PqSubspaces).map { m =>
+      val dots = (0 until PqCodes).map(j =>
+        s"list_dot_product(pe[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}], ${pqSql(m, j)})")
+      dots.mkString("[\n             ", ",\n             ", s"] AS t$m")
+    }.mkString(",\n         ")
+    val adcSum = (0 until PqSubspaces)
+      .map(m => s"t$m[code$m + 1]").mkString(" + ")
+    val npList = nprobes.mkString("[", ", ", "]")
+    val slList = shortlists.mkString("[", ", ", "]")
+    s"""WITH b0 AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |), d0 AS (
+       |  SELECT vec_id, e,
+       |         $dotsList AS dots
+       |  FROM b0
+       |), a AS (
+       |  SELECT vec_id, e,
+       |         list_position(dots, list_aggregate(dots, 'max')) - 1 AS cell
+       |  FROM d0
+       |), enc AS (
+       |  SELECT vec_id, cell,
+       |         $codeExprs
+       |  FROM a
+       |), pc AS (
+       |  SELECT vec_id AS probe_id, dots,
+       |         unnest(generate_series(0, ${NumCells - 1})) AS cell
+       |  FROM d0 WHERE vec_id < $numProbes
+       |), pr AS (
+       |  SELECT probe_id, cell, rn FROM (
+       |    SELECT probe_id, cell,
+       |           row_number() OVER (PARTITION BY probe_id
+       |                              ORDER BY dots[cell + 1] DESC, cell) AS rn
+       |    FROM pc)
+       |  WHERE rn <= $maxProbe
+       |), pt AS (
+       |  SELECT vec_id AS probe_id,
+       |         $tExprs
+       |  FROM (SELECT vec_id, e AS pe FROM b0 WHERE vec_id < $numProbes)
+       |), cand AS (
+       |  SELECT pr.probe_id, pr.rn AS cell_rank, enc.vec_id,
+       |         round($adcSum, 6) AS adc
+       |  FROM enc JOIN pr USING (cell) JOIN pt ON pt.probe_id = pr.probe_id
+       |), grid_n AS (
+       |  SELECT unnest($npList::BIGINT[]) AS nprobe
+       |), grid_s AS (
+       |  SELECT unnest($slList::BIGINT[]) AS shortlist
+       |), candg AS (
+       |  SELECT g.nprobe, c.probe_id, c.vec_id, c.adc
+       |  FROM cand c JOIN grid_n g ON c.cell_rank <= g.nprobe
+       |), ranked AS (
+       |  SELECT nprobe, probe_id, vec_id,
+       |         row_number() OVER (PARTITION BY nprobe, probe_id
+       |                            ORDER BY adc DESC, vec_id) AS arank
+       |  FROM candg
+       |), pv AS (
+       |  SELECT vec_id AS probe_id, e AS pe FROM b0 WHERE vec_id < $numProbes
+       |), xs AS (
+       |  SELECT pv.probe_id, b0.vec_id,
+       |         round(list_dot_product(b0.e, pv.pe) /
+       |               (sqrt(list_dot_product(b0.e, b0.e)) *
+       |                sqrt(list_dot_product(pv.pe, pv.pe))), 6) AS sim
+       |  FROM b0, pv
+       |), exact AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |           row_number() OVER (PARTITION BY probe_id
+       |                              ORDER BY sim DESC, vec_id) AS xrank
+       |    FROM xs)
+       |  WHERE xrank <= $k
+       |), hits AS (
+       |  SELECT r.nprobe, g.shortlist, count(*) AS n_hits
+       |  FROM ranked r
+       |  JOIN grid_s g ON r.arank <= g.shortlist
+       |  JOIN exact x ON x.probe_id = r.probe_id AND x.vec_id = r.vec_id
+       |  GROUP BY r.nprobe, g.shortlist
+       |), cc AS (
+       |  SELECT nprobe, count(*) AS n_candidates FROM candg
+       |  GROUP BY nprobe
+       |)
+       |SELECT gn.nprobe, gs.shortlist,
+       |       CAST(coalesce(cc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       coalesce(h.n_hits, 0) * 1000 // ${k * numProbes} AS recall_pm
+       |FROM grid_n gn
+       |CROSS JOIN grid_s gs
+       |LEFT JOIN cc ON cc.nprobe = gn.nprobe
+       |LEFT JOIN hits h ON h.nprobe = gn.nprobe AND h.shortlist = gs.shortlist
+       |ORDER BY gn.nprobe, gs.shortlist""".stripMargin
+  }
+
+  /** q129 — [[q128RecallCurve]] under TRAINED quantizers (rows-only
+    * beside the hash-green fixed-constant curve, the q84 waiver
+    * pattern: trained k-means fixed points have no SQL twin; the
+    * spec pins monotone recall and the grid shape instead). The
+    * registered form re-trains per call into a temp dir for the
+    * oracle inventory's self-containment; [[q129ServeTrained]] is
+    * the deployment path over a persisted [[trainIvfPq]] index's
+    * quantizers. */
+  def q129RecallTrained(
+      spark: SparkSession, dir: String,
+      k: Int = RecallK, numProbes: Int = RecallNumProbes,
+      nprobes: Seq[Int] = RecallNprobes,
+      shortlists: Seq[Int] = RecallShortlists): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val path = tempIndexDir("graft-recall-trained")
+    trainIvfPq(emb, path, ivfIters = 3, pqIters = 3)
+    q129ServeTrained(spark, dir, path, k, numProbes, nprobes, shortlists)
+  }
+
+  /** The q129 curve over a PERSISTED trained index's quantizers —
+    * what a deployment actually sweeps before picking its serving
+    * constants. */
+  def q129ServeTrained(
+      spark: SparkSession, dir: String, indexPath: String,
+      k: Int = RecallK, numProbes: Int = RecallNumProbes,
+      nprobes: Seq[Int] = RecallNprobes,
+      shortlists: Seq[Int] = RecallShortlists): DataFrame = {
+    val centroids = readQuantizer(spark, indexPath)
+    val books = readPqQuantizer(spark, s"$indexPath/_pq")
+      .map(_.map(_.toSeq).toSeq).toSeq
+    recallCurveFrame(Tables.embeddings(spark, dir), centroids, books,
+      k, numProbes, nprobes, shortlists)
   }
 
   // ------------------------------------------------------------- q80

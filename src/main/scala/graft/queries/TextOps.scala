@@ -1602,6 +1602,27 @@ object TextOps {
     GenerationManifest.compactIfPast(path, maxGens)(
       compactBpeModel(spark, path))
 
+  /** Reclaim replaced LM-store generations below the retention horizon
+    * ([[GenerationManifest.gc]] — the only operation that deletes
+    * committed history). Run at the [[maybeCompactLmModel]] cadence.
+    * Returns the committed retention floor. */
+  def gcLmModel(
+      path: String,
+      retainGens: Long = GenerationManifest.DefaultRetainGens): Long =
+    GenerationManifest.gc(path, LmModelRoots, retainGens)
+
+  /** [[gcLmModel]] for the gate store. */
+  def gcGateModel(
+      path: String,
+      retainGens: Long = GenerationManifest.DefaultRetainGens): Long =
+    GenerationManifest.gc(path, GateModelRoots, retainGens)
+
+  /** [[gcLmModel]] for the BPE store. */
+  def gcBpeModel(
+      path: String,
+      retainGens: Long = GenerationManifest.DefaultRetainGens): Long =
+    GenerationManifest.gc(path, BpeModelRoots, retainGens)
+
   /** The persisted cost table at `asOfGen` (default: the head),
     * `(mx, my, icost)` ordered — the LM's model card: every transition
     * the model knows and its exact integer cost. */
@@ -2525,10 +2546,15 @@ object TextOps {
     * relation is vocabulary-adjacency-bounded, not corpus-bounded, but
     * on open-vocabulary web text "vocabulary adjacency" itself grows
     * with the crawl — the r18 watch item: the per-round pull was
-    * unbounded in principle. The trainer REFUSES loudly past the
-    * ceiling (truncating would corrupt the exact incremental stats);
-    * the named fix is a min-frequency floor on the word table, which
-    * every production tokenizer build applies anyway. ~4M 3-string
+    * unbounded in principle. Past the ceiling the trainer SPILLS
+    * (round 20 — the r19 watch item closed): the same stats relation
+    * continues as a persisted frame and merges are admitted one per
+    * round by a 1-row distributed argmax (`spillRound`) — exact,
+    * unbounded-vocab capable, ~3 jobs per merge; below the ceiling
+    * the zero-job incremental driver loop is untouched. A
+    * min-frequency floor on the word table (which every production
+    * tokenizer build applies anyway) keeps real corpora on the fast
+    * path. ~4M 3-string
     * rows ≈ a few hundred MB peak — the same documented
     * bounded-driver-reduction class as the k-means trainers. */
   private[graft] val BpeStatsCap: Int = 1 << 22
@@ -2651,10 +2677,16 @@ object TextOps {
     }
     // BOUNDED driver pull (round 19 — the r18 watch item): the fold
     // only ever needs vocabulary-adjacency rows, but that bound is the
-    // corpus's to break; past the ceiling the trainer refuses loudly
-    // instead of truncating (a truncated delta would silently corrupt
-    // the exact incremental stats and, through them, the merge table)
-    def foldJob(df: DataFrame): Unit = {
+    // corpus's to break. Past the ceiling the trainer no longer
+    // refuses (round 20 — the r19 watch item's spill path): the fold
+    // reports overflow WITHOUT folding a row (a truncated delta would
+    // silently corrupt the exact incremental stats) and the loop
+    // switches to the SPILLED representation — the same `(a, b, c, n)`
+    // relation as a persisted frame, merges admitted one per round by
+    // a 1-row distributed argmax ([[bpeSpillRound]]). Open-vocabulary
+    // corpora train instead of refusing; the driver loop stays the
+    // fast path below the ceiling.
+    def foldJob(df: DataFrame): Boolean = {
       // statsCap = Int.MaxValue is the documented "raise the cap"
       // escape hatch — the +1 probe must not overflow to a negative
       // limit there (Spark rejects it before reading a row)
@@ -2663,17 +2695,28 @@ object TextOps {
         .agg(sum(col("w")).as("n"))
         .filter(col("n") =!= 0L)
         .limit(probe).collect()
-      require(rows.length <= statsCap,
-        s"BPE adjacency statistics exceed the driver ceiling $statsCap " +
-          "rows — the vocabulary's pair/trigram relation no longer fits " +
-          "the bounded-driver-reduction budget; apply a min-frequency " +
-          "floor to the word table (drop hapax tokens) before training, " +
-          "or raise the cap explicitly")
-      rows.foreach(r => foldInto(
-        (r.getString(0), r.getString(1), Option(r.getString(2))),
-        r.getLong(3)))
+      if (rows.length > statsCap) false
+      else {
+        rows.foreach(r => foldInto(
+          (r.getString(0), r.getString(1), Option(r.getString(2))),
+          r.getLong(3)))
+        true
+      }
     }
-    foldJob(triDeltaDf(enc, col("enc"), 1L)) // the one full count
+    // the spilled stats frame, non-None once the driver ceiling has
+    // tripped; from then on the driver map stays empty and every
+    // round runs distributed
+    var spilled: Option[DataFrame] = None
+    def recountSpilled(): Unit = {
+      stats.clear()
+      spilled = Some(triDeltaDf(enc, col("enc"), 1L)
+        .groupBy(col("a"), col("b"), col("c"))
+        .agg(sum(col("w")).as("n"))
+        .filter(col("n") =!= 0L)
+        .localCheckpoint(true))
+    }
+    if (!foldJob(triDeltaDf(enc, col("enc"), 1L))) // the one full count
+      recountSpilled()
     // distinct-word count: with the WHOLE vocabulary in the overlay
     // (common once one wide pattern touches every word, e.g. a shared
     // prefix) no distributed word can match anything — fetches skip
@@ -2742,7 +2785,7 @@ object TextOps {
         .map { case (l, r) => col("enc").contains(s"($l)($r)") }
         .reduce(_ || _)
       val affected = enc.filter(affectedPred)
-      foldJob(triDeltaDf(affected, col("enc"), -1L)
+      val folded = foldJob(triDeltaDf(affected, col("enc"), -1L)
         .unionByName(triDeltaDf(affected, rewritten, 1L)))
       val next = enc.select(col("token"), rewritten.as("enc"), col("tok_n"))
       sinceCheckpoint += 1
@@ -2752,13 +2795,57 @@ object TextOps {
           next.localCheckpoint(true)
         } else next
       createdSinceFlush.clear() // creations landed distributively
+      // mid-training overflow: the batch IS applied (the rewrite needs
+      // no stats), but its delta can no longer enter the driver map —
+      // recount the rewritten vocabulary into the spilled frame and
+      // continue distributed (nothing was folded, so no double count)
+      if (!folded) recountSpilled()
     }
 
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
+    // One SPILLED round — the past-the-ceiling slow path: admit the
+    // single best pair by a 1-row distributed argmax over the spilled
+    // stats (exactly the sequential trainer's rule: max n, then (lhs,
+    // rhs) lexicographic), rewrite the vocabulary, and fold the
+    // trigram delta back into the frame. ~3 bounded jobs per merge —
+    // the r14 cost class, but only where the r19 trainer REFUSED; the
+    // incremental driver loop below the ceiling is untouched. Returns
+    // false when the vocabulary is out of pairs.
+    def spillRound(statsDf: DataFrame): Boolean = {
+      val top = statsDf.groupBy(col("a"), col("b"))
+        .agg(sum(col("n")).as("pn"))
+        .filter(col("pn") > 0L)
+        .orderBy(col("pn").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) false
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        out += ((rank, l, r, n))
+        rank += 1
+        val pat = s"($l)($r)"
+        val rewritten = replace(col("enc"), lit(pat), lit(s"($l$r)"))
+        val affected = enc.filter(col("enc").contains(pat))
+        val delta = triDeltaDf(affected, col("enc"), -1L)
+          .unionByName(triDeltaDf(affected, rewritten, 1L))
+          .groupBy(col("a"), col("b"), col("c"))
+          .agg(sum(col("w")).as("n"))
+        spilled = Some(statsDf.unionByName(delta)
+          .groupBy(col("a"), col("b"), col("c"))
+          .agg(sum(col("n")).as("n"))
+          .filter(col("n") =!= 0L)
+          .localCheckpoint(true))
+        enc = enc.select(col("token"), rewritten.as("enc"), col("tok_n"))
+          .localCheckpoint(true)
+        true
+      }
+    }
     while (rank <= merges && !exhausted) {
-      if (stats.isEmpty) exhausted = true
+      if (spilled.isDefined) {
+        if (!spillRound(spilled.get)) exhausted = true
+      } else if (stats.isEmpty) exhausted = true
       else {
         // the r14 admission logic verbatim — only the SOURCE of the
         // counts changed (incrementally exact instead of re-counted)

@@ -33,4 +33,22 @@ object graftShims {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** [[registerTempFunction]] for TABLE functions (round 20 — the SQL
+    * surface for the persisted serving paths): the builder turns
+    * bounded literal arguments into the serve's LogicalPlan, so
+    * `SELECT * FROM graft_bm25('path')` plans exactly the DataFrame
+    * serve. Same runtime/config duality as the scalar functions. */
+  def registerTempTableFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** The logical plan of a DataFrame — the table-function builders'
+    * return value (`queryExecution` is public but `classic`-typed). */
+  def logicalPlan(df: Dataset[_])
+    : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.logical
 }

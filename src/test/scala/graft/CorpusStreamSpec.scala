@@ -946,4 +946,246 @@ class CorpusStreamSpec extends SparkSuite {
       assert(stateRowsTotal(q) == 0, "piiScrub must not hold state")
     } finally q.stop()
   }
+
+  test("fullGate with the rewrite stages (r20): phrase + passage scrubs and the base screen composed — stream == batch pipeline kept set on the delta") {
+    import graft.queries.{CorpusPipeline, DedupOps, GenerationManifest, PipelineOps, TextOps}
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{broadcast, col, collect_set, count, explode, expr, lit, size, split}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.catalog.clearCache()
+
+    // exciseTokens ABOVE passageTokens: a sealed 16-token chunk holds
+    // no 24-token window, so the passage stage sees work the phrase
+    // stage did not already excise (with l < p the sliding windows
+    // inside every shared chunk would be eaten first)
+    val l = 24
+    val p = CorpusPipeline.Config().passageTokens // 16
+
+    // ---- fixture: the corpus-global stages' divergence is made
+    // vacuous BY CONSTRUCTION (the sibling everything-on spec's
+    // method, extended to the rewrite stages): exact-dup families
+    // pruned globally; delta ids all ABOVE the base's so batch
+    // keep-first rules resolve to "first occurrences live in the
+    // sealed base"; delta-internal window/chunk duplication and
+    // delta-delta near-dup pairs pruned (those are what only a
+    // batch-global pass can see)
+    val docsAll = Tables.documents(spark, sf)
+    val dupTexts = docsAll.groupBy($"text").count()
+      .filter($"count" > 1).select($"text")
+    val noExact = docsAll.join(dupTexts, Seq("text"), "left_anti")
+    val eval = noExact.filter($"doc_id" % 97 === 0).select($"doc_id", $"text")
+    val rest = noExact.filter($"doc_id" % 97 =!= 0)
+    val ids = rest.select($"doc_id").collect().map(_.getLong(0)).sorted
+    val mid = ids(ids.length / 2)
+    val baseRaw = rest.filter($"doc_id" < mid)
+    val deltaRaw = rest.filter($"doc_id" >= mid)
+
+    def tmp(s: String) = java.nio.file.Files.createTempDirectory(s).toString
+    val gateP = tmp("graft-rw-gate"); val lmP = tmp("graft-rw-lm")
+    val bankP = tmp("graft-rw-bank")
+    (0 until TextOps.HashDim).map(f => (f, TextOps.weightComponent(f)))
+      .toDF("feature", "weight").coalesce(1)
+      .write.mode("overwrite").parquet(s"$gateP/weights/gen=1")
+    GenerationManifest.commit(gateP, 1L, 1L)
+    TextOps.writeLmModel(docsAll, lmP)
+    PipelineOps.writeEvalBank(eval, bankP)
+
+    val cfg = CorpusPipeline.Config(
+      phraseExcise = true, exciseTokens = l,
+      passageDedup = true, passageTokens = p,
+      modelGate = true, gateModelPath = Some(gateP),
+      // the band stage runs (served, pinned) but is calibrated wide —
+      // its bite is the sibling spec's subject; here every slot in the
+      // chain must be OCCUPIED so ordering bugs have nowhere to hide
+      perplexityBand = Some((0L, 100000000L)),
+      lmModelPath = Some(lmP),
+      evalBankPath = Some(bankP),
+      piiScrub = true)
+
+    // ---- sealed base artifacts, built from exactly the text each
+    // batch stage sees: phrase bank over the RAW lang-gated base
+    // (stage 03's input), passage bank over the PHRASE-REWRITTEN base
+    // (stage 04's input), dedup index over the stage-02..08 SURVIVORS
+    // (stage 09's input)
+    val langBase = baseRaw.filter($"lang".isInCollection(cfg.keepLangs.toSeq))
+    val phraseP = tmp("graft-rw-phrase")
+    DedupOps.writePhraseIndex(langBase.select($"doc_id", $"text"), phraseP, l)
+    val rewrittenBase = DedupOps.exciseRewrite(langBase, l).localCheckpoint(true)
+    val passageP = tmp("graft-rw-passage")
+    DedupOps.writePassageBank(
+      rewrittenBase.select($"doc_id", $"text"), passageP, p)
+    var baseCur: DataFrame = DedupOps.passageRewrite(rewrittenBase, p)
+    baseCur = baseCur.filter(size(TextOps.toks($"text")) >= cfg.minTokens)
+    baseCur = baseCur.filter(CorpusPipeline.gateScoreColumn(spark, cfg) >= 0)
+    baseCur = TextOps.perplexityGateServed(baseCur, 0L, 100000000L, lmP)
+    val flaggedBase = PipelineOps
+      .decontamServed(baseCur.select($"doc_id", $"text"), bankP)
+      .select($"doc_id")
+    val baseSurvivors = baseCur
+      .join(broadcast(flaggedBase), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"text").localCheckpoint(true)
+    val dedupP = tmp("graft-rw-dedup")
+    DedupOps.writeDedupIndex(baseSurvivors, dedupP, cfg.lshBands, cfg.lshRows)
+
+    // ---- plants: one deterministic bite per new stage, sourced from
+    // long UNEXCISED base survivors (post-rewrite text == raw text, so
+    // their runs are in every bank)
+    val rawById = langBase.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pickPool = baseSurvivors.collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, t) =>
+        rawById.get(id).contains(t) && t.split(" ").length >= 80 }
+    assert(pickPool.length >= 3,
+      s"fixture vacuous: ${pickPool.length} long unexcised base survivors")
+    val Seq(pb1, pb2, pb3) = pickPool.take(3).toSeq
+    val maxId = ids.max
+    // P1 — phrase bite: an (l+2)-token base run + unique filler; the
+    // run is excised, the filler survives the floor
+    val t1 = pb1._2.split(" ").toSeq
+    val plant1 = (maxId + 1, "en", "plant",
+      (t1.take(l + 2) ++ (1 to 12).map(i => s"zqfill1x$i")).mkString(" "))
+    // P2 — passage bite: two NON-ADJACENT sealed chunks (no intact
+    // l-token run, so the phrase stage passes it untouched) + filler
+    val t2 = pb2._2.split(" ").toSeq
+    val plant2 = (maxId + 2, "en", "plant",
+      (t2.slice(0, p) ++ t2.slice(2 * p, 3 * p) ++
+        (1 to p).map(i => s"zqfill2x$i")).mkString(" "))
+    // P3 — base-screen bite: pairwise-swapped 16-token blocks behind
+    // an 8-token prefix — 3-shingle Jaccard vs the original stays
+    // high, but no 24-token run survives intact (phrase stage blind)
+    // and the 16-chunks are misaligned by the prefix (passage blind)
+    val t3 = pb3._2.split(" ").toSeq
+    val swapped = t3.drop(8).grouped(16).toSeq.grouped(2)
+      .flatMap(g => if (g.length == 2) Seq(g(1), g(0)) else g)
+      .flatten.toSeq
+    val plant3 = (maxId + 3, "en", "plant",
+      (t3.take(8) ++ swapped).mkString(" "))
+    // each plant's target stage provably bites on it
+    val s1 = DedupOps.scrubAgainst(spark, phraseP,
+      Seq((plant1._1, plant1._4)).toDF("doc_id", "text"), l,
+      selfExclude = false).collect().head
+    assert(s1.getAs[Long]("n_removed") > 0, "phrase-bite fixture vacuous")
+    val s2pre = DedupOps.scrubAgainst(spark, phraseP,
+      Seq((plant2._1, plant2._4)).toDF("doc_id", "text"), l,
+      selfExclude = false).collect().head
+    assert(s2pre.getAs[Long]("n_removed") == 0,
+      "passage plant must pass the phrase stage untouched")
+    val s2 = DedupOps.passageScrubAgainst(spark, passageP,
+      Seq((plant2._1, plant2._4)).toDF("doc_id", "text"), p,
+      selfExclude = false).select($"text").head().getString(0)
+    assert(s2 == (1 to p).map(i => s"zqfill2x$i").mkString(" "),
+      s"passage-bite fixture vacuous: '$s2'")
+    val p3Flag = DedupOps.deltaScreen(spark, dedupP,
+      Seq((plant3._1, plant3._4)).toDF("doc_id", "text"),
+      cfg.neardupThreshold, cfg.lshBands, cfg.lshRows).collect()
+    spark.catalog.clearCache() // deltaScreen persists: test-owned
+    assert(p3Flag.nonEmpty,
+      "base-screen fixture vacuous: swapped-block plant not flagged")
+
+    // ---- prune the delta to the first-occurrences-in-base regime:
+    // an l-window or p-chunk occurring MORE THAN ONCE within the delta
+    // and NOT sealed in the base diverges (batch keep-first excises
+    // the later copy, the per-doc bank scrub keeps both) — as do
+    // delta-delta near-dup pairs (batch stage 09 drops the higher id,
+    // the base screen sees only the sealed corpus)
+    def dupHolders(wins: DataFrame, baseWins: DataFrame): Set[Long] =
+      wins.join(baseWins.select($"w").distinct(), Seq("w"), "left_anti")
+        .groupBy($"w")
+        .agg(count(lit(1)).as("c"), collect_set($"doc_id").as("ds"))
+        .filter($"c" > 1).select(explode($"ds").as("doc_id"))
+        .distinct().collect().map(_.getLong(0)).toSet
+    def winsOf(df: DataFrame, n: Int): DataFrame =
+      df.select($"doc_id", split($"text", " ").as("t"))
+        .filter(size($"t") >= n)
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(0, size(t) - $n), i -> array_join(slice(t, i + 1, $n), ' '))")).as("w"))
+    def chunksOf(df: DataFrame): DataFrame =
+      df.select($"doc_id", split($"text", " ").as("t"))
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(0, cast((size(t) + ${p - 1}) div $p as int) - 1), i -> array_join(slice(t, i * $p + 1, $p), ' '))")).as("w"))
+    val winPrune = dupHolders(
+      winsOf(deltaRaw.select($"doc_id", $"text"), l),
+      winsOf(langBase.select($"doc_id", $"text"), l))
+    val deltaA = deltaRaw.filter(!$"doc_id".isInCollection(
+      if (winPrune.isEmpty) Seq(-1L) else winPrune.toSeq))
+    val scrubbedA = DedupOps.scrubAgainst(spark, phraseP,
+      deltaA.select($"doc_id", $"text"), l, selfExclude = false)
+      .filter($"clean_text" =!= "")
+      .select($"doc_id", $"clean_text".as("text"))
+    val chunkPrune = dupHolders(chunksOf(scrubbedA),
+      chunksOf(rewrittenBase.select($"doc_id", $"text")))
+    val deltaB = deltaA.filter(!$"doc_id".isInCollection(
+      if (chunkPrune.isEmpty) Seq(-1L) else chunkPrune.toSeq))
+    val rewrittenB = DedupOps.passageScrubAgainst(spark, passageP,
+      scrubbedA.join(deltaB.select($"doc_id"), Seq("doc_id")), p,
+      selfExclude = false)
+    val ndIds = DedupOps.neardupPairs(rewrittenB, cfg.neardupThreshold,
+      cfg.lshBands, cfg.lshRows)
+      .select(explode(org.apache.spark.sql.functions.array(
+        $"doc_a", $"doc_b")).as("doc_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    spark.catalog.clearCache() // neardupPairs persists: test-owned
+    val feed = deltaB.filter(!$"doc_id".isInCollection(
+      if (ndIds.isEmpty) Seq(-1L) else ndIds.toSeq))
+      .select($"doc_id", $"lang", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toIndexedSeq.sortBy(_._1) ++ Seq(plant1, plant2, plant3)
+    assert(feed.size > 50, s"fixture vacuous after pruning: ${feed.size}")
+
+    // ---- batch truth: the full pipeline over base ∪ delta, kept set
+    // restricted to the delta
+    val corpusDf = baseRaw.select($"doc_id", $"lang", $"source", $"text")
+      .unionByName(feed.toDF("doc_id", "lang", "source", "text"))
+    val want = CorpusPipeline.withPrepared(corpusDf, cfg)(
+      _.filter($"doc_id" >= mid)
+        .select($"doc_id", $"lang", $"source", $"text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3))).toSet)
+    assert(want.nonEmpty, "batch pipeline kept no delta docs")
+
+    // ---- the stream: same delta rows, every stage on, banks pinned
+    val outDir = tmp("graft-rw-out") + "/admitted"
+    val ckDir = tmp("graft-rw-ck")
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = CorpusStream.fullGate(
+      in.toDF().toDF("doc_id", "lang", "source", "text"), cfg,
+      outDir, ckDir,
+      phraseIndexPath = Some(phraseP),
+      passageBankPath = Some(passageP),
+      dedupIndexPath = Some(dedupP))
+    try {
+      feed.grouped((feed.size + 2) / 3).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      val admitted = spark.read.parquet(outDir)
+      assert(admitted.columns.toSeq ==
+        Seq("doc_id", "lang", "source", "text"),
+        "the composed sink must pass the batch schema through")
+      val got = admitted.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3))).toSet
+      assert(got == want,
+        s"composed stream (rewrites on) diverges from the batch " +
+          s"pipeline; only-stream=${(got -- want).map(_._1).take(3)} " +
+          s"only-batch=${(want -- got).map(_._1).take(3)}")
+      // the rewrite chain acted inside the composition, not just in
+      // the pre-checks: some admitted doc's text differs from its feed
+      // text by MORE than the pii scrub (the phrase/passage stages cut
+      // tokens; the scrub only substitutes placeholders)
+      val rawText = feed.map(r => r._1 -> r._4).toMap
+      assert(got.exists { case (id, _, _, t) =>
+        t.split(" ").length < rawText(id).split(" ").length },
+        "no admitted doc lost tokens — rewrite stages vacuous in composition")
+      assert(stateRowsTotal(q) == 0, "fullGate must not hold state")
+    } finally q.stop()
+    // a configured rewrite without its sealed artifact still refuses
+    intercept[IllegalArgumentException] {
+      CorpusStream.fullGate(
+        in.toDF().toDF("doc_id", "lang", "source", "text"), cfg,
+        outDir + "2", ckDir + "2")
+    }
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark),
+      "composed fullGate leaked cached frames")
+  }
 }

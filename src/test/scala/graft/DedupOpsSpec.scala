@@ -199,13 +199,17 @@ class DedupOpsSpec extends SparkSuite {
     assert(screen(idx) == want, "compaction changed screen results")
     assert(genDirs(s"$idx/buckets") == Seq("gen=1", "gen=2", "gen=3"),
       "replaced generations reclaimed eagerly (reader isolation broken)")
-    // the next mutation's leading purge reclaims them (single-gen
-    // compaction is otherwise a no-op)
+    // round 20: mutations never reclaim committed history — another
+    // compaction RETAINS the replaced generations; only an explicit gc
+    // advances the retention floor and deletes
     DedupOps.compactDedupIndex(spark, idx)
     assert(DedupOps.dedupIndexWindow(idx) == ((3L, 3L)))
+    assert(genDirs(s"$idx/buckets") == Seq("gen=1", "gen=2", "gen=3"),
+      "a mutation reclaimed committed history (retention broken)")
+    DedupOps.gcDedupIndex(idx, retainGens = 0)
     assert(genDirs(s"$idx/buckets") == Seq("gen=3") &&
       genDirs(s"$idx/shingles") == Seq("gen=3"),
-      "deferred reclamation never ran")
+      "gc never reclaimed")
   }
 
   test("the daily loop closes: day-2 survivors sealed, day-3 screen flags their dups") {
@@ -801,6 +805,56 @@ class DedupOpsSpec extends SparkSuite {
     // conservation + bin sanity
     assert(got.values.sum == pairs.length.toLong)
     got.keys.foreach(b => assert(b >= 500 && b <= 1000 && b % 50 == 0))
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
+
+  test("passage bank (r20): disjoint-delta scrub == corpus-global passageRewrite restricted to the delta; append == rebuild; self-scrub") {
+    import spark.implicits._
+    val p = 3
+    // base chunks (p=3): doc 1 holds "a b c","d e f","g h i";
+    // doc 2 holds "x y z","a b c","p q r"
+    val base = Seq(
+      (1L, "a b c d e f g h i"),
+      (2L, "x y z a b c p q r")).toDF("doc_id", "text")
+    // delta ids ABOVE the base's, no chunk duplicated within the delta
+    // — the regime where the per-doc bank scrub equals the
+    // corpus-global first-occurrence rule (first occurrences live in
+    // the sealed base)
+    val delta = Seq(
+      (10L, "d e f u v w"),      // sealed chunk dropped, tail kept
+      (11L, "a b c d e f"),      // every chunk sealed -> doc drops
+      (12L, "m n o p q r s t u") // middle chunk sealed
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val bankP = java.nio.file.Files
+      .createTempDirectory("graft-passage-bank").toString
+    DedupOps.writePassageBank(base, bankP, p)
+    val got = rows(DedupOps.passageScrubAgainst(
+      spark, bankP, delta, p, selfExclude = false))
+    val want = rows(DedupOps.passageRewrite(base.unionByName(delta), p)
+      .filter($"doc_id" >= 10L))
+    assert(want == Set((10L, "u v w"), (12L, "m n o s t u")),
+      s"fixture drifted: $want")
+    assert(got == want, s"bank scrub diverges from the batch rule: $got")
+
+    // append == rebuild (the phrase bank's composability contract)
+    val bankP2 = java.nio.file.Files
+      .createTempDirectory("graft-passage-bank2").toString
+    DedupOps.writePassageBank(base.filter($"doc_id" === 1L), bankP2, p)
+    DedupOps.appendPassageBank(base.filter($"doc_id" === 2L), bankP2, p)
+    assert(rows(DedupOps.passageScrubAgainst(
+      spark, bankP2, delta, p, selfExclude = false)) == want,
+      "appended bank diverges from the rebuilt bank")
+
+    // self-scrub with selfExclude: chunks whose ONLY holder is the doc
+    // itself survive; the shared "a b c" is excised from both holders
+    // (the symmetric rule, q91's analogue at chunk granularity)
+    assert(rows(DedupOps.passageScrubAgainst(
+      spark, bankP, base, p, selfExclude = true)) ==
+      Set((1L, "d e f g h i"), (2L, "x y z p q r")))
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
   }
 }

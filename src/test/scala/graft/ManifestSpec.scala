@@ -188,6 +188,113 @@ class ManifestSpec extends AnyFunSuite {
       .contains((Long.MaxValue, Long.MinValue)))
   }
 
+  test("retention floor (round 20): G record round-trips, mutations preserve it, gc advances it and reclaims") {
+    import java.nio.file.{Files, Paths}
+    val p = tmp()
+    def mk(g: Long): Unit = {
+      Files.createDirectories(Paths.get(p, s"gen=$g"))
+      Files.write(Paths.get(p, s"gen=$g", "part-0"), "x".getBytes("UTF-8"))
+      ()
+    }
+    def gens(): Seq[String] = new java.io.File(p).listFiles()
+      .map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
+    // a fresh build's floor is its first generation
+    GenerationManifest.commit(p, 1L, 3L)
+    assert(GenerationManifest.state(p).floor == 1L)
+    (1L to 4L).foreach(mk)
+    // a compaction-shaped commit PRESERVES the floor (retention: the
+    // replaced generations 1-2 stay addressable to in-flight readers)
+    GenerationManifest.commit(p, 3L, 3L)
+    assert(GenerationManifest.state(p).floor == 1L)
+    // the mutation-leading purge deletes only above-hi debris (gen 4,
+    // never visible) — NEVER committed history above the floor
+    GenerationManifest.purgeOutside(p, Seq(""), 3L, 3L)
+    assert(gens() == Seq("gen=1", "gen=2", "gen=3"),
+      s"purge broke retention: ${gens()}")
+    // gc advances the floor to lo - retainGens and reclaims below it;
+    // the floor is COMMITTED (G record) before anything is deleted
+    assert(GenerationManifest.gc(p, Seq(""), retainGens = 1) == 2L)
+    assert(GenerationManifest.state(p).floor == 2L)
+    assert(gens() == Seq("gen=2", "gen=3"), s"gc under-reclaimed: ${gens()}")
+    // monotone: a LOOSER horizon never lowers a committed floor
+    assert(GenerationManifest.gc(p, Seq(""), retainGens = 10) == 2L)
+    assert(gens() == Seq("gen=2", "gen=3"))
+    // full reclaim at retainGens = 0: floor reaches lo
+    assert(GenerationManifest.gc(p, Seq(""), retainGens = 0) == 3L)
+    assert(gens() == Seq("gen=3"), s"gc(0) left history: ${gens()}")
+    // a legacy (pre-G) manifest reads floor = lo — its below-window
+    // history was already reclaimed eagerly by the old protocol
+    val legacy = tmp(); writeRaw(legacy, "2 5\nW 3 1 2")
+    assert(GenerationManifest.state(legacy).floor == 2L)
+    // a recorded floor above lo is clamped to lo (invariant)
+    val clamp = tmp(); writeRaw(clamp, "2 5\nG 9")
+    assert(GenerationManifest.state(clamp).floor == 2L)
+  }
+
+  test("manifest lease (round 20): two overlapping flips serialize with no fence trip; the lock is released") {
+    import java.nio.file.{Files, Paths}
+    val p = tmp()
+    GenerationManifest.commit(p, 1L, 1L)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val insideA = new java.util.concurrent.CountDownLatch(1)
+    val a = new Thread(() =>
+      try GenerationManifest.amend(p) { s =>
+        insideA.countDown()
+        Thread.sleep(400) // hold the read-to-flip span open
+        s.copy(hi = s.hi + 1)
+      } catch { case t: Throwable => errs.add(t); () })
+    val b = new Thread(() =>
+      try {
+        insideA.await()
+        Thread.sleep(50) // A is mid-span and holds the lease
+        GenerationManifest.amend(p)(s => s.copy(hi = s.hi + 1))
+        ()
+      } catch { case t: Throwable => errs.add(t); () })
+    a.start(); b.start(); a.join(); b.join()
+    // pre-lease, B read A's pre-flip state and one writer tripped the
+    // fence; the lease makes B WAIT and read A's committed state
+    assert(errs.isEmpty, s"overlapping flips did not serialize: $errs")
+    assert(GenerationManifest.window(p) == ((1L, 3L)))
+    assert(GenerationManifest.state(p).seq == 3L)
+    assert(!Files.exists(Paths.get(p, "_GENERATION.lock")),
+      "lease not released after the flip")
+  }
+
+  test("manifest lease: stale or unreadable locks are taken over; a live lock times out loudly") {
+    import java.nio.file.{Files, Paths}
+    val p = tmp()
+    GenerationManifest.commit(p, 1L, 1L)
+    val lock = Paths.get(p, "_GENERATION.lock")
+    // a crashed holder's lock (expiry in the past): taken over
+    // immediately — the recorded-deadline takeover path
+    Files.write(lock, "12345 dead@1".getBytes("UTF-8"))
+    GenerationManifest.amend(p)(s => s.copy(hi = 2L))
+    assert(GenerationManifest.window(p) == ((1L, 2L)))
+    assert(!Files.exists(lock), "takeover left the stale lock behind")
+    // an unreadable body is a crashed holder too (never deadlock on
+    // garbage)
+    Files.write(lock, "garbage".getBytes("UTF-8"))
+    GenerationManifest.amend(p)(s => s.copy(hi = 3L))
+    assert(GenerationManifest.window(p) == ((1L, 3L)))
+    // a LIVE lock (future expiry) blocks until the acquire timeout,
+    // then refuses loudly naming the holder
+    Files.write(lock,
+      s"${System.currentTimeMillis() + 3600000L} alive@7".getBytes("UTF-8"))
+    System.setProperty("graft.manifest.acquireMs", "300")
+    try {
+      val e = intercept[IllegalStateException] {
+        GenerationManifest.amend(p)(s => s.copy(hi = 4L))
+      }
+      assert(e.getMessage.contains("lease") &&
+        e.getMessage.contains("alive@7"), e.getMessage)
+    } finally {
+      System.clearProperty("graft.manifest.acquireMs")
+      Files.delete(lock)
+    }
+    // the refused flip left no trace
+    assert(GenerationManifest.window(p) == ((1L, 3L)))
+  }
+
   test("gensNeedingScan: intersection pruning, unknown-range fallback, empty sentinel") {
     val wms = Map(
       1L -> (0L, 99L),

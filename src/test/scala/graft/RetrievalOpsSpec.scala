@@ -242,12 +242,16 @@ class RetrievalOpsSpec extends SparkSuite {
     assert(genDirs(path) == Seq("gen=1", "gen=2", "gen=3"),
       s"replaced generations reclaimed eagerly (reader isolation broken): ${genDirs(path)}")
 
-    // the NEXT mutating operation's leading purge reclaims them
-    // (here: a single-generation compaction, otherwise a no-op)
+    // round 20: mutations never reclaim committed history — another
+    // compaction RETAINS the replaced generations for in-flight
+    // readers; only an explicit gc advances the retention floor
     RetrievalOps.compactIndex(spark, path)
     assert(RetrievalOps.generationWindow(path) == ((3L, 3L)))
+    assert(genDirs(path) == Seq("gen=1", "gen=2", "gen=3"),
+      s"a mutation reclaimed committed history (retention broken): ${genDirs(path)}")
+    RetrievalOps.gcIndex(path, retainGens = 0)
     assert(genDirs(path) == Seq("gen=3"),
-      s"deferred reclamation never ran: ${genDirs(path)}")
+      s"gc never reclaimed: ${genDirs(path)}")
     assert(genDirs(s"$path/_stats") == Seq("gen=3"))
 
     // appends keep working after compaction, and a second compaction

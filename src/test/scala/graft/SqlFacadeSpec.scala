@@ -167,6 +167,78 @@ class SqlFacadeSpec extends SparkSuite {
       s"q12's local-top-k shape lost in SQL:\n$plan")
   }
 
+  test("SQL table functions (r20): graft_bm25 / graft_passage / graft_hybrid / graft_labels / graft_ivfpq == the DataFrame serves, as-of included") {
+    import graft.queries.{DedupOps, RetrievalOps, SimilarityOps}
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    def tmp(s: String) = java.nio.file.Files.createTempDirectory(s).toString
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    def sqlRows(q: String): Seq[String] = rows(spark.sql(q))
+
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+
+    // q77 shape: inverted index, two generations for the as-of case
+    val inv = tmp("graft-sqlfn-inv")
+    RetrievalOps.writeInvertedIndex(docs.filter($"doc_id" % 2 === 0), inv)
+    RetrievalOps.appendInvertedIndex(docs.filter($"doc_id" % 2 === 1), inv)
+    assert(sqlRows(s"SELECT * FROM graft_bm25('$inv')") ==
+      rows(RetrievalOps.bm25SearchIndex(spark, inv)),
+      "graft_bm25 head serve diverged")
+    assert(sqlRows(s"SELECT * FROM graft_bm25('$inv', 1)") ==
+      rows(RetrievalOps.bm25SearchIndex(spark, inv, asOfGen = 1L)),
+      "graft_bm25 as-of serve diverged")
+    // the SQL path is the SAME plan: projection pushdown to the
+    // postings scan survives the facade
+    val sqlPlan = spark.sql(s"SELECT * FROM graft_bm25('$inv')")
+      .queryExecution.executedPlan.toString
+    assert(!sqlPlan.contains("text"), s"facade plan reads text:\n$sqlPlan")
+
+    // passage index
+    val pas = tmp("graft-sqlfn-pas")
+    RetrievalOps.writePassageIndex(docs, pas)
+    assert(sqlRows(s"SELECT * FROM graft_passage('$pas')") ==
+      rows(RetrievalOps.passageSearchIndex(spark, pas)),
+      "graft_passage diverged")
+
+    // q83 shape: the hybrid store's joint serve
+    val hyb = tmp("graft-sqlfn-hyb")
+    RetrievalOps.writeHybridIndex(docs, emb, hyb)
+    assert(sqlRows(s"SELECT * FROM graft_hybrid('$hyb')") ==
+      rows(RetrievalOps.hybridServeAt(spark, hyb)),
+      "graft_hybrid diverged")
+
+    // label index
+    val lab = tmp("graft-sqlfn-lab")
+    DedupOps.writeLabelIndex(docs, lab)
+    assert(sqlRows(s"SELECT * FROM graft_labels('$lab')") ==
+      rows(DedupOps.labelsServeAt(spark, lab, 1L)),
+      "graft_labels diverged")
+
+    // trained IVF-PQ two-stage serve, probes from the embeddings table
+    val ivf = tmp("graft-sqlfn-ivfpq")
+    SimilarityOps.trainIvfPq(emb, ivf, ivfIters = 2, pqIters = 2)
+    assert(sqlRows(s"SELECT * FROM graft_ivfpq('$ivf', '$sf', 5, 4)") ==
+      rows(SimilarityOps.q84ServeTrained(spark, sf, ivf, k = 5,
+        numProbes = 4)),
+      "graft_ivfpq diverged")
+
+    // composability: the facade is a real relation — joins/filters work
+    val joined = spark.sql(
+      s"""SELECT b.doc_id FROM graft_bm25('$inv') b
+         |JOIN graft_labels('$lab') l ON b.doc_id = l.doc_id
+         |WHERE b.rank <= 3""".stripMargin).collect()
+    assert(joined.nonEmpty, "facade relations did not compose")
+
+    // a non-literal path refuses through the analyzer's usage surface
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_bm25(upper(rand()::string))").collect()
+    }
+    assert(e.getMessage.contains("NON_FOLDABLE_INPUT") ||
+      e.getMessage.contains("foldable"), e.getMessage)
+  }
+
   test("dedup skew guard drops degenerate buckets, bounded candidates") {
     import spark.implicits._
     val boiler = (0 until 40).map(i => s"same$i").mkString(" ")

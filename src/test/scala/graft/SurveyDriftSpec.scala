@@ -58,7 +58,7 @@ class SurveyDriftSpec extends AnyFunSuite {
     val waived =
       Set("q33_approx_distinct", "q84_trained_ann",
         "q119_quantizer_drift", "q122_hybrid_trained",
-        "q126_hybrid_drift")
+        "q126_hybrid_drift", "q129_recall_trained")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- waived
     assert(missing.isEmpty,
       s"registered without oracle SQL (and not waived): ${missing.toSeq.sorted.mkString(", ")}")

@@ -163,29 +163,35 @@ class TokenizerPropsSpec extends SparkSuite {
     }
   }
 
-  test("batched BPE trainer: an adversarial adjacency vocabulary trips the driver ceiling loudly; the default cap trains it fine") {
+  test("batched BPE trainer: an adversarial adjacency vocabulary SPILLS past the driver ceiling and still trains exactly (r20)") {
     import spark.implicits._
     // every word distinct, every adjacent pair distinct -> the (a,b,c)
     // stats relation has ~3 rows per word and nothing ever merges
-    // early: the worst realistic shape for the per-round driver pull
+    // early: the worst realistic shape for the per-round driver pull.
+    // Pre-r20 this REFUSED past the ceiling; now the trainer spills
+    // the stats to a persisted frame and admits merges by a 1-row
+    // distributed argmax — byte-identical to the sequential loop
     val docs = (0 until 120)
       .map(i => f"w${i}%03d${('a' + i % 26).toChar}x${('a' + (i * 7) % 26).toChar}")
       .toDF("text")
-    val e = intercept[IllegalArgumentException] {
-      graft.queries.TextOps.bpeTrainBatched(docs, merges = 4, statsCap = 64)
-    }
-    assert(e.getMessage.contains("adjacency statistics exceed"),
-      e.getMessage)
-    assert(e.getMessage.contains("min-frequency floor"), e.getMessage)
-    // the same corpus under the default ceiling trains normally and
-    // matches the exact sequential loop (the spec-pinned identity)
-    val got = graft.queries.TextOps.bpeTrainBatched(docs, merges = 4)
-      .collect().map(r =>
-        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     val words = docs.select(explode(split(lower($"text"), " ")).as("t"))
       .filter(length($"t") > 0).groupBy($"t").count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val want = graft.queries.TextOps.bpeTrainLocal(words, 4)
+    // the adversarial cap: the initial count overflows 64 rows, so the
+    // ENTIRE training runs on the spilled path — where the r19 trainer
+    // threw, this must now produce the exact merge table
+    val spilledGot = graft.queries.TextOps
+      .bpeTrainBatched(docs, merges = 4, statsCap = 64)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(spilledGot == want,
+      s"spilled trainer diverged from the sequential loop: $spilledGot")
+    // the same corpus under the default ceiling trains on the driver
+    // fast path and matches too (the spec-pinned identity)
+    val got = graft.queries.TextOps.bpeTrainBatched(docs, merges = 4)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got == want, "capped trainer diverged from the sequential loop")
   }
 }
