@@ -87,7 +87,15 @@ object HybridIndexStream {
     * parameters; a stream left on the 5/5-full-sidecar defaults would
     * otherwise silently publish differently-trained quantizers than
     * the operator's interrupted retrainHybridDense(20, sample) asked
-    * for. */
+    * for.
+    *
+    * `gcRetainGens` (round 20) is the in-loop RECLAMATION cadence
+    * ([[RetrievalOps.gcHybridIndex]] beside the compaction check):
+    * mutations retain replaced history for in-flight readers, so
+    * space is only reclaimed here (or out-of-band), and the value is
+    * the READER HORIZON — any serve planned within the last
+    * `retainGens` committed generations is safe to finish. None
+    * (default) defers reclamation entirely. */
   def sink(
       corpus: DataFrame,
       indexPath: String,
@@ -96,7 +104,8 @@ object HybridIndexStream {
       compactPastGens: Option[Long] = None,
       resumeIvfIters: Int = 5,
       resumePqIters: Int = 5,
-      resumeTrainSample: Option[DataFrame] = None): StreamingQuery =
+      resumeTrainSample: Option[DataFrame] = None,
+      gcRetainGens: Option[Long] = None): StreamingQuery =
     corpus.writeStream
       .queryName("graft-hybrid-index-sink")
       .trigger(trigger)
@@ -115,6 +124,15 @@ object HybridIndexStream {
         compactPastGens.foreach(g =>
           RetrievalOps.maybeCompactHybridIndex(
             batch.sparkSession, indexPath, g))
+        // round 20: the gc cadence lives where the compaction cadence
+        // does. Mutations never reclaim replaced history (retention —
+        // an in-flight reader of any recent window finishes its scan);
+        // this is the operator's reclamation point, and `retainGens`
+        // IS the reader horizon: a serve that planned more than
+        // retainGens committed generations ago may be reclaimed under.
+        // None (default) defers reclamation to an out-of-band gc.
+        gcRetainGens.foreach(r =>
+          RetrievalOps.gcHybridIndex(indexPath, r))
         if (!batch.isEmpty)
           RetrievalOps.appendHybridIndex(
             batch.select(col("doc_id"), col("text")),

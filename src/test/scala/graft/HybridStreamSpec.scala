@@ -196,5 +196,36 @@ class HybridStreamSpec extends SparkSuite {
     assert(rows(RetrievalOps.hybridServeAt(spark, idx))
       == rows(RetrievalOps.q83HybridIndexed(spark, sf)),
       "cadence-folded stream diverged from the batch rebuild")
+    // round 20: the folds RETAINED their replaced generations (no
+    // mutation reclaims committed history) …
+    def gens(sub: String): Seq[Long] = {
+      val d = new java.io.File(s"$idx/$sub")
+      if (!d.isDirectory) Seq.empty
+      else d.listFiles().map(_.getName).filter(_.startsWith("gen="))
+        .map(_.stripPrefix("gen=").toLong).sorted.toSeq
+    }
+    assert(gens("sparse").exists(_ < lo),
+      "compactions reclaimed replaced history eagerly (retention broken)")
+    // … and the in-loop gc cadence is the reclamation point: rerun the
+    // sink over an already-sealed batch (idempotent replay) with
+    // gcRetainGens = 0 — the head-of-batch gc advances the committed
+    // floor to lo and reclaims, and the serve is untouched
+    val served = rows(RetrievalOps.hybridServeAt(spark, idx))
+    val in2 = MemoryStream[HybridDoc]
+    val q2 = graft.streaming.HybridIndexStream.sink(
+      in2.toDF(), idx, tmp("graft-hybrid-stream-cadence-ck2"),
+      gcRetainGens = Some(0L))
+    try {
+      in2.addData(delta.take(3)); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(GenerationManifest.state(idx).floor == GenerationManifest.window(idx)._1,
+      "in-loop gc did not commit the floor")
+    Seq("sparse", "dense").foreach { leg =>
+      val (legLo, _) = GenerationManifest.window(s"$idx/$leg")
+      assert(gens(leg).forall(_ >= legLo),
+        s"in-loop gc left sub-floor history in '$leg': ${gens(leg)}")
+    }
+    assert(rows(RetrievalOps.hybridServeAt(spark, idx)) == served,
+      "in-loop gc changed serving results")
   }
 }
