@@ -448,15 +448,34 @@ object Bench {
       bp =>
         try {
           val txt = Files.readString(Paths.get(bp))
-          // scalar "qNN_x":1.234 entries only (samples are arrays and
-          // never match; phase keys like q77_build are filtered by the
-          // lookup against the current query set)
+          // scope the parse to the NAMED object's body (balanced-brace
+          // scan): a prior board that itself carried a comparison has
+          // "movers"/"normalized" blocks whose qNN keys would
+          // otherwise shadow the medians under last-wins toMap —
+          // chained baselines then normalized by ratios, not seconds
+          def obj(name: String): String = {
+            val at = txt.indexOf(s""""$name":{""")
+            if (at < 0) ""
+            else {
+              val start = txt.indexOf('{', at)
+              var i = start; var depth = 0
+              while (i < txt.length && (depth != 0 || i == start)) {
+                if (txt.charAt(i) == '{') depth += 1
+                else if (txt.charAt(i) == '}') depth -= 1
+                i += 1
+              }
+              txt.substring(start, i)
+            }
+          }
+          // scalar "qNN_x":1.234 entries only ({"err":...} rows and
+          // nested objects never match the numeric form)
           val qRe = """"(q[0-9][A-Za-z0-9_]*)":([0-9]+(?:\.[0-9]+)?)""".r
-          val prior = qRe.findAllMatchIn(txt)
+          val prior = qRe.findAllMatchIn(obj("queries"))
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val phasesTxt = obj("phases")
           def ph(name: String): Option[Double] =
             (s""""$name":([0-9]+(?:\\.[0-9]+)?)""").r
-              .findFirstMatchIn(txt).map(_.group(1).toDouble)
+              .findFirstMatchIn(phasesTxt).map(_.group(1).toDouble)
           val sR = ph("sentinel").filter(_ > 0)
             .map(phases("sentinel") / _).getOrElse(1.0)
           val ioR = ph("sentinel_io").filter(_ > 0)

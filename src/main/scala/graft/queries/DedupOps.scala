@@ -996,14 +996,11 @@ object DedupOps {
   def passageDedup(docs: DataFrame, p: Int = PassageTokens): DataFrame = {
     val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-    // (doc_id, pidx, phash): passage hashes computed inside the scan-side
-    // projection; generate one row per chunk of p tokens.
-    val ids = toks.select(
-      col("doc_id"),
-      posexplode(expr(
-        s"""transform(sequence(0, cast((size(t) + ${p - 1}) div $p as int) - 1),
-           |          i -> xxhash64(array_join(slice(t, i * $p + 1, $p), ' ')))"""
-          .stripMargin)).as(Seq("pidx", "phash")))
+    // (doc_id, pidx, phash): passage hashes computed inside the
+    // scan-side projection, one row per chunk of p tokens — ONE
+    // definition shared with the passage bank ([[passageHashes]]), so
+    // the stream/bank chunking can never drift from this rule
+    val ids = passageHashes(docs.select(col("doc_id"), col("text")), p)
     val firsts = ids
       .groupBy(col("phash"))
       .agg(min(struct(col("doc_id"), col("pidx"))).as("first"))
@@ -1725,12 +1722,6 @@ object DedupOps {
     * rows, orders of magnitude smaller than the corpus). Idempotent to
     * call at any maintenance cadence — e.g. the LabelIndexStream
     * owner's post-batch hook; returns whether it compacted. */
-  /** [[gcDedupIndex]] for the label index family. */
-  def gcLabelIndex(
-      path: String,
-      retainGens: Long = GenerationManifest.DefaultRetainGens): Long =
-    GenerationManifest.gc(path, LabelIndexRoots, retainGens)
-
   def maybeCompactLabelIndex(
       spark: SparkSession, path: String,
       maxRemapRows: Long = 100000L,
@@ -1746,6 +1737,12 @@ object DedupOps {
     if (past) compactLabelIndex(spark, path)
     past
   }
+
+  /** [[gcDedupIndex]] for the label index family. */
+  def gcLabelIndex(
+      path: String,
+      retainGens: Long = GenerationManifest.DefaultRetainGens): Long =
+    GenerationManifest.gc(path, LabelIndexRoots, retainGens)
 
   /** q112 — the label index END TO END, oracle-proven: build the index
     * on q62's sealed base split, APPEND the delta split, serve. The

@@ -613,6 +613,11 @@ private[graft] object GenerationManifest {
     val tag = s"${Thread.currentThread().getId}@${System.nanoTime()}"
     val deadline = System.currentTimeMillis() + acquireMs
     var mine = false
+    // when a held lock's body first read as unparsable — a torn body
+    // could be a crashed writer's OR a live creator between its
+    // create-exclusive and its body write, so takeover waits a grace
+    // window for the body to land before judging the holder dead
+    var unparsableSince = 0L
     while (!mine) {
       try {
         val out = fs.create(lock, false) // create-exclusive
@@ -627,6 +632,7 @@ private[graft] object GenerationManifest {
             .flatMap(h => scala.util.Try(h.toLong).toOption)
           expiry match {
             case Some(e) if e >= System.currentTimeMillis() =>
+              unparsableSince = 0L
               if (System.currentTimeMillis() > deadline)
                 throw new IllegalStateException(
                   s"manifest lease at $path held past the acquire " +
@@ -634,11 +640,23 @@ private[graft] object GenerationManifest {
                     "— another writer is mid-flip (or its lease has not " +
                     "yet expired); retry after it completes or expires")
               Thread.sleep(50)
-            case _ =>
-              // expired, vanished, or unreadable: a crashed holder's —
-              // take over (recorded stale-lease takeover); the create
-              // race above decides a unique winner
-              fs.delete(lock, false)
+            case Some(_) =>
+              // EXPIRED: a crashed holder's — take over, deleting only
+              // the exact lease we judged (the tag's nanoTime makes
+              // bodies unique): a new holder legally re-acquiring
+              // between our read and our delete leaves different
+              // content and keeps its lock; the CAS fence backstops
+              // the residue
+              unparsableSince = 0L
+              if (readLock(fs, lock) == cur) fs.delete(lock, false)
+            case None =>
+              val now = System.currentTimeMillis()
+              if (unparsableSince == 0L) unparsableSince = now
+              if (now - unparsableSince >= 1000L) {
+                // still torn after the grace: a crashed writer's
+                if (readLock(fs, lock) == cur) fs.delete(lock, false)
+                unparsableSince = 0L
+              } else Thread.sleep(50)
           }
       }
     }

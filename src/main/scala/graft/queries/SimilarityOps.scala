@@ -2713,36 +2713,59 @@ object SimilarityOps {
 
   /** The grid core shared by [[q128RecallCurve]] (fixed constants,
     * DuckDB-verified) and [[q129RecallTrained]] (trained quantizers,
-    * rows-only beside it). */
+    * rows-only beside it). `residual = true` encodes `v −
+    * centroid(cell)` and adds the per-(probe, cell) `p·centroid`
+    * offset to the ADC — [[q74ResidualIvfPq]]'s composition, the form
+    * [[trainIvfPq]] indexes actually serve — so the trained curve
+    * sweeps the SAME quantization [[ivfPqSearchIndex]] scores with. */
   private[graft] def recallCurveFrame(
       embTable: DataFrame, centroids: Seq[Seq[Double]],
       books: Seq[Seq[Seq[Double]]],
       k: Int, numProbes: Int,
-      nprobes: Seq[Int], shortlists: Seq[Int]): DataFrame = {
+      nprobes: Seq[Int], shortlists: Seq[Int],
+      residual: Boolean = false): DataFrame = {
     val spark = embTable.sparkSession
     import spark.implicits._
     require(nprobes.nonEmpty && shortlists.nonEmpty && k > 0 && numProbes > 0)
     val nCells = centroids.length
     val maxProbe = math.min(nprobes.max, nCells)
     val emb = assignCells(embTable, centroids)
-    val codes = emb.select(
-      col("vec_id") +: col("cell") +: pqCodeColsFor(col("embedding"), books): _*)
+    // residual: materialize v − centroid(cell) in its own projection
+    // (q74's HOF-boundary lesson) and encode THAT
+    val encoded =
+      if (residual)
+        emb.withColumn("resid", zip_with(col("embedding"),
+          element_at(typedlit(centroids.map(_.toSeq)), col("cell") + 1),
+          (x, c) => x.cast("double") - c))
+      else emb
+    val encCol = if (residual) col("resid") else col("embedding")
+    val codes = encoded.select(
+      col("vec_id") +: col("cell") +: pqCodeColsFor(encCol, books): _*)
     val byBest = sort_array(array((0 until nCells).map(c =>
       struct((-$"dots" (c)).as("nd"), lit(c).as("cell"))): _*))
-    val probes = emb
+    // the residual offset p·centroid(cell) is dots[cell] — already in
+    // the assignment array, zero extra dot products (q74's rule). The
+    // generate lands first (a sibling projection cannot reference the
+    // generator's output), the offset/table columns in a second one.
+    val probeBase = emb
       .filter($"vec_id" < numProbes)
+      .select($"vec_id".as("probe_id"), $"dots", $"embedding",
+        posexplode(transform(slice(byBest, 1, maxProbe), s => s("cell")))
+          .as(Seq("cell_rank", "cell")))
+    val offCol =
+      if (residual) element_at($"dots", col("cell") + 1).as("adc_off")
+      else lit(0.0).as("adc_off")
+    val probes = probeBase
       .select(
-        $"vec_id".as("probe_id") +:
-          posexplode(transform(slice(byBest, 1, maxProbe), s => s("cell")))
-            .as(Seq("cell_rank", "cell")) +:
+        $"probe_id" +: $"cell_rank" +: $"cell" +: offCol +:
           (0 until PqSubspaces).map { m =>
             val sub = slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
             array((0 until PqCodes).map(j =>
               PipelineOps.dot(sub, typedlit(books(m)(j)))): _*).as(s"t$m")
           }: _*)
     val adc = round(
-      (0 until PqSubspaces)
-        .map(m => element_at(col(s"t$m"), col(s"code$m") + 1))
+      (col("adc_off") +: (0 until PqSubspaces)
+        .map(m => element_at(col(s"t$m"), col(s"code$m") + 1)))
         .reduce(_ + _), 6)
     val gridN = nprobes.map(_.toLong).toDF("nprobe")
     val gridS = shortlists.map(_.toLong).toDF("shortlist")
@@ -2918,11 +2941,17 @@ object SimilarityOps {
       k: Int = RecallK, numProbes: Int = RecallNumProbes,
       nprobes: Seq[Int] = RecallNprobes,
       shortlists: Seq[Int] = RecallShortlists): DataFrame = {
-    val centroids = readQuantizer(spark, indexPath)
-    val books = readPqQuantizer(spark, s"$indexPath/_pq")
+    // resolve the governing epoch and the RESIDUAL flag exactly as
+    // the serve does (ivfPqSearchIndex) — the curve must sweep the
+    // quantization the index actually scores with, offset included
+    val (_, hi) = GenerationManifest.windowAt(indexPath, Long.MaxValue)
+    val qRoot = quantizerRootAt(indexPath, GenerationManifest.epochs(indexPath), hi)
+    val centroids = readQuantizer(spark, qRoot)
+    val books = readPqQuantizer(spark, s"$qRoot/_pq")
       .map(_.map(_.toSeq).toSeq).toSeq
+    val residual = spark.read.parquet(s"$qRoot/_meta").head().getBoolean(0)
     recallCurveFrame(Tables.embeddings(spark, dir), centroids, books,
-      k, numProbes, nprobes, shortlists)
+      k, numProbes, nprobes, shortlists, residual = residual)
   }
 
   // ------------------------------------------------------------- q80

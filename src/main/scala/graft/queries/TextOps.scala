@@ -2814,15 +2814,27 @@ object TextOps {
     // incremental driver loop below the ceiling is untouched. Returns
     // false when the vocabulary is out of pairs.
     def spillRound(statsDf: DataFrame): Boolean = {
-      val top = statsDf.groupBy(col("a"), col("b"))
+      // argmax in two bounded steps, with the TIE-BREAK resolved on
+      // the driver: Spark's string orderBy is UTF-8 binary order while
+      // the driver loop's sortBy is Java compareTo (UTF-16 units) —
+      // they disagree between supplementary-plane and U+E000..U+FFFF
+      // symbols, so a distributed ORDER BY tie-break could admit a
+      // different merge than the below-ceiling path on the same
+      // corpus. Collect exactly the max-count ties (bounded by the
+      // adjacency relation's width at one count value) and pick
+      // (lhs, rhs) by compareTo — bpeTrainLocal's rule verbatim.
+      val pairCounts = statsDf.groupBy(col("a"), col("b"))
         .agg(sum(col("n")).as("pn"))
         .filter(col("pn") > 0L)
-        .orderBy(col("pn").desc, col("a"), col("b"))
-        .limit(1).collect()
+      val maxRow = pairCounts.agg(max(col("pn"))).collect()
+      val top =
+        if (maxRow.isEmpty || maxRow(0).isNullAt(0)) Array.empty[org.apache.spark.sql.Row]
+        else pairCounts.filter(col("pn") === maxRow(0).getLong(0)).collect()
       if (top.isEmpty) false
       else {
-        val (l, r, n) = (top(0).getString(0), top(0).getString(1),
-          top(0).getLong(2))
+        val (l, r, n) = top.map(t =>
+          (t.getString(0), t.getString(1), t.getLong(2)))
+          .minBy { case (a, b, _) => (a, b) }
         out += ((rank, l, r, n))
         rank += 1
         val pat = s"($l)($r)"

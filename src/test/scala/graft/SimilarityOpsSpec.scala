@@ -1754,4 +1754,48 @@ class SimilarityOpsSpec extends SparkSuite {
     invariants(rowsOf(SimilarityOps.q129RecallTrained(spark, sf)), "q129")
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
   }
+
+  test("q129 measures the SERVE: a grid point's hits equal ivfPqSearchIndex shortlist containment on the same trained index") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-recall-serve").toString
+    SimilarityOps.trainIvfPq(emb, path, ivfIters = 2, pqIters = 2)
+    val curve = SimilarityOps.q129ServeTrained(spark, sf, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // the exact truth, by the curve's own definition (q92 rounding)
+    val probeVecs = emb.filter($"vec_id" < SimilarityOps.RecallNumProbes)
+      .select($"vec_id".as("probe_id"), $"embedding".as("pvec"))
+    val exact = emb.select($"vec_id", $"embedding")
+      .crossJoin(broadcast(probeVecs))
+      .withColumn("sim",
+        round(graft.queries.PipelineOps.cosine($"embedding", $"pvec"), 6))
+      .withColumn("xrank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"probe_id")
+          .orderBy($"sim".desc, $"vec_id")))
+      .filter($"xrank" <= SimilarityOps.RecallK)
+      .select($"probe_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the PERSISTED serve at one grid point: the ADC shortlist's
+    // exact-top-k containment must equal the curve's n_hits — this is
+    // what makes the instrument's numbers the deployment's numbers
+    // (the in-plan re-encode ≡ the persisted codes, residual offset
+    // included)
+    val (np, sl) = (4, 50)
+    val probes = emb.filter($"vec_id" < SimilarityOps.RecallNumProbes)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val servedHits = SimilarityOps
+      .ivfPqSearchIndex(spark, path, probes, k = sl, numProbedCells = np)
+      .select($"probe_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .count(exact.contains)
+    assert(curve((np.toLong, sl.toLong)) == servedHits.toLong,
+      s"curve hits ${curve((np.toLong, sl.toLong))} != served " +
+        s"containment $servedHits — the instrument is not measuring " +
+        "the serving path")
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
 }
