@@ -512,7 +512,8 @@ object CorpusPipeline {
           Seq.empty[DataFrame])
       case _ =>
         val (pairs, dedupHandles) = DedupOps.neardupBuild(
-          gated, cfg.neardupThreshold, cfg.lshBands, cfg.lshRows)
+          gated, cfg.neardupThreshold, cfg.lshBands, cfg.lshRows,
+          ordered = false)
         if (cfg.clusterNeardups) {
           // the closure runs eagerly BEFORE build returns its handles to
           // the loan — release the pair-stage caches ourselves if it throws

@@ -68,7 +68,11 @@ object DedupOps {
     * alternative regardless.
     */
   private def shingleHashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    // fan-out guard (opt round 20): the Generate pass is the dedup
+    // family's per-row CPU hot spot; a split-starved corpus ran it —
+    // and the minhash signature aggregate's partials above it — on one
+    // core. No-op when the scan already yields ≥ cores splits.
+    ScaleHints.fanOutIfTiny(docs).select(col("doc_id"),
       graft.functions.HashedShingles.hashedShingles(col("text"), 3).as("hs"))
 
   /** `(doc_id, h0..h{n-1}, n)` — minhash signature columns plus the
@@ -212,7 +216,8 @@ object DedupOps {
       docs: DataFrame,
       threshold: Double,
       bands: Int,
-      rows: Int): (DataFrame, Seq[DataFrame]) = {
+      rows: Int,
+      ordered: Boolean = true): (DataFrame, Seq[DataFrame]) = {
     // The exploded (doc_id, hs) frame feeds the signature aggregate AND
     // both verify-join sides. Without a persist, the diamond-shaped DAG
     // re-runs the shingle-hash pass over the corpus once per consumer
@@ -221,8 +226,15 @@ object DedupOps {
     // once at 100 TB too.
     val ex = shingleHashes(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (verifiedPairsFrom(ex, threshold, bands, rows)
-      .orderBy(col("doc_a"), col("doc_b")), Seq(ex))
+    val pairs = verifiedPairsFrom(ex, threshold, bands, rows)
+    // `ordered = false` for consumers that re-key or aggregate the pair
+    // relation anyway (q43's closure, q45's reconciliation, q57's
+    // rollup, q110's histogram, the pipeline's drop rule): the sort is
+    // q13's OUTPUT contract, and inheriting it planted a useless range
+    // exchange + sort under every composition (opt round 20, guide
+    // §2.4 "an orderBy used only to make output deterministic").
+    (if (ordered) pairs.orderBy(col("doc_a"), col("doc_b")) else pairs,
+      Seq(ex))
   }
 
   /** LSH candidates exact-verified at `threshold` Jaccard over an
@@ -382,10 +394,20 @@ object DedupOps {
       .distinct()
   }
 
-  private[graft] def smallStar(edges: DataFrame): DataFrame = {
-    val dir = edges
+  private[graft] def smallStar(edges: DataFrame): DataFrame =
+    smallStarOriented(edges
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct()
+      .distinct())
+
+  /** [[smallStar]] over an input KNOWN to be big→small oriented and
+    * distinct — exactly what [[largeStar]] emits (its output rows are
+    * `(v, m)` with `m ≤ u < v`, deduped). The fixpoint loop composes
+    * the phases as `smallStarOriented(largeStar(_))`, skipping the
+    * re-orientation `distinct` that is a no-op there — one exchange +
+    * one aggregate less per round (opt round 20, guide §2.4 "remove
+    * shuffles outright": the round output was distinct'd by largeStar
+    * one operator earlier). */
+  private[graft] def smallStarOriented(dir: DataFrame): DataFrame = {
     val m = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
     dir.join(m, "u")
       .select(col("v").as("u"), col("m").as("v"))
@@ -520,7 +542,7 @@ object DedupOps {
       var converged = false
       var round = 0
       while (!converged && round < maxRounds) {
-        val (next, nextRdd) = materialize(smallStar(largeStar(edges)))
+        val (next, nextRdd) = materialize(smallStarOriented(largeStar(edges)))
         val ns =
           try sig(next)
           catch { case t: Throwable => nextRdd.unpersist(false); throw t }
@@ -585,7 +607,7 @@ object DedupOps {
       bands: Int,
       rows: Int): (DataFrame, Seq[DataFrame]) = {
     val (pairs, pairHandles) = neardupBuild(
-      Tables.documents(spark, dir), threshold, bands, rows)
+      Tables.documents(spark, dir), threshold, bands, rows, ordered = false)
     // connectedComponents returns its labels persisted AND materialized
     // (its driver loop already ran the closure's actions), so the
     // pair-stage caches only back the labels' lineage now; the loan
@@ -752,7 +774,8 @@ object DedupOps {
 
   private def q45Build(
       spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
-    val (pairs, handles) = neardupBuild(Tables.documents(spark, dir), 0.6, 16, 4)
+    val (pairs, handles) = neardupBuild(
+      Tables.documents(spark, dir), 0.6, 16, 4, ordered = false)
     val lex = pairs.select(col("doc_a"), col("doc_b"), lit(1).as("lex_dup"))
     val emb = SimilarityOps.q37CosineNeardup(spark, dir)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
@@ -818,7 +841,9 @@ object DedupOps {
     val wins = transform(
       sequence(lit(1), size(col("toks")) - (WindowTokens - 1)),
       i => concat_ws(" ", slice(col("toks"), i, lit(WindowTokens))))
-    docs
+    // fan-out guard (opt round 20): the window generate is the
+    // query's narrow CPU, serialized on a split-starved scan.
+    ScaleHints.fanOutIfTiny(docs)
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= WindowTokens)
       .select(col("doc_id"), explode(wins).as("win"))
@@ -916,7 +941,7 @@ object DedupOps {
   private def q57Build(
       spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val docs = Tables.documents(spark, dir)
-    val (pairs, handles) = neardupBuild(docs, 0.6, 16, 4)
+    val (pairs, handles) = neardupBuild(docs, 0.6, 16, 4, ordered = false)
     val src = docs.select(col("doc_id"), col("source"))
     val result = pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
@@ -2630,7 +2655,7 @@ object DedupOps {
     */
   def q110ThresholdHistogram(spark: SparkSession, dir: String): DataFrame = {
     val (pairs, handles) =
-      neardupBuild(Tables.documents(spark, dir), 0.5, 32, 2)
+      neardupBuild(Tables.documents(spark, dir), 0.5, 32, 2, ordered = false)
     try {
       pairs
         .select(expr("n_common * 20 div n_union").as("bin"))

@@ -151,7 +151,9 @@ object RetrievalOps {
     val cols = col("doc_id") +: size(tk).cast("long").as("dl") +:
       AllTerms.map(t =>
         size(filter(tk, x => x === lit(t))).cast("long").as(s"tf_$t"))
-    docs.select(cols: _*)
+    // fan-out guard (opt round 20): tokenize + |terms| filters per doc
+    // is the sparse leg's per-row CPU; starved inputs serialized it.
+    ScaleHints.fanOutIfTiny(docs).select(cols: _*)
   }
 
   // ------------------------------------------------------------- q76
@@ -309,7 +311,9 @@ object RetrievalOps {
     * cannot drift. */
   private def postings(docs: DataFrame): DataFrame = {
     val tk = TextOps.toks(col("text"))
-    docs
+    // fan-out guard (opt round 20): the tokenize+explode feeding the
+    // posting aggregate is the index build's narrow CPU.
+    ScaleHints.fanOutIfTiny(docs)
       .select(col("doc_id"), size(tk).cast("long").as("dl"),
         explode(tk).as("token"))
       .groupBy(col("token"), col("doc_id"), col("dl"))
@@ -1856,7 +1860,9 @@ object RetrievalOps {
     * [[docTermProjection]]'s shape at passage granularity, over q75's
     * spec-pinned chunker. */
   private def chunkTermProjection(docs: DataFrame): DataFrame = {
-    val chunks = TextOps.chunkTokens(docs)
+    // fan-out guard (opt round 20): chunk generate + per-chunk term
+    // filters — q85's dominant narrow CPU, serialized when starved.
+    val chunks = TextOps.chunkTokens(ScaleHints.fanOutIfTiny(docs))
       .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
     val tk = TextOps.toks(col("chunk_text"))
     chunks.select(

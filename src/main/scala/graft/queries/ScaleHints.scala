@@ -56,4 +56,55 @@ object ScaleHints {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est <= BigInt(capBytes)) broadcast(df) else df
   }
+
+  /** Per-core byte bound under which an input counts as
+    * SPLIT-STARVED: Spark's own split formula caps a split at
+    * `max(openCostInBytes, bytes/defaultParallelism)` with
+    * `openCostInBytes = 4 MB` by default, so an input estimated under
+    * `cores × 4 MB` cannot produce more splits than cores even in the
+    * best case — and an unsplittable layout (one row group, gzip)
+    * produces far fewer. */
+  val FanOutSplitBytes: Long = 4L * 1024 * 1024
+
+  /** Round-robin fan-out for CPU-heavy operators whose input is tiny
+    * in BYTES (optimization round 20, guide §2.5 "input skew … one
+    * huge unsplittable file" + §1.2 "choose a partitioning that avoids
+    * [starvation]").
+    *
+    * Every sizing decision Spark makes — scan splits, AQE partition
+    * coalescing — is BYTE-based. Operators that spend microseconds of
+    * CPU per row (tokenize-and-hash HOFs, per-term filters, regex
+    * chains) are CPU-bound long before they are byte-bound, so on a
+    * small or unsplittable input (the fixture tables are one parquet
+    * file with ONE row group — scan parallelism exactly 1) the entire
+    * narrow pipeline above the scan runs on a single core while 31
+    * idle. Measured on q111 (gate distill): the feature extraction and
+    * all four epoch aggregates ran 1 task each — the query IS its
+    * single-thread CPU time.
+    *
+    * The guard repartitions to the session's default parallelism ONLY
+    * when Catalyst's size estimate for the subtree says the input
+    * cannot fill the machine (`est ≤ cores × [[FanOutSplitBytes]]`) —
+    * the same driver-side, no-job estimate [[broadcastIfBounded]]
+    * trusts, read from the SAME optimized plan. At scale the estimate
+    * exceeds the bound and the hint vanishes — no shuffle is added to
+    * a 100 TB scan that already has thousands of splits (the
+    * scale-adaptive requirement: this is a guard, not a constant).
+    * When it does fire, the one round-robin exchange moves the whole
+    * (tiny) input once; `repartition(n)` with an explicit n is exempt
+    * from AQE coalescing, so the parallelism survives to the next
+    * keyed exchange.
+    */
+  def fanOutIfTiny(df: DataFrame): DataFrame = {
+    // streaming frames pass through untouched: a micro-batch is already
+    // parallelism-bounded by its source, and batch-optimizing a
+    // streaming plan (optimizedPlan below) is illegal — the shared
+    // operators (assignCells et al.) serve both worlds
+    if (df.isStreaming) return df
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(cores.toLong * FanOutSplitBytes)) df.repartition(cores)
+    else df
+  }
 }

@@ -170,7 +170,11 @@ object SimilarityOps {
     * index build ([[writeIvfIndex]]) — one assignment rule, so the two
     * paths cannot drift. */
   def assignCells(embTable: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
-    embTable
+    // fan-out guard (opt round 20): k×Dim codegen'd dots per row is
+    // the ANN family's heaviest narrow CPU (assignment feeds every IVF
+    // search, build, and Lloyd iteration); a split-starved scan ran it
+    // on one core. No-op at scale (ScaleHints.fanOutIfTiny scaladoc).
+    ScaleHints.fanOutIfTiny(embTable)
       .withColumn("dots", array(centroids.map(c =>
         PipelineOps.dot(col("embedding"), typedlit(c))): _*))
       .withColumn("cell",
@@ -739,7 +743,9 @@ object SimilarityOps {
       .withColumn("codes", sq8Codes($"embedding", $"mn", $"mx"))
       .select($"vec_id", $"label",
         sq8Dequantize($"codes", $"mn", $"mx").as("xhat"))
-    val quant = quantize(emb)
+    // fan-out guard (opt round 20): encode+dequantize is 3 zip_with
+    // passes per row — q54's narrow CPU.
+    val quant = quantize(ScaleHints.fanOutIfTiny(emb))
     // the probe quantizes from a PRE-FILTERED scan (vec_id pushed to
     // parquet), not by filtering the full quantized corpus — the
     // latter would duplicate the whole encode subtree into the
@@ -1304,7 +1310,9 @@ object SimilarityOps {
       k: Int = 10, numProbes: Int = 10): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val codes = emb.select(
+    // fan-out guard (opt round 20): the per-row encode argmin is
+    // M×K×subDim dots — the PQ family's narrow CPU hot spot.
+    val codes = ScaleHints.fanOutIfTiny(emb).select(
       col("vec_id") +: col("label") +: pqCodeCols(col("embedding")): _*)
     val probes = emb.filter($"vec_id" < numProbes)
       .select(
@@ -1401,7 +1409,8 @@ object SimilarityOps {
       emb: DataFrame, path: String,
       books: Seq[Seq[Seq[Double]]] = defaultPqCodebooks): Unit = {
     val spark = emb.sparkSession
-    emb.select(col("vec_id"), col("label"),
+    // fan-out guard (opt round 20): same encode argmin as q65's scan.
+    ScaleHints.fanOutIfTiny(emb).select(col("vec_id"), col("label"),
         pqPack(pqCodeColsFor(col("embedding"), books)).as("packed"))
       .withColumn("gen", lit(1L))
       .write.partitionBy("gen").mode("overwrite").parquet(path)
@@ -2360,7 +2369,7 @@ object SimilarityOps {
     // top-k through one window — output bounded at probes×k
     val byProbe = Window.partitionBy($"probe_id")
       .orderBy($"sim".desc, $"vec_id")
-    val exactIds = emb
+    val exactIds = ScaleHints.fanOutIfTiny(emb)
       .select($"vec_id", $"embedding", explode(typedlit(probes)).as("p"))
       .select($"p._1".as("probe_id"), $"vec_id",
         round(PipelineOps.cosine($"embedding", $"p._2"), 6).as("sim"))
@@ -2375,7 +2384,10 @@ object SimilarityOps {
       served.intersect(exactIds).size.toLong * 1000000L / exactIds.size
     }
     val (rOld, rNew) = (recallPpm(og), recallPpm(ng))
-    emb.select(cellOf(cOld).as("c1"), cellOf(cNew).as("c2"))
+    // fan-out guard (opt round 20): the flip count evaluates BOTH
+    // epochs' assignment argmaxes per row — 2·k·Dim dots of narrow CPU.
+    ScaleHints.fanOutIfTiny(emb)
+      .select(cellOf(cOld).as("c1"), cellOf(cNew).as("c2"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(when($"c1" =!= $"c2", 1L).otherwise(0L)).as("n_flipped"))
       .select($"n_vecs", $"n_flipped",

@@ -984,6 +984,10 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val cap = math.max(1, 2000 / perMille)
+    // NOT fan-out-guarded (opt round 20, measured): per-token work
+    // here is a hashmap update — the guard's exchange plus 32× the MG
+    // candidate supersets cost more than the serial pass saves
+    // (q71 0.90 → 1.18 s with the guard; reverted).
     val tokens = docs.select(explode(toks($"text")).as("token"))
     // summaries: candidate rows (token, 0) + one (null, local_n) marker
     // per partition. Persisted — it is a diamond (N and the candidate
@@ -1316,31 +1320,46 @@ object TextOps {
     (lmScoreWith(docs, vocab, cost), handles)
   }
 
-  /** The q79 bigram stream mapped through a vocabulary frame's unk
-    * rule: `(doc_id, mx, my)` for every adjacent token pair, tokens
-    * outside `vocab` replaced by [[UnkToken]]. Two broadcast
-    * membership joins — map-side, corpus rows never shuffle. Shared
-    * verbatim by the training pass, the in-session scoring pass, and
-    * the LOADED-model serve ([[lmScoreServed]]) so all three see one
-    * definition of the mapping. */
-  private def lmMappedBigrams(docs: DataFrame, vocab: DataFrame): DataFrame = {
+  /** The q79 bigram stream mapped through the vocabulary's unk rule:
+    * `(doc_id, mx, my)` for every adjacent token pair, tokens outside
+    * `vocab` replaced by [[UnkToken]]. The membership test is ONE
+    * narrow codegen'd `isin` (an `InSet` hash probe past 10 members)
+    * over the token array — opt round 20 replaced the previous TWO
+    * broadcast membership joins per call (4 exchanges + 4 broadcast
+    * builds per q79 run, train + score): the vocabulary is bounded by
+    * the heavy-hitter pigeonhole (≤ 1000/perMille members + unk), so
+    * inlining it as a literal is the q69 literal-inlined-narrow-map
+    * pattern, not a scale hazard. Shared verbatim by the training
+    * pass, the in-session scoring pass, and the LOADED-model serve
+    * ([[lmScoreServed]]) so all three see one definition of the
+    * mapping. */
+  private def lmMappedBigrams(
+      docs: DataFrame, vocab: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    val member = (t: Column) =>
+      if (vocab.isEmpty) lit(UnkToken)
+      else when(t.isin(vocab: _*), t).otherwise(UnkToken)
+    // fan-out guard (opt round 20): the bigram generate is narrow
+    // per-row CPU over the corpus — split-starved inputs serialized
+    // both the training count pass and the scoring pass on one core.
+    ScaleHints.fanOutIfTiny(docs)
       .select($"doc_id", toks($"text").as("toks"))
       .filter(size($"toks") >= 2)
+      .select($"doc_id", transform($"toks", member).as("m"))
       .select($"doc_id",
-        explode(transform(sequence(lit(1), size($"toks") - 1),
-          i => struct(element_at($"toks", i).as("tok_x"),
-            element_at($"toks", i + 1).as("tok_y")))).as("bg"))
-      .join(broadcast(vocab.select($"token".as("tok_x"), lit(1).as("in_x"))),
-        $"bg.tok_x" === $"tok_x", "left")
-      .join(broadcast(vocab.select($"token".as("tok_y"), lit(1).as("in_y"))),
-        $"bg.tok_y" === $"tok_y", "left")
-      .select($"doc_id",
-        when($"in_x".isNotNull, $"bg.tok_x").otherwise(UnkToken).as("mx"),
-        when($"in_y".isNotNull, $"bg.tok_y").otherwise(UnkToken).as("my"))
+        explode(transform(sequence(lit(1), size($"m") - 1),
+          i => struct(element_at($"m", i).as("mx"),
+            element_at($"m", i + 1).as("my")))).as("bg"))
+      .select($"doc_id", $"bg.mx".as("mx"), $"bg.my".as("my"))
   }
+
+  /** The bounded vocabulary pulled to the driver — ≤ 1000/perMille + 1
+    * rows by the heavy-hitter threshold pigeonhole (the documented
+    * bounded-driver-reduction class), shared by [[lmTrainCore]] and
+    * [[lmScoreWith]] so both inline the same literal membership set. */
+  private def vocabTokens(vocab: DataFrame): Seq[String] =
+    vocab.select(col("token")).collect().map(_.getString(0)).toSeq
 
   /** Training half of [[bigramXentBuild]]: the heavy-hitter vocabulary
     * `(token)`, the add-one-smoothed integer cost table
@@ -1362,22 +1381,24 @@ object TextOps {
     import spark.implicits._
     val (hhRes, hhHandles) = heavyHittersBuild(docs, perMille)
     val hh = hhRes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vp = hh.agg((count(lit(1)) + 1L).as("vp"))
-    val cxy = lmMappedBigrams(docs, hh).groupBy($"mx", $"my")
+    // vp (= |V| + 1) rides as a LITERAL off the bounded driver-side
+    // vocabulary (opt round 20) — the previous 1-row `vp` frame cost
+    // two broadcast exchanges per train; same double either way.
+    val vToks = vocabTokens(hh)
+    val vp = lit(vToks.length + 1L)
+    val cxy = lmMappedBigrams(docs, vToks).groupBy($"mx", $"my")
       .agg(count(lit(1)).as("c_xy"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cx = cxy.groupBy($"mx").agg(sum($"c_xy").as("c_x"))
-    val cost = cxy.join(cx, "mx").crossJoin(broadcast(vp))
+    val cost = cxy.join(cx, "mx")
       .select($"mx", $"my",
-        floor(log(($"c_x" + $"vp").cast("double") /
+        floor(log(($"c_x" + vp).cast("double") /
           ($"c_xy" + lit(1L)).cast("double")) * 1e5)
           .cast("long").as("icost"))
-    val backoff = hh.select($"token".as("mx"))
-      .unionByName(spark.range(1).select(lit(UnkToken).as("mx")))
+    val backoff = (vToks :+ UnkToken).toDF("mx")
       .join(cx, Seq("mx"), "left")
-      .crossJoin(broadcast(vp))
       .select($"mx",
-        floor(log((coalesce($"c_x", lit(0L)) + $"vp").cast("double")) * 1e5)
+        floor(log((coalesce($"c_x", lit(0L)) + vp).cast("double")) * 1e5)
           .cast("long").as("icost"))
     (hh.select($"token"), cost, backoff, hhHandles :+ hh :+ cxy)
   }
@@ -1399,11 +1420,12 @@ object TextOps {
       backoff: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val vToks = vocabTokens(vocab)
     val scored = backoff match {
       case None =>
-        lmMappedBigrams(docs, vocab).join(broadcast(cost), Seq("mx", "my"))
+        lmMappedBigrams(docs, vToks).join(broadcast(cost), Seq("mx", "my"))
       case Some(bo) =>
-        lmMappedBigrams(docs, vocab)
+        lmMappedBigrams(docs, vToks)
           .join(broadcast(cost), Seq("mx", "my"), "left")
           .join(broadcast(bo.select($"mx", $"icost".as("bo_icost"))),
             Seq("mx"))
@@ -3476,16 +3498,18 @@ object TextOps {
     */
   def q108NoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the single-pass codegen'd [[graft.functions.HashedShingles]]
+    // Generator (spec-pinned row-identical to the explode(gramHashes)
+    // composition it replaced here in opt round 20 — same tokenizer,
+    // same concat_ws(" ") bytes, same xxhash64): the interpreted
+    // per-gram lambda chain was this query's dominant CPU, the exact
+    // hazard the DedupOps scaladoc measured at 5 s/pass vs well under
+    // a second for the generator. Per-doc distinctness (the generator
+    // emits each doc's DISTINCT grams) is absorbed by the (bucket, gh)
+    // distinct below, which the lambda form also relied on.
     val g = Tables.documents(spark, dir)
-      // tokens materialize as an ATTRIBUTE first: the gram expression
-      // references them ~4× per gram, and through the HOF boundary
-      // each reference would re-run split+filter over the whole text —
-      // O(len²) per doc, measured 10 s for 260k grams before the split
-      // projection (the q74 lesson; CollapseProject keeps the boundary
-      // because the reference is non-cheap and multi-use)
       .select(($"doc_id" / NoveltyBucketDocs).cast("long").as("bucket"),
-        toks($"text").as("t"))
-      .select($"bucket", explode(gramHashes($"t", 3)).as("gh"))
+        graft.functions.HashedShingles.hashedShingles($"text", 3).as("gh"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seen = g.groupBy($"bucket").agg(count(lit(1)).as("n_grams"))
@@ -3655,7 +3679,13 @@ object TextOps {
     import spark.implicits._
     val t = toks($"text")
     val label = yieldStages($"lang", t).last
-    val feat = docs
+    // fan-out guard (opt round 20): the extraction below is the
+    // trainer's only corpus-wide pass and is pure per-row CPU
+    // (tokenize + featDim hashed-bucket counts); on a split-starved
+    // input it ran as ONE task — measured as q111's whole cost. The
+    // cached feat frame inherits the fan-out, so every epoch's partial
+    // aggregate parallelizes too.
+    val feat = ScaleHints.fanOutIfTiny(docs)
       .select(when(label, 1L).otherwise(-1L).as("y"),
         transform(t, tok => (h32(tok) % featDim).cast("int")).as("th"))
       .select($"y", transform(sequence(lit(0), lit(featDim - 1)),

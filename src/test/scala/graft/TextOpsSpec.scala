@@ -790,6 +790,26 @@ class TextOpsSpec extends SparkSuite {
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
   }
 
+  test("q108 gram source: HashedShingles generator == gramHashes lambda") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // opt round 20 swapped q108's interpreted per-gram lambda chain
+    // (TextOps.gramHashes — retained as the executable specification,
+    // the simhashFromHashesHof precedent) for the codegen'd
+    // HashedShingles generator. Pin the distinct-gram-hash identity the
+    // swap relies on: per doc, the generator's emission set equals the
+    // lambda form's distinct set.
+    val docs = Tables.documents(spark, sf)
+    val gen = docs.select($"doc_id",
+      graft.functions.HashedShingles.hashedShingles($"text", 3).as("gh"))
+    val lam = docs
+      .select($"doc_id", TextOps.toks($"text").as("t"))
+      .select($"doc_id", explode(TextOps.gramHashes($"t", 3)).as("gh"))
+      .distinct()
+    assert(gen.exceptAll(lam).isEmpty && lam.exceptAll(gen).isEmpty,
+      "generator and lambda gram-hash sets diverge")
+  }
+
   test("q113 gate ROC == driver recount; monotone cumulative structure") {
     import spark.implicits._
     // independent driver recount: q68 score + q53 cascade verdict per
