@@ -339,20 +339,25 @@ object CorpusPipeline {
     // extra unordered Window pass — and the stage raises rather than
     // silently dropping a distinct document (q09 scaladoc has the
     // probability analysis; q43 documents the same acceptance bound).
-    val byHash = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    // All three whole-group aggregates ride ONE unordered window spec
+    // (opt round 20): the previous keep-rule was `row_number() === 1`
+    // over (content_hash, doc_id) — an ORDERED window that forced a
+    // sort by both keys, while `doc_id === min(doc_id)` selects the
+    // identical row (doc_id is unique) from the same single exchange
+    // with a partition-key-only sort.
     val wholeGroup = Window.partitionBy(col("content_hash"))
     val exact = docs
       .withColumn("content_hash", xxhash64(col("text")))
-      .withColumn("rn", row_number().over(byHash))
+      .withColumn("_mnid", min(col("doc_id")).over(wholeGroup))
       .withColumn("_tmin", min(col("text")).over(wholeGroup))
       .withColumn("_tmax", max(col("text")).over(wholeGroup))
-      .filter(col("rn") === 1)
+      .filter(col("doc_id") === col("_mnid"))
       .withColumn("text",
         when(col("_tmin") === col("_tmax"), col("text"))
           .otherwise(raise_error(concat(
             lit("xxhash64 collision in exact-dedup stage on content hash "),
             col("content_hash").cast("string")))))
-      .drop("rn", "content_hash", "_tmin", "_tmax")
+      .drop("_mnid", "content_hash", "_tmin", "_tmax")
     mark("01_exact", exact)
 
     // 2. language gate (narrow), then the OPTIONAL passage-level
@@ -518,7 +523,8 @@ object CorpusPipeline {
           // the closure runs eagerly BEFORE build returns its handles to
           // the loan — release the pair-stage caches ourselves if it throws
           val labels =
-            try DedupOps.connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+            try DedupOps.connectedComponentsCanonical(
+              pairs.select(col("doc_a"), col("doc_b")))
             catch { case t: Throwable => dedupHandles.foreach(_.unpersist()); throw t }
           (labels.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id")),
             dedupHandles :+ labels)

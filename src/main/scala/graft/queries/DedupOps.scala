@@ -438,6 +438,16 @@ object DedupOps {
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame =
     ccWithRounds(pairs, maxRounds)._1
 
+  /** [[connectedComponents]] for a pair relation KNOWN canonical —
+    * `doc_a < doc_b`, one row per pair (exactly what the verify
+    * aggregate emits: its group-by key IS the ordered pair) — so the
+    * entry canonicalization `distinct` is a no-op and is skipped (opt
+    * round 20, guide §2.4: one exchange + aggregate less per closure;
+    * the loop body is unchanged). */
+  private[graft] def connectedComponentsCanonical(
+      pairs: DataFrame, maxRounds: Int = 25): DataFrame =
+    ccWithRounds(pairs, maxRounds, canonical = true)._1
+
   /** Driver budget (canonical edge rows) under which an APPEND's
     * mini-closure folds driver-side ([[boundedComponents]]): 2²⁰
     * edges, collected as primitive tuple pairs ≈ 50 MB boxed — the
@@ -508,7 +518,8 @@ object DedupOps {
     * to converge — the O(log² n) bound is CLAIMED in the scaladoc, so
     * the scale probe (bench/NOTES.md) records the measured rounds. */
   private[graft] def ccWithRounds(
-      pairs: DataFrame, maxRounds: Int = 25): (DataFrame, Int) = {
+      pairs: DataFrame, maxRounds: Int = 25,
+      canonical: Boolean = false): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def sig(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
@@ -530,10 +541,12 @@ object DedupOps {
       val rdd = e.rdd.persist(lvl)
       (e.sparkSession.createDataFrame(rdd, e.schema), rdd)
     }
-    var (edges, edgesRdd) = materialize(pairs
+    val oriented = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct())
+      .filter(col("u") =!= col("v"))
+    var (edges, edgesRdd) =
+      materialize(if (canonical) oriented else oriented.distinct())
     // Every failure path must release the round RDDs: they are
     // BLOCK-level persists, so `spark.catalog.clearCache()` cannot drop
     // them — a leak here would outlive even the bluntest caller cleanup.
@@ -614,7 +627,7 @@ object DedupOps {
     // releases them all together. If the closure THROWS, the loan never
     // sees the handles — release the pair-stage caches here.
     val labels =
-      try connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+      try connectedComponentsCanonical(pairs.select(col("doc_a"), col("doc_b")))
       catch { case t: Throwable => pairHandles.foreach(_.unpersist()); throw t }
     (labels.orderBy(col("doc_id")), pairHandles :+ labels)
   }
@@ -1453,7 +1466,7 @@ object DedupOps {
     val banded = bandedBuckets(ex, bands, rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val labels = connectedComponents(
+      val labels = connectedComponentsCanonical(
         verifiedFromBanded(ex, banded, threshold)
           .select(col("doc_a"), col("doc_b")))
       try {
