@@ -148,11 +148,12 @@ object CorpusPipeline {
     * a batch run (and a stream, at start) pins ONE model generation
     * for its lifetime — reproducible by `gateWeightsAt(path, gen)`. */
   private[graft] def gateScoreColumn(
-      spark: org.apache.spark.sql.SparkSession, cfg: Config)
+      spark: org.apache.spark.sql.SparkSession, cfg: Config,
+      text: org.apache.spark.sql.Column = col("text"))
     : org.apache.spark.sql.Column = cfg.gateModelPath match {
     case Some(p) =>
-      TextOps.linearScoreMicroWith(col("text"), TextOps.gateWeightsAt(spark, p))
-    case None => TextOps.linearScoreMicro(col("text"))
+      TextOps.linearScoreMicroWith(text, TextOps.gateWeightsAt(spark, p))
+    case None => TextOps.linearScoreMicro(text)
   }
 
   /** Run `f` over the prepared corpus, then release the pipeline's
@@ -239,7 +240,32 @@ object CorpusPipeline {
     * [[yieldOracleSql]] is the DuckDB twin for the DEFAULT config. */
   def yieldReport(
       docs: DataFrame, cfg: Config = Config(),
-      evalDocs: Option[DataFrame] = None): DataFrame = {
+      evalDocs: Option[DataFrame] = None): DataFrame =
+    if (evalDocs.isEmpty && fastYieldEligible(cfg))
+      yieldReportCounted(docs, cfg)
+    else yieldReportTraced(docs, cfg, evalDocs)
+
+  /** The configs [[yieldReportCounted]] covers: every active stage is a
+    * per-row FILTER over an unchanged text column (plus the one
+    * loser-id relation the near-dup stage derives), so the whole yield
+    * table reduces to flag sums in ONE aggregate pass. Rewrite stages
+    * (phrase/passage) change `text` mid-chain, the perplexity band
+    * trains a model on a stage boundary, decontam/mixture add their own
+    * joins/aggregates over intermediate frames — those configs keep the
+    * traced path. */
+  private[graft] def fastYieldEligible(cfg: Config): Boolean =
+    !cfg.phraseExcise && !cfg.passageDedup &&
+      cfg.perplexityBand.isEmpty && cfg.evalBankPath.isEmpty &&
+      !cfg.piiScrub && cfg.mixWeights.isEmpty && cfg.labelIndexPath.isEmpty
+
+  /** Traced yield: persist every stage-boundary frame of the REAL
+    * chain and count them in order (stage k's count reuses stage k−1's
+    * cache) — the general path for configs with rewrite stages or
+    * stage-internal models, where boundary counts are not expressible
+    * as flags over one frame. */
+  private[graft] def yieldReportTraced(
+      docs: DataFrame, cfg: Config,
+      evalDocs: Option[DataFrame]): DataFrame = {
     val trace = scala.collection.mutable.Buffer.empty[(String, DataFrame)]
     val (_, handles) = build(docs, cfg, evalDocs, Some(trace))
     try {
@@ -247,15 +273,121 @@ object CorpusPipeline {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val counts = ("00_raw", docs.count()) +:
         trace.toSeq.map { case (n, df) => (n, df.count()) }
-      val rows = counts.sliding(2).collect {
-        case Seq((_, nIn), (stage, nOut)) => (stage, nIn, nIn - nOut, nOut)
-      }.toSeq
-      import docs.sparkSession.implicits._
-      rows.toDF("stage", "n_in", "n_dropped", "n_out").orderBy("stage")
+      yieldRows(docs, counts)
     } finally {
       trace.foreach(_._2.unpersist())
       handles.foreach(_.unpersist())
     }
+  }
+
+  /** The report's local tail, shared by both yield paths: boundary
+    * counts → (stage, n_in, n_dropped, n_out) rows, ordered. */
+  private def yieldRows(
+      docs: DataFrame, counts: Seq[(String, Long)]): DataFrame = {
+    val rows = counts.sliding(2).collect {
+      case Seq((_, nIn), (stage, nOut)) => (stage, nIn, nIn - nOut, nOut)
+    }.toSeq
+    import docs.sparkSession.implicits._
+    rows.toDF("stage", "n_in", "n_dropped", "n_out").orderBy("stage")
+  }
+
+  /** Single-aggregate yield (opt round 21, guide §1.2 "don't compute
+    * things you throw away" + §2.3 "project before the exchange"): for
+    * [[fastYieldEligible]] configs every boundary count is a FLAG SUM
+    * over the exact-dedup window frame — a doc survives stage k iff it
+    * survives stages 1..k, and each stage past the window is a per-row
+    * predicate — so the traced path's five full-width boundary
+    * persists + five count jobs collapse into the near-dup loser build
+    * (the chain's one irreducible join machine) plus ONE narrow
+    * aggregate: the corpus's text crosses exactly the exchanges the
+    * PIPELINE itself needs (the window; the LSH build), never a cache
+    * or count-only exchange. The loser join carries (doc_id, 5 flags)
+    * rows — fixed-width, projected before the exchange. Row-for-row
+    * identical to [[yieldReportTraced]] (pinned in CorpusPipelineSpec);
+    * the collision guard, gate expressions and strat predicate are the
+    * build()'s verbatim, evaluated under short-circuiting ANDs in
+    * stage order so a collision still raises and later stages never
+    * score rows an earlier stage dropped. */
+  private[graft] def yieldReportCounted(
+      docs: DataFrame, cfg: Config): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wholeGroup = Window.partitionBy(col("content_hash"))
+    // the exact-dedup window columns over the RAW corpus — no filter:
+    // the same frame carries n0 = count(*) and every survivor flag
+    val flagged = docs
+      .withColumn("content_hash", xxhash64(col("text")))
+      .withColumn("_mnid", min(col("doc_id")).over(wholeGroup))
+      .withColumn("_tmin", min(col("text")).over(wholeGroup))
+      .withColumn("_tmax", max(col("text")).over(wholeGroup))
+    // build()'s collision-guarded text, verbatim; only reached for
+    // rows past keepExact (And short-circuits), so the raise fires on
+    // exactly the rows the traced chain would raise on
+    val gtext = when(col("_tmin") === col("_tmax"), col("text"))
+      .otherwise(raise_error(concat(
+        lit("xxhash64 collision in exact-dedup stage on content hash "),
+        col("content_hash").cast("string"))))
+    val keepExact = col("doc_id") === col("_mnid")
+    val keepLang = keepExact && col("lang").isInCollection(cfg.keepLangs)
+    val keepFloor = keepLang && (size(TextOps.toks(gtext)) >= cfg.minTokens)
+    val keepGated =
+      if (cfg.modelGate)
+        keepFloor && (gateScoreColumn(docs.sparkSession, cfg, gtext) >= 0)
+      else keepFloor
+    val keepStrat = keepGated &&
+      RelationalOps.stratifiedKeep(cfg.stratRates, cfg.defaultPerMille)
+
+    // the near-dup loser relation over EXACTLY build()'s gated-survivor
+    // frame (same lineage: filter → guard → gates), pairwise or cluster
+    val survivors0 = flagged
+      .filter(keepExact)
+      .withColumn("text", gtext)
+      .drop("_mnid", "content_hash", "_tmin", "_tmax")
+      .filter(col("lang").isInCollection(cfg.keepLangs))
+      .filter(size(TextOps.toks(col("text"))) >= cfg.minTokens)
+    val survivors =
+      if (cfg.modelGate)
+        survivors0.filter(gateScoreColumn(docs.sparkSession, cfg) >= 0)
+      else survivors0
+    val (pairs, pairHandles) = DedupOps.neardupBuild(
+      survivors, cfg.neardupThreshold, cfg.lshBands, cfg.lshRows,
+      ordered = false)
+    val (losers, ccHandles) =
+      if (cfg.clusterNeardups) {
+        val labels =
+          try DedupOps.connectedComponentsCanonical(
+            pairs.select(col("doc_a"), col("doc_b")))
+          catch {
+            case t: Throwable => pairHandles.foreach(_.unpersist()); throw t
+          }
+        (labels.filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id")), Seq(labels))
+      } else
+        (pairs.select(col("doc_b").as("doc_id")).distinct(),
+          Seq.empty[DataFrame])
+    val handles = pairHandles ++ ccHandles
+    try {
+      def cnt(c: org.apache.spark.sql.Column) =
+        coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+      val r = flagged
+        .select(col("doc_id"), keepExact.as("k1"), keepLang.as("k2"),
+          keepFloor.as("k3"), keepGated.as("kg"), keepStrat.as("ks"))
+        .join(losers.select(col("doc_id"), lit(true).as("_loser")),
+          Seq("doc_id"), "left_outer")
+        .agg(count(lit(1)).as("n0"), cnt(col("k1")), cnt(col("k2")),
+          cnt(col("k3")), cnt(col("kg")),
+          cnt(col("kg") && col("_loser").isNull),
+          cnt(col("ks") && col("_loser").isNull))
+        .head()
+      val counts = Seq(
+        Some("00_raw" -> r.getLong(0)),
+        Some("01_exact" -> r.getLong(1)),
+        Some("02_lang" -> r.getLong(2)),
+        Some("05_floor" -> r.getLong(3)),
+        if (cfg.modelGate) Some("06_model" -> r.getLong(4)) else None,
+        Some("09_neardup" -> r.getLong(5)),
+        Some("10_rebalance" -> r.getLong(6))).flatten
+      yieldRows(docs, counts)
+    } finally handles.foreach(_.unpersist())
   }
 
   /** DuckDB twin of [[yieldReport]] under the DEFAULT [[Config]]: the

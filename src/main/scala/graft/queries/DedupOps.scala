@@ -105,28 +105,33 @@ object DedupOps {
   private def candidatesFromBanded(
       banded0: DataFrame,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    // Optional skew guard: a bucket of size s yields s² candidate rows,
-    // so ONE boilerplate-heavy bucket (same header on a million docs)
-    // can dominate the whole job. The guard anti-joins the (tiny)
-    // relation of oversized buckets before pair generation — quadratic
-    // work becomes bounded; the dropped docs still pair through their
-    // other bands. Off by default so the oracle-exact semantics hold.
-    val banded =
-      if (maxBucketSize == Int.MaxValue) banded0
-      else {
-        val oversized = banded0.groupBy(col("pos"), col("bh"))
-          .agg(count(lit(1)).as("sz"))
-          .filter(col("sz") > maxBucketSize)
-          .select(col("pos"), col("bh"))
-        banded0.join(broadcast(oversized), Seq("pos", "bh"), "left_anti")
-      }
-    val a = banded.select(col("pos"), col("bh"),
-      col("doc_id").as("doc_a"), col("n").as("n_a"))
-    val b = banded.select(col("pos"), col("bh"),
-      col("doc_id").as("doc_b"), col("n").as("n_b"))
-    a.join(b, Seq("pos", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+    // BUCKET-GROUPED pair generation (opt round 21, guide §2.4): the
+    // previous form self-joined two renamed projections of `banded` on
+    // (pos, bh). The rename sits BELOW the exchange, so ReuseExchange
+    // never fires and each side re-paid the whole upstream lineage —
+    // for the neardup build that is the 64-column minhash signature
+    // aggregate plus the band explode, TWICE per call. Grouping each
+    // bucket's members into one list (one exchange, the same (pos, bh)
+    // key and the same bytes the join's one side shuffled) and
+    // generating the s² in-bucket pairs with two stacked codegen'd
+    // explodes computes the identical candidate relation from ONE
+    // upstream pass. Per-bucket work and skew are unchanged — the hash
+    // join also landed each bucket's s² pair rows in one reduce task;
+    // the skew guard becomes a size() filter on the grouped list
+    // (exactly the old semantics: oversized buckets drop whole).
+    val bucketed = banded0
+      .groupBy(col("pos"), col("bh"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+    val kept =
+      if (maxBucketSize == Int.MaxValue) bucketed
+      else bucketed.filter(size(col("ds")) <= maxBucketSize)
+    kept
+      .filter(size(col("ds")) >= 2)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
       .distinct()
   }
 

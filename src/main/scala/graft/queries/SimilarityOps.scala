@@ -169,12 +169,19 @@ object SimilarityOps {
     * front half of the in-plan search ([[ivfTopK]]) and the on-disk
     * index build ([[writeIvfIndex]]) — one assignment rule, so the two
     * paths cannot drift. */
-  def assignCells(embTable: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+  def assignCells(
+      embTable: DataFrame, centroids: Seq[Seq[Double]],
+      fanOut: Boolean = true): DataFrame =
     // fan-out guard (opt round 20): k×Dim codegen'd dots per row is
     // the ANN family's heaviest narrow CPU (assignment feeds every IVF
     // search, build, and Lloyd iteration); a split-starved scan ran it
     // on one core. No-op at scale (ScaleHints.fanOutIfTiny scaladoc).
-    ScaleHints.fanOutIfTiny(embTable)
+    // `fanOut = false` (opt round 21): consumers whose downstream is a
+    // bounded aggregate/histogram (q88 semDedup, q97 cellBalance)
+    // measured the injected round-robin exchange as PURE COST
+    // (q97 0.40→0.57 s, q88 0.156→0.183 s on the r20 driver board) —
+    // the measured-revert discipline q71/q27/simhash already got.
+    (if (fanOut) ScaleHints.fanOutIfTiny(embTable) else embTable)
       .withColumn("dots", array(centroids.map(c =>
         PipelineOps.dot(col("embedding"), typedlit(c))): _*))
       .withColumn("cell",
@@ -822,12 +829,18 @@ object SimilarityOps {
     * silently overflowing the byte. */
   private[graft] def writeSq8IndexWith(
       emb: DataFrame, stats: DataFrame, path: String): Unit = {
-    emb.crossJoin(broadcast(stats))
+    // materialize the one-row stats ONCE (opt round 21, the
+    // retrainSq8Index discipline applied to the build): the frame
+    // feeds the encode's broadcast side AND the sidecar write — lazy,
+    // a self-trained quantizer re-ran the full 2×Dim min/max corpus
+    // pass for each consumer
+    val st = stats.localCheckpoint(true)
+    emb.crossJoin(broadcast(st))
       .select(col("vec_id"), col("label"),
         sq8ByteCodes(col("embedding"), col("mn"), col("mx")).as("codes"))
       .withColumn("gen", lit(1L))
       .write.partitionBy("gen").mode("overwrite").parquet(path)
-    stats.coalesce(1)
+    st.coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_quantizer")
     // round 15 brings the last two index families (SQ8, PQ) under the
     // shared generation protocol: crash-atomic appends + as-of serves
@@ -3157,7 +3170,10 @@ object SimilarityOps {
       centroids: Seq[Seq[Double]],
       threshold: Double): DataFrame = {
     import emb.sparkSession.implicits._
-    val assigned = assignCells(emb, centroids)
+    // fanOut = false: the downstream is one cell-keyed self-join over a
+    // bounded per-cell population + a dedup aggregate — the r20 guard
+    // regressed this consumer (0.85×, driver-measured), so it opts out
+    val assigned = assignCells(emb, centroids, fanOut = false)
       .select($"vec_id", $"cell", $"embedding")
     val a = assigned.select($"cell", $"vec_id".as("vec_a"), $"embedding".as("e_a"))
     val b = assigned.select($"cell", $"vec_id".as("vec_b"), $"embedding".as("e_b"))
@@ -3542,7 +3558,10 @@ object SimilarityOps {
     // (unlike q64's persisted-histogram diamond) no cached frame left
     // behind for the session to accumulate. The histogram bound is the
     // scale argument: it is independent of corpus size.
-    val hist = assignCells(emb, centroids)
+    // fanOut = false: the map-side-combined histogram IS the whole
+    // downstream — the r20 guard's round-robin exchange regressed this
+    // consumer 0.70× (driver-measured), so it opts out.
+    val hist = assignCells(emb, centroids, fanOut = false)
       .groupBy($"cell",
         (conv(substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
           .cast("long") % PerMille).as("hb"))

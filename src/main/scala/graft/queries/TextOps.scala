@@ -168,27 +168,32 @@ object TextOps {
   def q21SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bandWidth = SimhashBits / SimhashBands
-    // The two banded self-join sides each recompute this frame (no
-    // exchange reuse across the renamed sides — same diamond rule as
-    // q13/q27). Persisting it was MEASURED SLOWER here (2.4 s vs 1.5 s
-    // at sf0.1, local[32], median of 5): the duplicate subtree runs on
-    // otherwise-idle cores while the cache inserts a materialization
-    // barrier — unlike q13, where the 3× recompute sat on the critical
-    // path and persisting won 3×. On a saturated cluster the calculus
-    // shifts with total work, not wall-clock; a deployment that pays
-    // for cluster-seconds would persist the 16-byte/doc frame.
+    // BUCKET-GROUPED pair generation (opt round 21, guide §2.4 — the
+    // candidatesFromBanded rewrite applied to the SimHash screen): the
+    // previous banded SELF-JOIN re-computed the fingerprint aggregate
+    // on both renamed sides (ReuseExchange cannot see through the
+    // rename below the exchange; persisting the 16-byte/doc frame was
+    // measured SLOWER still — 2.4 s vs 1.5 s — because the cache
+    // inserted a materialization barrier). Grouping each (pos, bv)
+    // bucket into one list runs the fingerprint pass ONCE with no
+    // cache, shuffles the same banded bytes once instead of twice, and
+    // two stacked codegen'd explodes emit the identical in-bucket
+    // pair relation (the hash join also landed each bucket's s² pair
+    // rows in one reduce task, so skew is unchanged).
     val fp = simhashFrame(spark, dir)
     val banded = fp.select($"doc_id", $"simhash", posexplode(array(
       (0 until SimhashBands).map(b =>
         shiftright($"simhash", b * bandWidth) % (1 << bandWidth)): _*)))
       .select($"doc_id", $"simhash", $"pos", $"col".as("bv"))
-    val a = banded.select($"pos", $"bv",
-      $"doc_id".as("doc_a"), $"simhash".as("fp_a"))
-    val b = banded.select($"pos", $"bv",
-      $"doc_id".as("doc_b"), $"simhash".as("fp_b"))
-    a.join(b, Seq("pos", "bv"))
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", $"fp_a", $"fp_b")
+    banded
+      .groupBy($"pos", $"bv")
+      .agg(collect_list(struct($"doc_id", $"simhash")).as("ds"))
+      .filter(size($"ds") >= 2)
+      .select(explode($"ds").as("a"), $"ds")
+      .select($"a", explode($"ds").as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.simhash".as("fp_a"), $"b.simhash".as("fp_b"))
       .distinct()
       .withColumn("hamming",
         bit_count($"fp_a".bitwiseXOR($"fp_b")).cast("long"))
@@ -1316,8 +1321,39 @@ object TextOps {
     * the pipeline threads them into its loan set. */
   private[graft] def bigramXentBuild(
       docs: DataFrame, perMille: Int): (DataFrame, Seq[DataFrame]) = {
-    val (vocab, cost, _, handles) = lmTrainCore(docs, perMille)
-    (lmScoreWith(docs, vocab, cost), handles)
+    // ONE bigram pass for train + score (opt round 21, guide §1.2
+    // "remove unnecessary passes"): self-perplexity trains on `docs`
+    // and scores the SAME docs, so the mapped-bigram explode ran twice
+    // — once aggregated to the global (mx, my) counts, once re-joined
+    // per doc. The per-doc counts `dxy` subsume both: the global table
+    // is its (mx, my) re-aggregate (sum of counts — exact), and the
+    // score is `sum(c·icost)` over it (same integer sum as per-
+    // occurrence icost). dxy is the thing you'd persist at 100 TB too:
+    // one row per DISTINCT (doc, bigram), strictly smaller than the
+    // exploded stream a second pass would re-generate.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (hhRes, hhHandles) = heavyHittersBuild(docs, perMille)
+    val hh = hhRes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vToks = vocabTokens(hh)
+    val vp = lit(vToks.length + 1L)
+    val dxy = lmMappedBigrams(docs, vToks)
+      .groupBy($"doc_id", $"mx", $"my").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cxy = dxy.groupBy($"mx", $"my").agg(sum($"c").as("c_xy"))
+    val cx = cxy.groupBy($"mx").agg(sum($"c_xy").as("c_x"))
+    // the cost expression is lmTrainCore's verbatim (same association,
+    // same literal vp), so the icost table is bit-identical
+    val cost = cxy.join(cx, "mx")
+      .select($"mx", $"my",
+        floor(log(($"c_x" + vp).cast("double") /
+          ($"c_xy" + lit(1L)).cast("double")) * 1e5)
+          .cast("long").as("icost"))
+    val scores = dxy.join(broadcast(cost), Seq("mx", "my"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_bigrams"),
+        sum($"c" * $"icost").as("xent_e5nats"))
+    (scores, hhHandles :+ hh :+ dxy)
   }
 
   /** The q79 bigram stream mapped through the vocabulary's unk rule:
@@ -1879,15 +1915,55 @@ object TextOps {
           "before comparing it")
     }
     val docs = Tables.documents(spark, dir)
-    val a = lmScoreFrame(docs, modelPath, og)
-      .select($"doc_id", $"n_bigrams".as("n"), $"xent_e5nats".as("x1"))
-    val b = lmScoreFrame(docs, modelPath, ng)
-      .select($"doc_id", $"xent_e5nats".as("x2"))
+    // ONE dual-mapped corpus pass (opt round 21, guide §2.4 / §1.2
+    // "remove unnecessary passes"): the two per-generation scoring
+    // passes shared everything but the vocabulary mapping — so
+    // tokenize + bigram-explode ONCE, map each adjacent pair under
+    // BOTH vocabularies, resolve both broadcast cost/backoff pairs,
+    // and collapse per doc in one hash aggregate. Replaces two full
+    // bigram generates + two per-doc aggregates + the doc_id equi-join
+    // that re-united them. n_bigrams is vocabulary-independent
+    // (size(toks)−1 either way), so one count serves both legs; the
+    // per-leg sums range over the same multiset of pairs as the
+    // two-pass form, hence bit-identical totals.
+    val (v1, c1, b1) = lmLoaded(spark, modelPath, og)
+    val (v2, c2, b2) = lmLoaded(spark, modelPath, ng)
+    val vt1 = vocabTokens(v1)
+    val vt2 = vocabTokens(v2)
+    def member(vs: Seq[String]): Column => Column = t =>
+      if (vs.isEmpty) lit(UnkToken)
+      else when(t.isin(vs: _*), t).otherwise(UnkToken)
+    val dual = ScaleHints.fanOutIfTiny(docs)
+      .select($"doc_id", toks($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id",
+        transform($"toks", member(vt1)).as("m1"),
+        transform($"toks", member(vt2)).as("m2"))
+      .select($"doc_id",
+        explode(transform(sequence(lit(1), size($"m1") - 1),
+          i => struct(
+            element_at($"m1", i).as("x1"),
+            element_at($"m1", i + 1).as("y1"),
+            element_at($"m2", i).as("x2"),
+            element_at($"m2", i + 1).as("y2")))).as("bg"))
+      .select($"doc_id", $"bg.x1", $"bg.y1", $"bg.x2", $"bg.y2")
+      .join(broadcast(c1.select($"mx".as("x1"), $"my".as("y1"),
+        $"icost".as("i1"))), Seq("x1", "y1"), "left")
+      .join(broadcast(b1.get.select($"mx".as("x1"), $"icost".as("bo1"))),
+        Seq("x1"))
+      .join(broadcast(c2.select($"mx".as("x2"), $"my".as("y2"),
+        $"icost".as("i2"))), Seq("x2", "y2"), "left")
+      .join(broadcast(b2.get.select($"mx".as("x2"), $"icost".as("bo2"))),
+        Seq("x2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce($"i1", $"bo1")).as("x1"),
+        sum(coalesce($"i2", $"bo2")).as("x2"))
     // localCheckpoint, not persist: two consumers (totals, matrix) must
-    // not re-pay the two scoring passes, and the registered form
-    // returns a live frame — caller-owned unpersist has no seam here
-    // (the q113/gateRocWith eager class). One slim row per doc.
-    val per = a.join(b, Seq("doc_id")).localCheckpoint()
+    // not re-pay the scoring pass, and the registered form returns a
+    // live frame — caller-owned unpersist has no seam here (the
+    // q113/gateRocWith eager class). One slim row per doc.
+    val per = dual.localCheckpoint()
     val tot = per.agg(sum($"n").as("nn"),
       sum($"x1").as("xx1"), sum($"x2").as("xx2"))
     per.crossJoin(broadcast(tot))

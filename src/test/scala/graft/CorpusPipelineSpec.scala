@@ -693,4 +693,40 @@ class CorpusPipelineSpec extends SparkSuite {
       "shared benchmark grams survived")
     assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
   }
+
+  test("single-aggregate yield path is row-identical to the traced path") {
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf)
+    // every fast-path-eligible stage combination: the default chain,
+    // the model gate (extra 06_model boundary), and cluster-mode
+    // near-dup (losers from the closure instead of the pairwise rule)
+    val cfgs = Seq(
+      CorpusPipeline.Config(),
+      CorpusPipeline.Config(modelGate = true),
+      CorpusPipeline.Config(clusterNeardups = true),
+      CorpusPipeline.Config(modelGate = true, clusterNeardups = true),
+      CorpusPipeline.Config(stratRates = Seq.empty))
+    cfgs.foreach { cfg =>
+      assert(CorpusPipeline.fastYieldEligible(cfg), s"eligibility: $cfg")
+      val fast = CorpusPipeline.yieldReportCounted(docs, cfg)
+        .collect().map(_.toSeq).toSeq
+      val traced = CorpusPipeline.yieldReportTraced(docs, cfg, None)
+        .collect().map(_.toSeq).toSeq
+      assert(fast == traced, s"yield paths diverged under $cfg:\n" +
+        s"fast   = $fast\ntraced = $traced")
+    }
+    // ineligible configs stay on the traced path (rewrites, models,
+    // joins mid-chain — the flag model does not cover them)
+    assert(!CorpusPipeline.fastYieldEligible(
+      CorpusPipeline.Config(phraseExcise = true)))
+    assert(!CorpusPipeline.fastYieldEligible(
+      CorpusPipeline.Config(passageDedup = true)))
+    assert(!CorpusPipeline.fastYieldEligible(
+      CorpusPipeline.Config(piiScrub = true)))
+    assert(!CorpusPipeline.fastYieldEligible(
+      CorpusPipeline.Config(mixWeights = Some(graft.queries.PipelineOps.MixWeights))))
+    assert(!CorpusPipeline.fastYieldEligible(
+      CorpusPipeline.Config(perplexityBand = Some((0L, 1000000L)))))
+    assert(org.apache.spark.sql.graftShims.cacheIsEmpty(spark))
+  }
 }
