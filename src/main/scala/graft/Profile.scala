@@ -36,6 +36,11 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // ONE explicit lock shared by the listener callbacks and the
+    // reset/read sites (ADVICE r20: the listener's bare `synchronized`
+    // locked the anonymous instance while resetCounters locked the
+    // Profile object — different monitors, torn counters possible).
+    val lock = new Object
     @volatile var jobs = 0
     @volatile var stages = 0
     @volatile var tasks = 0
@@ -44,9 +49,9 @@ object Profile {
     @volatile var shufRead = 0L
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        synchronized { jobs += 1 }
+        lock.synchronized { jobs += 1 }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        synchronized {
+        lock.synchronized {
           stages += 1
           tasks += s.stageInfo.numTasks
           taskTimeMs += s.stageInfo.taskMetrics.executorRunTime
@@ -55,9 +60,16 @@ object Profile {
         }
     }
     spark.sparkContext.addSparkListener(listener)
-    def resetCounters(): Unit = synchronized {
-      jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0L
-      shufWrite = 0L; shufRead = 0L
+    def resetCounters(): Unit = {
+      // drain the async listener bus so a prior iteration's late
+      // events cannot leak into (or past) the reset (ADVICE r20;
+      // the bus is private[spark], so a settle sleep stands in for
+      // waitUntilEmpty — events deliver in well under this)
+      Thread.sleep(300)
+      lock.synchronized {
+        jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0L
+        shufWrite = 0L; shufRead = 0L
+      }
     }
 
     val registered = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -85,7 +97,9 @@ object Profile {
         }
         val med = walls.sorted.apply(iters / 2)
         // counters reflect the LAST iteration (clearCache between runs
-        // makes each iteration pay the same work)
+        // makes each iteration pay the same work); settle so the
+        // last iteration's tail events are counted (ADVICE r20)
+        Thread.sleep(300)
         println(f"""{"q":"$name","wall":$med%.3f,"jobs":$jobs,"stages":$stages,"tasks":$tasks,"task_ms":$taskTimeMs,"shuf_write":$shufWrite,"shuf_read":$shufRead}""")
       } catch {
         case e: Throwable =>

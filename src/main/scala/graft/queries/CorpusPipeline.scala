@@ -476,7 +476,10 @@ object CorpusPipeline {
     // over (content_hash, doc_id) — an ORDERED window that forced a
     // sort by both keys, while `doc_id === min(doc_id)` selects the
     // identical row (doc_id is unique) from the same single exchange
-    // with a partition-key-only sort.
+    // with a partition-key-only sort. DEPENDS on doc_id uniqueness
+    // (ADVICE r20): rows TYING at the minimum would all be kept where
+    // row_number kept exactly one — a future multi-source union must
+    // re-key or restore the ordered form.
     val wholeGroup = Window.partitionBy(col("content_hash"))
     val exact = docs
       .withColumn("content_hash", xxhash64(col("text")))

@@ -321,6 +321,12 @@ object RetrievalOps {
       .withColumn("bucket", pmod(xxhash64(col("token")), lit(IndexBuckets)))
   }
 
+  /** The `_stats` artifact's fixed layout — count/sum(long) data
+    * columns from [[corpusTotals]] plus the discovered `gen` partition
+    * column (int, like every small-valued partition dir). Pinned so
+    * stats reads skip the footer-inference job (opt round 21). */
+  private val StatsSchema = "n BIGINT, sumdl BIGINT, gen INT"
+
   /** One-row `(n, sumdl)` corpus totals — the `_stats` artifact. */
   private def corpusTotals(docs: DataFrame): DataFrame =
     docs
@@ -402,7 +408,7 @@ object RetrievalOps {
           .write.partitionBy("gen", "bucket").mode("append").parquet(path)
       }
       if (crashAfterStage <= 1) return
-      val old = spark.read.parquet(s"$path/_stats")
+      val old = spark.read.schema(StatsSchema).parquet(s"$path/_stats")
         .filter(col("gen") === hi).select(col("n"), col("sumdl"))
         .collect().head
       import spark.implicits._
@@ -498,7 +504,7 @@ object RetrievalOps {
       .repartition(col("bucket"))
       .write.partitionBy("gen", "bucket").mode("append").parquet(path)
     if (crashAfterStage <= 1) return
-    spark.read.parquet(s"$path/_stats")
+    spark.read.schema(StatsSchema).parquet(s"$path/_stats")
       .filter(col("gen") === hi).drop("gen")
       .withColumn("gen", lit(hi + 1))
       .write.partitionBy("gen").mode("append").parquet(s"$path/_stats")
@@ -594,7 +600,7 @@ object RetrievalOps {
     // stats are cumulative totals — exactly the AS-OF generation's row
     // is current (older rows are the pre-append history, newer ones
     // the post-as-of future)
-    spark.read.parquet(s"$path/_stats")
+    spark.read.schema(StatsSchema).parquet(s"$path/_stats")
       .filter(col("gen") === GenerationManifest.windowAt(path, asOfGen)._2)
       .drop("gen")
       .crossJoin(broadcast(dfRow))
@@ -1457,7 +1463,7 @@ object RetrievalOps {
       // the carried row on retry
       GenerationManifest.purgeOutside(s"$path/sparse", Seq("", "_stats"),
         lo, hi)
-      spark.read.parquet(s"$path/sparse/_stats")
+      spark.read.schema(StatsSchema).parquet(s"$path/sparse/_stats")
         .filter(col("gen") === hi).drop("gen")
         .withColumn("gen", lit(hi + 1))
         .write.partitionBy("gen").mode("append").parquet(s"$path/sparse/_stats")
@@ -1527,9 +1533,22 @@ object RetrievalOps {
     require(og < ng,
       s"oldGen=$og is not older than newGen=$ng at $path — the drift " +
         "review reads old → new; swap the arguments")
+    // OVERLAPPED serve construction (opt round 21, guide §2.6): each
+    // hybridServeAt front-loads ~8 eager driver jobs (probe collects,
+    // quantizer/codebook/meta sidecar loads, window resolution) before
+    // returning its lazy plan; the two generations' loads are
+    // independent, so two driver threads halve that serial prefix.
+    // The returned matrix plan is unchanged — same lazy composition.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def serveF(g: Long): Future[DataFrame] = Future {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      hybridServeAt(spark, path, asOfGen = g)
+    }
+    val (oF, nF) = (serveF(og), serveF(ng))
     driftMatrix(
-      hybridServeAt(spark, path, asOfGen = og),
-      hybridServeAt(spark, path, asOfGen = ng))
+      Await.result(oF, scala.concurrent.duration.Duration.Inf),
+      Await.result(nF, scala.concurrent.duration.Duration.Inf))
   }
 
   /** The FLIP-MATRIX arithmetic of the drift review, factored out of

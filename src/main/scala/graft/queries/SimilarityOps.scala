@@ -516,7 +516,8 @@ object SimilarityOps {
           readQuantizer(spark, headRoot),
           readPqQuantizer(spark, s"$headRoot/_pq")
             .map(_.map(_.toSeq).toSeq).toSeq,
-          spark.read.parquet(s"$headRoot/_meta").head().getBoolean(0),
+          spark.read.schema("residual BOOLEAN")
+            .parquet(s"$headRoot/_meta").head().getBoolean(0),
           s"$path/_epochs/gen=${hi + 1}")
       else
         writeQuantizer(spark, readQuantizer(spark, headRoot),
@@ -536,7 +537,12 @@ object SimilarityOps {
     * bound as the trainer's driver traffic). */
   def readQuantizer(spark: SparkSession, path: String): Seq[Seq[Double]] = {
     import spark.implicits._
-    spark.read.parquet(s"$path/_quantizer")
+    // explicit sidecar schema (opt round 21, guide §1/§5 driver
+    // round-trips): skips the footer-inference job every cold serve
+    // paid (2 jobs → 1 per read, measured ~95 → ~40 ms); pinned to
+    // [[writeQuantizer]]'s layout, which is fixed by its signature.
+    spark.read.schema("cell INT, centroid ARRAY<DOUBLE>")
+      .parquet(s"$path/_quantizer")
       .select($"cell", $"centroid").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1).map(_._2).toSeq
@@ -1529,7 +1535,10 @@ object SimilarityOps {
   def readPqQuantizer(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
     import spark.implicits._
     val books = Array.ofDim[Array[Double]](PqSubspaces, PqCodes)
-    spark.read.parquet(s"$path/_quantizer")
+    // explicit sidecar schema (opt round 21): [[writePqBooks]]'s fixed
+    // layout — skips the footer-inference job per cold serve.
+    spark.read.schema("m INT, j INT, codebook ARRAY<DOUBLE>")
+      .parquet(s"$path/_quantizer")
       .select($"m", $"j", $"codebook").collect()
       .foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
     books
@@ -1921,7 +1930,8 @@ object SimilarityOps {
     val winLo = epochFloor(eps, winLo0, winHi)
     val centroids = readQuantizer(spark, qRoot)
     val books = readPqQuantizer(spark, s"$qRoot/_pq")
-    val residual = spark.read.parquet(s"$qRoot/_meta")
+    val residual = spark.read.schema("residual BOOLEAN")
+      .parquet(s"$qRoot/_meta")
       .head().getBoolean(0)
     val probeRows = probes.flatMap { case (id, e) =>
       probeCells(e, centroids, numProbedCells).map { c =>
@@ -2253,7 +2263,8 @@ object SimilarityOps {
         val centroids = readQuantizer(spark, qRoot)
         val books = readPqQuantizer(spark, s"$qRoot/_pq")
           .map(_.map(_.toSeq).toSeq).toSeq
-        val residual = spark.read.parquet(s"$qRoot/_meta")
+        val residual = spark.read.schema("residual BOOLEAN")
+          .parquet(s"$qRoot/_meta")
           .head().getBoolean(0)
         encodeForIndex(assignCells(kept, centroids), centroids, books,
             residual)
@@ -2382,21 +2393,42 @@ object SimilarityOps {
     // top-k through one window — output bounded at probes×k
     val byProbe = Window.partitionBy($"probe_id")
       .orderBy($"sim".desc, $"vec_id")
-    val exactIds = ScaleHints.fanOutIfTiny(emb)
-      .select($"vec_id", $"embedding", explode(typedlit(probes)).as("p"))
-      .select($"p._1".as("probe_id"), $"vec_id",
-        round(PipelineOps.cosine($"embedding", $"p._2"), 6).as("sim"))
-      .withColumn("rank", row_number().over(byProbe))
-      .filter($"rank" <= k)
-      .select($"probe_id", $"vec_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    def recallPpm(g: Long): Long = {
-      val served = ivfPqServe(spark, indexPath, emb, probes, k, asOfGen = g)
+    // OVERLAPPED independent legs (opt round 21, guide §2.6 "overlap
+    // independent jobs"): the exact ground truth and the two served
+    // top-k reads share nothing until the driver-side set intersect,
+    // and each leaves most cores idle in its tail — three driver
+    // threads let the scheduler back-fill. Results are sets; the
+    // assembly is order-independent, so rows are unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def onSession[T](f: => T): Future[T] = Future {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      f
+    }
+    val exactF = onSession {
+      ScaleHints.fanOutIfTiny(emb)
+        .select($"vec_id", $"embedding", explode(typedlit(probes)).as("p"))
+        .select($"p._1".as("probe_id"), $"vec_id",
+          round(PipelineOps.cosine($"embedding", $"p._2"), 6).as("sim"))
+        .withColumn("rank", row_number().over(byProbe))
+        .filter($"rank" <= k)
         .select($"probe_id", $"vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      served.intersect(exactIds).size.toLong * 1000000L / exactIds.size
     }
-    val (rOld, rNew) = (recallPpm(og), recallPpm(ng))
+    def servedF(g: Long): Future[Set[(Long, Long)]] = onSession {
+      ivfPqServe(spark, indexPath, emb, probes, k, asOfGen = g)
+        .select($"probe_id", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val (oldF, newF) = (servedF(og), servedF(ng))
+    val exactIds =
+      Await.result(exactF, scala.concurrent.duration.Duration.Inf)
+    def recallPpm(served: Set[(Long, Long)]): Long =
+      served.intersect(exactIds).size.toLong * 1000000L / exactIds.size
+    val rOld =
+      recallPpm(Await.result(oldF, scala.concurrent.duration.Duration.Inf))
+    val rNew =
+      recallPpm(Await.result(newF, scala.concurrent.duration.Duration.Inf))
     // fan-out guard (opt round 20): the flip count evaluates BOTH
     // epochs' assignment argmaxes per row — 2·k·Dim dots of narrow CPU.
     ScaleHints.fanOutIfTiny(emb)
@@ -2974,7 +3006,8 @@ object SimilarityOps {
     val centroids = readQuantizer(spark, qRoot)
     val books = readPqQuantizer(spark, s"$qRoot/_pq")
       .map(_.map(_.toSeq).toSeq).toSeq
-    val residual = spark.read.parquet(s"$qRoot/_meta").head().getBoolean(0)
+    val residual = spark.read.schema("residual BOOLEAN")
+      .parquet(s"$qRoot/_meta").head().getBoolean(0)
     recallCurveFrame(Tables.embeddings(spark, dir), centroids, books,
       k, numProbes, nprobes, shortlists, residual = residual)
   }

@@ -1321,39 +1321,19 @@ object TextOps {
     * the pipeline threads them into its loan set. */
   private[graft] def bigramXentBuild(
       docs: DataFrame, perMille: Int): (DataFrame, Seq[DataFrame]) = {
-    // ONE bigram pass for train + score (opt round 21, guide §1.2
-    // "remove unnecessary passes"): self-perplexity trains on `docs`
-    // and scores the SAME docs, so the mapped-bigram explode ran twice
-    // — once aggregated to the global (mx, my) counts, once re-joined
-    // per doc. The per-doc counts `dxy` subsume both: the global table
-    // is its (mx, my) re-aggregate (sum of counts — exact), and the
-    // score is `sum(c·icost)` over it (same integer sum as per-
-    // occurrence icost). dxy is the thing you'd persist at 100 TB too:
-    // one row per DISTINCT (doc, bigram), strictly smaller than the
-    // exploded stream a second pass would re-generate.
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val (hhRes, hhHandles) = heavyHittersBuild(docs, perMille)
-    val hh = hhRes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vToks = vocabTokens(hh)
-    val vp = lit(vToks.length + 1L)
-    val dxy = lmMappedBigrams(docs, vToks)
-      .groupBy($"doc_id", $"mx", $"my").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cxy = dxy.groupBy($"mx", $"my").agg(sum($"c").as("c_xy"))
-    val cx = cxy.groupBy($"mx").agg(sum($"c_xy").as("c_x"))
-    // the cost expression is lmTrainCore's verbatim (same association,
-    // same literal vp), so the icost table is bit-identical
-    val cost = cxy.join(cx, "mx")
-      .select($"mx", $"my",
-        floor(log(($"c_x" + vp).cast("double") /
-          ($"c_xy" + lit(1L)).cast("double")) * 1e5)
-          .cast("long").as("icost"))
-    val scores = dxy.join(broadcast(cost), Seq("mx", "my"))
-      .groupBy($"doc_id")
-      .agg(sum($"c").as("n_bigrams"),
-        sum($"c" * $"icost").as("xent_e5nats"))
-    (scores, hhHandles :+ hh :+ dxy)
+    // MEASURED REVERT (opt round 21): a single-pass form that
+    // aggregated per-doc distinct-bigram counts (`dxy`) and derived
+    // the global table as its re-aggregate was tried — one corpus
+    // pass instead of two — and measured 2.3× MORE task time
+    // (14.7 s → 33.9 s at sf0.1) and 1.6× wall (1.63 → 2.65 s): the
+    // (doc_id, mx, my) string-keyed hash aggregate plus the persisted
+    // doc×bigram relation cost far more than the second tokenize +
+    // explode pass it saved (the guide §1.1 "ideal plan is usually
+    // slower" case). The two-pass form keeps both aggregates
+    // map-side-friendly: cxy collapses to the tiny vocab² key space,
+    // the score collapses per doc within each partition.
+    val (vocab, cost, _, handles) = lmTrainCore(docs, perMille)
+    (lmScoreWith(docs, vocab, cost), handles)
   }
 
   /** The q79 bigram stream mapped through the vocabulary's unk rule:
@@ -1395,7 +1375,12 @@ object TextOps {
     * bounded-driver-reduction class), shared by [[lmTrainCore]] and
     * [[lmScoreWith]] so both inline the same literal membership set. */
   private def vocabTokens(vocab: DataFrame): Seq[String] =
-    vocab.select(col("token")).collect().map(_.getString(0)).toSeq
+    // null tokens dropped (ADVICE r20): the pre-r20 broadcast
+    // membership JOIN never matched a null vocab row, so a null token
+    // mapped to unk — dropping it from the literal set preserves that
+    // for vocab frames loaded from external parquet
+    vocab.select(col("token")).filter(col("token").isNotNull)
+      .collect().map(_.getString(0)).toSeq
 
   /** Training half of [[bigramXentBuild]]: the heavy-hitter vocabulary
     * `(token)`, the add-one-smoothed integer cost table
@@ -1688,8 +1673,18 @@ object TextOps {
       spark: SparkSession, path: String,
       asOfGen: Long = Long.MaxValue): DataFrame = {
     val g = GenerationManifest.windowAt(path, asOfGen)._2
-    spark.read.parquet(s"$path/costs/gen=$g").orderBy(col("mx"), col("my"))
+    // explicit sidecar schema (opt round 21): skips the
+    // footer-inference job per model load; layout fixed by
+    // [[lmTrainCore]] (mapped tokens are strings, icost a cast long).
+    spark.read.schema(LmCostsSchema)
+      .parquet(s"$path/costs/gen=$g").orderBy(col("mx"), col("my"))
   }
+
+  /** The LM store's artifact layouts — fixed by [[lmTrainCore]]'s
+    * construction, pinned here so loads skip schema inference. */
+  private val LmCostsSchema = "mx STRING, my STRING, icost BIGINT"
+  private val LmVocabSchema = "token STRING"
+  private val LmBackoffSchema = "mx STRING, icost BIGINT"
 
   /** The LOADED model triple (vocab, costs, backoff) at `asOfGen` —
     * the one resolution every served LM read shares. A pre-r17 store
@@ -1704,10 +1699,11 @@ object TextOps {
     val bo =
       if (boDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .exists(boDir))
-        Some(spark.read.parquet(boDir.toString))
+        Some(spark.read.schema(LmBackoffSchema).parquet(boDir.toString))
       else None
-    (spark.read.parquet(s"$modelPath/vocab/gen=$g"),
-      spark.read.parquet(s"$modelPath/costs/gen=$g"), bo)
+    (spark.read.schema(LmVocabSchema).parquet(s"$modelPath/vocab/gen=$g"),
+      spark.read.schema(LmCostsSchema).parquet(s"$modelPath/costs/gen=$g"),
+      bo)
   }
 
   /** q79's scoring table under the LOADED model — the deploy step
@@ -3208,7 +3204,11 @@ object TextOps {
       spark: SparkSession, path: String,
       asOfGen: Long = Long.MaxValue): DataFrame = {
     val g = GenerationManifest.windowAt(path, asOfGen)._2
-    spark.read.parquet(s"$path/merges/gen=$g").orderBy(col("rank"))
+    // explicit sidecar schema (opt round 21): the trainer's fixed
+    // `toDF("rank", "lhs", "rhs", "n")` layout — skips the
+    // footer-inference job per model load.
+    spark.read.schema("rank INT, lhs STRING, rhs STRING, n BIGINT")
+      .parquet(s"$path/merges/gen=$g").orderBy(col("rank"))
   }
 
   /** The LOADED merge list in apply order — a |merges|-row collect
@@ -4048,7 +4048,11 @@ object TextOps {
       spark: SparkSession, path: String,
       asOfGen: Long = Long.MaxValue): Seq[Long] = {
     val g = GenerationManifest.windowAt(path, asOfGen)._2
-    spark.read.parquet(s"$path/weights/gen=$g")
+    // explicit sidecar schema (opt round 21): the trainer's fixed
+    // `toDF("feature", "weight")` layout — every model load is one
+    // job instead of two.
+    spark.read.schema("feature INT, weight BIGINT")
+      .parquet(s"$path/weights/gen=$g")
       .orderBy(col("feature")).collect().map(_.getLong(1)).toSeq
   }
 
@@ -4057,7 +4061,11 @@ object TextOps {
       spark: SparkSession, path: String,
       asOfGen: Long = Long.MaxValue): DataFrame = {
     val g = GenerationManifest.windowAt(path, asOfGen)._2
-    spark.read.parquet(s"$path/card/gen=$g").orderBy(col("epoch"))
+    // explicit sidecar schema (opt round 21): the trainer's fixed
+    // trajectory layout (all Scala Longs).
+    spark.read.schema("epoch BIGINT, tp BIGINT, fp BIGINT, tn BIGINT, " +
+        "fn BIGINT, err BIGINT, is_pocket BIGINT")
+      .parquet(s"$path/card/gen=$g").orderBy(col("epoch"))
   }
 
   /** q68's scoring table under the LOADED model — the deploy step. */
