@@ -105,33 +105,41 @@ object DedupOps {
   private def candidatesFromBanded(
       banded0: DataFrame,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    // BUCKET-GROUPED pair generation (opt round 21, guide §2.4): the
-    // previous form self-joined two renamed projections of `banded` on
-    // (pos, bh). The rename sits BELOW the exchange, so ReuseExchange
-    // never fires and each side re-paid the whole upstream lineage —
-    // for the neardup build that is the 64-column minhash signature
-    // aggregate plus the band explode, TWICE per call. Grouping each
-    // bucket's members into one list (one exchange, the same (pos, bh)
-    // key and the same bytes the join's one side shuffled) and
-    // generating the s² in-bucket pairs with two stacked codegen'd
-    // explodes computes the identical candidate relation from ONE
-    // upstream pass. Per-bucket work and skew are unchanged — the hash
-    // join also landed each bucket's s² pair rows in one reduce task;
-    // the skew guard becomes a size() filter on the grouped list
-    // (exactly the old semantics: oversized buckets drop whole).
-    val bucketed = banded0
-      .groupBy(col("pos"), col("bh"))
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-    val kept =
-      if (maxBucketSize == Int.MaxValue) bucketed
-      else bucketed.filter(size(col("ds")) <= maxBucketSize)
-    kept
-      .filter(size(col("ds")) >= 2)
-      .select(explode(col("ds")).as("a"), col("ds"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"))
+    // MEASURED REVERT (opt round 21): a bucket-grouped form —
+    // groupBy(pos, bh) + collect_list + two stacked explodes — was
+    // tried to stop the self-join re-paying the upstream lineage on
+    // both renamed sides (ReuseExchange cannot see through the
+    // rename). It DID halve total task time on q13 (13.9 → 5.8 s at
+    // sf0.1) but lengthened the critical path ~10% wall (back-to-back
+    // A/B: q13 1.195 → 1.319 s, q110 1.818 → 2.047 s; the list
+    // aggregate serializes each bucket where the join's probe streams
+    // it). The lineage double-pay is solved WITHOUT the list instead:
+    // [[neardupBuild]] persists the narrow banded frame, so both join
+    // sides read the one cached pass — the label-index paths always
+    // did exactly this.
+    //
+    // Optional skew guard: a bucket of size s yields s² candidate rows,
+    // so ONE boilerplate-heavy bucket (same header on a million docs)
+    // can dominate the whole job. The guard anti-joins the (tiny)
+    // relation of oversized buckets before pair generation — quadratic
+    // work becomes bounded; the dropped docs still pair through their
+    // other bands. Off by default so the oracle-exact semantics hold.
+    val banded =
+      if (maxBucketSize == Int.MaxValue) banded0
+      else {
+        val oversized = banded0.groupBy(col("pos"), col("bh"))
+          .agg(count(lit(1)).as("sz"))
+          .filter(col("sz") > maxBucketSize)
+          .select(col("pos"), col("bh"))
+        banded0.join(broadcast(oversized), Seq("pos", "bh"), "left_anti")
+      }
+    val a = banded.select(col("pos"), col("bh"),
+      col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val b = banded.select(col("pos"), col("bh"),
+      col("doc_id").as("doc_b"), col("n").as("n_b"))
+    a.join(b, Seq("pos", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .distinct()
   }
 
@@ -231,7 +239,14 @@ object DedupOps {
     // once at 100 TB too.
     val ex = shingleHashes(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = verifiedPairsFrom(ex, threshold, bands, rows)
+    // The banded frame feeds BOTH sides of the candidate self-join;
+    // persisting it (4 narrow columns, bands rows/doc) pays the
+    // 64-column minhash signature aggregate ONCE per build instead of
+    // once per join side (opt round 21 — the label-index append has
+    // pinned this frame since round 15 for the same reason).
+    val banded = bandedBuckets(ex, bands, rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = verifiedFromBanded(ex, banded, threshold)
     // `ordered = false` for consumers that re-key or aggregate the pair
     // relation anyway (q43's closure, q45's reconciliation, q57's
     // rollup, q110's histogram, the pipeline's drop rule): the sort is
@@ -239,18 +254,8 @@ object DedupOps {
     // exchange + sort under every composition (opt round 20, guide
     // §2.4 "an orderBy used only to make output deterministic").
     (if (ordered) pairs.orderBy(col("doc_a"), col("doc_b")) else pairs,
-      Seq(ex))
+      Seq(ex, banded))
   }
-
-  /** LSH candidates exact-verified at `threshold` Jaccard over an
-    * already-persisted shingle frame `ex` — the core [[neardupBuild]]
-    * wraps, factored out so the label index's append path can reuse
-    * ONE delta shingle cache for both its within-delta pair pass and
-    * its against-the-sealed-base screen. Unordered (callers that
-    * publish add the sort). */
-  private def verifiedPairsFrom(
-      ex: DataFrame, threshold: Double, bands: Int, rows: Int): DataFrame =
-    verifiedFromBanded(ex, bandedBuckets(ex, bands, rows), threshold)
 
   /** The verify core over a prebuilt banded frame — see
     * [[candidatesFromBanded]] for why the seam exists. */

@@ -1768,11 +1768,23 @@ object RetrievalOps {
     val floats = spark.read.parquet(s"$path/_floats")
       .filter($"gen".between(lo, g))
       .select($"vec_id", $"label", $"embedding")
+    // NOT overlapped (measured, opt round 21): constructing the two
+    // legs on concurrent driver threads measured neutral at sf0.1
+    // (q120/q122 flat in a back-to-back A/B vs this serial form) —
+    // the legs are lazy plan construction; only their small eager
+    // sidecar loads could overlap, and the thread overhead cancels it.
     val dense = denseLegServed(spark, s"$path/dense", floats, asOfGen = g)
     val sparse = bm25SearchIndex(spark, s"$path/sparse", asOfGen = g)
       .select($"qid", $"doc_id", $"rank".as("s_rank"))
     fuseRrf(sparse, dense)
   }
+
+  // NOTE (opt round 21): the `_floats` sidecar's schema is NOT pinned
+  // like the other sidecars — its layout inherits the CALLER's
+  // embeddings columns (label is int in the fixture but string in
+  // several spec-built stores), so an explicit schema here would be a
+  // correctness bug, not an optimization. Measured cost of leaving the
+  // inference job: one ~40 ms job per cold hybrid serve.
 
   /** q120 — the hybrid STORE end to end, oracle-proven: build the
     * cross-store hybrid on the sealed base split, APPEND the delta

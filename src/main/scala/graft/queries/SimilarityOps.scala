@@ -1928,6 +1928,10 @@ object SimilarityOps {
     val eps = GenerationManifest.epochs(path)
     val qRoot = quantizerRootAt(path, eps, winHi)
     val winLo = epochFloor(eps, winLo0, winHi)
+    // NOT overlapped (measured, opt round 21): running these three
+    // one-job sidecar collects on concurrent driver threads measured
+    // neutral at sf0.1 (q84/q119/q129 flat in a back-to-back A/B) —
+    // each load is ~40 ms and the thread overhead cancels the overlap.
     val centroids = readQuantizer(spark, qRoot)
     val books = readPqQuantizer(spark, s"$qRoot/_pq")
     val residual = spark.read.schema("residual BOOLEAN")
